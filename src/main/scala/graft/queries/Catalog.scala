@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable query: a Spark DataFrame pipeline plus (usually)
+  * an equivalent DuckDB SQL oracle over the same parquet tables. Queries
+  * whose semantics are not cross-engine comparable (Spark Murmur3 hash
+  * buckets, approximate sketches) omit the oracle → the driver records a
+  * weaker rows-only check.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    section: String)
+
+trait QueryGroup {
+  def queries: Seq[Q]
+
+  protected def q(name: String, section: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle.trim), section)
+
+  protected def qNoOracle(name: String, section: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None, section)
+}
+
+object Catalog {
+  def groups: Seq[QueryGroup] = Seq(
+    CoreQueries,
+    EnrichQueries,
+    VerifyQueries,
+    SourceQueries,
+    AbiQueries,
+    DedupQueries,
+    TextQueries,
+    SimilarityQueries,
+    MultimodalQueries)
+
+  lazy val all: Seq[Q] = {
+    val qs = groups.flatMap(_.queries)
+    val dup = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
+    qs
+  }
+
+  lazy val byName: Map[String, Q] = all.map(x => x.name -> x).toMap
+}

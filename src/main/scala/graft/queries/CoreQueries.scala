@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import graft.core.Tables
+
+/** Core relational surface: aggregation, joins, set ops, windows — the
+  * Spark-built-in operators the engine leans on (SURVEY §2.3-2.6 + §7.4
+  * extensions). All numeric aggregates go through DECIMAL so the DuckDB
+  * comparison is exact (double summation order is engine-dependent;
+  * decimal addition is associative).
+  */
+object CoreQueries extends QueryGroup {
+  private val dec = DecimalType(38, 6)
+
+  val queries: Seq[Q] = Seq(
+    q("q1_agg", "agg",
+      """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price,
+           count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""") {
+      (spark, dir) =>
+        Tables.df(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec)).as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).as("sum_price"),
+            count(lit(1)).as("cnt"))
+    },
+
+    q("q_join_broadcast", "join",
+      """SELECT p_brand,
+           count(*) AS cnt,
+           sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""") {
+      (spark, dir) =>
+        val li = Tables.df(spark, dir, "lineitem")
+        val p = Tables.df(spark, dir, "part")
+        // part is the small dimension → broadcast, no shuffle of lineitem
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(dec)).as("sum_qty"))
+    },
+
+    q("q_semi_anti_join", "join",
+      """SELECT
+           (SELECT count(*) FROM orders WHERE o_custkey IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+             AS building_orders,
+           (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+             AS other_orders""") {
+      (spark, dir) =>
+        val o = Tables.df(spark, dir, "orders")
+        val cust = Tables.df(spark, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"))
+        val semi = o.join(cust, Seq("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("building_orders"))
+        val anti = o.join(cust, Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("other_orders"))
+        semi.crossJoin(anti)
+    },
+
+    q("q_except_setop", "setop",
+      """SELECT CAST(k AS BIGINT) AS k FROM
+           (SELECT l_partkey AS k FROM lineitem
+            EXCEPT
+            SELECT p_partkey AS k FROM part WHERE p_size < 25) t""") {
+      (spark, dir) =>
+        val li = Tables.df(spark, dir, "lineitem").select(col("l_partkey").as("k"))
+        val p = Tables.df(spark, dir, "part")
+          .filter(col("p_size") < 25).select(col("p_partkey").as("k"))
+        li.except(p)
+    },
+
+    q("q_topk_window", "window",
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) t
+         WHERE rnk <= 3""") {
+      (spark, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.df(spark, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("rnk"))
+          .filter(col("rnk") <= 3)
+          .withColumn("rnk", col("rnk").cast(LongType))
+    },
+
+    q("q_time_window_agg", "window",
+      """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, date_trunc('second', ts)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n,
+              sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+         FROM events GROUP BY 1, 2""") {
+      (spark, dir) =>
+        // batch twin of the Structured Streaming tumbling-window agg
+        // (graft.streaming.EventsStream uses the same expression)
+        val ev = Tables.df(spark, dir, "events")
+        ev.groupBy(
+            window(date_trunc("second", col("ts")), "5 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+    })
+}

@@ -1,0 +1,51 @@
+package graft.write
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** S3/S4/S5: the partitioned warehouse sinks.
+  *
+  * Reference semantics (`/root/reference/dags/templates/evm_load_template
+  * .py`):
+  *  - `INSERT OVERWRITE … PARTITION (dt = date '{ds}')` — idempotent daily
+  *    overwrite of one static partition (S3);
+  *  - logs/traces add dynamic `address_hash`/`selector_hash` partition
+  *    columns → 100 sub-dirs per day for parse-time pruning (S4);
+  *  - tokens use `INSERT INTO` append (S5).
+  *
+  * The reference forces one output file per partition with
+  * `/*+ REPARTITION(1) */`; at 100 TB one file per (dt,bucket) partition
+  * is still right-sized for logs/traces (daily volume / 100), but we
+  * expose it as a knob instead of hard-coding 1.
+  *
+  * Overwrite uses `partitionOverwriteMode=dynamic` (set in GraftSession)
+  * so only partitions present in the batch are replaced — a re-run of one
+  * day never clears other days.
+  */
+object PartitionedWriter {
+
+  /** Daily overwrite into dt=… (+ optional extra dynamic partition cols).
+    * `filesPerPartition` replaces the reference's REPARTITION(1) hint. */
+  def overwriteDaily(df: DataFrame, path: String, ds: java.sql.Date,
+                     extraPartitionCols: Seq[String] = Nil,
+                     filesPerPartition: Int = 1): Unit = {
+    val partCols = "dt" +: extraPartitionCols
+    val withDt = df.withColumn("dt", lit(ds))
+    val sized =
+      if (extraPartitionCols.isEmpty) withDt.repartition(filesPerPartition)
+      else
+        // co-locate rows of one (bucket) partition into one task so each
+        // partition dir gets `filesPerPartition` files, not one per task
+        withDt.repartition(extraPartitionCols.map(col): _*)
+    sized.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
+  /** S5 append (tokens incremental load). */
+  def append(df: DataFrame, path: String, filesPerPartition: Int = 1): Unit =
+    df.repartition(filesPerPartition).write
+      .mode(SaveMode.Append)
+      .parquet(path)
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query output
+parquet written by graft.Verify, run the corresponding oracle SQL in
+DuckDB over the same testdata tables and diff the results (columns
+sorted by name, rows sorted by all columns, exact value compare).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+
+def norm(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    return df.sort_values(by=cols, ignore_index=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        got = duckdb.sql(
+            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"[FAIL oracle-sql] {name}: {e}")
+            n_fail += 1
+            continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"[FAIL cols] {name}: got {list(g.columns)} "
+                  f"want {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"[FAIL rows] {name}: got {len(g)} want {len(w)}")
+            n_fail += 1
+            continue
+        try:
+            import pandas.testing as pt
+            pt.assert_frame_equal(g, w, check_dtype=False,
+                                  check_exact=True)
+            print(f"[ok] {name}: {len(g)} rows")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"[FAIL vals] {name}: {str(e)[:500]}")
+            # show first mismatching rows
+            neq = (g != w) & ~(g.isna() & w.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                print("  got :", g.loc[i].to_dict())
+                print("  want:", w.loc[i].to_dict())
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
