@@ -1,0 +1,175 @@
+package graft.abi
+
+import java.math.BigInteger
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+import AbiType._
+
+/** Contract-ABI head/tail binary codec (Ethereum contract ABI spec,
+  * public). Decode returns plain JVM values (BigInteger / Boolean /
+  * String / Seq); the Catalyst conversion lives in AbiDecodeExpressions.
+  * The encoder exists for tests and fixture construction (ScalaCheck
+  * round-trips gate the decoder, SURVEY §5).
+  */
+object AbiCodec {
+
+  // ---------------------------------------------------------------- decode
+
+  def readUint(data: Array[Byte], pos: Int): BigInteger = {
+    require(pos + 32 <= data.length, s"offset $pos past end ${data.length}")
+    new BigInteger(1, java.util.Arrays.copyOfRange(data, pos, pos + 32))
+  }
+
+  /** Decode a head/tail sequence whose heads start at `base`. */
+  def decodeSeq(data: Array[Byte], types: Seq[AbiType], base: Int): Seq[Any] = {
+    var pos = base
+    types.map { t =>
+      val v =
+        if (t.isDynamic) {
+          val off = readUint(data, pos).intValueExact()
+          decodeDynamicAt(data, t, base + off)
+        } else decodeStaticAt(data, t, pos)
+      pos += t.headSize
+      v
+    }
+  }
+
+  /** Decode one 32-byte-word static value (also used for indexed topics). */
+  def decodeStaticAt(data: Array[Byte], t: AbiType, pos: Int): Any = t match {
+    case TUint(_) => readUint(data, pos)
+    case TInt(_) =>
+      new BigInteger(java.util.Arrays.copyOfRange(data, pos, pos + 32))
+    case TAddress =>
+      "0x" + Keccak256.hex(
+        java.util.Arrays.copyOfRange(data, pos + 12, pos + 32))
+    case TBool => data(pos + 31) != 0
+    case TBytesFixed(n) =>
+      "0x" + Keccak256.hex(java.util.Arrays.copyOfRange(data, pos, pos + n))
+    case TArray(e, Some(n)) =>
+      (0 until n).map(i => decodeStaticAt(data, e, pos + i * e.headSize))
+    case TTuple(fields) =>
+      var p = pos
+      fields.map { case (_, ft) =>
+        val v = decodeStaticAt(data, ft, p); p += ft.headSize; v
+      }
+    case other => throw new IllegalArgumentException(s"not static: $other")
+  }
+
+  private def decodeDynamicAt(data: Array[Byte], t: AbiType, pos: Int): Any =
+    t match {
+      case TBytes =>
+        val len = readUint(data, pos).intValueExact()
+        "0x" + Keccak256.hex(
+          java.util.Arrays.copyOfRange(data, pos + 32, pos + 32 + len))
+      case TString =>
+        val len = readUint(data, pos).intValueExact()
+        new String(
+          java.util.Arrays.copyOfRange(data, pos + 32, pos + 32 + len),
+          StandardCharsets.UTF_8)
+      case TArray(e, None) =>
+        val len = readUint(data, pos).intValueExact()
+        decodeSeq(data, Seq.fill(len)(e), pos + 32)
+      case TArray(e, Some(n)) => // fixed array of dynamic elems
+        decodeSeq(data, Seq.fill(n)(e), pos)
+      case TTuple(fields) =>
+        decodeSeq(data, fields.map(_._2), pos)
+      case other => throw new IllegalArgumentException(s"not dynamic: $other")
+    }
+
+  // ---------------------------------------------------------------- encode
+
+  private def word(v: BigInteger): Array[Byte] = {
+    val out = new Array[Byte](32)
+    val raw = v.toByteArray // two's complement, minimal
+    if (v.signum() < 0) java.util.Arrays.fill(out, 0xff.toByte)
+    val src = if (raw.length > 32) raw.drop(raw.length - 32) else raw
+    System.arraycopy(src, 0, out, 32 - src.length, src.length)
+    out
+  }
+
+  private def unhex(s: String): Array[Byte] = {
+    val h = if (s.startsWith("0x")) s.substring(2) else s
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def padRight(b: Array[Byte]): Array[Byte] = {
+    val n = ((b.length + 31) / 32) * 32
+    java.util.Arrays.copyOf(b, n)
+  }
+
+  def encodeStatic(t: AbiType, v: Any): Array[Byte] = t match {
+    case TUint(_) | TInt(_) => word(toBigInt(v))
+    case TAddress =>
+      val a = unhex(v.asInstanceOf[String])
+      val out = new Array[Byte](32)
+      System.arraycopy(a, 0, out, 32 - a.length, a.length)
+      out
+    case TBool =>
+      word(if (v.asInstanceOf[Boolean]) BigInteger.ONE else BigInteger.ZERO)
+    case TBytesFixed(_) => padRight(unhex(v.asInstanceOf[String]))
+    case TArray(e, Some(_)) =>
+      seqOf(v).flatMap(x => encodeStatic(e, x)).toArray
+    case TTuple(fields) =>
+      fields.zip(seqOf(v)).flatMap { case ((_, ft), x) =>
+        encodeStatic(ft, x)
+      }.toArray
+    case other => throw new IllegalArgumentException(s"not static: $other")
+  }
+
+  private def toBigInt(v: Any): BigInteger = v match {
+    case b: BigInteger => b
+    case b: BigInt => b.bigInteger
+    case l: Long => BigInteger.valueOf(l)
+    case i: Int => BigInteger.valueOf(i.toLong)
+    case s: String => new BigInteger(s)
+    case other => throw new IllegalArgumentException(s"not integral: $other")
+  }
+
+  private def seqOf(v: Any): Seq[Any] = v match {
+    case s: Seq[_] => s
+    case a: Array[_] => a.toSeq
+    case p: Product => p.productIterator.toSeq
+    case other => throw new IllegalArgumentException(s"not a sequence: $other")
+  }
+
+  private def encodeDynamic(t: AbiType, v: Any): Array[Byte] = t match {
+    case TBytes =>
+      val b = unhex(v.asInstanceOf[String])
+      word(BigInteger.valueOf(b.length.toLong)) ++ padRight(b)
+    case TString =>
+      val b = v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+      word(BigInteger.valueOf(b.length.toLong)) ++ padRight(b)
+    case TArray(e, None) =>
+      val xs = seqOf(v)
+      word(BigInteger.valueOf(xs.length.toLong)) ++
+        encodeSeq(Seq.fill(xs.length)(e), xs)
+    case TArray(e, Some(n)) => encodeSeq(Seq.fill(n)(e), seqOf(v))
+    case TTuple(fields) => encodeSeq(fields.map(_._2), seqOf(v))
+    case other => throw new IllegalArgumentException(s"not dynamic: $other")
+  }
+
+  /** Encode a head/tail sequence (the layout of both call data and the
+    * non-indexed event data region). */
+  def encodeSeq(types: Seq[AbiType], values: Seq[Any]): Array[Byte] = {
+    require(types.length == values.length, "arity mismatch")
+    val headTotal = types.map(_.headSize).sum
+    val heads = new ArrayBuffer[Array[Byte]]
+    val tails = new ArrayBuffer[Array[Byte]]
+    var tailLen = 0
+    types.zip(values).foreach { case (t, v) =>
+      if (t.isDynamic) {
+        val tail = encodeDynamic(t, v)
+        heads += word(BigInteger.valueOf((headTotal + tailLen).toLong))
+        tails += tail
+        tailLen += tail.length
+      } else heads += encodeStatic(t, v)
+    }
+    (heads ++ tails).flatten.toArray
+  }
+}

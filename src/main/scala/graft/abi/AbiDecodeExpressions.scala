@@ -1,0 +1,185 @@
+package graft.abi
+
+import java.math.BigInteger
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import AbiType._
+
+/** Raw ABI values → Catalyst values. */
+private[abi] object AbiCatalyst {
+  def convert(t: AbiType, v: Any): Any = t match {
+    case TUint(bits) =>
+      val bi = v.asInstanceOf[BigInteger]
+      if (bits < 64) bi.longValue()
+      else decimalOrNull(bi)
+    case TInt(bits) =>
+      val bi = v.asInstanceOf[BigInteger]
+      if (bits <= 64) bi.longValue()
+      else decimalOrNull(bi)
+    case TAddress | TBytes | _: TBytesFixed | TString =>
+      UTF8String.fromString(v.asInstanceOf[String])
+    case TBool => v.asInstanceOf[Boolean]
+    case TArray(e, _) =>
+      new GenericArrayData(
+        v.asInstanceOf[Seq[Any]].map(convert(e, _)).toArray)
+    case TTuple(fields) =>
+      val vs = v.asInstanceOf[Seq[Any]]
+      new GenericInternalRow(
+        fields.zip(vs).map { case ((_, ft), fv) => convert(ft, fv) }.toArray)
+  }
+
+  /** uint256 can exceed DECIMAL(38,0) (2^256 ≈ 1.16e77): the reference
+    * accepts this truncation risk (SURVEY §7.3); we decode to null on
+    * overflow rather than corrupt. */
+  def decimalOrNull(bi: BigInteger): Any = {
+    val d = Decimal(new java.math.BigDecimal(bi))
+    if (d.changePrecision(38, 0)) d else null
+  }
+}
+
+/** `abi_decode_event(topics_arr, unhex_data, '<event abi json>')` →
+  * struct with one field per ABI input. Indexed inputs come from
+  * topics[1..] (topics[0..] for anonymous events); non-indexed inputs are
+  * head/tail-decoded from the data region. Dynamic indexed params surface
+  * as their keccak topic hash (spec: only the hash is on-chain).
+  *
+  * The ABI JSON must be a foldable literal — the result schema is a
+  * function of it (resolved at analysis time). Decode failure → null row
+  * (malformed on-chain data must not kill a 100 TB batch).
+  */
+case class AbiDecodeEvent(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  @transient private lazy val event: AbiEvent =
+    AbiJson.parseEvent(third.eval(null).toString)
+  @transient private lazy val schema = AbiSchema.eventSchema(event)
+
+  override def dataType: DataType = schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_decode_event"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("abi json must be a literal")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val topicsRaw = first.eval(input)
+    val dataRaw = second.eval(input)
+    if (topicsRaw == null) return null
+    try {
+      val topics = topicsRaw.asInstanceOf[ArrayData]
+      val data =
+        if (dataRaw == null) Array.emptyByteArray
+        else dataRaw.asInstanceOf[Array[Byte]]
+      decode(topics, data)
+    } catch { case _: Exception => null }
+  }
+
+  private def hexToBytes(s: String): Array[Byte] = {
+    val h = if (s.startsWith("0x")) s.substring(2) else s
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def decode(topics: ArrayData, data: Array[Byte]): InternalRow = {
+    var topicIdx = if (event.anonymous) 0 else 1
+    val nonIndexed = event.inputs.filterNot(_.indexed)
+    val dataTypes = nonIndexed.map(_.abiType)
+    val dataValues = AbiCodec.decodeSeq(data, dataTypes, 0)
+    val dataIter = nonIndexed.zip(dataValues).iterator.map {
+      case (p, v) => AbiCatalyst.convert(p.abiType, v)
+    }
+    val out = event.inputs.map { p =>
+      if (p.indexed) {
+        val topic = topics.getUTF8String(topicIdx).toString
+        topicIdx += 1
+        p.abiType match {
+          case t @ (TAddress | TBool | _: TUint | _: TInt | _: TBytesFixed) =>
+            AbiCatalyst.convert(t,
+              AbiCodec.decodeStaticAt(hexToBytes(topic), t, 0))
+          case _ => UTF8String.fromString(topic) // hash of dynamic value
+        }
+      } else dataIter.next()
+    }
+    new GenericInternalRow(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** `abi_decode_call(unhex_input, unhex_output, '<function abi json>')` →
+  * struct of decoded inputs (after the 4-byte selector) + outputs
+  * (fields `output_*`). Output side may be absent (null/empty) → null
+  * output fields. */
+case class AbiDecodeCall(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  @transient private lazy val fn: AbiFunction =
+    AbiJson.parseFunction(third.eval(null).toString)
+  @transient private lazy val schema = AbiSchema.callSchema(fn)
+
+  override def dataType: DataType = schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_decode_call"
+
+  override def eval(input: InternalRow): Any = {
+    val inRaw = first.eval(input)
+    if (inRaw == null) return null
+    try {
+      val inBytes = inRaw.asInstanceOf[Array[Byte]]
+      val inTypes = fn.inputs.map(_.abiType)
+      val inVals = AbiCodec
+        .decodeSeq(java.util.Arrays.copyOfRange(inBytes, 4, inBytes.length),
+          inTypes, 0)
+        .zip(inTypes).map { case (v, t) => AbiCatalyst.convert(t, v) }
+      val outRaw = second.eval(input)
+      val outTypes = fn.outputs.map(_.abiType)
+      val outVals =
+        if (outRaw == null) fn.outputs.map(_ => null)
+        else {
+          val outBytes = outRaw.asInstanceOf[Array[Byte]]
+          if (outBytes.isEmpty) fn.outputs.map(_ => null)
+          else AbiCodec.decodeSeq(outBytes, outTypes, 0)
+            .zip(outTypes).map { case (v, t) => AbiCatalyst.convert(t, v) }
+        }
+      new GenericInternalRow((inVals ++ outVals).toArray)
+    } catch { case _: Exception => null }
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** Column-level API. */
+object AbiDecode {
+  def event(abiJson: String, topics: Column, data: Column): Column =
+    ExpressionUtils.column(AbiDecodeEvent(
+      ExpressionUtils.expression(topics),
+      ExpressionUtils.expression(data),
+      Literal(abiJson)))
+
+  def call(abiJson: String, input: Column, output: Column): Column =
+    ExpressionUtils.column(AbiDecodeCall(
+      ExpressionUtils.expression(input),
+      ExpressionUtils.expression(output),
+      Literal(abiJson)))
+}

@@ -2,7 +2,6 @@ package graft.queries
 
 /** Placeholder groups — filled in by later milestones (M4 ABI decode,
   * M7 extensions). Kept separate so Catalog compiles throughout. */
-object AbiQueries extends QueryGroup { val queries: Seq[Q] = Seq() }
 object DedupQueries extends QueryGroup { val queries: Seq[Q] = Seq() }
 object TextQueries extends QueryGroup { val queries: Seq[Q] = Seq() }
 object SimilarityQueries extends QueryGroup { val queries: Seq[Q] = Seq() }
