@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor operators over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline and
+  * a random-hyperplane-LSH bucketed variant as the 100 TB path (bucket
+  * join instead of full cross product; planes are deterministic
+  * hash-derived pseudo-randoms, so results are reproducible with no
+  * driver-side RNG state).
+  *
+  * All arithmetic is double (floats cast up before multiply) — IEEE
+  * sequential fold, bit-identical to the DuckDB oracle formulation.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors for a (small, broadcast) query
+    * set against the full corpus. Ties broken by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-1, 1). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** nPlanes-bit LSH bucket id from hyperplane signs (plane ids offset
+    * per table so tables are independent). */
+  def lshBucket(vec: Column, nPlanes: Int, table: Int = 0): Column = {
+    val bits: Seq[Column] = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(table * 1000 + p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Per-row (table, bucket) pairs for nTables independent hash tables —
+    * the standard recall lever for sign-LSH. */
+  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
+    explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("t"), lshBucket(vec, nPlanes, t).as("b"))): _*))
+
+  /** ANN top-k: candidates = union over nTables of same-bucket rows,
+    * dedup, exact cosine rank. At scale each table bucket holds
+    * ~|corpus|/2^planes rows — a bucket join instead of a cross product;
+    * recall grows with nTables at linear cost. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
+      nTables: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        tableBuckets(col(vecCol), nPlanes, nTables).as("tb"))
+      .select(col("n_id"), col("n_vec"), col("tb.t"), col("tb.b"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        tableBuckets(col(vecCol), nPlanes, nTables).as("tb"))
+      .select(col("q_id"), col("q_vec"), col("tb.t"), col("tb.b"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    q.join(c, Seq("t", "b"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim"))
+  }
+}

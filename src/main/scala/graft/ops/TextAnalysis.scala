@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.{GraftColumnBridge => CB}
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * Everything except the fingerprint is composed from codegen'd
+  * built-ins (split/regexp/filter lambdas) so it rides whole-stage
+  * codegen; the fingerprint is a custom unary Expression WITH doGenCode
+  * (hot-path friendly: one pass over the string, no regex).
+  */
+object TextAnalysis {
+
+  /** whitespace tokens (single-space convention of the corpus) */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, single digits, single
+    * punctuation — a cheap proxy for byte-pair tokenizers. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isInCollection(Stopwords)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+
+  /** Quality features + a composite score (all integer-derived, ratios
+    * as IEEE-double division — deterministic cross-engine). */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_chars_m", length(text))
+      .withColumn("n_words", tokenCount(text))
+      .withColumn("n_bpeish", bpeishTokenCount(text))
+      .withColumn("n_punct", punctCount(text))
+      .withColumn("n_stop", stopwordCount(text))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_words").cast("double"))
+      .withColumn("mean_word_len",
+        col("n_chars_m").cast("double") / col("n_words").cast("double"))
+
+  /** Stopword-profile language ID. Deterministic tie-break order:
+    * highest hits wins, earlier profile wins ties. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "de", "est"),
+    "de" -> Seq("der", "die", "und", "ist", "das"))
+
+  def langHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(words)))
+
+  def langId(df: DataFrame, text: Column): DataFrame = {
+    val withHits = LangProfiles.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"hits_$lang", langHits(text, words))
+    }
+    val best = LangProfiles.foldRight(lit("und"): Column) {
+      case ((lang, _), rest) =>
+        when(col(s"hits_$lang") > 0 &&
+          LangProfiles.filter(_._1 != lang).map(p => col(s"hits_$lang") >=
+            col(s"hits_${p._1}")).reduce(_ && _), lit(lang))
+          .otherwise(rest)
+    }
+    withHits.withColumn("lang_pred", best)
+  }
+
+  def fingerprint(text: Column): Column = CB.column(RollingHash64(CB.expression(text)))
+}
+
+/** 64-bit polynomial rolling fingerprint: h = h*31 + byte (wrapping).
+  * Codegen'd — one pass, no allocation; the hot-path-friendly shape for
+  * a 100 TB fingerprint pass. */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  protected override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.RollingHash64.hashUtf8($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+object RollingHash64 {
+  /** called from generated code */
+  def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+}

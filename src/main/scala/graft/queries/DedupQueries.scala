@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+import graft.ops.Dedup
+
+/** Deduplication operators over the documents table. The corpus has no
+  * native duplicates, so the fixture injects them deterministically:
+  * every doc_id%10==0 doc gets an exact copy (+100000), every
+  * doc_id%10==5 doc a near-copy with 3 appended tokens (+200000). The
+  * same derivation is a CTE in each DuckDB oracle.
+  *
+  * MinHash/SimHash signatures are Spark-hash-based (no cross-engine
+  * value oracle); their oracles assert the recall invariant instead:
+  * exact-duplicate pairs MUST all be found (identical text → identical
+  * signature → same LSH bucket / hamming 0), so candidates filtered to
+  * text-equality must equal the exact-dup pair set.
+  */
+object DedupQueries extends QueryGroup {
+
+  val corpusSql: String =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id + 200000, text || ' graft tail token'
+         FROM documents WHERE doc_id % 10 = 5)"""
+
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" graft tail token")).as("text")))
+  }
+
+  private val exactDupPairsSql =
+    s"""WITH $corpusSql
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM corpus a JOIN corpus b
+          ON a.text = b.text AND a.doc_id < b.doc_id"""
+
+  val queries: Seq[Q] = Seq(
+    q("q_dedup_exact", "dedup",
+      s"""WITH $corpusSql
+          SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                 count(*) AS n_copies, max(doc_id) AS max_id
+          FROM corpus GROUP BY 1""") { (spark, dir) =>
+      Dedup.exact(corpus(spark, dir), col("doc_id"), col("text"))
+    },
+
+    q("q_dedup_ngram_jaccard", "dedup",
+      s"""WITH $corpusSql,
+          sh AS (
+            SELECT doc_id,
+              list_distinct([array_to_string(toks[i:i+2], ' ')
+                for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shl
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+          inv AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS s FROM sh)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(a.n_sh AS BIGINT) AS na, CAST(b.n_sh AS BIGINT) AS nb,
+                 count(*) AS common,
+                 CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*))
+                   AS jaccard
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+          HAVING jaccard >= 0.8""") { (spark, dir) =>
+      Dedup.ngramJaccardPairs(corpus(spark, dir), "doc_id", "text", 3, 0.8)
+        .select(col("a_id"), col("b_id"), col("na").cast(LongType).as("na"),
+          col("nb").cast(LongType).as("nb"), col("common"), col("jaccard"))
+    },
+
+    q("q_dedup_minhash_lsh", "dedup", exactDupPairsSql) { (spark, dir) =>
+      val c = corpus(spark, dir)
+      val cands = Dedup.minhashCandidates(c, "doc_id", "text")
+      val ta = c.select(col("doc_id").as("a_id"), col("text").as("ta"))
+      val tb = c.select(col("doc_id").as("b_id"), col("text").as("tb"))
+      cands.join(ta, "a_id").join(tb, "b_id")
+        .filter(col("ta") === col("tb"))
+        .select(col("a_id"), col("b_id"))
+    },
+
+    q("q_dedup_simhash", "dedup", exactDupPairsSql) { (spark, dir) =>
+      val c = corpus(spark, dir)
+      val pairs = Dedup.simhashPairs(c, "doc_id", "text", maxHam = 3)
+      val ta = c.select(col("doc_id").as("a_id"), col("text").as("ta"))
+      val tb = c.select(col("doc_id").as("b_id"), col("text").as("tb"))
+      pairs.join(ta, "a_id").join(tb, "b_id")
+        .filter(col("ta") === col("tb"))
+        .select(col("a_id"), col("b_id"))
+    })
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Multimodal
+import graft.streaming.EventsStream
+
+/** Multimodal binary-column plumbing (payload = utf-8 bytes of text as a
+  * stand-in for media; decode is a deterministic fake — see
+  * graft.ops.Multimodal) and the Structured Streaming twin of the batch
+  * window aggregation.
+  */
+object MultimodalQueries extends QueryGroup {
+
+  val queries: Seq[Q] = Seq(
+    // typed-Dataset mapPartitions pipeline: schema/partitioning/batch
+    // iteration are real; the decode is the documented stub
+    q("q_multimodal_features", "multimodal",
+      """SELECT doc_id AS media_id, 'fake/' || lang AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           CAST((octet_length(encode(text)) % 64) + 1 AS INTEGER) AS width,
+           CAST(((octet_length(encode(text)) // 64) % 64) + 1 AS INTEGER)
+             AS height,
+           CAST((octet_length(encode(text)) % 7) + 1 AS INTEGER) AS n_frames
+         FROM documents""") { (spark, dir) =>
+      implicit val s = spark
+      val docs = Tables.df(spark, dir, "documents")
+      val media = Multimodal.fromDocuments(docs)
+      Multimodal.extractFeatures(media,
+          spark.sparkContext.defaultParallelism)
+        .drop("checksum") // rolling checksum has no SQL oracle
+    },
+
+    q("q_binary_prefix", "multimodal",
+      """SELECT doc_id,
+           lower(substr(hex(encode(text)), 1, 16)) AS prefix8,
+           octet_length(encode(text)) AS byte_len
+         FROM documents""") { (spark, dir) =>
+      Tables.df(spark, dir, "documents").select(
+        col("doc_id"),
+        lower(hex(expr("substr(to_binary(text, 'utf-8'), 1, 8)")))
+          .as("prefix8"),
+        length(expr("to_binary(text, 'utf-8')")).cast("long").as("byte_len"))
+    },
+
+    // Structured Streaming run to completion over the bounded file
+    // source — must equal the batch twin (same oracle as
+    // q_time_window_agg)
+    q("q_stream_window_agg", "streaming",
+      """SELECT strftime(time_bucket(INTERVAL 5 MINUTE,
+                date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S')
+              AS window_start,
+              event_type, count(*) AS n,
+              sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+         FROM events GROUP BY 1, 2""") { (spark, dir) =>
+      EventsStream.runToBatch(spark, s"$dir/events.parquet",
+        s"graft_stream_${System.nanoTime()}")
+    })
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+import graft.ops.TextAnalysis
+
+/** Text-analysis operators over the documents table: quality features,
+  * BPE-ish token counting, language-ID heuristic, fingerprinting. All
+  * counts are integer-exact; ratios are IEEE-double divisions of exact
+  * ints (bit-identical cross-engine).
+  */
+object TextQueries extends QueryGroup {
+
+  private val stopSet =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Seq[Q] = Seq(
+    q("q_text_stats", "text",
+      s"""SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_m,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+            CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+              AS n_punct,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ($stopSet))) AS BIGINT) AS n_stop,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ($stopSet))) AS DOUBLE) /
+              len(string_split(text, ' ')) AS stop_ratio,
+            CAST(length(text) AS DOUBLE) /
+              len(string_split(text, ' ')) AS mean_word_len
+          FROM documents""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      TextAnalysis.qualityFeatures(docs, col("text"))
+        .select(col("doc_id"),
+          col("n_chars_m").cast(LongType).as("n_chars_m"),
+          col("n_words").cast(LongType).as("n_words"),
+          col("n_bpeish").cast(LongType).as("n_bpeish"),
+          col("n_punct").cast(LongType).as("n_punct"),
+          col("n_stop").cast(LongType).as("n_stop"),
+          col("stop_ratio"), col("mean_word_len"))
+    },
+
+    q("q_lang_id", "text", {
+      val hitCols = TextAnalysis.LangProfiles.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS BIGINT) AS hits_$lang"
+      }.mkString(",\n            ")
+      val langs = TextAnalysis.LangProfiles.map(_._1)
+      val cases = langs.map { l =>
+        val geConds = langs.filter(_ != l)
+          .map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+        s"WHEN hits_$l > 0 AND $geConds THEN '$l'"
+      }.mkString("\n              ")
+      s"""SELECT doc_id, lang,
+            CASE $cases
+              ELSE 'und' END AS lang_pred,
+            hits_en, hits_es, hits_fr, hits_de
+          FROM (SELECT doc_id, lang,
+            $hitCols
+          FROM documents)"""
+    }) { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      TextAnalysis.langId(docs, col("text"))
+        .select(Seq(col("doc_id"), col("lang"), col("lang_pred")) ++
+          TextAnalysis.LangProfiles.map { case (l, _) =>
+            col(s"hits_$l").cast(LongType).as(s"hits_$l") }: _*)
+    },
+
+    // invariant oracle: the 64-bit fingerprint is collision-free on this
+    // corpus, so distinct fingerprints == distinct texts
+    q("q_doc_fingerprint", "text",
+      """SELECT count(DISTINCT text) AS n_fp,
+           count(DISTINCT text) AS n_text,
+           count(*) AS n_docs
+         FROM documents""") { (spark, dir) =>
+      Tables.df(spark, dir, "documents")
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("text"))
+        .agg(countDistinct(col("fp")).as("n_fp"),
+          countDistinct(col("text")).as("n_text"),
+          count(lit(1)).as("n_docs"))
+    })
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (the reference is pure batch —
+  * SURVEY §2.8): the same windowed aggregation as the batch twin
+  * (`q_time_window_agg`), expressed over a file stream with a watermark.
+  * Late data beyond the watermark is dropped instead of re-running a
+  * day's DAG — the streaming analogue of the reference's idempotent
+  * daily overwrite.
+  */
+object EventsStream {
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) → long ns). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(eventsFileSchema)
+      .parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** 5-minute tumbling-window counts with a 10-minute watermark — the
+    * streaming twin of the batch aggregation. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(date_trunc("second", col("ts")), "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Run the streaming agg over a bounded file source to completion and
+    * return the result as a batch DataFrame (memory sink). Used by the
+    * correctness gate: output must equal the batch twin's. */
+  def runToBatch(spark: SparkSession, path: String,
+      queryName: String): DataFrame = {
+    // FileStreamSource requires a directory — stage the single file
+    val src = java.nio.file.Paths.get(path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
+    val q = windowedAgg(readEvents(spark, dir.toString))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GraftSession, Tables}
+import graft.ops.{Dedup, Similarity}
+import graft.queries.DedupQueries
+import graft.sources.EvmFixtures
+import graft.verify.Verifier
+
+/** Shared local session for operator suites (one per JVM — suites reuse). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class HashBucketSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("writer and reader derive identical buckets (pruning consistency)") {
+    // the parse path must re-derive the same bucket the enrich writer
+    // materialized, or partition pruning silently reads nothing
+    val ev = Tables.df(spark, sf, "events")
+    val enriched = graft.enrich.Enrich.logs(
+      EvmFixtures.logs(ev), EvmFixtures.blocksForLogs(ev))
+    val reDerived = enriched
+      .withColumn("rb", graft.functions.hashBucket(col("address")))
+      .filter(col("rb") =!= col("address_hash"))
+    assert(reDerived.count() == 0)
+  }
+
+  test("buckets are within [0, 10)") {
+    val ev = Tables.df(spark, sf, "events")
+    val enriched = graft.enrich.Enrich.logs(
+      EvmFixtures.logs(ev), EvmFixtures.blocksForLogs(ev))
+    val bad = enriched.filter(
+      col("address_hash") < 0 || col("address_hash") >= 10 ||
+        col("selector_hash") < 0 || col("selector_hash") >= 10)
+    assert(bad.count() == 0)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("minhash LSH finds near-duplicates, not only exact ones") {
+    val c = DedupQueries.corpus(spark, sf)
+    val cands = Dedup.minhashCandidates(c, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dup pairs: (d, d+200000) for d%10==5 — text differs by 3
+    // appended tokens, jaccard ≈ (n-3)/(n+3) ≈ 0.9 → most must surface
+    val nearIds = (0 until 500).filter(_ % 10 == 5).map(_.toLong)
+    val found = nearIds.count(d => cands.contains((d, d + 200000)))
+    assert(found >= nearIds.size / 2,
+      s"only $found of ${nearIds.size} near-dup pairs surfaced")
+  }
+
+  test("simhash of near-dup is closer than unrelated docs") {
+    val c = DedupQueries.corpus(spark, sf)
+    val sigs = c.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearHams = (0 until 500).filter(_ % 10 == 5)
+      .map(d => ham(sigs(d.toLong), sigs(d.toLong + 200000)))
+    val unrelatedHams = (0 until 100)
+      .map(d => ham(sigs(d.toLong), sigs((d + 101).toLong)))
+    assert(nearHams.sum.toDouble / nearHams.size <
+      unrelatedHams.sum.toDouble / unrelatedHams.size)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("LSH top-k recall vs brute force is usable") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, qs, 5, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // 4-plane buckets, 1/16 corpus
+  }
+
+  test("cosine of identical vectors is 1") {
+    val emb = Tables.df(spark, sf, "embeddings").limit(5)
+    val sims = emb.select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+}
+
+class VerifierSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("all five reference invariants hold on fixtures") {
+    val li = Tables.df(spark, sf, "lineitem")
+    val o = Tables.df(spark, sf, "orders")
+    val ev = Tables.df(spark, sf, "events")
+    val blocks = graft.enrich.Enrich.blocks(EvmFixtures.blocks(o))
+    val txs = graft.enrich.Enrich.transactions(
+      EvmFixtures.transactions(li), EvmFixtures.blocks(o),
+      EvmFixtures.receipts(li))
+    val logs = graft.enrich.Enrich.logs(
+      EvmFixtures.logs(ev), EvmFixtures.blocksForLogs(ev))
+    val traces = graft.enrich.Enrich.traces(
+      EvmFixtures.traces(li), EvmFixtures.blocks(o))
+    val results = Verifier.runAll(blocks, txs, logs, traces)
+    // fixture root traces (l_linenumber%3==0, non-null hash) do NOT
+    // equal tx count by construction — that invariant must FAIL here,
+    // proving the check detects violations; the 4 have_latest pass
+    assert(results.take(4).forall(_.isRight))
+    assert(results.last.isLeft)
+  }
+
+  test("raise_error parity throws on empty input") {
+    val empty = Tables.df(spark, sf, "lineitem").filter(lit(false))
+    val probe = Verifier.raiseSql(spark, empty, 1, "empty partition")
+    val e = intercept[Exception](probe.collect())
+    assert(e.getMessage.contains("empty partition"))
+  }
+
+  test("raise_error parity passes on non-empty input") {
+    val li = Tables.df(spark, sf, "lineitem")
+    val rows = Verifier.raiseSql(spark, li, 1, "should not throw").collect()
+    assert(rows.head.getInt(0) == 1)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("streaming windowed agg equals batch twin") {
+    val batch = graft.queries.Catalog.byName("q_time_window_agg")
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3))).toSet
+    val stream = graft.streaming.EventsStream
+      .runToBatch(spark, s"$sf/events.parquet", "spec_stream")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3))).toSet
+    assert(stream == batch)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("binary pipeline: schema, partitioning, deterministic decode") {
+    implicit val s = spark
+    val docs = Tables.df(spark, sf, "documents")
+    val media = graft.ops.Multimodal.fromDocuments(docs)
+    val feats = graft.ops.Multimodal.extractFeatures(media, 4)
+    assert(feats.rdd.getNumPartitions == 4)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    // decode is deterministic: re-running yields identical checksums
+    val again = graft.ops.Multimodal.extractFeatures(media, 2)
+      .collect().map(f => f.media_id -> f.checksum).toMap
+    rows.foreach(f => assert(again(f.media_id) == f.checksum))
+  }
+}
