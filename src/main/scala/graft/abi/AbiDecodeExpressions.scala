@@ -65,6 +65,11 @@ case class AbiDecodeEvent(first: Expression, second: Expression,
   override def dataType: DataType = schema
   override def nullable: Boolean = true
   override def prettyName: String = "abi_decode_event"
+  // Functionally deterministic, but declared otherwise as an optimizer
+  // barrier: CollapseProject/PushDownPredicates would otherwise inline
+  // the decode into every GetStructField reference (star expansion) and
+  // the null filter → O(fields) decodes per row instead of one.
+  override lazy val deterministic: Boolean = false
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -140,6 +145,8 @@ case class AbiDecodeCall(first: Expression, second: Expression,
   override def dataType: DataType = schema
   override def nullable: Boolean = true
   override def prettyName: String = "abi_decode_call"
+  // single-evaluation barrier — see AbiDecodeEvent.deterministic
+  override lazy val deterministic: Boolean = false
 
   override def eval(input: InternalRow): Any = {
     val inRaw = first.eval(input)

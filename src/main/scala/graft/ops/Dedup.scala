@@ -16,6 +16,13 @@ import org.apache.spark.sql.{GraftColumnBridge => CB}
   */
 object Dedup {
 
+  /** Small/single-file inputs arrive with 1-3 partitions; the per-row
+    * work here (shingling, hashing) is CPU-bound, so spread it across
+    * the cluster explicitly — operator parallelism must not depend on
+    * input file layout. */
+  private def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
   /** Exact dedup: group by content hash, keep min id. One shuffle on the
     * (high-cardinality, uniform) md5 key — the canonical first pass at
     * any scale. */
@@ -34,25 +41,68 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
-  /** All-pairs n-gram Jaccard ≥ minSim via shingle-inverted-index join.
-    * Standard candidate generation: explode distinct shingles, self-join
-    * on shingle (skew-safe: shingle keys are near-unique text), count
-    * common, compute J = common / (|A| + |B| - common).
+  /** All-pairs n-gram Jaccard ≥ minSim, exact, via PREFIX FILTERING
+    * (PPJoin-style, public literature): for J(A,B) ≥ t, A and B must
+    * share a shingle within the first |A| − ⌈t·|A|⌉ + 1 elements of a
+    * canonical (rarest-first) ordering — so only that prefix is indexed
+    * for the candidate join, and candidates are verified exactly with
+    * array_intersect. Identical output to the naive inverted-index
+    * join, but the join touches ~t-fraction-shorter postings dominated
+    * by RARE shingles — the difference between quadratic blowup and a
+    * linear-ish pass at corpus scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minSim: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
+    import org.apache.spark.storage.StorageLevel
+    val sh = spread(df, col(idCol)).select(col(idCol).as("doc"),
         shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val inv = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
-    val a = inv.select(col("doc").as("a_id"), col("n_sh").as("na"), col("s"))
-    val b = inv.select(col("doc").as("b_id"), col("n_sh").as("nb"), col("s"))
-    a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("common"))
+      // consumed by freq + ordering → shingle once (rows = |docs|, tiny
+      // relative to the joins below)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // global shingle document-frequency → canonical rarest-first order
+    val freq = sh.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val sorted = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
+      .join(freq, "s")
+      .groupBy(col("doc"), col("n_sh"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s"))))
+        .as("ordered"))
+      .select(col("doc"), col("n_sh"),
+        transform(col("ordered"), x => x.getField("s")).as("sh"),
+        // prefix length: |x| - ceil(t*|x|) + 1
+        (col("n_sh") - ceil(col("n_sh") * minSim) + 1).cast("int")
+          .as("plen"))
+      // consumed by the prefix index AND both sides of the verification
+      // join → materialize once
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefixes = sorted.select(col("doc"), col("n_sh"),
+      explode(slice(col("sh"), lit(1), col("plen"))).as("s"))
+    val a = prefixes.select(col("s"), col("doc").as("a_id"),
+      col("n_sh").as("na"))
+    val b = prefixes.select(col("s"), col("doc").as("b_id"),
+      col("n_sh").as("nb"))
+    // candidate pairs travel WITHOUT the shingle arrays (ids only) so the
+    // join + dedup shuffle stays narrow; arrays are fetched back for the
+    // exact verification afterwards
+    val cand = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      // length filter: |B| ≥ t·|A| is necessary for J ≥ t
+      .filter(col("nb") >= ceil(col("na") * minSim) &&
+        col("na") >= ceil(col("nb") * minSim))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(sorted.select(col("doc").as("a_id"), col("n_sh").as("na"),
+        col("sh").as("sha")), "a_id")
+      .join(sorted.select(col("doc").as("b_id"), col("n_sh").as("nb"),
+        col("sh").as("shb")), "b_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= minSim)
+      .select(col("a_id"), col("b_id"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        col("common").cast("long").as("common"), col("jaccard"))
   }
 
   /** k MinHash signatures over n-gram shingles: min over the shingle set
@@ -60,7 +110,7 @@ object Dedup {
     * |docs| × k, independent of shingle counts. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc"),
+    val exploded = spread(df, col(idCol)).select(col(idCol).as("doc"),
       explode(shingles(col(textCol), n)).as("s"))
     val mins = (0 until k).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
@@ -102,7 +152,7 @@ object Dedup {
     * Blocking keeps the join linear in corpus size. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHam: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"),
+    val sigs = spread(df, col(idCol)).select(col(idCol).as("doc"),
       simhash(col(textCol)).as("sig"))
     val chunks = (0 until 4).map(i => struct(lit(i).as("chunk_id"),
       shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk")))

@@ -29,9 +29,14 @@ object Similarity {
 
   /** Exact brute-force top-k neighbors for a (small, broadcast) query
     * set against the full corpus. Ties broken by neighbor id. */
+  /** single-file corpora arrive with 1-2 partitions — spread the
+    * CPU-bound cosine work across all cores */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val c = spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
@@ -75,7 +80,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
       nTables: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+    val c = spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         tableBuckets(col(vecCol), nPlanes, nTables).as("tb"))
       .select(col("n_id"), col("n_vec"), col("tb.t"), col("tb.b"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),

@@ -44,10 +44,13 @@ object SourceQueries extends QueryGroup {
         .select(col("l_orderkey"), col("l_returnflag"))
       val out = tmpDir("graft_part")
       // S3/S4: static dt partition + dynamic sub-partition, idempotent
-      // overwrite (write twice to prove idempotency)
+      // overwrite. Second write re-overwrites ONE partition with the
+      // same rows: dynamic mode must replace it without clobbering the
+      // sibling partitions (final state identical → oracle unchanged).
       val ds = java.sql.Date.valueOf("2026-01-01")
       PartitionedWriter.overwriteDaily(li, out, ds, Seq("l_returnflag"))
-      PartitionedWriter.overwriteDaily(li, out, ds, Seq("l_returnflag"))
+      PartitionedWriter.overwriteDaily(li.filter(col("l_returnflag") === "A"),
+        out, ds, Seq("l_returnflag"))
       spark.read.parquet(out)
         .groupBy(col("dt").cast("string").as("dt"), col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),
