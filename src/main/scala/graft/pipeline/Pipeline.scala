@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.enrich.Enrich
+import graft.sources.RawTableReader
+import graft.write.PartitionedWriter
+
+/** Daily-batch job orchestration (SURVEY §2.10/§3.1): the engine-side
+  * equivalent of the reference's DAG wiring
+  * (`/root/reference/dags/chains/blockchain.py:48-142`,
+  * `evm_chain.py:178-212`). Airflow remains the scheduler in prod; this
+  * layer is the in-process dependency graph + per-day lifecycle:
+  * wait → load (temp scan) → enrich → write partition → clean.
+  */
+final case class JobDate(ds: LocalDate) {
+  def sqlDate: java.sql.Date = java.sql.Date.valueOf(ds)
+  def dsString: String = ds.toString
+}
+
+/** One resource's load+enrich+write for one day. `input` abstracts the
+  * raw source (S3 JSON/CSV in prod, fixtures in tests). */
+final case class LoadJob(
+    resource: String,
+    enrich: Map[String, DataFrame] => DataFrame,
+    extraPartitionCols: Seq[String] = Nil,
+    mode: LoadJob.Mode = LoadJob.Overwrite) {
+
+  def run(raw: Map[String, DataFrame], warehousePath: String,
+      ds: JobDate, filesPerPartition: Int = 1): Unit = {
+    val out = enrich(raw)
+    mode match {
+      case LoadJob.Overwrite =>
+        PartitionedWriter.overwriteDaily(out, s"$warehousePath/$resource",
+          ds.sqlDate, extraPartitionCols, filesPerPartition)
+      case LoadJob.Append =>
+        PartitionedWriter.append(out, s"$warehousePath/$resource",
+          filesPerPartition)
+    }
+  }
+}
+
+object LoadJob {
+  sealed trait Mode
+  case object Overwrite extends Mode
+  case object Append extends Mode
+}
+
+/** The nine loaders with their cross-resource dependencies
+  * (`evm_chain.py:178-190`): every join-side input is listed so a
+  * scheduler can topo-order them. */
+object EvmLoaders {
+  val all: Map[String, LoadJob] = Map(
+    "blocks" -> LoadJob("blocks", raw => Enrich.blocks(raw("blocks"))),
+    "contracts" -> LoadJob("contracts",
+      raw => Enrich.contracts(raw("contracts"), raw("blocks"))),
+    "logs" -> LoadJob("logs",
+      raw => Enrich.logs(raw("logs"), raw("blocks")),
+      extraPartitionCols = Seq("address_hash", "selector_hash")),
+    "prices" -> LoadJob("prices", raw => Enrich.prices(raw("prices"))),
+    "token_transfers" -> LoadJob("token_transfers",
+      raw => Enrich.tokenTransfers(raw("token_transfers"), raw("blocks"))),
+    "traces" -> LoadJob("traces",
+      raw => Enrich.traces(raw("traces"), raw("blocks")),
+      extraPartitionCols = Seq("address_hash", "selector_hash")),
+    "geth_traces" -> LoadJob("traces",
+      raw => Enrich.gethTraces(raw("geth_traces"), raw("blocks"),
+        raw("transactions")),
+      extraPartitionCols = Seq("address_hash", "selector_hash")),
+    "transactions" -> LoadJob("transactions",
+      raw => Enrich.transactions(raw("transactions"), raw("blocks"),
+        raw("receipts"))))
+
+  /** raw inputs each loader needs (dependency edges for topo order) */
+  val dependencies: Map[String, Set[String]] = Map(
+    "blocks" -> Set("blocks"),
+    "contracts" -> Set("contracts", "blocks"),
+    "logs" -> Set("logs", "blocks"),
+    "prices" -> Set("prices"),
+    "token_transfers" -> Set("token_transfers", "blocks"),
+    "traces" -> Set("traces", "blocks"),
+    "geth_traces" -> Set("geth_traces", "blocks", "transactions"),
+    "transactions" -> Set("transactions", "blocks", "receipts"))
+}
+
+/** S12 — cross-warehouse transfer boundary
+  * (`/root/reference/dags/chains/transfer.py`,
+  * `transfer_client.py:26-35`): ships selected tables to a client
+  * warehouse. The reference delegates to an external Spark app with
+  * JDBC/Databricks credentials; here it is a Writer interface with a
+  * parquet-path default and a JDBC stub (no JDBC driver in-container).
+  */
+trait TransferSink {
+  def write(df: DataFrame, table: String): Unit
+}
+
+final class ParquetTransferSink(root: String) extends TransferSink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").parquet(s"$root/$table")
+}
+
+final case class DatabricksConfig(hostname: String, httpPath: String,
+    token: String)
+
+final class JdbcTransferSink(cfg: DatabricksConfig) extends TransferSink {
+  def write(df: DataFrame, table: String): Unit =
+    throw new UnsupportedOperationException(
+      "JDBC transfer requires a warehouse driver on the classpath; " +
+        "wire df.write.format(\"jdbc\") here in a connected deployment")
+}
+
+/** S6/S7 — temp-table + raw-object lifecycle: the reference drops the
+  * per-day temp external table and deletes the raw S3 object after
+  * enrich (`loader.py:137-142`, `evm_load_template.py:418-419`). */
+object RawLifecycle {
+  def dropTempView(spark: SparkSession, name: String): Unit =
+    spark.catalog.dropTempView(name)
+
+  def deleteRaw(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) || fs.delete(p, true)
+  }
+
+  def rawExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

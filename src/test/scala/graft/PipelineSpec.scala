@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.abi.AbiJson
+import graft.core.Tables
+import graft.parse.ParseJob
+import graft.pipeline._
+import graft.sources.EvmFixtures
+
+/** End-to-end load→write→parse slice over a real partitioned warehouse:
+  * proves the hash-bucket sub-partitioning prunes at read time (the
+  * whole point of the address_hash/selector_hash layout, SURVEY §1.4).
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft_wh").toString
+    val ev = Tables.df(spark, sf, "events")
+    val raw = Map(
+      "logs" -> EvmFixtures.logs(ev),
+      "blocks" -> EvmFixtures.blocksForLogs(ev))
+    EvmLoaders.all("logs").run(raw, w, JobDate(java.time.LocalDate.parse("2026-01-01")))
+    w
+  }
+
+  test("daily load writes dt + hash-bucket partitions") {
+    val dirs = new java.io.File(s"$warehouse/logs/dt=2026-01-01").list()
+    assert(dirs != null && dirs.exists(_.startsWith("address_hash=")))
+  }
+
+  test("re-running a day is idempotent (same row count)") {
+    val ev = Tables.df(spark, sf, "events")
+    val raw = Map(
+      "logs" -> EvmFixtures.logs(ev),
+      "blocks" -> EvmFixtures.blocksForLogs(ev))
+    val before = spark.read.parquet(s"$warehouse/logs").count()
+    EvmLoaders.all("logs").run(raw, warehouse,
+      JobDate(java.time.LocalDate.parse("2026-01-01")))
+    val after = spark.read.parquet(s"$warehouse/logs").count()
+    assert(before == after && after == ev.count())
+  }
+
+  test("parse read path prunes hash-bucket partitions") {
+    val logs = spark.read.parquet(s"$warehouse/logs")
+    // pick a real (address, topic0) present in the data
+    val sample = logs.select("address", "selector").first()
+    val addr = sample.getString(0)
+    val abiJson =
+      s"""{"name":"E","type":"event","inputs":[]}"""
+    val contract = graft.abi.EvmContract("d", "c", Some(addr), Nil, Nil)
+    val event = AbiJson.parseEvent(abiJson)
+    // topic filter won't match rows (fake event) — pruning is what we
+    // assert, via the physical plan's partition count
+    val decoded = ParseJob.decodeEvents(logs, contract, event, abiJson)
+    val explained = decoded.queryExecution.executedPlan.toString
+    // PartitionFilters must include the bucket columns → pruned scan
+    assert(explained.contains("address_hash"),
+      s"no address_hash partition filter in plan:\n$explained")
+  }
+
+  test("raw lifecycle: exists → delete → gone") {
+    val tmp = Files.createTempDirectory("graft_raw")
+    val f = tmp.resolve("x.json")
+    Files.writeString(f, "{}")
+    assert(RawLifecycle.rawExists(spark, f.toString))
+    assert(RawLifecycle.deleteRaw(spark, f.toString))
+    assert(!RawLifecycle.rawExists(spark, f.toString))
+  }
+
+  test("parquet transfer sink round-trips a table") {
+    val out = Files.createTempDirectory("graft_tx").toString
+    val sink = new ParquetTransferSink(out)
+    val df = Tables.df(spark, sf, "nation")
+    sink.write(df, "nation")
+    assert(spark.read.parquet(s"$out/nation").count() == df.count())
+  }
+
+  test("loader dependency graph is acyclic and complete") {
+    val deps = EvmLoaders.dependencies
+    assert(EvmLoaders.all.keySet == deps.keySet)
+    // every dependency is a raw resource name (no cycles possible: deps
+    // point at raw inputs, not other loaders)
+    assert(deps.values.flatten.toSet.subsetOf(
+      graft.schema.RawSchemas.byResource.keySet))
+  }
+}
+
+/** Parse the ENTIRE reference ABI corpus (30 contracts / 146 events /
+  * 490 functions — read-only input data, not code): model, schema
+  * derivation, canonical signatures and selectors must all derive
+  * without error. */
+class AbiCorpusSpec extends AnyFunSuite {
+  private val root = new java.io.File(
+    "/root/reference/dags/resources/contracts/ethereum")
+
+  private def jsonFiles(f: java.io.File): Seq[java.io.File] =
+    if (!f.exists()) Nil
+    else if (f.isDirectory) f.listFiles().toSeq.flatMap(jsonFiles)
+    else if (f.getName.endsWith(".json")) Seq(f)
+    else Nil
+
+  test("every reference contract JSON parses and derives schemas") {
+    val files = jsonFiles(root)
+    assume(files.nonEmpty, "reference corpus not present")
+    var events = 0
+    var functions = 0
+    files.foreach { f =>
+      val c = AbiJson.parseContract(Files.readString(f.toPath))
+      assert(c.contractName.nonEmpty, f.getName)
+      c.events.foreach { e =>
+        val schema = graft.abi.AbiSchema.eventSchema(e)
+        assert(schema.fields.length == e.inputs.length)
+        assert(e.topic0.length == 66) // 0x + 64 hex
+        events += 1
+      }
+      c.functions.foreach { fn =>
+        graft.abi.AbiSchema.callSchema(fn)
+        assert(fn.selector.length == 10) // 0x + 8 hex
+        functions += 1
+      }
+    }
+    info(s"${files.length} contracts, $events events, $functions functions")
+    assert(files.length >= 30 && events >= 140 && functions >= 450)
+  }
+
+  test("known corpus topics: erc20 Transfer + seaport OrderFulfilled") {
+    val erc20 = AbiJson.parseContract(Files.readString(
+      new java.io.File(root, "common/erc20.json").toPath))
+    assert(erc20.contractAddress.isEmpty) // decode-all semantics
+    val transfer = erc20.events.find(_.name == "Transfer").get
+    assert(transfer.topic0 ==
+      "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+  }
+}
