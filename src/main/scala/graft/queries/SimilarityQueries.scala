@@ -34,6 +34,38 @@ object SimilarityQueries extends QueryGroup {
       Similarity.bruteForceTopK(emb, queries, 5)
     },
 
+    // embedding-cosine near-duplicate detection: corpus with injected
+    // identical vectors (+100000 ids), all pairs with cos ≥ 0.99
+    q("q_embed_neardup", "similarity",
+      """WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+           FROM embeddings WHERE vec_id % 10 = 0)
+         SELECT a_id, b_id, sim FROM (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_sum(list_transform(list_zip(a.v, b.v),
+               x -> x[1] * x[2])) /
+             (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+              sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
+           FROM corpus a, corpus b WHERE a.vec_id < b.vec_id) t
+         WHERE sim >= 0.99""") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionAll(
+        emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val a = corpus.select(col("vec_id").as("a_id"),
+        col("embedding").as("va"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val b = corpus.select(col("vec_id").as("b_id"),
+        col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("sim") >= 0.99)
+        .select("a_id", "b_id", "sim")
+    },
+
     // LSH planes derive from Spark xxhash64 → no cross-engine oracle;
     // recall vs brute force is asserted in SimilaritySpec.
     qNoOracle("q_knn_lsh", "similarity") { (spark, dir) =>

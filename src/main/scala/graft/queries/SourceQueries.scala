@@ -4,6 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.core.Tables
+import graft.sources.{DerivedExtractors, EvmFixtures}
 import graft.write.PartitionedWriter
 
 /** SURVEY §2.1 source/sink surface on real files: schema-on-read JSON and
@@ -55,5 +56,62 @@ object SourceQueries extends QueryGroup {
         .groupBy(col("dt").cast("string").as("dt"), col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_orderkey").cast(DecimalType(38, 0))).as("sum_key"))
+    },
+
+    // S9 — derived extraction sources (reference: ethereum-etl CLI jobs)
+    q("q_extract_contracts", "source",
+      """SELECT '0xa' || l_partkey AS address,
+           '0x' || lpad(hex(l_suppkey), 64, '0') AS bytecode,
+           l_orderkey AS block_number
+         FROM lineitem WHERE l_linenumber % 5 = 0""") { (spark, dir) =>
+      val traces = EvmFixtures.traces(Tables.df(spark, dir, "lineitem"))
+      DerivedExtractors.contractsFromTraces(traces)
+        .select("address", "bytecode", "block_number")
+    },
+
+    q("q_extract_tokens", "source",
+      """SELECT '0xc' || o_custkey AS address, o_orderkey AS block_number
+         FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0""") {
+      (spark, dir) =>
+        val contracts = EvmFixtures.contracts(Tables.df(spark, dir, "orders"))
+        DerivedExtractors.tokensFromContracts(contracts)
+          .select("address", "block_number")
+    },
+
+    q("q_extract_token_transfers", "source",
+      """WITH li AS (
+            SELECT l_orderkey, l_linenumber,
+                   min(l_partkey) AS l_partkey, min(l_suppkey) AS l_suppkey
+            FROM lineitem GROUP BY l_orderkey, l_linenumber)
+          SELECT '0xa' || (l_partkey % 97) AS token_address,
+                 '0x' || lpad(lower(hex(l_suppkey)), 40, '0') AS from_address,
+                 '0x' || lpad(lower(hex(l_partkey % 97)), 40, '0') AS to_address,
+                 CAST(l_partkey AS DECIMAL(38,0)) AS value,
+                 '0xt' || l_orderkey || '_' || l_linenumber
+                   AS transaction_hash,
+                 CAST(l_linenumber AS BIGINT) AS log_index,
+                 l_orderkey AS block_number
+          FROM li WHERE l_linenumber % 2 = 0""") { (spark, dir) =>
+      val li = EvmFixtures.lineitemTx(Tables.df(spark, dir, "lineitem"))
+      val otherTopic =
+        graft.abi.Keccak256.eventTopic("Approval(address,address,uint256)")
+      val pad64 = (c: org.apache.spark.sql.Column) =>
+        lpad(lower(hex(c)), 64, "0")
+      val logs = li.select(
+        when(col("l_linenumber") % 2 === 0,
+          lit(DerivedExtractors.TransferTopic))
+          .otherwise(lit(otherTopic)).as("t0"),
+        concat(lit("0x"), pad64(col("l_suppkey"))).as("t1"),
+        concat(lit("0x"), pad64(col("l_partkey") % 97)).as("t2"),
+        unhex(lpad(hex(col("l_partkey")), 64, "0")).as("unhex_data"),
+        concat(lit("0xt"), col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")).as("transaction_hash"),
+        col("l_linenumber").cast(LongType).as("log_index"),
+        col("l_orderkey").as("block_number"),
+        concat(lit("0xa"), (col("l_partkey") % 97).cast("string"))
+          .as("address"))
+        .withColumn("topics_arr", array(col("t0"), col("t1"), col("t2")))
+        .drop("t0", "t1", "t2")
+      DerivedExtractors.tokenTransfersFromLogs(logs)
     })
 }

@@ -136,7 +136,8 @@ object EvmFixtures {
       concat(lit("0x"), lpad(hex(col("l_partkey") % 16), 8, "0"),
         lpad(hex(col("l_orderkey")), 64, "0")).as("input"),
       concat(lit("0x"), lpad(hex(col("l_suppkey")), 64, "0")).as("output"),
-      lit("call").as("trace_type"),
+      when(col("l_linenumber") % 5 === 0, lit("create"))
+        .otherwise(lit("call")).as("trace_type"),
       when(col("l_linenumber") % 2 === 0, lit("call"))
         .otherwise(lit("delegatecall")).as("call_type"),
       lit(null).cast("string").as("reward_type"),

@@ -135,3 +135,32 @@ class AbiCorpusSpec extends AnyFunSuite {
       "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
   }
 }
+
+/** S11 token-list source + S5 append sink. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("token-list YAML parses (spellbook shape)") {
+    val yaml =
+      """tokens:
+        |  - address: "0xc02aaa39b223fe8d0a0e5c4f27ead9083c756cc2"
+        |    symbol: WETH
+        |    decimals: 18
+        |  - address: "0x6b175474e89094c44da98b954eedeac495271d0f"
+        |    symbol: DAI
+        |    decimals: 18
+        |""".stripMargin
+    val tokens = graft.sources.TokenListSource.parse(yaml)
+    assert(tokens.map(_.symbol) == Seq("WETH", "DAI"))
+    assert(tokens.forall(_.decimals == 18))
+    assert(tokens.head.address.startsWith("0x"))
+  }
+
+  test("append sink accumulates (tokens incremental semantics)") {
+    val out = Files.createTempDirectory("graft_append").toString
+    val df = Tables.df(spark, sf, "region")
+    graft.write.PartitionedWriter.append(df, out)
+    graft.write.PartitionedWriter.append(df, out)
+    assert(spark.read.parquet(out).count() == 2 * df.count())
+  }
+}
