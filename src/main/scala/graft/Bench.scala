@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,6 +44,15 @@ object Bench {
         .count()
       Tables.df(spark, sfDir, "documents").limit(100)
         .select(graft.ops.TextAnalysis.fingerprint(col("text"))).count()
+      // JIT the interpreted ABI decode path (CodegenFallback expression)
+      val abi =
+        """{"name":"W","type":"event","inputs":[
+          {"indexed":false,"name":"v","type":"uint256"}]}"""
+      spark.range(2000).select(
+        graft.abi.AbiDecode.event(abi,
+          array(lit("0x00")),
+          unhex(lpad(hex(col("id")), 64, "0"))).as("d"))
+        .select(col("d.v")).count()
     } catch { case _: Throwable => () }
   }
 }

@@ -176,7 +176,7 @@ case class AbiDecodeCall(first: Expression, second: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
-/** Column-level API. */
+/** Column-level API + SQL registration. */
 object AbiDecode {
   def event(abiJson: String, topics: Column, data: Column): Column =
     ExpressionUtils.column(AbiDecodeEvent(
@@ -189,4 +189,16 @@ object AbiDecode {
       ExpressionUtils.expression(input),
       ExpressionUtils.expression(output),
       Literal(abiJson)))
+
+  /** Expose both decoders to `spark.sql`:
+    * `abi_decode_event(topics_arr, unhex_data, '<abi json literal>')`,
+    * `abi_decode_call(unhex_input, unhex_output, '<abi json literal>')`.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("abi_decode_event",
+      exprs => AbiDecodeEvent(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("abi_decode_call",
+      exprs => AbiDecodeCall(exprs(0), exprs(1), exprs(2)), "scala_udf")
+  }
 }

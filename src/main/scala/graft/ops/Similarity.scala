@@ -36,13 +36,19 @@ object Similarity {
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // norms precomputed per ROW (not per pair): sqrt(dot(v,v)) on the
+    // same list yields the identical double, so results are unchanged
+    // while the per-pair work drops from 3 array folds to 1
+    val c = spread(corpus).select(col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
@@ -81,18 +87,22 @@ object Similarity {
       nTables: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_norm"),
         tableBuckets(col(vecCol), nPlanes, nTables).as("tb"))
-      .select(col("n_id"), col("n_vec"), col("tb.t"), col("tb.b"))
+      .select(col("n_id"), col("n_vec"), col("n_norm"), col("tb.t"), col("tb.b"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"),
         tableBuckets(col(vecCol), nPlanes, nTables).as("tb"))
-      .select(col("q_id"), col("q_vec"), col("tb.t"), col("tb.b"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("tb.t"), col("tb.b"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     q.join(c, Seq("t", "b"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("n_id"), col("n_vec"), col("n_norm"))
       .distinct() // a pair may collide in several tables
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),

@@ -55,13 +55,17 @@ object SimilarityQueries extends QueryGroup {
       val corpus = emb.unionAll(
         emb.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      // per-row norms (identical doubles to per-pair recomputation)
       val a = corpus.select(col("vec_id").as("a_id"),
-        col("embedding").as("va"))
+        col("embedding").as("va"),
+        Similarity.norm(col("embedding")).as("na"))
         .repartition(spark.sparkContext.defaultParallelism)
       val b = corpus.select(col("vec_id").as("b_id"),
-        col("embedding").as("vb"))
+        col("embedding").as("vb"),
+        Similarity.norm(col("embedding")).as("nb"))
       a.crossJoin(b).filter(col("a_id") < col("b_id"))
-        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+        .withColumn("sim", Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")))
         .filter(col("sim") >= 0.99)
         .select("a_id", "b_id", "sim")
     },

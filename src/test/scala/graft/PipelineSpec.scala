@@ -164,3 +164,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 2 * df.count())
   }
 }
+
+/** Driver-contract smoke: entry() and the SQL-registered ABI decoders. */
+class EntrySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("abi decoders are callable from spark.sql") {
+    graft.abi.AbiDecode.register(spark)
+    val abi =
+      """{"name":"Transfer","type":"event","anonymous":false,"inputs":[
+        {"indexed":true,"name":"from","type":"address"},
+        {"indexed":true,"name":"to","type":"address"},
+        {"indexed":false,"name":"value","type":"uint256"}]}"""
+        .replace("\n", " ")
+    val topic = graft.abi.Keccak256
+      .eventTopic("Transfer(address,address,uint256)")
+    val row = spark.sql(
+      s"""SELECT d.`from` AS f, d.`to` AS t, d.value AS v FROM (
+            SELECT abi_decode_event(
+              array('$topic',
+                    '0x${"0" * 24}${"a1" * 20}',
+                    '0x${"0" * 24}${"b2" * 20}'),
+              unhex(lpad('2a', 64, '0')),
+              '$abi') AS d) x""").first()
+    assert(row.getString(0) == "0x" + "a1" * 20)
+    assert(row.getString(1) == "0x" + "b2" * 20)
+    assert(row.getDecimal(2).longValue() == 42L)
+  }
+}
