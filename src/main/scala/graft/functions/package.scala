@@ -48,4 +48,10 @@ package object functions {
       minute,
       minute + expr(s"interval ${minutes - 1} minutes"),
       expr("interval 1 minute")))
+
+  /** P6 — token coverage-window guard
+    * (`/root/reference/dags/offchains/prices.py:56-59`): keep tokens
+    * whose price coverage has not ended before the requested window. */
+  def tokenActive(endCol: Column, windowEnd: Column): Column =
+    endCol.isNull || endCol >= windowEnd
 }

@@ -79,6 +79,46 @@ object Similarity {
     explode(array((0 until nTables).map(t =>
       struct(lit(t).as("t"), lshBucket(vec, nPlanes, t).as("b"))): _*))
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer —
+    * centroids are a fixed slice of the corpus (every `centroidEvery`-th
+    * vector) — assigns each vector to its nearest centroid cell; queries
+    * probe the `nProbe` nearest cells. The 100 TB shape: cell assignment
+    * is one broadcast-join pass, search touches |corpus|·nProbe/#cells
+    * rows. Deterministic (no RNG, no iterative k-means) → reproducible.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int = 50, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = corpus
+      .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    def nearestCells(df: DataFrame, id: String, vec: String, n: Int) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("c_sim").desc, col("c_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("c_sim", cosine(col(vec), col("c_vec")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= n)
+        .drop("c_vec", "c_sim", "c_rank")
+    }
+    val cells = nearestCells(
+      spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_norm")), "n_id", "n_vec", 1)
+    val probes = nearestCells(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm")), "q_id", "q_vec", nProbe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    probes.join(cells, Seq("c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim"))
+  }
+
   /** ANN top-k: candidates = union over nTables of same-bucket rows,
     * dedup, exact cosine rank. At scale each table bucket holds
     * ~|corpus|/2^planes rows — a bucket join instead of a cross product;

@@ -43,6 +43,30 @@ object MultimodalQueries extends QueryGroup {
         length(expr("to_binary(text, 'utf-8')")).cast("long").as("byte_len"))
     },
 
+    // gap-based sessionization (batch twin of the stateful streaming
+    // op; flatMapGroupsWithState equivalence is spec-tested)
+    q("q_sessionize", "streaming",
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+          s AS (SELECT user_id, ts_ms,
+                  CASE WHEN lag(ts_ms) OVER w IS NULL
+                         OR ts_ms - lag(ts_ms) OVER w > 600000
+                       THEN 1 ELSE 0 END AS ns
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+          g AS (SELECT user_id, ts_ms,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s)
+          SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+                 CAST(count(*) AS INT) AS n_events
+          FROM g GROUP BY user_id, sid""") { (spark, dir) =>
+      import spark.implicits._
+      val ev = Tables.df(spark, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"))
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize.sessionizeBatch(spark, ev, 600000L).toDF()
+    },
+
     // Structured Streaming run to completion over the bounded file
     // source — must equal the batch twin (same oracle as
     // q_time_window_agg)

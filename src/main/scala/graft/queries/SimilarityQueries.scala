@@ -76,5 +76,13 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.df(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.lshTopK(emb, queries, 5, nPlanes = 4)
+    },
+
+    // IVF cell boundaries depend on centroid ranking ties — recall is
+    // spec-tested; driver records rows-only
+    qNoOracle("q_knn_ivf", "similarity") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(emb, queries, 5)
     })
 }

@@ -174,3 +174,86 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach(f => assert(again(f.media_id) == f.checksum))
   }
 }
+
+class SkewJoinSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("salted join equals plain join on skewed key") {
+    val li = Tables.df(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"))
+    val dim = Tables.df(spark, sf, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain = li.join(dim, "l_partkey")
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.ops.SkewJoin.salted(li, dim, "l_partkey", 8)
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted count equals plain count") {
+    val li = Tables.df(spark, sf, "lineitem")
+    val plain = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.ops.SkewJoin.saltedCount(li, "l_returnflag", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
+
+class IvfSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("IVF top-k recall vs brute force is usable") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  import TestSession._
+  import graft.streaming.Sessionize
+
+  test("stateful streaming sessionize equals batch twin") {
+    import spark.implicits._
+    val gap = 600000L
+    val ev = Tables.df(spark, sf, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"))
+      .as[Sessionize.Event]
+    val batch = Sessionize.sessionizeBatch(spark, ev, gap)
+      .collect().toSet
+
+    // stage events as a file stream; a far-future sentinel per user in a
+    // SECOND batch forces every real session closed (incremental state
+    // across micro-batches is exactly what this exercises)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess")
+      .toString
+    ev.toDF().coalesce(1).write.mode("append").parquet(dir)
+    val maxTs = ev.agg(max($"ts_ms")).first().getLong(0)
+    val q = Sessionize.sessionize(
+        spark.readStream.schema(ev.toDF().schema).parquet(dir)
+          .as[Sessionize.Event], gap)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ev.select($"user_id").distinct()
+        .select($"user_id", lit(maxTs + 100 * gap).as("ts_ms"),
+          lit("sentinel").as("event_type"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_out").as[Sessionize.Session]
+      .filter($"end_ms" <= maxTs) // drop sentinel-only sessions
+      .collect().toSet
+    assert(streamed == batch)
+  }
+}
