@@ -12,27 +12,31 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import AbiType._
 
-/** Raw ABI values → Catalyst values. */
+/** Raw ABI values → Catalyst values. `uintAsString` emits >64-bit ints
+  * as exact decimal strings instead of DECIMAL(38,0)-or-null. */
 private[abi] object AbiCatalyst {
-  def convert(t: AbiType, v: Any): Any = t match {
+  def convert(t: AbiType, v: Any, uintAsString: Boolean = false): Any =
+    t match {
     case TUint(bits) =>
       val bi = v.asInstanceOf[BigInteger]
       if (bits < 64) bi.longValue()
+      else if (uintAsString) UTF8String.fromString(bi.toString)
       else decimalOrNull(bi)
     case TInt(bits) =>
       val bi = v.asInstanceOf[BigInteger]
       if (bits <= 64) bi.longValue()
+      else if (uintAsString) UTF8String.fromString(bi.toString)
       else decimalOrNull(bi)
     case TAddress | TBytes | _: TBytesFixed | TString =>
       UTF8String.fromString(v.asInstanceOf[String])
     case TBool => v.asInstanceOf[Boolean]
     case TArray(e, _) =>
       new GenericArrayData(
-        v.asInstanceOf[Seq[Any]].map(convert(e, _)).toArray)
+        v.asInstanceOf[Seq[Any]].map(convert(e, _, uintAsString)).toArray)
     case TTuple(fields) =>
       val vs = v.asInstanceOf[Seq[Any]]
-      new GenericInternalRow(
-        fields.zip(vs).map { case ((_, ft), fv) => convert(ft, fv) }.toArray)
+      new GenericInternalRow(fields.zip(vs).map {
+        case ((_, ft), fv) => convert(ft, fv, uintAsString) }.toArray)
   }
 
   /** uint256 can exceed DECIMAL(38,0) (2^256 ≈ 1.16e77): the reference
@@ -60,7 +64,10 @@ case class AbiDecodeEvent(first: Expression, second: Expression,
 
   @transient private lazy val event: AbiEvent =
     AbiJson.parseEvent(third.eval(null).toString)
-  @transient private lazy val schema = AbiSchema.eventSchema(event)
+  @transient private lazy val uintAsString: Boolean =
+    AbiJson.uintAsString(third.eval(null).toString)
+  @transient private lazy val schema =
+    AbiSchema.eventSchema(event, uintAsString)
 
   override def dataType: DataType = schema
   override def nullable: Boolean = true
@@ -109,7 +116,7 @@ case class AbiDecodeEvent(first: Expression, second: Expression,
     val dataTypes = nonIndexed.map(_.abiType)
     val dataValues = AbiCodec.decodeSeq(data, dataTypes, 0)
     val dataIter = nonIndexed.zip(dataValues).iterator.map {
-      case (p, v) => AbiCatalyst.convert(p.abiType, v)
+      case (p, v) => AbiCatalyst.convert(p.abiType, v, uintAsString)
     }
     val out = event.inputs.map { p =>
       if (p.indexed) {
@@ -118,7 +125,8 @@ case class AbiDecodeEvent(first: Expression, second: Expression,
         p.abiType match {
           case t @ (TAddress | TBool | _: TUint | _: TInt | _: TBytesFixed) =>
             AbiCatalyst.convert(t,
-              AbiCodec.decodeStaticAt(hexToBytes(topic), t, 0))
+              AbiCodec.decodeStaticAt(hexToBytes(topic), t, 0),
+              uintAsString)
           case _ => UTF8String.fromString(topic) // hash of dynamic value
         }
       } else dataIter.next()
@@ -140,7 +148,10 @@ case class AbiDecodeCall(first: Expression, second: Expression,
 
   @transient private lazy val fn: AbiFunction =
     AbiJson.parseFunction(third.eval(null).toString)
-  @transient private lazy val schema = AbiSchema.callSchema(fn)
+  @transient private lazy val uintAsString: Boolean =
+    AbiJson.uintAsString(third.eval(null).toString)
+  @transient private lazy val schema =
+    AbiSchema.callSchema(fn, uintAsString)
 
   override def dataType: DataType = schema
   override def nullable: Boolean = true
@@ -157,7 +168,8 @@ case class AbiDecodeCall(first: Expression, second: Expression,
       val inVals = AbiCodec
         .decodeSeq(java.util.Arrays.copyOfRange(inBytes, 4, inBytes.length),
           inTypes, 0)
-        .zip(inTypes).map { case (v, t) => AbiCatalyst.convert(t, v) }
+        .zip(inTypes).map { case (v, t) =>
+          AbiCatalyst.convert(t, v, uintAsString) }
       val outRaw = second.eval(input)
       val outTypes = fn.outputs.map(_.abiType)
       val outVals =
@@ -166,7 +178,8 @@ case class AbiDecodeCall(first: Expression, second: Expression,
           val outBytes = outRaw.asInstanceOf[Array[Byte]]
           if (outBytes.isEmpty) fn.outputs.map(_ => null)
           else AbiCodec.decodeSeq(outBytes, outTypes, 0)
-            .zip(outTypes).map { case (v, t) => AbiCatalyst.convert(t, v) }
+            .zip(outTypes).map { case (v, t) =>
+              AbiCatalyst.convert(t, v, uintAsString) }
         }
       new GenericInternalRow((inVals ++ outVals).toArray)
     } catch { case _: Exception => null }

@@ -51,6 +51,17 @@ final case class EvmContract(
 }
 
 object AbiJson {
+  /** Optional decode-mode flag inside the ABI JSON:
+    * `"__uint_as_string": true` switches >64-bit integer outputs from
+    * DECIMAL(38,0) (null on overflow — 2^256 ≈ 1.2e77 > 10^38) to exact
+    * decimal strings, mirroring the reference's tokens-table escape
+    * hatch (STRING decimals/total_supply, evm_load_template.py:96-105).
+    */
+  val UintAsStringKey = "__uint_as_string"
+
+  def uintAsString(json: String): Boolean =
+    (JsonMethods.parse(json) \ UintAsStringKey) == JBool(true)
+
   private def str(v: JValue): Option[String] = v match {
     case JString(s) => Some(s)
     case _ => None
@@ -187,30 +198,46 @@ object AbiType {
   * ABI input; indexed dynamic params surface as the keccak topic hash
   * (StringType) per the Ethereum ABI event encoding spec. */
 object AbiSchema {
-  def eventField(p: AbiParam): StructField = {
+  import AbiType._
+
+  /** Spark type of a decoded ABI value; `uintAsString` switches >64-bit
+    * integers to exact decimal strings (see AbiJson.UintAsStringKey). */
+  def typeOf(t: AbiType, uintAsString: Boolean): DataType = t match {
+    case TUint(b) if b >= 64 && uintAsString => StringType
+    case TInt(b) if b > 64 && uintAsString => StringType
+    case TArray(e, _) => ArrayType(typeOf(e, uintAsString))
+    case TTuple(fields) =>
+      StructType(fields.zipWithIndex.map { case ((n, ft), i) =>
+        StructField(if (n.nonEmpty) n else s"_$i",
+          typeOf(ft, uintAsString))
+      })
+    case other => other.sparkType
+  }
+
+  def eventField(p: AbiParam, uintAsString: Boolean = false): StructField = {
     val t = p.abiType
     val dt =
       if (p.indexed && t.isDynamic) StringType // topic = keccak hash
       else if (p.indexed) t match {
         // indexed static tuples/arrays are also hashed per spec
-        case _: AbiType.TTuple | _: AbiType.TArray => StringType
-        case _ => t.sparkType
+        case _: TTuple | _: TArray => StringType
+        case _ => typeOf(t, uintAsString)
       }
-      else t.sparkType
+      else typeOf(t, uintAsString)
     StructField(p.name, dt)
   }
 
-  def eventSchema(e: AbiEvent): StructType =
-    StructType(e.inputs.map(eventField))
+  def eventSchema(e: AbiEvent, uintAsString: Boolean = false): StructType =
+    StructType(e.inputs.map(eventField(_, uintAsString)))
 
-  def callSchema(f: AbiFunction): StructType = {
+  def callSchema(f: AbiFunction, uintAsString: Boolean = false): StructType = {
     val in = f.inputs.zipWithIndex.map { case (p, i) =>
       StructField(if (p.name.nonEmpty) p.name else s"_$i",
-        p.abiType.sparkType)
+        typeOf(p.abiType, uintAsString))
     }
     val out = f.outputs.zipWithIndex.map { case (p, i) =>
       StructField(if (p.name.nonEmpty) s"output_${p.name}" else s"output_$i",
-        p.abiType.sparkType)
+        typeOf(p.abiType, uintAsString))
     }
     StructType(in ++ out)
   }

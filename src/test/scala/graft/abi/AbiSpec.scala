@@ -157,3 +157,56 @@ class AbiCodecRoundtripSpec extends AnyFunSuite {
     })
   }
 }
+
+/** Robustness: malformed on-chain bytes must decode to null, never
+  * throw (a poisoned row must not kill a 100 TB batch); and the
+  * uint-as-string mode must round-trip full-range uint256 exactly. */
+class AbiRobustnessSpec extends AnyFunSuite {
+  import graft.TestSession._
+  import org.apache.spark.sql.functions._
+
+  private val transferAbi =
+    """{"name":"Transfer","type":"event","anonymous":false,"inputs":[
+      {"indexed":true,"name":"from","type":"address"},
+      {"indexed":true,"name":"to","type":"address"},
+      {"indexed":false,"name":"value","type":"uint256"}]}"""
+
+  test("random garbage bytes decode to null, never throw") {
+    import spark.implicits._
+    // deterministic pseudo-garbage: truncated words, wrong topic
+    // arities, empty data, non-hex topics
+    val rows = spark.range(500).select(
+      array(lit("0xzznothex"), lit("0x1")).as("topics_arr"),
+      expr("unhex(lpad(hex(id), cast(2 + id % 63 AS int), '0'))")
+        .as("unhex_data"))
+    val decoded = rows.select(
+      AbiDecode.event(transferAbi, col("topics_arr"), col("unhex_data"))
+        .as("d"))
+    // must complete without exception; short/invalid rows → null
+    val n = decoded.count()
+    assert(n == 500)
+    assert(decoded.filter(col("d").isNotNull).count() == 0)
+  }
+
+  test("uint-as-string mode round-trips full-range uint256") {
+    val abiStr = transferAbi.replace("{\"name\"",
+      "{\"" + AbiJson.UintAsStringKey + "\":true,\"name\"")
+    val big = BigInt(2).pow(255) + BigInt(12345)
+    val hexVal = big.toString(16)
+    import spark.implicits._
+    val df = Seq(1).toDF("x").select(
+      array(lit("0x00"),
+        lit("0x" + "0" * 24 + "aa" * 20),
+        lit("0x" + "0" * 24 + "bb" * 20)).as("topics_arr"),
+      unhex(lit(("0" * (64 - hexVal.length)) + hexVal)).as("unhex_data"))
+    val d = df.select(
+      AbiDecode.event(abiStr, col("topics_arr"), col("unhex_data"))
+        .as("d")).select(col("d.value")).first()
+    assert(d.getString(0) == big.toString) // exact, no overflow-null
+    // and without the flag the same value overflows DECIMAL(38,0) → null
+    val d2 = df.select(
+      AbiDecode.event(transferAbi, col("topics_arr"), col("unhex_data"))
+        .as("d")).select(col("d.value")).first()
+    assert(d2.isNullAt(0))
+  }
+}
