@@ -69,7 +69,23 @@ object EvmLoaders {
       extraPartitionCols = Seq("address_hash", "selector_hash")),
     "transactions" -> LoadJob("transactions",
       raw => Enrich.transactions(raw("transactions"), raw("blocks"),
-        raw("receipts"))))
+        raw("receipts"))),
+    // incremental append: staged tokens minus addresses already in the
+    // warehouse (`tokens_existing` = current warehouse state, not a raw
+    // input — the runner supplies it)
+    "tokens" -> LoadJob("tokens",
+      raw => Enrich.tokensIncremental(raw("tokens"), raw("tokens_existing")),
+      mode = LoadJob.Append))
+
+  /** Per-chain loader sets (`evm_chain.py:178-212`): ethereum runs 9
+    * loaders incl. CSV prices and parity traces; polygon runs 8, with
+    * the traces table produced from geth_traces (3-way join J5) and no
+    * prices feed. */
+  val chainSets: Map[String, Set[String]] = Map(
+    "ethereum" -> Set("blocks", "contracts", "logs", "prices",
+      "token_transfers", "tokens", "traces", "transactions"),
+    "polygon" -> Set("blocks", "contracts", "logs",
+      "token_transfers", "tokens", "geth_traces", "transactions"))
 
   /** raw inputs each loader needs (dependency edges for topo order) */
   val dependencies: Map[String, Set[String]] = Map(
@@ -80,7 +96,8 @@ object EvmLoaders {
     "token_transfers" -> Set("token_transfers", "blocks"),
     "traces" -> Set("traces", "blocks"),
     "geth_traces" -> Set("geth_traces", "blocks", "transactions"),
-    "transactions" -> Set("transactions", "blocks", "receipts"))
+    "transactions" -> Set("transactions", "blocks", "receipts"),
+    "tokens" -> Set("tokens"))
 }
 
 /** S12 — cross-warehouse transfer boundary

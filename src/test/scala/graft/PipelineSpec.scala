@@ -196,3 +196,33 @@ class EntrySpec extends AnyFunSuite {
     assert(row.getDecimal(2).longValue() == 42L)
   }
 }
+
+/** Per-chain loader-set parity + tokens incremental loader. */
+class ChainSetSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("chain sets reference known loaders") {
+    graft.pipeline.EvmLoaders.chainSets.values.flatten.toSet.foreach {
+      (l: String) => assert(graft.pipeline.EvmLoaders.all.contains(l), l)
+    }
+    assert(graft.pipeline.EvmLoaders.chainSets("ethereum").contains("prices"))
+    assert(!graft.pipeline.EvmLoaders.chainSets("polygon").contains("prices"))
+    assert(graft.pipeline.EvmLoaders.chainSets("polygon")
+      .contains("geth_traces"))
+  }
+
+  test("tokens loader appends only new addresses") {
+    val out = Files.createTempDirectory("graft_tok").toString
+    val part = Tables.df(spark, sf, "part")
+    val staged = graft.sources.EvmFixtures.tokensStaged(part)
+    val existing = graft.sources.EvmFixtures.tokensStaged(
+      part.filter(col("p_partkey") % 3 === 0))
+    graft.pipeline.EvmLoaders.all("tokens").run(
+      Map("tokens" -> staged,
+        "tokens_existing" -> existing.select("address")),
+      out, graft.pipeline.JobDate(java.time.LocalDate.parse("2026-01-01")))
+    val written = spark.read.parquet(s"$out/tokens")
+    assert(written.count() ==
+      part.filter(col("p_partkey") % 3 =!= 0).count())
+  }
+}
