@@ -51,14 +51,20 @@ object EventsStream {
     val src = java.nio.file.Paths.get(path)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
-    val q = windowedAgg(readEvents(spark, dir.toString))
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // each shuffle partition owns a state store; for a bounded local run
+    // 8 stores beat 32 (fixed per-store setup dominates)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = windowedAgg(readEvents(spark, dir.toString))
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(queryName)
   }
 }
