@@ -64,7 +64,9 @@ object Dedup {
     val freq = sh.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
     val sorted = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
-      .join(freq, "s")
+      // freq is |distinct shingles| rows of (string, long) — broadcast
+      // instead of shuffling the full exploded postings list
+      .join(broadcast(freq), "s")
       .groupBy(col("doc"), col("n_sh"))
       .agg(array_sort(collect_list(struct(col("df"), col("s"))))
         .as("ordered"))
