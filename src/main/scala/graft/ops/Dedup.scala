@@ -107,25 +107,26 @@ object Dedup {
         col("common").cast("long").as("common"), col("jaccard"))
   }
 
-  /** k MinHash signatures over n-gram shingles: min over the shingle set
-    * of xxhash64(seed_i, shingle). Map-side agg keeps the shuffle at
-    * |docs| × k, independent of shingle counts. */
+  /** k MinHash signatures over n-gram shingles, computed by the typed
+    * [[MinHashAggregator]] sketch (single pass, one k-long mutable
+    * buffer, map-side partial merge) — the shuffle stays at |docs| × k
+    * longs, independent of shingle counts. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val exploded = spread(df, col(idCol)).select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), n)).as("s"))
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
-    exploded.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+    val agg = org.apache.spark.sql.functions.udaf(new MinHashAggregator(k))
+    spread(df, col(idCol)).select(col(idCol).as("doc"),
+        explode(shingles(col(textCol), n)).as("s"))
+      .groupBy(col("doc"))
+      .agg(agg(col("s")).as("mh"))
   }
 
   /** LSH banding: k minhashes → bands of r; docs sharing any band bucket
-    * are candidates. Returns (band_id, band_key, doc). */
+    * are candidates. Returns (band_id, band_key, doc). `hash` over the
+    * band's signature slice gives the bucket key. */
   def lshBands(sig: DataFrame, k: Int, r: Int): DataFrame = {
     val bands = (0 until k / r).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
       struct(lit(b).as("band_id"),
-        xxhash64(cols: _*).as("band_key"))
+        hash(slice(col("mh"), b * r + 1, r)).as("band_key"))
     }
     sig.select(col("doc"), explode(array(bands: _*)).as("bk"))
       .select(col("doc"), col("bk.band_id"), col("bk.band_key"))
@@ -220,4 +221,48 @@ object SimHash64 {
     }
     h
   }
+}
+
+/** Typed MinHash sketch: per shingle, k seeded 64-bit hashes
+  * (FNV-1a base mixed per-seed with a splitmix64 finalizer); the buffer
+  * keeps the per-seed minima. `Aggregator[IN, BUF, OUT]` gives a mutable
+  * map-side buffer + associative merge — the idiomatic Spark shape for
+  * sketch aggregates (SURVEY §7.4). */
+class MinHashAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, Array[Long], Array[Long]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    val base = SimHash64.tokenHash(
+      shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    while (i < k) {
+      val h = mix(base ^ (i.toLong * 0xd6e8feb86659fd93L))
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Array[Long] = r
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
