@@ -226,3 +226,33 @@ class ChainSetSpec extends AnyFunSuite {
       part.filter(col("p_partkey") % 3 =!= 0).count())
   }
 }
+
+/** S1 with the REAL raw schemas: EVM-shaped rows written as JSON lines
+  * and read back through RawTableReader's schema-on-read path — covers
+  * DECIMAL(38,0) money columns and nullable strings from JSON. */
+class RawJsonReadSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("blocks JSON round-trips through RawSchemas.blocks") {
+    val out = Files.createTempDirectory("graft_rawjson").toString
+    val blocks = EvmFixtures.blocks(Tables.df(spark, sf, "orders"))
+    blocks.write.mode("overwrite").json(out)
+    val back = graft.sources.RawTableReader.json(spark, "blocks", out)
+    assert(back.schema == graft.schema.RawSchemas.blocks)
+    assert(back.count() == blocks.count())
+    // decimal column survives (values, not doubles)
+    val a = back.agg(sum(col("difficulty"))).first().getDecimal(0)
+    val b = blocks.agg(sum(col("difficulty"))).first().getDecimal(0)
+    assert(a == b)
+  }
+
+  test("traces JSON with nulls round-trips") {
+    val out = Files.createTempDirectory("graft_rawjson2").toString
+    val traces = EvmFixtures.traces(Tables.df(spark, sf, "lineitem"))
+    traces.write.mode("overwrite").json(out)
+    val back = graft.sources.RawTableReader.json(spark, "traces", out)
+    assert(back.count() == traces.count())
+    assert(back.filter(col("transaction_hash").isNull).count() ==
+      traces.filter(col("transaction_hash").isNull).count())
+  }
+}
