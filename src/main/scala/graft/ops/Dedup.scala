@@ -93,7 +93,7 @@ object Dedup {
         col("na") >= ceil(col("nb") * minSim))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    cand
+    val pairs = cand
       .join(sorted.select(col("doc").as("a_id"), col("n_sh").as("na"),
         col("sh").as("sha")), "a_id")
       .join(sorted.select(col("doc").as("b_id"), col("n_sh").as("nb"),
@@ -105,6 +105,14 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
         col("common").cast("long").as("common"), col("jaccard"))
+    // materialize the (small) verified-pair result eagerly so the two
+    // persisted intermediates can be released HERE — a lazy return would
+    // leak them into the session for its whole lifetime. localCheckpoint
+    // blocks are context-cleaned once the result goes unreachable.
+    val out = pairs.localCheckpoint()
+    sh.unpersist(false)
+    sorted.unpersist(false)
+    out
   }
 
   /** k MinHash signatures over n-gram shingles, computed by the typed
@@ -114,8 +122,14 @@ object Dedup {
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val agg = org.apache.spark.sql.functions.udaf(new MinHashAggregator(k))
+    // docs shorter than n tokens have NO shingles; a plain explode would
+    // silently drop them from the signature table (and so from LSH),
+    // losing even their exact duplicates. Give them a sentinel shingle:
+    // identical short docs still collide, and non-identical short-doc
+    // candidates are killed by downstream verification.
+    val sh = shingles(col(textCol), n)
     spread(df, col(idCol)).select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), n)).as("s"))
+        explode(when(size(sh) === 0, array(lit(""))).otherwise(sh)).as("s"))
       .groupBy(col("doc"))
       .agg(agg(col("s")).as("mh"))
   }

@@ -16,12 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Salt derived from the full row content — deterministic under task
+    * retry. An id-based salt (monotonically_increasing_id) re-salts rows
+    * differently when a lost shuffle-map output is recomputed, which can
+    * duplicate or drop rows exactly on the multi-executor clusters the
+    * operator targets. Identical rows share a salt; that only matters if
+    * one KEY's rows are ALSO massively duplicated row-for-row. */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+
   /** Inner equi-join `left(keyCol) = right(keyCol)` with the left side
     * treated as the (large, possibly skewed) probe side. */
   def salted(left: DataFrame, right: DataFrame, keyCol: String,
       salts: Int): DataFrame = {
-    val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val saltedLeft = left.withColumn("_salt", rowSalt(left, salts))
     val saltedRight = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLeft.join(saltedRight, Seq(keyCol, "_salt")).drop("_salt")
@@ -31,8 +39,7 @@ object SkewJoin {
     * then final sum over key — the hot key's first-phase work spreads
     * over `salts` tasks. */
   def saltedCount(df: DataFrame, keyCol: String, salts: Int): DataFrame =
-    df.withColumn("_salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    df.withColumn("_salt", rowSalt(df, salts))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(keyCol))

@@ -46,7 +46,7 @@ object AbiQueries extends QueryGroup {
             FROM lineitem GROUP BY l_orderkey, l_linenumber)
           SELECT '0x' || lpad(lower(hex(l_suppkey)), 40, '0') AS "from",
                  '0x' || lpad(lower(hex(l_partkey % 97)), 40, '0') AS "to",
-                 CAST(l_partkey AS DECIMAL(38,0)) AS value,
+                 CAST(l_partkey AS VARCHAR) AS value,
                  '0xt' || l_orderkey || '_' || l_linenumber
                    AS transaction_hash,
                  CAST(l_linenumber AS BIGINT) AS log_index,
@@ -73,6 +73,7 @@ object AbiQueries extends QueryGroup {
         .withColumn("topics_arr", array(col("t0"), col("t1"), col("t2")))
         .drop("t0", "t1", "t2")
       ParseJob.decodeEvents(logs, erc20Contract, transferEvent, transferAbi)
+        .withColumn("value", col("value").cast("string"))
     },
 
     q("q_abi_decode_call", "abi", {
@@ -81,7 +82,7 @@ object AbiQueries extends QueryGroup {
                    min(l_partkey) AS l_partkey, min(l_suppkey) AS l_suppkey
             FROM lineitem GROUP BY l_orderkey, l_linenumber)
           SELECT '0x' || lpad(lower(hex(l_partkey % 97)), 40, '0') AS "to",
-                 CAST(l_suppkey AS DECIMAL(38,0)) AS amount,
+                 CAST(l_suppkey AS VARCHAR) AS amount,
                  (l_linenumber % 2 <> 0) AS output_0,
                  '0xa' || (l_partkey % 97) AS to_address,
                  '0xt' || l_orderkey || '_' || l_linenumber
@@ -105,6 +106,7 @@ object AbiQueries extends QueryGroup {
         concat(lit("0xt"), col("l_orderkey").cast("string"), lit("_"),
           col("l_linenumber").cast("string")).as("transaction_hash"))
       ParseJob.decodeCalls(traces, erc20Contract, transferFn, transferFnAbi)
+        .withColumn("amount", col("amount").cast("string"))
     },
 
     // Seaport-shaped nested tuple[] round-trip: encode with AbiCodec

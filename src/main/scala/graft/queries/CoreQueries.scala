@@ -16,23 +16,29 @@ object CoreQueries extends QueryGroup {
   val queries: Seq[Q] = Seq(
     q("q1_agg", "agg",
       """SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR)
+             AS sum_price,
            count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag, l_linestatus""") {
       (spark, dir) =>
+        // decimal internally (associative, engine-independent sums); the
+        // output column is its exact string rendering — DuckDB's pandas
+        // bridge degrades DECIMAL to float64, so a decimal-typed output
+        // can never byte-compare across engines
         Tables.df(spark, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(dec)).as("sum_qty"),
-            sum(col("l_extendedprice").cast(dec)).as("sum_price"),
+            sum(col("l_quantity").cast(dec)).cast("string").as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).cast("string")
+              .as("sum_price"),
             count(lit(1)).as("cnt"))
     },
 
     q("q_join_broadcast", "join",
       """SELECT p_brand,
            count(*) AS cnt,
-           sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""") {
       (spark, dir) =>
@@ -42,7 +48,7 @@ object CoreQueries extends QueryGroup {
         li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast(dec)).as("sum_qty"))
+            sum(col("l_quantity").cast(dec)).cast("string").as("sum_qty"))
     },
 
     q("q_semi_anti_join", "join",
@@ -99,7 +105,7 @@ object CoreQueries extends QueryGroup {
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, date_trunc('second', ts)),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
               event_type, count(*) AS n,
-              sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS sum_value
          FROM events GROUP BY 1, 2""") {
       (spark, dir) =>
         // batch twin of the Structured Streaming tumbling-window agg
@@ -113,6 +119,7 @@ object CoreQueries extends QueryGroup {
           .select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
               .as("window_start"),
-            col("event_type"), col("n"), col("sum_value"))
+            col("event_type"), col("n"),
+            col("sum_value").cast("string").as("sum_value"))
     })
 }

@@ -27,8 +27,8 @@ object EnrichQueries extends QueryGroup {
             '0xb' || o_orderkey AS hash,
             '0xp' || o_orderkey AS parent_hash,
             '0xm' || o_custkey AS miner,
-            CAST(o_orderkey AS DECIMAL(38,0)) AS difficulty,
-            CAST(o_custkey AS DECIMAL(38,0)) AS total_difficulty,
+            CAST(o_orderkey AS VARCHAR) AS difficulty,
+            CAST(o_custkey AS VARCHAR) AS total_difficulty,
             o_orderkey % 1000 AS size,
             o_custkey * 21000 AS gas_used,
             o_orderkey % 100 AS transaction_count,
@@ -38,7 +38,9 @@ object EnrichQueries extends QueryGroup {
         .select(
           date_format(col("timestamp"), fmtTs).as("ts_str"),
           col("number"), col("hash"), col("parent_hash"), col("miner"),
-          col("difficulty"), col("total_difficulty"), col("size"),
+          col("difficulty").cast("string").as("difficulty"),
+          col("total_difficulty").cast("string").as("total_difficulty"),
+          col("size"),
           col("gas_used"), col("transaction_count"), col("base_fee_per_gas"))
     },
 
@@ -52,7 +54,7 @@ object EnrichQueries extends QueryGroup {
             CAST(l_linenumber AS BIGINT) AS transaction_index,
             '0xf' || l_suppkey AS from_address,
             '0xa' || l_partkey AS to_address,
-            CAST(l_partkey AS DECIMAL(38,0)) AS value,
+            CAST(l_partkey AS VARCHAR) AS value,
             l_partkey AS gas,
             l_suppkey AS gas_price,
             '0x' || lpad(hex(l_partkey), 8, '0')
@@ -79,6 +81,7 @@ object EnrichQueries extends QueryGroup {
             EvmFixtures.receipts(li))
           .withColumn("block_timestamp",
             date_format(col("block_timestamp"), fmtTs))
+          .withColumn("value", col("value").cast("string"))
     },
 
     q("q_enrich_contracts", "enrich",
@@ -101,7 +104,8 @@ object EnrichQueries extends QueryGroup {
       s"""SELECT '0xk' || l_partkey AS token_address,
             '0xf' || l_suppkey AS from_address,
             '0xa' || (l_partkey % 97) AS to_address,
-            CAST(floor(l_extendedprice) AS DECIMAL(38,0)) AS value,
+            CAST(CAST(floor(l_extendedprice) AS DECIMAL(38,0)) AS VARCHAR)
+              AS value,
             '0xt' || l_orderkey || '_' || l_linenumber AS transaction_hash,
             CAST(l_linenumber AS BIGINT) AS log_index,
             $duckOrderTs AS block_timestamp,
@@ -115,6 +119,7 @@ object EnrichQueries extends QueryGroup {
             EvmFixtures.blocks(o))
           .withColumn("block_timestamp",
             date_format(col("block_timestamp"), fmtTs))
+          .withColumn("value", col("value").cast("string"))
     },
 
     q("q_enrich_logs", "enrich",
@@ -162,7 +167,7 @@ object EnrichQueries extends QueryGroup {
             CAST(l_linenumber AS BIGINT) AS transaction_index,
             '0xf' || l_suppkey AS from_address,
             '0xa' || l_partkey AS to_address,
-            CAST(l_suppkey AS DECIMAL(38,0)) AS value,
+            CAST(l_suppkey AS VARCHAR) AS value,
             '0x' || lpad(hex(l_partkey % 16), 8, '0') AS selector,
             CAST(4 + 32 AS BIGINT) AS input_len,
             CAST(32 AS BIGINT) AS output_len,
@@ -181,7 +186,8 @@ object EnrichQueries extends QueryGroup {
         Enrich.traces(EvmFixtures.traces(li), EvmFixtures.blocks(o))
           .select(
             col("transaction_hash"), col("transaction_index"),
-            col("from_address"), col("to_address"), col("value"),
+            col("from_address"), col("to_address"),
+            col("value").cast("string").as("value"),
             col("selector"),
             length(col("unhex_input")).cast(LongType).as("input_len"),
             length(col("unhex_output")).cast(LongType).as("output_len"),

@@ -75,9 +75,10 @@ object MultimodalQueries extends QueryGroup {
                 date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S')
               AS window_start,
               event_type, count(*) AS n,
-              sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS sum_value
          FROM events GROUP BY 1, 2""") { (spark, dir) =>
       EventsStream.runToBatch(spark, s"$dir/events.parquet",
-        s"graft_stream_${System.nanoTime()}")
+          s"graft_stream_${System.nanoTime()}")
+        .withColumn("sum_value", col("sum_value").cast("string"))
     })
 }

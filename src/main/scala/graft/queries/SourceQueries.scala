@@ -39,7 +39,7 @@ object SourceQueries extends QueryGroup {
     q("q_partitioned_write", "sink",
       """SELECT '2026-01-01' AS dt, l_returnflag,
            count(*) AS cnt,
-           sum(CAST(l_orderkey AS DECIMAL(38,0))) AS sum_key
+           CAST(sum(CAST(l_orderkey AS DECIMAL(38,0))) AS VARCHAR) AS sum_key
          FROM lineitem GROUP BY l_returnflag""") { (spark, dir) =>
       val li = Tables.df(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"))
@@ -55,7 +55,8 @@ object SourceQueries extends QueryGroup {
       spark.read.parquet(out)
         .groupBy(col("dt").cast("string").as("dt"), col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_orderkey").cast(DecimalType(38, 0))).as("sum_key"))
+          sum(col("l_orderkey").cast(DecimalType(38, 0))).cast("string")
+            .as("sum_key"))
     },
 
     // S9 — derived extraction sources (reference: ethereum-etl CLI jobs)
@@ -86,7 +87,7 @@ object SourceQueries extends QueryGroup {
           SELECT '0xa' || (l_partkey % 97) AS token_address,
                  '0x' || lpad(lower(hex(l_suppkey)), 40, '0') AS from_address,
                  '0x' || lpad(lower(hex(l_partkey % 97)), 40, '0') AS to_address,
-                 CAST(l_partkey AS DECIMAL(38,0)) AS value,
+                 CAST(l_partkey AS VARCHAR) AS value,
                  '0xt' || l_orderkey || '_' || l_linenumber
                    AS transaction_hash,
                  CAST(l_linenumber AS BIGINT) AS log_index,
@@ -113,5 +114,6 @@ object SourceQueries extends QueryGroup {
         .withColumn("topics_arr", array(col("t0"), col("t1"), col("t2")))
         .drop("t0", "t1", "t2")
       DerivedExtractors.tokenTransfersFromLogs(logs)
+        .withColumn("value", col("value").cast("string"))
     })
 }

@@ -33,10 +33,17 @@ object PartitionedWriter {
     val withDt = df.withColumn("dt", lit(ds))
     val sized =
       if (extraPartitionCols.isEmpty) withDt.repartition(filesPerPartition)
-      else
-        // co-locate rows of one (bucket) partition into one task so each
-        // partition dir gets `filesPerPartition` files, not one per task
-        withDt.repartition(extraPartitionCols.map(col): _*)
+      else {
+        // co-locate each (bucket) partition into `filesPerPartition`
+        // tasks: hash-partition on the bucket cols plus a row-content
+        // split key, so each partition dir gets at most that many files
+        // instead of one per upstream task
+        val split =
+          if (filesPerPartition <= 1) Nil
+          else Seq(pmod(xxhash64(df.columns.map(col): _*),
+            lit(filesPerPartition.toLong)))
+        withDt.repartition(extraPartitionCols.map(col) ++ split: _*)
+      }
     sized.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partCols: _*)
