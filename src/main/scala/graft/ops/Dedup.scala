@@ -115,23 +115,24 @@ object Dedup {
     out
   }
 
-  /** k MinHash signatures over n-gram shingles, computed by the typed
-    * [[MinHashAggregator]] sketch (single pass, one k-long mutable
-    * buffer, map-side partial merge) — the shuffle stays at |docs| × k
-    * longs, independent of shingle counts. */
+  /** k MinHash signatures over n-gram shingles. A doc's shingles live in
+    * ONE row, so the signature is a pure per-row function — computed by
+    * the [[MinHashArray]] expression in a single map pass with NO
+    * shuffle. (The explode → groupBy → sketch-aggregate alternative
+    * shuffles |docs|·|shingles| rows first; the [[MinHashAggregator]]
+    * UDAF below remains for genuinely pre-exploded inputs, e.g. a
+    * token-stream source.) */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val agg = org.apache.spark.sql.functions.udaf(new MinHashAggregator(k))
-    // docs shorter than n tokens have NO shingles; a plain explode would
-    // silently drop them from the signature table (and so from LSH),
-    // losing even their exact duplicates. Give them a sentinel shingle:
-    // identical short docs still collide, and non-identical short-doc
-    // candidates are killed by downstream verification.
+    // docs shorter than n tokens have NO shingles; unguarded they would
+    // vanish from the signature table (and so from LSH), losing even
+    // their exact duplicates. Give them a sentinel shingle: identical
+    // short docs still collide, and non-identical short-doc candidates
+    // are killed by downstream verification.
     val sh = shingles(col(textCol), n)
+    val guarded = when(size(sh) === 0, array(lit(""))).otherwise(sh)
     spread(df, col(idCol)).select(col(idCol).as("doc"),
-        explode(when(size(sh) === 0, array(lit(""))).otherwise(sh)).as("s"))
-      .groupBy(col("doc"))
-      .agg(agg(col("s")).as("mh"))
+      CB.column(MinHashArray(CB.expression(guarded), k)).as("mh"))
   }
 
   /** LSH banding: k minhashes → bands of r; docs sharing any band bucket
@@ -237,6 +238,53 @@ object SimHash64 {
   }
 }
 
+/** Per-row MinHash signature over a shingle array: k seeded 64-bit
+  * hashes per shingle (FNV-1a base mixed per-seed with a splitmix64
+  * finalizer, identical math to [[MinHashAggregator]]), output = the
+  * per-seed minima as array<long>. Null for null/empty input.
+  * CodegenFallback: cost is the per-shingle hashing loop either way. */
+case class MinHashArray(child: Expression, k: Int) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_array"
+
+  protected override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = SimHash64.tokenHash(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < k) {
+          val h = MinHashArray.mix(base ^ (j.toLong * 0xd6e8feb86659fd93L))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashArray {
+  /** splitmix64 finalizer — the per-seed mixer shared with
+    * [[MinHashAggregator]]. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
 /** Typed MinHash sketch: per shingle, k seeded 64-bit hashes
   * (FNV-1a base mixed per-seed with a splitmix64 finalizer); the buffer
   * keeps the per-seed minima. `Aggregator[IN, BUF, OUT]` gives a mutable
@@ -249,19 +297,12 @@ class MinHashAggregator(k: Int)
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
     val base = SimHash64.tokenHash(
       shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var i = 0
     while (i < k) {
-      val h = mix(base ^ (i.toLong * 0xd6e8feb86659fd93L))
+      val h = MinHashArray.mix(base ^ (i.toLong * 0xd6e8feb86659fd93L))
       if (h < buf(i)) buf(i) = h
       i += 1
     }

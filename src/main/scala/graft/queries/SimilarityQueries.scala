@@ -78,9 +78,47 @@ object SimilarityQueries extends QueryGroup {
       Similarity.lshTopK(emb, queries, 5, nPlanes = 4)
     },
 
-    // IVF cell boundaries depend on centroid ranking ties — recall is
-    // spec-tested; driver records rows-only
-    qNoOracle("q_knn_ivf", "similarity") { (spark, dir) =>
+    // IVF is fully deterministic given the bit-exact cosine: centroids
+    // are a fixed slice (vec_id % 50 = 0), cell assignment / probe
+    // ranking break ties by c_id, final rank by (sim DESC, n_id) — so
+    // the whole operator differentials against DuckDB, not just rows.
+    q("q_knn_ivf", "similarity",
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_sum(list_transform(
+                        CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+                    FROM embeddings),
+          cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+                   FROM n WHERE vec_id % 50 = 0),
+          cells AS (
+            SELECT vec_id AS n_id, c_id FROM (
+              SELECT a.vec_id, cent.c_id,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(a.v, cent.cv),
+                    x -> x[1] * x[2])) / (a.nrm * cent.cnrm) DESC,
+                  cent.c_id) AS rnk
+              FROM n a CROSS JOIN cent) t
+            WHERE rnk = 1),
+          probes AS (
+            SELECT vec_id AS q_id, c_id FROM (
+              SELECT q.vec_id, cent.c_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(q.v, cent.cv),
+                    x -> x[1] * x[2])) / (q.nrm * cent.cnrm) DESC,
+                  cent.c_id) AS rnk
+              FROM n q CROSS JOIN cent WHERE q.vec_id % 50 = 0) t
+            WHERE rnk <= 4),
+          s AS (
+            SELECT p.q_id, c.n_id,
+              list_sum(list_transform(list_zip(qn.v, nn.v),
+                x -> x[1] * x[2])) / (qn.nrm * nn.nrm) AS sim
+            FROM probes p JOIN cells c USING (c_id)
+            JOIN n qn ON qn.vec_id = p.q_id
+            JOIN n nn ON nn.vec_id = c.n_id
+            WHERE p.q_id <> c.n_id)
+          SELECT q_id, n_id,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY sim DESC, n_id) AS BIGINT) AS rank, sim
+          FROM s QUALIFY rank <= 5""") { (spark, dir) =>
       val emb = Tables.df(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.ivfTopK(emb, queries, 5)

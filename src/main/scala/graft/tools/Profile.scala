@@ -18,6 +18,22 @@ object Profile {
     }
     val c = DedupQueries.corpus(spark, dir)
     time("corpus count")(c.count())
+    if (args.headOption.contains("minhash")) {
+      val sig = Dedup.minhashSignature(c, "doc_id", "text", 3, 16)
+      time("minhash signatures")(sig.count())
+      val bands = Dedup.lshBands(sig, 16, 4)
+      time("lsh bands")(bands.count())
+      val cands = Dedup.minhashCandidates(c, "doc_id", "text")
+      time("candidates")(println("cand=" + cands.count()))
+      val ta = c.select(col("doc_id").as("a_id"), col("text").as("ta"))
+      val tb = c.select(col("doc_id").as("b_id"), col("text").as("tb"))
+      time("full query")(
+        cands.join(ta, "a_id").join(tb, "b_id")
+          .filter(col("ta") === col("tb"))
+          .select(col("a_id"), col("b_id")).count())
+      spark.stop()
+      return
+    }
     val sh = c.select(col("doc_id").as("doc"),
       Dedup.shingles(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
