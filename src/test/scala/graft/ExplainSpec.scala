@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.ops.Dedup
+import graft.queries.DedupQueries
+
+/** Physical-plan property assertions — the scale contract, enforced.
+  * These guard the properties that matter at 100 TB but that no
+  * row-level differential test can see: filter/column pushdown into the
+  * parquet scan, broadcast choice for dimension joins, and operators
+  * that claim to be map-only actually planning without an aggregate
+  * exchange. A regression here passes every correctness gate and then
+  * falls over on a real cluster.
+  */
+class ExplainSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection reach the parquet scan") {
+    val df = Tables.df(spark, sf, "lineitem")
+      .filter(col("l_partkey") > 100)
+      .select(col("l_partkey"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_partkey,100)"),
+      s"filter not pushed to scan:\n$p")
+    // pruned read schema: the scan must not fetch the other 14 columns
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_comment"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val li = Tables.df(spark, sf, "lineitem")
+    val part = Tables.df(spark, sf, "part")
+    val joined = li.join(broadcast(part),
+      li("l_partkey") === part("p_partkey"))
+    assert(plan(joined).contains("BroadcastHashJoin"),
+      "part-side broadcast not planned")
+  }
+
+  test("minhash signature plans map-only (no aggregate, one exchange)") {
+    val c = DedupQueries.corpus(spark, sf)
+    val p = plan(Dedup.minhashSignature(c, "doc_id", "text", 3, 16))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      s"signature should be a pure map, found aggregate:\n$p")
+    // exactly the explicit spread() repartition — no shuffle introduced
+    // by the signature computation itself
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange (spread), got $exchanges")
+  }
+
+  test("brute-force cosine plans the native dot product + broadcast") {
+    // (WholeStageCodegen markers only appear in AQE's post-execution
+    // final plan; the pre-execution properties that matter are that the
+    // small query side broadcasts and the per-pair similarity is the
+    // codegen'd dot_product_fold, not an interpreted HOF chain)
+    val emb = Tables.df(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val p = plan(
+      graft.ops.Similarity.bruteForceTopK(emb, queries, 5))
+    assert(p.contains("dot_product_fold"),
+      s"native dot product missing from plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side should broadcast against the corpus")
+    assert(!p.contains("aggregate(zip_with"),
+      "HOF dot product leaked back into the plan")
+  }
+}
