@@ -101,6 +101,69 @@ object CoreQueries extends QueryGroup {
           .withColumn("rnk", col("rnk").cast(LongType))
     },
 
+    // AS-OF join — "price in effect at event time". Sparse updates
+    // (every 10th event) joined point-in-time onto the full stream;
+    // DuckDB's native ASOF LEFT JOIN is the oracle for our union +
+    // running-last formulation.
+    q("q_asof_price", "join",
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t_ms
+                    FROM events),
+          p AS (SELECT user_id, epoch_ms(ts) AS p_ms, max(value) AS price
+                FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+          SELECT e.event_id, e.user_id, e.t_ms, p.price
+          FROM e ASOF LEFT JOIN p
+            ON e.user_id = p.user_id AND e.t_ms >= p.p_ms""") {
+      (spark, dir) =>
+        val ev = Tables.df(spark, dir, "events")
+        val left = ev.select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("t_ms"))
+        // dedup updates at identical (key, time) so "which wins" is
+        // deterministic on both engines
+        val prices = ev.filter(col("event_id") % 10 === 0)
+          .groupBy(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+          .agg(max(col("value")).as("price"))
+        graft.ops.AsOfJoin.asOf(left, prices, Seq("user_id"),
+          "t_ms", "p_ms", Seq("price"))
+    },
+
+    // running balance per user — cumulative DECIMAL sum in a unique
+    // total order (engines disagree on float window-sum association:
+    // DuckDB uses a segment tree; decimal is associative so exact)
+    q("q_running_balance", "window",
+      """SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS balance
+         FROM events""") {
+      (spark, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.df(spark, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("t_ms"), col("value"))
+          .withColumn("balance",
+            sum(col("value").cast(dec)).over(w).cast("string"))
+          .drop("value")
+    },
+
+    // HLL sketch invariant: the approximate distinct count must land
+    // within 5% of truth (deterministic per dataset — no RNG). The
+    // oracle states the invariant, q_abi_roundtrip_nested-style.
+    q("q_approx_distinct", "agg",
+      """SELECT count(DISTINCT user_id) AS n_exact,
+           CAST(1 AS BIGINT) AS within_5pct
+         FROM events""") {
+      (spark, dir) =>
+        Tables.df(spark, dir, "events")
+          .agg(countDistinct(col("user_id")).as("n_exact"),
+            approx_count_distinct(col("user_id")).as("n_approx"))
+          .select(col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <=
+              col("n_exact") * 0.05).cast("long").as("within_5pct"))
+    },
+
     q("q_time_window_agg", "window",
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, date_trunc('second', ts)),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
