@@ -70,6 +70,14 @@ object MultimodalQueries extends QueryGroup {
     // Structured Streaming run to completion over the bounded file
     // source — must equal the batch twin (same oracle as
     // q_time_window_agg)
+    // streaming stateful dedup run to completion over the bounded file
+    // source — first-occurrence-per-key ≡ batch DISTINCT
+    q("q_stream_dedup", "streaming",
+      "SELECT DISTINCT user_id FROM events") { (spark, dir) =>
+      EventsStream.runDedupToBatch(spark, s"$dir/events.parquet",
+        s"graft_sdedup_${System.nanoTime()}")
+    },
+
     q("q_stream_window_agg", "streaming",
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE,
                 date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S')

@@ -42,11 +42,32 @@ object EventsStream {
           .as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming stateful dedup: first occurrence per key wins — exact
+    * (state grows with key cardinality, fine for entity-id keys; swap
+    * in dropDuplicatesWithinWatermark when keys don't recur past a
+    * horizon and state must stay bounded — that variant can re-emit a
+    * key after expiry, so it has no batch-DISTINCT oracle). Output is
+    * the distinct keys: bounded run ≡ batch `SELECT DISTINCT`. */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("user_id")
+      .select(col("user_id"))
+
+  /** Bounded run of [[dedupKeys]] → batch DataFrame via memory sink. */
+  def runDedupToBatch(spark: SparkSession, path: String,
+      queryName: String): DataFrame =
+    runStream(spark, path, queryName, dedupKeys, "append")
+
   /** Run the streaming agg over a bounded file source to completion and
     * return the result as a batch DataFrame (memory sink). Used by the
     * correctness gate: output must equal the batch twin's. */
   def runToBatch(spark: SparkSession, path: String,
-      queryName: String): DataFrame = {
+      queryName: String): DataFrame =
+    runStream(spark, path, queryName, windowedAgg, "complete")
+
+  private def runStream(spark: SparkSession, path: String,
+      queryName: String, pipeline: DataFrame => DataFrame,
+      mode: String): DataFrame = {
     // FileStreamSource requires a directory — stage the single file
     val src = java.nio.file.Paths.get(path)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
@@ -56,11 +77,11 @@ object EventsStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = windowedAgg(readEvents(spark, dir.toString))
+      val q = pipeline(readEvents(spark, dir.toString))
         .writeStream
         .format("memory")
         .queryName(queryName)
-        .outputMode("complete")
+        .outputMode(mode)
         .start()
       try q.processAllAvailable()
       finally q.stop()
