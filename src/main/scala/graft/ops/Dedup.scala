@@ -54,8 +54,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minSim: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // shingles are carried as xxhash64 longs from here on: identical
+    // set sizes / intersections w.h.p. (64-bit collisions ~n²/2⁶⁵),
+    // but the exploded postings shuffle, the frequency broadcast, and
+    // the verification array_intersect all work on 8-byte longs
+    // instead of ~25-byte UTF8 strings — the difference between
+    // shuffling shingle TEXT and shuffling fingerprints at corpus
+    // scale. PPJoin's prefix filter only needs a consistent global
+    // order, which (df, hash) still is.
     val sh = spread(df, col(idCol)).select(col(idCol).as("doc"),
-        shingles(col(textCol), n).as("sh"))
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       // consumed by freq + ordering → shingle once (rows = |docs|, tiny
       // relative to the joins below)
