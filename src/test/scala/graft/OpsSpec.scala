@@ -101,6 +101,48 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     sims.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
   }
+
+  test("dot product matches HOF fold bit-for-bit, incl. null semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.5f, -2.25f, 3.0f)), Some(Seq(0.5f, 4.0f, -1.0f))),
+      (Some(Seq(1.0f, Float.NaN)), Some(Seq(2.0f, 3.0f))), // NaN flows
+      (Some(Seq(1.0f)), Some(Seq(2.0f, 3.0f))), // length mismatch → null
+      (None, Some(Seq(1.0f))), // null array → null
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])) // empty → 0.0
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val fast = if (r.isNullAt(0)) null else java.lang.Double
+        .doubleToRawLongBits(r.getDouble(0)).asInstanceOf[Any]
+      val ref = if (r.isNullAt(1)) null else java.lang.Double
+        .doubleToRawLongBits(r.getDouble(1)).asInstanceOf[Any]
+      assert(fast == ref, s"fast=$fast ref=$ref in $r")
+    }
+  }
+
+  test("MinHashArray equals the UDAF sketch on exploded input") {
+    import spark.implicits._
+    val docs = Tables.df(spark, sf, "documents").limit(50)
+    val sh = graft.ops.Dedup.shingles(col("text"), 3)
+    val viaExpr = docs.select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.ops.MinHashArray(
+            org.apache.spark.sql.GraftColumnBridge.expression(sh), 16))
+          .as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = udaf(new graft.ops.MinHashAggregator(16))
+    val viaUdaf = docs.select(col("doc_id"), explode(sh).as("s"))
+      .groupBy("doc_id").agg(agg(col("s")).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet == viaUdaf.keySet)
+    viaExpr.foreach { case (k, v) => assert(v == viaUdaf(k), s"doc $k") }
+  }
 }
 
 class VerifierSpec extends AnyFunSuite {
