@@ -72,9 +72,11 @@ object Dedup {
     val freq = sh.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
     val sorted = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
-      // freq is |distinct shingles| rows of (string, long) — broadcast
-      // instead of shuffling the full exploded postings list
-      .join(broadcast(freq), "s")
+      // freq size is the DISTINCT-shingle count — corpus-dependent and
+      // unbounded, so a forced broadcast would OOM at real corpus scale.
+      // AQE picks broadcast at runtime when the aggregate turns out
+      // small (it does at test SFs) and shuffles otherwise.
+      .join(freq, "s")
       .groupBy(col("doc"), col("n_sh"))
       .agg(array_sort(collect_list(struct(col("df"), col("s"))))
         .as("ordered"))

@@ -16,6 +16,10 @@ object Profile {
       println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // NOTE: the staged replica below mirrors the operator's SHAPE but
+    // not its persist()s — each stage lazily recomputes everything
+    // upstream, so stage times are cumulative, not additive. "full
+    // pipeline" is the real (persisted, hashed-shingle) operator.
     val c = DedupQueries.corpus(spark, dir)
     time("corpus count")(c.count())
     if (args.headOption.contains("minhash")) {
