@@ -126,6 +126,35 @@ object CoreQueries extends QueryGroup {
           "t_ms", "p_ms", Seq("price"))
     },
 
+    // range (containment) join — every event matched to the ±5-minute
+    // windows around each 20th event of the same user. The bucketized
+    // equi-join formulation differentials against DuckDB's native
+    // inequality join.
+    q("q_range_join", "join",
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS t_ms
+                    FROM events),
+          iv AS (SELECT event_id AS window_id, user_id,
+                   epoch_ms(ts) - 300000 AS w_start,
+                   epoch_ms(ts) + 300000 AS w_end
+                 FROM events WHERE event_id % 20 = 0)
+          SELECT p.event_id, p.t_ms, iv.window_id, iv.w_start, iv.w_end
+          FROM p JOIN iv ON p.user_id = iv.user_id
+            AND p.t_ms >= iv.w_start AND p.t_ms <= iv.w_end""") {
+      (spark, dir) =>
+        val ev = Tables.df(spark, dir, "events")
+        val points = ev.select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("t_ms"))
+        val intervals = ev.filter(col("event_id") % 20 === 0)
+          .select(col("event_id").as("window_id"), col("user_id"),
+            (unix_millis(col("ts")) - 300000L).as("w_start"),
+            (unix_millis(col("ts")) + 300000L).as("w_end"))
+        graft.ops.RangeJoin.pointInInterval(points, intervals,
+            Seq("user_id"), "t_ms", "w_start", "w_end",
+            binWidth = 600000L)
+          .select(col("event_id"), col("t_ms"), col("window_id"),
+            col("w_start"), col("w_end"))
+    },
+
     // running balance per user — cumulative DECIMAL sum in a unique
     // total order (engines disagree on float window-sum association:
     // DuckDB uses a segment tree; decimal is associative so exact)

@@ -63,3 +63,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(g == want)
   }
 }
+
+class RangeJoinSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("bucketized containment join equals naive inequality join") {
+    val ev = graft.core.Tables.df(spark, sf, "events")
+    val points = ev.select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("t_ms"))
+    val intervals = ev.filter(col("event_id") % 20 === 0)
+      .select(col("event_id").as("window_id"),
+        col("user_id").as("u2"),
+        (unix_millis(col("ts")) - 300000L).as("w_start"),
+        (unix_millis(col("ts")) + 300000L).as("w_end"))
+    val naive = points.join(intervals,
+        col("user_id") === col("u2") &&
+          col("t_ms") >= col("w_start") && col("t_ms") <= col("w_end"))
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // multiple bin widths, incl. widths larger and smaller than the
+    // interval — bin geometry must never change the result
+    for (w <- Seq(1000L, 300000L, 600000L, 3600000L)) {
+      val got = graft.ops.RangeJoin.pointInInterval(points,
+          intervals.withColumnRenamed("u2", "user_id"),
+          Seq("user_id"), "t_ms", "w_start", "w_end", w)
+        .select("event_id", "window_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"binWidth=$w")
+    }
+  }
+}
