@@ -4,7 +4,8 @@ import java.math.BigInteger
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
@@ -48,55 +49,22 @@ private[abi] object AbiCatalyst {
   }
 }
 
-/** `abi_decode_event(topics_arr, unhex_data, '<event abi json>')` →
-  * struct with one field per ABI input. Indexed inputs come from
-  * topics[1..] (topics[0..] for anonymous events); non-indexed inputs are
-  * head/tail-decoded from the data region. Dynamic indexed params surface
-  * as their keccak topic hash (spec: only the hash is on-chain).
-  *
-  * The ABI JSON must be a foldable literal — the result schema is a
-  * function of it (resolved at analysis time). Decode failure → null row
-  * (malformed on-chain data must not kill a 100 TB batch).
-  */
-case class AbiDecodeEvent(first: Expression, second: Expression,
-    third: Expression)
-  extends TernaryExpression with CodegenFallback {
-
-  @transient private lazy val event: AbiEvent =
-    AbiJson.parseEvent(third.eval(null).toString)
-  @transient private lazy val uintAsString: Boolean =
-    AbiJson.uintAsString(third.eval(null).toString)
-  @transient private lazy val schema =
+/** All runtime state + logic for one event decode, behind a single
+  * `decode` entry point so both `eval` and generated code share one
+  * virtual call. Serializable with only the ABI JSON as payload — the
+  * parsed event re-materializes lazily on each executor. */
+final class AbiEventDecoder(abiJson: String) extends Serializable {
+  @transient lazy val event: AbiEvent = AbiJson.parseEvent(abiJson)
+  @transient lazy val uintAsString: Boolean = AbiJson.uintAsString(abiJson)
+  @transient lazy val schema: StructType =
     AbiSchema.eventSchema(event, uintAsString)
 
-  override def dataType: DataType = schema
-  override def nullable: Boolean = true
-  override def prettyName: String = "abi_decode_event"
-  // Functionally deterministic, but declared otherwise as an optimizer
-  // barrier: CollapseProject/PushDownPredicates would otherwise inline
-  // the decode into every GetStructField reference (star expansion) and
-  // the null filter → O(fields) decodes per row instead of one.
-  override lazy val deterministic: Boolean = false
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (!third.foldable)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-        .TypeCheckFailure("abi json must be a literal")
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val topicsRaw = first.eval(input)
-    val dataRaw = second.eval(input)
-    if (topicsRaw == null) return null
-    try {
-      val topics = topicsRaw.asInstanceOf[ArrayData]
-      val data =
-        if (dataRaw == null) Array.emptyByteArray
-        else dataRaw.asInstanceOf[Array[Byte]]
-      decode(topics, data)
-    } catch { case _: Exception => null }
+  /** Decode failure → null (malformed on-chain data must not kill a
+    * 100 TB batch). `data` may be null (no data region). */
+  def decode(topics: ArrayData, data: Array[Byte]): InternalRow = {
+    if (topics == null) return null
+    try decodeUnsafe(topics, if (data == null) Array.emptyByteArray else data)
+    catch { case _: Exception => null }
   }
 
   private def hexToBytes(s: String): Array[Byte] = {
@@ -110,7 +78,7 @@ case class AbiDecodeEvent(first: Expression, second: Expression,
     out
   }
 
-  private def decode(topics: ArrayData, data: Array[Byte]): InternalRow = {
+  private def decodeUnsafe(topics: ArrayData, data: Array[Byte]): InternalRow = {
     var topicIdx = if (event.anonymous) 0 else 1
     val nonIndexed = event.inputs.filterNot(_.indexed)
     val dataTypes = nonIndexed.map(_.abiType)
@@ -133,6 +101,93 @@ case class AbiDecodeEvent(first: Expression, second: Expression,
     }
     new GenericInternalRow(out.toArray)
   }
+}
+
+/** Runtime state + logic for one call decode (see AbiEventDecoder). */
+final class AbiCallDecoder(abiJson: String) extends Serializable {
+  @transient lazy val fn: AbiFunction = AbiJson.parseFunction(abiJson)
+  @transient lazy val uintAsString: Boolean = AbiJson.uintAsString(abiJson)
+  @transient lazy val schema: StructType = AbiSchema.callSchema(fn, uintAsString)
+
+  /** `input` null → null row; `output` null/empty → null output fields. */
+  def decode(input: Array[Byte], output: Array[Byte]): InternalRow = {
+    if (input == null) return null
+    try {
+      val inTypes = fn.inputs.map(_.abiType)
+      val inVals = AbiCodec
+        .decodeSeq(java.util.Arrays.copyOfRange(input, 4, input.length),
+          inTypes, 0)
+        .zip(inTypes).map { case (v, t) =>
+          AbiCatalyst.convert(t, v, uintAsString) }
+      val outTypes = fn.outputs.map(_.abiType)
+      val outVals =
+        if (output == null || output.isEmpty) fn.outputs.map(_ => null)
+        else AbiCodec.decodeSeq(output, outTypes, 0)
+          .zip(outTypes).map { case (v, t) =>
+            AbiCatalyst.convert(t, v, uintAsString) }
+      new GenericInternalRow((inVals ++ outVals).toArray)
+    } catch { case _: Exception => null }
+  }
+}
+
+/** `abi_decode_event(topics_arr, unhex_data, '<event abi json>')` →
+  * struct with one field per ABI input. Indexed inputs come from
+  * topics[1..] (topics[0..] for anonymous events); non-indexed inputs are
+  * head/tail-decoded from the data region. Dynamic indexed params surface
+  * as their keccak topic hash (spec: only the hash is on-chain).
+  *
+  * The ABI JSON must be a foldable literal — the result schema is a
+  * function of it (resolved at analysis time). Decode failure → null row.
+  * Codegen'd: the generated code is one call into the decoder reference,
+  * so the whole-stage span stays fused around the decode.
+  */
+case class AbiDecodeEvent(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression {
+
+  @transient private lazy val decoder =
+    new AbiEventDecoder(third.eval(null).toString)
+
+  override def dataType: DataType = decoder.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_decode_event"
+  // Functionally deterministic, but declared otherwise as an optimizer
+  // barrier: CollapseProject/PushDownPredicates would otherwise inline
+  // the decode into every GetStructField reference (star expansion) and
+  // the null filter → O(fields) decodes per row instead of one.
+  override lazy val deterministic: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("abi json must be a literal")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val topicsRaw = first.eval(input)
+    if (topicsRaw == null) return null
+    decoder.decode(topicsRaw.asInstanceOf[ArrayData],
+      second.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("abiEventDecoder", decoder,
+      classOf[AbiEventDecoder].getName)
+    val topicsGen = first.genCode(ctx)
+    val dataGen = second.genCode(ctx)
+    ev.copy(code = code"""
+      ${topicsGen.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${topicsGen.isNull}) {
+        ${dataGen.code}
+        ${ev.value} = $ref.decode(${topicsGen.value},
+          ${dataGen.isNull} ? null : ${dataGen.value});
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
+  }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
@@ -141,19 +196,15 @@ case class AbiDecodeEvent(first: Expression, second: Expression,
 /** `abi_decode_call(unhex_input, unhex_output, '<function abi json>')` →
   * struct of decoded inputs (after the 4-byte selector) + outputs
   * (fields `output_*`). Output side may be absent (null/empty) → null
-  * output fields. */
+  * output fields. Codegen'd like AbiDecodeEvent. */
 case class AbiDecodeCall(first: Expression, second: Expression,
     third: Expression)
-  extends TernaryExpression with CodegenFallback {
+  extends TernaryExpression {
 
-  @transient private lazy val fn: AbiFunction =
-    AbiJson.parseFunction(third.eval(null).toString)
-  @transient private lazy val uintAsString: Boolean =
-    AbiJson.uintAsString(third.eval(null).toString)
-  @transient private lazy val schema =
-    AbiSchema.callSchema(fn, uintAsString)
+  @transient private lazy val decoder =
+    new AbiCallDecoder(third.eval(null).toString)
 
-  override def dataType: DataType = schema
+  override def dataType: DataType = decoder.schema
   override def nullable: Boolean = true
   override def prettyName: String = "abi_decode_call"
   // single-evaluation barrier — see AbiDecodeEvent.deterministic
@@ -162,27 +213,25 @@ case class AbiDecodeCall(first: Expression, second: Expression,
   override def eval(input: InternalRow): Any = {
     val inRaw = first.eval(input)
     if (inRaw == null) return null
-    try {
-      val inBytes = inRaw.asInstanceOf[Array[Byte]]
-      val inTypes = fn.inputs.map(_.abiType)
-      val inVals = AbiCodec
-        .decodeSeq(java.util.Arrays.copyOfRange(inBytes, 4, inBytes.length),
-          inTypes, 0)
-        .zip(inTypes).map { case (v, t) =>
-          AbiCatalyst.convert(t, v, uintAsString) }
-      val outRaw = second.eval(input)
-      val outTypes = fn.outputs.map(_.abiType)
-      val outVals =
-        if (outRaw == null) fn.outputs.map(_ => null)
-        else {
-          val outBytes = outRaw.asInstanceOf[Array[Byte]]
-          if (outBytes.isEmpty) fn.outputs.map(_ => null)
-          else AbiCodec.decodeSeq(outBytes, outTypes, 0)
-            .zip(outTypes).map { case (v, t) =>
-              AbiCatalyst.convert(t, v, uintAsString) }
-        }
-      new GenericInternalRow((inVals ++ outVals).toArray)
-    } catch { case _: Exception => null }
+    decoder.decode(inRaw.asInstanceOf[Array[Byte]],
+      second.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("abiCallDecoder", decoder,
+      classOf[AbiCallDecoder].getName)
+    val inGen = first.genCode(ctx)
+    val outGen = second.genCode(ctx)
+    ev.copy(code = code"""
+      ${inGen.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${inGen.isNull}) {
+        ${outGen.code}
+        ${ev.value} = $ref.decode(${inGen.value},
+          ${outGen.isNull} ? null : ${outGen.value});
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
   }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,

@@ -19,9 +19,12 @@ object Dedup {
   /** Small/single-file inputs arrive with 1-3 partitions; the per-row
     * work here (shingling, hashing) is CPU-bound, so spread it across
     * the cluster explicitly — operator parallelism must not depend on
-    * input file layout. */
-  private def spread(df: DataFrame, key: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    * input file layout. Conditional: inputs that already have enough
+    * partitions (any real-scale scan) skip the shuffle entirely. */
+  private def spread(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
 
   /** Exact dedup: group by content hash, keep min id. One shuffle on the
     * (high-cardinality, uniform) md5 key — the canonical first pass at

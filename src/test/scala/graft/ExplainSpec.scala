@@ -53,10 +53,41 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
       !p.contains("ObjectHashAggregate"),
       s"signature should be a pure map, found aggregate:\n$p")
-    // exactly the explicit spread() repartition — no shuffle introduced
-    // by the signature computation itself
+    // at most the conditional spread() repartition — no shuffle
+    // introduced by the signature computation itself
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"expected 1 exchange (spread), got $exchanges")
+    assert(exchanges <= 1, s"expected ≤1 exchange (spread), got $exchanges")
+  }
+
+  test("abi decode survives enforced codegen and matches interpreted eval") {
+    // Spark silently drops to interpreted eval when generated Java fails
+    // to compile; CODEGEN_ONLY + fallback=false turn that into a hard
+    // error, so this test proves AbiDecodeEvent/Call's doGenCode really
+    // compiles — and that both paths agree row-for-row.
+    def run(): Seq[String] =
+      SparkEntry.queries("q_abi_decode_transfer")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+    val conf = spark.conf
+    val gen =
+      try {
+        conf.set("spark.sql.codegen.fallback", "false")
+        conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        run()
+      } finally {
+        conf.set("spark.sql.codegen.fallback", "true")
+        conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    val interp =
+      try {
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        run()
+      } finally {
+        conf.set("spark.sql.codegen.wholeStage", "true")
+        conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(gen.nonEmpty && gen == interp,
+      s"codegen vs interpreted decode diverged (${gen.size}/${interp.size})")
   }
 
   test("brute-force cosine plans the native dot product + broadcast") {
