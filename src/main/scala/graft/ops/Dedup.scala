@@ -139,11 +139,14 @@ object Dedup {
       n: Int, k: Int): DataFrame = {
     // docs shorter than n tokens have NO shingles; unguarded they would
     // vanish from the signature table (and so from LSH), losing even
-    // their exact duplicates. Give them a sentinel shingle: identical
-    // short docs still collide, and non-identical short-doc candidates
-    // are killed by downstream verification.
+    // their exact duplicates — and a NULL text makes the shingle array
+    // itself null, which must fall into the same guard. The sentinel is
+    // the doc's own (short) text, not a constant: identical short docs
+    // still collide, but non-identical short docs no longer pile into
+    // one mega-bucket (O(m²) candidates at corpus scale).
     val sh = shingles(col(textCol), n)
-    val guarded = when(size(sh) === 0, array(lit(""))).otherwise(sh)
+    val guarded = when(size(coalesce(sh, array())) === 0,
+      array(coalesce(col(textCol), lit("")))).otherwise(sh)
     spread(df, col(idCol)).select(col(idCol).as("doc"),
       CB.column(MinHashArray(CB.expression(guarded), k)).as("mh"))
   }

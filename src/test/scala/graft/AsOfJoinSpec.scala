@@ -33,6 +33,37 @@ class AsOfJoinSpec extends AnyFunSuite {
       5L -> Some(7.0), 6L -> None))
   }
 
+  test("asOf null-valued update wins over older non-null update") {
+    import spark.implicits._
+    // the update at t=20 has price=null but qty=9: a probe at t=25 must
+    // see (null, 9) from THAT update — not price=2.0 carried from t=10
+    val left = Seq((1L, "a", 25L), (2L, "a", 15L)).toDF("id", "key", "t")
+    val right = Seq(
+      ("a", 10L, Some(2.0), Some(5L)),
+      ("a", 20L, None, Some(9L))
+    ).toDF("key", "pt", "price", "qty")
+    val got = AsOfJoin.asOf(left, right, Seq("key"), "t", "pt",
+        Seq("price", "qty"))
+      .collect().map(r => r.getLong(0) -> (
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3))),
+        r.getLong(4))).toMap
+    assert(got == Map(1L -> (None, 9L), 2L -> (Some(2.0), 5L)))
+  }
+
+  test("asOf rejects value-column collisions and reserved names") {
+    import spark.implicits._
+    val l = Seq((1L, "a", 5L)).toDF("id", "key", "t")
+    val r = Seq(("a", 1L, 2.0)).toDF("key", "pt", "id")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, Seq("key"), "t", "pt", Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l.withColumn("_t", lit(1)),
+        r.withColumnRenamed("id", "price"),
+        Seq("key"), "t", "pt", Seq("price"))
+    }
+  }
+
   test("asOf equals join-based reference on real events") {
     val ev = graft.core.Tables.df(spark, sf, "events")
     val left = ev.select(col("event_id"), col("user_id"),

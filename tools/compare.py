@@ -45,10 +45,15 @@ def main(sf_dir, out_dir):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        got = pd.concat(
-            [pd.read_parquet(p) for p in
-             sorted(glob.glob(f"{qdir}/*.parquet"))],
-            ignore_index=True)
+        parts = sorted(glob.glob(f"{qdir}/*.parquet"))
+        if not parts:
+            # legitimately-empty result under AQE: zero part files.
+            # Still compare against the oracle (which may also be empty)
+            # instead of crashing the whole gate.
+            got = pd.DataFrame()
+        else:
+            got = pd.concat([pd.read_parquet(p) for p in parts],
+                            ignore_index=True)
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
