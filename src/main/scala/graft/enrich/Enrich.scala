@@ -49,7 +49,7 @@ object Enrich {
   /** evm_load_template.py:201-243 — J2 + topics normalizer (P7) +
     * unhex/data + hash-bucket partition columns. */
   def logs(raw: DataFrame, blocks: DataFrame): DataFrame =
-    blocks.as("blocks")
+    broadcast(blocks.as("blocks"))
       .join(raw.as("logs"), blocks("number") === raw("block_number"), "inner")
       .select(
         col("logs.log_index"), col("logs.transaction_hash"),

@@ -253,6 +253,27 @@ object EnrichQueries extends QueryGroup {
         .withColumn("minute", date_format(col("minute"), fmtTs))
     },
 
+    // P6 — token coverage-window guard (`prices.py:56-59`): a token is
+    // price-fetchable when its coverage end is open (null) or extends to
+    // the requested window end. Tokens modeled from `part` with a
+    // synthetic epoch-long coverage end; every third token open-ended.
+    q("q_token_coverage_guard", "enrich",
+      """SELECT token_id, coverage_end FROM (
+           SELECT p_partkey AS token_id,
+                  CASE WHEN p_partkey % 3 = 0 THEN NULL
+                       ELSE 1600000000 + p_partkey * 1000 END AS coverage_end
+           FROM part) t
+         WHERE coverage_end IS NULL OR coverage_end >= 1605000000""") {
+      (spark, dir) =>
+      val tokens = Tables.df(spark, dir, "part")
+        .select(col("p_partkey").as("token_id"),
+          when(col("p_partkey") % 3 === 0, lit(null).cast(LongType))
+            .otherwise(lit(1600000000L) + col("p_partkey") * 1000L)
+            .as("coverage_end"))
+      tokens.filter(graft.functions.tokenActive(col("coverage_end"),
+        lit(1605000000L)))
+    },
+
     // Murmur3 bucket values are Spark-specific → no cross-engine oracle;
     // driver records rows-only, bucket consistency is spec-tested.
     qNoOracle("q_hash_buckets", "enrich") { (spark, dir) =>

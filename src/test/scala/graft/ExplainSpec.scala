@@ -59,6 +59,15 @@ class ExplainSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected ≤1 exchange (spread), got $exchanges")
   }
 
+  test("logs enrich broadcasts the blocks side") {
+    val ev = Tables.df(spark, sf, "events")
+    val p = plan(graft.enrich.Enrich.logs(
+      graft.sources.EvmFixtures.logs(ev),
+      graft.sources.EvmFixtures.blocksForLogs(ev)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"blocks side of logs enrich should broadcast:\n$p")
+  }
+
   test("abi decode survives enforced codegen and matches interpreted eval") {
     // Spark silently drops to interpreted eval when generated Java fails
     // to compile; CODEGEN_ONLY + fallback=false turn that into a hard
