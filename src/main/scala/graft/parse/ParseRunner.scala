@@ -1,0 +1,142 @@
+package graft.parse
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.abi.{AbiEvent, AbiFunction, AbiJson, EvmContract}
+import graft.write.PartitionedWriter
+
+/** Where a parse stage gets its contract list. The reference has two
+  * producers of the same shape: the checked-in corpus directory
+  * (`/root/reference/dags/resources/contracts/{chain}/{dataset}/` with
+  * one JSON per contract, walked by `dags/chains/blockchain.py` +
+  * `parser.py:64`) and the
+  * experiment catalog HTTP service
+  * (`dags/experiments/contract_service.py:32-41`, which returns the
+  * same contract JSON documents over the wire). Both reduce to "a
+  * sequence of contract JSON strings" — the two implementations below.
+  */
+trait ContractCatalog {
+  /** Raw contract JSON documents, each
+    * `{contract_name, dataset_name, contract_address?, abi: [...]}`. */
+  def contractJsons: Seq[String]
+}
+
+object ContractCatalog {
+
+  /** Walks every `.json` under `dir` recursively in stable
+    * (path-sorted) order — the corpus-directory layout. */
+  def fromDirectory(dir: String): ContractCatalog = new ContractCatalog {
+    private def walk(f: java.io.File): Seq[java.io.File] =
+      if (!f.exists()) Nil
+      else if (f.isDirectory)
+        f.listFiles().toSeq.sortBy(_.getPath).flatMap(walk)
+      else if (f.getName.endsWith(".json")) Seq(f)
+      else Nil
+    def contractJsons: Seq[String] =
+      walk(new java.io.File(dir)).map(f => Files.readString(f.toPath))
+  }
+
+  /** Contracts that arrived from elsewhere (catalog service, config) —
+    * the experiment-parser boundary. */
+  def inMemory(jsons: Seq[String]): ContractCatalog = new ContractCatalog {
+    def contractJsons: Seq[String] = jsons
+  }
+}
+
+/** One decode job = one output table
+  * (`/root/reference/dags/chains/parser.py:64-117`: one
+  * SparkSubmitOperator per event/function element, `--abi-json` =
+  * that element serialized alone). `abiJson` here is likewise the
+  * single element's JSON — exactly what [[graft.abi.AbiDecode]] takes. */
+final case class ParseTask(
+    contract: EvmContract,
+    isEvent: Boolean,
+    elementName: String,
+    abiJson: String) {
+
+  /** `{dataset}.{contract}_evt_{Name}` / `_call_{Name}`
+    * (`parser.py:114-117`). */
+  def tableName: String = {
+    val kind = if (isEvent) "evt" else "call"
+    s"${contract.datasetName}.${contract.contractName}_${kind}_$elementName"
+  }
+
+  @transient lazy val event: Option[AbiEvent] =
+    if (isEvent) Some(AbiJson.parseEvent(abiJson)) else None
+  @transient lazy val function: Option[AbiFunction] =
+    if (isEvent) None else Some(AbiJson.parseFunction(abiJson))
+
+  /** The decode plan over the enriched day: events read `logs`, calls
+    * read `traces` (the two sensor edges in `parser.py:40-63`). */
+  def dataFrame(logs: DataFrame, traces: DataFrame): DataFrame =
+    if (isEvent) ParseJob.decodeEvents(logs, contract, event.get, abiJson)
+    else ParseJob.decodeCalls(traces, contract, function.get, abiJson)
+}
+
+/** Corpus-wide parse runner: enumerate every event/function element of
+  * every catalog contract into a [[ParseTask]], and run the selected
+  * slice end-to-end into a parquet warehouse.
+  *
+  * Scale notes: each task is an independent job over the SAME enriched
+  * day of logs/traces — cache the enriched inputs once (the reference
+  * re-reads them per SparkSubmit; one shared scan is strictly better),
+  * and each task's plan starts with the topic0/selector + address
+  * filters, which on a bucketed warehouse prune to a fraction of the
+  * day before decode work starts (see [[ParseJob]]).
+  */
+object ParseRunner {
+
+  /** All decode jobs in the catalog, in catalog order
+    * (`parser.py:64-68`: `type` not in {event, function} is skipped). */
+  def tasks(catalog: ContractCatalog): Seq[ParseTask] =
+    catalog.contractJsons.flatMap(tasksForContract)
+
+  def tasksForContract(contractJson: String): Seq[ParseTask] = {
+    val contract = AbiJson.parseContract(contractJson)
+    val elements = JsonMethods.parse(contractJson) \ "abi" match {
+      case JArray(as) => as
+      case _ => Nil
+    }
+    elements.flatMap { el =>
+      val name = el \ "name" match {
+        case JString(s) => s
+        case _ => ""
+      }
+      el \ "type" match {
+        case JString("event") =>
+          Some(ParseTask(contract, isEvent = true, name,
+            JsonMethods.compact(JsonMethods.render(el))))
+        case JString("function") =>
+          Some(ParseTask(contract, isEvent = false, name,
+            JsonMethods.compact(JsonMethods.render(el))))
+        case _ => None
+      }
+    }
+  }
+
+  /** Run each task passing `select` and write its table under
+    * `{warehouse}/{dataset}/{table}` — partitioned by `dt` when the
+    * enriched inputs carry it (the reference's daily INSERT OVERWRITE
+    * shape), plain parquet otherwise. Returns (tableName, rowsWritten)
+    * per task. */
+  def run(spark: SparkSession, catalog: ContractCatalog,
+      logs: DataFrame, traces: DataFrame, warehouse: String,
+      select: ParseTask => Boolean = _ => true): Seq[(String, Long)] = {
+    val selected = tasks(catalog).filter(select)
+    // one materialization of the enriched day, shared by every decode
+    logs.cache(); traces.cache()
+    try {
+      selected.map { t =>
+        val df = t.dataFrame(logs, traces)
+        val path = s"$warehouse/${t.contract.datasetName}/" +
+          t.tableName.replace('.', '_')
+        if (df.columns.contains("dt"))
+          df.write.mode("overwrite").partitionBy("dt").parquet(path)
+        else df.write.mode("overwrite").parquet(path)
+        t.tableName -> spark.read.parquet(path).count()
+      }
+    } finally { logs.unpersist(); traces.unpersist() }
+  }
+}

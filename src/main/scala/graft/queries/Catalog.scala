@@ -33,6 +33,7 @@ object Catalog {
     VerifyQueries,
     SourceQueries,
     AbiQueries,
+    ParseQueries,
     DedupQueries,
     TextQueries,
     SimilarityQueries,

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.abi.Keccak256
+import graft.core.Tables
+import graft.parse.{ContractCatalog, ParseRunner}
+import graft.sources.EvmFixtures
+
+/** Corpus-wide parse stage (SURVEY §2.9/§3.2 + `parser.py:64-117`):
+  * the catalog walks the REFERENCE'S OWN contract corpus (read as input
+  * data, as the reference DAG does), enumerates one [[graft.parse
+  * .ParseTask]] per ABI element, and the oracled query below runs a
+  * two-contract slice — erc20 Transfer (no contract_address → decode
+  * every topic0 match) and CryptoPunks PunkBought (address-filtered,
+  * 3 indexed topics + data) — over fixture logs whose expected decoded
+  * values DuckDB recomputes from lineitem directly.
+  */
+object ParseQueries extends QueryGroup {
+
+  val CorpusDir = "/root/reference/dags/resources/contracts/ethereum"
+
+  private def pad64(c: org.apache.spark.sql.Column) =
+    concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
+
+  val queries: Seq[Q] = Seq(
+    q("q_parse_corpus_slice", "parse",
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber,
+                  min(l_partkey) AS l_partkey, min(l_suppkey) AS l_suppkey
+           FROM lineitem GROUP BY l_orderkey, l_linenumber)
+         SELECT 'common.erc20_evt_Transfer' AS table_name,
+                '0x' || lpad(lower(hex(l_suppkey)), 40, '0') AS a,
+                '0x' || lpad(lower(hex(l_partkey % 97)), 40, '0') AS b,
+                CAST(l_partkey AS VARCHAR) AS v,
+                '0xt' || l_orderkey || '_' || l_linenumber
+                  AS transaction_hash
+         FROM li WHERE l_linenumber % 3 = 0
+         UNION ALL
+         SELECT 'cryptopunks.CryptoPunksMarket_evt_PunkBought',
+                '0x' || lpad(lower(hex(l_suppkey)), 40, '0'),
+                '0x' || lpad(lower(hex(l_partkey % 97)), 40, '0'),
+                (l_orderkey % 10000) || ':' || l_partkey,
+                '0xt' || l_orderkey || '_' || l_linenumber
+         FROM li WHERE l_linenumber % 3 = 1""") { (spark, dir) =>
+      val tasks = ParseRunner.tasks(ContractCatalog.fromDirectory(CorpusDir))
+      val transfer =
+        tasks.find(_.tableName == "common.erc20_evt_Transfer").get
+      val punkBought = tasks
+        .find(_.tableName == "cryptopunks.CryptoPunksMarket_evt_PunkBought")
+        .get
+      val punksAddr = punkBought.contract.contractAddress.get.toLowerCase
+      val noiseTopic =
+        Keccak256.eventTopic("Approval(address,address,uint256)")
+
+      val li = EvmFixtures.lineitemTx(Tables.df(spark, dir, "lineitem"))
+      val logs = li
+        .withColumn("m", col("l_linenumber") % 3)
+        .select(
+          when(col("m") === 0, array(lit(transfer.event.get.topic0),
+              pad64(col("l_suppkey")), pad64(col("l_partkey") % 97)))
+            .when(col("m") === 1, array(lit(punkBought.event.get.topic0),
+              pad64(col("l_orderkey") % 10000),
+              pad64(col("l_suppkey")), pad64(col("l_partkey") % 97)))
+            .otherwise(array(lit(noiseTopic),
+              pad64(col("l_suppkey")), pad64(col("l_partkey") % 97)))
+            .as("topics_arr"),
+          unhex(lpad(hex(col("l_partkey")), 64, "0")).as("unhex_data"),
+          when(col("m") === 1, lit(punksAddr))
+            .otherwise(concat(lit("0xa"),
+              (col("l_partkey") % 97).cast("string"))).as("address"),
+          concat(lit("0xt"), col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string")).as("transaction_hash"),
+          col("l_linenumber").cast(LongType).as("log_index"),
+          col("l_orderkey").as("block_number"))
+
+      val emptyTraces = logs.limit(0) // events-only slice
+      val tDf = transfer.dataFrame(logs, emptyTraces).select(
+        lit(transfer.tableName).as("table_name"),
+        col("from").as("a"), col("to").as("b"),
+        col("value").cast("string").as("v"),
+        col("transaction_hash"))
+      val pDf = punkBought.dataFrame(logs, emptyTraces).select(
+        lit(punkBought.tableName).as("table_name"),
+        col("fromAddress").as("a"), col("toAddress").as("b"),
+        concat(col("punkIndex").cast("string"), lit(":"),
+          col("value").cast("string")).as("v"),
+        col("transaction_hash"))
+      tDf.unionByName(pDf)
+    })
+}
