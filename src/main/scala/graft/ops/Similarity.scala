@@ -156,4 +156,40 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("sim"))
   }
+
+  /** Embedding near-duplicate pairs at corpus scale: sign-LSH blocking
+    * (candidates = pairs sharing any table bucket) followed by an exact
+    * cosine verify at `threshold`. The all-pairs crossJoin formulation
+    * (`q_embed_neardup`) is this operator's recall oracle at test scale;
+    * THIS is the shape to run on a real corpus — candidate volume is
+    * Σ_buckets |bucket|² instead of |corpus|², and the verify join
+    * fetches vectors only for surviving candidate pairs. Identical
+    * vectors collide in every table, so exact duplicates have recall 1
+    * by construction; raise `nTables` (linear cost) for near-miss
+    * recall. */
+  def lshNearDup(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val c = spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // candidates travel as bare id pairs — vectors join back only for
+    // the verify, keeping the blocking shuffle narrow
+    val bands = c.select(col("id"),
+        tableBuckets(col("vec"), nPlanes, nTables).as("tb"))
+      .select(col("id"), col("tb.t"), col("tb.b"))
+    val cands = bands.select(col("t"), col("b"), col("id").as("a_id"))
+      .join(bands.select(col("t"), col("b"), col("id").as("b_id")),
+        Seq("t", "b"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val va = c.select(col("id").as("a_id"), col("vec").as("va"),
+      norm(col("vec")).as("na"))
+    val vb = c.select(col("id").as("b_id"), col("vec").as("vb"),
+      norm(col("vec")).as("nb"))
+    cands.join(va, "a_id").join(vb, "b_id")
+      .withColumn("sim",
+        dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
 }

@@ -19,12 +19,16 @@ final case class JobDate(ds: LocalDate) {
 }
 
 /** One resource's load+enrich+write for one day. `input` abstracts the
-  * raw source (S3 JSON/CSV in prod, fixtures in tests). */
+  * raw source (S3 JSON/CSV in prod, fixtures in tests). `sparkResource`
+  * is the submit-time sizing profile for this job
+  * (`evm_chain.py:203-209`: only the geth-trace enrich overrides the
+  * default). */
 final case class LoadJob(
     resource: String,
     enrich: Map[String, DataFrame] => DataFrame,
     extraPartitionCols: Seq[String] = Nil,
-    mode: LoadJob.Mode = LoadJob.Overwrite) {
+    mode: LoadJob.Mode = LoadJob.Overwrite,
+    sparkResource: graft.core.SparkResource = graft.core.EngineConf.Default) {
 
   def run(raw: Map[String, DataFrame], warehousePath: String,
       ds: JobDate, filesPerPartition: Int = 1): Unit = {
@@ -66,7 +70,8 @@ object EvmLoaders {
     "geth_traces" -> LoadJob("traces",
       raw => Enrich.gethTraces(raw("geth_traces"), raw("blocks"),
         raw("transactions")),
-      extraPartitionCols = Seq("address_hash", "selector_hash")),
+      extraPartitionCols = Seq("address_hash", "selector_hash"),
+      sparkResource = graft.core.EngineConf.HeavyEnrich),
     "transactions" -> LoadJob("transactions",
       raw => Enrich.transactions(raw("transactions"), raw("blocks"),
         raw("receipts"))),

@@ -34,8 +34,13 @@ object SimilarityQueries extends QueryGroup {
       Similarity.bruteForceTopK(emb, queries, 5)
     },
 
-    // embedding-cosine near-duplicate detection: corpus with injected
-    // identical vectors (+100000 ids), all pairs with cos ≥ 0.99
+    // embedding-cosine near-duplicate detection, ORACLE TWIN: the
+    // all-pairs crossJoin is exactly DuckDB-reproducible and verifies
+    // the sim arithmetic, but it is O(n²) by construction — the
+    // production path is q_embed_neardup_lsh below (Similarity
+    // .lshNearDup), whose recall this query also anchors in
+    // SimilaritySpec. Corpus = embeddings with injected identical
+    // vectors (+100000 ids), all pairs with cos ≥ 0.99.
     q("q_embed_neardup", "similarity",
       """WITH corpus AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -68,6 +73,18 @@ object SimilarityQueries extends QueryGroup {
           (col("na") * col("nb")))
         .filter(col("sim") >= 0.99)
         .select("a_id", "b_id", "sim")
+    },
+
+    // the near-dup SCALE path: sign-LSH blocking + exact cosine verify.
+    // Planes derive from Spark xxhash64 → no cross-engine oracle;
+    // recall vs the all-pairs twin is asserted in SimilaritySpec.
+    qNoOracle("q_embed_neardup_lsh", "similarity") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionAll(
+        emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.lshNearDup(corpus, 0.99)
     },
 
     // LSH planes derive from Spark xxhash64 → no cross-engine oracle;

@@ -94,6 +94,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // 4-plane buckets, 1/16 corpus
   }
 
+  test("LSH near-dup finds every pair the all-pairs twin finds at sim=1") {
+    val emb = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(
+      emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    // all-pairs recall oracle (fine at spec scale, never at corpus scale)
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.999999)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDup(corpus, 0.99)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "twin oracle found no injected duplicates")
+    assert((exact -- lsh).isEmpty,
+      s"identical-vector pairs missed by LSH blocking: ${(exact -- lsh).take(5)}")
+  }
+
   test("cosine of identical vectors is 1") {
     val emb = Tables.df(spark, sf, "embeddings").limit(5)
     val sims = emb.select(

@@ -92,6 +92,44 @@ class PipelineSpec extends AnyFunSuite {
   * 490 functions — read-only input data, not code): model, schema
   * derivation, canonical signatures and selectors must all derive
   * without error. */
+class EngineConfSpec extends AnyFunSuite {
+  import graft.core.{EngineConf, SparkResource}
+
+  test("resource profiles render the five submit confs like the reference") {
+    assert(SparkResource().conf == Map(
+      "spark.executor.cores" -> "1", "spark.executor.memory" -> "1g",
+      "spark.executor.instances" -> "1", "spark.driver.cores" -> "1",
+      "spark.driver.memory" -> "1g"))
+    // evm_chain.py:203-209
+    assert(EngineConf.HeavyEnrich.conf("spark.executor.cores") == "4")
+    assert(EngineConf.HeavyEnrich.conf("spark.executor.memory") == "10g")
+    // resource_apply.py:48-54
+    assert(EngineConf.HeavyTransfer.conf("spark.executor.instances") == "4")
+    assert(EngineConf.HeavyTransfer.conf("spark.driver.memory") == "4g")
+  }
+
+  test("task matching mirrors resource_apply.py rules") {
+    for (t <- Seq("traces", "logs", "transactions"))
+      assert(EngineConf.forTransferTable("ethereum", t) ==
+        EngineConf.HeavyTransfer, t)
+    assert(EngineConf.forTransferTable("ethereum", "blocks") ==
+      EngineConf.Default)
+    assert(EngineConf.forTransferTable("polygon", "logs") ==
+      EngineConf.Default)
+    assert(EngineConf.forTransferAbi("ethereum", "common", "erc20",
+      "Transfer") == EngineConf.HeavyTransfer)
+    assert(EngineConf.forTransferAbi("ethereum", "seaport", "Seaport",
+      "OrderFulfilled") == EngineConf.Default)
+  }
+
+  test("only the geth-trace enrich job carries a custom resource") {
+    assert(EvmLoaders.all("geth_traces").sparkResource ==
+      EngineConf.HeavyEnrich)
+    assert(EvmLoaders.all.removed("geth_traces").values
+      .forall(_.sparkResource == EngineConf.Default))
+  }
+}
+
 class AbiCorpusSpec extends AnyFunSuite {
   private val root = new java.io.File(
     "/root/reference/dags/resources/contracts/ethereum")
