@@ -29,11 +29,16 @@ object EventsStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** 5-minute tumbling-window counts with a 10-minute watermark — the
-    * streaming twin of the batch aggregation. */
+    * streaming twin of the batch aggregation. `ts` is truncated to
+    * seconds BEFORE the watermark so the window groups on the
+    * watermarked attribute itself — wrapping the watermarked column in
+    * an expression inside `window()` severs the event-time metadata and
+    * append-mode sinks then reject the aggregation. */
   def windowedAgg(events: DataFrame): DataFrame =
     events
+      .withColumn("ts", date_trunc("second", col("ts")))
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(date_trunc("second", col("ts")), "5 minutes"),
+      .groupBy(window(col("ts"), "5 minutes"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(38, 6))).as("sum_value"))
@@ -64,6 +69,37 @@ object EventsStream {
   def runToBatch(spark: SparkSession, path: String,
       queryName: String): DataFrame =
     runStream(spark, path, queryName, windowedAgg, "complete")
+
+  /** Production-shaped bounded run: parquet file sink + checkpoint, so
+    * results never transit driver memory (the memory-sink runners above
+    * are test harnesses only — a real stream through them would bottleneck
+    * on the driver). File sinks are append-only, so the windowed agg
+    * emits a window only once its end falls behind the watermark; on a
+    * bounded source the trailing (never-finalized) windows stay in state
+    * — callers comparing against a batch twin must restrict it to
+    * finalized windows. [[dedupKeys]] is append-native and exact.
+    * Returns the sink directory read back as a batch DataFrame. */
+  def runToFiles(spark: SparkSession, path: String, outDir: String,
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    val src = java.nio.file.Paths.get(path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = pipeline(readEvents(spark, dir.toString))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.read.parquet(outDir)
+  }
 
   private def runStream(spark: SparkSession, path: String,
       queryName: String, pipeline: DataFrame => DataFrame,
