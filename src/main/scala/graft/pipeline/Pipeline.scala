@@ -109,8 +109,11 @@ object EvmLoaders {
   * (`/root/reference/dags/chains/transfer.py`,
   * `transfer_client.py:26-35`): ships selected tables to a client
   * warehouse. The reference delegates to an external Spark app with
-  * JDBC/Databricks credentials; here it is a Writer interface with a
-  * parquet-path default and a JDBC stub (no JDBC driver in-container).
+  * JDBC/Databricks credentials; here the same surface is a sink
+  * interface with a parquet-path implementation and a real Spark-JDBC
+  * implementation (any JDBC driver on the classpath — specs exercise
+  * embedded Derby; a Databricks deployment supplies its driver jar and
+  * [[JdbcTransferSink.databricksUrl]]).
   */
 trait TransferSink {
   def write(df: DataFrame, table: String): Unit
@@ -124,11 +127,33 @@ final class ParquetTransferSink(root: String) extends TransferSink {
 final case class DatabricksConfig(hostname: String, httpPath: String,
     token: String)
 
-final class JdbcTransferSink(cfg: DatabricksConfig) extends TransferSink {
+/** `df.write.format("jdbc")` against any warehouse URL. Writes cap
+  * their parallelism (`numPartitions`): a 32-thread local write (or a
+  * 1000-executor cluster write) must not open one connection per task
+  * against a warehouse endpoint — the reference sizes transfer jobs to
+  * ≤12 cores for the same reason (`resource_apply.py:48-54`). */
+final class JdbcTransferSink(url: String,
+    props: Map[String, String] = Map.empty,
+    numPartitions: Int = 8,
+    batchSize: Int = 10000) extends TransferSink {
   def write(df: DataFrame, table: String): Unit =
-    throw new UnsupportedOperationException(
-      "JDBC transfer requires a warehouse driver on the classpath; " +
-        "wire df.write.format(\"jdbc\") here in a connected deployment")
+    props.foldLeft(
+        df.write.format("jdbc")
+          .option("url", url)
+          .option("dbtable", table)
+          .option("numPartitions", numPartitions.toString)
+          .option("batchsize", batchSize.toString))(
+        (w, kv) => w.option(kv._1, kv._2))
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .save()
+}
+
+object JdbcTransferSink {
+  /** Databricks SQL warehouse URL (public JDBC driver docs shape) from
+    * the reference's client config fields (`transfer_client.py:26-35`). */
+  def databricksUrl(cfg: DatabricksConfig): String =
+    s"jdbc:databricks://${cfg.hostname}:443/default;transportMode=http;" +
+      s"ssl=1;httpPath=${cfg.httpPath};AuthMech=3;UID=token;PWD=${cfg.token}"
 }
 
 /** S6/S7 — temp-table + raw-object lifecycle: the reference drops the

@@ -59,6 +59,27 @@ object SourceQueries extends QueryGroup {
             .as("sum_key"))
     },
 
+    // S12 — cross-warehouse transfer, end to end over a REAL JDBC
+    // warehouse (embedded Derby, the one JDBC engine on the Spark
+    // classpath): Transfer.run ships the table through JdbcTransferSink,
+    // then the result is what the client warehouse holds.
+    q("q_transfer_jdbc", "sink",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (spark, dir) =>
+      import graft.pipeline.{JdbcTransferSink, Transfer, TransferClientSpec,
+        TransferRawTable}
+      val n = Tables.df(spark, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val url = "jdbc:derby:memory:graft_transfer;create=true"
+      Transfer.run(
+        TransferClientSpec("client",
+          raws = Seq(TransferRawTable("ethereum", "nation"))),
+        graft.parse.ContractCatalog.inMemory(Nil),
+        new JdbcTransferSink(url, numPartitions = 4),
+        _ => n)
+      spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "nation").load()
+    },
+
     // S9 — derived extraction sources (reference: ethereum-etl CLI jobs)
     q("q_extract_contracts", "source",
       """SELECT '0xa' || l_partkey AS address,

@@ -78,6 +78,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/nation").count() == df.count())
   }
 
+  test("jdbc transfer sink round-trips an enriched table through Derby") {
+    val url = "jdbc:derby:memory:graft_spec;create=true"
+    val sink = new JdbcTransferSink(url, numPartitions = 4)
+    val blocks = graft.enrich.Enrich.blocks(
+      EvmFixtures.blocks(Tables.df(spark, sf, "orders")))
+      .select("number", "hash", "miner", "gas_used")
+    sink.write(blocks, "blocks")
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "blocks").load()
+    assert(back.count() == blocks.count())
+    val want = blocks.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val got = back.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == want)
+    // overwrite is idempotent (drop + recreate, transfer re-run shape)
+    sink.write(blocks, "blocks")
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "blocks").load().count() == blocks.count())
+  }
+
+  test("transfer catalog: contract expansion, dedup, naming, sizing") {
+    import graft.parse.ContractCatalog
+    val catalog = ContractCatalog.fromDirectory(
+      "/root/reference/dags/resources/contracts/ethereum/common")
+    val spec = TransferClientSpec("client",
+      raws = Seq(TransferRawTable("ethereum", "logs"),
+        TransferRawTable("ethereum", "blocks")),
+      // duplicate of a contract-derived element → must NOT double-ship
+      abis = Seq(
+        TransferAbi("ethereum", "common", "erc20", "Transfer", "event"),
+        TransferAbi("ethereum", "x", "y", "Z", "function")),
+      contracts = Seq(TransferContract("ethereum", "common")))
+    val all = spec.allAbis(catalog)
+    assert(all.count(a => a.key ==
+      "ethereum_common_erc20_Transfer_event") == 1)
+    assert(all.exists(_.key == "ethereum_x_y_Z_function"))
+    // naming mirrors transfer_client.py:54-56,101-107
+    val t = all.find(_.key == "ethereum_common_erc20_Transfer_event").get
+    assert(t.upstreamTaskId == "common.erc20_evt_Transfer")
+    assert(all.find(_.key == "ethereum_x_y_Z_function").get
+      .upstreamTaskId == "x.y_call_Z")
+    assert(spec.raws.head.upstreamTaskId == "enrich_logs")
+    // sizing mirrors resource_apply.py
+    assert(t.resource == graft.core.EngineConf.HeavyTransfer)
+    assert(spec.raws.head.resource == graft.core.EngineConf.HeavyTransfer)
+    assert(spec.raws(1).resource == graft.core.EngineConf.Default)
+    // task list: raws first, then deduped abis
+    val names = Transfer.tasks(spec, catalog).map(_._1)
+    assert(names.take(2) == Seq("logs", "blocks"))
+    assert(names.distinct == names)
+  }
+
   test("loader dependency graph is acyclic and complete") {
     val deps = EvmLoaders.dependencies
     assert(EvmLoaders.all.keySet == deps.keySet)
