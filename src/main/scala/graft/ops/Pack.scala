@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data assembly: documents are laid out
+  * in a global deterministic order and cut into fixed token-budget
+  * packs — `pack_id = (exclusive running token total) div budget`, the
+  * shard-then-split shape used to feed tokenized corpora into
+  * fixed-length training windows.
+  *
+  * The semantics look sequential (a global running sum), and the naive
+  * Spark spelling — `Window.orderBy(id)` with no partition key — drags
+  * the whole corpus through ONE task. This implementation is the
+  * distributed prefix sum instead:
+  *
+  *   1. shard boundaries from id quantiles, baked into the plan as
+  *      LITERALS — shard is a pure function of id, so every recompute
+  *      sees identical shards (no reliance on physical partition ids,
+  *      which can resample under retry);
+  *   2. partition-local exclusive cumsum, window PARTITIONED by shard —
+  *      parallel, no global collapse;
+  *   3. per-shard totals (one tiny row per shard) → exclusive shard
+  *      offsets, broadcast back as a literal map.
+  *
+  * Driver traffic is O(#shards) longs, not O(n). Shards are contiguous
+  * id ranges, so `offset(shard) + local exclusive cumsum` equals the
+  * global exclusive cumsum however approximate the quantile boundaries
+  * are — boundary quality only affects balance, never the result.
+  */
+object Pack {
+
+  /** @param idCol    unique numeric document id (the pack order)
+    * @param tokensCol per-doc token count (null → 0)
+    * @param budget   tokens per pack (> 0)
+    * @param shards   target shard count; defaults to session parallelism
+    * @return (idCol, tokens, pack_id) — pack_id is 0-based, monotone in
+    *         id order */
+  def sequencePack(docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, shards: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val n = if (shards > 0) shards
+      else docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.select(col(idCol),
+      coalesce(col(tokensCol).cast("long"), lit(0L)).as("tokens"))
+    // literal range boundaries: shard = #(bounds strictly below id)
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double] // single shard
+      else base.select(col(idCol).cast("double").as("q"))
+        .stat.approxQuantile("q", probs, 0.001).distinct
+    val shard = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(idCol).cast("double") > lit(b), 1).otherwise(0)
+    }
+    val sharded = base.withColumn("shard", shard)
+    val totals = sharded.groupBy("shard").agg(sum("tokens").as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = totals
+      .scanLeft(0 -> 0L) { case ((_, acc), (s, t)) => s -> (acc + t) }
+      .init.zip(totals)
+      .map { case ((_, before), (s, _)) => s -> before }.toMap
+    val local = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("cum_excl",
+        coalesce(sum("tokens").over(local), lit(0L)) +
+          coalesce(element_at(typedLit(offsets), col("shard")), lit(0L)))
+      .select(col(idCol), col("tokens"),
+        expr(s"cum_excl div $budget").as("pack_id"))
+  }
+
+  /** Reference spelling — the single-task global window. Only for
+    * oracle twins at test scale; never point it at a corpus. */
+  def sequencePackGlobal(docs: DataFrame, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), coalesce(col(tokensCol).cast("long"), lit(0L))
+        .as("tokens"))
+      .withColumn("cum_excl", coalesce(sum("tokens").over(w), lit(0L)))
+      .select(col(idCol), col("tokens"),
+        expr(s"cum_excl div $budget").as("pack_id"))
+  }
+
+  /** Tokens-per-pack audit: every pack's size stays within one max-doc
+    * of the budget (except possibly the last). */
+  def packSizes(packed: DataFrame): DataFrame =
+    packed.groupBy("pack_id")
+      .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"))
+}
+
+/** Deterministic training-mixture sampling: keep each document with a
+  * per-source probability, decided by a pure-arithmetic hash of the id
+  * (three Lehmer/MINSTD rounds: `x → x * 48271 % p`, p = 2^31-1, seeded
+  * with `id % p`) — no RNG state, so the sample is reproducible across
+  * runs, engines, and cluster layouts, and any slice of the corpus can
+  * be resampled independently (the property that matters when 100 TB is
+  * sampled shard by shard). Three rounds because one is not a hash for
+  * dense ids (`id * 48271` is monotone and tiny for small ids); three
+  * steps of the generator decorrelate consecutive seeds.
+  *
+  * Cross-engine exact: integer arithmetic only, and each intermediate
+  * product stays below 2^48 so it can never overflow a 64-bit long
+  * (Spark 4 runs ANSI mode by default — a Knuth 2^32 multiplicative
+  * hash WOULD overflow-throw on billion-scale ids).
+  */
+object Sampling {
+
+  val Mod: Long = 2147483647L // 2^31 - 1 (prime)
+
+  /** uniform in [0, 2^31-1) from an integer id — the identical SQL
+    * spelling works in any engine:
+    * `((((((id % p) * 48271) % p) * 48271) % p) * 48271) % p` */
+  def hashU31(id: Column): Column = {
+    val step = (x: Column) => pmod(x * lit(48271L), lit(Mod))
+    step(step(step(pmod(id.cast("long"), lit(Mod)))))
+  }
+
+  /** @param weights source value → keep probability in [0,1]; sources
+    *                absent from the map are dropped */
+  def weightedBySource(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1),
+      "weights must be probabilities")
+    // threshold per source, pre-scaled to the hash domain so the
+    // comparison stays integral
+    val thresholds = weights.map { case (s, w) =>
+      s -> math.round(w * Mod.toDouble)
+    }
+    df.filter(hashU31(col(idCol)) <
+      coalesce(element_at(typedLit(thresholds), col(sourceCol)), lit(0L)))
+  }
+}

@@ -37,7 +37,8 @@ object Catalog {
     DedupQueries,
     TextQueries,
     SimilarityQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    PackQueries)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.queries)

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.ops.{Pack, Sampling}
+
+/** Training-data assembly operators over the documents table: sequence
+  * packing (fixed token-budget packs in global doc_id order) and
+  * deterministic mixture sampling (per-source keep probabilities).
+  *
+  * Both are exactly oracle-able: pack_id depends only on the global
+  * running token total (shard boundaries cancel out — see Pack scaladoc)
+  * and the sampling decision is pure integer arithmetic, so DuckDB can
+  * spell the identical semantics.
+  */
+object PackQueries extends QueryGroup {
+
+  /** tokens per pack for the oracled query; ~37 packs at sf0.01 */
+  private val Budget = 4096L
+
+  /** src0..src19 → cycling keep probabilities 0.25/0.5/0.75/1.0 */
+  private[graft] val mixtureWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
+
+  val queries: Seq[Q] = Seq(
+    q("q_pack_sequence", "llm-pack",
+      s"""SELECT doc_id,
+                 COALESCE(n_chars, 0) AS tokens,
+                 CAST(COALESCE(SUM(COALESCE(n_chars, 0)) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // $Budget AS BIGINT) AS pack_id
+          FROM documents""") { (spark, dir) =>
+      Pack.sequencePack(Tables.df(spark, dir, "documents"),
+        "doc_id", "n_chars", Budget)
+    },
+
+    // thresholds below are math.round(w * 2147483647) for w in
+    // {0.25, 0.5, 0.75, 1.0} — mirrored exactly from Sampling
+    q("q_sample_mixture", "llm-pack",
+      """WITH h AS (
+           SELECT doc_id, source,
+             ((((((doc_id % 2147483647) * 48271) % 2147483647)
+                * 48271) % 2147483647) * 48271) % 2147483647 AS u
+           FROM documents)
+         SELECT doc_id, source, u FROM h
+         WHERE u < CASE (CAST(substr(source, 4) AS BIGINT) % 4)
+             WHEN 0 THEN 536870912
+             WHEN 1 THEN 1073741824
+             WHEN 2 THEN 1610612735
+             WHEN 3 THEN 2147483647
+           END""") { (spark, dir) =>
+      import org.apache.spark.sql.functions.col
+      Sampling.weightedBySource(Tables.df(spark, dir, "documents"),
+          "doc_id", "source", mixtureWeights)
+        .select(col("doc_id"), col("source"),
+          Sampling.hashU31(col("doc_id")).as("u"))
+    })
+}

@@ -115,4 +115,18 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"),
       "HOF dot product leaked back into the plan")
   }
+
+  test("sequence pack plans shard-partitioned windows, never a global one") {
+    val docs = Tables.df(spark, sf, "documents")
+    val p = plan(
+      graft.ops.Pack.sequencePack(docs, "doc_id", "n_chars", 2048L, 4))
+    // the failure mode this operator exists to avoid: a Window with no
+    // partition spec drags the whole corpus through one task
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"no window in pack plan:\n$p")
+    windows.foreach { l =>
+      assert(l.contains("shard"),
+        s"global (unpartitioned) window in pack plan: $l")
+    }
+  }
 }
