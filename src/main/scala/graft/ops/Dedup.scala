@@ -204,6 +204,60 @@ object Dedup {
       .filter(col("ham") <= maxHam)
       .distinct()
   }
+
+  /** Connected components over a candidate-pair edge list: every doc in
+    * a duplicate cluster gets `component` = the minimum doc id reachable
+    * through the pair graph, so a pipeline can keep ONE representative
+    * per cluster (`id == component`) instead of dropping both sides of
+    * every pair independently (which over-deletes on chains a—b—c).
+    *
+    * Iterative min-label propagation with a pointer-jumping step: each
+    * round a node takes the min of its neighbours' labels (one shuffle
+    * join + agg), then short-circuits through its current label's label
+    * (a second join). Neighbour propagation alone needs diameter rounds;
+    * the jump makes label chains collapse exponentially — O(log d)
+    * rounds, each a fixed number of hash joins on the (small, pairs-
+    * sized) label table, with localCheckpoint truncating the lineage so
+    * round N's plan does not replay rounds 1..N-1. Driver traffic is one
+    * count per round. This is the hash-to-min shape from the public
+    * MapReduce-CC literature (Rastogi et al.), not GraphX — the edge
+    * list a dedup pass produces is tiny relative to the corpus, so
+    * DataFrame joins on it are the right tool.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("a"), col("comp")), "a")
+        .groupBy(col("b").as("id")).agg(min("comp").as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp")))
+            .as("comp"))
+      // pointer jump: comp values are node ids, so look up THEIR comp
+      val jumped = stepped
+        .join(stepped.select(col("id").as("cid"), col("comp").as("cc")),
+          col("comp") === col("cid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("cc"),
+          col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = jumped.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = jumped
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }
 
 /** 64-bit SimHash over a token array: per token a 64-bit hash votes ±1

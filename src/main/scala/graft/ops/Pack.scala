@@ -89,6 +89,40 @@ object Pack {
   def packSizes(packed: DataFrame): DataFrame =
     packed.groupBy("pack_id")
       .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"))
+
+  /** Split each document into fixed-size character windows with overlap
+    * — the long-document → context-window preprocessing step. Chunk i
+    * covers characters [i·stride, i·stride + maxChars), stride =
+    * maxChars − overlap; the last chunk may be short, and a doc never
+    * yields a chunk that starts past its end. Pure per-row map
+    * (sequence → substr → posexplode): no shuffle, no state, embarrass-
+    * ingly parallel at any corpus size. Null/empty docs yield no chunks.
+    *
+    * Chunk count is exact integer arithmetic
+    * (`(len − maxChars + stride − 1) div stride + 1`), so any engine
+    * reproduces the identical chunking. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      maxChars: Int, overlap: Int = 0): DataFrame = {
+    require(maxChars > 0, s"maxChars must be positive, got $maxChars")
+    require(overlap >= 0 && overlap < maxChars,
+      s"overlap must be in [0, maxChars), got $overlap")
+    val stride = maxChars - overlap
+    val len = length(col(textCol))
+    val nChunks = when(len.isNull || len === 0, lit(0L))
+      .when(len <= maxChars, lit(1L))
+      .otherwise(expr(s"(length($textCol) - $maxChars + $stride - 1) " +
+        s"div $stride") + lit(1L))
+    // sequence(0, -1) would count DOWN — empty docs need an empty array
+    val idxs = when(nChunks === 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nChunks - 1))
+    docs
+      .select(col(idCol),
+        posexplode(transform(idxs,
+          i => col(textCol).substr(
+            (i * stride + 1).cast("int"), lit(maxChars)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk"))
+  }
 }
 
 /** Deterministic training-mixture sampling: keep each document with a

@@ -93,5 +93,36 @@ object DedupQueries extends QueryGroup {
       pairs.join(ta, "a_id").join(tb, "b_id")
         .filter(col("ta") === col("tb"))
         .select(col("a_id"), col("b_id"))
+    },
+
+    // duplicate clusters: connected components over the Jaccard pair
+    // graph; DuckDB's recursive CTE computes the same min-reachable-id
+    // closure, so the distributed label propagation is exactly oracled
+    q("q_dedup_clusters", "dedup",
+      s"""WITH RECURSIVE $corpusSql,
+          sh AS (
+            SELECT doc_id,
+              list_distinct([array_to_string(toks[i:i+2], ' ')
+                for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shl
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+          inv AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+            HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*))
+                   >= 0.8),
+          edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+                    UNION SELECT b_id, a_id FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+          SELECT id AS doc_id, min(r) AS component
+          FROM reach GROUP BY id""") { (spark, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(corpus(spark, dir),
+        "doc_id", "text", 3, 0.8)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
     })
 }

@@ -55,5 +55,23 @@ object PackQueries extends QueryGroup {
           "doc_id", "source", mixtureWeights)
         .select(col("doc_id"), col("source"),
           Sampling.hashU31(col("doc_id")).as("u"))
+    },
+
+    // 120-char windows, 30-char overlap (stride 90); integer-exact
+    // chunk counts so both engines cut identical windows
+    q("q_chunk_docs", "llm-pack",
+      """WITH k AS (
+           SELECT doc_id, text,
+             CASE WHEN length(text) <= 120 THEN 1
+                  ELSE (length(text) - 120 + 89) // 90 + 1 END AS n
+           FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+         SELECT doc_id, u.cid AS chunk_id, u.chunk AS chunk FROM (
+           SELECT doc_id,
+             unnest([{'cid': i - 1,
+                      'chunk': substr(text, (i-1)*90 + 1, 120)}
+               for i in generate_series(1, n)]) AS u
+           FROM k) t""") { (spark, dir) =>
+      Pack.chunkDocs(Tables.df(spark, dir, "documents"),
+        "doc_id", "text", maxChars = 120, overlap = 30)
     })
 }

@@ -81,5 +81,30 @@ object TextQueries extends QueryGroup {
         .agg(countDistinct(col("fp")).as("n_fp"),
           countDistinct(col("text")).as("n_text"),
           count(lit(1)).as("n_docs"))
+    },
+
+    // eval-set decontamination: docs sharing any word 4-gram with the
+    // doc_id%7==0 "benchmark" slice are flagged. Spark probes a
+    // broadcast xxhash64 gram set; DuckDB compares the raw grams — the
+    // outputs agree exactly absent a 64-bit collision (none here, and
+    // deterministic: green once is green always)
+    q("q_decontaminate", "text",
+      """WITH g AS (
+           SELECT doc_id, unnest([array_to_string(toks[i:i+3], ' ')
+             for i in generate_series(1, greatest(len(toks)-3, 0))]) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+         hit AS (SELECT DISTINCT doc_id FROM g
+                 WHERE doc_id % 7 != 0 AND g IN (SELECT g FROM ev))
+         SELECT d.doc_id,
+                d.doc_id IN (SELECT doc_id FROM hit) AS contaminated
+         FROM documents d WHERE d.doc_id % 7 != 0""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      graft.ops.Decontaminate.flag(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("contaminated"))
     })
 }

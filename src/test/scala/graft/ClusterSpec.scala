@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Decontaminate, Dedup, Pack}
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("stars, chains, and singleton pairs resolve to min-id components") {
+    val got = components(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),     // chain 1-2-3-4
+      (10L, 11L), (10L, 12L), (10L, 13L), // star at 10
+      (20L, 21L)))                        // simple pair
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("a long chain converges (pointer jumping, not diameter rounds)") {
+    // diameter 60 ≫ maxIter 25: plain neighbour propagation would fail
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.size == 61 && got.values.forall(_ == 0L))
+  }
+
+  test("two rings merge when bridged") {
+    val ringA = (0L until 5L).map(i => (i, (i + 1) % 5))
+    val ringB = (10L until 15L).map(i => (i, 10L + (i + 1 - 10) % 5))
+    assert(components(ringA ++ ringB).values.toSet == Set(0L, 10L))
+    assert(components(ringA ++ ringB :+ (4L, 12L)).values.toSet == Set(0L))
+  }
+}
+
+class DecontaminateSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("train docs sharing an n-gram with eval are flagged; others kept") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different sentence with no overlap at all"),
+      (3L, "short doc"), // < n tokens → no grams → never flagged
+      (4L, "ends with quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "they saw the quick brown fox jumps away")
+    ).toDF("doc_id", "text")
+
+    val flags = Decontaminate.flag(train, eval, "doc_id", "text", n = 4)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+
+    val kept = Decontaminate.clean(train, eval, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // clean preserves the input schema
+    assert(Decontaminate.clean(train, eval, "doc_id", "text", 4)
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+}
+
+class ChunkSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("chunks cover the doc exactly; stride reassembles the original") {
+    import spark.implicits._
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Pack.chunkDocs(docs, "doc_id", "text", 100, 40)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).sortBy(_._1)
+    // stride 60: starts 0,60,120,180 → 4 chunks, last is 80 chars
+    assert(chunks.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.init.forall(_._2.length == 100))
+    assert(chunks.last._2.length == 80)
+    // dropping the 40-char overlap from chunks 1.. reassembles the doc
+    val rebuilt = chunks.head._2 + chunks.tail.map(_._2.drop(40)).mkString
+    assert(rebuilt == text)
+  }
+
+  test("edge cases: short doc, exact fit, one-past, empty, null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("x" * 50)),   // < max → 1 chunk
+      (2L, Option("x" * 100)),  // == max → 1 chunk
+      (3L, Option("x" * 101)),  // one past → 2 chunks
+      (4L, Option("")),         // empty → none
+      (5L, Option.empty[String]) // null → none
+    ).toDF("doc_id", "text")
+    val got = Pack.chunkDocs(docs, "doc_id", "text", 100, 40)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+}
