@@ -39,6 +39,22 @@ object DedupQueries extends QueryGroup {
           concat(col("text"), lit(" graft tail token")).as("text")))
   }
 
+  /** The duplicate-bearing slice: originals with an injected copy plus
+    * every injected copy — the cheap edge-generation corpus for the
+    * clusters query. */
+  val clustersCorpusSql: String =
+    """corpus AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 10 IN (0, 5)
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id + 200000, text || ' graft tail token'
+         FROM documents WHERE doc_id % 10 = 5)"""
+
+  def clustersCorpus(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .filter(col("doc_id") % 100000 % 10 isin (0, 5))
+
   private val exactDupPairsSql =
     s"""WITH $corpusSql
         SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -97,9 +113,14 @@ object DedupQueries extends QueryGroup {
 
     // duplicate clusters: connected components over the Jaccard pair
     // graph; DuckDB's recursive CTE computes the same min-reachable-id
-    // closure, so the distributed label propagation is exactly oracled
+    // closure, so the distributed label propagation is exactly oracled.
+    // The corpus is restricted to the duplicate-bearing doc_id%10∈{0,5}
+    // slice: the Jaccard join itself is already benched by
+    // q_dedup_ngram_jaccard — this query's marginal cost should be the
+    // CC rounds, not a re-run of the shingle join (chain-topology
+    // convergence is pinned separately by ConnectedComponentsSpec)
     q("q_dedup_clusters", "dedup",
-      s"""WITH RECURSIVE $corpusSql,
+      s"""WITH RECURSIVE $clustersCorpusSql,
           sh AS (
             SELECT doc_id,
               list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -120,7 +141,7 @@ object DedupQueries extends QueryGroup {
             SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
           SELECT id AS doc_id, min(r) AS component
           FROM reach GROUP BY id""") { (spark, dir) =>
-      val pairs = Dedup.ngramJaccardPairs(corpus(spark, dir),
+      val pairs = Dedup.ngramJaccardPairs(clustersCorpus(spark, dir),
         "doc_id", "text", 3, 0.8)
       Dedup.connectedComponents(pairs, "a_id", "b_id")
         .select(col("id").as("doc_id"), col("comp").as("component"))
