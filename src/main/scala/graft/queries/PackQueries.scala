@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Pack, Sampling}
+import graft.ops.{Decontaminate, Dedup, Pack, Sampling}
 
 /** Training-data assembly operators over the documents table: sequence
   * packing (fixed token-budget packs in global doc_id order) and
@@ -73,5 +74,72 @@ object PackQueries extends QueryGroup {
            FROM k) t""") { (spark, dir) =>
       Pack.chunkDocs(Tables.df(spark, dir, "documents"),
         "doc_id", "text", maxChars = 120, overlap = 30)
+    },
+
+    // the end-to-end curation pipeline every training corpus goes
+    // through, composed from the operators above: quality filter →
+    // eval-slice exclusion → decontamination → exact-dedup
+    // representative → mixture sampling → sequence packing. Runs on the
+    // duplicate-injected corpus so the dedup stage has real work; every
+    // stage is engine-exact, so the whole composition oracles in DuckDB
+    q("q_curate_corpus", "llm-pack",
+      s"""WITH ${DedupQueries.corpusSql},
+          wm AS (
+            SELECT c.doc_id, c.text, c.doc_id % 100000 AS orig_id,
+                   m.source, m.n_chars
+            FROM corpus c
+            JOIN documents m ON c.doc_id % 100000 = m.doc_id),
+          quality AS (
+            SELECT * FROM wm WHERE len(string_split(text, ' ')) >= 20),
+          train AS (SELECT * FROM quality WHERE orig_id % 7 != 0),
+          evg AS (
+            SELECT DISTINCT unnest([array_to_string(toks[i:i+3], ' ')
+              for i in generate_series(1, greatest(len(toks)-3, 0))]) AS g
+            FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                  WHERE doc_id % 7 = 0)),
+          tg AS (
+            SELECT doc_id, unnest([array_to_string(toks[i:i+3], ' ')
+              for i in generate_series(1, greatest(len(toks)-3, 0))]) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM train)),
+          hit AS (SELECT DISTINCT doc_id FROM tg
+                  WHERE g IN (SELECT g FROM evg)),
+          decon AS (SELECT * FROM train
+                    WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+          rep AS (SELECT min(doc_id) AS doc_id FROM decon GROUP BY text),
+          kept AS (SELECT d.* FROM decon d
+                   JOIN rep r ON d.doc_id = r.doc_id),
+          samp AS (
+            SELECT doc_id, COALESCE(n_chars, 0) AS tokens FROM kept
+            WHERE ((((((doc_id % 2147483647) * 48271) % 2147483647)
+                     * 48271) % 2147483647) * 48271) % 2147483647 <
+              CASE (CAST(substr(source, 4) AS BIGINT) % 4)
+                WHEN 0 THEN 536870912
+                WHEN 1 THEN 1073741824
+                WHEN 2 THEN 1610612735
+                WHEN 3 THEN 2147483647
+              END)
+          SELECT doc_id, tokens,
+                 CAST(COALESCE(SUM(tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // $Budget AS BIGINT) AS pack_id
+          FROM samp""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val meta = docs.select(col("doc_id").as("orig_id"),
+        col("source"), col("n_chars"))
+      val withMeta = DedupQueries.corpus(spark, dir)
+        .withColumn("orig_id", col("doc_id") % 100000)
+        .join(meta, "orig_id")
+      val quality = withMeta.filter(size(split(col("text"), " ")) >= 20)
+      val train = quality.filter(col("orig_id") % 7 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 7 === 0)
+      val decon = Decontaminate.clean(train, evalSet, "doc_id", "text", 4)
+      val rep = Dedup.exact(decon, col("doc_id"), col("text"))
+        .select(col("keep_id").as("doc_id"))
+      val kept = decon.join(rep, "doc_id")
+      val sampled = Sampling.weightedBySource(kept, "doc_id", "source",
+        mixtureWeights)
+      Pack.sequencePack(sampled, "doc_id", "n_chars", Budget)
     })
 }
