@@ -166,4 +166,43 @@ object Sampling {
     df.filter(hashU31(col(idCol)) <
       coalesce(element_at(typedLit(thresholds), col(sourceCol)), lit(0L)))
   }
+
+  /** Exactly k documents per stratum, chosen by deterministic hash
+    * order (the 3-round Lehmer hash is a bijection on [0, p) per round,
+    * so the order is a fixed pseudorandom permutation — no RNG, no
+    * ties below p). One shuffle: the window partitions by stratum, and
+    * strata rank in parallel — nothing global. */
+  def stratifiedK(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashU31(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Mixture weights above 1 mean EPOCHS: w = 2.5 emits every doc
+    * twice plus a third copy for the hash-selected half — the standard
+    * up-weighting of small high-quality sources in a training mixture,
+    * done by deterministic repetition instead of RNG draws. Appends an
+    * `epoch` column (0-based copy index); docs from sources absent in
+    * the map (or with a weight rounding to zero copies) are dropped.
+    * Pure per-row map: no shuffle at any corpus size. */
+  def epochRepeat(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    val whole = weights.map { case (s, w) =>
+      s -> math.floor(w).toLong }
+    val fracThresh = weights.map { case (s, w) =>
+      s -> math.round((w - math.floor(w)) * Mod.toDouble) }
+    val n = coalesce(element_at(typedLit(whole), col(sourceCol)), lit(0L)) +
+      when(hashU31(col(idCol)) <
+        coalesce(element_at(typedLit(fracThresh), col(sourceCol)), lit(0L)),
+        lit(1L)).otherwise(lit(0L))
+    // sequence(0, -1) would count DOWN — zero-copy docs need [] to drop
+    val epochs = when(n <= 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), n - 1))
+    df.withColumn("epoch", explode(epochs))
+  }
 }

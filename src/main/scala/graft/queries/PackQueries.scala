@@ -23,6 +23,11 @@ object PackQueries extends QueryGroup {
   private[graft] val mixtureWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
 
+  /** epoch weights exercising all shapes: sub-1, fractional >1, whole,
+    * whole+fraction (0.5 / 1.25 / 2.0 / 2.75 cycling) */
+  private[graft] val epochWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (0.5 + (i % 4) * 0.75)).toMap
+
   val queries: Seq[Q] = Seq(
     q("q_pack_sequence", "llm-pack",
       s"""SELECT doc_id,
@@ -56,6 +61,51 @@ object PackQueries extends QueryGroup {
           "doc_id", "source", mixtureWeights)
         .select(col("doc_id"), col("source"),
           Sampling.hashU31(col("doc_id")).as("u"))
+    },
+
+    // exact-k strata by deterministic hash order (5 per source)
+    q("q_sample_stratified", "llm-pack",
+      """WITH h AS (
+           SELECT *, ((((((doc_id % 2147483647) * 48271) % 2147483647)
+                       * 48271) % 2147483647) * 48271) % 2147483647 AS u
+           FROM documents),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY u, doc_id) AS rn
+               FROM h)
+         SELECT doc_id, source FROM r WHERE rn <= 5""") { (spark, dir) =>
+      import org.apache.spark.sql.functions.col
+      Sampling.stratifiedK(Tables.df(spark, dir, "documents"),
+          "doc_id", "source", k = 5)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // epochs: CASE constants are floor(w) and round(frac(w)*2147483647)
+    // for w in {0.5, 1.25, 2.0, 2.75} — mirrored from epochWeights
+    q("q_sample_epochs", "llm-pack",
+      """WITH h AS (
+           SELECT doc_id, source,
+             ((((((doc_id % 2147483647) * 48271) % 2147483647)
+                * 48271) % 2147483647) * 48271) % 2147483647 AS u,
+             CAST(substr(source, 4) AS BIGINT) % 4 AS m
+           FROM documents),
+         n AS (
+           SELECT doc_id, source,
+             CASE m WHEN 0 THEN 0 WHEN 1 THEN 1
+                    WHEN 2 THEN 2 WHEN 3 THEN 2 END
+             + CASE WHEN u < CASE m WHEN 0 THEN 1073741824
+                                    WHEN 1 THEN 536870912
+                                    WHEN 2 THEN 0
+                                    WHEN 3 THEN 1610612735 END
+                    THEN 1 ELSE 0 END AS n
+           FROM h)
+         SELECT doc_id, source,
+                unnest([i for i in generate_series(0, n - 1)]) AS epoch
+         FROM n""") { (spark, dir) =>
+      import org.apache.spark.sql.functions.col
+      Sampling.epochRepeat(Tables.df(spark, dir, "documents"),
+          "doc_id", "source", epochWeights)
+        .select(col("doc_id"), col("source"), col("epoch"))
     },
 
     // 120-char windows, 30-char overlap (stride 90); integer-exact

@@ -86,6 +86,46 @@ class PackSpec extends AnyFunSuite {
     assert(k0 == Set("src0"))
   }
 
+  test("stratified sampling returns exactly k per stratum, deterministically") {
+    val docs = Tables.df(spark, sf, "documents")
+    val got = Sampling.stratifiedK(docs, "doc_id", "source", 3)
+    val counts = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 3L))
+    // deterministic: same ids both runs
+    val ids1 = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedK(docs, "doc_id", "source", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // k larger than the stratum returns the whole stratum
+    val all = Sampling.stratifiedK(docs, "doc_id", "source", 100000)
+    assert(all.count() == docs.count())
+  }
+
+  test("epoch repetition emits floor(w) copies plus a hash-gated extra") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, "s")).toDF("id", "src")
+    def epochs(w: Double): Map[Long, Long] =
+      Sampling.epochRepeat(df, "id", "src", Map("s" -> w))
+        .groupBy("id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val e2 = epochs(2.0)
+    assert(e2.size == 100 && e2.values.forall(_ == 2L))
+    val e25 = epochs(2.5)
+    assert(e25.values.forall(n => n == 2L || n == 3L))
+    val extra = e25.values.count(_ == 3L)
+    assert(extra > 25 && extra < 75) // ≈ half, hash-selected
+    // w < 1 degenerates to weightedBySource membership
+    val e05 = epochs(0.5)
+    val kept = Sampling.weightedBySource(df, "id", "src", Map("s" -> 0.5))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(e05.keySet == kept && e05.values.forall(_ == 1L))
+    // unknown source → dropped entirely
+    assert(Sampling.epochRepeat(df, "id", "src", Map("other" -> 2.0))
+      .count() == 0)
+  }
+
   test("sampling hash never overflows ANSI long on billion-scale ids") {
     import spark.implicits._
     val big = Seq(Long.MaxValue, 4200000001L, 0L, 1L).toDF("id")
