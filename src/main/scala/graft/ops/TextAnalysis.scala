@@ -75,6 +75,24 @@ object TextAnalysis {
   }
 
   def fingerprint(text: Column): Column = CB.column(RollingHash64(CB.expression(text)))
+
+  /** Corpus vocabulary: the k most frequent whitespace tokens with
+    * counts, ties broken lexicographically — tokenizer/vocab-building
+    * over the whole corpus. The classic giant-shuffle wordcount, kept
+    * scale-sane by Spark's partial aggregation: the explode never
+    * leaves its input partition un-combined (HashAggregate partial →
+    * exchange on the word → final), so the shuffle carries one row per
+    * (partition, word), not one per token occurrence. The final top-k
+    * is a TakeOrdered on the (already tiny) distinct-word table, not a
+    * global sort of the corpus. */
+  def vocabulary(df: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(tokens(text)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+  }
 }
 
 /** 64-bit polynomial rolling fingerprint: h = h*31 + byte (wrapping).

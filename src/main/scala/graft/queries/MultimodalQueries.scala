@@ -88,5 +88,21 @@ object MultimodalQueries extends QueryGroup {
       EventsStream.runToBatch(spark, s"$dir/events.parquet",
           s"graft_stream_${System.nanoTime()}")
         .withColumn("sum_value", col("sum_value").cast("string"))
+    },
+
+    // stream-stream interval join (attribution) run to completion over
+    // the bounded file source — inner joins emit on arrival, so the
+    // bounded run ≡ the batch interval join; times as integer µs
+    q("q_stream_interval_join", "streaming",
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+                epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+         FROM events v JOIN events c
+           ON v.user_id = c.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(v.ts)
+          AND epoch_us(c.ts) <= epoch_us(v.ts) + 21600000000""") {
+      (spark, dir) =>
+      EventsStream.runViewClickToBatch(spark, s"$dir/events.parquet",
+        s"graft_ssjoin_${System.nanoTime()}")
     })
 }

@@ -106,5 +106,17 @@ object TextQueries extends QueryGroup {
           docs.filter(col("doc_id") % 7 === 0),
           "doc_id", "text", n = 4)
         .select(col("doc_id"), col("contaminated"))
+    },
+
+    // vocabulary building: top-20 tokens by count, lexicographic
+    // tie-break makes the cut deterministic cross-engine
+    q("q_vocab_topk", "text",
+      """SELECT w AS word, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         WHERE w != ''
+         GROUP BY w ORDER BY n DESC, w LIMIT 20""") { (spark, dir) =>
+      TextAnalysis.vocabulary(Tables.df(spark, dir, "documents"),
+        col("text"), 20)
     })
 }

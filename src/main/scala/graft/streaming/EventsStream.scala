@@ -63,6 +63,38 @@ object EventsStream {
       queryName: String): DataFrame =
     runStream(spark, path, queryName, dedupKeys, "append")
 
+  /** Stream-stream interval join: each view pairs with the same user's
+    * clicks landing within [view_ts, view_ts + 6h] — the attribution
+    * join, streaming-native. Both sides carry a 12 h watermark and the
+    * join condition bounds event-time distance, so Spark evicts a
+    * side's state once the other side's watermark passes the bound —
+    * state stays proportional to the 6 h horizon, not the stream
+    * length. An INNER join emits a match as soon as both rows exist
+    * (watermarks only govern eviction), so a bounded run emits exactly
+    * the batch join. Output times as integer µs: engine-exact. */
+  def viewClickJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "12 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "12 hours")
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+  }
+
+  /** Bounded run of [[viewClickJoin]] → batch DataFrame (memory sink). */
+  def runViewClickToBatch(spark: SparkSession, path: String,
+      queryName: String): DataFrame =
+    runStream(spark, path, queryName, viewClickJoin, "append")
+
   /** Run the streaming agg over a bounded file source to completion and
     * return the result as a batch DataFrame (memory sink). Used by the
     * correctness gate: output must equal the batch twin's. */

@@ -262,6 +262,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty, "file sink emitted no finalized windows")
     assert(stream == batchFinal)
   }
+
+  test("stream-stream interval join equals batch interval join") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.streaming.EventsStream
+      .runViewClickToBatch(spark, s"$sf/events.parquet",
+        s"graft_ssj_test_${System.nanoTime()}")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val ev = Tables.df(spark, sf, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val batch = v.join(c, col("user_id") === col("cu") &&
+        col("click_us") >= col("view_us") &&
+        col("click_us") <= col("view_us") + expr("21600000000"))
+      .select("user_id", "view_id", "click_id", "view_us", "click_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(stream.nonEmpty && stream == batch)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
