@@ -116,6 +116,17 @@ class ExplainSpec extends AnyFunSuite {
       "HOF dot product leaked back into the plan")
   }
 
+  test("decontamination probes a broadcast gram set — no corpus shuffle") {
+    val docs = Tables.df(spark, sf, "documents")
+    val p = plan(graft.ops.Decontaminate.flag(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", n = 4))
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftSemi"),
+      s"gram probe should be a broadcast semi join:\n$p")
+  }
+
   test("sequence pack plans shard-partitioned windows, never a global one") {
     val docs = Tables.df(spark, sf, "documents")
     val p = plan(
