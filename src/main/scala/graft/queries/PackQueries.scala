@@ -184,7 +184,12 @@ object PackQueries extends QueryGroup {
       val quality = withMeta.filter(size(split(col("text"), " ")) >= 20)
       val train = quality.filter(col("orig_id") % 7 =!= 0)
       val evalSet = docs.filter(col("doc_id") % 7 === 0)
+      // decon feeds both the representative agg and the keep join;
+      // materialize it once instead of recomputing the gram semi join
+      // per consumer (localCheckpoint blocks are context-cleaned once
+      // the result goes unreachable — nothing leaks into the session)
       val decon = Decontaminate.clean(train, evalSet, "doc_id", "text", 4)
+        .localCheckpoint()
       val rep = Dedup.exact(decon, col("doc_id"), col("text"))
         .select(col("keep_id").as("doc_id"))
       val kept = decon.join(rep, "doc_id")
