@@ -47,7 +47,14 @@ object Enrich {
         col("blocks.hash").as("block_hash"))
 
   /** evm_load_template.py:201-243 — J2 + topics normalizer (P7) +
-    * unhex/data + hash-bucket partition columns. */
+    * unhex/data + hash-bucket partition columns.
+    *
+    * `blocks` is explicitly broadcast, like every blocks-side enrich
+    * join here: the contract is ONE chain-day of blocks (~7k rows —
+    * the reference's daily INSERT OVERWRITE unit). A multi-day backfill
+    * must loop days (as the reference's DAG does), not pass a
+    * months-wide blocks frame — an explicit hint bypasses the planner's
+    * size check. */
   def logs(raw: DataFrame, blocks: DataFrame): DataFrame =
     broadcast(blocks.as("blocks"))
       .join(raw.as("logs"), blocks("number") === raw("block_number"), "inner")

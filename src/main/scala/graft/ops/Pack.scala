@@ -108,10 +108,13 @@ object Pack {
       s"overlap must be in [0, maxChars), got $overlap")
     val stride = maxChars - overlap
     val len = length(col(textCol))
+    // floor division via floor(double) — exact below 2^53, i.e. any
+    // real document length; avoids splicing the column name into a SQL
+    // string (which would break on names needing backticks)
     val nChunks = when(len.isNull || len === 0, lit(0L))
       .when(len <= maxChars, lit(1L))
-      .otherwise(expr(s"(length($textCol) - $maxChars + $stride - 1) " +
-        s"div $stride") + lit(1L))
+      .otherwise(floor((len - maxChars + (stride - 1)).cast("double") /
+        lit(stride.toDouble)).cast("long") + lit(1L))
     // sequence(0, -1) would count DOWN — empty docs need an empty array
     val idxs = when(nChunks === 0, array().cast("array<bigint>"))
       .otherwise(sequence(lit(0L), nChunks - 1))
@@ -144,12 +147,16 @@ object Sampling {
 
   val Mod: Long = 2147483647L // 2^31 - 1 (prime)
 
-  /** uniform in [0, 2^31-1) from an integer id — the identical SQL
+  /** uniform in [1, 2^31-1) from an integer id — the identical SQL
     * spelling works in any engine:
-    * `((((((id % p) * 48271) % p) * 48271) % p) * 48271) % p` */
+    * `((((((id % (p-1) + 1) * 48271) % p) * 48271) % p) * 48271) % p`.
+    * The seed is remapped into [1, p-1] (the MINSTD domain): 0 is the
+    * generator's fixed point (0*48271 % p == 0), so an unmapped id ≡ 0
+    * mod p would hash to 0 forever and be sampled with probability 1
+    * under ANY positive weight. */
   def hashU31(id: Column): Column = {
     val step = (x: Column) => pmod(x * lit(48271L), lit(Mod))
-    step(step(step(pmod(id.cast("long"), lit(Mod)))))
+    step(step(step(pmod(id.cast("long"), lit(Mod - 1)) + lit(1L))))
   }
 
   /** @param weights source value → keep probability in [0,1]; sources

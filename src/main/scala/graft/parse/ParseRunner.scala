@@ -31,7 +31,10 @@ object ContractCatalog {
     private def walk(f: java.io.File): Seq[java.io.File] =
       if (!f.exists()) Nil
       else if (f.isDirectory)
-        f.listFiles().toSeq.sortBy(_.getPath).flatMap(walk)
+        // listFiles() returns null (not empty) on I/O error — skip, and
+        // don't let one unreadable subdir kill the whole enumeration
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .sortBy(_.getPath).flatMap(walk)
       else if (f.getName.endsWith(".json")) Seq(f)
       else Nil
     def contractJsons: Seq[String] =
@@ -135,7 +138,11 @@ object ParseRunner {
         if (df.columns.contains("dt"))
           df.write.mode("overwrite").partitionBy("dt").parquet(path)
         else df.write.mode("overwrite").parquet(path)
-        t.tableName -> spark.read.parquet(path).count()
+        // read back with the writer's schema: a zero-row partitioned
+        // write leaves no part files, and schema INFERENCE over the
+        // bare _SUCCESS dir would throw — an empty decode (contract
+        // with no matching events that day) is a 0-count, not a crash
+        t.tableName -> spark.read.schema(df.schema).parquet(path).count()
       }
     } finally { logs.unpersist(); traces.unpersist() }
   }

@@ -46,7 +46,7 @@ object PackQueries extends QueryGroup {
     q("q_sample_mixture", "llm-pack",
       """WITH h AS (
            SELECT doc_id, source,
-             ((((((doc_id % 2147483647) * 48271) % 2147483647)
+             ((((((doc_id % 2147483646 + 1) * 48271) % 2147483647)
                 * 48271) % 2147483647) * 48271) % 2147483647 AS u
            FROM documents)
          SELECT doc_id, source, u FROM h
@@ -66,7 +66,7 @@ object PackQueries extends QueryGroup {
     // exact-k strata by deterministic hash order (5 per source)
     q("q_sample_stratified", "llm-pack",
       """WITH h AS (
-           SELECT *, ((((((doc_id % 2147483647) * 48271) % 2147483647)
+           SELECT *, ((((((doc_id % 2147483646 + 1) * 48271) % 2147483647)
                        * 48271) % 2147483647) * 48271) % 2147483647 AS u
            FROM documents),
          r AS (SELECT doc_id, source,
@@ -85,7 +85,7 @@ object PackQueries extends QueryGroup {
     q("q_sample_epochs", "llm-pack",
       """WITH h AS (
            SELECT doc_id, source,
-             ((((((doc_id % 2147483647) * 48271) % 2147483647)
+             ((((((doc_id % 2147483646 + 1) * 48271) % 2147483647)
                 * 48271) % 2147483647) * 48271) % 2147483647 AS u,
              CAST(substr(source, 4) AS BIGINT) % 4 AS m
            FROM documents),
@@ -161,7 +161,7 @@ object PackQueries extends QueryGroup {
                    JOIN rep r ON d.doc_id = r.doc_id),
           samp AS (
             SELECT doc_id, COALESCE(n_chars, 0) AS tokens FROM kept
-            WHERE ((((((doc_id % 2147483647) * 48271) % 2147483647)
+            WHERE ((((((doc_id % 2147483646 + 1) * 48271) % 2147483647)
                      * 48271) % 2147483647) * 48271) % 2147483647 <
               CASE (CAST(substr(source, 4) AS BIGINT) % 4)
                 WHEN 0 THEN 536870912

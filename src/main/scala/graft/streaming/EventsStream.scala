@@ -113,47 +113,48 @@ object EventsStream {
     * Returns the sink directory read back as a batch DataFrame. */
   def runToFiles(spark: SparkSession, path: String, outDir: String,
       pipeline: DataFrame => DataFrame): DataFrame = {
-    val src = java.nio.file.Paths.get(path)
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = pipeline(readEvents(spark, dir.toString))
-        .writeStream
+    boundedRun(spark, path, pipeline) { out =>
+      out.writeStream
         .format("parquet")
         .option("path", outDir)
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
         .outputMode("append")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.read.parquet(outDir)
   }
 
   private def runStream(spark: SparkSession, path: String,
       queryName: String, pipeline: DataFrame => DataFrame,
       mode: String): DataFrame = {
-    // FileStreamSource requires a directory — stage the single file
-    val src = java.nio.file.Paths.get(path)
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
-    // each shuffle partition owns a state store; for a bounded local run
-    // 8 stores beat 32 (fixed per-store setup dominates)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = pipeline(readEvents(spark, dir.toString))
-        .writeStream
+    boundedRun(spark, path, pipeline) { out =>
+      out.writeStream
         .format("memory")
         .queryName(queryName)
         .outputMode(mode)
-        .start()
+    }
+    spark.table(queryName)
+  }
+
+  /** Shared bounded-run scaffolding: stage the single parquet file into
+    * a directory (FileStreamSource requires one), drop the shuffle
+    * partitions to 8 for the run (each shuffle partition owns a state
+    * store; for a bounded local run 8 stores beat 32 — fixed per-store
+    * setup dominates), drain the source, restore the conf. Only the
+    * sink differs between runners. */
+  private def boundedRun(spark: SparkSession, path: String,
+      pipeline: DataFrame => DataFrame)(
+      sink: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val src = java.nio.file.Paths.get(path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sink(pipeline(readEvents(spark, dir.toString))).start()
       try q.processAllAvailable()
       finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.table(queryName)
   }
 }

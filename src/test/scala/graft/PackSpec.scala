@@ -126,11 +126,15 @@ class PackSpec extends AnyFunSuite {
       .count() == 0)
   }
 
-  test("sampling hash never overflows ANSI long on billion-scale ids") {
+  test("sampling hash never overflows ANSI long; id 0 is no fixed point") {
     import spark.implicits._
     val big = Seq(Long.MaxValue, 4200000001L, 0L, 1L).toDF("id")
     val got = big.select(Sampling.hashU31(col("id")).as("u"))
       .collect().map(_.getLong(0))
-    assert(got.forall(u => u >= 0 && u < Sampling.Mod))
+    // range [1, p): the seed is remapped into the MINSTD domain, so no
+    // id (notably 0, the raw generator's fixed point) hashes to 0 and
+    // gets sampled with probability 1
+    assert(got.forall(u => u >= 1 && u < Sampling.Mod))
+    assert(got.distinct.length == got.length)
   }
 }

@@ -46,16 +46,16 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(qdir):
             continue
         parts = sorted(glob.glob(f"{qdir}/*.parquet"))
-        if not parts:
-            # legitimately-empty result under AQE: zero part files.
-            # Still compare against the oracle (which may also be empty)
-            # instead of crashing the whole gate.
-            got = pd.DataFrame()
-        else:
-            got = pd.concat([pd.read_parquet(p) for p in parts],
-                            ignore_index=True)
+        # legitimately-empty result under AQE: zero part files. Take the
+        # oracle's columns with zero rows so the comparison is
+        # "empty == empty" (pass) or a rows mismatch (fail) — never a
+        # crash, and never a guaranteed column-mismatch failure.
+        got = (pd.concat([pd.read_parquet(p) for p in parts],
+                         ignore_index=True)
+               if parts else None)
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(got)} rows")
+            print(f"[rows-only] {name}: "
+                  f"{0 if got is None else len(got)} rows")
             continue
         try:
             want = con.execute(oracles[name]).df()
@@ -63,6 +63,8 @@ def main(sf_dir, out_dir):
             print(f"[FAIL oracle-sql] {name}: {e}")
             n_fail += 1
             continue
+        if got is None:
+            got = want.iloc[0:0]
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"[FAIL cols] {name}: got {list(g.columns)} "
