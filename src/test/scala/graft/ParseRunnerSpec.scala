@@ -105,5 +105,14 @@ class ParseRunnerSpec extends AnyFunSuite {
     assert(row.getLong(0) == 123L)
     assert(row.getString(1) == addr(7))
     assert(row.getLong(2) == 44L)
+
+    // a contract with NO matching events that day, on dt-carrying
+    // inputs, must report 0 rows — not crash on schema inference over
+    // a part-file-less partitioned write (the common corpus-wide case)
+    val dtLogs = logs.withColumn("dt", lit("2024-01-01"))
+    val counts0 = ParseRunner.run(spark, catalog, dtLogs, tracesFixture,
+      java.nio.file.Files.createTempDirectory("graft_wh0").toString,
+      t => t.tableName == "common.erc20_evt_Approval").toMap
+    assert(counts0.values.toSeq == Seq(0L))
   }
 }
