@@ -192,4 +192,26 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
   }
+
+  /** Unit-normalize the vector column into `<vecCol>_unit`
+    * (array<double>). The norm is projected ONCE per row before the
+    * per-element division — inlining `norm()` inside the transform
+    * lambda would re-run the O(d) fold for every element (O(d²)/row).
+    * Zero-norm and null vectors normalize to null: no direction. */
+  def normalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__nrm", norm(col(vecCol)))
+      .withColumn(s"${vecCol}_unit",
+        when(col("__nrm").isNull || col("__nrm") === 0.0,
+          lit(null).cast("array<double>"))
+          .otherwise(transform(col(vecCol),
+            x => x.cast("double") / col("__nrm"))))
+      .drop("__nrm")
+
+  /** Symmetric int8 quantization of a unit vector — the 4×-8× storage
+    * compression step before embeddings are written at corpus scale:
+    * q_i = floor(127·x_i + 0.5) ∈ [-127, 127] for x ∈ [-1, 1].
+    * floor(+0.5) instead of round(): floor on doubles is engine-exact,
+    * HALF_UP tie rules are not guaranteed to be. Pure per-row map. */
+  def quantizeInt8(unit: Column): Column =
+    transform(unit, x => floor(x * lit(127.0) + lit(0.5)).cast("int"))
 }

@@ -139,5 +139,28 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.df(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.ivfTopK(emb, queries, 5)
+    },
+
+    // unit-normalize + symmetric int8 quantization, exploded to scalar
+    // rows; floor(127x + 0.5) is engine-exact (no HALF_UP tie rules)
+    q("q_embed_quantize", "similarity",
+      """WITH n AS (
+           SELECT vec_id, embedding AS v,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           FROM embeddings)
+         SELECT vec_id, u.i - 1 AS idx, u.q FROM (
+           SELECT vec_id, unnest([{'i': i,
+             'q': CAST(floor(127.0 * (CAST(v[i] AS DOUBLE) / nrm) + 0.5)
+                       AS INT)}
+             for i in generate_series(1, len(v))]) AS u
+           FROM n WHERE nrm > 0) t""") { (spark, dir) =>
+      val unit = Similarity.normalized(
+        Tables.df(spark, dir, "embeddings"), "embedding")
+        .filter(col("embedding_unit").isNotNull)
+      unit.select(col("vec_id"),
+          posexplode(Similarity.quantizeInt8(col("embedding_unit"))))
+        .select(col("vec_id"), col("pos").cast("long").as("idx"),
+          col("col").as("q"))
     })
 }

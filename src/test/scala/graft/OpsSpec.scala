@@ -124,6 +124,36 @@ class SimilaritySpec extends AnyFunSuite {
     sims.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
   }
 
+  test("normalize + int8 quantize: unit norm, range, inverse error") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings")
+    val unit = Similarity.normalized(emb, "embedding")
+    // every normalized vector has norm 1
+    val norms = unit.filter(col("embedding_unit").isNotNull)
+      .select(sqrt(aggregate(col("embedding_unit"), lit(0.0),
+        (acc, x) => acc + x * x)).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.nonEmpty)
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
+    // zero and null vectors have no direction
+    val degenerate = Seq(
+      (1L, Some(Seq(0.0f, 0.0f))), (2L, Option.empty[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.normalized(degenerate, "embedding")
+      .filter(col("embedding_unit").isNotNull).count() == 0)
+    // quantized components stay in [-127, 127] and invert to within
+    // half a quantization step
+    val rows = unit.filter(col("embedding_unit").isNotNull).limit(20)
+      .select(col("embedding_unit").as("u"),
+        Similarity.quantizeInt8(col("embedding_unit")).as("q"))
+      .as[(Seq[Double], Seq[Int])].collect()
+    rows.foreach { case (u, qs) =>
+      qs.foreach(qv => assert(qv >= -127 && qv <= 127))
+      u.zip(qs).foreach { case (x, qv) =>
+        assert(math.abs(x - qv / 127.0) <= 0.5 / 127.0 + 1e-12) }
+    }
+  }
+
   test("dot product matches HOF fold bit-for-bit, incl. null semantics") {
     import spark.implicits._
     val df = Seq(
