@@ -258,6 +258,20 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** The deduplicated corpus: resolve candidate pairs into clusters and
+    * keep one representative (the min id) per cluster, plus every doc
+    * in no pair at all. This is the filter a pipeline actually applies
+    * after any pair-finding pass — dropping both sides of every pair
+    * independently over-deletes on chains a—b—c (b and c both vanish
+    * even though killing b breaks the a—c link). */
+  def representatives(df: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
 }
 
 /** 64-bit SimHash over a token array: per token a 64-bit hash votes ±1

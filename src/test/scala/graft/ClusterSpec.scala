@@ -31,6 +31,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.size == 61 && got.values.forall(_ == 0L))
   }
 
+  test("representatives keep one doc per cluster plus all unpaired docs") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("id", "t")
+    // chain 1-2-3, pair 5-6; 4,7..10 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val kept = Dedup.representatives(docs, pairs, "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L, 9L, 10L))
+  }
+
   test("two rings merge when bridged") {
     val ringA = (0L until 5L).map(i => (i, (i + 1) % 5))
     val ringB = (10L until 15L).map(i => (i, 10L + (i + 1 - 10) % 5))
