@@ -105,6 +105,29 @@ object EvmLoaders {
     "tokens" -> Set("tokens"))
 }
 
+/** Multi-day backfill: one enrich-and-overwrite pass PER DAY in
+  * chronological order — the reference's Airflow catchup shape, and
+  * the loop the enrich joins' contract requires (each pass sees ONE
+  * chain-day of blocks, which is why `Enrich.*` may broadcast the
+  * blocks side unconditionally; a months-wide blocks frame must never
+  * reach a single pass). Idempotent per day: dynamic partition
+  * overwrite makes re-running any day a no-op on the others. */
+object Backfill {
+  def run(loaders: Seq[LoadJob],
+      rawForDay: JobDate => Map[String, DataFrame],
+      warehousePath: String, from: LocalDate, to: LocalDate,
+      filesPerPartition: Int = 1): Seq[JobDate] = {
+    require(!to.isBefore(from), s"backfill range inverted: $from..$to")
+    val days = Iterator.iterate(from)(_.plusDays(1))
+      .takeWhile(!_.isAfter(to)).map(JobDate(_)).toSeq
+    days.foreach { d =>
+      val raw = rawForDay(d)
+      loaders.foreach(_.run(raw, warehousePath, d, filesPerPartition))
+    }
+    days
+  }
+}
+
 /** S12 — cross-warehouse transfer boundary
   * (`/root/reference/dags/chains/transfer.py`,
   * `transfer_client.py:26-35`): ships selected tables to a client

@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * is still right-sized for logs/traces (daily volume / 100), but we
   * expose it as a knob instead of hard-coding 1.
   *
-  * Overwrite uses `partitionOverwriteMode=dynamic` (set in GraftSession)
-  * so only partitions present in the batch are replaced — a re-run of one
-  * day never clears other days.
+  * Overwrite uses `partitionOverwriteMode=dynamic` (as a per-write
+  * option, so it holds in any session) — only partitions present in the
+  * batch are replaced, and a re-run of one day never clears other days.
   */
 object PartitionedWriter {
 
@@ -46,6 +46,11 @@ object PartitionedWriter {
       }
     sized.write
       .mode(SaveMode.Overwrite)
+      // per-write option, not the session conf: the "a re-run of one
+      // day never clears other days" contract must hold in ANY session,
+      // not only ones built by GraftSession (static overwrite here
+      // silently truncates every other day's partition)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(path)
   }

@@ -31,6 +31,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(dirs != null && dirs.exists(_.startsWith("address_hash=")))
   }
 
+  test("backfill loops days chronologically and stays per-day idempotent") {
+    val w = Files.createTempDirectory("graft_bf").toString
+    val ev = Tables.df(spark, sf, "events")
+    // each day sees a disjoint third of the events — the one-chain-day
+    // raw slice shape the enrich broadcast contract assumes
+    def rawFor(d: JobDate) = {
+      val slice = ev.filter(col("event_id") % 3 ===
+        (d.ds.getDayOfMonth - 1).toLong)
+      Map("logs" -> EvmFixtures.logs(slice),
+        "blocks" -> EvmFixtures.blocksForLogs(slice))
+    }
+    val from = java.time.LocalDate.parse("2026-02-01")
+    val days = Backfill.run(Seq(EvmLoaders.all("logs")), rawFor, w,
+      from, from.plusDays(2))
+    assert(days.map(_.dsString) ==
+      Seq("2026-02-01", "2026-02-02", "2026-02-03"))
+    val loaded = spark.read.parquet(s"$w/logs")
+    assert(loaded.select("dt").distinct().count() == 3)
+    assert(loaded.count() == ev.count())
+    // re-running one mid-range day rewrites only that partition
+    val before = loaded.count()
+    Backfill.run(Seq(EvmLoaders.all("logs")), rawFor, w,
+      from.plusDays(1), from.plusDays(1))
+    assert(spark.read.parquet(s"$w/logs").count() == before)
+  }
+
   test("re-running a day is idempotent (same row count)") {
     val ev = Tables.df(spark, sf, "events")
     val raw = Map(
