@@ -267,6 +267,16 @@ object Dedup {
     * even though killing b breaks the a—c link). */
   def representatives(df: DataFrame, pairs: DataFrame, idCol: String,
       aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    // connectedComponents casts ids to long; a non-numeric id would
+    // either ANSI-throw or (ANSI off) cast to null and silently skip
+    // all dedup — fail loudly instead
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    Seq(pairs.schema(aCol), pairs.schema(bCol), df.schema(idCol))
+      .foreach { f =>
+        require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(f.dataType),
+          s"representatives needs integral ids; ${f.name} is ${f.dataType}")
+      }
     val losers = connectedComponents(pairs, aCol, bCol)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("__loser"))

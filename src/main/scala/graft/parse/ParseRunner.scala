@@ -136,7 +136,12 @@ object ParseRunner {
         val path = s"$warehouse/${t.contract.datasetName}/" +
           t.tableName.replace('.', '_')
         if (df.columns.contains("dt"))
-          df.write.mode("overwrite").partitionBy("dt").parquet(path)
+          // per-write dynamic overwrite, same contract as
+          // PartitionedWriter: day N's parse must never truncate other
+          // days' partitions, regardless of the session's conf
+          df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dt").parquet(path)
         else df.write.mode("overwrite").parquet(path)
         // read back with the writer's schema: a zero-row partitioned
         // write leaves no part files, and schema INFERENCE over the

@@ -110,8 +110,17 @@ object EvmLoaders {
   * the loop the enrich joins' contract requires (each pass sees ONE
   * chain-day of blocks, which is why `Enrich.*` may broadcast the
   * blocks side unconditionally; a months-wide blocks frame must never
-  * reach a single pass). Idempotent per day: dynamic partition
-  * overwrite makes re-running any day a no-op on the others. */
+  * reach a single pass).
+  *
+  * Re-running a day is idempotent for Overwrite-mode loaders (dynamic
+  * partition overwrite replaces just that day); Append-mode loaders
+  * (tokens) are NOT — their dedup lives in the incremental EXCEPT
+  * against warehouse state, so a retry must re-derive
+  * `tokens_existing` from the live warehouse in `rawForDay`.
+  *
+  * Each day's raw inputs are cached for the duration of that day's
+  * loader fan-out: blocks alone feeds seven enrich joins, and without
+  * the cache every loader's action re-scans the day's source. */
 object Backfill {
   def run(loaders: Seq[LoadJob],
       rawForDay: JobDate => Map[String, DataFrame],
@@ -122,7 +131,9 @@ object Backfill {
       .takeWhile(!_.isAfter(to)).map(JobDate(_)).toSeq
     days.foreach { d =>
       val raw = rawForDay(d)
-      loaders.foreach(_.run(raw, warehousePath, d, filesPerPartition))
+      raw.values.foreach(_.cache())
+      try loaders.foreach(_.run(raw, warehousePath, d, filesPerPartition))
+      finally raw.values.foreach(_.unpersist(false))
     }
     days
   }

@@ -148,7 +148,11 @@ object SimilarityQueries extends QueryGroup {
            SELECT vec_id, embedding AS v,
              sqrt(list_sum(list_transform(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-           FROM embeddings)
+           FROM embeddings
+           -- null-element semantics differ (Spark's fold nulls the
+           -- whole norm, DuckDB's list_sum skips nulls): exclude such
+           -- vectors explicitly so both engines agree by construction
+           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)
          SELECT vec_id, u.i - 1 AS idx, u.q FROM (
            SELECT vec_id, unnest([{'i': i,
              'q': CAST(floor(127.0 * (CAST(v[i] AS DOUBLE) / nrm) + 0.5)

@@ -50,10 +50,17 @@ class PipelineSpec extends AnyFunSuite {
     val loaded = spark.read.parquet(s"$w/logs")
     assert(loaded.select("dt").distinct().count() == 3)
     assert(loaded.count() == ev.count())
-    // re-running one mid-range day rewrites only that partition
+    // re-running one mid-range day rewrites only that partition — with
+    // the SESSION conf forced to static, so the test fails if the
+    // writer ever drops its per-write dynamic-overwrite option (the
+    // data-loss mode in sessions not built by GraftSession)
     val before = loaded.count()
-    Backfill.run(Seq(EvmLoaders.all("logs")), rawFor, w,
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(confKey)
+    spark.conf.set(confKey, "static")
+    try Backfill.run(Seq(EvmLoaders.all("logs")), rawFor, w,
       from.plusDays(1), from.plusDays(1))
+    finally spark.conf.set(confKey, prev)
     assert(spark.read.parquet(s"$w/logs").count() == before)
   }
 
