@@ -20,9 +20,12 @@ object Bench {
     warmup(spark, sfDir)
     // single-shot timings on a 32-thread shared box swing up to 3×
     // on GC/JIT noise (observed: the same decode query at 2.6 s and
-    // 8.1 s in one session). For queries past 1 s, time a second run
-    // and report the min — the reproducible cost of the plan, not the
-    // worst interleaving with the previous query's GC debt.
+    // 8.1 s in one session). Queries past 1 s get a second run,
+    // sub-second queries two more (3 total) — min is reported: the
+    // reproducible cost of the plan, not the worst interleaving with
+    // the previous query's GC debt. Sub-second queries are the
+    // noisiest relative to their size (a single GC pause is a 3×
+    // swing), hence the extra repetition there.
     def time(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -30,12 +33,20 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t1 = time(fn)
-      name -> (if (t1 > 1.0) math.min(t1, time(fn)) else t1)
+      val best = if (t1 > 1.0) math.min(t1, time(fn))
+        else Seq(t1, time(fn), time(fn)).min
+      // progress to stderr so stdout stays exactly one JSON line
+      System.err.println(f"bench $name%-30s $best%8.3f s")
+      name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line JSON compact (~half the
+    // full-double length) so the driver's tail capture can't truncate
+    // it; the totals value sits at the HEAD of the line for the same
+    // reason. This stays the FINAL (and only) stdout line.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

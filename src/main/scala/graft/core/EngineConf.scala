@@ -55,7 +55,13 @@ object EngineConf {
     if (chain == "ethereum" && heavyTransferRawTables(table)) HeavyTransfer
     else Default
 
-  /** `resource_apply.py:68-77` — decoded-table transfer sizing. */
+  /** `resource_apply.py:68-77` — decoded-table transfer sizing.
+    *
+    * Deliberate deviation: the reference ALSO compares abi_type, but its
+    * config entry carries abi_type=None, so its erc20 Transfer heavy
+    * profile can never actually fire — we match the evident intent
+    * (heavy profile for the erc20 Transfer table), not the reference's
+    * literal dead-branch semantics. */
   def forTransferAbi(chain: String, dataset: String, contract: String,
       abiName: String): SparkResource =
     if (chain == "ethereum" && dataset == "common" &&

@@ -144,9 +144,15 @@ object Dedup {
     // the doc's own (short) text, not a constant: identical short docs
     // still collide, but non-identical short docs no longer pile into
     // one mega-bucket (O(m²) candidates at corpus scale).
-    val sh = shingles(col(textCol), n)
-    val guarded = when(size(coalesce(sh, array())) === 0,
-      array(coalesce(col(textCol), lit("")))).otherwise(sh)
+    // The guard tests the CHEAP token-count predicate, not
+    // size(shingles(...)): CASE branches don't share subexpressions with
+    // the condition, so a size() guard builds the full shingle array once
+    // for the test and again in the otherwise branch — shingling is the
+    // dominant per-row cost. `isNull || #tokens < n` is equivalent:
+    // shingles() is null iff the text is null and empty iff #tokens < n.
+    val t = col(textCol)
+    val guarded = when(t.isNull || size(split(t, " ")) < n,
+      array(coalesce(t, lit("")))).otherwise(shingles(t, n))
     spread(df, col(idCol)).select(col(idCol).as("doc"),
       CB.column(MinHashArray(CB.expression(guarded), k)).as("mh"))
   }
@@ -238,20 +244,23 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("a"), col("comp")), "a")
         .groupBy(col("b").as("id")).agg(min("comp").as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp")))
+      // carry the round's starting label as `prev` so convergence is a
+      // filter over the checkpointed result — not a join back against
+      // the previous label table plus a separate job
+      val stepped = labels.select(col("id"), col("comp").as("prev"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr"), col("prev")))
             .as("comp"))
       // pointer jump: comp values are node ids, so look up THEIR comp
       val jumped = stepped
         .join(stepped.select(col("id").as("cid"), col("comp").as("cc")),
           col("comp") === col("cid"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("cc"),
+        .select(col("id"), col("prev"), least(col("comp"), coalesce(col("cc"),
           col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = jumped.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = jumped
+      changed = jumped.filter(col("comp") =!= col("prev")).count()
+      labels = jumped.select("id", "comp")
       iter += 1
     }
     require(changed == 0,

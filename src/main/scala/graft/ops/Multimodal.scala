@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * partition-level batch transform (`mapPartitions` over a typed
   * Dataset — the Scala analogue of arrow-batched pandas UDFs).
   *
-  * The actual image/audio decode is STUBBED with a deterministic fake
-  * (no media libs in this container — see the builder brief): the
+  * Image payloads (`image/ *` media types) decode for REAL through
+  * javax.imageio — in the JDK, so the offline build still works.
+  * Audio/video decode is STUBBED with a deterministic fake (no ffmpeg
+  * class of libs in this container — see the builder brief): the
   * Spark-side plumbing (schema, partitioning, batch iteration, typed
-  * output) is real and tested.
+  * output) is identical either way.
   */
 object Multimodal {
 
@@ -39,6 +41,23 @@ object Multimodal {
       checksum = crc)
   }
 
+  /** Real decode for image payloads: javax.imageio parses the actual
+    * PNG/JPEG/GIF/BMP bytes into true width/height (byte_len/checksum
+    * stay payload-derived, n_frames = 1 for stills). Anything ImageIO
+    * can't read — non-image media, torn payload — degrades to the
+    * deterministic stub instead of failing the partition: at corpus
+    * scale a few corrupt blobs are data, not an exception. */
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.media_type != null && r.media_type.startsWith("image/")) {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) fakeDecode(r)
+        else fakeDecode(r)
+          .copy(width = img.getWidth, height = img.getHeight, n_frames = 1)
+      } catch { case _: Exception => fakeDecode(r) }
+    } else fakeDecode(r)
+
   /** Batch feature extraction: repartition for decode parallelism (media
     * decode is CPU-bound — partition count should be ≈ total cores, not
     * file count), then one pass per partition. */
@@ -46,7 +65,7 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.repartition(partitions)
-      .mapPartitions(_.map(fakeDecode))
+      .mapPartitions(_.map(decode))
   }
 
   /** Build a media table from documents (payload = utf-8 bytes) — the

@@ -42,8 +42,15 @@ object Pack {
     require(budget > 0, s"budget must be positive, got $budget")
     val n = if (shards > 0) shards
       else docs.sparkSession.sparkContext.defaultParallelism
+    // materialize once: the quantile probe, the shard-totals collect and
+    // the final cumsum would otherwise each re-evaluate the ENTIRE
+    // upstream plan (3× a curation chain in q_curate_corpus), and a
+    // non-deterministic input would desync the broadcast offsets from
+    // the final pass. localCheckpoint blocks are context-cleaned once
+    // the result goes unreachable (same pattern as Dedup.jaccardPairs).
     val base = docs.select(col(idCol),
       coalesce(col(tokensCol).cast("long"), lit(0L)).as("tokens"))
+      .localCheckpoint()
     // literal range boundaries: shard = #(bounds strictly below id)
     val probs = (1 until n).map(_.toDouble / n).toArray
     val bounds =

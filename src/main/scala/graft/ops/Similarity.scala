@@ -63,19 +63,36 @@ object Similarity {
         col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 → uniform in [-1, 1). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+  /** Deterministic pseudo-random hyperplane for `plane`, materialized as
+    * a literal array<double>: component i is xxhash64(plane, i) scaled
+    * to [-1, 1) — the SAME value the per-row HOF formulation computed,
+    * but evaluated ONCE driver-side instead of nPlanes×nTables×d
+    * interpreted aggregate/zip_with folds per row. The per-row work is
+    * then a single codegen'd [[DotProductFold]] per plane, with the
+    * identical sequential IEEE accumulation order, so bucket ids are
+    * bit-for-bit unchanged. */
+  private def planeLiteral(plane: Int, dim: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    lit(Array.tabulate(dim) { i =>
+      new XxHash64(Seq(Literal(plane), Literal(i))).eval(null)
+        .asInstanceOf[Long].toDouble / Long.MaxValue.toDouble
+    })
+  }
+
+  /** Embedding dimensionality, read from the first row (one tiny job).
+    * Uniform dims are the contract for an embedding column; a row whose
+    * vector has a different length projects to null (DotProductFold's
+    * length guard) and lands in the sign-0 sentinel bucket rather than
+    * crashing. */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
 
   /** nPlanes-bit LSH bucket id from hyperplane signs (plane ids offset
     * per table so tables are independent). */
-  def lshBucket(vec: Column, nPlanes: Int, table: Int = 0): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, table: Int, dim: Int): Column = {
     val bits: Seq[Column] = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(table * 1000 + p, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, planeLiteral(table * 1000 + p, dim))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -83,9 +100,10 @@ object Similarity {
 
   /** Per-row (table, bucket) pairs for nTables independent hash tables —
     * the standard recall lever for sign-LSH. */
-  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
+  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int,
+      dim: Int): Column =
     explode(array((0 until nTables).map(t =>
-      struct(lit(t).as("t"), lshBucket(vec, nPlanes, t).as("b"))): _*))
+      struct(lit(t).as("t"), lshBucket(vec, nPlanes, t, dim).as("b"))): _*))
 
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer —
     * centroids are a fixed slice of the corpus (every `centroidEvery`-th
@@ -134,13 +152,14 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
       nTables: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
     val c = spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         norm(col(vecCol)).as("n_norm"),
-        tableBuckets(col(vecCol), nPlanes, nTables).as("tb"))
+        tableBuckets(col(vecCol), nPlanes, nTables, dim).as("tb"))
       .select(col("n_id"), col("n_vec"), col("n_norm"), col("tb.t"), col("tb.b"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_norm"),
-        tableBuckets(col(vecCol), nPlanes, nTables).as("tb"))
+        tableBuckets(col(vecCol), nPlanes, nTables, dim).as("tb"))
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("tb.t"), col("tb.b"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
@@ -170,12 +189,13 @@ object Similarity {
   def lshNearDup(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
     val c = spread(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     // candidates travel as bare id pairs — vectors join back only for
     // the verify, keeping the blocking shuffle narrow
     val bands = c.select(col("id"),
-        tableBuckets(col("vec"), nPlanes, nTables).as("tb"))
+        tableBuckets(col("vec"), nPlanes, nTables, dim).as("tb"))
       .select(col("id"), col("tb.t"), col("tb.b"))
     val cands = bands.select(col("t"), col("b"), col("id").as("a_id"))
       .join(bands.select(col("t"), col("b"), col("id").as("b_id")),

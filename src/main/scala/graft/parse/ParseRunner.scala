@@ -123,32 +123,69 @@ object ParseRunner {
     * `{warehouse}/{dataset}/{table}` — partitioned by `dt` when the
     * enriched inputs carry it (the reference's daily INSERT OVERWRITE
     * shape), plain parquet otherwise. Returns (tableName, rowsWritten)
-    * per task. */
+    * per task, in catalog order.
+    *
+    * Tasks are submitted from a BOUNDED pool of `parallelism` driver
+    * threads into the `graft-parse` FAIR scheduler pool — the
+    * reference runs its 146+490 decode jobs as parallel Airflow tasks
+    * (`parser.py:71-98`, `build_chain_dags.py:14-15` parallelism
+    * knobs); one-at-a-time submission would leave the cluster idle
+    * between small jobs at corpus width. Each task touches only its
+    * own output path and the shared cached inputs, so concurrent
+    * execution is write-disjoint; results are collected back into
+    * catalog order regardless of completion order. */
   def run(spark: SparkSession, catalog: ContractCatalog,
       logs: DataFrame, traces: DataFrame, warehouse: String,
-      select: ParseTask => Boolean = _ => true): Seq[(String, Long)] = {
+      select: ParseTask => Boolean = _ => true,
+      parallelism: Int = 4): Seq[(String, Long)] = {
     val selected = tasks(catalog).filter(select)
     // one materialization of the enriched day, shared by every decode
     logs.cache(); traces.cache()
     try {
-      selected.map { t =>
-        val df = t.dataFrame(logs, traces)
-        val path = s"$warehouse/${t.contract.datasetName}/" +
-          t.tableName.replace('.', '_')
-        if (df.columns.contains("dt"))
-          // per-write dynamic overwrite, same contract as
-          // PartitionedWriter: day N's parse must never truncate other
-          // days' partitions, regardless of the session's conf
-          df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("dt").parquet(path)
-        else df.write.mode("overwrite").parquet(path)
-        // read back with the writer's schema: a zero-row partitioned
-        // write leaves no part files, and schema INFERENCE over the
-        // bare _SUCCESS dir would throw — an empty decode (contract
-        // with no matching events that day) is a 0-count, not a crash
-        t.tableName -> spark.read.schema(df.schema).parquet(path).count()
+      if (parallelism <= 1 || selected.size <= 1)
+        selected.map(runOne(spark, _, logs, traces, warehouse))
+      else {
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          val fs = selected.map { t =>
+            Future {
+              // local property is per-thread: every job this task
+              // submits lands in the shared FAIR pool (no-op when the
+              // context scheduler is FIFO)
+              spark.sparkContext
+                .setLocalProperty("spark.scheduler.pool", "graft-parse")
+              runOne(spark, t, logs, traces, warehouse)
+            }
+          }
+          Await.result(Future.sequence(fs), Duration.Inf)
+        } finally pool.shutdown()
       }
     } finally { logs.unpersist(); traces.unpersist() }
+  }
+
+  private def runOne(spark: SparkSession, t: ParseTask,
+      logs: DataFrame, traces: DataFrame,
+      warehouse: String): (String, Long) = {
+    val df = t.dataFrame(logs, traces)
+    val path = s"$warehouse/${t.contract.datasetName}/" +
+      t.tableName.replace('.', '_')
+    if (df.columns.contains("dt"))
+      // per-write dynamic overwrite, same contract as
+      // PartitionedWriter: day N's parse must never truncate other
+      // days' partitions, regardless of the session's conf
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt").parquet(path)
+    else df.write.mode("overwrite").parquet(path)
+    // read back with the writer's schema: a zero-row partitioned
+    // write leaves no part files, and schema INFERENCE over the
+    // bare _SUCCESS dir would throw — an empty decode (contract
+    // with no matching events that day) is a 0-count, not a crash
+    t.tableName -> spark.read.schema(df.schema).parquet(path).count()
   }
 }

@@ -113,15 +113,28 @@ object EventsStream {
     * Returns the sink directory read back as a batch DataFrame. */
   def runToFiles(spark: SparkSession, path: String, outDir: String,
       pipeline: DataFrame => DataFrame): DataFrame = {
-    boundedRun(spark, path, pipeline) { out =>
-      out.writeStream
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-        .outputMode("append")
-    }
+    // checkpoint state is only meaningful for the bounded run itself —
+    // delete it afterwards so repeated spec/bench runs don't accumulate
+    // state-store files under /tmp
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    try {
+      boundedRun(spark, path, pipeline) { out =>
+        out.writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+      }
+    } finally deleteRecursively(ckpt)
     spark.read.parquet(outDir)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(): Unit
+    }
+    del(p.toFile)
   }
 
   private def runStream(spark: SparkSession, path: String,
@@ -155,6 +168,9 @@ object EventsStream {
       val q = sink(pipeline(readEvents(spark, dir.toString))).start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(dir)
+    }
   }
 }

@@ -293,6 +293,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batchFinal)
   }
 
+  test("file-sink interval join equals memory-sink run (sink parity)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sink_ivj").toString
+    val files = graft.streaming.EventsStream
+      .runToFiles(spark, s"$sf/events.parquet", out,
+        graft.streaming.EventsStream.viewClickJoin)
+      .select("user_id", "view_id", "click_id", "view_us", "click_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val mem = graft.streaming.EventsStream
+      .runViewClickToBatch(spark, s"$sf/events.parquet", "spec_ivj_parity")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(files.nonEmpty && files == mem)
+  }
+
   test("stream-stream interval join equals batch interval join") {
     import org.apache.spark.sql.functions._
     val stream = graft.streaming.EventsStream
@@ -334,6 +352,31 @@ class MultimodalSpec extends AnyFunSuite {
     val again = graft.ops.Multimodal.extractFeatures(media, 2)
       .collect().map(f => f.media_id -> f.checksum).toMap
     rows.foreach(f => assert(again(f.media_id) == f.checksum))
+  }
+
+  test("image payloads decode for real via ImageIO; bad bytes fall back") {
+    import graft.ops.Multimodal
+    import Multimodal.MediaRecord
+    val s = spark; import s.implicits._
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff00ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val recs = Seq(
+      MediaRecord(1L, png, "image/png"),
+      MediaRecord(2L, Array[Byte](1, 2, 3), "image/png"), // torn payload
+      MediaRecord(3L, png, "fake/en")) // non-image media_type: stub path
+    val out = Multimodal.extractFeatures(recs.toDS(), 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width == 7 && out(1L).height == 5 &&
+      out(1L).n_frames == 1)
+    // byte-derived fields come from the payload either way
+    assert(out(1L).byte_len == png.length.toLong &&
+      out(1L).checksum == Multimodal.fakeDecode(recs.head).checksum)
+    assert(out(2L) == Multimodal.fakeDecode(recs(1)))
+    assert(out(3L) == Multimodal.fakeDecode(recs(2)))
   }
 }
 

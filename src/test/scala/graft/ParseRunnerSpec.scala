@@ -115,4 +115,19 @@ class ParseRunnerSpec extends AnyFunSuite {
       t => t.tableName == "common.erc20_evt_Approval").toMap
     assert(counts0.values.toSeq == Seq(0L))
   }
+
+  test("parallel submission matches the sequential path, in catalog order") {
+    assume(new java.io.File(ParseQueries.CorpusDir).exists())
+    val names = ParseRunner.tasks(catalog).filter(_.isEvent)
+      .take(8).map(_.tableName).toSet
+    def wh() = java.nio.file.Files.createTempDirectory("graft_whp").toString
+    val seqR = ParseRunner.run(spark, catalog, logsFixture, tracesFixture,
+      wh(), t => names(t.tableName), parallelism = 1)
+    val parR = ParseRunner.run(spark, catalog, logsFixture, tracesFixture,
+      wh(), t => names(t.tableName), parallelism = 4)
+    assert(parR == seqR)
+    // results come back in catalog order regardless of completion order
+    assert(parR.map(_._1) == ParseRunner.tasks(catalog)
+      .filter(t => names(t.tableName)).map(_.tableName))
+  }
 }
