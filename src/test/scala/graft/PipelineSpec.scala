@@ -94,6 +94,36 @@ class PipelineSpec extends AnyFunSuite {
       s"no address_hash partition filter in plan:\n$explained")
   }
 
+  test("backfill→parse lifecycle decodes both days from the warehouse") {
+    val out = graft.queries.ParseQueries.lifecycle(spark, sf)
+    val byDt = out.groupBy("dt").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both backfilled days surface in the decoded table, each non-empty
+    assert(byDt.keySet == Set("2026-03-01", "2026-03-02"), byDt.toString)
+    assert(byDt.values.forall(_ > 0))
+  }
+
+  test("single-day parse over the warehouse prunes dt AND bucket dirs") {
+    // the daily parse shape: read the enriched warehouse for ONE day,
+    // decode — both the dt filter and the selector_hash bucket filter
+    // must land in PartitionFilters (directory pruning), not as a
+    // post-scan row filter
+    val logs = spark.read.parquet(s"$warehouse/logs")
+      .filter(col("dt") === java.sql.Date.valueOf("2026-01-01"))
+    val sample = logs.select("address", "selector").first()
+    val contract =
+      graft.abi.EvmContract("d", "c", Some(sample.getString(0)), Nil, Nil)
+    val abiJson = """{"name":"E","type":"event","inputs":[]}"""
+    val decoded = ParseJob.decodeEvents(logs, contract,
+      AbiJson.parseEvent(abiJson), abiJson)
+    val plan = decoded.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("dt"), s"no dt partition filter:\n$plan")
+    assert(pf.contains("address_hash"),
+      s"no address_hash partition filter:\n$plan")
+  }
+
   test("raw lifecycle: exists → delete → gone") {
     val tmp = Files.createTempDirectory("graft_raw")
     val f = tmp.resolve("x.json")
