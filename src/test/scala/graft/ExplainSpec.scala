@@ -116,6 +116,18 @@ class ExplainSpec extends AnyFunSuite {
       "HOF dot product leaked back into the plan")
   }
 
+  test("LSH bucketing plans literal planes + codegen'd dot, not HOFs") {
+    // hyperplane projections must be dot_product_fold against literal
+    // plane arrays — the interpreted aggregate(zip_with(...)) per
+    // (plane, row) fold is the pattern this replaced (r3 verdict)
+    val emb = Tables.df(spark, sf, "embeddings")
+    val p = plan(graft.ops.Similarity.lshNearDup(emb, 0.99))
+    assert(p.contains("dot_product_fold"),
+      s"native dot product missing from LSH plan:\n$p")
+    assert(!p.contains("aggregate(zip_with"),
+      "interpreted HOF plane projection leaked back into the LSH plan")
+  }
+
   test("decontamination probes a broadcast gram set — no corpus shuffle") {
     val docs = Tables.df(spark, sf, "documents")
     val p = plan(graft.ops.Decontaminate.flag(
