@@ -18,36 +18,65 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
-    // single-shot timings on a 32-thread shared box swing up to 3×
-    // on GC/JIT noise (observed: the same decode query at 2.6 s and
-    // 8.1 s in one session). Queries past 1 s get a second run,
-    // sub-second queries two more (3 total) — min is reported: the
-    // reproducible cost of the plan, not the worst interleaving with
-    // the previous query's GC debt. Sub-second queries are the
-    // noisiest relative to their size (a single GC pause is a 3×
-    // swing), hence the extra repetition there.
     def time(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t1 = time(fn)
-      val best = if (t1 > 1.0) math.min(t1, time(fn))
-        else Seq(t1, time(fn), time(fn)).min
-      // progress to stderr so stdout stays exactly one JSON line
-      System.err.println(f"bench $name%-30s $best%8.3f s")
+    // Timings on a 32-thread shared box are vulnerable to two distinct
+    // noise sources, each with its own defense:
+    //  (1) per-query GC/JIT jitter (a single pause is a 3x swing on a
+    //      sub-second query) — defended by an immediate within-pass
+    //      repeat for sub-second queries;
+    //  (2) sustained co-tenant contention windows lasting minutes —
+    //      back-to-back reps of one query BOTH land inside the window,
+    //      so min-of-2 does not defend (this poisoned one round's
+    //      official capture 2-14x). Defended by running the WHOLE suite
+    //      twice and taking the per-query min ACROSS passes: the two
+    //      samples of any query are now separated by a full suite
+    //      (~minutes), so a contention window cannot cover both.
+    // A fixed calibration query timed at suite start / between passes /
+    // end is emitted in the JSON: its spread is ~1x on a quiet box, so
+    // a contaminated run is self-identifying from the artifact alone.
+    def runPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t1 = time(fn)
+        name -> (if (t1 > 1.0) t1 else math.min(t1, time(fn)))
+      }
+    val calStart = time(calibration)
+    val pass1 = runPass()
+    val calMid = time(calibration)
+    val pass2 = runPass()
+    val calEnd = time(calibration)
+    val results = pass1.map { case (name, a) =>
+      val best = math.min(a, pass2(name))
+      System.err.println(f"bench $name%-30s $best%8.3f s  (p1 $a%.3f / p2 ${pass2(name)}%.3f)")
       name -> best
     }
+    val cals = Seq(calStart, calMid, calEnd)
+    val calSpread = if (cals.min > 0) cals.max / cals.min else -1.0
     // millisecond precision keeps the one-line JSON compact (~half the
     // full-double length) so the driver's tail capture can't truncate
-    // it; the totals value sits at the HEAD of the line for the same
-    // reason. This stays the FINAL (and only) stdout line.
+    // it; the totals value sits at the HEAD of the line and "sf" stays
+    // the FINAL key for the same reason. This stays the FINAL (and
+    // only) stdout line.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cal = f""""calibration":{"start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f,"spread":$calSpread%.2f}"""
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$cal,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Fixed-cost probe: full lineitem scan + hash aggregate. Cheap enough
+    * to run three times per suite, heavy enough (~0.2-0.5 s at sf0.1)
+    * that co-tenant CPU contention shows up as a multiplied wall time
+    * rather than vanishing into scheduler noise. */
+  private def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.core.Tables
+    Tables.df(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("q"), avg(col("l_extendedprice")).as("p"))
   }
 
   /** JIT/codegen/shuffle warmup on a NON-benchmarked synthetic pipeline
@@ -64,7 +93,8 @@ object Bench {
         .count()
       Tables.df(spark, sfDir, "documents").limit(100)
         .select(graft.ops.TextAnalysis.fingerprint(col("text"))).count()
-      // JIT the interpreted ABI decode path (CodegenFallback expression)
+      // JIT the generated code for the ABI decode expressions (codegen'd
+      // via doGenCode since round 3 — this warms the janino compile).
       val abi =
         """{"name":"W","type":"event","inputs":[
           {"indexed":false,"name":"v","type":"uint256"}]}"""
