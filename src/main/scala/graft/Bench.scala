@@ -83,15 +83,24 @@ object Bench {
     // A query that failed in BOTH passes carries -1 in "queries" (JSON
     // has no NaN), is excluded from the total, and its exception names
     // appear in "errors" — a failed query can never deflate the total.
+    // JSON has no NaN: every double goes through j() so a failed probe
+    // renders -1, keeping the one-line artifact parseable.
+    def j(v: Double): String = if (v.isNaN) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
+      "\"" + k + "\":" + j(v)
     }.mkString("{", ",", "}")
-    val total = results.values.filterNot(_.isNaN).sum
+    // A query failing BOTH passes would silently deflate a sum-of-passing
+    // total (a totals-only consumer would read the broken run as a
+    // speedup), so the headline value self-invalidates to -1 whenever any
+    // query failed; "failed":N plus "errors" carry the detail.
+    val failed = results.values.count(_.isNaN)
+    val total = if (failed > 0) Double.NaN else results.values.sum
     val errJson =
       if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""""errors":[""", ",", "],")
-    val cal = f""""calibration":{"start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f,"spread":$calSpread%.2f}"""
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$errJson$cal,"sf":"$sfDir"}""")
+    val calSpreadJ = if (calSpread.isNaN) "-1" else f"$calSpread%.2f"
+    val cal = s""""calibration":{"start":${j(calStart)},"mid":${j(calMid)},"end":${j(calEnd)},"spread":$calSpreadJ}"""
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","failed":$failed,"queries":$qs,$errJson$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -130,11 +139,13 @@ object Bench {
           array(lit("0x00")),
           unhex(lpad(hex(col("id")), 64, "0"))).as("d"))
         .select(col("d.v")).count()
-      // Run the calibration plan once UNTIMED so calStart doesn't pay
-      // its codegen + cold parquet read: without this, start/min spread
-      // reads ~2.4x on a perfectly quiet box and the contamination
-      // signal false-positives.
-      calibration(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // Run the calibration plan once UNTIMED so calStart doesn't pay its
+    // codegen + cold parquet read: without this, start/min spread reads
+    // ~2.4x on a perfectly quiet box and the contamination signal
+    // false-positives. Own try: an earlier warmup failure (e.g. a
+    // missing documents table) must not skip this step.
+    try { calibration(spark, sfDir).count() }
+    catch { case _: Throwable => () }
   }
 }

@@ -9,19 +9,25 @@ import org.apache.spark.sql.functions._
   * Dataset — the Scala analogue of arrow-batched pandas UDFs).
   *
   * Image payloads (`image/ *` media types) decode for REAL through
-  * javax.imageio — in the JDK, so the offline build still works.
-  * Audio/video decode is STUBBED with a deterministic fake (no ffmpeg
-  * class of libs in this container — see the builder brief): the
-  * Spark-side plumbing (schema, partitioning, batch iteration, typed
-  * output) is identical either way.
+  * javax.imageio, and audio payloads (`audio/ *`) through
+  * javax.sound.sampled (WAV/AIFF/AU — the formats the JDK ships
+  * codecs for) — both in the JDK, so the offline build still works.
+  * Video decode is STUBBED with a deterministic fake (no ffmpeg class
+  * of libs in this container — see the builder brief): the Spark-side
+  * plumbing (schema, partitioning, batch iteration, typed output) is
+  * identical either way.
   */
 object Multimodal {
 
   case class MediaRecord(media_id: Long, payload: Array[Byte],
       media_type: String)
+  /** `width/height/n_frames` carry image geometry (stills: n_frames=1);
+    * `sample_rate/channels/n_frames` carry audio shape (frames =
+    * samples per channel); the modalities a field doesn't apply to
+    * leave it at the stub value. */
   case class MediaFeatures(media_id: Long, media_type: String,
       byte_len: Long, width: Int, height: Int, n_frames: Int,
-      checksum: Long)
+      sample_rate: Int, channels: Int, checksum: Long)
 
   /** Deterministic fake decoder: "parses" the payload header into
     * dimensions + a checksum. Replace body with a real codec
@@ -38,13 +44,17 @@ object Multimodal {
       width = (len % 64).toInt + 1,
       height = ((len / 64) % 64).toInt + 1,
       n_frames = (len % 7).toInt + 1,
+      sample_rate = 0,
+      channels = 0,
       checksum = crc)
   }
 
   /** Real decode for image payloads: javax.imageio parses the actual
     * PNG/JPEG/GIF/BMP bytes into true width/height (byte_len/checksum
-    * stay payload-derived, n_frames = 1 for stills). Anything ImageIO
-    * can't read — non-image media, torn payload — degrades to the
+    * stay payload-derived, n_frames = 1 for stills). Real decode for
+    * audio payloads: javax.sound.sampled parses the actual WAV/AIFF/AU
+    * header into sample rate, channel count and frame count. Anything
+    * the JDK codecs can't read — video, torn payload — degrades to the
     * deterministic stub instead of failing the partition: at corpus
     * scale a few corrupt blobs are data, not an exception. */
   def decode(r: MediaRecord): MediaFeatures =
@@ -56,6 +66,22 @@ object Multimodal {
         else fakeDecode(r)
           .copy(width = img.getWidth, height = img.getHeight, n_frames = 1)
       } catch { case _: Exception => fakeDecode(r) }
+    } else if (r.media_type != null && r.media_type.startsWith("audio/")) {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          // frame length can be AudioSystem.NOT_SPECIFIED (-1) for
+          // streaming containers; keep the stub value in that case
+          val frames = ais.getFrameLength
+          fakeDecode(r).copy(
+            width = 0, height = 0,
+            n_frames = if (frames >= 0) frames.toInt else -1,
+            sample_rate = fmt.getSampleRate.toInt,
+            channels = fmt.getChannels)
+        } finally ais.close()
+      } catch { case _: Exception => fakeDecode(r) }
     } else fakeDecode(r)
 
   /** Batch feature extraction: repartition for decode parallelism (media
@@ -66,6 +92,25 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.repartition(partitions)
       .mapPartitions(_.map(decode))
+  }
+
+  /** Canonical PCM16 little-endian WAV payload, synthesized through the
+    * real JDK encoder (AudioSystem.write) so the decode side exercises
+    * a genuine round-trip: 44-byte RIFF header + nFrames·channels·2
+    * data bytes. Sample i is a deterministic triangle-ish ramp so the
+    * payload (and thus checksum) is reproducible. */
+  def wavPayload(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < pcm.length) { pcm(i) = ((i * 31 + 7) & 0xff).toByte; i += 1 }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Build a media table from documents (payload = utf-8 bytes) — the

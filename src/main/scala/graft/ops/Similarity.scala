@@ -79,14 +79,29 @@ object Similarity {
     })
   }
 
-  /** Embedding dimensionality, read from the first row (one tiny job).
-    * Uniform dims are the contract for an embedding column; a row whose
-    * vector has a different length projects to null (DotProductFold's
-    * length guard) and lands in the sign-0 sentinel bucket rather than
-    * crashing. */
+  /** Embedding dimensionality, read from the first indexable row (one
+    * tiny job). Uniform dims are the contract for an embedding column;
+    * rows that deviate are routed out of candidate generation by
+    * [[isIndexable]]. */
   private def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(0)
+    df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** True iff the vector can participate in sign-LSH candidate
+    * generation: non-null, corpus-dimensional, with a strictly positive
+    * finite norm. Everything else — null vectors, wrong-length vectors
+    * (whose plane projection is null via DotProductFold's length guard),
+    * all-zero vectors, vectors with null/NaN components — projects to
+    * the sign-0 bit on EVERY plane and would pile into one mega-bucket
+    * per table: at corpus scale a few million junk embeddings become a
+    * |bucket|² candidate blowup. Excluding them changes no result: any
+    * pair involving such a vector has null/NaN cosine, which can never
+    * satisfy `sim >= threshold` nor outrank a real neighbor. (Same
+    * sentinel design as the MinHash short-doc guard in Dedup.) */
+  private[graft] def isIndexable(vec: Column, dim: Int): Column = {
+    val n = norm(vec) // null for null vec, null components, length 0
+    vec.isNotNull && size(vec) === dim && n > 0 && !isnan(n)
+  }
 
   /** nPlanes-bit LSH bucket id from hyperplane signs (plane ids offset
     * per table so tables are independent). */
@@ -153,11 +168,13 @@ object Similarity {
       nTables: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val dim = vecDim(corpus, vecCol)
-    val c = spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+    val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         norm(col(vecCol)).as("n_norm"),
         tableBuckets(col(vecCol), nPlanes, nTables, dim).as("tb"))
       .select(col("n_id"), col("n_vec"), col("n_norm"), col("tb.t"), col("tb.b"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+    val q = queries.filter(isIndexable(col(vecCol), dim))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_norm"),
         tableBuckets(col(vecCol), nPlanes, nTables, dim).as("tb"))
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("tb.t"), col("tb.b"))
@@ -193,8 +210,10 @@ object Similarity {
     val c = spread(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
     // candidates travel as bare id pairs — vectors join back only for
-    // the verify, keeping the blocking shuffle narrow
-    val bands = c.select(col("id"),
+    // the verify, keeping the blocking shuffle narrow; degenerate
+    // vectors never enter a band (see isIndexable)
+    val bands = c.filter(isIndexable(col("vec"), dim))
+      .select(col("id"),
         tableBuckets(col("vec"), nPlanes, nTables, dim).as("tb"))
       .select(col("id"), col("tb.t"), col("tb.b"))
     val cands = bands.select(col("t"), col("b"), col("id").as("a_id"))

@@ -21,7 +21,9 @@ object MultimodalQueries extends QueryGroup {
            CAST((octet_length(encode(text)) % 64) + 1 AS INTEGER) AS width,
            CAST(((octet_length(encode(text)) // 64) % 64) + 1 AS INTEGER)
              AS height,
-           CAST((octet_length(encode(text)) % 7) + 1 AS INTEGER) AS n_frames
+           CAST((octet_length(encode(text)) % 7) + 1 AS INTEGER) AS n_frames,
+           CAST(0 AS INTEGER) AS sample_rate,
+           CAST(0 AS INTEGER) AS channels
          FROM documents""") { (spark, dir) =>
       implicit val s = spark
       val docs = Tables.df(spark, dir, "documents")
@@ -29,6 +31,38 @@ object MultimodalQueries extends QueryGroup {
       Multimodal.extractFeatures(media,
           spark.sparkContext.defaultParallelism)
         .drop("checksum") // rolling checksum has no SQL oracle
+    },
+
+    // REAL audio decode: payloads are canonical PCM16 WAVs synthesized
+    // through the JDK encoder with shape parameters derived from
+    // doc_id; the Spark side recovers rate/channels/frames by parsing
+    // the actual bytes (javax.sound.sampled), the oracle recomputes
+    // them from the same formulas — a wrong parse cannot hash-match
+    q("q_audio_features", "multimodal",
+      """SELECT doc_id AS media_id,
+           'audio/wav' AS media_type,
+           CAST(44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2 AS BIGINT)
+             AS byte_len,
+           CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(100 + doc_id % 400 AS INTEGER) AS n_frames
+         FROM documents""") { (spark, dir) =>
+      implicit val s = spark
+      import s.implicits._
+      val ids = Tables.df(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+      val media = ids.map { id =>
+        Multimodal.MediaRecord(id,
+          Multimodal.wavPayload(
+            8000 + (id % 4).toInt * 4000,
+            1 + (id % 2).toInt,
+            100 + (id % 400).toInt),
+          "audio/wav")
+      }
+      Multimodal.extractFeatures(media,
+          spark.sparkContext.defaultParallelism)
+        .select("media_id", "media_type", "byte_len", "sample_rate",
+          "channels", "n_frames")
     },
 
     q("q_binary_prefix", "multimodal",

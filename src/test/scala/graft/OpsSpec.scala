@@ -116,6 +116,43 @@ class SimilaritySpec extends AnyFunSuite {
       s"identical-vector pairs missed by LSH blocking: ${(exact -- lsh).take(5)}")
   }
 
+  test("degenerate vectors are routed out of LSH candidate generation") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // a junk block every real corpus carries: null vectors, zero
+    // vectors (en masse — the mega-bucket scenario), wrong-length and
+    // NaN-component vectors; all must stay out of every band
+    val junkDf = (Seq(
+        (800001L, Option.empty[Seq[Float]]),
+        (800002L, Some(Seq(1.0f, 2.0f))),
+        (800003L, Some(Seq.fill(dim)(Float.NaN)))
+      ) ++ (0 until 500).map(i => (810000L + i, Some(Seq.fill(dim)(0.0f))))
+      ).toDF("vec_id", "embedding")
+    assert(junkDf.filter(
+      Similarity.isIndexable(col("embedding"), dim)).count() == 0)
+    assert(emb.filter(
+      Similarity.isIndexable(col("embedding"), dim)).count() == emb.count())
+    // near-dup pairs are bit-identical with and without the junk block
+    // (any pair touching junk has null/NaN cosine — can never pass the
+    // threshold — so exclusion-before-banding changes no result)
+    val clean = Similarity.lshNearDup(emb, 0.99)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withJunk = Similarity.lshNearDup(emb.unionAll(junkDf), 0.99)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withJunk == clean)
+    // and top-k neighbors are unchanged when the corpus carries junk
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val cleanK = Similarity.lshTopK(emb, qs, 5, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val junkK = Similarity.lshTopK(emb.unionAll(junkDf), qs, 5, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(junkK == cleanK)
+  }
+
   test("cosine of identical vectors is 1") {
     val emb = Tables.df(spark, sf, "embeddings").limit(5)
     val sims = emb.select(
