@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.sql.{GraftColumnBridge => CB}
@@ -294,21 +294,36 @@ object Dedup {
 }
 
 /** 64-bit SimHash over a token array: per token a 64-bit hash votes ±1
-  * on each bit; the signature is the sign vector. CodegenFallback is
-  * fine here — cost is dominated by the per-token hashing loop either
-  * way. */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+  * on each bit; the signature is the sign vector. Codegen'd via the
+  * static-helper pattern (same as AbiDecodeExpressions): the generated
+  * projection calls [[SimHash64.compute]] directly, so the signature
+  * stage stays inside WholeStageCodegen with no interpreted
+  * Expression.eval round-trip per row. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  protected override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+object SimHash64 {
+  /** Whole-signature computation over the token array — shared verbatim
+    * by the interpreted eval and the generated code (a static forwarder
+    * makes this callable as plain Java from Janino). */
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = SimHash64.tokenHash(arr.getUTF8String(i).getBytes)
+        val h = tokenHash(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -323,11 +338,6 @@ case class SimHash64(child: Expression) extends UnaryExpression
     sig
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(c)
-}
-
-object SimHash64 {
   /** FNV-1a 64 over the token bytes — cheap, stable, public. */
   def tokenHash(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
@@ -345,15 +355,34 @@ object SimHash64 {
   * hashes per shingle (FNV-1a base mixed per-seed with a splitmix64
   * finalizer, identical math to [[MinHashAggregator]]), output = the
   * per-seed minima as array<long>. Null for null/empty input.
-  * CodegenFallback: cost is the per-shingle hashing loop either way. */
-case class MinHashArray(child: Expression, k: Int) extends UnaryExpression
-    with CodegenFallback {
+  * Codegen'd via [[MinHashArray.compute]] (static-helper pattern) —
+  * the nullSafeCodeGen body re-checks for the null-result case (empty
+  * shingle array), which is why `nullable` is hard-true. */
+case class MinHashArray(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  // empty (non-null) input yields a null signature
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_array"
 
-  protected override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(v: Any): Any =
+    MinHashArray.compute(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.ops.MinHashArray.compute($c, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashArray {
+  /** Whole-signature computation — shared verbatim by the interpreted
+    * eval and the generated code. Null for an empty shingle array. */
+  def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
@@ -363,7 +392,7 @@ case class MinHashArray(child: Expression, k: Int) extends UnaryExpression
         val base = SimHash64.tokenHash(arr.getUTF8String(i).getBytes)
         var j = 0
         while (j < k) {
-          val h = MinHashArray.mix(base ^ (j.toLong * 0xd6e8feb86659fd93L))
+          val h = mix(base ^ (j.toLong * 0xd6e8feb86659fd93L))
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -373,11 +402,6 @@ case class MinHashArray(child: Expression, k: Int) extends UnaryExpression
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
-object MinHashArray {
   /** splitmix64 finalizer — the per-seed mixer shared with
     * [[MinHashAggregator]]. */
   def mix(z0: Long): Long = {

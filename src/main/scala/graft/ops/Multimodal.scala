@@ -73,11 +73,16 @@ object Multimodal {
         try {
           val fmt = ais.getFormat
           // frame length can be AudioSystem.NOT_SPECIFIED (-1) for
-          // streaming containers; keep the stub value in that case
+          // streaming containers; -1 is kept as the explicit
+          // "not specified" sentinel in the output. Valid counts are
+          // clamped to Int.MaxValue: getFrameLength is a long, and a
+          // >2³¹-frame file (~13.5 h at 44.1 kHz) must not wrap
+          // negative through toInt.
           val frames = ais.getFrameLength
           fakeDecode(r).copy(
             width = 0, height = 0,
-            n_frames = if (frames >= 0) frames.toInt else -1,
+            n_frames = if (frames < 0) -1
+                       else math.min(frames, Int.MaxValue.toLong).toInt,
             sample_rate = fmt.getSampleRate.toInt,
             channels = fmt.getChannels)
         } finally ais.close()

@@ -79,25 +79,45 @@ object Similarity {
     })
   }
 
-  /** Embedding dimensionality, read from the first indexable row (one
-    * tiny job). Uniform dims are the contract for an embedding column;
-    * rows that deviate are routed out of candidate generation by
-    * [[isIndexable]]. */
-  private def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
-      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+  /** Embedding dimensionality: the MODE of `size(vec)` over the first
+    * 256 non-empty rows (one tiny head job). Uniform dims are the
+    * contract for an embedding column, but a junk row can arrive
+    * FIRST — and since [[isIndexable]] requires `size === dim`,
+    * deriving dim from a single row would then filter the entire real
+    * corpus out of candidate generation and silently return empty
+    * results. The sample mode is robust to any junk minority in the
+    * head; rows deviating from the modal dim are routed out by
+    * [[isIndexable]] as before. Ties break toward the smaller dim,
+    * deterministically. */
+  private def vecDim(df: DataFrame, vecCol: String): Int = {
+    val sizes = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .head(256).map(_.getInt(0))
+    if (sizes.isEmpty) 0
+    else sizes.groupBy(identity).maxBy { case (d, g) => (g.length, -d) }._1
+  }
 
   /** True iff the vector can participate in sign-LSH candidate
     * generation: non-null, corpus-dimensional, with a strictly positive
-    * finite norm. Everything else — null vectors, wrong-length vectors
-    * (whose plane projection is null via DotProductFold's length guard),
-    * all-zero vectors, vectors with null/NaN components — projects to
-    * the sign-0 bit on EVERY plane and would pile into one mega-bucket
-    * per table: at corpus scale a few million junk embeddings become a
-    * |bucket|² candidate blowup. Excluding them changes no result: any
-    * pair involving such a vector has null/NaN cosine, which can never
-    * satisfy `sim >= threshold` nor outrank a real neighbor. (Same
-    * sentinel design as the MinHash short-doc guard in Dedup.) */
+    * finite norm. Junk — null vectors, wrong-length vectors (whose
+    * plane projection is null via DotProductFold's length guard),
+    * all-zero vectors, vectors with null/NaN components — must be
+    * excluded for TWO reasons, and the second is correctness, not just
+    * scale:
+    *  - SCALE: every such vector projects to the sign-0 bit on EVERY
+    *    plane and piles into one mega-bucket per table; at corpus
+    *    scale a few million junk embeddings become a |bucket|²
+    *    candidate blowup.
+    *  - CORRECTNESS: Spark SQL orders NaN GREATER than every double
+    *    (NaN total ordering), so a NaN cosine — e.g. any pair
+    *    involving a zero-norm vector, 0/0 — would PASS
+    *    `sim >= threshold` in [[lshNearDup]] and rank FIRST under
+    *    `orderBy(sim.desc)` in [[lshTopK]]. The filter is a genuine
+    *    bugfix, not a no-op. (Note [[bruteForceTopK]], the recall
+    *    oracle, intentionally keeps the raw behavior — on a
+    *    junk-bearing corpus it ranks NaN pairs first and diverges
+    *    from the filtered lshTopK by construction; recall comparisons
+    *    assume a clean or pre-filtered corpus.)
+    * (Same sentinel design as the MinHash short-doc guard in Dedup.) */
   private[graft] def isIndexable(vec: Column, dim: Int): Column = {
     val n = norm(vec) // null for null vec, null components, length 0
     vec.isNotNull && size(vec) === dim && n > 0 && !isnan(n)

@@ -128,6 +128,57 @@ class ExplainSpec extends AnyFunSuite {
       "interpreted HOF plane projection leaked back into the LSH plan")
   }
 
+  test("simhash + minhash signatures are codegen'd — no CodegenFallback") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import graft.ops.{MinHashArray, SimHash64}
+    // the type-level contract: neither expression is a fallback anymore
+    val probe = Literal.create(Seq("a", "b"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    assert(!SimHash64(probe).isInstanceOf[CodegenFallback],
+      "SimHash64 regressed to CodegenFallback")
+    assert(!MinHashArray(probe, 16).isInstanceOf[CodegenFallback],
+      "MinHashArray regressed to CodegenFallback")
+    // the generated code actually calls the static helpers (a Janino
+    // resolution failure would silently fall back to interpreted mode —
+    // codegen.fallback=false turns that into a hard error instead)
+    val docs = Tables.df(spark, sf, "documents").limit(100)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    // AQE wraps exchange-bearing plans in AdaptiveSparkPlanExec, whose
+    // WSCG subtrees only exist after execution — inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sim = docs.select(Dedup.simhash(col("text")).as("sig"))
+      val simCg = org.apache.spark.sql.execution.debug
+        .codegenString(sim.queryExecution.executedPlan)
+      assert(simCg.contains("SimHash64.compute"),
+        s"generated code does not call SimHash64.compute:\n" +
+          simCg.linesIterator.take(30).mkString("\n"))
+      // the minhash PROJECT can never enter a WSCG subtree — its input
+      // is the HOF shingle expression (transform/sequence), which is
+      // CodegenFallback by Spark design — so assert at the expression
+      // level: MinHashArray's own generated code is a direct static
+      // call, not a references[i].eval() fallback round-trip
+      val ctx = new org.apache.spark.sql.catalyst.expressions.codegen
+        .CodegenContext
+      val mhCode = MinHashArray(probe, 16).genCode(ctx).code.toString
+      assert(mhCode.contains("MinHashArray.compute"),
+        s"MinHashArray codegen is not a static call:\n$mhCode")
+      assert(!mhCode.contains(".eval("),
+        s"MinHashArray codegen routes through interpreted eval:\n$mhCode")
+      val mh = Dedup.minhashSignature(docs, "doc_id", "text", n = 3, k = 16)
+      // and the compiled path produces real values end-to-end
+      val sigs = sim.collect().map(_.getLong(0))
+      assert(sigs.length == 100 && sigs.distinct.length > 1)
+      assert(mh.collect().forall(r =>
+        r.isNullAt(1) || r.getSeq[Long](1).length == 16))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("decontamination probes a broadcast gram set — no corpus shuffle") {
     val docs = Tables.df(spark, sf, "documents")
     val p = plan(graft.ops.Decontaminate.flag(

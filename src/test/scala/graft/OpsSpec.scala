@@ -153,6 +153,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(junkK == cleanK)
   }
 
+  test("dim derivation survives a wrong-length junk vector arriving first") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // junk FIRST in partition order: a single-row-dim derivation would
+    // lock dim=2, route the ENTIRE real corpus out of banding via
+    // isIndexable(size === dim), and silently return empty results
+    // (the r7-advice regression scenario). The sample-mode derivation
+    // must shrug it off.
+    val junkFirst = Seq(
+      (900001L, Seq(1.0f, 2.0f)),
+      (900002L, Seq(0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding").coalesce(1)
+      .unionAll(emb)
+    val clean = Similarity.lshNearDup(emb, 0.99)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val polluted = Similarity.lshNearDup(junkFirst, 0.99)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(polluted == clean,
+      s"junk-first corpus changed near-dup pairs (clean=${clean.size}, " +
+        s"polluted=${polluted.size})")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val cleanK = Similarity.lshTopK(emb, qs, 5, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pollutedK = Similarity.lshTopK(junkFirst, qs, 5, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pollutedK == cleanK, "junk-first corpus changed top-k")
+  }
+
   test("cosine of identical vectors is 1") {
     val emb = Tables.df(spark, sf, "embeddings").limit(5)
     val sims = emb.select(
