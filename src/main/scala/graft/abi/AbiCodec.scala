@@ -55,19 +55,37 @@ object AbiCodec {
     case other => throw new IllegalArgumentException(s"not static: $other")
   }
 
+  /** Dynamic-region length, validated BEFORE anything allocates. A
+    * shape-mismatched or corrupt payload (the corpus-wide decode case:
+    * most of a day's logs do NOT match a given ABI element) yields a
+    * garbage length here — up to 2³¹ — and `copyOfRange`/`Seq.fill`
+    * would try to ALLOCATE it: an executor-killing OutOfMemoryError
+    * that the decode-to-null Exception guard upstream cannot catch
+    * (Error ≠ Exception). `perElem` is the minimum payload bytes each
+    * claimed element must occupy (1 for raw bytes, 32 for array heads),
+    * so the check is simply "the tail physically fits in the data". */
+  private def boundedLen(data: Array[Byte], pos: Int, perElem: Int): Int = {
+    val len = readUint(data, pos).intValueExact()
+    require(len >= 0 &&
+      pos.toLong + 32L + len.toLong * perElem <= data.length.toLong,
+      s"dynamic length $len at $pos exceeds payload ${data.length}")
+    len
+  }
+
   private def decodeDynamicAt(data: Array[Byte], t: AbiType, pos: Int): Any =
     t match {
       case TBytes =>
-        val len = readUint(data, pos).intValueExact()
+        val len = boundedLen(data, pos, 1)
         "0x" + Keccak256.hex(
           java.util.Arrays.copyOfRange(data, pos + 32, pos + 32 + len))
       case TString =>
-        val len = readUint(data, pos).intValueExact()
+        val len = boundedLen(data, pos, 1)
         new String(
           java.util.Arrays.copyOfRange(data, pos + 32, pos + 32 + len),
           StandardCharsets.UTF_8)
       case TArray(e, None) =>
-        val len = readUint(data, pos).intValueExact()
+        // every claimed element occupies ≥32 head bytes
+        val len = boundedLen(data, pos, 32)
         decodeSeq(data, Seq.fill(len)(e), pos + 32)
       case TArray(e, Some(n)) => // fixed array of dynamic elems
         decodeSeq(data, Seq.fill(n)(e), pos)

@@ -80,6 +80,17 @@ final class AbiEventDecoder(abiJson: String) extends Serializable {
 
   private def decodeUnsafe(topics: ArrayData, data: Array[Byte]): InternalRow = {
     var topicIdx = if (event.anonymous) 0 else 1
+    // shape guard BEFORE any topic read: an event variant declaring
+    // more indexed params than the log carries topics (erc721-style
+    // Transfer decoding an erc20-shaped log — the corpus-wide case)
+    // would index past the array end, and UnsafeArrayData reads a
+    // garbage offset/length word there → an unbounded String
+    // allocation the Exception guard can't catch. Too few topics is a
+    // shape mismatch → null row.
+    if (topics.numElements() < topicIdx + event.inputs.count(_.indexed))
+      throw new IllegalArgumentException(
+        s"event needs ${topicIdx + event.inputs.count(_.indexed)} topics, " +
+          s"log has ${topics.numElements()}")
     val nonIndexed = event.inputs.filterNot(_.indexed)
     val dataTypes = nonIndexed.map(_.abiType)
     val dataValues = AbiCodec.decodeSeq(data, dataTypes, 0)

@@ -46,6 +46,59 @@ object ContractCatalog {
   def inMemory(jsons: Seq[String]): ContractCatalog = new ContractCatalog {
     def contractJsons: Seq[String] = jsons
   }
+
+  /** The experiment catalog service over HTTP:
+    * `GET {endpoint}/chain/{chain}` returns
+    * `{"data": [{name, project, address?, abi: "<abi-array-as-STRING>",
+    * ...}, ...]}` and anything non-2xx is a hard failure
+    * (`/root/reference/dags/experiments/contract_service.py:32-41`;
+    * its DTO maps name→contract_name, project→dataset_name,
+    * address→contract_address, and `abi` travels as a JSON string that
+    * is parsed separately — an absent/null abi means an empty element
+    * list, not an error). The fetch is lazy (at enumeration time) and
+    * driver-side only: the cluster never talks to the service; tasks
+    * ship with their ABI element JSON inlined, exactly as with the
+    * directory catalog. */
+  def fromHttp(endpoint: String, chain: String,
+      timeoutMillis: Int = 30000): ContractCatalog = new ContractCatalog {
+    def contractJsons: Seq[String] = {
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      val client = HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMillis.toLong))
+        .build()
+      val req = HttpRequest
+        .newBuilder(java.net.URI.create(s"$endpoint/chain/$chain"))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis.toLong))
+        .GET().build()
+      val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (res.statusCode() / 100 != 2)
+        throw new RuntimeException(
+          s"Get contracts by chain failed: $chain (HTTP ${res.statusCode()})")
+      val data = JsonMethods.parse(res.body()) \ "data" match {
+        case JArray(items) => items
+        case _ => Nil
+      }
+      data.map { item =>
+        def str(f: String): Option[String] = item \ f match {
+          case JString(s) => Some(s)
+          case _ => None
+        }
+        // re-render each DTO into the contract-document shape the
+        // directory catalog yields, so every consumer downstream of
+        // ContractCatalog is source-agnostic
+        val abi = str("abi").map(JsonMethods.parse(_)).getOrElse(JArray(Nil))
+        val doc = JObject(
+          List(
+            "contract_name" -> (JString(str("name").getOrElse("")): JValue),
+            "dataset_name" -> (JString(str("project").getOrElse("")): JValue)
+          ) ++
+            str("address")
+              .map(a => "contract_address" -> (JString(a): JValue)).toList ++
+            List("abi" -> abi))
+        JsonMethods.compact(JsonMethods.render(doc))
+      }
+    }
+  }
 }
 
 /** One decode job = one output table

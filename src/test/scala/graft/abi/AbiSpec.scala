@@ -188,6 +188,38 @@ class AbiRobustnessSpec extends AnyFunSuite {
     assert(decoded.filter(col("d").isNotNull).count() == 0)
   }
 
+  test("garbage dynamic lengths and topic shortfalls null out, no OOM") {
+    import spark.implicits._
+    // found by the full-width corpus run (r8): a shape-mismatched
+    // payload yields a garbage dynamic length (here ~2^31), and the
+    // decoder must reject it BEFORE copyOfRange/Seq.fill try to
+    // allocate it — OutOfMemoryError is not an Exception, so the
+    // decode-to-null guard alone cannot save the executor
+    val strAbi =
+      """{"name":"E","type":"event","anonymous":false,"inputs":[
+        {"indexed":false,"name":"s","type":"string"}]}"""
+    val arrAbi =
+      """{"name":"E","type":"event","anonymous":false,"inputs":[
+        {"indexed":false,"name":"a","type":"uint256[]"}]}"""
+    val data = ("0" * 62 + "20") + ("0" * 56 + "7ffffffe")
+    val df = Seq(1).toDF("x").select(
+      array(lit("0x00")).as("topics_arr"),
+      unhex(lit(data)).as("unhex_data"))
+    for (abi <- Seq(strAbi, arrAbi)) {
+      val d = df.select(
+        AbiDecode.event(abi, col("topics_arr"), col("unhex_data")).as("d"))
+      assert(d.filter(col("d").isNotNull).count() == 0, abi)
+    }
+    // an event declaring more indexed params than the log has topics
+    // (erc721-style Transfer over an erc20-shaped log) must null out,
+    // not read past the array end — UnsafeArrayData returns a garbage
+    // offset/length word there, which is another unbounded allocation
+    val short = df.select(
+      AbiDecode.event(transferAbi, col("topics_arr"), col("unhex_data"))
+        .as("d"))
+    assert(short.filter(col("d").isNotNull).count() == 0)
+  }
+
   test("uint-as-string mode round-trips full-range uint256") {
     val abiStr = transferAbi.replace("{\"name\"",
       "{\"" + AbiJson.UintAsStringKey + "\":true,\"name\"")
