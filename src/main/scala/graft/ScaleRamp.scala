@@ -13,9 +13,13 @@ import graft.ops.{Dedup, Similarity}
   *
   * Replication is DISTINCT-corpus replication, not duplication: copy k
   * prefixes every token with `z{k}` (so every token n-gram shingle
-  * differs across copies) and shifts every embedding component by
-  * k·0.173 (so cross-copy cosines fall far below any near-dup
-  * threshold). That keeps the true duplicate structure per unit of
+  * differs across copies) and multiplies every embedding by a
+  * copy-specific ±1 sign pattern — an orthogonal transform, so every
+  * INTRA-copy cosine is preserved bit-structure-exactly while
+  * cross-copy pairs decorrelate (a uniform additive shift instead
+  * drives all of a copy's vectors toward the all-ones direction and
+  * manufactures millions of fake near-dup pairs — measured, not
+  * hypothesized). That keeps the true duplicate structure per unit of
   * corpus constant — exact duplication instead would grow every
   * duplicate cluster by the replication factor and the PAIR OUTPUT
   * quadratically, measuring the data change rather than the operator.
@@ -77,8 +81,12 @@ object ScaleRamp {
       (0 until k).map { i =>
         emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
           (if (i == 0) col("embedding")
-           else transform(col("embedding"),
-             x => x + lit(i.toFloat * 0.173f))).as("embedding"))
+           // copy-specific deterministic ±1 sign per component: an
+           // orthogonal transform — intra-copy cosines unchanged,
+           // cross-copy pairs decorrelated
+           else transform(col("embedding"), (x, idx) =>
+             x * (pmod(xxhash64(lit(i), idx), lit(2)) * 2 - 1)
+               .cast("float"))).as("embedding"))
       }.reduce(_ unionAll _).write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     })
@@ -105,22 +113,45 @@ object ScaleRamp {
         pairs.count()
         timeIt(Dedup.connectedComponents(pairs, "a_id", "b_id").count())
       },
-      "lsh_embed_neardup" -> { k =>
+      "lsh_embed_neardup_fixed_planes" -> { k =>
+        // deliberately WRONG at scale: bucket count frozen at the
+        // default 2^8 while the corpus grows, so per-bucket occupancy
+        // — and candidate volume — grows quadratically. Kept as the
+        // control row: the measured superlinear exponent here is the
+        // failure mode the scaled-planes row below exists to avoid.
         val e = embAt(k)
         timeIt(Similarity.lshNearDup(e, 0.99).count())
+      },
+      "lsh_embed_neardup_scaled_planes" -> { k =>
+        // the documented operating mode: planes grow with log2(corpus)
+        // so expected bucket occupancy is constant — the knob a real
+        // 100 TB run must turn
+        val e = embAt(k)
+        val planes = 8 + (math.log(k.toDouble) / math.log(2.0)).round.toInt
+        timeIt(Similarity.lshNearDup(e, 0.99, nPlanes = planes).count())
       })
 
     // JIT/codegen warmup outside every timed window
     Dedup.minhashCandidates(docs0.limit(500), "doc_id", "text").count()
     Similarity.lshNearDup(emb0.limit(500), 0.99).count()
 
-    val scales = Seq(1, 3, 10)
+    // base tables are small (sf0.1: 5k docs / 2k vectors), so the ramp
+    // starts at 4x — at 1x the fixed per-job cost (~1-2 s on this box)
+    // swamps the operator and the fitted exponent measures scheduler
+    // overhead, not scaling (observed: negative exponents)
+    val scales = Seq(4, 16, 64)
     println("| operator | " +
       scales.map(k => s"t(${k}x) s | rows(${k}x) |").mkString(" ") +
       " exponent |")
     println("|---|" + scales.map(_ => "---|---|").mkString + "---|")
     ops.foreach { case (name, run) =>
-      val rows = scales.map { k => val (t, n) = run(k); (k, t, n) }
+      val rows = scales.map { k =>
+        val (t1, n) = run(k)
+        // min-of-2 for cheap cells: a single GC pause is a 3x swing on
+        // a seconds-scale sample; long cells amortize it themselves
+        val t = if (t1 < 10.0) math.min(t1, run(k)._1) else t1
+        (k, t, n)
+      }
       val e = exponent(rows.map(r => (r._1, r._2)))
       println(f"| $name | " + rows.map { case (_, t, n) =>
         f"$t%.2f | $n%d |" }.mkString(" ") + f" $e%.2f |")
