@@ -44,13 +44,22 @@ object Similarity {
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // junk filter keeps the exact path CONSISTENT with lshTopK on a
+    // junk-bearing corpus: without it, Spark's NaN total ordering
+    // ranks a zero-norm/NaN pair (sim = 0/0 = NaN) FIRST under
+    // orderBy(sim.desc) — the exact baseline would then "beat" the
+    // LSH path by returning garbage neighbors. On a clean corpus the
+    // filter passes every row and results are bit-identical.
+    val dim = vecDim(corpus, vecCol)
     // norms precomputed per ROW (not per pair): sqrt(dot(v,v)) on the
     // same list yields the identical double, so results are unchanged
     // while the per-pair work drops from 3 array folds to 1
-    val c = spread(corpus).select(col(idCol).as("n_id"),
-      col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"))
+    val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
+      .select(col(idCol).as("n_id"),
+        col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm"))
+    val q = queries.filter(isIndexable(col(vecCol), dim))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     broadcast(q).crossJoin(c)
@@ -112,11 +121,10 @@ object Similarity {
     *    involving a zero-norm vector, 0/0 — would PASS
     *    `sim >= threshold` in [[lshNearDup]] and rank FIRST under
     *    `orderBy(sim.desc)` in [[lshTopK]]. The filter is a genuine
-    *    bugfix, not a no-op. (Note [[bruteForceTopK]], the recall
-    *    oracle, intentionally keeps the raw behavior — on a
-    *    junk-bearing corpus it ranks NaN pairs first and diverges
-    *    from the filtered lshTopK by construction; recall comparisons
-    *    assume a clean or pre-filtered corpus.)
+    *    bugfix, not a no-op. The WHOLE ANN family ([[bruteForceTopK]],
+    *    [[ivfTopK]], [[lshTopK]], [[lshNearDup]]) applies it, so the
+    *    exact baseline and the approximate paths agree on junk-bearing
+    *    corpora and recall comparisons stay meaningful.
     * (Same sentinel design as the MinHash short-doc guard in Dedup.) */
   private[graft] def isIndexable(vec: Column, dim: Int): Column = {
     val n = norm(vec) // null for null vec, null components, length 0
@@ -150,7 +158,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroidEvery: Int = 50, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = corpus
+    // same junk filter as bruteForceTopK/lshTopK — and doubly load-
+    // bearing here: a zero-norm CENTROID would have NaN similarity to
+    // every vector and, under NaN-ranks-first ordering, swallow the
+    // entire corpus into its cell
+    val dim = vecDim(corpus, vecCol)
+    val corpusC = corpus.filter(isIndexable(col(vecCol), dim))
+    val queriesC = queries.filter(isIndexable(col(vecCol), dim))
+    val centroids = corpusC
       .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int) = {
@@ -163,10 +178,10 @@ object Similarity {
         .drop("c_vec", "c_sim", "c_rank")
     }
     val cells = nearestCells(
-      spread(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      spread(corpusC).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         norm(col(vecCol)).as("n_norm")), "n_id", "n_vec", 1)
     val probes = nearestCells(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      queriesC.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_norm")), "q_id", "q_vec", nProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))

@@ -144,13 +144,25 @@ class SimilaritySpec extends AnyFunSuite {
       .select("a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(withJunk == clean)
-    // and top-k neighbors are unchanged when the corpus carries junk
+    // and top-k neighbors are unchanged when the corpus carries junk —
+    // for the WHOLE ANN family: without the shared junk filter,
+    // Spark's NaN-ranks-first total ordering would put zero-norm
+    // (0/0 = NaN cosine) neighbors at rank 1 in the exact and IVF
+    // paths too, making the "exact baseline" disagree with LSH on
+    // exactly the corpora where users need a trustworthy baseline
     val qs = emb.filter(col("vec_id") % 100 === 0)
-    val cleanK = Similarity.lshTopK(emb, qs, 5, nPlanes = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val junkK = Similarity.lshTopK(emb.unionAll(junkDf), qs, 5, nPlanes = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(junkK == cleanK)
+    val polluted = emb.unionAll(junkDf)
+    for ((name, run) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame))](
+      "lsh" -> (c => Similarity.lshTopK(c, qs, 5, nPlanes = 4)),
+      "brute" -> (c => Similarity.bruteForceTopK(c, qs, 5)),
+      "ivf" -> (c => Similarity.ivfTopK(c, qs, 5)))) {
+      val cleanK = run(emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val junkK = run(polluted)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(junkK == cleanK, s"$name top-k changed under junk corpus")
+    }
   }
 
   test("dim derivation survives a wrong-length junk vector arriving first") {
