@@ -198,21 +198,41 @@ object Similarity {
   /** ANN top-k: candidates = union over nTables of same-bucket rows,
     * dedup, exact cosine rank. At scale each table bucket holds
     * ~|corpus|/2^planes rows — a bucket join instead of a cross product;
-    * recall grows with nTables at linear cost. */
+    * recall grows with nTables at linear cost.
+    *
+    * `multiProbe` additionally probes every Hamming-1 neighbor of the
+    * QUERY's bucket in each table (the multi-probe LSH idea from the
+    * public literature): a near neighbor that landed one plane-sign
+    * away is recovered without paying for another full table. The
+    * extra cost is query-side only — nPlanes more (t, bucket) probe
+    * rows per query row, generated from the already-computed bucket id
+    * (no plane re-projection) — while the corpus index is untouched,
+    * which is the side that matters at 100 TB. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
       nTables: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", multiProbe: Boolean = false): DataFrame = {
     val dim = vecDim(corpus, vecCol)
     val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         norm(col(vecCol)).as("n_norm"),
         tableBuckets(col(vecCol), nPlanes, nTables, dim).as("tb"))
       .select(col("n_id"), col("n_vec"), col("n_norm"), col("tb.t"), col("tb.b"))
-    val q = queries.filter(isIndexable(col(vecCol), dim))
+    val qBase = queries.filter(isIndexable(col(vecCol), dim))
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_norm"),
         tableBuckets(col(vecCol), nPlanes, nTables, dim).as("tb"))
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("tb.t"), col("tb.b"))
+    val q =
+      if (!multiProbe) qBase
+      else {
+        // probe set = the bucket itself + each single-bit flip; built
+        // from the materialized bucket id, so the plane projections
+        // run once regardless of probe count
+        val probes = array((col("b") +: (0 until nPlanes).map(p =>
+          col("b").bitwiseXOR(lit(1L << p)))): _*)
+        qBase.select(col("q_id"), col("q_vec"), col("q_norm"), col("t"),
+          explode(probes).as("b"))
+      }
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     q.join(c, Seq("t", "b"))

@@ -92,6 +92,16 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.3, s"recall $recall") // 4-plane buckets, 1/16 corpus
+    // multi-probe (Hamming-1 query buckets) must dominate single-probe
+    // recall: its candidate set is a strict superset per table. All
+    // inputs and planes are deterministic, so these recalls are exact
+    // reproducible numbers, not statistical.
+    val multi = Similarity.lshTopK(emb, qs, 5, nPlanes = 4,
+        multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallM = (brute & multi).size.toDouble / brute.size
+    assert(recallM >= recall, s"multi-probe $recallM < single $recall")
+    assert(recallM >= 0.5, s"multi-probe recall $recallM")
   }
 
   test("LSH near-dup finds every pair the all-pairs twin finds at sim=1") {
