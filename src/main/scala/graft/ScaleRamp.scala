@@ -56,6 +56,14 @@ object ScaleRamp {
       sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors()))
     val out = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    // replicas are multi-hundred-MB at 64x — reclaim them on exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(new java.io.File(out))
+    }))
 
     val docs0 = Tables.df(spark, sfDir, "documents").select("doc_id", "text")
     val emb0 = Tables.df(spark, sfDir, "embeddings")
@@ -135,6 +143,14 @@ object ScaleRamp {
     Dedup.minhashCandidates(docs0.limit(500), "doc_id", "text").count()
     Similarity.lshNearDup(emb0.limit(500), 0.99).count()
 
+    // fixed calibration probe (same design as Bench): its start/end
+    // spread self-identifies a contended capture from the artifact
+    // alone — treat spread ≳2 as invalid and re-run
+    def calibrate(): Double =
+      timeIt(docs0.select(xxhash64(col("text")).as("h")).agg(sum("h"))
+        .count())._1
+    val calStart = calibrate()
+
     // base tables are small (sf0.1: 5k docs / 2k vectors), so the ramp
     // starts at 4x — at 1x the fixed per-job cost (~1-2 s on this box)
     // swamps the operator and the fitted exponent measures scheduler
@@ -156,6 +172,9 @@ object ScaleRamp {
       println(f"| $name | " + rows.map { case (_, t, n) =>
         f"$t%.2f | $n%d |" }.mkString(" ") + f" $e%.2f |")
     }
+    val calEnd = calibrate()
+    println(f"calibration start $calStart%.2f s / end $calEnd%.2f s " +
+      f"(spread ${math.max(calStart, calEnd) / math.min(calStart, calEnd)}%.2f)")
     spark.stop()
   }
 }
