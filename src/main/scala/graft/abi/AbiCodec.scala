@@ -16,7 +16,12 @@ object AbiCodec {
   // ---------------------------------------------------------------- decode
 
   def readUint(data: Array[Byte], pos: Int): BigInteger = {
-    require(pos + 32 <= data.length, s"offset $pos past end ${data.length}")
+    // pos >= 0 guards the base+offset Int-overflow case (a corrupt
+    // dynamic offset near 2^31 wraps negative): reject it here with a
+    // decode-to-null-able exception instead of relying on copyOfRange
+    // to throw downstream
+    require(pos >= 0 && pos + 32 <= data.length,
+      s"offset $pos past end ${data.length}")
     new BigInteger(1, java.util.Arrays.copyOfRange(data, pos, pos + 32))
   }
 

@@ -95,6 +95,15 @@ object SimilarityQueries extends QueryGroup {
       Similarity.lshTopK(emb, queries, 5, nPlanes = 4)
     },
 
+    // multi-probe variant (Hamming-1 query buckets): same no-oracle
+    // rationale; SimilaritySpec asserts its recall dominates the
+    // single-probe run above on the identical deterministic inputs.
+    qNoOracle("q_knn_lsh_multiprobe", "similarity") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.lshTopK(emb, queries, 5, nPlanes = 4, multiProbe = true)
+    },
+
     // IVF is fully deterministic given the bit-exact cosine: centroids
     // are a fixed slice (vec_id % 50 = 0), cell assignment / probe
     // ranking break ties by c_id, final rank by (sim DESC, n_id) — so
