@@ -17,10 +17,12 @@ object AbiCodec {
 
   def readUint(data: Array[Byte], pos: Int): BigInteger = {
     // pos >= 0 guards the base+offset Int-overflow case (a corrupt
-    // dynamic offset near 2^31 wraps negative): reject it here with a
-    // decode-to-null-able exception instead of relying on copyOfRange
-    // to throw downstream
-    require(pos >= 0 && pos + 32 <= data.length,
+    // dynamic offset near 2^31 wraps negative), and the upper check
+    // runs in LONG arithmetic — `pos + 32` itself wraps for pos near
+    // Int.MaxValue and would satisfy an Int comparison. Reject both
+    // here with a decode-to-null-able exception instead of relying on
+    // copyOfRange to throw downstream.
+    require(pos >= 0 && pos.toLong + 32L <= data.length.toLong,
       s"offset $pos past end ${data.length}")
     new BigInteger(1, java.util.Arrays.copyOfRange(data, pos, pos + 32))
   }

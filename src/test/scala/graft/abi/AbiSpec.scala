@@ -218,6 +218,16 @@ class AbiRobustnessSpec extends AnyFunSuite {
       AbiDecode.event(transferAbi, col("topics_arr"), col("unhex_data"))
         .as("d"))
     assert(short.filter(col("d").isNotNull).count() == 0)
+    // a dynamic OFFSET near 2^31 makes `pos + 32` wrap negative in Int
+    // arithmetic and slip past an Int-typed bounds check — the long-
+    // arithmetic readUint guard must null it instead
+    val wrapData = "0" * 56 + "7fffffe0" // head word: offset 2147483616
+    val wrap = Seq(1).toDF("x").select(
+      array(lit("0x00")).as("topics_arr"),
+      unhex(lit(wrapData)).as("unhex_data"))
+    val w = wrap.select(
+      AbiDecode.event(strAbi, col("topics_arr"), col("unhex_data")).as("d"))
+    assert(w.filter(col("d").isNotNull).count() == 0)
   }
 
   test("uint-as-string mode round-trips full-range uint256") {
