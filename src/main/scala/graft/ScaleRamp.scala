@@ -6,10 +6,13 @@ import graft.core.{GraftSession, Tables}
 import graft.ops.{Dedup, Similarity}
 
 /** Measured scale-ramp harness behind `SCALE.md` (round-4 verdict #7 /
-  * round-7 verdict #2): runs the dedup/ANN candidate generators on 1×,
-  * 3× and 10× replicas of the `documents`/`embeddings` tables and fits
+  * round-7 verdict #2): runs the dedup/ANN candidate generators on 4×,
+  * 16× and 64× replicas of the `documents`/`embeddings` tables and fits
   * the wall-time growth exponent, turning the "bucketed, therefore
-  * ~linear" plan-shape argument into an empirical number.
+  * ~linear" plan-shape argument into an empirical number. The ramp
+  * starts at 4× rather than 1× because at 1× the fixed per-job cost
+  * (~1–2 s of scheduling/codegen on this box) swamps the operator and
+  * the fitted exponent measures overhead, not scaling (SCALE.md).
   *
   * Replication is DISTINCT-corpus replication, not duplication: copy k
   * prefixes every token with `z{k}` (so every token n-gram shingle

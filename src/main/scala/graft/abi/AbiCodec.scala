@@ -41,8 +41,22 @@ object AbiCodec {
     }
   }
 
-  /** Decode one 32-byte-word static value (also used for indexed topics). */
-  def decodeStaticAt(data: Array[Byte], t: AbiType, pos: Int): Any = t match {
+  /** Decode one 32-byte-word static value (also used for indexed topics).
+    * Bounds-guarded like [[readUint]]: every static value occupies at
+    * least one full word at `pos`, and `Arrays.copyOfRange` silently
+    * ZERO-PADS past `data.length` — a truncated payload or short indexed
+    * topic would otherwise decode to a plausible-but-wrong value instead
+    * of throwing (→ decode-to-null upstream). Long arithmetic so a pos
+    * near Int.MaxValue cannot wrap the comparison. Composite statics
+    * (fixed arrays / tuples) re-check per element on recursion.
+    */
+  def decodeStaticAt(data: Array[Byte], t: AbiType, pos: Int): Any = {
+    require(pos >= 0 && pos.toLong + 32L <= data.length.toLong,
+      s"static read at $pos past end ${data.length}")
+    decodeStaticUnchecked(data, t, pos)
+  }
+
+  private def decodeStaticUnchecked(data: Array[Byte], t: AbiType, pos: Int): Any = t match {
     case TUint(_) => readUint(data, pos)
     case TInt(_) =>
       new BigInteger(java.util.Arrays.copyOfRange(data, pos, pos + 32))

@@ -74,9 +74,16 @@ object ContractCatalog {
       if (res.statusCode() / 100 != 2)
         throw new RuntimeException(
           s"Get contracts by chain failed: $chain (HTTP ${res.statusCode()})")
+      // a 2xx body without a "data" array is a contract violation, not
+      // an empty catalog: the reference indexes res.json()['data'] and
+      // raises on a shape change (contract_service.py:38-41). Defaulting
+      // to Nil here would make a service regression look like a
+      // successful zero-task run.
       val data = JsonMethods.parse(res.body()) \ "data" match {
         case JArray(items) => items
-        case _ => Nil
+        case other => throw new RuntimeException(
+          s"contract service response for chain $chain has no 'data' " +
+            s"array (got ${other.getClass.getSimpleName})")
       }
       data.map { item =>
         def str(f: String): Option[String] = item \ f match {

@@ -171,6 +171,15 @@ class ParseRunnerSpec extends AnyFunSuite {
         ex.sendResponseHeaders(500, -1L)
         ex.close()
       })
+    // 2xx but the body has no 'data' array — a service shape change
+    server.createContext("/contract/chain/noshape",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val bytes = """{"result":[]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
     server.start()
     try {
       val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/contract"
@@ -205,6 +214,13 @@ class ParseRunnerSpec extends AnyFunSuite {
         ContractCatalog.fromHttp(endpoint, "nope").contractJsons
       }
       assert(err.getMessage.contains("nope"))
+      // a 2xx body without a 'data' array must also fail hard, not
+      // produce a silent zero-task catalog (the reference indexes
+      // res.json()['data'] and raises on a shape change)
+      val shapeErr = intercept[RuntimeException] {
+        ContractCatalog.fromHttp(endpoint, "noshape").contractJsons
+      }
+      assert(shapeErr.getMessage.contains("data"))
     } finally server.stop(0)
   }
 

@@ -230,6 +230,38 @@ class AbiRobustnessSpec extends AnyFunSuite {
     assert(w.filter(col("d").isNotNull).count() == 0)
   }
 
+  test("truncated static reads throw, never zero-pad (r8 advice)") {
+    // Arrays.copyOfRange zero-pads past data.length, so before the
+    // decodeStaticAt bounds guard a truncated payload decoded TInt /
+    // TAddress / TBytesFixed to a plausible-but-WRONG value instead of
+    // erroring (→ null upstream). readUint was already guarded; the
+    // other static reads must behave identically.
+    val data = new Array[Byte](40) // second word truncated at 8 bytes
+    for (t <- Seq(TInt(256), TAddress, TBytesFixed(32), TUint(256), TBool))
+      intercept[IllegalArgumentException](
+        AbiCodec.decodeStaticAt(data, t, 32))
+    intercept[IllegalArgumentException](
+      AbiCodec.decodeStaticAt(data, TInt(256), -4))
+    // in-bounds word still decodes
+    assert(AbiCodec.decodeStaticAt(data, TUint(256), 0) ==
+      BigInteger.ZERO)
+  }
+
+  test("short indexed topic nulls the row, never a zero-padded address") {
+    import spark.implicits._
+    // 'from' topic is 10 bytes: previously zero-padded by copyOfRange
+    // into address 0x000...aaaa..., now a bounds failure → null row
+    val df = Seq(1).toDF("x").select(
+      array(lit("0x00"),
+        lit("0x" + "aa" * 10), // 10-byte topic, needs 32
+        lit("0x" + "0" * 24 + "bb" * 20)).as("topics_arr"),
+      unhex(lit("0" * 63 + "1")).as("unhex_data"))
+    val d = df.select(
+      AbiDecode.event(transferAbi, col("topics_arr"), col("unhex_data"))
+        .as("d"))
+    assert(d.filter(col("d").isNotNull).count() == 0)
+  }
+
   test("uint-as-string mode round-trips full-range uint256") {
     val abiStr = transferAbi.replace("{\"name\"",
       "{\"" + AbiJson.UintAsStringKey + "\":true,\"name\"")
