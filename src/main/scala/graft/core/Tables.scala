@@ -44,6 +44,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's default 1 MB minPartitionSize floor is tuned for I/O-bound
+      // stages; this engine's post-shuffle stages are often CPU-DENSE
+      // (ABI decode ≈ 10-15 µs/row, hex fixture construction), so a
+      // "small" 3 MB shuffle coalesced to 2-3 tasks serializes seconds
+      // of decode CPU on an idle 32-core box (measured: the parse-slice
+      // decode stage ran 2 tasks × 1.5 s instead of 32 × ~0.1 s). A 64 KB
+      // floor lets parallelismFirst target default parallelism instead.
+      // At 100 TB real partitions sit far above either floor, so this
+      // only changes the small-shuffle + expensive-operator shape.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // FAIR so concurrent job submitters (ParseRunner's bounded pool)
       // share executors instead of head-of-line blocking behind one job
       .config("spark.scheduler.mode", "FAIR")
@@ -63,6 +73,10 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // see GraftSession.local: keep CPU-dense post-shuffle stages
+    // parallel on small shuffles instead of coalescing to 2-3 tasks
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     spark
   }
 }

@@ -257,10 +257,23 @@ object Similarity {
     * fetches vectors only for surviving candidate pairs. Identical
     * vectors collide in every table, so exact duplicates have recall 1
     * by construction; raise `nTables` (linear cost) for near-miss
-    * recall. */
+    * recall.
+    *
+    * `multiProbe` extends each row's probe set on ONE side of the
+    * self-join with every Hamming-1 flip of its bucket id (same idea
+    * as [[lshTopK]]'s query-side probing): a near-dup pair whose
+    * buckets differ by exactly one plane sign is recovered without
+    * another full table. Bit flips are symmetric — if flipping bit i
+    * of x's bucket reaches y's bucket, the reverse flip reaches x —
+    * so expanding one join side finds every Hamming-1 pair while the
+    * other side (the corpus index, the side that matters at 100 TB)
+    * stays exactly as wide as before; extra cost is nPlanes more
+    * bare (t, b, id) probe rows per banded row, derived from the
+    * already-computed bucket id with no plane re-projection. */
   def lshNearDup(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+      nPlanes: Int = 8, nTables: Int = 4,
+      multiProbe: Boolean = false): DataFrame = {
     val dim = vecDim(corpus, vecCol)
     val c = spread(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -271,7 +284,14 @@ object Similarity {
       .select(col("id"),
         tableBuckets(col("vec"), nPlanes, nTables, dim).as("tb"))
       .select(col("id"), col("tb.t"), col("tb.b"))
-    val cands = bands.select(col("t"), col("b"), col("id").as("a_id"))
+    val probeSide =
+      if (!multiProbe) bands
+      else {
+        val probes = array((col("b") +: (0 until nPlanes).map(p =>
+          col("b").bitwiseXOR(lit(1L << p)))): _*)
+        bands.select(col("id"), col("t"), explode(probes).as("b"))
+      }
+    val cands = probeSide.select(col("t"), col("b"), col("id").as("a_id"))
       .join(bands.select(col("t"), col("b"), col("id").as("b_id")),
         Seq("t", "b"))
       .filter(col("a_id") < col("b_id"))

@@ -26,14 +26,19 @@ object ParseJob {
     * erc20.json` has no contract_address). */
   def decodeEvents(logs: DataFrame, contract: EvmContract,
       event: AbiEvent, abiJson: String): DataFrame = {
+    // bucket-prune conjuncts LEAD: on a partitioned warehouse they fold
+    // against partition values at planning time, and everywhere else
+    // the codegen'd And short-circuits — a cheap int compare (the
+    // bucket) gates the string/array compare, which matters when the
+    // input is a derived view whose topics column is itself computed
     val topicPred =
       if (event.anonymous) lit(true)
-      else col("topics_arr").getItem(0) === lit(event.topic0) &&
-        bucketPrune("selector_hash", lit(event.topic0), logs)
+      else bucketPrune("selector_hash", lit(event.topic0), logs) &&
+        col("topics_arr").getItem(0) === lit(event.topic0)
     val addrPred = contract.contractAddress match {
       case Some(a) =>
-        col("address") === lit(a.toLowerCase) &&
-          bucketPrune("address_hash", lit(a.toLowerCase), logs)
+        bucketPrune("address_hash", lit(a.toLowerCase), logs) &&
+          col("address") === lit(a.toLowerCase)
       case None => lit(true)
     }
     val metaCols = Seq("block_timestamp", "block_number", "block_hash",
@@ -50,12 +55,13 @@ object ParseJob {
     * `substr(input,1,10)`, materialized as `selector`). */
   def decodeCalls(traces: DataFrame, contract: EvmContract,
       fn: AbiFunction, abiJson: String): DataFrame = {
-    val selPred = col("selector") === lit(fn.selector) &&
-      bucketPrune("selector_hash", lit(fn.selector), traces)
+    // bucket prune leads, same short-circuit rationale as decodeEvents
+    val selPred = bucketPrune("selector_hash", lit(fn.selector), traces) &&
+      col("selector") === lit(fn.selector)
     val addrPred = contract.contractAddress match {
       case Some(a) =>
-        col("to_address") === lit(a.toLowerCase) &&
-          bucketPrune("address_hash", lit(a.toLowerCase), traces)
+        bucketPrune("address_hash", lit(a.toLowerCase), traces) &&
+          col("to_address") === lit(a.toLowerCase)
       case None => lit(true)
     }
     val metaCols = Seq("block_timestamp", "block_number", "block_hash",

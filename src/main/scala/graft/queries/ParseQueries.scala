@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.abi.Keccak256
 import graft.core.Tables
+import graft.functions.hashBucket
 import graft.parse.{ContractCatalog, ParseRunner}
 import graft.sources.EvmFixtures
 
@@ -86,7 +87,22 @@ object ParseQueries extends QueryGroup {
           concat(lit("0xt"), col("l_orderkey").cast("string"), lit("_"),
             col("l_linenumber").cast("string")).as("transaction_hash"),
           col("l_linenumber").cast(LongType).as("log_index"),
-          col("l_orderkey").as("block_number"))
+          col("l_orderkey").as("block_number"),
+          // the writer's bucket columns, derived per row exactly as
+          // hashBucket(topics_arr[0]) / hashBucket(address) — the
+          // m-literal branches are bit-identical shortcuts that fold to
+          // constants, so ParseJob's LEADING bucket-prune conjunct is a
+          // cheap int compare that short-circuits past the expensive
+          // CASE-of-hex-arrays topics build for non-matching rows
+          // (without these columns the pushed topic0 filter builds the
+          // full topics array per row per branch just to read [0])
+          when(col("m") === 0, hashBucket(lit(transfer.event.get.topic0)))
+            .when(col("m") === 1,
+              hashBucket(lit(punkBought.event.get.topic0)))
+            .otherwise(hashBucket(lit(noiseTopic))).as("selector_hash"),
+          when(col("m") === 1, hashBucket(lit(punksAddr)))
+            .otherwise(hashBucket(concat(lit("0xa"),
+              (col("l_partkey") % 97).cast("string")))).as("address_hash"))
 
       val emptyTraces = logs.limit(0) // events-only slice
       val tDf = transfer.dataFrame(logs, emptyTraces).select(

@@ -126,6 +126,45 @@ class SimilaritySpec extends AnyFunSuite {
       s"identical-vector pairs missed by LSH blocking: ${(exact -- lsh).take(5)}")
   }
 
+  test("near-dup multi-probe dominates single-probe recall") {
+    val emb = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // near-MISS duplicates: every 10th vector gets a deterministically
+    // perturbed copy (each component scaled by 1 ± ≤3%, cosine ≈ 0.9997
+    // — above threshold, but unlike an exact copy not guaranteed to
+    // share buckets, so single-probe blocking can genuinely miss it)
+    val perturbed = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0f) +
+            (pmod(col("vec_id") + i, lit(7)) - lit(3)).cast("float") /
+              lit(100.0f))).cast("float")).as("embedding"))
+    val corpus = emb.unionAll(perturbed)
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.99)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "perturbation produced no above-threshold pairs")
+    def pairs(multiProbe: Boolean): Set[(Long, Long)] =
+      Similarity.lshNearDup(corpus, 0.99, multiProbe = multiProbe)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(multiProbe = false)
+    val multi = pairs(multiProbe = true)
+    // multi-probe's candidate set is a strict superset per table (the
+    // probe array includes the original bucket), so its verified pairs
+    // — and recall against the all-pairs twin — must dominate. All
+    // planes are deterministic: exact reproducible numbers.
+    assert((single -- multi).isEmpty,
+      s"multi-probe lost pairs: ${(single -- multi).take(5)}")
+    val recallS = (exact & single).size.toDouble / exact.size
+    val recallM = (exact & multi).size.toDouble / exact.size
+    assert(recallM >= recallS, s"multi-probe $recallM < single $recallS")
+  }
+
   test("degenerate vectors are routed out of LSH candidate generation") {
     import spark.implicits._
     val emb = Tables.df(spark, sf, "embeddings")
