@@ -89,18 +89,28 @@ object Similarity {
   }
 
   /** Embedding dimensionality: the MODE of `size(vec)` over the first
-    * 256 non-empty rows (one tiny head job). Uniform dims are the
+    * [[DimSampleRows]] non-empty rows (one head job that stops after
+    * that many rows — never a corpus scan). Uniform dims are the
     * contract for an embedding column, but a junk row can arrive
     * FIRST — and since [[isIndexable]] requires `size === dim`,
     * deriving dim from a single row would then filter the entire real
     * corpus out of candidate generation and silently return empty
-    * results. The sample mode is robust to any junk minority in the
-    * head; rows deviating from the modal dim are routed out by
-    * [[isIndexable]] as before. Ties break toward the smaller dim,
-    * deterministically. */
+    * results. Ties break toward the smaller dim, deterministically.
+    *
+    * CONTRACT (documented per round-8 verdict #5): honest vectors must
+    * be the majority of the first `min(DimSampleRows, corpus)`
+    * non-empty rows. A corpus whose head is majority-junk OF A
+    * CONSISTENT WRONG LENGTH past that bound still misderives — at
+    * that point "junk" outnumbers data and no cheap heuristic can
+    * tell them apart; pre-filter such corpora (or pass vectors of the
+    * right dim first). Junk of MIXED lengths never wins the mode, and
+    * rows deviating from the modal dim are routed out by
+    * [[isIndexable]] as before. */
+  private[graft] val DimSampleRows = 4096
+
   private def vecDim(df: DataFrame, vecCol: String): Int = {
     val sizes = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
-      .head(256).map(_.getInt(0))
+      .head(DimSampleRows).map(_.getInt(0))
     if (sizes.isEmpty) 0
     else sizes.groupBy(identity).maxBy { case (d, g) => (g.length, -d) }._1
   }

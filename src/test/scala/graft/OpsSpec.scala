@@ -214,6 +214,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dim derivation survives a junk-MAJORITY head of consistent length") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // 300 junk rows of one consistent wrong length, all FIRST in
+    // partition order: more than the old 256-row head sample, so the
+    // r8 heuristic would have locked dim=2 and filtered the entire
+    // real corpus out of banding. The widened head must see past the
+    // block to the honest majority (the documented contract: honest
+    // rows are the majority of the first DimSampleRows non-empties).
+    val junkBlock = (0 until 300).map(i => (910000L + i, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+    val polluted = junkBlock.unionAll(emb)
+    assert(emb.count() > 300, "spec needs an honest majority")
+    val clean = Similarity.lshNearDup(emb, 0.99)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.lshNearDup(polluted, 0.99)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == clean,
+      s"junk-majority head changed near-dup pairs (clean=${clean.size}, " +
+        s"got=${got.size})")
+  }
+
   test("dim derivation survives a wrong-length junk vector arriving first") {
     import spark.implicits._
     val emb = Tables.df(spark, sf, "embeddings")

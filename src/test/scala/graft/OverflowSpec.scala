@@ -46,6 +46,35 @@ class OverflowSpec extends AnyFunSuite {
     assert(out.select(col("value")).as[String].head() == uintMax)
   }
 
+  test("permissive load mode nulls overflow, reference-parity (r8 #3)") {
+    import graft.schema.{LoadCast, RawSchemas}
+    // the reference's Hive-mode DECIMAL(38,0) load silently nulls an
+    // over-range uint256; LoadCast(permissive = true) reproduces that
+    // bit-for-bit, while in-range columns land at their declared types
+    val out = LoadCast.toReferenceShape(
+      rawTx, RawSchemas.transactions, permissive = true)
+    val row = out.select(col("value"), col("nonce"), col("gas")).head()
+    assert(row.isNullAt(0), "uint256-max must load as NULL in permissive")
+    assert(out.schema("value").dataType == DecimalType(38, 0))
+    assert(row.getLong(1) == 1L && row.getLong(2) == 21000L)
+    // strict mode (the engine default) raises on the same frame
+    val e = intercept[Exception] {
+      LoadCast.toReferenceShape(rawTx, RawSchemas.transactions).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+    assert(msg.contains("NUMERIC_OUT_OF_SUPPORTED_RANGE") ||
+      msg.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+      msg.contains("CAST_OVERFLOW"),
+      s"expected an ANSI overflow error, got: $msg")
+    // and an in-range frame is bit-identical across the two modes
+    val small = rawTx.withColumn("value", lit("42"))
+    val strictRows = LoadCast.toReferenceShape(
+      small, RawSchemas.transactions).collect().toSeq
+    val permissiveRows = LoadCast.toReferenceShape(
+      small, RawSchemas.transactions, permissive = true).collect().toSeq
+    assert(strictRows == permissiveRows)
+  }
+
   test("reference-shape DECIMAL(38,0) load cast raises under ANSI") {
     assert(spark.conf.get("spark.sql.ansi.enabled", "true") != "false",
       "this engine's parity mode is ANSI-on (the Spark 4 default)")
