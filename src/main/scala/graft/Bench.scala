@@ -139,6 +139,39 @@ object Bench {
           array(lit("0x00")),
           unhex(lpad(hex(col("id")), 64, "0"))).as("d"))
         .select(col("d.v")).count()
+      // Warm the Structured Streaming machinery (micro-batch engine,
+      // file stream source, symmetric-hash-join state stores, streaming
+      // codegen) on a 200-row synthetic stream: measured ~4.5-15 s of
+      // one-time JVM cost that otherwise lands on whichever streaming
+      // query runs first in pass 1 (observed as a 17 s p1 outlier on
+      // q_stream_interval_join in round 8). In production a stream runs
+      // for days and this cost amortizes to zero — keeping it out of
+      // the timed window measures the steady state.
+      val evDir = java.nio.file.Files.createTempDirectory("graft_warm_ev")
+      try {
+        spark.range(200).select(
+          col("id").as("event_id"),
+          (lit(1700000000000000000L) + col("id") * 1000000000L).as("ts"),
+          (col("id") % 20).as("user_id"),
+          when(col("id") % 2 === 0, "view").otherwise("click")
+            .as("event_type"),
+          col("id").cast("double").as("value"),
+          lit("{}").as("props"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$evDir/out")
+        // boundedRun stages a single parquet FILE, so hand it the part
+        // file, not the directory
+        val part = new java.io.File(s"$evDir/out").listFiles()
+          .find(_.getName.endsWith(".parquet")).get.getPath
+        graft.streaming.EventsStream.runViewClickToBatch(spark,
+          part, s"graft_warm_${System.nanoTime()}").count()
+      } finally {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del))
+          f.delete(): Unit
+        }
+        del(evDir.toFile)
+      }
     } catch { case _: Throwable => () }
     // Run the calibration plan once UNTIMED so calStart doesn't pay its
     // codegen + cold parquet read: without this, start/min spread reads

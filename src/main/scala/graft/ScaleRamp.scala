@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Tables}
 import graft.ops.{Dedup, Similarity}
+import graft.parse.{ContractCatalog, ParseRunner}
 
 /** Measured scale-ramp harness behind `SCALE.md` (round-4 verdict #7 /
   * round-7 verdict #2): runs the dedup/ANN candidate generators on 4×,
@@ -102,8 +103,86 @@ object ScaleRamp {
       spark.read.parquet(path)
     })
 
+    // ---- parse-stage ramp input (round-8 verdict #7): an enriched
+    // chain-day of logs built from lineitem (the q_parse_corpus_slice
+    // fixture shape, incl. the writer's bucket columns and a dt so the
+    // partitioned-write path is exercised), replicated k× with shifted
+    // block/tx ids so decode-matching volume scales with k. Width is
+    // FIXED at 8 event elements (2 that decode rows, 6 that prune to
+    // empty) — the ramp measures data growth through ParseRunner.run's
+    // cache + FAIR-pool fan-out at constant task width.
+    lazy val parseFixture: (Seq[graft.parse.ParseTask], Set[String]) = {
+      val tasks = ParseRunner.tasks(
+        ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir))
+      val transfer = tasks.find(
+        _.tableName == "common.erc20_evt_Transfer").get
+      val punk = tasks.find(
+        _.tableName == "cryptopunks.CryptoPunksMarket_evt_PunkBought").get
+      val others = tasks.filter(_.isEvent)
+        .filterNot(t => t.tableName == transfer.tableName ||
+          t.tableName == punk.tableName).take(6)
+      val slice = Seq(transfer, punk) ++ others
+      (slice, slice.map(_.tableName).toSet)
+    }
+    val logsCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def logsAt(k: Int): DataFrame = logsCache.getOrElseUpdate(k, {
+      import graft.abi.Keccak256
+      import graft.functions.hashBucket
+      val (slice, _) = parseFixture
+      val transferTopic = slice.head.event.get.topic0
+      val punkTopic = slice(1).event.get.topic0
+      val punksAddr = slice(1).contract.contractAddress.get.toLowerCase
+      val noiseTopic = Keccak256.eventTopic("Approval(address,address,uint256)")
+      def pad64(c: org.apache.spark.sql.Column) =
+        concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
+      val path = s"$out/logs_x$k"
+      val li = graft.sources.EvmFixtures.lineitemTx(
+        Tables.df(spark, sfDir, "lineitem"))
+        .filter(col("l_orderkey") % 4 === 0)
+        .withColumn("m", col("l_linenumber") % 3)
+      (0 until k).map { i =>
+        li.select(
+          when(col("m") === 0, array(lit(transferTopic),
+              pad64(col("l_suppkey")), pad64(col("l_partkey") % 97)))
+            .when(col("m") === 1, array(lit(punkTopic),
+              pad64(col("l_orderkey") % 10000),
+              pad64(col("l_suppkey")), pad64(col("l_partkey") % 97)))
+            .otherwise(array(lit(noiseTopic),
+              pad64(col("l_suppkey")), pad64(col("l_partkey") % 97)))
+            .as("topics_arr"),
+          unhex(lpad(hex(col("l_partkey")), 64, "0")).as("unhex_data"),
+          when(col("m") === 1, lit(punksAddr))
+            .otherwise(concat(lit("0xa"),
+              (col("l_partkey") % 97).cast("string"))).as("address"),
+          concat(lit(s"0xt$i"), col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string")).as("transaction_hash"),
+          col("l_linenumber").cast("long").as("log_index"),
+          (col("l_orderkey") + lit(i.toLong * 10000000L)).as("block_number"),
+          when(col("m") === 0, hashBucket(lit(transferTopic)))
+            .when(col("m") === 1, hashBucket(lit(punkTopic)))
+            .otherwise(hashBucket(lit(noiseTopic))).as("selector_hash"),
+          when(col("m") === 1, hashBucket(lit(punksAddr)))
+            .otherwise(hashBucket(concat(lit("0xa"),
+              (col("l_partkey") % 97).cast("string")))).as("address_hash"),
+          lit("2026-03-01").cast("date").as("dt"))
+      }.reduce(_ unionAll _).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    })
+
     // each op prepares its input OUTSIDE the timed window
     val ops: Seq[(String, Int => (Double, Long))] = Seq(
+      "parse_runner_width8" -> { k =>
+        val names = parseFixture._2
+        val logs = logsAt(k)
+        val wh = s"$out/parse_wh" // per-task overwrite; reuse across runs
+        timeIt {
+          ParseRunner.run(spark,
+            ContractCatalog.fromDirectory(
+              graft.queries.ParseQueries.CorpusDir),
+            logs, logs.limit(0), wh, t => names(t.tableName))
+            .map(_._2).sum
+        }
+      },
       "minhash_lsh_candidates" -> { k =>
         val d = docsAt(k)
         timeIt(Dedup.minhashCandidates(d, "doc_id", "text").count())
@@ -145,13 +224,29 @@ object ScaleRamp {
     // JIT/codegen warmup outside every timed window
     Dedup.minhashCandidates(docs0.limit(500), "doc_id", "text").count()
     Similarity.lshNearDup(emb0.limit(500), 0.99).count()
+    ParseRunner.run(spark,
+      ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),
+      logsAt(1).limit(2000), logsAt(1).limit(0),
+      s"$out/parse_warm_wh", t => parseFixture._2(t.tableName)): Unit
 
-    // fixed calibration probe (same design as Bench): its start/end
-    // spread self-identifies a contended capture from the artifact
-    // alone — treat spread ≳2 as invalid and re-run
+    // fixed calibration probe (same design as Bench), printed at start
+    // and AFTER EVERY OPERATOR: a contended capture shows probe drift
+    // around the contention window, while the known self-induced tail
+    // drift (the JVM is measurably slower after the deliberately-
+    // thrashing fixed-planes control row — reproducible on an idle box
+    // across captures) localizes to exactly that row. Read the series,
+    // not one start/end ratio: a row is trustworthy when its bracketing
+    // probes are both near the baseline. 3 back-to-back iterations per
+    // probe: the AQE minPartitionSize fix (r9) halved the
+    // single-iteration baseline to ~0.13 s, too light to read.
     def calibrate(): Double =
-      timeIt(docs0.select(xxhash64(col("text")).as("h")).agg(sum("h"))
-        .count())._1
+      timeIt {
+        (1 to 3).foreach { _ =>
+          docs0.select(xxhash64(col("text")).as("h")).agg(sum("h"))
+            .count(): Unit
+        }
+        0L
+      }._1
     val calStart = calibrate()
 
     // base tables are small (sf0.1: 5k docs / 2k vectors), so the ramp
@@ -163,6 +258,8 @@ object ScaleRamp {
       scales.map(k => s"t(${k}x) s | rows(${k}x) |").mkString(" ") +
       " exponent |")
     println("|---|" + scales.map(_ => "---|---|").mkString + "---|")
+    val probes = scala.collection.mutable.ArrayBuffer(
+      "start" -> calStart)
     ops.foreach { case (name, run) =>
       val rows = scales.map { k =>
         val (t1, n) = run(k)
@@ -174,8 +271,11 @@ object ScaleRamp {
       val e = exponent(rows.map(r => (r._1, r._2)))
       println(f"| $name | " + rows.map { case (_, t, n) =>
         f"$t%.2f | $n%d |" }.mkString(" ") + f" $e%.2f |")
+      probes += (s"after $name" -> calibrate())
     }
-    val calEnd = calibrate()
+    println("calibration probes (3-iteration, fixed plan): " +
+      probes.map { case (tag, t) => f"$tag $t%.2f s" }.mkString(" | "))
+    val calEnd = probes.last._2
     println(f"calibration start $calStart%.2f s / end $calEnd%.2f s " +
       f"(spread ${math.max(calStart, calEnd) / math.min(calStart, calEnd)}%.2f)")
     spark.stop()

@@ -87,6 +87,19 @@ object SimilarityQueries extends QueryGroup {
       Similarity.lshNearDup(corpus, 0.99)
     },
 
+    // near-dup with Hamming-1 multi-probe on the probe side of the
+    // self-join (r9): same no-oracle rationale; SimilaritySpec asserts
+    // its pairs are a superset of the single-probe run above and its
+    // recall vs the all-pairs twin dominates on perturbed near-misses.
+    qNoOracle("q_embed_neardup_lsh_multiprobe", "similarity") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionAll(
+        emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.lshNearDup(corpus, 0.99, multiProbe = true)
+    },
+
     // LSH planes derive from Spark xxhash64 → no cross-engine oracle;
     // recall vs brute force is asserted in SimilaritySpec.
     qNoOracle("q_knn_lsh", "similarity") { (spark, dir) =>
