@@ -179,6 +179,53 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("parse decode filter leads with the bucket prune (short-circuit)") {
+    import graft.parse.{ContractCatalog, ParseRunner}
+    import graft.queries.ParseQueries
+    assume(new java.io.File(ParseQueries.CorpusDir).exists())
+    val transfer = ParseRunner
+      .tasks(ContractCatalog.fromDirectory(ParseQueries.CorpusDir))
+      .find(_.tableName == "common.erc20_evt_Transfer").get
+    // enriched logs carrying the writer's bucket column: the decode
+    // filter must evaluate the cheap int bucket compare BEFORE the
+    // topics string compare — codegen's And short-circuits left to
+    // right, and on derived inputs the topics column can be an
+    // expensive computed expression (the r9 parse-slice finding);
+    // on a partitioned warehouse the leading conjunct is also the
+    // one that folds against partition values
+    def pad64(c: org.apache.spark.sql.Column) =
+      concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
+    // id-derived columns: an all-literal fixture constant-folds the
+    // decode to null and the optimizer collapses the whole plan to an
+    // empty LocalRelation before any filter exists to inspect
+    val logs = spark.range(10).select(
+      array(lit(transfer.event.get.topic0), pad64(col("id")),
+        pad64(col("id"))).as("topics_arr"),
+      unhex(lpad(hex(col("id")), 64, "0")).as("unhex_data"),
+      concat(lit("0xa"), col("id").cast("string")).as("address"),
+      concat(lit("0xt"), col("id").cast("string")).as("transaction_hash"),
+      col("id").as("log_index"),
+      col("id").as("block_number"),
+      (col("id") % 10).cast("int").as("selector_hash"))
+    // assert on the ANALYZED plan: it shows the conjunct order ParseJob
+    // constructs (Catalyst preserves And order through pushdown — it
+    // substitutes, it does not reorder), while the optimized plan of a
+    // synthetic fixture can legitimately simplify the topics compare
+    // away entirely (constant array extraction)
+    val p = transfer.dataFrame(logs, logs.limit(0))
+      .queryExecution.analyzed.toString
+    val filterLine = p.linesIterator
+      .find(l => l.contains("Filter") && l.contains("selector_hash"))
+      .getOrElse("")
+    assert(filterLine.nonEmpty, s"bucket prune conjunct missing:\n$p")
+    val bucketPos = filterLine.indexOf("selector_hash")
+    val topicsPos = filterLine.indexOf("topics_arr")
+    assert(topicsPos >= 0, s"topics compare missing from:\n$filterLine")
+    assert(bucketPos < topicsPos,
+      s"bucket prune must lead the topics compare for short-circuit:\n" +
+        filterLine)
+  }
+
   test("decontamination probes a broadcast gram set — no corpus shuffle") {
     val docs = Tables.df(spark, sf, "documents")
     val p = plan(graft.ops.Decontaminate.flag(
