@@ -165,13 +165,7 @@ object Bench {
           .find(_.getName.endsWith(".parquet")).get.getPath
         graft.streaming.EventsStream.runViewClickToBatch(spark,
           part, s"graft_warm_${System.nanoTime()}").count()
-      } finally {
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(del))
-          f.delete(): Unit
-        }
-        del(evDir.toFile)
-      }
+      } finally graft.core.Fs.deleteRecursively(evDir)
     } catch { case _: Throwable => () }
     // Run the calibration plan once UNTIMED so calStart doesn't pay its
     // codegen + cold parquet read: without this, start/min spread reads

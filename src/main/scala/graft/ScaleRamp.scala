@@ -61,13 +61,8 @@ object ScaleRamp {
         .getOrElse(Runtime.getRuntime.availableProcessors()))
     val out = java.nio.file.Files.createTempDirectory("graft_scale").toString
     // replicas are multi-hundred-MB at 64x — reclaim them on exit
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(new java.io.File(out))
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.core.Fs.deleteRecursively(new java.io.File(out))))
 
     val docs0 = Tables.df(spark, sfDir, "documents").select("doc_id", "text")
     val emb0 = Tables.df(spark, sfDir, "embeddings")
@@ -173,12 +168,17 @@ object ScaleRamp {
     val ops: Seq[(String, Int => (Double, Long))] = Seq(
       "parse_runner_width8" -> { k =>
         val names = parseFixture._2
+        // materialize the catalog OUTSIDE the clock (the harness
+        // contract above): fromDirectory re-walks and re-parses all
+        // corpus JSON per enumeration — a fixed ~10 ms driver cost
+        // that belongs to preparation, not the measured data path
+        val catalog = ContractCatalog.inMemory(
+          ContractCatalog.fromDirectory(
+            graft.queries.ParseQueries.CorpusDir).contractJsons)
         val logs = logsAt(k)
         val wh = s"$out/parse_wh" // per-task overwrite; reuse across runs
         timeIt {
-          ParseRunner.run(spark,
-            ContractCatalog.fromDirectory(
-              graft.queries.ParseQueries.CorpusDir),
+          ParseRunner.run(spark, catalog,
             logs, logs.limit(0), wh, t => names(t.tableName))
             .map(_._2).sum
         }

@@ -51,7 +51,12 @@ object AbiCodec {
     * (fixed arrays / tuples) re-check per element on recursion.
     */
   def decodeStaticAt(data: Array[Byte], t: AbiType, pos: Int): Any = {
-    require(pos >= 0 && pos.toLong + 32L <= data.length.toLong,
+    // zero-width statics (uint256[0], components-less tuple) read
+    // nothing — headSize 0 must not demand a word that isn't there
+    // when positioned at the payload end; composite statics re-check
+    // per element on recursion
+    val need = math.min(32, t.headSize).toLong
+    require(pos >= 0 && pos.toLong + need <= data.length.toLong,
       s"static read at $pos past end ${data.length}")
     decodeStaticUnchecked(data, t, pos)
   }

@@ -33,6 +33,19 @@ object Tables {
     names.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
 }
 
+/** Small filesystem helpers shared by the harnesses (Bench warmup,
+  * ScaleRamp replica cleanup, query temp warehouses, streaming
+  * checkpoints) — one recursive delete instead of a copy per call site.
+  */
+object Fs {
+  def deleteRecursively(root: java.io.File): Unit = {
+    Option(root.listFiles()).foreach(_.foreach(deleteRecursively))
+    root.delete(): Unit
+  }
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    deleteRecursively(p.toFile)
+}
+
 /** Central SparkSession factory: one place for the scale-minded defaults
   * (AQE on, shuffle partitions sized to the machine, UTC).
   */

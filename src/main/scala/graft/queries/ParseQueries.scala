@@ -28,13 +28,8 @@ object ParseQueries extends QueryGroup {
     * read it lazily, so it can't be deleted any earlier). */
   private def tmpDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(d.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.core.Fs.deleteRecursively(d)))
     d.toString
   }
 

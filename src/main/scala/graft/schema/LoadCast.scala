@@ -29,9 +29,15 @@ import org.apache.spark.sql.types.StructType
 object LoadCast {
   def toReferenceShape(df: DataFrame, schema: StructType,
       permissive: Boolean = false): DataFrame = {
-    val declared = schema.fields.map(f => f.name -> f.dataType).toMap
+    // case-INSENSITIVE name match, like Spark's default column
+    // resolution: a raw export with 'Value' against a schema declaring
+    // 'value' must still be cast — a case-sensitive miss here would
+    // silently skip the cast AND strict mode's overflow raise, the
+    // exact failure this class exists to prevent
+    val declared = schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
     df.select(df.columns.map { c =>
-      declared.get(c) match {
+      declared.get(c.toLowerCase) match {
         case Some(t) if df.schema(c).dataType != t =>
           (if (permissive) col(c).try_cast(t) else col(c).cast(t)).as(c)
         case _ => col(c)

@@ -129,13 +129,8 @@ object EventsStream {
     spark.read.parquet(outDir)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete(): Unit
-    }
-    del(p.toFile)
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.core.Fs.deleteRecursively(p)
 
   private def runStream(spark: SparkSession, path: String,
       queryName: String, pipeline: DataFrame => DataFrame,

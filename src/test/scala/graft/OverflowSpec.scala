@@ -73,6 +73,14 @@ class OverflowSpec extends AnyFunSuite {
     val permissiveRows = LoadCast.toReferenceShape(
       small, RawSchemas.transactions, permissive = true).collect().toSeq
     assert(strictRows == permissiveRows)
+    // column-name match is case-insensitive like Spark's resolution: a
+    // raw export carrying 'Value' must still be cast (a case-sensitive
+    // miss would silently skip both the cast and strict mode's raise)
+    val cased = rawTx.withColumnRenamed("value", "Value")
+    val casedOut = LoadCast.toReferenceShape(
+      cased, RawSchemas.transactions, permissive = true)
+    assert(casedOut.schema("Value").dataType == DecimalType(38, 0))
+    assert(casedOut.select(col("Value")).head().isNullAt(0))
   }
 
   test("reference-shape DECIMAL(38,0) load cast raises under ANSI") {

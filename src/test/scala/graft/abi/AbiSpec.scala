@@ -245,6 +245,13 @@ class AbiRobustnessSpec extends AnyFunSuite {
     // in-bounds word still decodes
     assert(AbiCodec.decodeStaticAt(data, TUint(256), 0) ==
       BigInteger.ZERO)
+    // zero-width statics (ABI-legal degenerates) read nothing: at the
+    // exact payload end they decode empty rather than demanding a word
+    // that isn't there
+    assert(AbiCodec.decodeStaticAt(data, TArray(TUint(256), Some(0)),
+      data.length) == Seq())
+    assert(AbiCodec.decodeStaticAt(data, TTuple(Nil), data.length) ==
+      Seq())
   }
 
   test("short indexed topic nulls the row, never a zero-padded address") {
