@@ -91,12 +91,16 @@ object Dedup {
       // consumed by the prefix index AND both sides of the verification
       // join → materialize once
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // prefixes carry each token's 0-based POSITION for the positional
+    // filter below (posexplode over the head slice = position within
+    // the full ordered array)
     val prefixes = sorted.select(col("doc"), col("n_sh"),
-      explode(slice(col("sh"), lit(1), col("plen"))).as("s"))
+      posexplode(slice(col("sh"), lit(1), col("plen"))))
+      .withColumnRenamed("col", "s")
     val a = prefixes.select(col("s"), col("doc").as("a_id"),
-      col("n_sh").as("na"))
+      col("n_sh").as("na"), col("pos").as("ap"))
     val b = prefixes.select(col("s"), col("doc").as("b_id"),
-      col("n_sh").as("nb"))
+      col("n_sh").as("nb"), col("pos").as("bp"))
     // candidate pairs travel WITHOUT the shingle arrays (ids only) so the
     // join + dedup shuffle stays narrow; arrays are fetched back for the
     // exact verification afterwards
@@ -104,6 +108,18 @@ object Dedup {
       // length filter: |B| ≥ t·|A| is necessary for J ≥ t
       .filter(col("nb") >= ceil(col("na") * minSim) &&
         col("na") >= ceil(col("nb") * minSim))
+      // POSITIONAL filter (PPJoin's tightest bound, public literature):
+      // both arrays share the canonical order, so a token matched at
+      // 0-based positions (i, j) bounds the overlap by
+      // 1 + min(na−1−i, nb−1−j), and J ≥ t needs overlap ≥
+      // ⌈t·(na+nb)/(1+t)⌉. Provably output-neutral: a qualifying
+      // pair's FIRST common token (inside both prefixes by the prefix
+      // guarantee) always satisfies the bound, and the exact
+      // array_intersect verify below is unchanged — this only shrinks
+      // the candidate volume entering the dedup + verify joins.
+      .filter(lit(1) +
+        least(col("na") - 1 - col("ap"), col("nb") - 1 - col("bp")) >=
+        ceil((col("na") + col("nb")) * minSim / (1 + minSim)))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
     val pairs = cand
