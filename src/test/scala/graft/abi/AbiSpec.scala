@@ -269,6 +269,27 @@ class AbiRobustnessSpec extends AnyFunSuite {
     assert(d.filter(col("d").isNotNull).count() == 0)
   }
 
+  test("indexed dynamic params decode as their topic hash") {
+    import spark.implicits._
+    // the contract-ABI spec puts only keccak(value) on-chain for an
+    // indexed dynamic param — the decoder must surface that hash
+    // verbatim (AbiDecodeExpressions' hash-passthrough branch), while
+    // the non-indexed data region still decodes by value
+    val abi =
+      """{"name":"E","type":"event","anonymous":false,"inputs":[
+        {"indexed":true,"name":"s","type":"string"},
+        {"indexed":false,"name":"v","type":"uint256"}]}"""
+    val topicHash = "0x" + "ab" * 32
+    val df = Seq(1).toDF("x").select(
+      array(lit("0x00"), lit(topicHash)).as("topics_arr"),
+      unhex(lit("0" * 63 + "7")).as("unhex_data"))
+    val d = df.select(
+      AbiDecode.event(abi, col("topics_arr"), col("unhex_data")).as("d"))
+      .select(col("d.s"), col("d.v")).head()
+    assert(d.getString(0) == topicHash)
+    assert(d.getDecimal(1).toBigInteger.intValueExact() == 7)
+  }
+
   test("uint-as-string mode round-trips full-range uint256") {
     val abiStr = transferAbi.replace("{\"name\"",
       "{\"" + AbiJson.UintAsStringKey + "\":true,\"name\"")
