@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{
   CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  FloatType, IntegerType}
 
 /** Sequential-fold dot product of two numeric arrays in DOUBLE:
   * `(((0.0 + a0*b0) + a1*b1) + …)` — the exact IEEE-754 evaluation order
@@ -21,6 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Null semantics mirror the HOF version: null array → null; any null
   * element → null; length mismatch (zip_with pads with null) → null.
+  *
+  * Integer arrays are accepted too (the int8-quantized ANN search
+  * path): products and partial sums of int8 components are exact in
+  * double (|x·y| ≤ 127² and dims ≪ 2⁴⁰), so the fold is bit-exact
+  * against any integer-arithmetic oracle.
   */
 case class DotProductFold(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,12 +41,12 @@ case class DotProductFold(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType | DoubleType, _),
-            ArrayType(FloatType | DoubleType, _)) =>
+      case (ArrayType(FloatType | DoubleType | IntegerType, _),
+            ArrayType(FloatType | DoubleType | IntegerType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName needs two array<float|double> inputs, got " +
+          s"$prettyName needs two array<float|double|int> inputs, got " +
             s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
     }
   }
@@ -48,6 +54,7 @@ case class DotProductFold(left: Expression, right: Expression)
   @inline private def get(arr: ArrayData, i: Int, t: DataType): Double =
     t match {
       case FloatType => arr.getFloat(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
       case _ => arr.getDouble(i)
     }
 
@@ -72,6 +79,7 @@ case class DotProductFold(left: Expression, right: Expression)
       ev: ExprCode): ExprCode = {
     def getter(t: DataType, arr: String, i: String): String = t match {
       case FloatType => s"((double) $arr.getFloat($i))"
+      case IntegerType => s"((double) $arr.getInt($i))"
       case _ => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {

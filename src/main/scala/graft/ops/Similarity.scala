@@ -317,6 +317,42 @@ object Similarity {
       .select("a_id", "b_id", "sim")
   }
 
+  /** Exact top-k over the int8-QUANTIZED corpus — the memory-bound ANN
+    * shape at scale: both sides unit-normalize and quantize to
+    * `round(127·x̂)` (see [[normalized]]/[[quantizeInt8]]), and
+    * similarity is the integer dot product rescaled by 1/127². For
+    * unit vectors that approximates the true cosine to ~1/127 per
+    * component; storage and shuffle width drop 4-8× (the reason to
+    * run this instead of [[bruteForceTopK]] when the corpus lives
+    * quantized on disk). Everything here is deterministic and
+    * engine-exact — floor-based quantization, integer products summed
+    * exactly in double — so the whole operator differentials against
+    * a DuckDB oracle (`q_knn_int8`), and the approximation quality is
+    * pinned by a recall spec against the full-precision exact path.
+    * Degenerate vectors (zero norm, null components, wrong dim) drop
+    * out exactly as in the rest of the ANN family. */
+  def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    def q8(df: DataFrame): DataFrame =
+      normalized(df.filter(isIndexable(col(vecCol), dim)), vecCol)
+        .filter(col(s"${vecCol}_unit").isNotNull)
+        .select(col(idCol), quantizeInt8(col(s"${vecCol}_unit")).as("v8"))
+    val c = spread(q8(corpus))
+      .select(col(idCol).as("n_id"), col("v8").as("n_v8"))
+    val q = q8(queries).select(col(idCol).as("q_id"), col("v8").as("q_v8"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot(col("q_v8"), col("n_v8")) / lit(127.0 * 127.0))
+      .filter(col("sim").isNotNull) // dim-mismatch survivors
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim"))
+  }
+
   /** Unit-normalize the vector column into `<vecCol>_unit`
     * (array<double>). The norm is projected ONCE per row before the
     * per-element division — inlining `norm()` inside the transform

@@ -163,6 +163,38 @@ object SimilarityQueries extends QueryGroup {
       Similarity.ivfTopK(emb, queries, 5)
     },
 
+    // top-k over the int8-QUANTIZED corpus (store int8, search int8 —
+    // the memory-bound ANN shape). Fully deterministic: floor-based
+    // quantization and integer dot products are engine-exact, so the
+    // WHOLE approximate operator differentials against DuckDB;
+    // SimilaritySpec additionally pins its recall vs full precision.
+    q("q_knn_int8", "similarity",
+      """WITH n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x * x))) AS nrm
+           FROM embeddings
+           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+         q8 AS (
+           SELECT vec_id,
+             list_transform(v, x -> CAST(floor(127.0 * (x / nrm) + 0.5)
+               AS BIGINT)) AS v8
+           FROM n WHERE nrm > 0),
+         s AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(q.v8, c.v8),
+               p -> p[1] * p[2])) AS DOUBLE) / 16129.0 AS sim
+           FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id % 50 = 0)
+         SELECT q_id, n_id,
+           CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY sim DESC, n_id) AS BIGINT) AS rank, sim
+         FROM s QUALIFY rank <= 5""") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopKInt8(emb, queries, 5)
+    },
+
     // unit-normalize + symmetric int8 quantization, exploded to scalar
     // rows; floor(127x + 0.5) is engine-exact (no HALF_UP tie rules)
     q("q_embed_quantize", "similarity",

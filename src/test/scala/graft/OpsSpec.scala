@@ -126,6 +126,22 @@ class SimilaritySpec extends AnyFunSuite {
       s"identical-vector pairs missed by LSH blocking: ${(exact -- lsh).take(5)}")
   }
 
+  test("int8-quantized top-k recall vs full precision is high") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteForceTopKInt8(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 quantization perturbs each unit component by ≤ 1/254, so
+    // top-k membership should survive almost everywhere; deterministic
+    // inputs → this recall is an exact reproducible number
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall")
+    // every query keeps exactly k rows
+    assert(quant.size == exact.size)
+  }
+
   test("near-dup multi-probe dominates single-probe recall") {
     val emb = Tables.df(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
