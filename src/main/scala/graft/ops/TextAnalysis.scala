@@ -76,6 +76,46 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column = CB.column(RollingHash64(CB.expression(text)))
 
+  /** PII redaction — the standard scrub pass before a corpus ships to
+    * training. Conservative patterns chosen to behave identically in
+    * Java regex (this engine) and RE2 (DuckDB oracle): emails, IPv4
+    * addresses, and NNN-NNN-NNNN phone shapes, replaced with typed
+    * placeholder tags. Order matters (emails first: an address can
+    * contain digit runs a later pattern might bite). Pure per-row
+    * regexp_replace chain — codegen'd, no shuffle, linear per row. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Repetition features (Gopher-style quality signals): the fraction
+    * of duplicate tokens and duplicate token-bigrams in a document.
+    * High values flag boilerplate/spam for the quality filter. Integer
+    * counts with one IEEE double division — deterministic
+    * cross-engine; degenerate docs (< 1 token / < 2 tokens) score 0
+    * by definition rather than dividing by zero. Linear per row. */
+  def repetitionFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val bigrams = transform(sequence(lit(1), nTok - 1),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    df.withColumn("n_tokens_r", nTok)
+      .withColumn("dup_token_frac",
+        when(nTok < 1, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(toks)).cast("double") /
+            nTok.cast("double")))
+      .withColumn("dup_bigram_frac",
+        when(nTok < 2, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+            (nTok - 1).cast("double")))
+  }
+
   /** Corpus vocabulary: the k most frequent whitespace tokens with
     * counts, ties broken lexicographically — tokenizer/vocab-building
     * over the whole corpus. The classic giant-shuffle wordcount, kept

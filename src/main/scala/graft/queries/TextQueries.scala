@@ -108,6 +108,56 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("contaminated"))
     },
 
+    // PII scrub pass: deterministic synthetic PII (an email, an IPv4,
+    // a phone, all derived from doc_id) is appended to every document
+    // on BOTH engines, then redacted — the hash compare validates the
+    // three regexes byte-for-byte. Patterns are chosen to behave
+    // identically in Java regex and RE2 (char classes, bounded
+    // quantifiers, \b); DuckDB needs the 'g' flag to match Spark's
+    // replace-all semantics.
+    q("q_text_pii", "text",
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact u' || doc_id || '@example.com or 10.0.'
+               || (doc_id % 256) || '.7 tel 555-867-5309',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM documents""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      docs.select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 tel 555-867-5309"))).as("redacted"))
+    },
+
+    // repetition quality signals: duplicate-token and duplicate-bigram
+    // fractions (boilerplate/spam flags). Integer counts, one double
+    // division — exact cross-engine; DuckDB list slices are 1-based
+    // inclusive, so toks[i:i+1] is the 2-element bigram window
+    q("q_text_repetition", "text",
+      """SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens_r,
+           CASE WHEN len(toks) < 1 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / len(toks) END AS dup_token_frac,
+           CASE WHEN len(toks) < 2 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(
+                    [array_to_string(toks[i:i+1], ' ')
+                     for i in generate_series(1, len(toks)-1)]))
+                  AS DOUBLE) / (len(toks) - 1) END AS dup_bigram_frac
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents)""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      TextAnalysis.repetitionFeatures(docs, col("text"))
+        .select(col("doc_id"),
+          col("n_tokens_r").cast(LongType).as("n_tokens_r"),
+          col("dup_token_frac"), col("dup_bigram_frac"))
+    },
+
     // vocabulary building: top-20 tokens by count, lexicographic
     // tie-break makes the cut deterministic cross-engine
     q("q_vocab_topk", "text",
