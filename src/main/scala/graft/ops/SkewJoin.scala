@@ -23,7 +23,7 @@ object SkewJoin {
     * operator targets. Identical rows share a salt; that only matters if
     * one KEY's rows are ALSO massively duplicated row-for-row. */
   private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts.toLong))
 
   /** Inner equi-join `left(keyCol) = right(keyCol)` with the left side
     * treated as the (large, possibly skewed) probe side. */

@@ -40,7 +40,7 @@ object PartitionedWriter {
         // instead of one per upstream task
         val split =
           if (filesPerPartition <= 1) Nil
-          else Seq(pmod(xxhash64(df.columns.map(col): _*),
+          else Seq(pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*),
             lit(filesPerPartition.toLong)))
         withDt.repartition(extraPartitionCols.map(col) ++ split: _*)
       }
