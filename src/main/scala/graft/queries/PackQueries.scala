@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Decontaminate, Dedup, Pack, Sampling}
+import graft.ops.{Decontaminate, Dedup, Pack, Sampling, TextAnalysis}
 
 /** Training-data assembly operators over the documents table: sequence
   * packing (fixed token-budget packs in global doc_id order) and
@@ -196,5 +196,53 @@ object PackQueries extends QueryGroup {
       val sampled = Sampling.weightedBySource(kept, "doc_id", "source",
         mixtureWeights)
       Pack.sequencePack(sampled, "doc_id", "n_chars", Budget)
+    },
+
+    // Curation composition v2 over the round-9 operators: repetition
+    // gate (Gopher-style duplicate-token fraction) → PII redaction →
+    // exact dedup ON THE REDACTED TEXT → sequence packing. The
+    // injected PII is CONSTANT (not doc_id-derived) so redaction is
+    // uniform and dedup-on-redacted remains equivalent to
+    // dedup-on-raw; the per-doc redaction regexes themselves are
+    // byte-validated by q_text_pii.
+    q("q_curate_corpus_v2", "llm-pack",
+      s"""WITH base AS (
+            SELECT doc_id, n_chars,
+              regexp_replace(regexp_replace(regexp_replace(
+                text || ' contact bob@example.com or 10.0.0.7 tel 555-867-5309',
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                '<IP>', 'g'),
+                '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS rtext,
+              string_split(text, ' ') AS toks
+            FROM documents),
+          quality AS (
+            SELECT * FROM base
+            WHERE len(toks) >= 20
+              AND 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                / len(toks) <= 0.6),
+          rep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY rtext),
+          kept AS (SELECT q.doc_id, q.n_chars FROM quality q
+                   JOIN rep r ON q.doc_id = r.doc_id)
+          SELECT doc_id, n_chars AS tokens,
+                 CAST(COALESCE(SUM(n_chars) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // $Budget AS BIGINT) AS pack_id
+          FROM kept""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val base = docs.select(col("doc_id"), col("n_chars"), col("text"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact bob@example.com or 10.0.0.7 tel 555-867-5309")))
+          .as("rtext"))
+      val quality = TextAnalysis.repetitionFeatures(base, col("text"))
+        .filter(size(split(col("text"), " ")) >= 20 &&
+          col("dup_token_frac") <= 0.6)
+      val rep = Dedup.exact(quality, col("doc_id"), col("rtext"))
+        .select(col("keep_id").as("doc_id"))
+      val kept = quality.join(rep, "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+      Pack.sequencePack(kept, "doc_id", "n_chars", Budget)
     })
 }
