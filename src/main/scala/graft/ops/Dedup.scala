@@ -34,6 +34,41 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"),
         max(id).as("max_id"))
 
+  /** Sub-document unit dedup (CCNet/RefinedWeb-style line or sentence
+    * dedup): split each document on `sep`, drop every occurrence of a
+    * unit except the globally FIRST one (smallest (doc id, position)),
+    * and reassemble the survivors in document order. Docs whose units
+    * are all dropped disappear. The canonical pass for boilerplate that
+    * repeats ACROSS documents (headers, navigation, license blurbs),
+    * which document-level dedup cannot touch.
+    *
+    * Scale shape: one explode → one shuffle on the unit hash (the
+    * groupBy), one id-keyed join back, one reassembly aggregation —
+    * all shuffle-bounded like the rest of this file. The first-
+    * occurrence key is the single integer `id·2²⁰ + pos` (positions
+    * below ~1M per doc by construction of any sane corpus; documents
+    * with more units than that should be chunked first — see
+    * [[Pack.chunkDocs]]), which keeps the winner aggregation a plain
+    * min instead of a struct comparison. */
+  def unitDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = ". "): DataFrame = {
+    val units = spread(df, col(idCol))
+      .select(col(idCol).as("did"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("col", "unit")
+      .withColumn("okey", col("did") * lit(1048576L) + col("pos"))
+    val firsts = units.groupBy(col("unit"))
+      .agg(min(col("okey")).as("first_okey"))
+    val kept = units.join(firsts, "unit")
+      .filter(col("okey") === col("first_okey"))
+    kept.groupBy(col("did"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("unit")))),
+        x => x.getField("unit")), sep).as("deduped_text"))
+      .select(col("did").as(idCol), col("deduped_text"))
+  }
+
   /** Word n-gram shingles (distinct). Guarded for docs shorter than n. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
