@@ -49,7 +49,11 @@ object Dedup {
     * below ~1M per doc by construction of any sane corpus; documents
     * with more units than that should be chunked first — see
     * [[Pack.chunkDocs]]), which keeps the winner aggregation a plain
-    * min instead of a struct comparison. */
+    * min instead of a struct comparison. Units travel through the
+    * winner aggregation as xxhash64 fingerprints, not text — the same
+    * w.h.p.-identical argument as the Jaccard postings — so that
+    * shuffle carries 16 bytes per occurrence regardless of unit
+    * length. */
   def unitDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = ". "): DataFrame = {
     val units = spread(df, col(idCol))
@@ -57,10 +61,12 @@ object Dedup {
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))))
       .withColumnRenamed("col", "unit")
+      .withColumn("uh", xxhash64(col("unit")))
       .withColumn("okey", col("did") * lit(1048576L) + col("pos"))
-    val firsts = units.groupBy(col("unit"))
+    val firsts = units.select(col("uh"), col("okey"))
+      .groupBy(col("uh"))
       .agg(min(col("okey")).as("first_okey"))
-    val kept = units.join(firsts, "unit")
+    val kept = units.join(firsts, "uh")
       .filter(col("okey") === col("first_okey"))
     kept.groupBy(col("did"))
       .agg(array_join(transform(
