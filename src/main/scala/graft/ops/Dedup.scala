@@ -45,14 +45,15 @@ object Dedup {
     * Scale shape: one explode → one shuffle on the unit hash (the
     * groupBy), one id-keyed join back, one reassembly aggregation —
     * all shuffle-bounded like the rest of this file. The first-
-    * occurrence key is the single integer `id·2²⁰ + pos` (positions
-    * below ~1M per doc by construction of any sane corpus; documents
-    * with more units than that should be chunked first — see
-    * [[Pack.chunkDocs]]), which keeps the winner aggregation a plain
-    * min instead of a struct comparison. Units travel through the
+    * occurrence winner is `min(struct(did, pos))` — lexicographic
+    * struct ordering IS the global (doc id, position) order, with no
+    * cap on units-per-document (an earlier packed-long key silently
+    * corrupted ordering past 2²⁰ units/doc; a 100 TB corpus will
+    * contain such documents). Same shuffle shape: the struct is two
+    * integers riding the same groupBy. Units travel through the
     * winner aggregation as xxhash64 fingerprints, not text — the same
     * w.h.p.-identical argument as the Jaccard postings — so that
-    * shuffle carries 16 bytes per occurrence regardless of unit
+    * shuffle carries ~20 bytes per occurrence regardless of unit
     * length. */
   def unitDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = ". "): DataFrame = {
@@ -62,12 +63,13 @@ object Dedup {
           java.util.regex.Pattern.quote(sep))))
       .withColumnRenamed("col", "unit")
       .withColumn("uh", xxhash64(col("unit")))
-      .withColumn("okey", col("did") * lit(1048576L) + col("pos"))
-    val firsts = units.select(col("uh"), col("okey"))
+    val firsts = units.select(col("uh"),
+        struct(col("did"), col("pos")).as("okey"))
       .groupBy(col("uh"))
       .agg(min(col("okey")).as("first_okey"))
     val kept = units.join(firsts, "uh")
-      .filter(col("okey") === col("first_okey"))
+      .filter(col("did") === col("first_okey.did") &&
+        col("pos") === col("first_okey.pos"))
     kept.groupBy(col("did"))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("pos"), col("unit")))),

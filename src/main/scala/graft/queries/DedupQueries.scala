@@ -71,22 +71,26 @@ object DedupQueries extends QueryGroup {
     },
 
     // sub-document unit dedup: drop every occurrence of a '. '-unit
-    // except the globally first (smallest doc_id*2^20+pos), reassemble
+    // except the globally first (smallest (doc_id, pos)), reassemble
     // survivors in document order. The injected exact copies
     // (+100000 ids) lose ALL their units to the originals and vanish;
     // the '+200000 tail token' variants keep only their novel tail.
+    // The oracle derives first-occurrence via row_number, NOT the
+    // engine's min(struct) aggregation — independent formulations, so
+    // a winner-selection bug can't cancel out across engines.
     q("q_dedup_units", "dedup",
       s"""WITH $corpusSql,
           raw AS (SELECT doc_id, string_split(text, '. ') AS us
                   FROM corpus),
-          u AS (SELECT doc_id, uu.pos AS pos, uu.unit AS unit,
-                       doc_id * 1048576 + uu.pos AS okey
+          u AS (SELECT doc_id, uu.pos AS pos, uu.unit AS unit
                 FROM (SELECT doc_id, unnest([{'pos': i - 1, 'unit': us[i]}
                         for i in generate_series(1, len(us))]) AS uu
                       FROM raw) t),
-          f AS (SELECT unit, min(okey) AS fk FROM u GROUP BY unit),
-          kept AS (SELECT u.doc_id, u.pos, u.unit FROM u JOIN f
-                   ON u.unit = f.unit AND u.okey = f.fk)
+          kept AS (SELECT doc_id, pos, unit FROM (
+                     SELECT doc_id, pos, unit,
+                            row_number() OVER (PARTITION BY unit
+                              ORDER BY doc_id, pos) AS rn
+                     FROM u) WHERE rn = 1)
           SELECT doc_id,
                  array_to_string(list(unit ORDER BY pos), '. ')
                    AS deduped_text

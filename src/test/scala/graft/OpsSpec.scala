@@ -66,6 +66,25 @@ class DedupSpec extends AnyFunSuite {
       s"only $found of ${nearIds.size} near-dup pairs surfaced")
   }
 
+  test("unitDedup first-occurrence order survives >2^20 units in one doc") {
+    import spark.implicits._
+    // doc 0 carries a marker unit at position 2^20+5; doc 1 repeats the
+    // same marker at position 0. Global first-occurrence order is
+    // (doc id, pos) lexicographic, so doc 0's copy must win — under the
+    // retired packed-long key (did·2²⁰ + pos) doc 1's okey (1·2²⁰) was
+    // SMALLER than doc 0's (2²⁰+5) and silently crowned the wrong
+    // winner. No sf-scale oracle can reach this row count; this pins it.
+    val nFill = (1 << 20) + 5
+    val doc0 = (Seq.fill(nFill)("filler") :+ "marker").mkString(". ")
+    val doc1 = "marker. novel tail"
+    val df = Seq((0L, doc0), (1L, doc1)).toDF("doc_id", "text")
+    val out = Dedup.unitDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "filler. marker",
+      s"doc 0 lost its globally-first marker: '${out(0L).take(80)}'")
+    assert(out(1L) == "novel tail")
+  }
+
   test("simhash of near-dup is closer than unrelated docs") {
     val c = DedupQueries.corpus(spark, sf)
     val sigs = c.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
