@@ -10,8 +10,9 @@ import graft.functions.DotProductFold
   * (`array<float>`): brute-force cosine top-k as the exact baseline and
   * a random-hyperplane-LSH bucketed variant as the 100 TB path (bucket
   * join instead of full cross product; planes are deterministic
-  * hash-derived pseudo-randoms, so results are reproducible with no
-  * driver-side RNG state).
+  * Lehmer-derived pseudo-randoms — reproducible with no driver-side
+  * RNG state, and rebuildable in plain SQL for the cross-engine
+  * oracle).
   *
   * All arithmetic is double (floats cast up before multiply) — IEEE
   * sequential fold, bit-identical to the DuckDB oracle formulation.
@@ -72,21 +73,32 @@ object Similarity {
         col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane for `plane`, materialized as
-    * a literal array<double>: component i is xxhash64(plane, i) scaled
-    * to [-1, 1) — the SAME value the per-row HOF formulation computed,
-    * but evaluated ONCE driver-side instead of nPlanes×nTables×d
-    * interpreted aggregate/zip_with folds per row. The per-row work is
-    * then a single codegen'd [[DotProductFold]] per plane, with the
-    * identical sequential IEEE accumulation order, so bucket ids are
-    * bit-for-bit unchanged. */
-  private def planeLiteral(plane: Int, dim: Int): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    lit(Array.tabulate(dim) { i =>
-      new XxHash64(Seq(Literal(plane), Literal(i))).eval(null)
-        .asInstanceOf[Long].toDouble / Long.MaxValue.toDouble
-    })
+  /** Deterministic pseudo-random hyperplane component: a 3-round Lehmer
+    * (MINSTD, ×48271 mod 2³¹−1) permutation of the seed
+    * `plane·2¹⁶ + i`, scaled to [−1, 1). Chosen — like the Lehmer hash
+    * in [[graft.ops.Sampling]] — because every step fits a 64-bit
+    * integer with NO wrap-around multiplication (max product
+    * (2³¹−2)·48271 < 2⁴⁸), so a DuckDB oracle rebuilds the identical
+    * planes in plain BIGINT SQL; splitmix/xxhash-style mixers need
+    * mod-2⁶⁴ wrapping, which SQL engines reject as overflow. That is
+    * what upgrades the LSH queries from rows-only to full
+    * rows+schema+hash oracles. The scaling u/2³⁰ − 1 is exact in
+    * double (integer < 2³¹, power-of-two divide), so both engines see
+    * bit-identical components. */
+  private[graft] def planeComponent(plane: Int, i: Int): Double = {
+    var u = (plane.toLong * 65536L + i) % 2147483646L + 1L
+    var r = 0
+    while (r < 3) { u = u * 48271L % 2147483647L; r += 1 }
+    u.toDouble / 1073741824.0 - 1.0
   }
+
+  /** The plane for `plane`, materialized as a literal array<double> —
+    * evaluated ONCE driver-side; the per-row work is a single codegen'd
+    * [[DotProductFold]] per plane with sequential IEEE accumulation,
+    * so bucket ids are reproducible bit-for-bit (see
+    * [[planeComponent]]). */
+  private def planeLiteral(plane: Int, dim: Int): Column =
+    lit(Array.tabulate(dim)(i => planeComponent(plane, i)))
 
   /** Embedding dimensionality: the MODE of `size(vec)` over the first
     * [[DimSampleRows]] non-empty rows (one head job that stops after

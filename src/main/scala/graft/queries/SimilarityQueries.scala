@@ -7,9 +7,135 @@ import graft.ops.Similarity
 /** ANN over the embeddings table: exact brute-force cosine top-k
   * (oracled — the double arithmetic is bit-identical to DuckDB's
   * list-lambda formulation, verified empirically) and the LSH-bucketed
-  * scale path (Spark-hash planes → rows-only; recall is spec-tested).
+  * scale paths, ALSO fully oracled: hyperplanes derive from a 3-round
+  * Lehmer permutation whose arithmetic fits 64-bit integers (see
+  * [[graft.ops.Similarity.planeComponent]]), so DuckDB rebuilds the
+  * identical planes in plain BIGINT SQL and the whole operator —
+  * planes → sign buckets → (multi-)probe join → exact verify → rank —
+  * differentials cross-engine. Recall floors remain spec-pinned.
   */
 object SimilarityQueries extends QueryGroup {
+
+  /** `planes(t, p, pv)` CTE: component i of plane (t, p) is the 3-round
+    * Lehmer permutation of seed (t·1000+p)·2¹⁶+i scaled to [−1, 1) —
+    * the EXACT integer/power-of-two-divide formula of
+    * `Similarity.planeComponent`, so both engines see bit-identical
+    * plane arrays. */
+  private def planesSql(nTables: Int, nPlanes: Int, dim: Int): String =
+    s"""planes AS (
+          SELECT t, p, list(comp ORDER BY i) AS pv
+          FROM (
+            SELECT tt.t AS t, pp.p AS p, ii.i AS i,
+              CAST((((((tt.t * 1000 + pp.p) * 65536 + ii.i)
+                % 2147483646 + 1)
+                * 48271 % 2147483647
+                * 48271 % 2147483647)
+                * 48271 % 2147483647) AS DOUBLE)
+                / 1073741824.0 - 1.0 AS comp
+            FROM generate_series(0, ${nTables - 1}) tt(t),
+                 generate_series(0, ${nPlanes - 1}) pp(p),
+                 generate_series(0, ${dim - 1}) ii(i)) c
+          GROUP BY t, p)"""
+
+  /** `emb` (vectors as DOUBLE[] + norm, null-component rows excluded —
+    * Spark's fold nulls the norm where DuckDB's list_sum would skip) and
+    * `idx` (the indexable subset: corpus-dimensional, positive finite
+    * norm — the isIndexable mirror). */
+  private def embSql(src: String, dim: Int): String =
+    s"""emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nrm
+          FROM $src
+          WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+        idx AS (SELECT * FROM emb
+                WHERE len(v) = $dim AND nrm > 0 AND NOT isnan(nrm))"""
+
+  /** `buckets(vec_id, t, b)`: the nPlanes-bit sign bucket per table —
+    * bit p set iff the sequential-fold projection onto plane (t, p) is
+    * ≥ 0, same IEEE accumulation order as DotProductFold. */
+  private val bucketsSql: String =
+    """buckets AS (
+         SELECT e.vec_id, pl.t,
+           CAST(SUM(CASE WHEN list_sum(list_transform(
+                 list_zip(e.v, pl.pv), x -> x[1] * x[2])) >= 0
+               THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS b
+         FROM idx e CROSS JOIN planes pl
+         GROUP BY e.vec_id, pl.t)"""
+
+  /** Full LSH top-k oracle (nPlanes=4, nTables=4, queries vec_id%50=0,
+    * k=5), optionally with Hamming-1 multi-probe on the query side. */
+  private def knnLshSql(multiProbe: Boolean): String = {
+    val cand =
+      if (!multiProbe)
+        """cand AS (
+             SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+             FROM buckets q JOIN buckets c ON q.t = c.t AND q.b = c.b
+             WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)"""
+      else
+        """probes AS (
+             SELECT bq.vec_id, bq.t,
+               CASE WHEN ff.f < 0 THEN bq.b
+                    ELSE xor(bq.b, CAST(1 AS BIGINT) << ff.f) END AS b
+             FROM buckets bq, generate_series(-1, 3) ff(f)
+             WHERE bq.vec_id % 50 = 0),
+           cand AS (
+             SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS n_id
+             FROM probes p JOIN buckets c ON p.t = c.t AND p.b = c.b
+             WHERE p.vec_id <> c.vec_id)"""
+    s"""WITH ${embSql("embeddings", 64)},
+        ${planesSql(4, 4, 64)},
+        $bucketsSql,
+        $cand,
+        s AS (
+          SELECT q_id, n_id,
+            list_sum(list_transform(list_zip(qe.v, ne.v),
+              x -> x[1] * x[2])) / (qe.nrm * ne.nrm) AS sim
+          FROM cand JOIN idx qe ON qe.vec_id = cand.q_id
+                    JOIN idx ne ON ne.vec_id = cand.n_id)
+        SELECT q_id, n_id,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY sim DESC, n_id) AS BIGINT) AS rank, sim
+        FROM s QUALIFY rank <= 5"""
+  }
+
+  /** Full LSH near-dup oracle (nPlanes=8, nTables=4, threshold 0.99)
+    * over the injected-duplicate corpus; multi-probe expands the a-side
+    * of the self-join exactly as the engine does. */
+  private def nearDupLshSql(multiProbe: Boolean): String = {
+    val cand =
+      if (!multiProbe)
+        """cand AS (
+             SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM buckets a JOIN buckets b ON a.t = b.t AND a.b = b.b
+             WHERE a.vec_id < b.vec_id)"""
+      else
+        """probes AS (
+             SELECT bq.vec_id, bq.t,
+               CASE WHEN ff.f < 0 THEN bq.b
+                    ELSE xor(bq.b, CAST(1 AS BIGINT) << ff.f) END AS b
+             FROM buckets bq, generate_series(-1, 7) ff(f)),
+           cand AS (
+             SELECT DISTINCT p.vec_id AS a_id, c.vec_id AS b_id
+             FROM probes p JOIN buckets c ON p.t = c.t AND p.b = c.b
+             WHERE p.vec_id < c.vec_id)"""
+    s"""WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings
+          WHERE vec_id % 10 = 0),
+        ${embSql("corpus", 64)},
+        ${planesSql(4, 8, 64)},
+        $bucketsSql,
+        $cand
+        SELECT a_id, b_id, sim FROM (
+          SELECT a_id, b_id,
+            list_sum(list_transform(list_zip(ea.v, eb.v),
+              x -> x[1] * x[2])) / (ea.nrm * eb.nrm) AS sim
+          FROM cand JOIN emb ea ON ea.vec_id = cand.a_id
+                    JOIN emb eb ON eb.vec_id = cand.b_id) t
+        WHERE sim >= 0.99"""
+  }
 
   val queries: Seq[Q] = Seq(
     q("q_knn_bruteforce", "similarity",
@@ -76,9 +202,11 @@ object SimilarityQueries extends QueryGroup {
     },
 
     // the near-dup SCALE path: sign-LSH blocking + exact cosine verify.
-    // Planes derive from Spark xxhash64 → no cross-engine oracle;
-    // recall vs the all-pairs twin is asserted in SimilaritySpec.
-    qNoOracle("q_embed_neardup_lsh", "similarity") { (spark, dir) =>
+    // FULLY oracled since r10: Lehmer-derived planes rebuild in BIGINT
+    // SQL, so blocking + verify differential end-to-end; recall vs the
+    // all-pairs twin stays asserted in SimilaritySpec.
+    q("q_embed_neardup_lsh", "similarity",
+      nearDupLshSql(multiProbe = false)) { (spark, dir) =>
       val emb = Tables.df(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val corpus = emb.unionAll(
@@ -88,10 +216,11 @@ object SimilarityQueries extends QueryGroup {
     },
 
     // near-dup with Hamming-1 multi-probe on the probe side of the
-    // self-join (r9): same no-oracle rationale; SimilaritySpec asserts
+    // self-join (r9), full oracle since r10; SimilaritySpec asserts
     // its pairs are a superset of the single-probe run above and its
     // recall vs the all-pairs twin dominates on perturbed near-misses.
-    qNoOracle("q_embed_neardup_lsh_multiprobe", "similarity") { (spark, dir) =>
+    q("q_embed_neardup_lsh_multiprobe", "similarity",
+      nearDupLshSql(multiProbe = true)) { (spark, dir) =>
       val emb = Tables.df(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val corpus = emb.unionAll(
@@ -100,18 +229,20 @@ object SimilarityQueries extends QueryGroup {
       Similarity.lshNearDup(corpus, 0.99, multiProbe = true)
     },
 
-    // LSH planes derive from Spark xxhash64 → no cross-engine oracle;
-    // recall vs brute force is asserted in SimilaritySpec.
-    qNoOracle("q_knn_lsh", "similarity") { (spark, dir) =>
+    // LSH top-k, full oracle since r10 (Lehmer planes); recall vs
+    // brute force stays asserted in SimilaritySpec.
+    q("q_knn_lsh", "similarity",
+      knnLshSql(multiProbe = false)) { (spark, dir) =>
       val emb = Tables.df(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.lshTopK(emb, queries, 5, nPlanes = 4)
     },
 
-    // multi-probe variant (Hamming-1 query buckets): same no-oracle
-    // rationale; SimilaritySpec asserts its recall dominates the
-    // single-probe run above on the identical deterministic inputs.
-    qNoOracle("q_knn_lsh_multiprobe", "similarity") { (spark, dir) =>
+    // multi-probe variant (Hamming-1 query buckets), full oracle;
+    // SimilaritySpec asserts its recall dominates the single-probe run
+    // above on the identical deterministic inputs.
+    q("q_knn_lsh_multiprobe", "similarity",
+      knnLshSql(multiProbe = true)) { (spark, dir) =>
       val emb = Tables.df(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.lshTopK(emb, queries, 5, nPlanes = 4, multiProbe = true)
