@@ -127,7 +127,15 @@ object ScaleRamp {
       val transferTopic = slice.head.event.get.topic0
       val punkTopic = slice(1).event.get.topic0
       val punksAddr = slice(1).contract.contractAddress.get.toLowerCase
-      val noiseTopic = Keccak256.eventTopic("Approval(address,address,uint256)")
+      // the noise topic is a SYNTHETIC signature absent from the whole
+      // contract corpus, so noise rows match no task and the fixture's
+      // width characterization holds exactly: 2 tasks decode rows, 6
+      // prune to empty. (An earlier revision used the real ERC-20
+      // Approval signature here — but common.erc20_evt_Approval is one
+      // of the 6 `others` tasks, so ~1/3 of the fixture decoded under a
+      // third task, inflating decode volume ~1.5× vs the stated design;
+      // round-9 ADVICE.)
+      val noiseTopic = Keccak256.eventTopic("GraftRampNoise(uint256,uint256)")
       def pad64(c: org.apache.spark.sql.Column) =
         concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
       val path = s"$out/logs_x$k"
@@ -194,6 +202,16 @@ object ScaleRamp {
       "simhash_pairs" -> { k =>
         val d = docsAt(k)
         timeIt(Dedup.simhashPairs(d, "doc_id", "text").count())
+      },
+      "unit_dedup" -> { k =>
+        // the newest shuffle-heavy dedup path (round 9): per-sentence
+        // explode multiplies rows ~30×, then one unit-hash shuffle, an
+        // id join back and a reassembly agg. The z{i}-prefixed tokens
+        // make every UNIT copy-local too (". " separators survive the
+        // prefixing), so cross-copy first-occurrence collisions don't
+        // exist and survivor volume scales with k.
+        val d = docsAt(k)
+        timeIt(Dedup.unitDedup(d, "doc_id", "text").count())
       },
       "connected_components" -> { k =>
         // isolate CC from candidate generation: the edge list is

@@ -26,7 +26,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * Integer arrays are accepted too (the int8-quantized ANN search
   * path): products and partial sums of int8 components are exact in
   * double (|x·y| ≤ 127² and dims ≪ 2⁴⁰), so the fold is bit-exact
-  * against any integer-arithmetic oracle.
+  * against any integer-arithmetic oracle. MAGNITUDE PRECONDITION for
+  * exactness on GENERAL int inputs: the accumulator is a double, so
+  * exactness holds only while every partial sum stays below 2⁵³ —
+  * i.e. max|aᵢ·bᵢ|·dims < 2⁵³. Full-range int32 products (up to
+  * ~4.6·10¹⁸) exceed that and round like any double arithmetic; the
+  * int8 path this exists for sits ~10 orders of magnitude below the
+  * edge. Callers quantizing wider than ~int16 should rescale first.
   */
 case class DotProductFold(left: Expression, right: Expression)
     extends BinaryExpression {

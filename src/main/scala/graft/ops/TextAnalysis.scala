@@ -78,14 +78,26 @@ object TextAnalysis {
 
   /** PII redaction — the standard scrub pass before a corpus ships to
     * training. Conservative patterns chosen to behave identically in
-    * Java regex (this engine) and RE2 (DuckDB oracle): emails, IPv4
-    * addresses, and NNN-NNN-NNNN phone shapes, replaced with typed
+    * Java regex (this engine) and RE2 (DuckDB oracle): emails,
+    * bounds-checked IPv4 addresses (each octet 0–255, so a lookalike
+    * such as 999.999.999.999 is NOT an address and survives — oracled
+    * negative case in `q_text_pii`), and NNN-NNN-NNNN phone shapes
+    * with an optional international +C/+CC prefix, replaced with typed
     * placeholder tags. Order matters (emails first: an address can
     * contain digit runs a later pattern might bite). Pure per-row
-    * regexp_replace chain — codegen'd, no shuffle, linear per row. */
+    * regexp_replace chain — codegen'd, no shuffle, linear per row.
+    *
+    * CONTRACT: these are deliberately conservative, latin-script /
+    * US-shaped defaults — a floor, not a PII inventory (no IPv6, no
+    * national phone formats beyond the +CC prefix, no street
+    * addresses, no ID numbers). A production corpus brings its own
+    * pattern set; the operator shape (ordered regexp_replace chain,
+    * cross-engine-safe pattern subset: char classes, bounded
+    * quantifiers, \b, no backrefs/lookaround) is the reusable part. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val Ipv4Pattern = s"\\b($Octet\\.){3}$Octet\\b"
+  val PhonePattern = "(\\+[0-9]{1,2}[- ])?\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
   def redactPii(text: Column): Column =
     regexp_replace(

@@ -210,11 +210,11 @@ object PackQueries extends QueryGroup {
             SELECT doc_id, n_chars,
               regexp_replace(regexp_replace(regexp_replace(
                 text || ' contact bob@example.com or 10.0.0.7 tel 555-867-5309',
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '${TextAnalysis.EmailPattern}',
                 '<EMAIL>', 'g'),
-                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                '${TextAnalysis.Ipv4Pattern}',
                 '<IP>', 'g'),
-                '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS rtext,
+                '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS rtext,
               string_split(text, ' ') AS toks
             FROM documents),
           quality AS (

@@ -109,21 +109,26 @@ object TextQueries extends QueryGroup {
     },
 
     // PII scrub pass: deterministic synthetic PII (an email, an IPv4,
-    // a phone, all derived from doc_id) is appended to every document
-    // on BOTH engines, then redacted — the hash compare validates the
-    // three regexes byte-for-byte. Patterns are chosen to behave
-    // identically in Java regex and RE2 (char classes, bounded
+    // a US phone, a +CC-prefixed phone, all derived from doc_id) is
+    // appended to every document on BOTH engines, then redacted — the
+    // hash compare validates the three regexes byte-for-byte. The tail
+    // also injects NEGATIVE cases that must SURVIVE: 999.999.999.999
+    // (octets out of bounds — not an address) and 1234-567-8901 (no
+    // phone boundary). The oracle interpolates the engine's own
+    // pattern constants, so the two sides cannot drift. Patterns
+    // behave identically in Java regex and RE2 (char classes, bounded
     // quantifiers, \b); DuckDB needs the 'g' flag to match Spark's
     // replace-all semantics.
     q("q_text_pii", "text",
-      """SELECT doc_id,
+      s"""SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(
              text || ' contact u' || doc_id || '@example.com or 10.0.'
-               || (doc_id % 256) || '.7 tel 555-867-5309',
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               || (doc_id % 256) || '.7 tel 555-867-5309 alt'
+               || ' +1-555-867-5309 not 999.999.999.999 nor 1234-567-8901',
+             '${TextAnalysis.EmailPattern}',
              '<EMAIL>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+             '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+             '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS redacted
          FROM documents""") { (spark, dir) =>
       val docs = Tables.df(spark, dir, "documents")
       docs.select(col("doc_id"),
@@ -131,7 +136,8 @@ object TextQueries extends QueryGroup {
           lit(" contact u"), col("doc_id").cast("string"),
           lit("@example.com or 10.0."),
           (col("doc_id") % 256).cast("string"),
-          lit(".7 tel 555-867-5309"))).as("redacted"))
+          lit(".7 tel 555-867-5309 alt +1-555-867-5309" +
+            " not 999.999.999.999 nor 1234-567-8901"))).as("redacted"))
     },
 
     // repetition quality signals: duplicate-token and duplicate-bigram

@@ -386,6 +386,37 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class CurationParitySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q_curate_corpus_v2 equals chaining the public operator APIs") {
+    // the cataloged composition must stay exactly what it advertises:
+    // TextAnalysis.repetitionFeatures gate → TextAnalysis.redactPii →
+    // Dedup.exact on the redacted text → Pack.sequencePack. This
+    // recomposes the pipeline from ONLY those public APIs and demands
+    // row equality, so the catalog query cannot drift into inlined
+    // derivations that diverge from the operators it names.
+    import graft.ops.{Dedup, Pack, TextAnalysis}
+    val got = graft.queries.Catalog.byName("q_curate_corpus_v2")
+      .fn(spark, sf).collect().map(_.toSeq).toSet
+    val docs = Tables.df(spark, sf, "documents")
+    val base = docs.select(col("doc_id"), col("n_chars"), col("text"),
+      TextAnalysis.redactPii(concat(col("text"),
+        lit(" contact bob@example.com or 10.0.0.7 tel 555-867-5309")))
+        .as("rtext"))
+    val quality = TextAnalysis.repetitionFeatures(base, col("text"))
+      .filter(TextAnalysis.tokenCount(col("text")) >= 20 &&
+        col("dup_token_frac") <= 0.6)
+    val rep = Dedup.exact(quality, col("doc_id"), col("rtext"))
+      .select(col("keep_id").as("doc_id"))
+    val kept = quality.join(rep, "doc_id")
+      .select(col("doc_id"), col("n_chars"))
+    val expect = Pack.sequencePack(kept, "doc_id", "n_chars", 4096L)
+      .collect().map(_.toSeq).toSet
+    assert(expect.nonEmpty && got == expect)
+  }
+}
+
 class VerifierSpec extends AnyFunSuite {
   import TestSession._
 
