@@ -221,22 +221,25 @@ object ScaleRamp {
         pairs.count()
         timeIt(Dedup.connectedComponents(pairs, "a_id", "b_id").count())
       },
+      "lsh_embed_neardup_scaled_planes" -> { k =>
+        // the documented operating mode: planes grow with log2(corpus)
+        // so expected bucket occupancy is constant — the knob a real
+        // 100 TB run must turn. Runs BEFORE the control row so the
+        // production measurement never executes in the control's
+        // GC/spill aftermath (or not at all, if the control dies).
+        val e = embAt(k)
+        val planes = 8 + (math.log(k.toDouble) / math.log(2.0)).round.toInt
+        timeIt(Similarity.lshNearDup(e, 0.99, nPlanes = planes).count())
+      },
       "lsh_embed_neardup_fixed_planes" -> { k =>
         // deliberately WRONG at scale: bucket count frozen at the
         // default 2^8 while the corpus grows, so per-bucket occupancy
         // — and candidate volume — grows quadratically. Kept as the
-        // control row: the measured superlinear exponent here is the
-        // failure mode the scaled-planes row below exists to avoid.
+        // control row (LAST, see above): the superlinear exponent —
+        // or an outright abort once Σ|bucket|² spill exceeds the disk
+        // — is the failure mode the scaled-planes row exists to avoid.
         val e = embAt(k)
         timeIt(Similarity.lshNearDup(e, 0.99).count())
-      },
-      "lsh_embed_neardup_scaled_planes" -> { k =>
-        // the documented operating mode: planes grow with log2(corpus)
-        // so expected bucket occupancy is constant — the knob a real
-        // 100 TB run must turn
-        val e = embAt(k)
-        val planes = 8 + (math.log(k.toDouble) / math.log(2.0)).round.toInt
-        timeIt(Similarity.lshNearDup(e, 0.99, nPlanes = planes).count())
       })
 
     // JIT/codegen warmup outside every timed window
@@ -279,16 +282,30 @@ object ScaleRamp {
     val probes = scala.collection.mutable.ArrayBuffer(
       "start" -> calStart)
     ops.foreach { case (name, run) =>
+      // a cell may die outright (the fixed-planes control's 64× spill
+      // can exceed the box's disk — observed, and itself the lesson
+      // that row exists to teach); the harness must survive it, report
+      // the crash, and keep measuring the remaining rows
       val rows = scales.map { k =>
-        val (t1, n) = run(k)
-        // min-of-2 for cheap cells: a single GC pause is a 3x swing on
-        // a seconds-scale sample; long cells amortize it themselves
-        val t = if (t1 < 10.0) math.min(t1, run(k)._1) else t1
-        (k, t, n)
+        scala.util.Try {
+          val (t1, n) = run(k)
+          // min-of-2 for cheap cells: a single GC pause is a 3x swing
+          // on a seconds-scale sample; long cells amortize it
+          val t = if (t1 < 10.0) math.min(t1, run(k)._1) else t1
+          (k, t, n)
+        }.toEither.left.map { ex =>
+          System.err.println(s"[ramp] $name x$k crashed: " +
+            s"${ex.getClass.getSimpleName}: ${String.valueOf(ex.getMessage).take(120)}")
+          (k, ex.getClass.getSimpleName)
+        }
       }
-      val e = exponent(rows.map(r => (r._1, r._2)))
-      println(f"| $name | " + rows.map { case (_, t, n) =>
-        f"$t%.2f | $n%d |" }.mkString(" ") + f" $e%.2f |")
+      val good = rows.collect { case Right(r) => r }
+      val e = if (good.size >= 2) f"${exponent(good.map(r => (r._1, r._2)))}%.2f"
+              else "n/a"
+      println(f"| $name | " + rows.map {
+        case Right((_, t, n)) => f"$t%.2f | $n%d |"
+        case Left((_, why)) => s"CRASH($why) | — |"
+      }.mkString(" ") + s" $e |")
       probes += (s"after $name" -> calibrate())
     }
     println("calibration probes (3-iteration, fixed plan): " +

@@ -73,22 +73,35 @@ object Similarity {
         col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: a 3-round Lehmer
-    * (MINSTD, ×48271 mod 2³¹−1) permutation of the seed
-    * `plane·2¹⁶ + i`, scaled to [−1, 1). Chosen — like the Lehmer hash
-    * in [[graft.ops.Sampling]] — because every step fits a 64-bit
-    * integer with NO wrap-around multiplication (max product
-    * (2³¹−2)·48271 < 2⁴⁸), so a DuckDB oracle rebuilds the identical
-    * planes in plain BIGINT SQL; splitmix/xxhash-style mixers need
-    * mod-2⁶⁴ wrapping, which SQL engines reject as overflow. That is
-    * what upgrades the LSH queries from rows-only to full
-    * rows+schema+hash oracles. The scaling u/2³⁰ − 1 is exact in
-    * double (integer < 2³¹, power-of-two divide), so both engines see
-    * bit-identical components. */
+  /** Deterministic pseudo-random hyperplane component: Lehmer-style
+    * multiplies mod 2³¹−1 INTERLEAVED WITH XOR-SHIFT steps over the
+    * seed `plane·2¹⁶ + i`, scaled to [−1, 1). Two design constraints
+    * meet here:
+    *  - SQL-reproducible: every step fits a 64-bit integer with NO
+    *    wrap-around multiplication (max product (2³¹−1)·69621 < 2⁴⁸),
+    *    so a DuckDB oracle rebuilds the identical planes in plain
+    *    BIGINT SQL (xor/division/modulo only); splitmix/xxhash-style
+    *    mixers need mod-2⁶⁴ wrapping, which SQL engines reject as
+    *    overflow. That is what upgrades the LSH queries from rows-only
+    *    to full rows+schema+hash oracles.
+    *  - NON-LINEAR: k pure Lehmer rounds compose to ONE multiply
+    *    (×48271ᵏ mod p), making consecutive components an arithmetic
+    *    progression — sawtooth "planes" whose buckets skew so badly on
+    *    clustered corpora that the 64× ramp cell spilled past the
+    *    box's disk (measured, round 10). The xor-shift between
+    *    multiplies breaks the linearity; multiply–xorshift sandwiches
+    *    are the standard public mixer shape (xorshift/splitmix
+    *    family).
+    * The scaling u/2³⁰ − 1 is exact in double (integer < 2³¹,
+    * power-of-two divide), so both engines see bit-identical
+    * components. */
   private[graft] def planeComponent(plane: Int, i: Int): Double = {
     var u = (plane.toLong * 65536L + i) % 2147483646L + 1L
-    var r = 0
-    while (r < 3) { u = u * 48271L % 2147483647L; r += 1 }
+    u = u * 48271L % 2147483647L
+    u ^= u >>> 15
+    u = u * 69621L % 2147483647L
+    u ^= u >>> 13
+    u = u * 16807L % 2147483647L
     u.toDouble / 1073741824.0 - 1.0
   }
 

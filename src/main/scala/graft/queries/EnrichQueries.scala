@@ -10,9 +10,11 @@ import graft.sources.EvmFixtures
   * EVM-shaped fixtures derived from the testdata; each DuckDB oracle
   * replicates derivation + enrich in plain SQL, so the differential test
   * covers the full operator. Timestamps are emitted as formatted strings
-  * or epoch longs (cross-engine-stable), Murmur3 hash-bucket columns are
-  * excluded from oracled outputs and checked by `q_hash_buckets`
-  * (rows-only) + the bucket-consistency ScalaTest spec.
+  * or epoch longs (cross-engine-stable); Murmur3 hash-bucket columns are
+  * excluded from the enrich oracles' outputs and checked by
+  * `q_hash_buckets` — since r10 a FULL cross-engine oracle (DuckDB
+  * replays Spark's Murmur3_x86_32 in integer SQL, see [[hashBucketsSql]])
+  * — plus the writer↔reader bucket-consistency ScalaTest spec.
   */
 object EnrichQueries extends QueryGroup {
 
@@ -274,12 +276,83 @@ object EnrichQueries extends QueryGroup {
         lit(1605000000L)))
     },
 
-    // Murmur3 bucket values are Spark-specific → no cross-engine oracle;
-    // driver records rows-only, bucket consistency is spec-tested.
-    qNoOracle("q_hash_buckets", "enrich") { (spark, dir) =>
+    // Murmur3 hash buckets, FULLY oracled since r10: the bucket is
+    // abs(murmur3_x86_32(utf8_bytes, seed 42)) % 10, and Spark's
+    // Murmur3 variant (little-endian 4-byte words, then each TAIL byte
+    // mixed individually — unlike reference murmur3's combined tail —
+    // then fmix with the byte length) is plain 32-bit integer
+    // arithmetic, so DuckDB replays it exactly: words/tail as list
+    // comprehensions over ord(), the k1 pipeline as staged
+    // list_transforms, the h1 chain as a seed-prepended list_reduce,
+    // wrap-around multiplies via HUGEINT % 2^32 and rotations as
+    // shift-add on BIGINT. Fixture strings are pure ASCII, so ord() =
+    // byte value = Java's (signed) byte. The spec-tested
+    // writer↔reader consistency contract is unchanged; this adds
+    // cross-engine value equality on top.
+    q("q_hash_buckets", "enrich", hashBucketsSql) { (spark, dir) =>
       val ev = Tables.df(spark, dir, "events")
       Enrich.logs(EvmFixtures.logs(ev), EvmFixtures.blocksForLogs(ev))
         .groupBy(col("address_hash"), col("selector_hash"))
         .agg(count(lit(1)).as("cnt"))
     })
+
+  /** DuckDB replay of Spark's Murmur3_x86_32 hash-bucketing over the
+    * logs fixture strings (addresses `0xa{user_id%97}`, selectors
+    * `0xe{user_id%7}` — 104 distinct ASCII strings, hashed once each,
+    * joined back to the per-row stream for the bucket counts).
+    * Constants: C1 0xcc9e2d51 = 3432918353, C2 0x1b873593 = 461845907,
+    * mixH1 addend 0xe6546b64 = 3864292196, fmix 0x85ebca6b = 2246822507
+    * and 0xc2b2ae35 = 3266489909; rotl(x,r) on a [0,2^32) value is
+    * (x·2^r) % 2^32 + x // 2^(32−r) (disjoint bits, so + is |). The
+    * abs() edge (hash = Int.MinValue stays negative, % keeps the
+    * dividend sign) is mimicked branch-for-branch. */
+  private def hashBucketsSql: String =
+    """WITH rows_ AS (
+         SELECT '0xa' || CAST(user_id % 97 AS VARCHAR) AS a_s,
+                '0xe' || CAST(user_id % 7 AS VARCHAR) AS s_s
+         FROM events),
+       strs AS (SELECT a_s AS s FROM rows_ UNION SELECT s_s FROM rows_),
+       b AS (SELECT s, length(s) AS n,
+               [ord(s[i]) for i in generate_series(1, length(s))] AS bs
+             FROM strs),
+       it AS (SELECT s, n,
+                list_concat(
+                  [bs[4*j+1] + 256*bs[4*j+2] + 65536*bs[4*j+3]
+                     + 16777216*bs[4*j+4]
+                   for j in generate_series(0, n//4 - 1)],
+                  bs[4*(n//4)+1 : n]) AS items
+              FROM b),
+       k1 AS (SELECT s, n, list_transform(items, w ->
+                CAST((CAST(w AS HUGEINT) * 3432918353) % 4294967296
+                  AS BIGINT)) AS ks FROM it),
+       k2 AS (SELECT s, n, list_transform(ks, k ->
+                (k * 32768) % 4294967296 + k // 131072) AS ks FROM k1),
+       k3 AS (SELECT s, n, list_transform(ks, k ->
+                CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296
+                  AS BIGINT)) AS ks FROM k2),
+       hb AS (SELECT s, n,
+                list_reduce(list_prepend(CAST(42 AS BIGINT), ks),
+                  (h, k) -> (((xor(h, k) * 8192) % 4294967296
+                              + xor(h, k) // 524288) * 5
+                             + 3864292196) % 4294967296) AS raw
+              FROM k3),
+       f0 AS (SELECT s, xor(raw, n) AS h FROM hb),
+       f1 AS (SELECT s, xor(h, h // 65536) AS h FROM f0),
+       f2 AS (SELECT s, CAST((CAST(h AS HUGEINT) * 2246822507)
+                % 4294967296 AS BIGINT) AS h FROM f1),
+       f3 AS (SELECT s, xor(h, h // 8192) AS h FROM f2),
+       f4 AS (SELECT s, CAST((CAST(h AS HUGEINT) * 3266489909)
+                % 4294967296 AS BIGINT) AS h FROM f3),
+       f5 AS (SELECT s, xor(h, h // 65536) AS h FROM f4),
+       bk AS (SELECT s,
+                CAST((CASE WHEN sg = -2147483648 THEN sg ELSE abs(sg) END)
+                  % 10 AS INTEGER) AS bucket
+              FROM (SELECT s, CASE WHEN h >= 2147483648
+                                   THEN h - 4294967296 ELSE h END AS sg
+                    FROM f5) t)
+       SELECT ab.bucket AS address_hash, sb.bucket AS selector_hash,
+              count(*) AS cnt
+       FROM rows_ r JOIN bk ab ON r.a_s = ab.s
+                    JOIN bk sb ON r.s_s = sb.s
+       GROUP BY 1, 2"""
 }

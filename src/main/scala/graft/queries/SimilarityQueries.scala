@@ -16,25 +16,29 @@ import graft.ops.Similarity
   */
 object SimilarityQueries extends QueryGroup {
 
-  /** `planes(t, p, pv)` CTE: component i of plane (t, p) is the 3-round
-    * Lehmer permutation of seed (t·1000+p)·2¹⁶+i scaled to [−1, 1) —
-    * the EXACT integer/power-of-two-divide formula of
-    * `Similarity.planeComponent`, so both engines see bit-identical
-    * plane arrays. */
+  /** `planes(t, p, pv)` CTE: component i of plane (t, p) is the
+    * multiply–xorshift mixer of seed (t·1000+p)·2¹⁶+i scaled to
+    * [−1, 1) — the EXACT integer/power-of-two-divide formula of
+    * `Similarity.planeComponent` (u>>>15 ≡ u//32768, u>>>13 ≡ u//8192
+    * on the non-negative BIGINT representation), so both engines see
+    * bit-identical plane arrays. */
   private def planesSql(nTables: Int, nPlanes: Int, dim: Int): String =
     s"""planes AS (
           SELECT t, p, list(comp ORDER BY i) AS pv
           FROM (
-            SELECT tt.t AS t, pp.p AS p, ii.i AS i,
-              CAST((((((tt.t * 1000 + pp.p) * 65536 + ii.i)
-                % 2147483646 + 1)
-                * 48271 % 2147483647
-                * 48271 % 2147483647)
-                * 48271 % 2147483647) AS DOUBLE)
+            SELECT t, p, i,
+              CAST(u4 * 16807 % 2147483647 AS DOUBLE)
                 / 1073741824.0 - 1.0 AS comp
-            FROM generate_series(0, ${nTables - 1}) tt(t),
-                 generate_series(0, ${nPlanes - 1}) pp(p),
-                 generate_series(0, ${dim - 1}) ii(i)) c
+            FROM (
+              SELECT t, p, i, xor(u3, u3 // 8192) AS u4 FROM (
+                SELECT t, p, i, xor(u1, u1 // 32768) * 69621
+                  % 2147483647 AS u3 FROM (
+                  SELECT tt.t AS t, pp.p AS p, ii.i AS i,
+                    (((tt.t * 1000 + pp.p) * 65536 + ii.i)
+                      % 2147483646 + 1) * 48271 % 2147483647 AS u1
+                  FROM generate_series(0, ${nTables - 1}) tt(t),
+                       generate_series(0, ${nPlanes - 1}) pp(p),
+                       generate_series(0, ${dim - 1}) ii(i)) s1) s2) s3) c
           GROUP BY t, p)"""
 
   /** `emb` (vectors as DOUBLE[] + norm, null-component rows excluded —
