@@ -143,7 +143,19 @@ object Pack {
   * be resampled independently (the property that matters when 100 TB is
   * sampled shard by shard). Three rounds because one is not a hash for
   * dense ids (`id * 48271` is monotone and tiny for small ids); three
-  * steps of the generator decorrelate consecutive seeds.
+  * steps wrap the domain enough that consecutive ids land far apart.
+  *
+  * KNOW THE LIMIT: k Lehmer rounds COMPOSE to one multiply
+  * (×48271ᵏ mod p) — the map stays affine, so outputs of consecutive
+  * seeds differ by a constant mod p. That is perfectly fine here
+  * (sampling/ordering needs only scalar equidistribution, which an
+  * affine map of uniform seeds gives exactly) but it is NOT a vector
+  * hash: using it to generate correlated families of values — e.g.
+  * LSH hyperplane components — produces arithmetic-progression
+  * "randomness" whose structure shows (measured in round 10: sawtooth
+  * planes skewed buckets 7.5× and spilled a ramp cell past the disk).
+  * For such uses interleave xor-shift steps between the multiplies —
+  * see [[graft.ops.Similarity.planeComponent]].
   *
   * Cross-engine exact: integer arithmetic only, and each intermediate
   * product stays below 2^48 so it can never overflow a 64-bit long

@@ -250,4 +250,24 @@ class ExplainSpec extends AnyFunSuite {
         s"global (unpartitioned) window in pack plan: $l")
     }
   }
+
+  test("unit dedup combines map-side and shuffles fingerprints, not text") {
+    val docs = Tables.df(spark, sf, "documents")
+    val p = plan(Dedup.unitDedup(docs, "doc_id", "text"))
+    // winner selection must partial-aggregate BEFORE the unit-hash
+    // exchange — without map-side combine the shuffle carries one row
+    // per unit OCCURRENCE instead of one per distinct unit hash per
+    // partition, a corpus-sized difference at 100 TB
+    assert(p.contains("partial_min(okey"),
+      s"winner agg lost its map-side combine:\n$p")
+    // the winner shuffle is keyed on the xxhash64 fingerprint
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(uh")),
+      s"no fingerprint-keyed exchange in unitDedup plan:\n$p")
+    // everything is an equi-join/agg — a nested-loop anywhere here
+    // means the join keys degenerated
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join leaked into unitDedup plan:\n$p")
+  }
 }

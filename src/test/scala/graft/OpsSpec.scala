@@ -415,6 +415,35 @@ class CurationParitySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(expect.nonEmpty && got == expect)
   }
+
+  test("q_curate_corpus equals chaining the public operator APIs") {
+    // same drift guard for the v1 composition: quality filter →
+    // eval-slice exclusion → Decontaminate.clean → Dedup.exact
+    // representative → Sampling.weightedBySource → Pack.sequencePack.
+    import graft.ops.{Decontaminate, Dedup, Pack, Sampling}
+    val got = graft.queries.Catalog.byName("q_curate_corpus")
+      .fn(spark, sf).collect().map(_.toSeq).toSet
+    val docs = Tables.df(spark, sf, "documents")
+    val meta = docs.select(col("doc_id").as("orig_id"),
+      col("source"), col("n_chars"))
+    val withMeta = DedupQueries.corpus(spark, sf)
+      .withColumn("orig_id", col("doc_id") % 100000)
+      .join(meta, "orig_id")
+    val quality = withMeta.filter(
+      graft.ops.TextAnalysis.tokenCount(col("text")) >= 20)
+    val train = quality.filter(col("orig_id") % 7 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 7 === 0)
+    val decon = Decontaminate.clean(train, evalSet, "doc_id", "text", 4)
+      .localCheckpoint()
+    val rep = Dedup.exact(decon, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val kept = decon.join(rep, "doc_id")
+    val sampled = Sampling.weightedBySource(kept, "doc_id", "source",
+      graft.queries.PackQueries.mixtureWeights)
+    val expect = Pack.sequencePack(sampled, "doc_id", "n_chars", 4096L)
+      .collect().map(_.toSeq).toSet
+    assert(expect.nonEmpty && got == expect)
+  }
 }
 
 class VerifierSpec extends AnyFunSuite {
