@@ -67,6 +67,73 @@ object SimilarityQueries extends QueryGroup {
          FROM idx e CROSS JOIN planes pl
          GROUP BY e.vec_id, pl.t)"""
 
+  /** Full PQ/ADC oracle: m=16 subspaces of 4 dims, ksub=64
+    * Lehmer-sampled codebook vectors, shortlist 10·k, exact re-rank —
+    * the DuckDB replay of `Similarity.pqTopK`'s every step. The
+    * winner selection spells argmin as row_number (independent
+    * formulation of the engine's min(struct)); d2/lut/ADC folds are
+    * the same sequential arithmetic on both sides. */
+  private def knnPqSql: String = {
+    val (m, dsub, ksub, k, short) = (16, 4, 64, 5, 50)
+    s"""WITH n0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nrm
+          FROM embeddings
+          WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+        emb AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+                FROM n0 WHERE len(v) = 64 AND nrm > 0 AND NOT isnan(nrm)),
+        cb AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid, u
+               FROM (SELECT vec_id, u,
+                       ((((((vec_id % 2147483646 + 1) * 48271) % 2147483647)
+                          * 48271) % 2147483647) * 48271) % 2147483647 AS hk
+                     FROM emb) t
+               ORDER BY hk, vec_id LIMIT $ksub),
+        cbsub AS (SELECT jj.j AS j, cid,
+                    u[jj.j*$dsub+1 : jj.j*$dsub+$dsub] AS cv
+                  FROM cb, generate_series(0, ${m - 1}) jj(j)),
+        dists AS (
+          SELECT e.vec_id, c.j, c.cid,
+            list_sum(list_transform(
+              list_zip(e.u[c.j*$dsub+1 : c.j*$dsub+$dsub], c.cv),
+              x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+          FROM emb e CROSS JOIN cbsub c),
+        codes AS (
+          SELECT vec_id, list(cid ORDER BY j) AS code FROM (
+            SELECT vec_id, j, cid,
+              row_number() OVER (PARTITION BY vec_id, j
+                ORDER BY d2, cid) AS rn
+            FROM dists) t WHERE rn = 1 GROUP BY vec_id),
+        luts AS (
+          SELECT vec_id AS q_id, list(lv ORDER BY j, cid) AS lut FROM (
+              SELECT e2.vec_id, c.j, c.cid,
+                list_sum(list_transform(
+                  list_zip(e2.u[c.j*$dsub+1 : c.j*$dsub+$dsub], c.cv),
+                  x -> x[1] * x[2])) AS lv
+              FROM emb e2 CROSS JOIN cbsub c
+              WHERE e2.vec_id % 50 = 0) t GROUP BY vec_id),
+        s AS (
+          SELECT l.q_id, c.vec_id AS n_id,
+            list_sum([l.lut[j*$ksub + c.code[j+1] + 1]
+              for j in generate_series(0, ${m - 1})]) AS adc
+          FROM luts l CROSS JOIN codes c WHERE l.q_id <> c.vec_id),
+        short AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY adc DESC, n_id) AS r
+            FROM s) t WHERE r <= $short)
+        SELECT q_id, n_id, rank, sim FROM (
+          SELECT sh.q_id, sh.n_id,
+            list_sum(list_transform(list_zip(q.u, c.u),
+              x -> x[1] * x[2])) AS sim,
+            CAST(row_number() OVER (PARTITION BY sh.q_id ORDER BY
+              list_sum(list_transform(list_zip(q.u, c.u),
+                x -> x[1] * x[2])) DESC, sh.n_id) AS BIGINT) AS rank
+          FROM short sh JOIN emb q ON q.vec_id = sh.q_id
+                        JOIN emb c ON c.vec_id = sh.n_id) t
+        WHERE rank <= $k"""
+  }
+
   /** Full LSH top-k oracle (nPlanes=4, nTables=4, queries vec_id%50=0,
     * k=5), optionally with Hamming-1 multi-probe on the query side. */
   private def knnLshSql(multiProbe: Boolean): String = {
@@ -255,6 +322,20 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.df(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.lshTopK(emb, queries, 5, nPlanes = 4, multiProbe = true)
+    },
+
+    // Product-quantization ANN with ADC + exact re-rank: codebooks are
+    // the subvectors of the 64 Lehmer-permutation-ranked corpus
+    // vectors, encode is argmin-L2 with cid tie-break, the ADC fold is
+    // j-ordered, and the shortlist re-ranks exactly — every step is
+    // exact double arithmetic with total-order tie-breaks, so the
+    // whole approximate operator differentials against DuckDB (same
+    // stance as q_knn_ivf/q_knn_int8). Recall vs brute force is
+    // additionally floor-pinned in SimilaritySpec.
+    q("q_knn_pq", "similarity", knnPqSql) { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.pqTopK(emb, queries, 5)
     },
 
     // IVF is fully deterministic given the bit-exact cosine: centroids
