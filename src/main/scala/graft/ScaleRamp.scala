@@ -290,8 +290,12 @@ object ScaleRamp {
         scala.util.Try {
           val (t1, n) = run(k)
           // min-of-2 for cheap cells: a single GC pause is a 3x swing
-          // on a seconds-scale sample; long cells amortize it
-          val t = if (t1 < 10.0) math.min(t1, run(k)._1) else t1
+          // on a seconds-scale sample; long cells amortize it. The
+          // re-run gets its own Try: a transient failure there must
+          // not discard the valid first sample we already hold.
+          val t = if (t1 < 10.0)
+            math.min(t1, scala.util.Try(run(k)._1).getOrElse(t1))
+          else t1
           (k, t, n)
         }.toEither.left.map { ex =>
           System.err.println(s"[ramp] $name x$k crashed: " +

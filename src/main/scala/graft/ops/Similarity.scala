@@ -413,7 +413,6 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 16, ksub: Int = 64, shortlistFactor: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -429,6 +428,14 @@ object Similarity {
     val cb = emb.withColumn("hk", Sampling.hashU31(col("id")))
       .orderBy(col("hk"), col("id")).limit(ksub)
       .withColumn("cid", row_number().over(cbW) - 1)
+      .localCheckpoint() // consumed 3x (count + 2 joins): scan the corpus once
+    // the LUT stride must be the ACTUAL centroid count: a corpus with
+    // fewer than ksub indexable vectors yields a shorter codebook, and
+    // striding by the requested ksub would read other subspaces'
+    // entries (or null past the end) and return silently wrong
+    // neighbors. One bounded count over the ksub-row frame.
+    val nCb = cb.count().toInt
+    require(nCb > 0, "pqTopK: no indexable vectors to build a codebook from")
     val subs = explode(array((0 until m).map(j =>
       struct(lit(j).as("j"),
         slice(col("u"), j * dsub + 1, dsub).as("sv"))): _*))
@@ -459,7 +466,7 @@ object Similarity {
     // ADC scan over codes only (the memory-bound pass), j-ordered fold
     val adcSim = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, j) => acc +
-        element_at(col("lut"), (j * ksub + element_at(col("code"), j + 1))
+        element_at(col("lut"), (j * nCb + element_at(col("code"), j + 1))
           .cast("int") + 1))
     val shortW = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("n_id"))

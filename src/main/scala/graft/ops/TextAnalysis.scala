@@ -95,7 +95,10 @@ object TextAnalysis {
     * cross-engine-safe pattern subset: char classes, bounded
     * quantifiers, \b, no backrefs/lookaround) is the reusable part. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  // octet = 0-255, PLUS the leading-zero spellings logs actually
+  // contain (001, 042): dropping those when bounds-checking would
+  // ship real addresses to training (round-10 review catch)
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|0[0-9][0-9]?|[1-9]?[0-9])"
   val Ipv4Pattern = s"\\b($Octet\\.){3}$Octet\\b"
   val PhonePattern = "(\\+[0-9]{1,2}[- ])?\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 

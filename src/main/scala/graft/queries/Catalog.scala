@@ -2,11 +2,13 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One driver-checkable query: a Spark DataFrame pipeline plus (usually)
-  * an equivalent DuckDB SQL oracle over the same parquet tables. Queries
-  * whose semantics are not cross-engine comparable (Spark Murmur3 hash
-  * buckets, approximate sketches) omit the oracle → the driver records a
-  * weaker rows-only check.
+/** One driver-checkable query: a Spark DataFrame pipeline plus an
+  * equivalent DuckDB SQL oracle over the same parquet tables. As of
+  * round 10 EVERY catalog query carries a full oracle — even
+  * Spark-Murmur3 hash buckets (replayed in DuckDB integer SQL) and the
+  * approximate ANN family (deterministic codebooks/planes + total-order
+  * tie-breaks) — so `oracle` is structurally still an Option only to
+  * keep the driver contract stable; no registration omits it.
   */
 final case class Q(
     name: String,
@@ -20,10 +22,6 @@ trait QueryGroup {
   protected def q(name: String, section: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(oracle.trim), section)
-
-  protected def qNoOracle(name: String, section: String)(
-      fn: (SparkSession, String) => DataFrame): Q =
-    Q(name, fn, None, section)
 }
 
 object Catalog {

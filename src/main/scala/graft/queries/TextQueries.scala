@@ -109,21 +109,22 @@ object TextQueries extends QueryGroup {
     },
 
     // PII scrub pass: deterministic synthetic PII (an email, an IPv4,
-    // a US phone, a +CC-prefixed phone, all derived from doc_id) is
-    // appended to every document on BOTH engines, then redacted — the
-    // hash compare validates the three regexes byte-for-byte. The tail
-    // also injects NEGATIVE cases that must SURVIVE: 999.999.999.999
-    // (octets out of bounds — not an address) and 1234-567-8901 (no
-    // phone boundary). The oracle interpolates the engine's own
-    // pattern constants, so the two sides cannot drift. Patterns
-    // behave identically in Java regex and RE2 (char classes, bounded
-    // quantifiers, \b); DuckDB needs the 'g' flag to match Spark's
-    // replace-all semantics.
+    // a leading-zero-octet IPv4 as logs spell them, a US phone, a
+    // +CC-prefixed phone, all derived from doc_id) is appended to
+    // every document on BOTH engines, then redacted — the hash compare
+    // validates the three regexes byte-for-byte. The tail also injects
+    // NEGATIVE cases that must SURVIVE: 999.999.999.999 (octets out of
+    // bounds — not an address) and 1234-567-8901 (no phone boundary).
+    // The oracle interpolates the engine's own pattern constants, so
+    // the two sides cannot drift. Patterns behave identically in Java
+    // regex and RE2 (char classes, bounded quantifiers, \b); DuckDB
+    // needs the 'g' flag to match Spark's replace-all semantics.
     q("q_text_pii", "text",
       s"""SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(
              text || ' contact u' || doc_id || '@example.com or 10.0.'
-               || (doc_id % 256) || '.7 tel 555-867-5309 alt'
+               || (doc_id % 256) || '.7 zp 192.168.001.042 tel'
+               || ' 555-867-5309 alt'
                || ' +1-555-867-5309 not 999.999.999.999 nor 1234-567-8901',
              '${TextAnalysis.EmailPattern}',
              '<EMAIL>', 'g'),
@@ -136,8 +137,9 @@ object TextQueries extends QueryGroup {
           lit(" contact u"), col("doc_id").cast("string"),
           lit("@example.com or 10.0."),
           (col("doc_id") % 256).cast("string"),
-          lit(".7 tel 555-867-5309 alt +1-555-867-5309" +
-            " not 999.999.999.999 nor 1234-567-8901"))).as("redacted"))
+          lit(".7 zp 192.168.001.042 tel 555-867-5309 alt" +
+            " +1-555-867-5309 not 999.999.999.999 nor 1234-567-8901")))
+          .as("redacted"))
     },
 
     // repetition quality signals: duplicate-token and duplicate-bigram

@@ -166,6 +166,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == pq)
   }
 
+  test("PQ handles a corpus smaller than ksub (dynamic LUT stride)") {
+    // with < ksub indexable vectors the codebook is corpus-sized; a
+    // fixed-ksub LUT stride would read other subspaces' entries (or
+    // null past the end) and return silently wrong neighbors — the
+    // round-10 review catch. With 30 vectors the 10k shortlist covers
+    // the whole corpus, so after exact re-rank PQ must equal brute
+    // force EXACTLY.
+    val emb = Tables.df(spark, sf, "embeddings")
+      .filter(col("vec_id") < 30)
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+    val pq = Similarity.pqTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(
+        Similarity.normalized(emb, "embedding")
+          .filter(col("embedding_unit").isNotNull)
+          .select(col("vec_id"), col("embedding_unit").as("embedding")),
+        Similarity.normalized(qs, "embedding")
+          .filter(col("embedding_unit").isNotNull)
+          .select(col("vec_id"), col("embedding_unit").as("embedding")), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq.nonEmpty && pq == brute)
+  }
+
   test("int8-quantized top-k recall vs full precision is high") {
     val emb = Tables.df(spark, sf, "embeddings")
     val qs = emb.filter(col("vec_id") % 50 === 0)
