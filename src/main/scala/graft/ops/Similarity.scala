@@ -440,12 +440,18 @@ object Similarity {
       struct(lit(j).as("j"),
         slice(col("u"), j * dsub + 1, dsub).as("sv"))): _*))
     val cbsub = cb.select(col("cid"), subs.as("s"))
-      .select(col("cid"), col("s.j"), col("s.sv").as("cv"))
-    // encode: argmin_cid ||sub - cv||² per (vector, subspace); the same
-    // sequential (a-b)² fold as the DuckDB oracle, winner via
-    // partial-aggregatable min(struct)
-    val d2 = aggregate(zip_with(col("sv"), col("cv"),
-      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+      .select(col("cid"), col("s.j"), col("s.sv").as("cv"),
+        dot(col("s.sv"), col("s.sv")).as("cn2"))
+    // encode: argmin_cid ||sub − cv||² per (vector, subspace). The
+    // score is the order-equivalent |cv|² − 2·sv·cv (the |sv|² term is
+    // constant per (vector, subspace) and drops out of the argmin), so
+    // the hot fold is the codegen'd DotProductFold instead of an
+    // interpreted (a−b)² lambda over the m·ksub-times-exploded corpus
+    // — the encode pass is the operator's dominant cost. The DuckDB
+    // oracle spells the IDENTICAL arithmetic, so fp rounding of
+    // near-tied centroids agrees cross-engine by construction. Winner
+    // via partial-aggregatable min(struct).
+    val d2 = col("cn2") - lit(2.0) * dot(col("sv"), col("cv"))
     val codes = emb.select(col("id"), subs.as("s"))
       .select(col("id"), col("s.j"), col("s.sv"))
       .join(broadcast(cbsub), "j")

@@ -90,13 +90,16 @@ object SimilarityQueries extends QueryGroup {
                      FROM emb) t
                ORDER BY hk, vec_id LIMIT $ksub),
         cbsub AS (SELECT jj.j AS j, cid,
-                    u[jj.j*$dsub+1 : jj.j*$dsub+$dsub] AS cv
+                    u[jj.j*$dsub+1 : jj.j*$dsub+$dsub] AS cv,
+                    list_sum(list_transform(
+                      u[jj.j*$dsub+1 : jj.j*$dsub+$dsub],
+                      x -> x * x)) AS cn2
                   FROM cb, generate_series(0, ${m - 1}) jj(j)),
         dists AS (
           SELECT e.vec_id, c.j, c.cid,
-            list_sum(list_transform(
+            c.cn2 - 2.0 * list_sum(list_transform(
               list_zip(e.u[c.j*$dsub+1 : c.j*$dsub+$dsub], c.cv),
-              x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+              x -> x[1] * x[2])) AS d2
           FROM emb e CROSS JOIN cbsub c),
         codes AS (
           SELECT vec_id, list(cid ORDER BY j) AS code FROM (
