@@ -251,6 +251,25 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ encode broadcasts the codebook and folds dots in codegen") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val p = plan(graft.ops.Similarity.pqTopK(emb, qs, 5))
+    // the m*ksub-exploded encode pass is PQ's dominant cost at corpus
+    // scale: its centroid side must broadcast (corpus never shuffles
+    // for the join) and its distance score must be the codegen'd
+    // dot_product_fold, not an interpreted lambda
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook join is not broadcast:\n$p")
+    assert(p.contains("dot_product_fold"),
+      s"encode distance lost the codegen'd dot product:\n$p")
+    assert(p.contains("partial_min(struct(d2"),
+      s"encode winner lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian product (ADC scan should be a broadcast " +
+        s"cross of the tiny LUT side only — BroadcastNestedLoopJoin):\n$p")
+  }
+
   test("unit dedup combines map-side and shuffles fingerprints, not text") {
     val docs = Tables.df(spark, sf, "documents")
     val p = plan(Dedup.unitDedup(docs, "doc_id", "text"))
