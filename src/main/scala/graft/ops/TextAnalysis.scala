@@ -131,6 +131,59 @@ object TextAnalysis {
             (nTok - 1).cast("double")))
   }
 
+  /** Corpus-trained bigram-LM quality score (the CCNet-style "how
+    * typical of the corpus is this document" signal, exact-arithmetic
+    * variant): per document, the mean smoothed conditional probability
+    * of its token bigrams under the corpus' own bigram counts,
+    *   score = avg_i  c(w_i, w_{i+1}) / (c(w_i) + V)
+    * with V = vocabulary size as the add-V smoothing mass. Boilerplate
+    * and templated text (bigrams the corpus repeats constantly) score
+    * HIGH; gibberish and out-of-distribution text score LOW — the
+    * complement of [[repetitionFeatures]], which only sees repetition
+    * WITHIN a document.
+    *
+    * Engine-exactness is designed in, not hoped for: a true log-prob
+    * perplexity would sum doubles whose libm `log` may differ in the
+    * last ulp across engines, so each term is instead the FIXED-POINT
+    * integer `(c(bg)·10⁶) div (c(w1) + V)` — integer floor division,
+    * bit-identical everywhere — and the per-doc aggregation is an
+    * integer SUM (order-free). The only double is one final division
+    * of two exact longs. Scale shape: two wordcount aggregations
+    * (partial-agg'd), two hash joins keyed on bigram/unigram text,
+    * one per-doc sum — all shuffle-bounded, no driver state; the
+    * vocabulary scalar rides a broadcast single-row cross join. */
+  def bigramLmScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    // sequence(1, 0) would count DOWN — guard docs shorter than 2 tokens
+    val bgs = when(nTok < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nTok - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+    val docBg = df.select(col(idCol).as("__id"),
+        posexplode(bgs).as(Seq("__p", "bg")))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val bCounts = docBg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val uni = df.select(explode(tokens(col(textCol))).as("w1"))
+    val uCounts = uni.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = uCounts.agg(count(lit(1)).as("v"))
+    val terms = docBg
+      .join(bCounts, "bg").join(uCounts, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("fp",
+        expr("(c_bg * 1000000L) div (c_w1 + v)"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("lm_fp_sum"))
+    df.select(col(idCol)).distinct()
+      .join(terms, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_fp_sum"), lit(0L)).as("lm_fp_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("lm_fp_sum").cast("double") /
+            (col("n_bigrams") * 1000000L).cast("double")).as("lm_score"))
+  }
+
   /** Corpus vocabulary: the k most frequent whitespace tokens with
     * counts, ties broken lexicographically — tokenizer/vocab-building
     * over the whole corpus. The classic giant-shuffle wordcount, kept

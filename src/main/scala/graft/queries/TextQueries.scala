@@ -166,6 +166,40 @@ object TextQueries extends QueryGroup {
           col("dup_token_frac"), col("dup_bigram_frac"))
     },
 
+    // corpus-trained bigram-LM quality score (CCNet-style typicality
+    // signal, exact-arithmetic variant): per-term fixed-point integer
+    // (c_bg*10^6) div (c_w1 + V) — no libm log whose last ulp could
+    // differ across engines — summed as integers (order-free), one
+    // final exact-long division. Fully oracled, value-for-value.
+    q("q_text_lm_score", "text",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+         bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+                   SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+                     for i in generate_series(1, len(tk)-1)]) AS bg
+                   FROM toks) t),
+         bc AS (SELECT bg, count(*) AS c_bg FROM bgw GROUP BY bg),
+         uc AS (SELECT w1, count(*) AS c_w1 FROM (
+                  SELECT unnest(tk) AS w1 FROM toks) u GROUP BY w1),
+         v AS (SELECT count(*) AS v FROM uc),
+         terms AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  CAST(sum((c_bg * 1000000) // (c_w1 + v)) AS BIGINT)
+                    AS lm_fp_sum
+           FROM bgw JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(n_bigrams, 0) AS n_bigrams,
+                COALESCE(lm_fp_sum, 0) AS lm_fp_sum,
+                CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+                     ELSE CAST(lm_fp_sum AS DOUBLE)
+                          / (n_bigrams * 1000000) END AS lm_score
+         FROM documents d LEFT JOIN terms USING (doc_id)""") {
+      (spark, dir) =>
+      TextAnalysis.bigramLmScore(
+        Tables.df(spark, dir, "documents"), "doc_id", "text")
+    },
+
     // vocabulary building: top-20 tokens by count, lexicographic
     // tie-break makes the cut deterministic cross-engine
     q("q_vocab_topk", "text",

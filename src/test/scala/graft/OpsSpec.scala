@@ -430,6 +430,40 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class TextQualitySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("bigram LM score separates gibberish from typical corpus text") {
+    import spark.implicits._
+    val docs = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // a document the corpus LM has never seen vs one stitched from the
+    // corpus' own most frequent bigrams
+    val common = graft.ops.TextAnalysis.vocabulary(docs, col("text"), 6)
+      .collect().map(_.getString(0))
+    val typical = Seq.fill(30)(common).flatten.mkString(" ")
+    val gibberish = (1 to 60).map(i => s"zzq${i}xw").mkString(" ")
+    val corpus = docs.unionAll(
+      Seq((900001L, gibberish), (900002L, typical)).toDF("doc_id", "text"))
+    val scores = graft.ops.TextAnalysis
+      .bigramLmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val corpusMean = docs.collect().map(r => scores(r.getLong(0))).sum /
+      docs.count().toDouble
+    assert(scores(900001L) < corpusMean,
+      s"gibberish ${scores(900001L)} not below corpus mean $corpusMean")
+    assert(scores(900002L) > corpusMean,
+      s"typical ${scores(900002L)} not above corpus mean $corpusMean")
+    // short/degenerate docs score 0 by definition, not by crash
+    val degen = graft.ops.TextAnalysis.bigramLmScore(
+        Seq((1L, "one"), (2L, ""), (3L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    degen.values.foreach { case (n, s) => assert(n == 0L && s == 0.0) }
+  }
+}
+
 class CurationParitySpec extends AnyFunSuite {
   import TestSession._
 
