@@ -244,5 +244,81 @@ object PackQueries extends QueryGroup {
       val kept = quality.join(rep, "doc_id")
         .select(col("doc_id"), col("n_chars"))
       Pack.sequencePack(kept, "doc_id", "n_chars", Budget)
+    },
+
+    // Curation composition v3 over the round-10 operators: bigram-LM
+    // typicality gate (keep docs whose LM score is ≥ 0.95× the corpus
+    // average — the relative threshold derives from ORDER-FREE integer
+    // totals, so it is deterministic cross-engine) → sub-document unit
+    // dedup (the injected exact copies lose every unit to their
+    // originals and vanish; tail variants keep only their novel tail)
+    // → sequence packing on the REASSEMBLED text length. Runs on the
+    // duplicate-injected corpus so unit dedup has real work; every
+    // stage is engine-exact, so the whole composition oracles.
+    q("q_curate_corpus_v3", "llm-pack",
+      s"""WITH ${DedupQueries.corpusSql},
+          toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM corpus),
+          bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+                    SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+                      for i in generate_series(1, len(tk)-1)]) AS bg
+                    FROM toks) t),
+          bc AS (SELECT bg, count(*) AS c_bg FROM bgw GROUP BY bg),
+          uc AS (SELECT w1, count(*) AS c_w1 FROM (
+                   SELECT unnest(tk) AS w1 FROM toks) u GROUP BY w1),
+          v AS (SELECT count(*) AS v FROM uc),
+          lm AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum((c_bg * 1000000) // (c_w1 + v)) AS BIGINT)
+                     AS lm_fp_sum
+            FROM bgw JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v
+            GROUP BY doc_id),
+          tot AS (SELECT CAST(sum(lm_fp_sum) AS BIGINT) AS tf,
+                         CAST(sum(n_bigrams) AS BIGINT) AS tn FROM lm),
+          gated AS (
+            SELECT c.doc_id, c.text FROM corpus c
+            JOIN lm USING (doc_id) CROSS JOIN tot
+            WHERE CAST(lm_fp_sum AS DOUBLE) / (n_bigrams * 1000000)
+                  >= 0.95 * (CAST(tf AS DOUBLE) / (tn * 1000000))),
+          raw AS (SELECT doc_id, string_split(text, '. ') AS us
+                  FROM gated),
+          u AS (SELECT doc_id, uu.pos AS pos, uu.unit AS unit
+                FROM (SELECT doc_id, unnest([{'pos': i - 1, 'unit': us[i]}
+                        for i in generate_series(1, len(us))]) AS uu
+                      FROM raw) t),
+          kept_u AS (SELECT doc_id, pos, unit FROM (
+                       SELECT doc_id, pos, unit,
+                              row_number() OVER (PARTITION BY unit
+                                ORDER BY doc_id, pos) AS rn
+                       FROM u) t WHERE rn = 1),
+          dedup AS (SELECT doc_id,
+                           array_to_string(list(unit ORDER BY pos), '. ')
+                             AS dtext
+                    FROM kept_u GROUP BY doc_id)
+          SELECT doc_id, CAST(length(dtext) AS BIGINT) AS tokens,
+                 CAST(COALESCE(SUM(length(dtext)) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // $Budget AS BIGINT) AS pack_id
+          FROM dedup""") { (spark, dir) =>
+      val corpus = DedupQueries.corpus(spark, dir)
+      val lm = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
+      val tot = lm.agg(sum(col("lm_fp_sum")).as("tf"),
+        sum(col("n_bigrams")).as("tn"))
+      val gated = corpus.join(lm, "doc_id")
+        .crossJoin(broadcast(tot))
+        // degenerate (<2-token) docs have no LM evidence: excluded
+        // explicitly, matching the oracle's inner join — and keeping
+        // the 0/0 NaN out of the gate predicate
+        .filter(col("n_bigrams") > 0)
+        .filter(col("lm_fp_sum").cast("double") /
+            (col("n_bigrams") * 1000000L).cast("double") >=
+          lit(0.95) * (col("tf").cast("double") /
+            (col("tn") * 1000000L).cast("double")))
+        .select(col("doc_id"), col("text"))
+      val deduped = Dedup.unitDedup(gated, "doc_id", "text")
+        .select(col("doc_id"),
+          length(col("deduped_text")).cast("long").as("tokens"))
+      Pack.sequencePack(deduped, "doc_id", "tokens", Budget)
     })
 }
