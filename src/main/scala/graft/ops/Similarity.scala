@@ -421,14 +421,18 @@ object Similarity {
       normalized(df.filter(isIndexable(col(vecCol), dim)), vecCol)
         .filter(col(s"${vecCol}_unit").isNotNull)
         .select(col(idCol).as("id"), col(s"${vecCol}_unit").as("u"))
+    // consumed 3x (codebook build, the dominant encode scan, the
+    // re-rank join) — cache the normalized corpus or each consumer
+    // re-runs the parquet scan + junk filter + O(d) normalization
     val emb = spread(unit(corpus))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = unit(queries)
     // codebook: ksub Lehmer-permutation-ranked vectors, cid by rank
     val cbW = Window.orderBy(col("hk"), col("id"))
     val cb = emb.withColumn("hk", Sampling.hashU31(col("id")))
       .orderBy(col("hk"), col("id")).limit(ksub)
       .withColumn("cid", row_number().over(cbW) - 1)
-      .localCheckpoint() // consumed 3x (count + 2 joins): scan the corpus once
+      .localCheckpoint() // consumed 3x (count + 2 joins): cut the lineage once
     // the LUT stride must be the ACTUAL centroid count: a corpus with
     // fewer than ksub indexable vectors yields a shorter codebook, and
     // striding by the requested ksub would read other subspaces'
@@ -462,11 +466,17 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("j"),
         col("code_j")))), x => x.getField("code_j")).as("code"))
     // per-query lookup tables: lut[j*ksub + cid] = dot(q_sub_j, cv)
-    val luts = q.select(col("id").as("q_id"), col("u").as("qu"), subs.as("s"))
-      .select(col("q_id"), col("qu"), col("s.j"), col("s.sv"))
+    // the query's own unit vector is NOT carried here: it would ride
+    // every (query, corpus-vector) row through the shortlist window's
+    // shuffle (~4·dim bytes against the ~30-byte ADC payload, a
+    // 10-15× exchange inflation on the operator's dominant pass). It
+    // is joined back from the tiny broadcast query side AFTER the
+    // ≤shortlist-per-query filter, where it's needed for the re-rank.
+    val luts = q.select(col("id").as("q_id"), subs.as("s"))
+      .select(col("q_id"), col("s.j"), col("s.sv"))
       .join(broadcast(cbsub), "j")
       .withColumn("lv", dot(col("sv"), col("cv")))
-      .groupBy(col("q_id"), col("qu"))
+      .groupBy(col("q_id"))
       .agg(transform(sort_array(collect_list(struct(col("j"), col("cid"),
         col("lv")))), x => x.getField("lv")).as("lut"))
     // ADC scan over codes only (the memory-bound pass), j-ordered fold
@@ -478,13 +488,17 @@ object Similarity {
       .orderBy(col("adc").desc, col("n_id"))
     val short = broadcast(luts).crossJoin(codes)
       .filter(col("q_id") =!= col("id"))
-      .select(col("q_id"), col("qu"), col("id").as("n_id"), adcSim.as("adc"))
+      .select(col("q_id"), col("id").as("n_id"), adcSim.as("adc"))
       .withColumn("sr", row_number().over(shortW))
       .filter(col("sr") <= shortlist)
-    // exact re-rank of the shortlist on unit vectors
+    // exact re-rank of the shortlist on unit vectors; the query unit
+    // vector rejoins here (per-query-unique → identical values, but
+    // only ≤shortlist rows per query carry it instead of |C|)
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     short.join(emb.select(col("id").as("n_id"), col("u").as("nu")), "n_id")
+      .join(broadcast(q.select(col("id").as("q_id"), col("u").as("qu"))),
+        "q_id")
       .withColumn("sim", dot(col("qu"), col("nu")))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)

@@ -160,8 +160,10 @@ object TextAnalysis {
     val bgs = when(nTok < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), nTok - 1),
         i => concat_ws(" ", slice(toks, i, lit(2)))))
-    val docBg = df.select(col(idCol).as("__id"),
-        posexplode(bgs).as(Seq("__p", "bg")))
+    // plain explode, not posexplode: position is never consumed, and a
+    // dead int would ride every bigram row through both count joins
+    // and the per-doc aggregation shuffle
+    val docBg = df.select(col(idCol).as("__id"), explode(bgs).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
     val bCounts = docBg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val uni = df.select(explode(tokens(col(textCol))).as("w1"))

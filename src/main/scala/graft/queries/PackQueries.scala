@@ -311,8 +311,11 @@ object PackQueries extends QueryGroup {
         // explicitly, matching the oracle's inner join — and keeping
         // the 0/0 NaN out of the gate predicate
         .filter(col("n_bigrams") > 0)
-        .filter(col("lm_fp_sum").cast("double") /
-            (col("n_bigrams") * 1000000L).cast("double") >=
+        // the operator's own lm_score column IS the fixed-point→double
+        // conversion (bit-identical for n_bigrams > 0) — re-spelling
+        // the formula here would silently desync the gate if the
+        // scale factor or smoothing in bigramLmScore ever changed
+        .filter(col("lm_score") >=
           lit(0.95) * (col("tf").cast("double") /
             (col("tn") * 1000000L).cast("double")))
         .select(col("doc_id"), col("text"))

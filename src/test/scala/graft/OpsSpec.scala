@@ -178,13 +178,21 @@ class SimilaritySpec extends AnyFunSuite {
     val qs = emb.filter(col("vec_id") % 10 === 0)
     val pq = Similarity.pqTopK(emb, qs, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val brute = Similarity.bruteForceTopK(
-        Similarity.normalized(emb, "embedding")
-          .filter(col("embedding_unit").isNotNull)
-          .select(col("vec_id"), col("embedding_unit").as("embedding")),
-        Similarity.normalized(qs, "embedding")
-          .filter(col("embedding_unit").isNotNull)
-          .select(col("vec_id"), col("embedding_unit").as("embedding")), 5)
+    // expected top-k built with pqTopK's OWN sim arithmetic — unit
+    // vectors then dot, NOT bruteForceTopK's dot/(|q|·|n|), whose
+    // extra division by a ~1±ulp norm could swap near-tied neighbors
+    // and fail the exact (q_id, n_id, rank) equality spuriously
+    def units(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      Similarity.normalized(df, "embedding")
+        .filter(col("embedding_unit").isNotNull)
+        .select(col("vec_id").as(a), col("embedding_unit").as(b))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val brute = units(qs, "q_id", "qu").crossJoin(units(emb, "n_id", "nu"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", Similarity.dot(col("qu"), col("nu")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pq.nonEmpty && pq == brute)
   }
