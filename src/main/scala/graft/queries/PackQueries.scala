@@ -302,7 +302,14 @@ object PackQueries extends QueryGroup {
                       0) // $Budget AS BIGINT) AS pack_id
           FROM dedup""") { (spark, dir) =>
       val corpus = DedupQueries.corpus(spark, dir)
+      // composition boundaries are CACHED or the chain re-executes its
+      // upstream DAGs multiplicatively: lm is consumed twice (the
+      // corpus-total aggregate and the per-doc join) and unitDedup
+      // consumes its input twice (winner agg + keep join), so without
+      // these two persists the whole two-wordcount LM pipeline runs
+      // ~4-6x per invocation (measured 8.4 s vs 2.1 s at sf0.1)
       val lm = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = lm.agg(sum(col("lm_fp_sum")).as("tf"),
         sum(col("n_bigrams")).as("tn"))
       val gated = corpus.join(lm, "doc_id")
@@ -319,6 +326,7 @@ object PackQueries extends QueryGroup {
           lit(0.95) * (col("tf").cast("double") /
             (col("tn") * 1000000L).cast("double")))
         .select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = Dedup.unitDedup(gated, "doc_id", "text")
         .select(col("doc_id"),
           length(col("deduped_text")).cast("long").as("tokens"))
