@@ -221,6 +221,18 @@ object ScaleRamp {
         pairs.count()
         timeIt(Dedup.connectedComponents(pairs, "a_id", "b_id").count())
       },
+      "pq_topk_encode_adc" -> { k =>
+        // the newest shuffle-heavy ANN path (round 10): corpus ramps,
+        // query set FIXED at the base table's 1-in-50 slice (the
+        // serving shape — queries don't grow with the index). Encode
+        // is the m·ksub-exploded linear pass over the corpus, the ADC
+        // scan is |Q|·|C| rows of 16-int codes, and the per-query
+        // shortlist window sorts |C| rows per query — all linear in
+        // corpus at fixed |Q| (the window adds its sort log factor).
+        val e = embAt(k)
+        val qs = emb0.filter(col("vec_id") % 50 === 0)
+        timeIt(Similarity.pqTopK(e, qs, 5).count())
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics for bounded-cardinality numeric
+  * columns (lengths, token counts, quantized scores) — the corpus
+  * profile every curation run reports (p50/p90/p99 document length),
+  * computed EXACTLY and cross-engine-reproducibly. `approx_percentile`
+  * exists, but its sketch is engine-specific — useless under a
+  * differential oracle and needlessly approximate when the value
+  * domain is small.
+  *
+  * Scale shape: the only corpus-sized pass is a partial-agg'd groupBy
+  * on the VALUE — the shuffle carries one row per distinct value per
+  * map partition, not one per document. The cumulative window then
+  * runs over the distinct-value table on a single partition BY DESIGN:
+  * for length-like domains that table is thousands of rows at any
+  * corpus size (its cardinality is bounded by the value domain, not
+  * the corpus), so a global window there is a no-op at 100 TB while
+  * the alternative two-level prefix-sum would add a stage for nothing.
+  * The contract is therefore: the value column must be
+  * bounded-cardinality (quantize continuous doubles first).
+  *
+  * Rank arithmetic is integer-exact end to end: permille p selects the
+  * smallest v whose cumulative count reaches ceil(p·N/1000) =
+  * (p·N + 999) div 1000 — the type-1 (inverse-CDF) empirical quantile.
+  * No doubles anywhere, so DuckDB reproduces every row bit-for-bit
+  * (p·N + 999 stays in int64 for any corpus below ~9·10¹⁵ rows).
+  */
+object Stats {
+
+  /** Per-permille exact quantiles of `value` over `df`:
+    * (permille, v_at) with v_at = the type-1 empirical quantile.
+    * Null values are excluded (no order position). */
+  def exactQuantiles(df: DataFrame, value: Column,
+      permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be within [1, 1000]: $permilles")
+    import df.sparkSession.implicits._
+    val counts = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = counts.agg(sum(col("c")).as("n"))
+    val ranks = permilles.distinct.toDF("p")
+      .crossJoin(broadcast(tot))
+      .withColumn("r", expr("(p * n + 999) div 1000"))
+      .select(col("p"), col("r"))
+    // v_at = min v with cum ≥ r: the rank probe is a ~|permilles|-row
+    // broadcast against the distinct-value table — never corpus-sized
+    cum.crossJoin(broadcast(ranks))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("p"))
+      .agg(min(col("v")).as("v_at"))
+      .select(col("p").cast("long").as("permille"), col("v_at"))
+  }
+}

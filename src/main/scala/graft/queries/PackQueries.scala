@@ -300,36 +300,42 @@ object PackQueries extends QueryGroup {
                         ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) // $Budget AS BIGINT) AS pack_id
-          FROM dedup""") { (spark, dir) =>
-      val corpus = DedupQueries.corpus(spark, dir)
-      // composition boundaries are CACHED or the chain re-executes its
-      // upstream DAGs multiplicatively: lm is consumed twice (the
-      // corpus-total aggregate and the per-doc join) and unitDedup
-      // consumes its input twice (winner agg + keep join), so without
-      // these two persists the whole two-wordcount LM pipeline runs
-      // ~4-6x per invocation (measured 8.4 s vs 2.1 s at sf0.1)
-      val lm = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tot = lm.agg(sum(col("lm_fp_sum")).as("tf"),
-        sum(col("n_bigrams")).as("tn"))
-      val gated = corpus.join(lm, "doc_id")
-        .crossJoin(broadcast(tot))
-        // degenerate (<2-token) docs have no LM evidence: excluded
-        // explicitly, matching the oracle's inner join — and keeping
-        // the 0/0 NaN out of the gate predicate
-        .filter(col("n_bigrams") > 0)
-        // the operator's own lm_score column IS the fixed-point→double
-        // conversion (bit-identical for n_bigrams > 0) — re-spelling
-        // the formula here would silently desync the gate if the
-        // scale factor or smoothing in bigramLmScore ever changed
-        .filter(col("lm_score") >=
-          lit(0.95) * (col("tf").cast("double") /
-            (col("tn") * 1000000L).cast("double")))
-        .select(col("doc_id"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deduped = Dedup.unitDedup(gated, "doc_id", "text")
-        .select(col("doc_id"),
-          length(col("deduped_text")).cast("long").as("tokens"))
-      Pack.sequencePack(deduped, "doc_id", "tokens", Budget)
-    })
+          FROM dedup""") { (spark, dir) => curateV3(spark, dir)._3 })
+
+  /** The v3 composition with its stage frames exposed so the spec can
+    * pin the boundary persists (returns (lm, gated, result)).
+    *
+    * Composition boundaries are CACHED or the chain re-executes its
+    * upstream DAGs multiplicatively: lm is consumed twice (the
+    * corpus-total aggregate and the per-doc join) and unitDedup
+    * consumes its input twice (winner agg + keep join), so without
+    * these two persists the whole two-wordcount LM pipeline runs
+    * ~4-6x per invocation (measured 8.4 s vs 1.1 s at sf0.1). */
+  private[graft] def curateV3(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val corpus = DedupQueries.corpus(spark, dir)
+    val lm = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = lm.agg(sum(col("lm_fp_sum")).as("tf"),
+      sum(col("n_bigrams")).as("tn"))
+    val gated = corpus.join(lm, "doc_id")
+      .crossJoin(broadcast(tot))
+      // degenerate (<2-token) docs have no LM evidence: excluded
+      // explicitly, matching the oracle's inner join — and keeping
+      // the 0/0 NaN out of the gate predicate
+      .filter(col("n_bigrams") > 0)
+      // the operator's own lm_score column IS the fixed-point→double
+      // conversion (bit-identical for n_bigrams > 0) — re-spelling
+      // the formula here would silently desync the gate if the
+      // scale factor or smoothing in bigramLmScore ever changed
+      .filter(col("lm_score") >=
+        lit(0.95) * (col("tf").cast("double") /
+          (col("tn") * 1000000L).cast("double")))
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deduped = Dedup.unitDedup(gated, "doc_id", "text")
+      .select(col("doc_id"),
+        length(col("deduped_text")).cast("long").as("tokens"))
+    (lm, gated, Pack.sequencePack(deduped, "doc_id", "tokens", Budget))
+  }
 }

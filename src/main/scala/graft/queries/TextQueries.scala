@@ -210,5 +210,24 @@ object TextQueries extends QueryGroup {
          GROUP BY w ORDER BY n DESC, w LIMIT 20""") { (spark, dir) =>
       TextAnalysis.vocabulary(Tables.df(spark, dir, "documents"),
         col("text"), 20)
+    },
+
+    // corpus length profile: exact type-1 quantiles by count-based
+    // rank selection — integer arithmetic end to end (see Stats)
+    q("q_length_quantiles", "text",
+      """WITH counts AS (SELECT CAST(length(text) AS BIGINT) AS v,
+                                count(*) AS c
+                         FROM documents GROUP BY 1),
+          cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM counts),
+          tot AS (SELECT SUM(c) AS n FROM counts),
+          ranks AS (SELECT p, (p * n + 999) // 1000 AS r
+                    FROM (VALUES (100), (250), (500), (750), (900),
+                                 (990), (1000)) t(p)
+                    CROSS JOIN tot)
+         SELECT CAST(p AS BIGINT) AS permille, MIN(v) AS v_at
+         FROM ranks JOIN cum ON cum.cum >= ranks.r
+         GROUP BY 1""") { (spark, dir) =>
+      graft.ops.Stats.exactQuantiles(Tables.df(spark, dir, "documents"),
+        length(col("text")), Seq(100, 250, 500, 750, 900, 990, 1000))
     })
 }

@@ -289,4 +289,33 @@ class ExplainSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join leaked into unitDedup plan:\n$p")
   }
+
+  test("curation v3 persists its composition boundaries") {
+    // the v3 chain re-executes its upstream DAGs multiplicatively
+    // without boundary persists: lm is consumed twice (total agg +
+    // per-doc join) and unitDedup consumes its input twice, so the
+    // two-wordcount LM pipeline ran ~4-6x per invocation (measured
+    // 8.4 s vs 1.1 s at sf0.1). The final plan can't show this (pack
+    // localCheckpoints its input), so assert the stage frames' cache
+    // registration directly.
+    val (lm, gated, _) = graft.queries.PackQueries.curateV3(spark, sf)
+    assert(lm.storageLevel.useMemory,
+      "lm stage lost its boundary persist")
+    assert(gated.storageLevel.useMemory,
+      "gated stage lost its boundary persist")
+  }
+
+  test("exact quantiles: corpus-sized pass is the value groupBy only") {
+    val docs = Tables.df(spark, sf, "documents")
+    val p = plan(graft.ops.Stats.exactQuantiles(docs,
+      length(col("text")), Seq(500, 900)))
+    // the corpus shuffle must be keyed on the VALUE with a map-side
+    // partial count — one row per distinct value per partition
+    assert(p.contains("partial_count"),
+      s"value count lost its map-side combine:\n$p")
+    // the rank probe must broadcast — a shuffle join against the
+    // distinct-value table would key on nothing useful
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"rank probe is not a broadcast cross join:\n$p")
+  }
 }

@@ -797,3 +797,26 @@ class SessionizeSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 }
+
+class StatsSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("exact quantiles: hand-computed type-1 ranks on a known domain") {
+    // 1..100 once each: rank(p) = ceil(p·100/1000), v_at = rank
+    val df = (1 to 100).toDF("x")
+    val got = graft.ops.Stats.exactQuantiles(df, col("x"),
+        Seq(100, 500, 990, 1000))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 10L, 500L -> 50L, 990L -> 99L, 1000L -> 100L))
+  }
+
+  test("exact quantiles: duplicates, nulls and the ceiling edge") {
+    // values [1,1,1,9] + a null (excluded): N=4; p500 → rank 2 → 1
+    // (cum(1)=3 ≥ 2), p1000 → rank 4 → 9; p1 → rank ceil(0.004)=1 → 1
+    val df = Seq[java.lang.Integer](1, 1, 1, 9, null).toDF("x")
+    val got = graft.ops.Stats.exactQuantiles(df, col("x"), Seq(1, 500, 1000))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 500L -> 1L, 1000L -> 9L))
+  }
+}
