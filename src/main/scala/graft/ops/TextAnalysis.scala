@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -184,6 +185,48 @@ object TextAnalysis {
         when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
           .otherwise(col("lm_fp_sum").cast("double") /
             (col("n_bigrams") * 1000000L).cast("double")).as("lm_score"))
+  }
+
+  /** Top-k TF-IDF keywords per document — the standard corpus keyword
+    * extractor, in the same engine-exact fixed-point discipline as
+    * [[bigramLmScore]]: a true IDF takes `log(N/df)`, whose libm last
+    * ulp may diverge cross-engine, so the IDF term is instead the
+    * FIXED-POINT integer `(N·10⁶) div df` (monotone in N/df — ranking
+    * by it agrees with ranking by the log for any fixed N) and the
+    * score is the exact long `tf · idf_fp`. Ties broken by term text,
+    * so top-k membership is total-ordered and the WHOLE operator
+    * differentials against DuckDB.
+    *
+    * Scale shape: one partial-agg'd (doc, term) count — the corpus
+    * pass — then a vocabulary-sized doc-frequency aggregate, a join
+    * keyed on the term, and a per-doc top-k window. Two bounded
+    * shuffles over distinct (doc, term) pairs; the doc-count scalar
+    * rides a broadcast single-row cross join. Overflow bound:
+    * N·10⁶·tf must stay under 2⁶³ — holds through ~10⁹ docs at
+    * tf ≤ 10³ (past that, drop the fixed-point scale to 10³).
+    * Docs with no tokens have no keywords and no output rows. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tok = df.select(col(idCol).as("did"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val tf = tok.groupBy("did", "w").agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, term): counting its rows per
+    // term IS the document frequency — no second distinct pass
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfr"))
+    val nd = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("did"))
+      .orderBy(col("score_fp").desc, col("w"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_fp", expr("(n * 1000000) div dfr"))
+      .withColumn("score_fp", col("tf") * col("idf_fp"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("did").as(idCol), col("w").as("term"), col("tf"),
+        col("score_fp"), col("rank").cast("long").as("rank"))
   }
 
   /** Corpus vocabulary: the k most frequent whitespace tokens with

@@ -212,6 +212,29 @@ object TextQueries extends QueryGroup {
         col("text"), 20)
     },
 
+    // top-5 TF-IDF keywords per doc: fixed-point integer IDF
+    // (N·10⁶ div df) — monotone in N/df, so ranking agrees with the
+    // log form while staying engine-exact; ties broken by term text
+    q("q_tfidf_keywords", "text",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+          tok2 AS (SELECT doc_id, w FROM tok WHERE w != ''),
+          tf AS (SELECT doc_id, w, count(*) AS tf
+                 FROM tok2 GROUP BY 1, 2),
+          dfreq AS (SELECT w, count(*) AS dfr FROM tf GROUP BY 1),
+          nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+         SELECT doc_id, w AS term, tf, score_fp, rank
+         FROM (SELECT doc_id, w, tf,
+                      tf * ((n * 1000000) // dfr) AS score_fp,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tf * ((n * 1000000) // dfr) DESC, w)
+                        AS rank
+               FROM tf JOIN dfreq USING (w) CROSS JOIN nd) t
+         WHERE rank <= 5""") { (spark, dir) =>
+      TextAnalysis.tfidfKeywords(Tables.df(spark, dir, "documents"),
+        "doc_id", "text", 5)
+    },
+
     // corpus length profile: exact type-1 quantiles by count-based
     // rank selection — integer arithmetic end to end (see Stats)
     q("q_length_quantiles", "text",

@@ -441,6 +441,26 @@ class SimilaritySpec extends AnyFunSuite {
 class TextQualitySpec extends AnyFunSuite {
   import TestSession._
 
+  test("tfidf keywords: hand-computed ranks on a known corpus") {
+    import spark.implicits._
+    // N=3; df: apple 1, banana 3, cherry 1 → idf_fp: 3e6 / 1e6 / 3e6.
+    // d0: apple tf2·3e6 = 6e6 beats banana 1e6; d1: cherry 3e6 beats
+    // banana 1e6; d2: banana only.
+    val docs = Seq((0L, "apple banana apple"), (1L, "banana cherry"),
+      (2L, "banana")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .tfidfKeywords(docs, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> (r.getString(1),
+        r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (0L, 1L) -> ("apple", 2L, 6000000L),
+      (0L, 2L) -> ("banana", 1L, 1000000L),
+      (1L, 1L) -> ("cherry", 1L, 3000000L),
+      (1L, 2L) -> ("banana", 1L, 1000000L),
+      (2L, 1L) -> ("banana", 1L, 1000000L)))
+  }
+
   test("bigram LM score separates gibberish from typical corpus text") {
     import spark.implicits._
     val docs = Tables.df(spark, sf, "documents")
@@ -818,5 +838,27 @@ class StatsSpec extends AnyFunSuite {
     val got = graft.ops.Stats.exactQuantiles(df, col("x"), Seq(1, 500, 1000))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 500L -> 1L, 1000L -> 9L))
+  }
+
+  test("exact quantiles match the sorted-array definition (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // reference model: v_at(p) = sorted(l)(ceil(p·n/1000) − 1). Few
+    // samples (each runs a Spark job), many permilles per sample.
+    val gen = for {
+      l <- Gen.nonEmptyListOf(Gen.chooseNum(-50, 50))
+      ps <- Gen.listOfN(5, Gen.chooseNum(1, 1000))
+    } yield (l, ps.distinct)
+    val prop = Prop.forAll(gen) { case (l, ps) =>
+      val sorted = l.sorted
+      val expect = ps.map(p =>
+        p.toLong -> sorted(((p.toLong * l.size + 999) / 1000 - 1).toInt)
+          .toLong).toMap
+      val got = graft.ops.Stats.exactQuantiles(l.toDF("x"), col("x"), ps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
   }
 }
