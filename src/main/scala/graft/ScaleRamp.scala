@@ -231,7 +231,14 @@ object ScaleRamp {
         // corpus at fixed |Q| (the window adds its sort log factor).
         val e = embAt(k)
         val qs = emb0.filter(col("vec_id") % 50 === 0)
-        timeIt(Similarity.pqTopK(e, qs, 5).count())
+        val r = timeIt(Similarity.pqTopK(e, qs, 5).count())
+        // pqTopK persists its normalized corpus internally (by design
+        // — three consumers) and a ramp cell has no later consumer:
+        // drop it OUTSIDE the timed window so cache occupancy can't
+        // perturb the rows measured after this one (the capture-
+        // isolation discipline this file documents)
+        spark.catalog.clearCache()
+        r
       },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)

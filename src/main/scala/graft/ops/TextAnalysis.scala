@@ -215,8 +215,10 @@ object TextAnalysis {
     // tf is already distinct per (doc, term): counting its rows per
     // term IS the document frequency — no second distinct pass
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("dfr"))
-    val nd = df.select(col(idCol)).distinct()
-      .agg(count(lit(1)).as("n"))
+    // countDistinct skips NULL ids, matching SQL COUNT(DISTINCT …) —
+    // a distinct().count() would count a null-id group the oracle
+    // doesn't, silently shifting every idf_fp
+    val nd = df.agg(countDistinct(col(idCol)).as("n"))
     val win = Window.partitionBy(col("did"))
       .orderBy(col("score_fp").desc, col("w"))
     tf.join(dfreq, "w")

@@ -300,7 +300,16 @@ object PackQueries extends QueryGroup {
                         ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) // $Budget AS BIGINT) AS pack_id
-          FROM dedup""") { (spark, dir) => curateV3(spark, dir)._3 })
+          FROM dedup""") { (spark, dir) =>
+      val (lm, gated, res) = curateV3(spark, dir)
+      // sequencePack localCheckpoints its input EAGERLY, so by the
+      // time curateV3 returns the boundary caches have served every
+      // consumer — release them or they occupy storage memory for the
+      // rest of the session (each catalog run invokes dozens more
+      // queries after this one)
+      lm.unpersist(false); gated.unpersist(false)
+      res
+    })
 
   /** The v3 composition with its stage frames exposed so the spec can
     * pin the boundary persists (returns (lm, gated, result)).

@@ -240,7 +240,8 @@ object TextQueries extends QueryGroup {
     q("q_length_quantiles", "text",
       """WITH counts AS (SELECT CAST(length(text) AS BIGINT) AS v,
                                 count(*) AS c
-                         FROM documents GROUP BY 1),
+                         FROM documents
+                         WHERE text IS NOT NULL GROUP BY 1),
           cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM counts),
           tot AS (SELECT SUM(c) AS n FROM counts),
           ranks AS (SELECT p, (p * n + 999) // 1000 AS r

@@ -314,8 +314,14 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"value count lost its map-side combine:\n$p")
     // the rank probe must broadcast — a shuffle join against the
-    // distinct-value table would key on nothing useful
+    // distinct-value table would key on nothing useful. The plan holds
+    // TWO non-equi joins (the tot cross inside ranks, the outer
+    // probe), so also forbid CartesianProduct outright: a regression
+    // of EITHER to a non-broadcast join fails here even though the
+    // other still prints BroadcastNestedLoopJoin
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"rank probe is not a broadcast cross join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian leaked into the quantile plan:\n$p")
   }
 }
