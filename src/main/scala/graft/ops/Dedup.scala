@@ -77,14 +77,25 @@ object Dedup {
       .select(col("did").as(idCol), col("deduped_text"))
   }
 
-  /** Word n-gram shingles (distinct). Guarded for docs shorter than n. */
+  /** Word n-gram shingles (distinct). Guarded for docs shorter than n.
+    *
+    * Built by folding n−1 shifted zips instead of
+    * `transform(sequence…, i => concat_ws(" ", slice(toks, i, n)))`:
+    * the per-element slice re-copies the token array for every output
+    * shingle and measured ~6× slower on the bigram-heavy text paths
+    * (TextAnalysis.bigramArray, same finding). zip_with pads the
+    * shorter (shifted) side with nulls, which null the trailing
+    * concats; the filter drops them, leaving the same
+    * "w_i … w_{i+n−1}" strings — hashes and oracles unchanged. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    // sequence(1, 0) would count DOWN — guard short docs explicitly
+    val joined = (1 until n).foldLeft(toks) { (acc, s) =>
+      zip_with(acc,
+        slice(toks, lit(s + 1), greatest(size(toks) - s, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array_distinct(filter(joined, x => x.isNotNull)))
   }
 
   /** All-pairs n-gram Jaccard ≥ minSim, exact, via PREFIX FILTERING

@@ -103,6 +103,28 @@ object TextAnalysis {
   val Ipv4Pattern = s"\\b($Octet\\.){3}$Octet\\b"
   val PhonePattern = "(\\+[0-9]{1,2}[- ])?\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
+  /** Single-file corpora arrive with 1-2 partitions — spread the
+    * CPU-dense tokenize/explode work across all cores. Conditional: an
+    * input that already has enough partitions must NOT pay an extra
+    * shuffle (the Dedup/Similarity pattern; a 100 TB scan arrives with
+    * thousands of splits and skips this entirely). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Token bigrams "w_i w_{i+1}" in ONE zip_with pass. The obvious
+    * `transform(sequence(1, n−1), i => concat_ws(" ", slice(toks, i,
+    * 2)))` re-slices the token array per element — measured 6× slower
+    * exploding sf0.1's bigrams (2.4 s vs 0.4 s) and the dominant cost
+    * of the whole LM pipeline. Byte-identical strings (concat(a,' ',b)
+    * ≡ concat_ws(' ', slice)): the cross-engine oracles are
+    * unaffected. Yields n−1 entries for n ≥ 2 (the trailing zip pair
+    * pads null and is filtered out); callers guard n < 2 themselves. */
+  private def bigramArray(toks: Column, nTok: Column): Column =
+    filter(zip_with(toks, slice(toks, lit(2), greatest(nTok - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -119,8 +141,7 @@ object TextAnalysis {
   def repetitionFeatures(df: DataFrame, text: Column): DataFrame = {
     val toks = tokens(text)
     val nTok = size(toks)
-    val bigrams = transform(sequence(lit(1), nTok - 1),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val bigrams = bigramArray(toks, nTok)
     df.withColumn("n_tokens_r", nTok)
       .withColumn("dup_token_frac",
         when(nTok < 1, lit(0.0)).otherwise(
@@ -150,28 +171,38 @@ object TextAnalysis {
     * bit-identical everywhere — and the per-doc aggregation is an
     * integer SUM (order-free). The only double is one final division
     * of two exact longs. Scale shape: two wordcount aggregations
-    * (partial-agg'd), two hash joins keyed on bigram/unigram text,
-    * one per-doc sum — all shuffle-bounded, no driver state; the
-    * vocabulary scalar rides a broadcast single-row cross join. */
-  def bigramLmScore(df: DataFrame, idCol: String,
+    * (partial-agg'd), two hash joins, one per-doc sum — all
+    * shuffle-bounded, no driver state; the vocabulary scalar rides a
+    * broadcast single-row cross join.
+    *
+    * Counts and joins ride xxhash64 FINGERPRINTS of the bigram /
+    * unigram text, not the strings (the unitDedup / Jaccard-postings
+    * pattern): counts keyed on 64-bit hashes are w.h.p. identical to
+    * counts keyed on text (collisions ~n²/2⁶⁵), the agg hash tables
+    * and both count-join shuffles carry 8-byte longs instead of
+    * ~20-40-byte UTF8 strings, and the strings themselves never leave
+    * their scan partition. */
+  def bigramLmScore(df0: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    val df = spread(df0)
     val toks = tokens(col(textCol))
     val nTok = size(toks)
-    // sequence(1, 0) would count DOWN — guard docs shorter than 2 tokens
+    // guard docs shorter than 2 tokens: no bigram evidence
     val bgs = when(nTok < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), nTok - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(bigramArray(toks, nTok))
     // plain explode, not posexplode: position is never consumed, and a
     // dead int would ride every bigram row through both count joins
     // and the per-doc aggregation shuffle
     val docBg = df.select(col(idCol).as("__id"), explode(bgs).as("bg"))
-      .withColumn("w1", element_at(split(col("bg"), " "), 1))
-    val bCounts = docBg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .select(col("__id"), xxhash64(col("bg")).as("bgh"),
+        xxhash64(element_at(split(col("bg"), " "), 1)).as("w1h"))
+    val bCounts = docBg.groupBy("bgh").agg(count(lit(1)).as("c_bg"))
     val uni = df.select(explode(tokens(col(textCol))).as("w1"))
-    val uCounts = uni.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+      .select(xxhash64(col("w1")).as("w1h"))
+    val uCounts = uni.groupBy("w1h").agg(count(lit(1)).as("c_w1"))
     val vocab = uCounts.agg(count(lit(1)).as("v"))
     val terms = docBg
-      .join(bCounts, "bg").join(uCounts, "w1")
+      .join(bCounts, "bgh").join(uCounts, "w1h")
       .crossJoin(broadcast(vocab))
       .withColumn("fp",
         expr("(c_bg * 1000000L) div (c_w1 + v)"))
@@ -205,9 +236,10 @@ object TextAnalysis {
     * N·10⁶·tf must stay under 2⁶³ — holds through ~10⁹ docs at
     * tf ≤ 10³ (past that, drop the fixed-point scale to 10³).
     * Docs with no tokens have no keywords and no output rows. */
-  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+  def tfidfKeywords(df0: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val df = spread(df0)
     val tok = df.select(col(idCol).as("did"),
         explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")

@@ -300,31 +300,28 @@ object PackQueries extends QueryGroup {
                         ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) // $Budget AS BIGINT) AS pack_id
-          FROM dedup""") { (spark, dir) =>
-      val (lm, gated, res) = curateV3(spark, dir)
-      // sequencePack localCheckpoints its input EAGERLY, so by the
-      // time curateV3 returns the boundary caches have served every
-      // consumer — release them or they occupy storage memory for the
-      // rest of the session (each catalog run invokes dozens more
-      // queries after this one)
-      lm.unpersist(false); gated.unpersist(false)
-      res
-    })
+          FROM dedup""") { (spark, dir) => curateV3(spark, dir)._3 })
 
   /** The v3 composition with its stage frames exposed so the spec can
-    * pin the boundary persists (returns (lm, gated, result)).
+    * pin the boundary materialization (returns (lm, gated, result)).
     *
-    * Composition boundaries are CACHED or the chain re-executes its
-    * upstream DAGs multiplicatively: lm is consumed twice (the
+    * Composition boundaries are MATERIALIZED or the chain re-executes
+    * its upstream DAGs multiplicatively: lm is consumed twice (the
     * corpus-total aggregate and the per-doc join) and unitDedup
     * consumes its input twice (winner agg + keep join), so without
-    * these two persists the whole two-wordcount LM pipeline runs
-    * ~4-6x per invocation (measured 8.4 s vs 1.1 s at sf0.1). */
+    * these boundaries the whole two-wordcount LM pipeline runs ~4-6x
+    * per invocation (measured 8.4 s vs 2 s at sf0.1). Eager
+    * localCheckpoint, NOT a lazy persist: a lazy cache still
+    * double-computes when two consumers race the fill inside the
+    * chain's first action, and its entry would outlive the query in
+    * the session's storage memory — checkpoint blocks compute exactly
+    * once and are context-cleaned when the result goes unreachable
+    * (the sequencePack / Dedup.jaccardPairs pattern). */
   private[graft] def curateV3(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
     val corpus = DedupQueries.corpus(spark, dir)
     val lm = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val tot = lm.agg(sum(col("lm_fp_sum")).as("tf"),
       sum(col("n_bigrams")).as("tn"))
     val gated = corpus.join(lm, "doc_id")
@@ -341,7 +338,7 @@ object PackQueries extends QueryGroup {
         lit(0.95) * (col("tf").cast("double") /
           (col("tn") * 1000000L).cast("double")))
       .select(col("doc_id"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deduped = Dedup.unitDedup(gated, "doc_id", "text")
       .select(col("doc_id"),
         length(col("deduped_text")).cast("long").as("tokens"))

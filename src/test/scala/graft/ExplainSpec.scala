@@ -290,19 +290,20 @@ class ExplainSpec extends AnyFunSuite {
       s"non-equi join leaked into unitDedup plan:\n$p")
   }
 
-  test("curation v3 persists its composition boundaries") {
+  test("curation v3 materializes its composition boundaries") {
     // the v3 chain re-executes its upstream DAGs multiplicatively
-    // without boundary persists: lm is consumed twice (total agg +
-    // per-doc join) and unitDedup consumes its input twice, so the
-    // two-wordcount LM pipeline ran ~4-6x per invocation (measured
-    // 8.4 s vs 1.1 s at sf0.1). The final plan can't show this (pack
-    // localCheckpoints its input), so assert the stage frames' cache
-    // registration directly.
+    // without boundary materialization: lm is consumed twice (total
+    // agg + per-doc join) and unitDedup consumes its input twice, so
+    // the two-wordcount LM pipeline ran ~4-6x per invocation
+    // (measured 8.4 s vs 2 s at sf0.1). The final plan can't show
+    // this (pack localCheckpoints its input), so assert the stage
+    // frames were checkpointed: each must plan as a materialized-RDD
+    // scan, not its full lineage.
     val (lm, gated, _) = graft.queries.PackQueries.curateV3(spark, sf)
-    assert(lm.storageLevel.useMemory,
-      "lm stage lost its boundary persist")
-    assert(gated.storageLevel.useMemory,
-      "gated stage lost its boundary persist")
+    assert(plan(lm).contains("Scan ExistingRDD"),
+      s"lm stage lost its boundary checkpoint:\n${plan(lm)}")
+    assert(plan(gated).contains("Scan ExistingRDD"),
+      s"gated stage lost its boundary checkpoint:\n${plan(gated)}")
   }
 
   test("exact quantiles: corpus-sized pass is the value groupBy only") {
