@@ -461,6 +461,29 @@ class TextQualitySpec extends AnyFunSuite {
       (2L, 1L) -> ("banana", 1L, 1000000L)))
   }
 
+  test("zip-built bigrams and shingles equal the naive slice forms") {
+    import spark.implicits._
+    // the zip_with formulations must produce byte-identical strings to
+    // transform(sequence, slice) — including empty tokens from double
+    // spaces, 0/1/2-token docs, and docs shorter than n
+    val docs = Seq("", "one", "a b", "a  b", "x y z w", "a b c",
+      "t t t t t").toDF("text")
+    def naive(n: Int) = {
+      val toks = split(col("text"), " ")
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+    }
+    for (n <- Seq(2, 3, 4)) {
+      val got = docs.select(Dedup.shingles(col("text"), n).as("s"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      val want = docs.select(naive(n).as("s"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      assert(got == want, s"n=$n: $got != $want")
+    }
+  }
+
   test("bigram LM score separates gibberish from typical corpus text") {
     import spark.implicits._
     val docs = Tables.df(spark, sf, "documents")
