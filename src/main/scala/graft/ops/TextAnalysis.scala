@@ -263,6 +263,35 @@ object TextAnalysis {
         col("score_fp"), col("rank").cast("long").as("rank"))
   }
 
+  /** Per-source corpus quality report — the dashboard aggregate every
+    * curation run publishes: document/char/token volume and the
+    * duplicate-token mass per source. Engine-exact by the repo's
+    * reporting discipline: every aggregation is an INTEGER sum of
+    * per-row integer counts (order-free), and the two ratio columns
+    * are single IEEE divisions of exact longs — no double
+    * accumulation whose fp order could diverge cross-engine.
+    * One partial-agg'd groupBy on the source; the per-row token work
+    * never leaves its scan partition. */
+  def sourceReport(df0: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val df = spread(df0)
+    val toks = tokens(col(textCol))
+    val perDoc = df.select(col(srcCol).as("source"),
+      length(col(textCol)).cast("long").as("chars"),
+      size(toks).cast("long").as("n_tok"),
+      size(array_distinct(toks)).cast("long").as("n_dis"))
+    perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_tok") - col("n_dis")).as("dup_tokens"))
+      .withColumn("dup_token_frac",
+        col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double"))
+      .withColumn("mean_chars",
+        col("total_chars").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Corpus vocabulary: the k most frequent whitespace tokens with
     * counts, ties broken lexicographically — tokenizer/vocab-building
     * over the whole corpus. The classic giant-shuffle wordcount, kept

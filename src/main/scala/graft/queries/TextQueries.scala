@@ -212,6 +212,27 @@ object TextQueries extends QueryGroup {
         col("text"), 20)
     },
 
+    // per-source quality dashboard: integer sums per group, ratios as
+    // single divisions of exact longs (no double accumulation)
+    q("q_source_report", "text",
+      """WITH per AS (SELECT source,
+              CAST(length(text) AS BIGINT) AS chars,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                AS n_dis
+            FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(SUM(chars) AS BIGINT) AS total_chars,
+                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                CAST(SUM(n_tok - n_dis) AS BIGINT) AS dup_tokens,
+                CAST(SUM(n_tok - n_dis) AS DOUBLE) / SUM(n_tok)
+                  AS dup_token_frac,
+                CAST(SUM(chars) AS DOUBLE) / count(*) AS mean_chars
+         FROM per GROUP BY source""") { (spark, dir) =>
+      TextAnalysis.sourceReport(Tables.df(spark, dir, "documents"),
+        "source", "text")
+    },
+
     // top-5 TF-IDF keywords per doc: fixed-point integer IDF
     // (N·10⁶ div df) — monotone in N/df, so ranking agrees with the
     // log form while staying engine-exact; ties broken by term text

@@ -461,6 +461,22 @@ class TextQualitySpec extends AnyFunSuite {
       (2L, 1L) -> ("banana", 1L, 1000000L)))
   }
 
+  test("source report: hand-computed integer masses and ratios") {
+    import spark.implicits._
+    // s1: docs=2, chars=5+1, tokens=3+1, distinct=2+1 → dup=1,
+    // frac=0.25, mean_chars=3.0; s2: "x  y" splits to 3 tokens
+    // (double space → empty token), all distinct → dup=0
+    val docs = Seq(("s1", "a a b"), ("s1", "c"), ("s2", "x  y"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sourceReport(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got == Map(
+      "s1" -> ((2L, 6L, 4L, 1L, 0.25, 3.0)),
+      "s2" -> ((1L, 4L, 3L, 0L, 0.0, 4.0))))
+  }
+
   test("zip-built bigrams and shingles equal the naive slice forms") {
     import spark.implicits._
     // the zip_with formulations must produce byte-identical strings to
