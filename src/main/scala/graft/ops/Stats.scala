@@ -58,4 +58,34 @@ object Stats {
       .agg(min(col("v")).as("v_at"))
       .select(col("p").cast("long").as("permille"), col("v_at"))
   }
+
+  /** Per-group exact quantiles — [[exactQuantiles]] partitioned by a
+    * group column (the per-source / per-language length profile).
+    * Identical rank arithmetic per group; the cumulative window runs
+    * PARTITIONED (one partition per group's distinct values — no
+    * global single-partition stage at all here), and the rank probe
+    * is a groups×|permilles| frame joined back EQUI on the group, so
+    * every stage is shuffle-bounded by distinct (group, value) pairs. */
+  def exactQuantilesBy(df: DataFrame, grpCol: String, value: Column,
+      permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be within [1, 1000]: $permilles")
+    import df.sparkSession.implicits._
+    val counts = df.select(col(grpCol).as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = counts.groupBy("g").agg(sum(col("c")).as("n"))
+    val ranks = tot.crossJoin(broadcast(permilles.distinct.toDF("p")))
+      .withColumn("r", expr("(p * n + 999) div 1000"))
+      .select(col("g"), col("p"), col("r"))
+    cum.join(ranks, "g")
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("g"), col("p"))
+      .agg(min(col("v")).as("v_at"))
+      .select(col("g").as(grpCol), col("p").cast("long").as("permille"),
+        col("v_at"))
+  }
 }

@@ -212,6 +212,30 @@ object TextQueries extends QueryGroup {
         col("text"), 20)
     },
 
+    // per-language length profile: the grouped variant of the exact
+    // quantile operator — same integer rank arithmetic per group
+    q("q_lang_length_quantiles", "text",
+      """WITH counts AS (SELECT lang AS g,
+                                CAST(length(text) AS BIGINT) AS v,
+                                count(*) AS c
+                         FROM documents
+                         WHERE text IS NOT NULL GROUP BY 1, 2),
+          cum AS (SELECT g, v,
+                         SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum
+                  FROM counts),
+          tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n
+                  FROM counts GROUP BY 1),
+          ranks AS (SELECT g, p, (p * n + 999) // 1000 AS r
+                    FROM tot CROSS JOIN
+                         (VALUES (500), (900), (990)) t(p))
+         SELECT cum.g AS lang, CAST(p AS BIGINT) AS permille,
+                MIN(v) AS v_at
+         FROM ranks JOIN cum ON cum.g = ranks.g AND cum.cum >= ranks.r
+         GROUP BY 1, 2""") { (spark, dir) =>
+      graft.ops.Stats.exactQuantilesBy(Tables.df(spark, dir, "documents"),
+        "lang", length(col("text")), Seq(500, 900, 990))
+    },
+
     // per-source quality dashboard: integer sums per group, ratios as
     // single divisions of exact longs (no double accumulation)
     q("q_source_report", "text",

@@ -879,6 +879,19 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 500L -> 1L, 1000L -> 9L))
   }
 
+  test("grouped quantiles: independent ranks per group") {
+    // g1 = [1,2,3,4]: p500 → rank 2 → 2, p1000 → 4; g2 = [10,10]:
+    // both permilles land on 10
+    val df = Seq(("g1", 1), ("g1", 2), ("g1", 3), ("g1", 4),
+      ("g2", 10), ("g2", 10)).toDF("g", "x")
+    val got = graft.ops.Stats.exactQuantilesBy(df, "g", col("x"),
+        Seq(500, 1000))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("g1", 500L) -> 2L, ("g1", 1000L) -> 4L,
+      ("g2", 500L) -> 10L, ("g2", 1000L) -> 10L))
+  }
+
   test("exact quantiles match the sorted-array definition (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // reference model: v_at(p) = sorted(l)(ceil(p·n/1000) − 1). Few
