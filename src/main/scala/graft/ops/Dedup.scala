@@ -16,15 +16,10 @@ import org.apache.spark.sql.{GraftColumnBridge => CB}
   */
 object Dedup {
 
-  /** Small/single-file inputs arrive with 1-3 partitions; the per-row
-    * work here (shingling, hashing) is CPU-bound, so spread it across
-    * the cluster explicitly — operator parallelism must not depend on
-    * input file layout. Conditional: inputs that already have enough
-    * partitions (any real-scale scan) skip the shuffle entirely. */
-  private def spread(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
-  }
+  /** Shared spreading policy ([[Spread]]), keyed so the later
+    * id-keyed stages are co-located. */
+  private def spread(df: DataFrame, key: Column): DataFrame =
+    Spread(df, Some(key))
 
   /** Exact dedup: group by content hash, keep min id. One shuffle on the
     * (high-cardinality, uniform) md5 key — the canonical first pass at

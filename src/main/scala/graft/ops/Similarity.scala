@@ -33,15 +33,9 @@ object Similarity {
 
   /** Exact brute-force top-k neighbors for a (small, broadcast) query
     * set against the full corpus. Ties broken by neighbor id. */
-  /** single-file corpora arrive with 1-2 partitions — spread the
-    * CPU-bound cosine work across all cores. Conditional: a corpus that
-    * already has enough partitions must NOT pay a full extra shuffle
-    * (a 100 TB scan arrives with thousands of splits — repartitioning
-    * it before a broadcast join would shuffle everything for nothing). */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** Shared spreading policy ([[Spread]]), unkeyed — pure per-row
+    * cosine work, no keyed stage to co-locate. */
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

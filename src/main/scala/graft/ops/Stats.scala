@@ -80,8 +80,12 @@ object Stats {
     val tot = counts.groupBy("g").agg(sum(col("c")).as("n"))
     val ranks = tot.crossJoin(broadcast(permilles.distinct.toDF("p")))
       .withColumn("r", expr("(p * n + 999) div 1000"))
-      .select(col("g"), col("p"), col("r"))
-    cum.join(ranks, "g")
+      .select(col("g").as("rg"), col("p"), col("r"))
+    // null-safe group match: a NULL group key (e.g. un-identified
+    // language) is a real slice of the corpus and must get a profile
+    // row — a plain equi-join would silently drop it while `tot`
+    // still counted it
+    cum.join(ranks, col("g") <=> col("rg"))
       .filter(col("cum") >= col("r"))
       .groupBy(col("g"), col("p"))
       .agg(min(col("v")).as("v_at"))

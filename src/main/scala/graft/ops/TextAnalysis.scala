@@ -103,15 +103,9 @@ object TextAnalysis {
   val Ipv4Pattern = s"\\b($Octet\\.){3}$Octet\\b"
   val PhonePattern = "(\\+[0-9]{1,2}[- ])?\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
-  /** Single-file corpora arrive with 1-2 partitions — spread the
-    * CPU-dense tokenize/explode work across all cores. Conditional: an
-    * input that already has enough partitions must NOT pay an extra
-    * shuffle (the Dedup/Similarity pattern; a 100 TB scan arrives with
-    * thousands of splits and skips this entirely). */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** Shared spreading policy ([[Spread]]), unkeyed — the tokenize/
+    * explode work is pure per-row. */
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   /** Token bigrams "w_i w_{i+1}" in ONE zip_with pass. The obvious
     * `transform(sequence(1, n−1), i => concat_ws(" ", slice(toks, i,
@@ -124,6 +118,19 @@ object TextAnalysis {
   private def bigramArray(toks: Column, nTok: Column): Column =
     filter(zip_with(toks, slice(toks, lit(2), greatest(nTok - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+
+  /** Bigrams paired with their FIRST token, same one-pass zip: the LM
+    * pipeline needs both xxhash64(bg) and xxhash64(w1) per exploded
+    * row, and re-splitting the just-concatenated bigram would pay a
+    * regex split + 2-element array allocation per bigram on the
+    * hottest exploded path (the same re-copy class as the slice-based
+    * shingle this file replaced). Tokens contain no spaces (split on
+    * " "), so w1 ≡ element_at(split(bg, " "), 1) byte-for-byte —
+    * hashes and every downstream oracle unchanged. */
+  private def bigramPairs(toks: Column, nTok: Column): Column =
+    filter(zip_with(toks, slice(toks, lit(2), greatest(nTok - 1, lit(0))),
+      (a, b) => struct(concat(a, lit(" "), b).as("bg"), a.as("w1"))),
+      x => x.getField("bg").isNotNull)
 
   def redactPii(text: Column): Column =
     regexp_replace(
@@ -188,14 +195,15 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val nTok = size(toks)
     // guard docs shorter than 2 tokens: no bigram evidence
-    val bgs = when(nTok < 2, array().cast("array<string>"))
-      .otherwise(bigramArray(toks, nTok))
+    val bgs = when(nTok < 2,
+        array().cast("array<struct<bg:string,w1:string>>"))
+      .otherwise(bigramPairs(toks, nTok))
     // plain explode, not posexplode: position is never consumed, and a
     // dead int would ride every bigram row through both count joins
     // and the per-doc aggregation shuffle
-    val docBg = df.select(col(idCol).as("__id"), explode(bgs).as("bg"))
-      .select(col("__id"), xxhash64(col("bg")).as("bgh"),
-        xxhash64(element_at(split(col("bg"), " "), 1)).as("w1h"))
+    val docBg = df.select(col(idCol).as("__id"), explode(bgs).as("p"))
+      .select(col("__id"), xxhash64(col("p.bg")).as("bgh"),
+        xxhash64(col("p.w1")).as("w1h"))
     val bCounts = docBg.groupBy("bgh").agg(count(lit(1)).as("c_bg"))
     val uni = df.select(explode(tokens(col(textCol))).as("w1"))
       .select(xxhash64(col("w1")).as("w1h"))

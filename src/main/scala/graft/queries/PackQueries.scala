@@ -315,8 +315,15 @@ object PackQueries extends QueryGroup {
     * double-computes when two consumers race the fill inside the
     * chain's first action, and its entry would outlive the query in
     * the session's storage memory — checkpoint blocks compute exactly
-    * once and are context-cleaned when the result goes unreachable
-    * (the sequencePack / Dedup.jaccardPairs pattern). */
+    * once. The two corpus-sized frames (lm, and gated carrying full
+    * text) are RELEASED EAGERLY before returning: sequencePack eagerly
+    * checkpoints its own small, text-free input, so by return time
+    * nothing downstream references their blocks — waiting for the
+    * ContextCleaner (result unreachable + a driver GC) would leave a
+    * near-full copy of the corpus text in executor storage for a
+    * nondeterministic window across the rest of a catalog run. The
+    * returned lm/gated stay explainable (the spec pins their boundary
+    * plans) but their blocks are freed — explain-only frames. */
   private[graft] def curateV3(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
     val corpus = DedupQueries.corpus(spark, dir)
@@ -342,6 +349,9 @@ object PackQueries extends QueryGroup {
     val deduped = Dedup.unitDedup(gated, "doc_id", "text")
       .select(col("doc_id"),
         length(col("deduped_text")).cast("long").as("tokens"))
-    (lm, gated, Pack.sequencePack(deduped, "doc_id", "tokens", Budget))
+    val packed = Pack.sequencePack(deduped, "doc_id", "tokens", Budget)
+    lm.unpersist(blocking = false)
+    gated.unpersist(blocking = false)
+    (lm, gated, packed)
   }
 }

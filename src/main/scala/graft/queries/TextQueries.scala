@@ -230,7 +230,8 @@ object TextQueries extends QueryGroup {
                          (VALUES (500), (900), (990)) t(p))
          SELECT cum.g AS lang, CAST(p AS BIGINT) AS permille,
                 MIN(v) AS v_at
-         FROM ranks JOIN cum ON cum.g = ranks.g AND cum.cum >= ranks.r
+         FROM ranks JOIN cum
+           ON cum.g IS NOT DISTINCT FROM ranks.g AND cum.cum >= ranks.r
          GROUP BY 1, 2""") { (spark, dir) =>
       graft.ops.Stats.exactQuantilesBy(Tables.df(spark, dir, "documents"),
         "lang", length(col("text")), Seq(500, 900, 990))

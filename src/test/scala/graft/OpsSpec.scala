@@ -892,6 +892,20 @@ class StatsSpec extends AnyFunSuite {
       ("g2", 500L) -> 10L, ("g2", 1000L) -> 10L))
   }
 
+  test("grouped quantiles: a NULL group key gets its own profile row") {
+    // un-identified language is a real corpus slice; the group join is
+    // null-safe (<=>), so NULL must behave exactly like any other key
+    val df = Seq((Option("g1"), 1), (Option("g1"), 3),
+      (Option.empty[String], 5), (Option.empty[String], 7)).toDF("g", "x")
+    val got = graft.ops.Stats.exactQuantilesBy(df, "g", col("x"),
+        Seq(500, 1000))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((Some("g1"), 500L) -> 1L, (Some("g1"), 1000L) -> 3L,
+      (None, 500L) -> 5L, (None, 1000L) -> 7L))
+  }
+
   test("exact quantiles match the sorted-array definition (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // reference model: v_at(p) = sorted(l)(ceil(p·n/1000) − 1). Few
