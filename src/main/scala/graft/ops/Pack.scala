@@ -231,4 +231,36 @@ object Sampling {
       .otherwise(sequence(lit(0L), n - 1))
     df.withColumn("epoch", explode(epochs))
   }
+
+  /** Deterministic global TRAINING ORDER with no global sort: each doc
+    * routes to `shard = hash % shards`, a shard-partitioned row_number
+    * orders within the shard by the same hash (id tie-break, though
+    * the 3-round hash is tie-free below 2³¹−1), and the global
+    * position interleaves shards round-robin:
+    * `global_pos = (rn − 1) · shards + shard`. Positions are unique,
+    * and streaming them ascending visits shards round-robin in
+    * per-shard hash order — the pseudorandom document order LM
+    * training wants — while the only exchange is the hash partition
+    * on `shard`. No stage ever sees a single global partition, which
+    * is the scale failure of `orderBy(rand())`: one reducer sorting
+    * the whole corpus (and rand() isn't reproducible across retries —
+    * a recomputed task would deal a different order mid-job). Unequal
+    * shard sizes leave gaps in the tail of the position space:
+    * positions are ordinal, not contiguous. At corpus scale, write
+    * partitioned by `shard` and the trainer gets file-level read
+    * parallelism for free; re-keying an epoch is a different
+    * `shards` count or a pre-hashed id offset, not a reshuffle of
+    * 100 TB of text. */
+  def trainingOrder(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", hashU31(col(idCol)))
+      .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("global_pos",
+        (row_number().over(w) - 1).cast("long") * shards + col("__shard"))
+      .withColumn("shard", col("__shard").cast("int"))
+      .drop("__h", "__shard")
+  }
 }

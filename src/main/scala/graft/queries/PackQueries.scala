@@ -108,6 +108,25 @@ object PackQueries extends QueryGroup {
         .select(col("doc_id"), col("source"), col("epoch"))
     },
 
+    // deterministic training order: Lehmer shard + in-shard hash
+    // order, round-robin-interleaved global positions — no global
+    // sort (and no single-reducer stage) at any corpus size
+    q("q_training_order", "llm-pack",
+      """WITH h AS (
+           SELECT doc_id,
+             ((((((doc_id % 2147483646 + 1) * 48271) % 2147483647)
+                * 48271) % 2147483647) * 48271) % 2147483647 AS u
+           FROM documents)
+         SELECT doc_id, CAST(u % 8 AS INT) AS shard,
+                CAST((row_number() OVER (PARTITION BY u % 8
+                        ORDER BY u, doc_id) - 1) * 8 + u % 8 AS BIGINT)
+                  AS global_pos
+         FROM h""") { (spark, dir) =>
+      Sampling.trainingOrder(Tables.df(spark, dir, "documents"),
+          "doc_id", shards = 8)
+        .select(col("doc_id"), col("shard"), col("global_pos"))
+    },
+
     // 120-char windows, 30-char overlap (stride 90); integer-exact
     // chunk counts so both engines cut identical windows
     q("q_chunk_docs", "llm-pack",

@@ -126,6 +126,39 @@ class PackSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("training order: unique interleaved positions, no global sort") {
+    val docs = Tables.df(spark, sf, "documents")
+    val n = docs.count()
+    val got = Sampling.trainingOrder(docs, "doc_id", shards = 8)
+    val rows = got.select("doc_id", "shard", "global_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every doc appears once, every position is unique
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    assert(rows.map(_._3).distinct.length == n)
+    // position encodes its shard (round-robin interleave)
+    assert(rows.forall { case (_, s, p) => p % 8 == s })
+    // within a shard, ascending position follows ascending hash —
+    // i.e. the per-shard order IS the pseudorandom hash order
+    rows.groupBy(_._2).values.foreach { sh =>
+      val byPos = sh.sortBy(_._3).map(_._1)
+      val byHash = sh.sortBy { case (id, _, _) =>
+        val p = 2147483647L
+        (((((id % (p - 1) + 1) * 48271) % p) * 48271 % p) * 48271 % p, id)
+      }.map(_._1)
+      assert(byPos.toSeq == byHash.toSeq)
+    }
+    // deterministic across runs
+    val again = Sampling.trainingOrder(docs, "doc_id", shards = 8)
+      .select("doc_id", "global_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(t => t._1 -> t._3).toMap == again)
+    // scale contract: the window partitions by shard — the physical
+    // plan must NOT collapse to a single global partition
+    val phys = got.queryExecution.executedPlan.toString
+    assert(!phys.contains("SinglePartition"),
+      s"training order must never hit a single-partition exchange:\n$phys")
+  }
+
   test("sampling hash never overflows ANSI long; id 0 is no fixed point") {
     import spark.implicits._
     val big = Seq(Long.MaxValue, 4200000001L, 0L, 1L).toDF("id")
