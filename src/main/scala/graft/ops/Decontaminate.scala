@@ -44,4 +44,39 @@ object Decontaminate {
       textCol: String, n: Int): DataFrame =
     flag(train, evalSet, idCol, textCol, n)
       .filter(!col("contaminated")).drop("contaminated")
+
+  /** GRADED contamination: per-doc overlap fraction
+    * |distinct grams ∩ eval| / |distinct grams| — the thresholdable
+    * signal (drop above x%, down-weight above y%) where the any-hit
+    * flag is too blunt (one stock phrase shared with a benchmark
+    * should not nuke a 10-page document).
+    *
+    * Same scale shape as [[flag]]: the denominator is map-side
+    * `size(shingles)` (no explode, no shuffle), and only HIT grams —
+    * a tiny fraction of the corpus — survive the broadcast semi probe
+    * into the per-doc count aggregate. Shingles are distinct per doc
+    * on both sides of the oracle, so n_hit counts distinct
+    * overlapping grams. Docs shorter than n have no gram evidence:
+    * n_grams = 0, overlap = NULL (not 0 — "no evidence" and "clean"
+    * must stay distinguishable downstream). The single long/long
+    * division is IEEE-identical cross-engine. */
+  def overlapScore(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int, broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams = {
+      val g = evalSet.select(grams(textCol, n))
+        .select(xxhash64(col("g")).as("gh")).distinct()
+      if (broadcastEval) broadcast(g) else g
+    }
+    val totals = train.select(col(idCol),
+      size(Dedup.shingles(col(textCol), n)).cast("long").as("n_grams"))
+    val hits = train
+      .select(col(idCol), grams(textCol, n))
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("overlap", when(col("n_grams") > 0,
+        col("n_hit").cast("double") / col("n_grams").cast("double")))
+  }
 }

@@ -108,6 +108,45 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("contaminated"))
     },
 
+    // graded decontamination: per-doc fraction of DISTINCT 4-grams
+    // shared with the benchmark slice — the thresholdable form of the
+    // binary flag above. Counts are exact longs; the one double is a
+    // single long/long division, IEEE-identical cross-engine; docs
+    // with no gram evidence (< 4 tokens) score NULL, not 0
+    q("q_decontaminate_score", "text",
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(
+             [array_to_string(toks[i:i+3], ' ')
+              for i in generate_series(1, greatest(len(toks)-3, 0))])) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+         tot AS (SELECT doc_id, len(list_distinct(
+                   [array_to_string(toks[i:i+3], ' ')
+                    for i in generate_series(1, greatest(len(toks)-3, 0))]))
+                     ::BIGINT AS n_grams
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents)
+                 WHERE doc_id % 7 != 0),
+         hit AS (SELECT doc_id, count(*)::BIGINT AS n_hit FROM g
+                 WHERE doc_id % 7 != 0 AND g IN (SELECT g FROM ev)
+                 GROUP BY doc_id)
+         SELECT tot.doc_id, tot.n_grams,
+                COALESCE(hit.n_hit, 0) AS n_hit,
+                CASE WHEN tot.n_grams > 0
+                     THEN CAST(COALESCE(hit.n_hit, 0) AS DOUBLE)
+                          / CAST(tot.n_grams AS DOUBLE) END AS overlap
+         FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""") {
+      (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      graft.ops.Decontaminate.overlapScore(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          col("overlap"))
+    },
+
     // PII scrub pass: deterministic synthetic PII (an email, an IPv4,
     // a leading-zero-octet IPv4 as logs spell them, a US phone, a
     // +CC-prefixed phone, all derived from doc_id) is appended to

@@ -75,6 +75,20 @@ class DecontaminateSpec extends AnyFunSuite {
     // clean preserves the input schema
     assert(Decontaminate.clean(train, eval, "doc_id", "text", 4)
       .columns.toSeq == Seq("doc_id", "text"))
+
+    // graded overlap, hand-computed: doc 1 has 6 distinct 4-grams of
+    // which 2 appear in eval; doc 4 has 3 with 1 hit; doc 2 has 6 with
+    // 0; doc 3 (< 4 tokens) has no gram evidence → NULL, not 0
+    val scores = Decontaminate.overlapScore(train, eval,
+        "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(scores == Map(
+      1L -> ((6L, 2L, Some(2.0 / 6.0))),
+      2L -> ((6L, 0L, Some(0.0))),
+      3L -> ((0L, 0L, None)),
+      4L -> ((3L, 1L, Some(1.0 / 3.0)))))
   }
 }
 
