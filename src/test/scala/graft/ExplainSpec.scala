@@ -235,6 +235,15 @@ class ExplainSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") &&
       p.contains("LeftSemi"),
       s"gram probe should be a broadcast semi join:\n$p")
+    // the graded variant keeps the same shape: broadcast semi probe,
+    // and no exchange of the full corpus text (the denominator is a
+    // map-side size(shingles) — only hit grams aggregate)
+    val ps = plan(graft.ops.Decontaminate.overlapScore(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", n = 4))
+    assert(ps.contains("BroadcastHashJoin") && ps.contains("LeftSemi"),
+      s"overlap probe should be a broadcast semi join:\n$ps")
   }
 
   test("sequence pack plans shard-partitioned windows, never a global one") {
