@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Similarity
@@ -211,6 +212,52 @@ object SimilarityQueries extends QueryGroup {
         WHERE sim >= 0.99"""
   }
 
+  /** `exact_pairs(a_id, b_id, sim)` CTE: the duplicate-injected
+    * embedding corpus and its exact all-pairs cosine ≥ 0.99 pairs —
+    * the labeled O(n²) oracle twin of the LSH near-dup path. Shared
+    * by q_embed_neardup and q_embed_dedup_clusters so the two oracles
+    * cannot drift. */
+  private val exactNearDupPairsSql =
+    """corpus AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+         FROM embeddings WHERE vec_id % 10 = 0),
+       exact_pairs AS (
+         SELECT a_id, b_id, sim FROM (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_sum(list_transform(list_zip(a.v, b.v),
+               x -> x[1] * x[2])) /
+             (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+              sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
+           FROM corpus a, corpus b WHERE a.vec_id < b.vec_id) t
+         WHERE sim >= 0.99)"""
+
+  /** Spark twin of [[exactNearDupPairsSql]]: (a_id, b_id, sim). The
+    * double arithmetic is bit-identical cross-engine (sequential fold
+    * dot product, per-row norms — identical doubles to per-pair
+    * recomputation). */
+  private[graft] def exactNearDupPairs(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = Tables.df(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(
+      emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val a = corpus.select(col("vec_id").as("a_id"),
+      col("embedding").as("va"),
+      Similarity.norm(col("embedding")).as("na"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = corpus.select(col("vec_id").as("b_id"),
+      col("embedding").as("vb"),
+      Similarity.norm(col("embedding")).as("nb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
+      .filter(col("sim") >= 0.99)
+      .select("a_id", "b_id", "sim")
+  }
+
   val queries: Seq[Q] = Seq(
     q("q_knn_bruteforce", "similarity",
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -242,37 +289,32 @@ object SimilarityQueries extends QueryGroup {
     // SimilaritySpec. Corpus = embeddings with injected identical
     // vectors (+100000 ids), all pairs with cos ≥ 0.99.
     q("q_embed_neardup", "similarity",
-      """WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           UNION ALL
-           SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
-           FROM embeddings WHERE vec_id % 10 = 0)
-         SELECT a_id, b_id, sim FROM (
-           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             list_sum(list_transform(list_zip(a.v, b.v),
-               x -> x[1] * x[2])) /
-             (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-              sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
-           FROM corpus a, corpus b WHERE a.vec_id < b.vec_id) t
-         WHERE sim >= 0.99""") { (spark, dir) =>
-      val emb = Tables.df(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val corpus = emb.unionAll(
-        emb.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      // per-row norms (identical doubles to per-pair recomputation)
-      val a = corpus.select(col("vec_id").as("a_id"),
-        col("embedding").as("va"),
-        Similarity.norm(col("embedding")).as("na"))
-        .repartition(spark.sparkContext.defaultParallelism)
-      val b = corpus.select(col("vec_id").as("b_id"),
-        col("embedding").as("vb"),
-        Similarity.norm(col("embedding")).as("nb"))
-      a.crossJoin(b).filter(col("a_id") < col("b_id"))
-        .withColumn("sim", Similarity.dot(col("va"), col("vb")) /
-          (col("na") * col("nb")))
-        .filter(col("sim") >= 0.99)
-        .select("a_id", "b_id", "sim")
+      s"""WITH $exactNearDupPairsSql
+         SELECT a_id, b_id, sim FROM exact_pairs""") { (spark, dir) =>
+      exactNearDupPairs(spark, dir)
+    },
+
+    // cross-modality composition: the exact near-dup pairs feed the
+    // SAME connected-components resolution the text dedup path uses —
+    // embedding-level duplicate CLUSTERS, not just pairs (a—b—c chains
+    // collapse to one component, where dropping both sides of every
+    // pair independently would over-delete). The edge list is tiny
+    // next to the corpus, so the CC label table stays pairs-sized —
+    // the 100 TB argument is unchanged from q_dedup_clusters; swap
+    // the labeled O(n²) pair twin for lshNearDup in production
+    q("q_embed_dedup_clusters", "similarity",
+      s"""WITH RECURSIVE $exactNearDupPairsSql,
+          edges AS (SELECT a_id AS a, b_id AS b FROM exact_pairs
+                    UNION SELECT b_id, a_id FROM exact_pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+          SELECT id AS vec_id, min(r) AS component
+          FROM reach GROUP BY id""") { (spark, dir) =>
+      graft.ops.Dedup.connectedComponents(
+          exactNearDupPairs(spark, dir), "a_id", "b_id")
+        .select(col("id").as("vec_id"), col("comp").as("component"))
     },
 
     // the near-dup SCALE path: sign-LSH blocking + exact cosine verify.
