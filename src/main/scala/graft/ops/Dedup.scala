@@ -193,6 +193,79 @@ object Dedup {
     out
   }
 
+  /** Asymmetric CONTAINMENT near-dup: C(A,B) = |A∩B| / |A| ≥ t over
+    * word n-gram shingle SETS — catches a short document quoted
+    * wholesale inside a long one, which symmetric Jaccard misses (the
+    * union is dominated by the long side, so J stays far below any
+    * useful threshold however perfect the inclusion). Emits ordered
+    * pairs (`a_id` contained-in `b_id`, a ≠ b) with the exact
+    * containment; the two directions of a pair are evaluated
+    * independently (containment is not symmetric).
+    *
+    * Prefix filter, containment form (the asymmetric variant of the
+    * PPJoin bound, public literature): C(A,B) ≥ t needs |A∩B| ≥
+    * ⌈t·|A|⌉, so in A's canonical rarest-first order a qualifying
+    * pair must share a shingle within A's first |A| − ⌈t·|A|⌉ + 1
+    * elements — if none of those hit B, the remaining ⌈t·|A|⌉ − 1
+    * elements cannot reach the bound. The CONTAINING side has no
+    * length bound (that is the point of containment), so B is indexed
+    * on ALL its shingles, not a prefix: the candidate join is
+    * A-prefix × B-full. Rarest-first still dominates the join volume
+    * — the prefix side is exactly the rare-shingle postings — and the
+    * scale shape is otherwise ngramJaccardPairs': ids-only candidate
+    * shuffle, arrays fetched back only for the exact verify.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minContain: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(minContain > 0 && minContain <= 1,
+      s"minContain must be in (0, 1], got $minContain")
+    // fingerprint shingles (same w.h.p.-identical argument as the
+    // Jaccard join: sizes and intersections survive xxhash64)
+    val sh = spread(df, col(idCol)).select(col(idCol).as("doc"),
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val sorted = sh.select(col("doc"), col("n_sh"),
+        explode(col("sh")).as("s"))
+      .join(freq, "s") // AQE: broadcast when small, shuffle otherwise
+      .groupBy(col("doc"), col("n_sh"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s"))))
+        .as("ordered"))
+      .select(col("doc"), col("n_sh"),
+        transform(col("ordered"), x => x.getField("s")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // A-side: the containment prefix (rarest |A| − ⌈t·|A|⌉ + 1)
+    val aPref = sorted.select(col("doc").as("a_id"),
+      explode(slice(col("sh"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * minContain) + 1).cast("int")))
+        .as("s"))
+    // B-side: full postings — no length filter can prune a container
+    val bAll = sorted.select(col("doc").as("b_id"), explode(col("sh")).as("s"))
+    val cand = aPref.join(bAll, Seq("s"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    val pairs = cand
+      .join(sorted.select(col("doc").as("a_id"), col("n_sh").as("na"),
+        col("sh").as("sha")), "a_id")
+      .join(sorted.select(col("doc").as("b_id"), col("sh").as("shb")),
+        "b_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment",
+        col("common").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("a_id"), col("b_id"), col("na").cast("long").as("na"),
+        col("common").cast("long").as("common"), col("containment"))
+    // same release discipline as ngramJaccardPairs: materialize the
+    // (small) verified result, free the two corpus-sized intermediates
+    val out = pairs.localCheckpoint()
+    sh.unpersist(false)
+    sorted.unpersist(false)
+    out
+  }
+
   /** k MinHash signatures over n-gram shingles. A doc's shingles live in
     * ONE row, so the signature is a pure per-row function — computed by
     * the [[MinHashArray]] expression in a single map pass with NO

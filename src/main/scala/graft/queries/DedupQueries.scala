@@ -142,6 +142,33 @@ object DedupQueries extends QueryGroup {
     // duplicate clusters: connected components over the Jaccard pair
     // graph; DuckDB's recursive CTE computes the same min-reachable-id
     // closure, so the distributed label propagation is exactly oracled.
+    // asymmetric containment C(A,B) = |A∩B|/|A| ≥ 0.9, both directions
+    // evaluated independently: the tail-extended +200000 variants
+    // contain their originals at exactly 1.0 while the reverse
+    // direction is m/(m+3) — above 0.9 only for long docs, so the
+    // output exercises both the asymmetric catch and the cut
+    q("q_dedup_containment", "dedup",
+      s"""WITH $clustersCorpusSql,
+          sh AS (
+            SELECT doc_id,
+              list_distinct([array_to_string(toks[i:i+2], ' ')
+                for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shl
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+          inv AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.n_sh AS na, count(*) AS common
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id != b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh)
+          SELECT a_id, b_id, CAST(na AS BIGINT) AS na,
+                 CAST(common AS BIGINT) AS common,
+                 CAST(common AS DOUBLE) / na AS containment
+          FROM pairs
+          WHERE CAST(common AS DOUBLE) / na >= 0.9""") { (spark, dir) =>
+      Dedup.containmentPairs(clustersCorpus(spark, dir),
+        "doc_id", "text", 3, 0.9)
+    },
+
     // The corpus is restricted to the duplicate-bearing doc_id%10∈{0,5}
     // slice: the Jaccard join itself is already benched by
     // q_dedup_ngram_jaccard — this query's marginal cost should be the

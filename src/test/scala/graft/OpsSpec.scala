@@ -66,6 +66,25 @@ class DedupSpec extends AnyFunSuite {
       s"only $found of ${nearIds.size} near-dup pairs surfaced")
   }
 
+  test("containment catches quote-inclusion that symmetric Jaccard misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // the containing doc
+      (2L, "w3 w4 w5 w6 w7"),                 // fully quoted inside 1
+      (3L, "w3 w4 w5 x1 x2")                  // only 1 of 3 shingles hits
+    ).toDF("doc_id", "text")
+    // hand-computed with n=3: doc 2 has 3 shingles, all in doc 1 →
+    // C(2→1) = 3/3 = 1.0; reverse C(1→2) = 3/8; C(3→1) = 1/3
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map((2L, 1L) -> ((3L, 3L, 1.0))))
+    // symmetric Jaccard at the same threshold sees nothing:
+    // J(1,2) = 3/8 — the union is dominated by the long side
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .count() == 0)
+  }
+
   test("unitDedup first-occurrence order survives >2^20 units in one doc") {
     import spark.implicits._
     // doc 0 carries a marker unit at position 2^20+5; doc 1 repeats the
