@@ -203,6 +203,23 @@ object ScaleRamp {
         val d = docsAt(k)
         timeIt(Dedup.simhashPairs(d, "doc_id", "text").count())
       },
+      "containment_pairs" -> { k =>
+        // the newest shuffle-heavy dedup path (round 10): A-prefix ×
+        // B-FULL candidate join — the containing side indexes all its
+        // shingles, making this the heaviest-indexed shingle join. The
+        // raw replicas carry no containment pairs, so inject a
+        // tail-extended variant per doc_id%10==5 doc (the
+        // clustersCorpus shape): contained-in-container rows then
+        // scale with k, and the z{i} prefixes keep every containment
+        // copy-local. +5e6 id offset stays inside the copy's 1e7 id
+        // stripe — no cross-copy id collisions.
+        val d = docsAt(k)
+        val corp = d.unionAll(d.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(" graft tail token")).as("text")))
+        timeIt(Dedup.containmentPairs(corp, "doc_id", "text", 3, 0.9)
+          .count())
+      },
       "unit_dedup" -> { k =>
         // the newest shuffle-heavy dedup path (round 9): per-sentence
         // explode multiplies rows ~30×, then one unit-hash shuffle, an
