@@ -29,6 +29,29 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"),
         max(id).as("max_id"))
 
+  /** INCREMENTAL exact dedup — the daily-batch shape: dedupe a NEW
+    * batch against the corpus already ingested without touching the
+    * corpus. `seenFps` is the ingested side's fingerprint table (the
+    * same md5 key [[exact]] produces — at corpus scale a 100 TB
+    * warehouse keeps exactly this table as a dedup index, stored
+    * bucketed on the fingerprint so this anti join re-shuffles only
+    * the small batch while index buckets stream map-side; the corpus
+    * TEXT is never read at all). Within the batch, first occurrence
+    * (min id) wins — [[exact]]'s winner rule — so a batch is
+    * internally deduped and externally anti-joined in one pass.
+    * Returns (id, fingerprint) survivors; callers join payload
+    * columns back by id — the ids-only shuffle discipline of every
+    * dedup path in this file. */
+  def incrementalExact(batch: DataFrame, seenFps: DataFrame,
+      idCol: String, textCol: String,
+      fpCol: String = "text_md5"): DataFrame = {
+    val fps = batch.select(col(idCol).as("bid"),
+      md5(col(textCol).cast("binary")).as("fp"))
+    val firsts = fps.groupBy("fp").agg(min(col("bid")).as("keep_id"))
+    firsts.join(seenFps.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
+      .select(col("keep_id").as(idCol), col("fp").as(fpCol))
+  }
+
   /** Sub-document unit dedup (CCNet/RefinedWeb-style line or sentence
     * dedup): split each document on `sep`, drop every occurrence of a
     * unit except the globally FIRST one (smallest (doc id, position)),

@@ -142,6 +142,29 @@ object DedupQueries extends QueryGroup {
     // duplicate clusters: connected components over the Jaccard pair
     // graph; DuckDB's recursive CTE computes the same min-reachable-id
     // closure, so the distributed label propagation is exactly oracled.
+    // incremental exact dedup, the daily-batch shape: the injected
+    // copies (doc_id ≥ 100000) arrive as the "new batch" against the
+    // base slice's fingerprint index — exact +100000 copies are
+    // eliminated by the anti join without reading corpus text, the
+    // +200000 tail variants survive as genuinely novel
+    q("q_dedup_incremental", "dedup",
+      s"""WITH $clustersCorpusSql,
+          seen AS (SELECT DISTINCT md5(text) AS fp FROM corpus
+                   WHERE doc_id < 100000),
+          batch AS (SELECT doc_id, md5(text) AS fp FROM corpus
+                    WHERE doc_id >= 100000),
+          firsts AS (SELECT fp, min(doc_id) AS keep_id
+                     FROM batch GROUP BY fp)
+          SELECT keep_id AS doc_id, fp AS text_md5
+          FROM firsts WHERE fp NOT IN (SELECT fp FROM seen)""") {
+      (spark, dir) =>
+      val c = clustersCorpus(spark, dir)
+      val seen = Dedup.exact(c.filter(col("doc_id") < 100000),
+        col("doc_id"), col("text")).select("text_md5")
+      Dedup.incrementalExact(c.filter(col("doc_id") >= 100000),
+        seen, "doc_id", "text")
+    },
+
     // asymmetric containment C(A,B) = |A∩B|/|A| ≥ 0.9, both directions
     // evaluated independently: the tail-extended +200000 variants
     // contain their originals at exactly 1.0 while the reverse

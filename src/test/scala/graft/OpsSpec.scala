@@ -66,6 +66,21 @@ class DedupSpec extends AnyFunSuite {
       s"only $found of ${nearIds.size} near-dup pairs surfaced")
   }
 
+  test("incremental dedup: batch-internal firsts, seen copies dropped") {
+    import spark.implicits._
+    val seen = Seq("already ingested text").toDF("t")
+      .select(md5(col("t").cast("binary")).as("text_md5"))
+    val batch = Seq(
+      (10L, "already ingested text"), // exact copy of the corpus → drop
+      (11L, "novel text a"),          // new → keep
+      (13L, "novel text a"),          // batch-internal dup → loses to 11
+      (12L, "novel text b")           // new → keep
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, seen, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 12L))
+  }
+
   test("containment catches quote-inclusion that symmetric Jaccard misses") {
     import spark.implicits._
     val docs = Seq(
