@@ -41,12 +41,22 @@ object Dedup {
     * internally deduped and externally anti-joined in one pass.
     * Returns (id, fingerprint) survivors; callers join payload
     * columns back by id — the ids-only shuffle discipline of every
-    * dedup path in this file. */
+    * dedup path in this file.
+    *
+    * Null contract (same stance as `Decontaminate.overlapScore` /
+    * `TextAnalysis.bigramLmScore`): null-text rows are EXCLUDED
+    * explicitly. Unfiltered, md5(null) is null, so every null-text
+    * batch row would collapse into one group whose survivor always
+    * passes the anti join (a null key never matches the index) — while
+    * a SQL `fp NOT IN (...)` oracle drops null fingerprints entirely: a
+    * silent cross-engine divergence. A row with no text has no content
+    * to deduplicate; it is not a survivor. */
   def incrementalExact(batch: DataFrame, seenFps: DataFrame,
       idCol: String, textCol: String,
       fpCol: String = "text_md5"): DataFrame = {
-    val fps = batch.select(col(idCol).as("bid"),
-      md5(col(textCol).cast("binary")).as("fp"))
+    val fps = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("bid"),
+        md5(col(textCol).cast("binary")).as("fp"))
     val firsts = fps.groupBy("fp").agg(min(col("bid")).as("keep_id"))
     firsts.join(seenFps.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
       .select(col("keep_id").as(idCol), col("fp").as(fpCol))
@@ -116,6 +126,45 @@ object Dedup {
       .otherwise(array_distinct(filter(joined, x => x.isNotNull)))
   }
 
+  /** A similarity threshold as the exact rational the caller wrote.
+    * Thresholds arrive as Doubles, but every candidate-PRUNING bound
+    * derived from one must be exact: `ceil(n * t)` in double arithmetic
+    * can land strictly above the true integer ceiling for rare (n, t)
+    * pairs (the fp product rounding epsilon above an integer), which
+    * silently shortens a prefix by one and drops a qualifying pair the
+    * exact verify — and the oracle — emits. Decodes the double's
+    * shortest decimal representation (`BigDecimal.valueOf`: 0.9 →
+    * 9/10), exact for any threshold written as a ≤6-place decimal;
+    * anything else is rejected loudly rather than approximated. Bounds
+    * then use integer multiply-compare (`b·den ≥ n·num`) or exact
+    * ceil-division — the `Stats` rank-arithmetic idiom
+    * (`(p·N + 999) div 1000`).
+    *
+    * Pruning stays sound against the DOUBLE verify filter: a pair
+    * failing the exact rational bound misses `num/den` by at least
+    * `1/(n·den)` ≥ 4.7e-16 (n ≤ 2³¹ shingles, den ≤ 10⁶), an order
+    * above the ~1.7e-16 combined slack of decimal→double threshold
+    * conversion plus one double division — so no pair the verify would
+    * pass is pruned. */
+  private def thresholdRational(t: Double): (Long, Long) = {
+    val bd = java.math.BigDecimal.valueOf(t).stripTrailingZeros
+    require(t > 0 && t <= 1 && bd.scale <= 6,
+      s"threshold must be in (0, 1] with at most 6 decimal places, got $t")
+    val scale = math.max(bd.scale, 0)
+    val den = math.round(math.pow(10, scale.toDouble))
+    (bd.movePointRight(scale).longValueExact(), den)
+  }
+
+  /** Exact ⌈x / den⌉ over a long column, division-rounding-free: the
+    * largest multiple of den ≤ x+den−1 is recovered with pmod (pure
+    * integer ops), and dividing an exact multiple is exact in IEEE
+    * double for products < 2⁵³ (shingle counts ≤ 2³¹ × den ≤ 10⁶ stays
+    * well under). */
+  private def ceilDivCol(x: Column, den: Long): Column = {
+    val y = x + lit(den - 1)
+    ((y - pmod(y, lit(den))) / lit(den)).cast("long")
+  }
+
   /** All-pairs n-gram Jaccard ≥ minSim, exact, via PREFIX FILTERING
     * (PPJoin-style, public literature): for J(A,B) ≥ t, A and B must
     * share a shingle within the first |A| − ⌈t·|A|⌉ + 1 elements of a
@@ -129,6 +178,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minSim: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val (tNum, tDen) = thresholdRational(minSim)
     // shingles are carried as xxhash64 longs from here on: identical
     // set sizes / intersections w.h.p. (64-bit collisions ~n²/2⁶⁵),
     // but the exploded postings shuffle, the frequency broadcast, and
@@ -157,9 +207,11 @@ object Dedup {
         .as("ordered"))
       .select(col("doc"), col("n_sh"),
         transform(col("ordered"), x => x.getField("s")).as("sh"),
-        // prefix length: |x| - ceil(t*|x|) + 1
-        (col("n_sh") - ceil(col("n_sh") * minSim) + 1).cast("int")
-          .as("plen"))
+        // prefix length: |x| − ⌈t·|x|⌉ + 1, EXACT integer arithmetic
+        // (thresholdRational) — the double-ceil spelling could round
+        // a boundary prefix one short
+        (col("n_sh") - ceilDivCol(col("n_sh").cast("long") * tNum, tDen)
+          + 1).cast("int").as("plen"))
       // consumed by the prefix index AND both sides of the verification
       // join → materialize once
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -177,9 +229,10 @@ object Dedup {
     // join + dedup shuffle stays narrow; arrays are fetched back for the
     // exact verification afterwards
     val cand = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
-      // length filter: |B| ≥ t·|A| is necessary for J ≥ t
-      .filter(col("nb") >= ceil(col("na") * minSim) &&
-        col("na") >= ceil(col("nb") * minSim))
+      // length filter: |B| ≥ t·|A| is necessary for J ≥ t — exact
+      // integer multiply-compare, no ceil, no doubles
+      .filter(col("nb").cast("long") * tDen >= col("na").cast("long") * tNum &&
+        col("na").cast("long") * tDen >= col("nb").cast("long") * tNum)
       // POSITIONAL filter (PPJoin's tightest bound, public literature):
       // both arrays share the canonical order, so a token matched at
       // 0-based positions (i, j) bounds the overlap by
@@ -189,9 +242,12 @@ object Dedup {
       // guarantee) always satisfies the bound, and the exact
       // array_intersect verify below is unchanged — this only shrinks
       // the candidate volume entering the dedup + verify joins.
-      .filter(lit(1) +
-        least(col("na") - 1 - col("ap"), col("nb") - 1 - col("bp")) >=
-        ceil((col("na") + col("nb")) * minSim / (1 + minSim)))
+      // overlap ≥ ⌈t·(na+nb)/(1+t)⌉ as the exact multiply-compare
+      // bound·(num+den) ≥ (na+nb)·num — t/(1+t) = num/(num+den)
+      .filter((lit(1) +
+        least(col("na") - 1 - col("ap"), col("nb") - 1 - col("bp")))
+          .cast("long") * (tNum + tDen) >=
+        (col("na") + col("nb")).cast("long") * tNum)
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
     val pairs = cand
@@ -241,8 +297,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minContain: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    require(minContain > 0 && minContain <= 1,
-      s"minContain must be in (0, 1], got $minContain")
+    val (tNum, tDen) = thresholdRational(minContain)
     // fingerprint shingles (same w.h.p.-identical argument as the
     // Jaccard join: sizes and intersections survive xxhash64)
     val sh = spread(df, col(idCol)).select(col(idCol).as("doc"),
@@ -260,11 +315,14 @@ object Dedup {
       .select(col("doc"), col("n_sh"),
         transform(col("ordered"), x => x.getField("s")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // A-side: the containment prefix (rarest |A| − ⌈t·|A|⌉ + 1)
+    // A-side: the containment prefix (rarest |A| − ⌈t·|A|⌉ + 1) —
+    // EXACT integer ceil (thresholdRational): the double spelling
+    // could shorten a boundary prefix by one and drop a pair the
+    // exact all-pairs oracle emits
     val aPref = sorted.select(col("doc").as("a_id"),
       explode(slice(col("sh"), lit(1),
-        (col("n_sh") - ceil(col("n_sh") * minContain) + 1).cast("int")))
-        .as("s"))
+        (col("n_sh") - ceilDivCol(col("n_sh").cast("long") * tNum, tDen)
+          + 1).cast("int"))).as("s"))
     // B-side: full postings — no length filter can prune a container
     val bAll = sorted.select(col("doc").as("b_id"), explode(col("sh")).as("s"))
     val cand = aPref.join(bAll, Seq("s"))

@@ -406,7 +406,8 @@ object Similarity {
     * Junk routing matches the rest of the ANN family. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 16, ksub: Int = 64, shortlistFactor: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      release: Boolean = true): DataFrame = {
     val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -490,7 +491,8 @@ object Similarity {
     // only ≤shortlist rows per query carry it instead of |C|)
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
-    short.join(emb.select(col("id").as("n_id"), col("u").as("nu")), "n_id")
+    val topk = short
+      .join(emb.select(col("id").as("n_id"), col("u").as("nu")), "n_id")
       .join(broadcast(q.select(col("id").as("q_id"), col("u").as("qu"))),
         "q_id")
       .withColumn("sim", dot(col("qu"), col("nu")))
@@ -498,6 +500,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("sim"))
+    // same release discipline as Dedup.containmentPairs: materialize the
+    // (≤|Q|·k-row) result eagerly, then free the corpus-sized normalized
+    // cache and the codebook's checkpoint blocks HERE — a lazy return
+    // would leave a full corpus copy in executor storage for the rest of
+    // a catalog run (the checkpointed codebook additionally needs
+    // Checkpoints.release; Dataset.unpersist cannot reach its blocks).
+    // release=false keeps the return LAZY — for plan inspection
+    // (ExplainSpec pins the broadcast/codegen shape, which a
+    // checkpointed frame would hide behind Scan ExistingRDD) — and
+    // leaves emb/cb materialized for the caller to manage.
+    if (!release) topk
+    else {
+      val out = topk.localCheckpoint()
+      emb.unpersist(blocking = false)
+      graft.core.Checkpoints.release(cb)
+      out
+    }
   }
 
   /** Unit-normalize the vector column into `<vecCol>_unit`

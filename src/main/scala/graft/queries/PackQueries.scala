@@ -341,6 +341,9 @@ object PackQueries extends QueryGroup {
     * ContextCleaner (result unreachable + a driver GC) would leave a
     * near-full copy of the corpus text in executor storage for a
     * nondeterministic window across the rest of a catalog run. The
+    * release goes through [[graft.core.Checkpoints.release]] (unpersist
+    * of the underlying checkpoint RDD): `Dataset.unpersist` only clears
+    * CacheManager entries and is a silent no-op on checkpoint blocks. The
     * returned lm/gated stay explainable (the spec pins their boundary
     * plans) but their blocks are freed — explain-only frames.
     *
@@ -377,8 +380,10 @@ object PackQueries extends QueryGroup {
       .select(col("doc_id"),
         length(col("deduped_text")).cast("long").as("tokens"))
     val packed = Pack.sequencePack(deduped, "doc_id", "tokens", Budget)
-    lm.unpersist(blocking = false)
-    gated.unpersist(blocking = false)
+    // Dataset.unpersist would be a silent no-op here (checkpoint blocks
+    // are not CacheManager entries) — release the underlying RDD blocks
+    graft.core.Checkpoints.release(lm)
+    graft.core.Checkpoints.release(gated)
     (lm, gated, packed)
   }
 }

@@ -263,7 +263,9 @@ class ExplainSpec extends AnyFunSuite {
   test("PQ encode broadcasts the codebook and folds dots in codegen") {
     val emb = Tables.df(spark, sf, "embeddings")
     val qs = emb.filter(col("vec_id") % 50 === 0)
-    val p = plan(graft.ops.Similarity.pqTopK(emb, qs, 5))
+    // release=false: the production path localCheckpoints the result
+    // (plans as Scan ExistingRDD); the lazy twin exposes the real plan
+    val p = plan(graft.ops.Similarity.pqTopK(emb, qs, 5, release = false))
     // the m*ksub-exploded encode pass is PQ's dominant cost at corpus
     // scale: its centroid side must broadcast (corpus never shuffles
     // for the join) and its distance score must be the codegen'd

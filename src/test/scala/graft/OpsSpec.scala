@@ -81,6 +81,47 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(11L, 12L))
   }
 
+  test("incremental dedup: null-text rows are excluded, not survivors") {
+    import spark.implicits._
+    // unfiltered, md5(null) = null never matches the index and every
+    // null-text row's group would survive the anti join — while the
+    // SQL oracle's `fp NOT IN (...)` drops null fps: the operator must
+    // exclude them explicitly (documented null contract)
+    val seen = Seq("already ingested text").toDF("t")
+      .select(md5(col("t").cast("binary")).as("text_md5"))
+    val batch = Seq[(Long, String)](
+      (20L, null), (21L, "novel text"), (22L, null)
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, seen, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(21L))
+  }
+
+  test("similarity thresholds: exact boundary pairs survive the prefix") {
+    import spark.implicits._
+    // containment EXACTLY at threshold: A has 10 unigram shingles, 7 in
+    // B → C(A→B) = 7/10 = 0.7. The prefix bound must admit it — a
+    // double-rounded ceil(10·0.7) landing at 8 would shorten A's prefix
+    // and could drop the pair before the exact verify sees it
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(docs, "doc_id", "text", 1, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(c.contains((1L, 2L, 0.7)), s"boundary pair dropped: ${c.toSeq}")
+    // Jaccard EXACTLY at threshold: |A∩B| = 2, union 4 → J = 0.5
+    val jd = Seq((1L, "x y a"), (2L, "x y b")).toDF("doc_id", "text")
+    val j = Dedup.ngramJaccardPairs(jd, "doc_id", "text", 1, 0.5)
+      .collect().map(r => r.getDouble(5))
+    assert(j.sameElements(Array(0.5)), s"boundary Jaccard pair: ${j.toSeq}")
+    // thresholds that are not short decimals are rejected loudly, not
+    // silently approximated (the rational decode contract)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", 1, 0.1234567)
+    }
+  }
+
   test("containment catches quote-inclusion that symmetric Jaccard misses") {
     import spark.implicits._
     val docs = Seq(
