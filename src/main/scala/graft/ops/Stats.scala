@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * the corpus), so a global window there is a no-op at 100 TB while
   * the alternative two-level prefix-sum would add a stage for nothing.
   * The contract is therefore: the value column must be
-  * bounded-cardinality (quantize continuous doubles first).
+  * bounded-cardinality (quantize continuous doubles first) — and
+  * [[exactQuantiles]] enforces it at runtime via a `maxDistinct` guard
+  * rather than trusting prose.
   *
   * Rank arithmetic is integer-exact end to end: permille p selects the
   * smallest v whose cumulative count reaches ceil(p·N/1000) =
@@ -33,11 +35,24 @@ object Stats {
 
   /** Per-permille exact quantiles of `value` over `df`:
     * (permille, v_at) with v_at = the type-1 empirical quantile.
-    * Null values are excluded (no order position). */
+    * Null values are excluded (no order position).
+    *
+    * The bounded-cardinality contract is ENFORCED, not prose: the
+    * distinct-value count rides the same one-row total aggregate (no
+    * extra pass) and the rank expression raises if it exceeds
+    * `maxDistinct` — a misuse (pointing this at a raw continuous
+    * double column) fails loudly instead of silently becoming a
+    * one-reducer sort of the corpus. The guard lives INSIDE the rank
+    * column so column pruning cannot optimize it away, and it fires
+    * before the single-partition window's input is built (the rank
+    * probe and the window feed the same join, but the ~|permilles|-row
+    * rank side evaluates first on any plan — and even if reordered,
+    * the job dies in the same stage the misuse would poison). */
   def exactQuantiles(df: DataFrame, value: Column,
-      permilles: Seq[Int]): DataFrame = {
+      permilles: Seq[Int], maxDistinct: Long = 1000000L): DataFrame = {
     require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
       s"permilles must be within [1, 1000]: $permilles")
+    require(maxDistinct > 0, s"maxDistinct must be positive: $maxDistinct")
     import df.sparkSession.implicits._
     val counts = df.select(value.cast("long").as("v"))
       .filter(col("v").isNotNull)
@@ -45,10 +60,15 @@ object Stats {
     val cum = counts.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = counts.agg(sum(col("c")).as("n"))
+    val tot = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"))
     val ranks = permilles.distinct.toDF("p")
       .crossJoin(broadcast(tot))
-      .withColumn("r", expr("(p * n + 999) div 1000"))
+      .withColumn("r",
+        when(col("ndv") > maxDistinct, raise_error(format_string(
+          "exactQuantiles: %s distinct values exceed the bounded-" +
+            "cardinality contract (max %s) — quantize the value column " +
+            "first", col("ndv"), lit(maxDistinct))).cast("long"))
+        .otherwise(expr("(p * n + 999) div 1000")))
       .select(col("p"), col("r"))
     // v_at = min v with cum ≥ r: the rank probe is a ~|permilles|-row
     // broadcast against the distinct-value table — never corpus-sized

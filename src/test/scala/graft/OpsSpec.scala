@@ -954,6 +954,27 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 500L -> 1L, 1000L -> 9L))
   }
 
+  test("exact quantiles: cardinality contract violation fails loudly") {
+    // a raw continuous column silently becomes a one-reducer sort of
+    // the corpus without the guard — misuse must be an ERROR, not a
+    // slow job. The guard rides the rank expression, so any action on
+    // the result trips it.
+    val df = (1 to 100).toDF("x")
+    val ex = intercept[Exception] {
+      graft.ops.Stats.exactQuantiles(df, col("x"), Seq(500),
+        maxDistinct = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("bounded-cardinality")),
+      s"guard did not fire: $ex")
+    // at or under the cap, values are unchanged
+    val ok = graft.ops.Stats.exactQuantiles(df, col("x"), Seq(500),
+      maxDistinct = 100).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(ok.toMap == Map(500L -> 50L))
+  }
+
   test("grouped quantiles: independent ranks per group") {
     // g1 = [1,2,3,4]: p500 → rank 2 → 2, p1000 → 4; g2 = [10,10]:
     // both permilles land on 10
