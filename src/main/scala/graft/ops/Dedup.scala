@@ -105,6 +105,94 @@ object Dedup {
       .select(col("did").as(idCol), col("deduped_text"))
   }
 
+  /** SUBSTRING/SPAN-level dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" — the public reference for
+    * repeated-span removal): remove every repeated token span of
+    * length ≥ w that recurs anywhere in the corpus — across documents
+    * OR within one — keeping only the globally FIRST occurrence. This
+    * is the granularity the other passes miss: a long span repeated
+    * mid-document with DIFFERENT surroundings is invisible to
+    * [[unitDedup]] (exact sentence units) and to [[containmentPairs]]
+    * (doc-level threshold).
+    *
+    * Definition (purely positional, engine-reproducible): tokenize on
+    * single spaces; every window of w consecutive tokens (positions
+    * i ∈ [0, n−w]) is an occurrence of its w-gram; the globally first
+    * occurrence of each gram — min (doc id, position) — is the keeper;
+    * a TOKEN is removed iff some non-first window covers it; survivors
+    * reassemble in position order. A repeated span of length L ≥ w is
+    * fully covered by its L−w+1 duplicated windows, so window-cover
+    * removal IS span removal — the suffix-array formulation's effect,
+    * reached with nothing but hash-groupBy machinery.
+    *
+    * Scale shape: w-gram fingerprints come from [[RollingWindowHash]]
+    * — per-token xxhash64, then an O(n) rolling-polynomial window
+    * combine (NOT an O(n·w) per-window re-hash; at w=50 that is the
+    * difference between one corpus-hash pass and fifty). Occurrences
+    * shuffle as (did, pos, gh) — ~24 bytes per token; text never
+    * leaves its scan partition (the unitDedup discipline applied to
+    * overlapping grams). The occurrence pass runs twice — once map-side
+    * combined into the winner aggregate, once as the join probe — the
+    * same accepted trade as [[unitDedup]]: a shared exchange is
+    * impossible once the winner side partial-aggregates below its
+    * shuffle, and re-running a map-only explode beats persisting a
+    * corpus-sized intermediate. Token-level removal explodes ONLY
+    * duplicated windows, and reassembly touches ONLY affected
+    * documents — an untouched doc streams through a left-anti
+    * pass-through — so the operator's heavy tail is proportional to
+    * the duplication found, not to the corpus.
+    *
+    * Null contract: null-text docs pass through unchanged (no tokens,
+    * no windows, n_removed 0). Docs shorter than w tokens are never
+    * affected. A fully-removed doc yields an empty string (callers
+    * gate on n_removed downstream).
+    * @return (idCol, deduped_text, n_removed) */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"span window must be >= 2 tokens, got $w")
+    val docs = spread(df, col(idCol))
+      .select(col(idCol).as("did"), col(textCol).as("text"))
+    val toks = split(col("text"), " ")
+    val wins = docs.select(col("did"),
+        posexplode(CB.column(RollingWindowHash(
+          CB.expression(transform(toks, t => xxhash64(t))), w))))
+      .select(col("did"), col("pos"), col("col").as("gh"))
+    // grams occurring once can't yield a non-first window: the winner
+    // side is filtered to cnt ≥ 2 BEFORE the join back, so the join
+    // carries duplicated grams only
+    val firsts = wins.groupBy(col("gh"))
+      .agg(min(struct(col("did"), col("pos"))).as("fo"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val dup = wins.join(firsts, "gh")
+      .filter(!(col("did") === col("fo.did") &&
+        col("pos") === col("fo.pos")))
+      .select(col("did"), col("pos"))
+    val removed = dup
+      .select(col("did"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tpos"))
+      .dropDuplicates("did", "tpos")
+    val affected = removed.select("did").distinct()
+    val remCnt = removed.groupBy("did").agg(count(lit(1)).as("n_removed"))
+    val tokenRows = docs.join(affected, "did")
+      .select(col("did"), posexplode(toks))
+      .select(col("did"), col("pos").as("tpos"), col("col").as("tok"))
+    val reasm = tokenRows
+      .join(removed, Seq("did", "tpos"), "left_anti")
+      .groupBy("did")
+      .agg(array_join(transform(sort_array(collect_list(struct(col("tpos"),
+        col("tok")))), x => x.getField("tok")), " ").as("dt"))
+    val untouched = docs.join(affected, Seq("did"), "left_anti")
+      .select(col("did"), col("text").as("deduped_text"),
+        lit(0L).as("n_removed"))
+    val touched = docs.join(remCnt, "did") // inner: affected docs only
+      .join(reasm, Seq("did"), "left")
+      .select(col("did"), coalesce(col("dt"), lit("")).as("deduped_text"),
+        col("n_removed"))
+    untouched.unionByName(touched)
+      .select(col("did").as(idCol), col("deduped_text"), col("n_removed"))
+  }
+
   /** Word n-gram shingles (distinct). Guarded for docs shorter than n.
     *
     * Built by folding n−1 shifted zips instead of
@@ -666,4 +754,66 @@ class MinHashAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** Per-row rolling w-gram fingerprints over a TOKEN-HASH array:
+  * out(i) = Σ_{j<w} th(i+j)·B^{w−1−j} (wrapping 64-bit), computed with
+  * the O(n) rolling update out(i+1) = (out(i) − th(i)·B^{w−1})·B +
+  * th(i+w) — one multiply-subtract-add per window however long the
+  * window, where the naive per-window re-hash is O(n·w). B is odd, so
+  * every positional weight B^k is invertible mod 2⁶⁴ and two windows
+  * collide only on a w.h.p.-never 64-bit coincidence of their token
+  * hashes (the same stance as the Jaccard path's xxhash64 shingle
+  * fingerprints; consumers group by the hash while oracles group by
+  * the gram text). Output length max(0, n−w+1) — EMPTY, not null, for
+  * a doc shorter than the window (posexplode then yields no rows);
+  * null only for null input. Codegen'd via the static-helper pattern
+  * ([[MinHashArray]]). */
+case class RollingWindowHash(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"window must be >= 1 token, got $w")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_window_hash"
+
+  protected override def nullSafeEval(v: Any): Any =
+    RollingWindowHash.compute(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.RollingWindowHash.compute($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RollingWindowHash {
+  /** odd (invertible mod 2⁶⁴) positional multiplier */
+  private final val B = 0x9E3779B97F4A7C15L
+
+  /** Shared verbatim by interpreted eval and generated code. */
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val th = arr.toLongArray()
+    val n = th.length
+    val m = n - w + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    var bw = 1L
+    var j = 1
+    while (j < w) { bw *= B; j += 1 } // B^(w−1), wrapping
+    val out = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * B + th(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - th(i - 1) * bw) * B + th(i + w - 1)
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -55,6 +55,51 @@ object DedupQueries extends QueryGroup {
     corpus(spark, dir)
       .filter(col("doc_id") % 100000 % 10 isin (0, 5))
 
+  /** Span-dedup oracle, w = 8. DuckDB list slices are 1-based inclusive
+    * both ends (tk[i:i+7] = 8 tokens, pos = i − 1); generate_series is
+    * inclusive like Spark's sequence. */
+  private val spanDedupSql: String = {
+    val w = 8
+    s"""WITH $clustersCorpusSql,
+        toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                 FROM corpus WHERE text IS NOT NULL),
+        wins AS (SELECT doc_id, ww.pos AS pos, ww.g AS g FROM (
+                   SELECT doc_id,
+                          unnest([{'pos': i - 1,
+                                   'g': array_to_string(tk[i:i+${w - 1}], ' ')}
+                            for i in generate_series(1, greatest(len(tk) - ${w - 1}, 0))]) AS ww
+                   FROM toks) t),
+        dup AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, row_number() OVER (
+                           PARTITION BY g ORDER BY doc_id, pos) AS rn
+                  FROM wins) WHERE rn > 1),
+        removed AS (SELECT DISTINCT doc_id, tpos FROM (
+                      SELECT doc_id,
+                             unnest(generate_series(pos, pos + ${w - 1})) AS tpos
+                      FROM dup) t),
+        remcnt AS (SELECT doc_id, count(*) AS n_removed
+                   FROM removed GROUP BY doc_id),
+        alltok AS (SELECT doc_id, tt.tpos AS tpos, tt.tok AS tok FROM (
+                     SELECT doc_id,
+                            unnest([{'tpos': i - 1, 'tok': tk[i]}
+                              for i in generate_series(1, len(tk))]) AS tt
+                     FROM toks
+                     WHERE doc_id IN (SELECT doc_id FROM removed)) t),
+        kept AS (SELECT a.doc_id, a.tpos, a.tok FROM alltok a
+                 WHERE NOT EXISTS (SELECT 1 FROM removed r
+                   WHERE r.doc_id = a.doc_id AND r.tpos = a.tpos)),
+        reasm AS (SELECT doc_id,
+                         array_to_string(list(tok ORDER BY tpos), ' ') AS dt
+                  FROM kept GROUP BY doc_id)
+        SELECT c.doc_id,
+               CASE WHEN rc.doc_id IS NULL THEN c.text
+                    ELSE coalesce(m.dt, '') END AS deduped_text,
+               coalesce(rc.n_removed, 0) AS n_removed
+        FROM corpus c
+        LEFT JOIN remcnt rc ON c.doc_id = rc.doc_id
+        LEFT JOIN reasm m ON c.doc_id = m.doc_id"""
+  }
+
   private val exactDupPairsSql =
     s"""WITH $corpusSql
         SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -163,6 +208,18 @@ object DedupQueries extends QueryGroup {
         col("doc_id"), col("text")).select("text_md5")
       Dedup.incrementalExact(c.filter(col("doc_id") >= 100000),
         seen, "doc_id", "text")
+    },
+
+    // substring/span-level dedup at w=8: the injected exact copies are
+    // wall-to-wall duplicated windows (→ empty string), the tail
+    // variants keep only their novel tail, and any naturally shared
+    // ≥8-token span between unrelated docs is cut mid-document — the
+    // case unit dedup (exact sentences) and containment (doc-level)
+    // both miss. The oracle derives first occurrence via row_number
+    // over the gram TEXT (the engine groups rolling-hash fingerprints
+    // and wins by min(struct)) — independent formulations end to end.
+    q("q_dedup_spans", "dedup", spanDedupSql) { (spark, dir) =>
+      Dedup.spanDedup(clustersCorpus(spark, dir), "doc_id", "text", 8)
     },
 
     // asymmetric containment C(A,B) = |A∩B|/|A| ≥ 0.9, both directions

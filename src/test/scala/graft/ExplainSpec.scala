@@ -301,6 +301,24 @@ class ExplainSpec extends AnyFunSuite {
       s"non-equi join leaked into unitDedup plan:\n$p")
   }
 
+  test("span dedup rolls hashes in codegen, combines map-side, equi-joins") {
+    val docs = Tables.df(spark, sf, "documents")
+    val sd = graft.ops.Dedup.spanDedup(docs, "doc_id", "text", 8)
+    val p0 = plan(sd)
+    // the fingerprint pass must be the O(n) rolling expression, not a
+    // per-window re-hash of gram strings
+    assert(p0.contains("rolling_window_hash"),
+      s"span dedup lost the rolling-hash fingerprint pass:\n$p0")
+    // winner selection must partial-aggregate BEFORE the gram shuffle
+    // (the shuffle then carries one row per distinct gram per map
+    // partition, not one per window)
+    assert(p0.contains("partial_min(struct(did"),
+      s"span winner lost its map-side combine:\n$p0")
+    assert(!p0.contains("CartesianProduct") &&
+      !p0.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join leaked into span dedup:\n$p0")
+  }
+
   test("curation v3 materializes its composition boundaries") {
     // the v3 chain re-executes its upstream DAGs multiplicatively
     // without boundary materialization: lm is consumed twice (total

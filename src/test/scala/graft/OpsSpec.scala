@@ -81,6 +81,56 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(11L, 12L))
   }
 
+  test("span dedup removes repeated spans with different surroundings") {
+    import spark.implicits._
+    val docs = Seq[(Long, String)](
+      (1L, "the quick brown fox jumps over"), // all windows first → kept
+      (2L, "a b the quick brown fox c d"),    // quotes a span of doc 1
+      (3L, "x y z w1 x y z"),                 // within-doc repeat
+      (4L, null),                             // null passes through
+      (5L, "aa bb"),                          // shorter than w → untouched
+      (6L, "the quick brown fox jumps over")  // exact copy → fully removed
+    ).toDF("doc_id", "text")
+    // hand-computed at w=3: doc 2's windows at pos 2 ("the quick
+    // brown") and 3 ("quick brown fox") are non-first (doc 1 owns
+    // them) → cover tokens 2..5; doc 3's "x y z"@4 repeats @0 →
+    // covers tokens 4..6; doc 6 repeats every window of doc 1 →
+    // covers all 6 tokens → empty string
+    val got = Dedup.spanDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("the quick brown fox jumps over", 0L)),
+      2L -> (("a b c d", 4L)),
+      3L -> (("x y z w1", 3L)),
+      4L -> ((null, 0L)),
+      5L -> (("aa bb", 0L)),
+      6L -> (("", 6L))))
+  }
+
+  test("rolling window hash equals the direct per-window fold") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.ops.{MinHashArray, RollingWindowHash}
+    val B = 0x9E3779B97F4A7C15L // must match RollingWindowHash.B
+    // deterministic pseudo-random token hashes
+    val th = (0 until 200).map(i =>
+      MinHashArray.mix(i.toLong * 0x9E37L + 7)).toArray
+    for (w <- Seq(2, 5, 50, 200)) {
+      val rolled = RollingWindowHash.compute(new GenericArrayData(th), w)
+        .toLongArray()
+      val direct = (0 to th.length - w).map { i =>
+        var h = 0L
+        var j = i
+        while (j < i + w) { h = h * B + th(j.toInt); j += 1 }
+        h
+      }
+      assert(rolled.sameElements(direct), s"w=$w rolling != direct")
+    }
+    // shorter than the window → empty array, not null
+    assert(graft.ops.RollingWindowHash.compute(
+      new GenericArrayData(th.take(3)), 4).numElements() == 0)
+  }
+
   test("incremental dedup: null-text rows are excluded, not survivors") {
     import spark.implicits._
     // unfiltered, md5(null) = null never matches the index and every
