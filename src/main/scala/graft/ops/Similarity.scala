@@ -519,6 +519,146 @@ object Similarity {
     }
   }
 
+  /** IVF×PQ ANN — the composed web-scale index shape (Jégou et al.
+    * 2011, the same public reference as [[pqTopK]]): an IVF coarse
+    * quantizer prunes WHICH vectors are scanned, PQ/ADC codes bound
+    * WHAT the scan reads per vector. [[ivfTopK]] alone re-reads exact
+    * vectors inside each probed cell; [[pqTopK]] alone ADC-scans every
+    * code in the corpus; composed, the scan touches
+    * |corpus|·(nProbe/#cells) CODES (m bytes each) — at 100 TB that is
+    * the difference between a full-corpus pass per query batch and a
+    * few-percent sample of a compressed column.
+    *
+    * Everything deterministic, composed from the two oracle-green
+    * precedents: the coarse quantizer is [[ivfTopK]]'s fixed
+    * `centroidEvery`-slice (here over UNIT vectors, so nearest-by-dot
+    * ≡ nearest-by-cosine), codebooks/encode/LUT/ADC/re-rank are
+    * [[pqTopK]]'s verbatim. Cell assignment is a partial-aggregatable
+    * `min(struct(−dot, c_id))` — the encode pass's argmin discipline,
+    * NOT a per-vector window sort: the corpus-side intermediate
+    * (|corpus|·#centroids rows) collapses map-side before any
+    * exchange. Queries probe their `nProbe` nearest cells; the ADC
+    * scan is then an EQUI-join probes ⋈ codes on the cell id — the
+    * broadcast-luts×codes cross product of [[pqTopK]] replaced by a
+    * bucket join, exactly the [[lshTopK]] candidate-generation shape.
+    * A neighbor whose cell no probe reaches is lost (that is the
+    * approximation); the shortlist's exact re-rank repairs ranking
+    * within reached cells, and the recall floor vs [[bruteForceTopK]]
+    * is spec-pinned. Junk routing and the dynamic LUT stride follow
+    * the family contract. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int = 50, nProbe: Int = 4,
+      m: Int = 16, ksub: Int = 64, shortlistFactor: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      release: Boolean = true): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val shortlist = math.max(k, shortlistFactor * k)
+    def unit(df: DataFrame): DataFrame =
+      normalized(df.filter(isIndexable(col(vecCol), dim)), vecCol)
+        .filter(col(s"${vecCol}_unit").isNotNull)
+        .select(col(idCol).as("id"), col(s"${vecCol}_unit").as("u"))
+    // consumed 4x (centroid slice, cell assignment, codebook, encode,
+    // re-rank join) — same cache rationale as pqTopK
+    val emb = spread(unit(corpus))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = unit(queries)
+    // coarse quantizer: fixed id-slice of the unit corpus (ivfTopK's
+    // deterministic stand-in for trained centroids), broadcast-sized
+    val cents = emb.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .select(col("id").as("c_id"), col("u").as("cu"))
+      .localCheckpoint() // consumed 3x: cut the scan lineage once
+    // corpus→cell: argmax dot ≡ argmin (−dot) with c_id tie-break, as
+    // a map-side-combining min(struct). −1.0·x is exact in IEEE, so
+    // this is order-identical to the oracle's ORDER BY dot DESC, c_id
+    // (sub-ulp ties would need EQUAL doubles to diverge).
+    val cells = emb.crossJoin(broadcast(cents))
+      .withColumn("ns", lit(-1.0) * dot(col("u"), col("cu")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
+    // query→nProbe cells: same score, row_number over the tiny query
+    // side (a window over |Q|·#centroids rows, not a corpus pass)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("ns"), col("c_id"))
+    val probes = q.select(col("id").as("q_id"), col("u").as("qu"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ns", lit(-1.0) * dot(col("qu"), col("cu")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("c_id"))
+    // PQ codebook/encode/LUT: pqTopK verbatim (see there for the
+    // argmin-d2 arithmetic and the dynamic-stride rationale)
+    val cbW = Window.orderBy(col("hk"), col("id"))
+    val cb = emb.withColumn("hk", Sampling.hashU31(col("id")))
+      .orderBy(col("hk"), col("id")).limit(ksub)
+      .withColumn("cid", row_number().over(cbW) - 1)
+      .localCheckpoint()
+    val nCb = cb.count().toInt
+    require(nCb > 0, "ivfPqTopK: no indexable vectors for a codebook")
+    val subs = explode(array((0 until m).map(j =>
+      struct(lit(j).as("j"),
+        slice(col("u"), j * dsub + 1, dsub).as("sv"))): _*))
+    val cbsub = cb.select(col("cid"), subs.as("s"))
+      .select(col("cid"), col("s.j"), col("s.sv").as("cv"),
+        dot(col("s.sv"), col("s.sv")).as("cn2"))
+    val d2 = col("cn2") - lit(2.0) * dot(col("sv"), col("cv"))
+    val codes = emb.select(col("id"), subs.as("s"))
+      .select(col("id"), col("s.j"), col("s.sv"))
+      .join(broadcast(cbsub), "j")
+      .withColumn("d2", d2)
+      .groupBy(col("id"), col("j"))
+      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("code_j"))
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("j"),
+        col("code_j")))), x => x.getField("code_j")).as("code"))
+    val luts = q.select(col("id").as("q_id"), subs.as("s"))
+      .select(col("q_id"), col("s.j"), col("s.sv"))
+      .join(broadcast(cbsub), "j")
+      .withColumn("lv", dot(col("sv"), col("cv")))
+      .groupBy(col("q_id"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("cid"),
+        col("lv")))), x => x.getField("lv")).as("lut"))
+    // THE composition point: the ADC scan reads only codes whose cell
+    // some probe reaches — probes ⋈ cells is an equi-join on c_id, and
+    // the (q_id, id) fan-out is |probed cells|·codes, not |Q|·|corpus|
+    val adcSim = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc +
+        element_at(col("lut"), (j * nCb + element_at(col("code"), j + 1))
+          .cast("int") + 1))
+    val shortW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("n_id"))
+    val short = broadcast(probes)
+      .join(cells.select(col("id").as("n_id"), col("c_id")), "c_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .join(codes.select(col("id").as("n_id"), col("code")), "n_id")
+      .join(broadcast(luts), "q_id")
+      .select(col("q_id"), col("n_id"), adcSim.as("adc"))
+      .withColumn("sr", row_number().over(shortW))
+      .filter(col("sr") <= shortlist)
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    val topk = short
+      .join(emb.select(col("id").as("n_id"), col("u").as("nu")), "n_id")
+      .join(broadcast(q.select(col("id").as("q_id"), col("u").as("qu"))),
+        "q_id")
+      .withColumn("sim", dot(col("qu"), col("nu")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim"))
+    // release discipline: materialize the small result, then free the
+    // corpus cache and both checkpointed small frames (see pqTopK)
+    if (!release) topk
+    else {
+      val out = topk.localCheckpoint()
+      emb.unpersist(blocking = false)
+      graft.core.Checkpoints.release(cb)
+      graft.core.Checkpoints.release(cents)
+      out
+    }
+  }
+
   /** Unit-normalize the vector column into `<vecCol>_unit`
     * (array<double>). The norm is projected ONCE per row before the
     * per-element division — inlining `norm()` inside the transform

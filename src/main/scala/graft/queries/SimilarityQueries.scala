@@ -138,6 +138,97 @@ object SimilarityQueries extends QueryGroup {
         WHERE rank <= $k"""
   }
 
+  /** Full IVF×PQ oracle: [[knnPqSql]]'s codebook/encode/LUT/ADC/re-rank
+    * CTEs with the ADC cross product replaced by the IVF probe join —
+    * cells/probes are `q_knn_ivf`'s coarse quantizer re-spelled on UNIT
+    * vectors (norms are 1, so nearest-by-dot ≡ nearest-by-cosine; the
+    * engine's min(struct(−dot, c_id)) is ORDER BY dot DESC, c_id). */
+  private def knnIvfPqSql: String = {
+    val (m, dsub, ksub, k, short) = (16, 4, 64, 5, 50)
+    val (centEvery, nProbe) = (50, 4)
+    s"""WITH n0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nrm
+          FROM embeddings
+          WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+        emb AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+                FROM n0 WHERE len(v) = 64 AND nrm > 0 AND NOT isnan(nrm)),
+        cent AS (SELECT vec_id AS c_id, u AS cu FROM emb
+                 WHERE vec_id % $centEvery = 0),
+        cells AS (
+          SELECT vec_id AS n_id, c_id FROM (
+            SELECT e.vec_id, ct.c_id,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(list_zip(e.u, ct.cu),
+                  x -> x[1] * x[2])) DESC, ct.c_id) AS rnk
+            FROM emb e CROSS JOIN cent ct) t
+          WHERE rnk = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id FROM (
+            SELECT e.vec_id, ct.c_id,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(list_zip(e.u, ct.cu),
+                  x -> x[1] * x[2])) DESC, ct.c_id) AS rnk
+            FROM emb e CROSS JOIN cent ct WHERE e.vec_id % 50 = 0) t
+          WHERE rnk <= $nProbe),
+        cb AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid, u
+               FROM (SELECT vec_id, u,
+                       ((((((vec_id % 2147483646 + 1) * 48271) % 2147483647)
+                          * 48271) % 2147483647) * 48271) % 2147483647 AS hk
+                     FROM emb) t
+               ORDER BY hk, vec_id LIMIT $ksub),
+        cbsub AS (SELECT jj.j AS j, cid,
+                    u[jj.j*$dsub+1 : jj.j*$dsub+$dsub] AS cv,
+                    list_sum(list_transform(
+                      u[jj.j*$dsub+1 : jj.j*$dsub+$dsub],
+                      x -> x * x)) AS cn2
+                  FROM cb, generate_series(0, ${m - 1}) jj(j)),
+        dists AS (
+          SELECT e.vec_id, c.j, c.cid,
+            c.cn2 - 2.0 * list_sum(list_transform(
+              list_zip(e.u[c.j*$dsub+1 : c.j*$dsub+$dsub], c.cv),
+              x -> x[1] * x[2])) AS d2
+          FROM emb e CROSS JOIN cbsub c),
+        codes AS (
+          SELECT vec_id, list(cid ORDER BY j) AS code FROM (
+            SELECT vec_id, j, cid,
+              row_number() OVER (PARTITION BY vec_id, j
+                ORDER BY d2, cid) AS rn
+            FROM dists) t WHERE rn = 1 GROUP BY vec_id),
+        luts AS (
+          SELECT vec_id AS q_id, list(lv ORDER BY j, cid) AS lut FROM (
+              SELECT e2.vec_id, c.j, c.cid,
+                list_sum(list_transform(
+                  list_zip(e2.u[c.j*$dsub+1 : c.j*$dsub+$dsub], c.cv),
+                  x -> x[1] * x[2])) AS lv
+              FROM emb e2 CROSS JOIN cbsub c
+              WHERE e2.vec_id % 50 = 0) t GROUP BY vec_id),
+        s AS (
+          SELECT l.q_id, ce.n_id,
+            list_sum([l.lut[j*$ksub + c.code[j+1] + 1]
+              for j in generate_series(0, ${m - 1})]) AS adc
+          FROM luts l JOIN probes p ON p.q_id = l.q_id
+                      JOIN cells ce ON ce.c_id = p.c_id
+                      JOIN codes c ON c.vec_id = ce.n_id
+          WHERE l.q_id <> ce.n_id),
+        short AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY adc DESC, n_id) AS r
+            FROM s) t WHERE r <= $short)
+        SELECT q_id, n_id, rank, sim FROM (
+          SELECT sh.q_id, sh.n_id,
+            list_sum(list_transform(list_zip(q.u, c.u),
+              x -> x[1] * x[2])) AS sim,
+            CAST(row_number() OVER (PARTITION BY sh.q_id ORDER BY
+              list_sum(list_transform(list_zip(q.u, c.u),
+                x -> x[1] * x[2])) DESC, sh.n_id) AS BIGINT) AS rank
+          FROM short sh JOIN emb q ON q.vec_id = sh.q_id
+                        JOIN emb c ON c.vec_id = sh.n_id) t
+        WHERE rank <= $k"""
+  }
+
   /** Full LSH top-k oracle (nPlanes=4, nTables=4, queries vec_id%50=0,
     * k=5), optionally with Hamming-1 multi-probe on the query side. */
   private def knnLshSql(multiProbe: Boolean): String = {
@@ -381,6 +472,19 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.df(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.pqTopK(emb, queries, 5)
+    },
+
+    // IVF×PQ composition: IVF cells prune WHICH codes the ADC scan
+    // reads (equi-join on cell id instead of the PQ cross product),
+    // PQ codes bound what each read costs — the composed web-scale
+    // index shape. Deterministic end to end (fixed-slice centroids ∘
+    // Lehmer codebooks, both oracle-green precedents), so the whole
+    // operator differentials against DuckDB; recall vs brute force is
+    // floor-pinned in OpsSpec alongside the ivf-alone / pq-alone runs.
+    q("q_knn_ivfpq", "similarity", knnIvfPqSql) { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfPqTopK(emb, queries, 5)
     },
 
     // IVF is fully deterministic given the bit-exact cosine: centroids

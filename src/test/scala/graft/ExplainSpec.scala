@@ -281,6 +281,28 @@ class ExplainSpec extends AnyFunSuite {
         s"cross of the tiny LUT side only — BroadcastNestedLoopJoin):\n$p")
   }
 
+  test("IVF×PQ prunes the ADC scan through an equi-join on the cell id") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val p = plan(graft.ops.Similarity.ivfPqTopK(emb, qs, 5,
+      release = false))
+    // the composition point: pqTopK's broadcast-LUT × codes cross
+    // product must be REPLACED by the probes ⋈ cells equi-join on
+    // c_id — no cartesian/nested-loop may remain except the
+    // broadcast-centroid assignment crosses
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin")
+      && l.contains("c_id")),
+      s"ADC scan is not pruned by an equi-join on the cell id:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product leaked into IVF×PQ:\n$p")
+    // cell assignment must partial-aggregate map-side (no per-vector
+    // window sort of the |corpus|·#centroids intermediate)
+    assert(p.contains("partial_min(struct(ns"),
+      s"cell assignment lost its map-side combine:\n$p")
+    assert(p.contains("dot_product_fold"),
+      s"encode distance lost the codegen'd dot product:\n$p")
+  }
+
   test("unit dedup combines map-side and shuffles fingerprints, not text") {
     val docs = Tables.df(spark, sf, "documents")
     val p = plan(Dedup.unitDedup(docs, "doc_id", "text"))

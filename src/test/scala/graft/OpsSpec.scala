@@ -939,6 +939,25 @@ class IvfSpec extends AnyFunSuite {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.3, s"recall $recall")
   }
+
+  test("IVF×PQ composition: recall floor and determinism") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query keeps exactly k rows; recall is bounded by the IVF
+    // cell pruning (the ADC+re-rank inside reached cells is near-exact
+    // — PQ alone measures 0.98), so the floor mirrors the ivf-alone
+    // spec above
+    assert(ivfpq.size == brute.size)
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF×PQ recall $recall")
+    val again = Similarity.ivfPqTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivfpq)
+  }
 }
 
 class SessionizeSpec extends AnyFunSuite {
