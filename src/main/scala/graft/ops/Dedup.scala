@@ -62,6 +62,120 @@ object Dedup {
       .select(col("keep_id").as(idCol), col("fp").as(fpCol))
   }
 
+  /** INCREMENTAL near-dup candidate pairs — [[incrementalExact]]'s
+    * daily-batch discipline applied to the MinHash/LSH band index: the
+    * new batch's band keys probe the ingested corpus's band-bucket
+    * table (`seenBands`, the (doc, band_id, band_key) frame
+    * [[lshBands]] produces — at 100 TB the warehouse keeps exactly
+    * this table as the near-dup index, stored bucketed on
+    * (band_id, band_key) so the probe join re-shuffles only the small
+    * batch while index buckets stream map-side), plus the batch's own
+    * internal band self-join. Only batch text is ever hashed; the
+    * corpus contributes nothing but its band table.
+    *
+    * Returns (a_id, b_id) with b_id always the NEWER side (a batch
+    * doc) and a_id the incumbent — an ingested doc or an
+    * earlier-by-id batch doc. Union of both sources, deduped.
+    * Equivalence contract (spec-pinned): on disjoint id spaces these
+    * pairs are exactly [[minhashCandidates]] over seen ∪ batch minus
+    * the seen-internal pairs. */
+  def incrementalNearDupCandidates(batch: DataFrame, seenBands: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, r: Int = 4): DataFrame = {
+    val bands = lshBands(minhashSignature(
+      batch.filter(col(textCol).isNotNull), idCol, textCol, n, k), k, r)
+    val ext = bands.join(
+        seenBands.select(col("doc").as("a_id"),
+          col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .select(col("a_id"), col("doc").as("b_id"))
+    val a = bands.select(col("band_id"), col("band_key"),
+      col("doc").as("a_id"))
+    val b = bands.select(col("band_id"), col("band_key"),
+      col("doc").as("b_id"))
+    val internal = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    ext.unionByName(internal).distinct()
+  }
+
+  /** INCREMENTAL near-dup — the daily-batch ingest shape for NEAR
+    * duplicates, completing [[incrementalExact]] (which only catches
+    * byte-identical text): a batch doc is dropped when a candidate
+    * partner — an ingested doc or an earlier batch doc — verifies at
+    * n-gram-shingle Jaccard ≥ `minJaccard`; survivors are returned as
+    * ids for the caller to ingest (and whose [[lshBands]] rows it
+    * appends to the index).
+    *
+    * Verify discipline (the `q_dedup_minhash_lsh` stance): candidates
+    * come from the band index with batch-only shuffle
+    * ([[incrementalNearDupCandidates]]); TEXT is then fetched for the
+    * candidate ids alone — `seenDocs` is scanned id+text only, the
+    * candidate id set is tiny and broadcastable, so the corpus join
+    * streams map-side with no corpus shuffle. The verify is the exact
+    * set Jaccard |A∩B|/|A∪B| on distinct n-gram shingles (short docs
+    * fall back to the singleton {text} — [[minhashSignature]]'s
+    * sentinel mirrored, so identical short docs still dedup).
+    *
+    * At `minJaccard = 1.0` (the default) the operator is EXACTLY
+    * oracle-able, not just w.h.p.: Jaccard 1.0 ⟺ equal shingle sets,
+    * equal sets give identical minhash signatures (per-seed minima
+    * over the same set) and therefore collide in every band — recall
+    * 1 by construction — while the exact verify discards every
+    * hash-coincidence false positive. Below 1.0 the band probability
+    * gates recall (raise k/r as usual); the incremental-vs-full
+    * candidate equivalence stays spec-pinned either way.
+    *
+    * Null contract ([[incrementalExact]]'s): null-text batch rows are
+    * excluded, not survivors. Ids across seenDocs and batch must be
+    * disjoint (the ingest invariant). Returns (idCol). */
+  def incrementalNearDup(batch: DataFrame, seenBands: DataFrame,
+      seenDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, r: Int = 4,
+      minJaccard: Double = 1.0): DataFrame = {
+    val batchClean = batch.filter(col(textCol).isNotNull)
+    // consumed twice (a-side id prune + the verify join): materialize
+    // the (pairs-sized) boundary or both consumers re-run the batch
+    // signature pass — the composition-boundary trap caught twice in
+    // earlier rounds
+    val cands = incrementalNearDupCandidates(batch, seenBands, idCol,
+      textCol, n, k, r).localCheckpoint()
+    // shingle sets for the verify: guarded exactly like the signature
+    // pass so the candidate and verify layers agree on short docs
+    def sets(df: DataFrame, outId: String, outSet: String): DataFrame = {
+      val t = col(textCol)
+      val guarded = when(size(split(t, " ")) < n, array(t))
+        .otherwise(shingles(t, n))
+      df.filter(t.isNotNull)
+        .select(col(idCol).as(outId), guarded.as(outSet))
+    }
+    // prune the seen side to candidate ids BEFORE shingling: the
+    // semi-join broadcasts the tiny candidate id set into the corpus
+    // scan (id+text columns only, no corpus shuffle), and the O(len)
+    // shingle computation runs on candidate rows alone
+    val candA = cands.select(col("a_id")).distinct()
+    val seenNeeded = seenDocs.join(
+      broadcast(candA).withColumnRenamed("a_id", idCol),
+      Seq(idCol), "left_semi")
+    val aSets = sets(seenNeeded, "a_id", "sa")
+      .unionByName(sets(batchClean, "a_id", "sa"))
+    val bSets = sets(batchClean, "b_id", "sb")
+    val verified = cands.join(aSets, "a_id").join(bSets, "b_id")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("common").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("common")).cast("double"))
+      .filter(col("jac") >= minJaccard)
+    val flagged = verified.select(col("b_id")).distinct()
+    // materialize the (batch-id-sized) result, then free the candidate
+    // checkpoint blocks — the containmentPairs release discipline
+    val out = batchClean.select(col(idCol))
+      .join(flagged, col(idCol) === col("b_id"), "left_anti")
+      .select(col(idCol))
+      .localCheckpoint()
+    graft.core.Checkpoints.release(cands)
+    out
+  }
+
   /** Sub-document unit dedup (CCNet/RefinedWeb-style line or sentence
     * dedup): split each document on `sep`, drop every occurrence of a
     * unit except the globally FIRST one (smallest (doc id, position)),

@@ -210,6 +210,44 @@ object DedupQueries extends QueryGroup {
         seen, "doc_id", "text")
     },
 
+    // incremental NEAR-dup, the daily-batch ingest shape for near
+    // duplicates: batch bands probe the ingested band-bucket index
+    // (batch-only shuffle), candidates verify at exact shingle-set
+    // Jaccard, text fetched for candidate ids only. At the default
+    // minJaccard = 1.0 the operator is EXACTLY oracle-able (equal
+    // shingle sets ⟺ Jaccard 1.0, and equal sets always collide in
+    // every band — recall 1 by construction, false positives removed
+    // by the verify): survivors are the batch docs with no
+    // shingle-set-identical partner among ingested docs or earlier
+    // batch docs. The +100000 exact copies die against the index; the
+    // +200000 tail variants survive (Jaccard < 1) — the near-dup
+    // threshold path below 1.0 is spec-pinned instead.
+    q("q_dedup_incremental_near", "dedup",
+      s"""WITH $clustersCorpusSql,
+          sh AS (SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [text]
+                        ELSE list_sort(list_distinct(
+                          [array_to_string(toks[i:i+2], ' ')
+                           for i in generate_series(1,
+                             greatest(len(toks) - 2, 0))])) END AS shl
+                 FROM (SELECT doc_id, text,
+                         string_split(text, ' ') AS toks
+                       FROM corpus WHERE text IS NOT NULL) t),
+          base AS (SELECT doc_id, shl FROM sh WHERE doc_id < 100000),
+          batch AS (SELECT doc_id, shl FROM sh WHERE doc_id >= 100000)
+          SELECT b.doc_id FROM batch b
+          WHERE NOT EXISTS (SELECT 1 FROM base s WHERE s.shl = b.shl)
+            AND NOT EXISTS (SELECT 1 FROM batch b2
+                            WHERE b2.doc_id < b.doc_id
+                              AND b2.shl = b.shl)""") { (spark, dir) =>
+      val c = clustersCorpus(spark, dir)
+      val seen = c.filter(col("doc_id") < 100000)
+      val seenBands = Dedup.lshBands(
+        Dedup.minhashSignature(seen, "doc_id", "text", 3, 16), 16, 4)
+      Dedup.incrementalNearDup(c.filter(col("doc_id") >= 100000),
+        seenBands, seen, "doc_id", "text")
+    },
+
     // substring/span-level dedup at w=8: the injected exact copies are
     // wall-to-wall duplicated windows (→ empty string), the tail
     // variants keep only their novel tail, and any naturally shared

@@ -147,6 +147,52 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(21L))
   }
 
+  test("incremental near-dup candidates equal full-corpus LSH candidates") {
+    // the equivalence contract: batch-vs-index ∪ batch-internal band
+    // collisions must be exactly the full-corpus minhashCandidates
+    // pairs that touch the batch (signatures are per-row, so splitting
+    // the corpus cannot change any band key)
+    val docs = Tables.df(spark, sf, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text")
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val seenBands = Dedup.lshBands(
+      Dedup.minhashSignature(seen, "doc_id", "text", 3, 16), 16, 4)
+    val inc = Dedup.incrementalNearDupCandidates(batch, seenBands,
+        "doc_id", "text")
+      .collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    val seenIds = seen.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filterNot(p => seenIds(p._1) && seenIds(p._2))
+    assert(inc == expected)
+  }
+
+  test("incremental near-dup below 1.0 drops near copies, keeps novel") {
+    import spark.implicits._
+    val seen = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val batch = Seq[(Long, String)](
+      // near copy of doc 1: 8 of 9 shingles shared, Jaccard 8/9 ≈ 0.889
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (11L, "uno dos tres quatro cinco seis siete ocho nueve diez"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (13L, null)
+    ).toDF("doc_id", "text")
+    val seenBands = Dedup.lshBands(
+      Dedup.minhashSignature(seen, "doc_id", "text", 3, 16), 16, 4)
+    val got = Dedup.incrementalNearDup(batch, seenBands, seen,
+        "doc_id", "text", minJaccard = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    // 10 verifies near doc 1 (0.889 ≥ 0.7), 12 is an exact copy, 13 is
+    // null text (excluded, not a survivor) — only the novel doc stays
+    assert(got == Set(11L))
+  }
+
   test("similarity thresholds: exact boundary pairs survive the prefix") {
     import spark.implicits._
     // containment EXACTLY at threshold: A has 10 unigram shingles, 7 in
