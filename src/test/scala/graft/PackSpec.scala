@@ -159,6 +159,33 @@ class PackSpec extends AnyFunSuite {
       s"training order must never hit a single-partition exchange:\n$phys")
   }
 
+  test("training order survives the shard-partitioned write→read trip") {
+    // the trainer-side contract (not just the in-memory frame): write
+    // partitioned by `shard` — the layout the docstring prescribes at
+    // corpus scale — read it back cold, stream ascending global_pos,
+    // and the document sequence must be the documented round-robin
+    // shard interleave, identical to the in-memory order
+    val docs = Tables.df(spark, sf, "documents")
+    val ordered = Sampling.trainingOrder(docs, "doc_id", shards = 8)
+      .select("doc_id", "shard", "global_pos")
+    val expect = ordered.collect()
+      .map(r => (r.getLong(2), r.getLong(0))).sortBy(_._1).map(_._2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_train_order").toString
+    ordered.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .orderBy("global_pos")
+      .collect().map(r => (r.getAs[Long]("global_pos"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("shard")))
+    // same documents in the same global order after the round trip
+    assert(back.map(_._2).toSeq == expect.toSeq)
+    // the partition column survives as the position's residue — a
+    // trainer reading one shard directory gets exactly the positions
+    // ≡ shard (mod 8), so per-shard files stream disjoint slices of
+    // the global order
+    assert(back.forall { case (p, _, s) => p % 8 == s })
+  }
+
   test("sampling hash never overflows ANSI long; id 0 is no fixed point") {
     import spark.implicits._
     val big = Seq(Long.MaxValue, 4200000001L, 0L, 1L).toDF("id")
