@@ -230,6 +230,33 @@ object ScaleRamp {
         val d = docsAt(k)
         timeIt(Dedup.unitDedup(d, "doc_id", "text").count())
       },
+      "span_dedup" -> { k =>
+        // substring/span dedup (round 11): rolling w-gram fingerprints,
+        // winner agg, window-cover removal, affected-only reassembly.
+        // Inject one exact copy per doc_id%10==0 doc inside each copy
+        // stripe (the clustersCorpus shape, +1e5 < the 1e7 stripe) so
+        // duplicated-window volume scales with k while z{i} prefixes
+        // keep every gram copy-local.
+        val d = docsAt(k)
+        val corp = d.unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        timeIt(Dedup.spanDedup(corp, "doc_id", "text", 8).count())
+      },
+      "curate_v3" -> { k =>
+        // the full v3 composition (LM gate → unit dedup → pack), the
+        // second most expensive catalog query at r10 and the shape
+        // where boundary re-execution regressions hide (bitten rounds
+        // 9 AND 10). Drives the production curateV3Frames on the
+        // duplicate-injected replica corpus — same injection the
+        // catalog corpus applies, per copy stripe.
+        val d = docsAt(k)
+        val corp = d.unionAll(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+          .unionAll(d.filter(col("doc_id") % 10 === 5)
+            .select((col("doc_id") + 200000L).as("doc_id"),
+              concat(col("text"), lit(" graft tail token")).as("text")))
+        timeIt(graft.queries.PackQueries.curateV3Frames(corp)._3.count())
+      },
       "connected_components" -> { k =>
         // isolate CC from candidate generation: the edge list is
         // materialized before the clock starts
@@ -254,6 +281,19 @@ object ScaleRamp {
         // drop it OUTSIDE the timed window so cache occupancy can't
         // perturb the rows measured after this one (the capture-
         // isolation discipline this file documents)
+        spark.catalog.clearCache()
+        r
+      },
+      "ivfpq_topk" -> { k =>
+        // the composed IVF×PQ index (round 11): corpus ramps, queries
+        // fixed (serving shape, as pq_topk_encode_adc). Cell count
+        // grows with the corpus (fixed centroidEvery), so the probed
+        // fraction nProbe/#cells SHRINKS as k grows — the ADC scan is
+        // ~constant per query while encode/assignment stay linear;
+        // expect an exponent at or below the pq row's.
+        val e = embAt(k)
+        val qs = emb0.filter(col("vec_id") % 50 === 0)
+        val r = timeIt(Similarity.ivfPqTopK(e, qs, 5).count())
         spark.catalog.clearCache()
         r
       },

@@ -355,8 +355,15 @@ object PackQueries extends QueryGroup {
     * work, not plan waste — all three heavy stages are single-pass
     * corpus scans with shuffle-bounded aggregations. */
   private[graft] def curateV3(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val corpus = DedupQueries.corpus(spark, dir)
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    curateV3Frames(DedupQueries.corpus(spark, dir))
+
+  /** Frame-based core of [[curateV3]] — the catalog wrapper binds it to
+    * the duplicate-injected corpus; ScaleRamp drives THIS on replicated
+    * corpora so the ramp measures the production composition, not a
+    * re-spelling. */
+  private[graft] def curateV3Frames(
+      corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val lm = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
       .localCheckpoint()
     val tot = lm.agg(sum(col("lm_fp_sum")).as("tf"),
