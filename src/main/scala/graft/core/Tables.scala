@@ -17,13 +17,23 @@ object Tables {
 
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
-    // long (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession);
-    // normalize to TimestampType (µs) here so operators see a timestamp.
-    if (name == "events" &&
-        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // events.ts has shifted parquet flavor across generator versions:
+    // TIMESTAMP(NANOS) (readable only as long via
+    // spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) (which Spark 4 infers as TIMESTAMP_NTZ
+    // unless inferTimestampNTZ is off — GraftSession disables it, but
+    // driver-made sessions may not). Normalize both to TimestampType so
+    // every operator sees one µs-precision UTC timestamp, matching the
+    // DuckDB oracle's naive-timestamp read under a UTC session.
+    if (name == "events") raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
     else raw
   }
 
@@ -72,6 +82,10 @@ object GraftSession {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Read tz-less parquet MICROS as TimestampType (UTC session), not
+      // TIMESTAMP_NTZ: keeps unix_micros/window operators applicable and
+      // matches DuckDB's naive-timestamp oracle read byte-for-byte.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -84,6 +98,8 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // see GraftSession.local: tz-less MICROS → TimestampType, not NTZ
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // see GraftSession.local: keep CPU-dense post-shuffle stages

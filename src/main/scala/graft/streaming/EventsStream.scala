@@ -13,10 +13,11 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) → long ns). */
+  /** events schema as stored (ts is TIMESTAMP(MICROS); under the UTC
+    * session this is the same instant DuckDB's naive read sees). */
   val eventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -26,7 +27,6 @@ object EventsStream {
     spark.readStream
       .schema(eventsFileSchema)
       .parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** 5-minute tumbling-window counts with a 10-minute watermark — the
     * streaming twin of the batch aggregation. `ts` is truncated to
