@@ -288,13 +288,28 @@ object ScaleRamp {
         spark.catalog.clearCache()
         r
       },
-      "ivfpq_topk" -> { k =>
-        // the composed IVF×PQ index (round 11): corpus ramps, queries
-        // fixed (serving shape, as pq_topk_encode_adc). Cell count
-        // grows with the corpus (fixed centroidEvery), so the probed
-        // fraction nProbe/#cells SHRINKS as k grows — the ADC scan is
-        // ~constant per query while encode/assignment stay linear;
-        // expect an exponent at or below the pq row's.
+      "ivfpq_topk_scaled_every" -> { k =>
+        // the composed IVF×PQ index (round 11), operated per its scale
+        // contract: #cells is a build-time budget, so centroidEvery
+        // scales WITH the corpus (×k) to hold cells ~constant — cell
+        // assignment (a |corpus|×#cells distance pass) stays linear,
+        // as do encode and the ADC scan (a fixed nProbe/#cells
+        // fraction of a linearly-growing corpus). Corpus ramps,
+        // queries fixed (serving shape, as pq_topk_encode_adc).
+        val e = embAt(k)
+        val qs = emb0.filter(col("vec_id") % 50 === 0)
+        val r = timeIt(
+          Similarity.ivfPqTopK(e, qs, 5, centroidEvery = 50 * k).count())
+        spark.catalog.clearCache()
+        r
+      },
+      "ivfpq_topk_fixed_every" -> { k =>
+        // control row, deliberately WRONG at scale (the lsh
+        // fixed-planes sibling): centroidEvery frozen at 50 while the
+        // corpus grows, so #cells ∝ corpus and the |corpus|×#cells
+        // assignment pass is QUADRATIC — first measured round 11
+        // (2.7 → 5.4 → 64 s, the superlinear term the scaled row
+        // removes). The knob lesson, ANN edition.
         val e = embAt(k)
         val qs = emb0.filter(col("vec_id") % 50 === 0)
         val r = timeIt(Similarity.ivfPqTopK(e, qs, 5).count())
@@ -327,9 +342,18 @@ object ScaleRamp {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .fold(allOps)(sel => allOps.filter(p => sel(p._1)))
 
-    // JIT/codegen warmup outside every timed window
+    // JIT/codegen warmup outside every timed window. Each distinct
+    // pipeline shape gets a small-input run: a first-ever execution
+    // JIT-compiles its generated classes inside the timed cell
+    // otherwise (measured round 11: curate_v3's un-warmed 4× cell read
+    // 18.7 s vs 7.3 s at 16× — the 4× cell was mostly JIT, inverting
+    // the ramp).
     Dedup.minhashCandidates(docs0.limit(500), "doc_id", "text").count()
     Similarity.lshNearDup(emb0.limit(500), 0.99).count()
+    Dedup.spanDedup(docs0.limit(200), "doc_id", "text", 8).count()
+    graft.queries.PackQueries.curateV3Frames(docs0.limit(200))._3.count()
+    Similarity.ivfPqTopK(emb0.limit(500), emb0.limit(20), 5).count()
+    spark.catalog.clearCache()
     ParseRunner.run(spark,
       ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),
       logsAt(1).limit(2000), logsAt(1).limit(0),

@@ -529,6 +529,18 @@ object Similarity {
     * the difference between a full-corpus pass per query batch and a
     * few-percent sample of a compressed column.
     *
+    * SCALE CONTRACT (measured, SCALE.md round 11): #cells
+    * (= |corpus|/`centroidEvery`) is a BUILD-TIME BUDGET chosen for
+    * the target corpus, not a ratio to hold as the corpus grows —
+    * cell assignment is a |corpus|×#cells distance pass, so growing
+    * cells ∝ corpus (fixed `centroidEvery` under growth) turns
+    * assignment QUADRATIC (the ramp's control row: exponent >1,
+    * 64 s at 64×). Scale `centroidEvery` with the corpus to keep
+    * #cells near the budget and every stage is linear; at true IVF
+    * scale (≥10⁵ cells) real systems make assignment itself
+    * approximate via a second-level quantizer — out of scope here,
+    * the knob contract is the load-bearing part.
+    *
     * Everything deterministic, composed from the two oracle-green
     * precedents: the coarse quantizer is [[ivfTopK]]'s fixed
     * `centroidEvery`-slice (here over UNIT vectors, so nearest-by-dot

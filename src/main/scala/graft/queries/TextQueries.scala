@@ -147,6 +147,27 @@ object TextQueries extends QueryGroup {
           col("overlap"))
     },
 
+    // Bloom-filter decontamination — the 100 TB form of q_decontaminate:
+    // eval grams collapse to a 64 KB bitset (mBits=2^19) probed inside a
+    // single `exists` over each doc's shingle array, so the corpus plan
+    // is scan → project (no explode, no join, no shuffle; BloomSpec pins
+    // that). FULLY oracled including the false positives: the probe is
+    // Spark Murmur3 (replayed in DuckDB integer SQL, the q_hash_buckets
+    // machinery over gram strings) + Kirsch–Mitzenmacher double hashing
+    // in BIGINT-safe arithmetic, so DuckDB rebuilds the exact bitset and
+    // reproduces every FP. mBits is sized DOWN at this sf so FPs
+    // actually occur — the compare then proves Bloom semantics, not
+    // just the exact-overlap subset.
+    q("q_bloom_decontaminate", "text", bloomDecontaminateSql) {
+      (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      graft.ops.Decontaminate.bloomFlag(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 4, mBits = 1 << 19, k = 3)
+        .select(col("doc_id"), col("contaminated"))
+    },
+
     // PII scrub pass: deterministic synthetic PII (an email, an IPv4,
     // a leading-zero-octet IPv4 as logs spell them, a US phone, a
     // +CC-prefixed phone, all derived from doc_id) is appended to
@@ -339,4 +360,75 @@ object TextQueries extends QueryGroup {
       graft.ops.Stats.exactQuantiles(Tables.df(spark, dir, "documents"),
         length(col("text")), Seq(100, 250, 500, 750, 900, 990, 1000))
     })
+
+  /** DuckDB replay of the full Bloom pipeline (mBits = 2¹⁹ = 524288,
+    * k = 3, 4-grams, eval = doc_id%7==0 slice): Spark's
+    * Murmur3_x86_32(utf8, seed 42) over every distinct gram string —
+    * the q_hash_buckets pipeline, here ending at the UNSIGNED value u
+    * (Spark probes `hash(g) & 0xFFFFFFFF`, no abs) — then
+    * h2 = ((u ⊕ u≫16)·1103515245 mod 2³²) | 1 (`// 2 * 2 + 1` is
+    * `| 1` for non-negatives) and positions (u + i·h2) mod 2¹⁹,
+    * mirroring [[graft.ops.BloomProbe.positions]] constant for
+    * constant. Every product stays under 2⁶³ (multiplier < 2³¹), so
+    * plain BIGINT arithmetic replays the Scala exactly; a doc is
+    * contaminated iff ANY of its grams finds all 3 positions in the
+    * eval bitset — false positives included, by construction. */
+  private def bloomDecontaminateSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(
+               [array_to_string(toks[i:i+3], ' ')
+                for i in generate_series(1, greatest(len(toks)-3, 0))]))
+               AS g
+             FROM t),
+       strs AS (SELECT DISTINCT g AS s FROM g),
+       b AS (SELECT s, length(s) AS n,
+               [ord(s[i]) for i in generate_series(1, length(s))] AS bs
+             FROM strs),
+       it AS (SELECT s, n,
+                list_concat(
+                  [bs[4*j+1] + 256*bs[4*j+2] + 65536*bs[4*j+3]
+                     + 16777216*bs[4*j+4]
+                   for j in generate_series(0, n//4 - 1)],
+                  bs[4*(n//4)+1 : n]) AS items
+              FROM b),
+       k1 AS (SELECT s, n, list_transform(items, w ->
+                CAST((CAST(w AS HUGEINT) * 3432918353) % 4294967296
+                  AS BIGINT)) AS ks FROM it),
+       k2 AS (SELECT s, n, list_transform(ks, k ->
+                (k * 32768) % 4294967296 + k // 131072) AS ks FROM k1),
+       k3 AS (SELECT s, n, list_transform(ks, k ->
+                CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296
+                  AS BIGINT)) AS ks FROM k2),
+       hb AS (SELECT s, n,
+                list_reduce(list_prepend(CAST(42 AS BIGINT), ks),
+                  (h, k) -> (((xor(h, k) * 8192) % 4294967296
+                              + xor(h, k) // 524288) * 5
+                             + 3864292196) % 4294967296) AS raw
+              FROM k3),
+       f0 AS (SELECT s, xor(raw, n) AS h FROM hb),
+       f1 AS (SELECT s, xor(h, h // 65536) AS h FROM f0),
+       f2 AS (SELECT s, CAST((CAST(h AS HUGEINT) * 2246822507)
+                % 4294967296 AS BIGINT) AS h FROM f1),
+       f3 AS (SELECT s, xor(h, h // 8192) AS h FROM f2),
+       f4 AS (SELECT s, CAST((CAST(h AS HUGEINT) * 3266489909)
+                % 4294967296 AS BIGINT) AS h FROM f3),
+       mm AS (SELECT s, xor(h, h // 65536) AS u FROM f4),
+       pos AS (SELECT s, u,
+                 ((xor(u, u // 65536) * 1103515245) % 4294967296)
+                   // 2 * 2 + 1 AS h2
+               FROM mm),
+       evp AS (SELECT DISTINCT (p.u + t.i * p.h2) % 524288 AS pos
+               FROM g JOIN pos p ON g.g = p.s
+               CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t
+               WHERE g.doc_id % 7 = 0),
+       hitg AS (SELECT p.s FROM pos p
+                WHERE p.u % 524288 IN (SELECT pos FROM evp)
+                  AND (p.u + p.h2) % 524288 IN (SELECT pos FROM evp)
+                  AND (p.u + 2 * p.h2) % 524288 IN (SELECT pos FROM evp)),
+       hit AS (SELECT DISTINCT doc_id FROM g
+               WHERE doc_id % 7 != 0 AND g IN (SELECT s FROM hitg))
+       SELECT d.doc_id,
+              d.doc_id IN (SELECT doc_id FROM hit) AS contaminated
+       FROM documents d WHERE d.doc_id % 7 != 0"""
 }

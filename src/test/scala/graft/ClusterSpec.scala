@@ -92,6 +92,68 @@ class DecontaminateSpec extends AnyFunSuite {
   }
 }
 
+class BloomDecontaminateSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("bloom flag ⊇ exact flag (no false negatives), and at a roomy " +
+      "mBits the two agree exactly on the sf corpus") {
+    val docs = graft.core.Tables.df(spark, sf, "documents")
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val ev = docs.filter(col("doc_id") % 7 === 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "contaminated").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exact = toMap(Decontaminate.flag(train, ev, "doc_id", "text", 4))
+    // tight bitset: superset property must hold regardless of FP rate
+    val tight = toMap(Decontaminate.bloomFlag(train, ev,
+      "doc_id", "text", 4, mBits = 1 << 14, k = 3))
+    assert(exact.keySet == tight.keySet)
+    assert(exact.forall { case (id, c) => !c || tight(id) },
+      "a truly contaminated doc escaped the bloom filter")
+    // roomy bitset: FP probability ≈ occupancy³ ≈ 1e-9 per gram here —
+    // any disagreement would be a probe-arithmetic bug, not chance
+    val roomy = toMap(Decontaminate.bloomFlag(train, ev,
+      "doc_id", "text", 4, mBits = 1 << 24, k = 3))
+    assert(roomy == exact)
+  }
+
+  test("probe plan is map-only: no join, no exchange, no generate") {
+    val docs = graft.core.Tables.df(spark, sf, "documents")
+    val flagged = Decontaminate.bloomFlag(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 4)
+    val plan = flagged.queryExecution.executedPlan.toString
+    Seq("Exchange", "Join", "Generate").foreach(op =>
+      assert(!plan.contains(op), s"probe plan must not $op:\n$plan"))
+  }
+
+  test("edge contracts: short docs and empty eval sets never flag") {
+    import spark.implicits._
+    val train = Seq((1L, "too short"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val evEmpty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Decontaminate.bloomFlag(train, evEmpty, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> false))
+  }
+
+  test("BloomProbe.contains: every inserted hash is found; positions " +
+      "are k distinct cells") {
+    val mBits = 1 << 12
+    val hashes = Array.tabulate(200)(i => (i * 2654435761L).toInt + 17)
+    val bits = new Array[Long](mBits >>> 6)
+    hashes.foreach(h => graft.ops.BloomProbe.positions(h, mBits, 3)
+      .foreach(p => bits((p >>> 6).toInt) |= (1L << p)))
+    assert(hashes.forall(h =>
+      graft.ops.BloomProbe.contains(bits, mBits, 3, h)))
+    // odd-stride double hashing ⇒ the 3 positions are pairwise distinct
+    hashes.foreach { h =>
+      val ps = graft.ops.BloomProbe.positions(h, mBits, 3)
+      assert(ps.distinct.length == 3, s"degenerate positions for $h")
+    }
+  }
+}
+
 class ChunkSpec extends AnyFunSuite {
   import TestSession._
 
