@@ -226,6 +226,112 @@ object TextAnalysis {
             (col("n_bigrams") * 1000000L).cast("double")).as("lm_score"))
   }
 
+  /** Bigram-LM count tables for a corpus, fingerprint-keyed (the
+    * [[bigramLmScore]] representation): (bigram counts keyed on
+    * xxhash64(bg), unigram counts keyed on xxhash64(w1), 1-row vocab
+    * size). Shared by [[dsirResample]]'s two LMs. */
+  private def lmCountTables(df: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val bgs = when(nTok < 2,
+        array().cast("array<struct<bg:string,w1:string>>"))
+      .otherwise(bigramPairs(toks, nTok))
+    val bCounts = df.select(explode(bgs).as("p"))
+      .select(xxhash64(col("p.bg")).as("bgh"))
+      .groupBy("bgh").agg(count(lit(1)).as("c_bg"))
+    val uCounts = df.select(explode(tokens(col(textCol))).as("w1"))
+      .select(xxhash64(col("w1")).as("w1h"))
+      .groupBy("w1h").agg(count(lit(1)).as("c_w1"))
+    val vocab = uCounts.agg(count(lit(1)).as("v"))
+    (bCounts, uCounts, vocab)
+  }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the public reference;
+    * arXiv:2302.03169): score every train doc by the bigram-LM
+    * log-likelihood-ratio surrogate between a TARGET corpus (the
+    * distribution you want more of) and the train corpus itself, then
+    * keep docs with probability increasing in that score, randomized by
+    * a deterministic per-doc hash. Two engine-exact substitutions,
+    * both monotone in the quantity they replace (the [[tfidfKeywords]]
+    * fixed-point-IDF discipline): the per-bigram importance term is the
+    * fixed-point PROBABILITY ratio difference `fp_target − fp_corpus`
+    * (each `(c_bg·10⁶) div (c_w1 + V)`, [[bigramLmScore]]'s exact
+    * integer term) rather than a libm log-ratio, and the acceptance
+    * curve is a LINEAR RAMP `clamp(d − θ, 0, P)/P` over the mean term
+    * difference d rather than exp-normalized weights. The sampler is
+    * Gumbel-free: u = pmod(murmur3(id), 10⁶) plays the uniform draw,
+    * and the keep test `u·P·n < clamp(Σdiff − θ·n, 0, P·n)·10⁶`
+    * cross-multiplies so NO integer division of a possibly-negative
+    * sum ever happens (Spark `div` truncates toward zero; DuckDB `//`
+    * floors — avoiding the op entirely is what keeps the oracle
+    * exact).
+    *
+    * Scale shape: the target LM's count tables are benchmark-sized —
+    * broadcast — so the corpus pays exactly [[bigramLmScore]]'s
+    * passes (bigram explode + two count joins, all fingerprint-keyed)
+    * plus map-side integer arithmetic; the sampler adds no shuffle.
+    * Overflow bound: u·P·n < 2⁶³ ⇒ P·n < 9.2·10¹² — holds for any
+    * plausible ramp width (P ≤ 10⁸) and doc length (n ≤ 10⁴).
+    * Docs with no bigram evidence (n < 2 tokens) score 0 and are
+    * never kept (no evidence ≠ on-target; the conservative default
+    * for a SELECTOR — the opposite of decontamination's NULL
+    * contract, where no evidence means "cannot be contaminated").
+    * Ids must be non-negative (the oracle replays the id hash through
+    * its unsigned 32-bit words). */
+  def dsirResample(train: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, thetaFp: Long, rampFp: Long): DataFrame = {
+    require(rampFp > 0, s"rampFp must be positive, got $rampFp")
+    val df = spread(train)
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val bgs = when(nTok < 2,
+        array().cast("array<struct<bg:string,w1:string>>"))
+      .otherwise(bigramPairs(toks, nTok))
+    val docBg = df.select(col(idCol).as("__id"), explode(bgs).as("p"))
+      .select(col("__id"), xxhash64(col("p.bg")).as("bgh"),
+        xxhash64(col("p.w1")).as("w1h"))
+    // corpus LM from train itself (every train bigram exists: inner
+    // joins); target LM left-joined with absent-count 0 (add-V
+    // smoothing keeps the term defined)
+    val (bC, uC, vC) = lmCountTables(df, textCol)
+    val tgt = spread(target)
+    val (bT, uT, vT) = lmCountTables(tgt, textCol)
+    val terms = docBg
+      .join(bC, "bgh").join(uC, "w1h").crossJoin(broadcast(vC))
+      .join(broadcast(bT.withColumnRenamed("c_bg", "c_bg_t")),
+        Seq("bgh"), "left")
+      .join(broadcast(uT.withColumnRenamed("c_w1", "c_w1_t")),
+        Seq("w1h"), "left")
+      .crossJoin(broadcast(vT.withColumnRenamed("v", "v_t")))
+      .withColumn("fp_c", expr("(c_bg * 1000000L) div (c_w1 + v)"))
+      .withColumn("fp_t", expr(
+        "(coalesce(c_bg_t, 0L) * 1000000L) div (coalesce(c_w1_t, 0L) + v_t)"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("fp_t") - col("fp_c")).as("diff_fp_sum"))
+    df.select(col(idCol)).distinct()
+      .join(terms, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("diff_fp_sum"), lit(0L)).as("diff_fp_sum"))
+      .withColumn("dsir_score",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("diff_fp_sum").cast("double") /
+            (col("n_bigrams") * 1000000L).cast("double")))
+      .withColumn("__accept",
+        greatest(lit(0L), least(
+          col("diff_fp_sum") - lit(thetaFp) * col("n_bigrams"),
+          lit(rampFp) * col("n_bigrams"))))
+      .withColumn("kept",
+        col("n_bigrams") > 0 &&
+          pmod(hash(col(idCol)), lit(1000000)).cast("long") *
+            lit(rampFp) * col("n_bigrams") <
+            col("__accept") * lit(1000000L))
+      .drop("__accept")
+  }
+
   /** Top-k TF-IDF keywords per document — the standard corpus keyword
     * extractor, in the same engine-exact fixed-point discipline as
     * [[bigramLmScore]]: a true IDF takes `log(N/df)`, whose libm last

@@ -168,6 +168,25 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("contaminated"))
     },
 
+    // DSIR importance resampling (target = the doc_id%7==0 slice):
+    // per-doc fixed-point bigram importance score (target LM minus
+    // corpus LM) plus a deterministic murmur3(doc_id)-randomized
+    // linear-ramp acceptance — engine-exact end to end (integer terms,
+    // cross-multiplied keep test, no negative integer division; the id
+    // hash replays through the 2-word murmur pipeline). θ=-10000 and
+    // P=12000 straddle the sf score distribution (min -15.9k, median
+    // -6.0k, max +4.2k) so `kept` is a nontrivial subset decided by
+    // BOTH the score and the hash draw.
+    q("q_dsir_resample", "text", dsirResampleSql) { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      TextAnalysis.dsirResample(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", thetaFp = -10000L, rampFp = 12000L)
+        .select(col("doc_id"), col("n_bigrams"), col("diff_fp_sum"),
+          col("dsir_score"), col("kept"))
+    },
+
     // PII scrub pass: deterministic synthetic PII (an email, an IPv4,
     // a leading-zero-octet IPv4 as logs spell them, a US phone, a
     // +CC-prefixed phone, all derived from doc_id) is appended to
@@ -360,6 +379,90 @@ object TextQueries extends QueryGroup {
       graft.ops.Stats.exactQuantiles(Tables.df(spark, dir, "documents"),
         length(col("text")), Seq(100, 250, 500, 750, 900, 990, 1000))
     })
+
+  /** DuckDB replay of the DSIR pipeline: both bigram LMs in the
+    * q_text_lm_score fixed-point form (target counts left-joined with
+    * absent=0), the per-doc integer diff sum, and the sampler —
+    * Spark's Murmur3 over the doc_id LONG (two 32-bit words, little-
+    * endian: [id mod 2³², id div 2³²], total length 8, no tail bytes —
+    * ids are non-negative here so the word split needs no sign
+    * handling), signed + pmod'd to u ∈ [0, 10⁶), then the exact
+    * cross-multiplied keep test. */
+  private def dsirResampleSql: String =
+    """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM documents WHERE doc_id % 7 != 0),
+       tg AS (SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents WHERE doc_id % 7 = 0),
+       trbg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+                  SELECT doc_id,
+                         unnest([array_to_string(tk[i:i+1], ' ')
+                           for i in generate_series(1, len(tk)-1)]) AS bg
+                  FROM tr) t),
+       tgbg AS (SELECT bg, string_split(bg, ' ')[1] AS w1 FROM (
+                  SELECT unnest([array_to_string(tk[i:i+1], ' ')
+                    for i in generate_series(1, len(tk)-1)]) AS bg
+                  FROM tg) t),
+       bc AS (SELECT bg, count(*) AS c_bg FROM trbg GROUP BY bg),
+       uc AS (SELECT w1, count(*) AS c_w1 FROM (
+                SELECT unnest(tk) AS w1 FROM tr) u GROUP BY w1),
+       v AS (SELECT count(*) AS v FROM uc),
+       bt AS (SELECT bg, count(*) AS c_bg_t FROM tgbg GROUP BY bg),
+       ut AS (SELECT w1, count(*) AS c_w1_t FROM (
+                SELECT unnest(tk) AS w1 FROM tg) u GROUP BY w1),
+       vt AS (SELECT count(*) AS v_t FROM ut),
+       terms AS (
+         SELECT t.doc_id, count(*) AS n,
+                CAST(sum(
+                  (COALESCE(bt.c_bg_t, 0) * 1000000)
+                    // (COALESCE(ut.c_w1_t, 0) + vt.v_t)
+                  - (bc.c_bg * 1000000) // (uc.c_w1 + v.v)) AS BIGINT)
+                  AS diff
+         FROM trbg t JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v
+         LEFT JOIN bt USING (bg) LEFT JOIN ut USING (w1) CROSS JOIN vt
+         GROUP BY t.doc_id),
+       ith AS (SELECT doc_id,
+                 [doc_id % 4294967296, doc_id // 4294967296] AS items
+               FROM (SELECT DISTINCT doc_id FROM tr) i),
+       hk1 AS (SELECT doc_id, list_transform(items, w ->
+                 CAST((CAST(w AS HUGEINT) * 3432918353) % 4294967296
+                   AS BIGINT)) AS ks FROM ith),
+       hk2 AS (SELECT doc_id, list_transform(ks, k ->
+                 (k * 32768) % 4294967296 + k // 131072) AS ks FROM hk1),
+       hk3 AS (SELECT doc_id, list_transform(ks, k ->
+                 CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296
+                   AS BIGINT)) AS ks FROM hk2),
+       hhb AS (SELECT doc_id,
+                 list_reduce(list_prepend(CAST(42 AS BIGINT), ks),
+                   (h, k) -> (((xor(h, k) * 8192) % 4294967296
+                               + xor(h, k) // 524288) * 5
+                              + 3864292196) % 4294967296) AS raw
+               FROM hk3),
+       hf0 AS (SELECT doc_id, xor(raw, 8) AS h FROM hhb),
+       hf1 AS (SELECT doc_id, xor(h, h // 65536) AS h FROM hf0),
+       hf2 AS (SELECT doc_id, CAST((CAST(h AS HUGEINT) * 2246822507)
+                 % 4294967296 AS BIGINT) AS h FROM hf1),
+       hf3 AS (SELECT doc_id, xor(h, h // 8192) AS h FROM hf2),
+       hf4 AS (SELECT doc_id, CAST((CAST(h AS HUGEINT) * 3266489909)
+                 % 4294967296 AS BIGINT) AS h FROM hf3),
+       hf5 AS (SELECT doc_id, xor(h, h // 65536) AS u FROM hf4),
+       samp AS (SELECT doc_id,
+                  ((CASE WHEN u >= 2147483648 THEN u - 4294967296
+                         ELSE u END) % 1000000 + 1000000) % 1000000 AS uu
+                FROM hf5)
+       SELECT d.doc_id,
+              COALESCE(terms.n, 0) AS n_bigrams,
+              COALESCE(terms.diff, 0) AS diff_fp_sum,
+              CASE WHEN COALESCE(terms.n, 0) = 0 THEN 0.0
+                   ELSE CAST(terms.diff AS DOUBLE)
+                        / (terms.n * 1000000) END AS dsir_score,
+              COALESCE(terms.n, 0) > 0 AND
+                samp.uu * 12000 * terms.n <
+                  greatest(0, least(terms.diff - (-10000) * terms.n,
+                                    12000 * terms.n)) * 1000000
+                AS kept
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 7 != 0) d
+       LEFT JOIN terms USING (doc_id)
+       JOIN samp USING (doc_id)""" + "\n"
 
   /** DuckDB replay of the full Bloom pipeline (mBits = 2¹⁹ = 524288,
     * k = 3, 4-grams, eval = doc_id%7==0 slice): Spark's

@@ -701,6 +701,68 @@ class TextQualitySpec extends AnyFunSuite {
       .toMap
     degen.values.foreach { case (n, s) => assert(n == 0L && s == 0.0) }
   }
+
+  test("DSIR resampling ranks target-like docs above corpus-typical " +
+      "ones and its acceptance ramp clamps to all/none") {
+    import spark.implicits._
+    val docs = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    // against a DISTINCTIVE target (its own vocabulary, unseen in
+    // train), a doc written in the target's language must outscore
+    // one the target has never seen (fp_t = 0 on every term) — the
+    // selector's whole point. (A probe stitched by REPEATING corpus
+    // text is the wrong construction: the probe's own 30× repetitions
+    // count into the train-side LM — docs score against a corpus
+    // containing themselves, a ≤1-count effect for natural docs but
+    // dominant for a loop of one phrase.)
+    val distinctTarget = (1 to 20).map(i =>
+      (800000L + i, "qqa qqb qqc qqd qqe qqa qqb qqc qqd qqe"))
+      .toDF("doc_id", "text")
+    val targetish = Seq.fill(10)("qqa qqb qqc qqd qqe").mkString(" ")
+    val offtarget = (1 to 50).map(i => s"zzq${i}xw").mkString(" ")
+    val probe = train.unionAll(
+      Seq((900001L, targetish), (900002L, offtarget)).toDF("doc_id", "text"))
+    val scores = graft.ops.TextAnalysis
+      .dsirResample(probe, distinctTarget, "doc_id", "text",
+        -10000L, 12000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(900001L) > 0.0 && scores(900002L) < 0.0 &&
+        scores(900001L) > scores(900002L),
+      s"target-language ${scores(900001L)} vs off-target ${scores(900002L)}")
+    // ramp extremes: θ below the score floor keeps every doc with
+    // bigram evidence; θ above the ceiling keeps none. Scores live in
+    // (−10⁶, 10⁶) fp by construction (each term does)
+    def keptSet(theta: Long) = graft.ops.TextAnalysis
+      .dsirResample(train, target, "doc_id", "text", theta, 1000000L)
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val withEvidence = graft.ops.TextAnalysis
+      .dsirResample(train, target, "doc_id", "text", 0L, 1L)
+      .filter(col("n_bigrams") > 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptSet(-2000000L) == withEvidence)
+    assert(keptSet(2000000L).isEmpty)
+    // deterministic: the same call twice yields the same kept set
+    val once = graft.ops.TextAnalysis
+      .dsirResample(train, target, "doc_id", "text", -10000L, 12000L)
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val twice = graft.ops.TextAnalysis
+      .dsirResample(train, target, "doc_id", "text", -10000L, 12000L)
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(once == twice && once.nonEmpty)
+    // degenerate docs: no bigram evidence → score 0, never kept
+    val degen2 = graft.ops.TextAnalysis.dsirResample(
+        Seq((1L, "one"), (2L, ""), (3L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"),
+        target, "doc_id", "text", -2000000L, 1000000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
+    degen2.values.foreach { case (n, k) => assert(n == 0L && !k) }
+  }
 }
 
 class CurationParitySpec extends AnyFunSuite {
