@@ -77,6 +77,93 @@ object Pack {
         expr(s"cum_excl div $budget").as("pack_id"))
   }
 
+  /** Token-budget corpus selection: spend a global token budget on the
+    * highest-scoring documents — rank the corpus by (score desc, id),
+    * keep the maximal prefix whose token sum fits the budget. The
+    * "choose the best B tokens" step between quality scoring and
+    * packing in a curation pipeline.
+    *
+    * Same distributed prefix-sum discipline as [[sequencePack]], with
+    * the shard key lifted from id to the SCORE (quantile boundaries on
+    * score, shard 0 = highest): score-contiguous shards + shard-local
+    * exclusive cumsum + broadcast O(#shards) offsets reproduce the
+    * global running total with no global window and no single-reducer
+    * sort. Equal scores share a shard, so shard contiguity in the
+    * (score desc, id) total order is exact regardless of boundary
+    * quality — boundaries only affect balance (an all-equal-score
+    * corpus degrades to one shard, the documented worst case, same as
+    * [[sequencePack]] under a constant id).
+    *
+    * Selection is by INCLUSIVE prefix sum ≤ budget: a doc whose tokens
+    * alone exceed the budget is never kept, and the kept set is exactly
+    * the longest affordable prefix — no partial docs. Docs with a null
+    * score carry no ranking evidence and are excluded up front (the
+    * [[graft.ops.TextAnalysis.dsirResample]] no-evidence contract, not
+    * silently ranked last — cross-engine null-ordering divergence is
+    * the other reason). Null tokens count 0 (selectable, free). */
+  def selectUnderBudget(docs: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, budget: Long, shards: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val n = if (shards > 0) shards
+      else docs.sparkSession.sparkContext.defaultParallelism
+    // materialize once: quantile probe + totals collect + final pass
+    // would each re-run the upstream plan otherwise (and a non-
+    // deterministic score would desync offsets from the final pass);
+    // the returned frame derives from this checkpoint, so release is
+    // by context-clean when unreachable (the sequencePack pattern)
+    val base = docs.select(col(idCol),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("tokens"),
+        col(scoreCol).cast("double").as("score"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint()
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else base.stat.approxQuantile("score", probs, 0.001).distinct
+    // shard = #(bounds strictly above score): shard 0 holds the top
+    // scores, ids ascend as scores descend — offsets accumulate in
+    // exactly the selection order
+    val shard = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("score") < lit(b), 1).otherwise(0)
+    }
+    val sharded = base.withColumn("shard", shard)
+    val totals = sharded.groupBy("shard").agg(sum("tokens").as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = totals
+      .scanLeft(0 -> 0L) { case ((_, acc), (s, t)) => s -> (acc + t) }
+      .init.zip(totals)
+      .map { case ((_, before), (s, _)) => s -> before }.toMap
+    val local = Window.partitionBy("shard")
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("cum_tokens",
+        coalesce(sum("tokens").over(local), lit(0L)) +
+          coalesce(element_at(typedLit(offsets), col("shard")), lit(0L)) +
+          col("tokens"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("tokens"), col("score"), col("cum_tokens"))
+  }
+
+  /** Per-source variant: each source spends its own budget — windows
+    * partition by source, so every source ranks in parallel and no
+    * global structure exists at all. The per-source running total is
+    * exact (ROWS frame over the unique (score desc, id) order). */
+  def selectUnderBudgetBySource(docs: DataFrame, idCol: String,
+      tokensCol: String, scoreCol: String, srcCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(srcCol),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("tokens"),
+        col(scoreCol).cast("double").as("score"))
+      .filter(col("score").isNotNull)
+      .withColumn("cum_tokens", sum("tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Reference spelling — the single-task global window. Only for
     * oracle twins at test scale; never point it at a corpus. */
   def sequencePackGlobal(docs: DataFrame, idCol: String,

@@ -41,6 +41,38 @@ object PackQueries extends QueryGroup {
         "doc_id", "n_chars", Budget)
     },
 
+    // token-budget corpus selection, global: spend 13 000 tokens on the
+    // stop-ratio-ranked (score desc, doc_id) prefix — roughly half the
+    // sf corpus, so the budget edge cuts mid-distribution. Spark runs
+    // the SHARDED prefix sum (score-quantile shards + broadcast
+    // offsets, no global window); the oracle is the single-window
+    // spelling — shard boundaries must cancel exactly. The ranking
+    // score is q_text_stats' stop_ratio (one IEEE division of exact
+    // ints, bit-identical cross-engine).
+    q("q_select_budget", "llm-pack", selectBudgetSql(13000L)) {
+      (spark, dir) =>
+      val feats = TextAnalysis.qualityFeatures(
+          Tables.df(spark, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("n_words").cast("long").as("toks"),
+          col("stop_ratio"))
+      Pack.selectUnderBudget(feats, "doc_id", "toks", "stop_ratio", 13000L)
+        .withColumnRenamed("score", "stop_ratio")
+    },
+
+    // per-source variant: every source spends its own 700 tokens in
+    // parallel — no global structure at all (the dashboard-friendly
+    // shape when sources must stay balanced)
+    q("q_select_budget_source", "llm-pack", selectBudgetSourceSql(700L)) {
+      (spark, dir) =>
+      val feats = TextAnalysis.qualityFeatures(
+          Tables.df(spark, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("source"),
+          col("n_words").cast("long").as("toks"), col("stop_ratio"))
+      Pack.selectUnderBudgetBySource(feats, "doc_id", "toks",
+          "stop_ratio", "source", 700L)
+        .withColumnRenamed("score", "stop_ratio")
+    },
+
     // thresholds below are math.round(w * 2147483647) for w in
     // {0.25, 0.5, 0.75, 1.0} — mirrored exactly from Sampling
     q("q_sample_mixture", "llm-pack",
@@ -393,4 +425,47 @@ object PackQueries extends QueryGroup {
     graft.core.Checkpoints.release(gated)
     (lm, gated, packed)
   }
+
+  // lazy: referenced from `queries` (declared ABOVE) during object
+  // init — a plain val here is still null at that point and would
+  // interpolate "null" into the oracle SQL (caught by the r11
+  // differential: every stop_ratio read 0.0 and the DESC order
+  // degenerated to doc_id)
+  private lazy val stopSet =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Single-window oracle spelling of the budget selection: the global
+    * running total over (stop_ratio DESC, doc_id) — Spark's
+    * score-sharded prefix sum must cancel its shard boundaries against
+    * this exactly. stop_ratio is q_text_stats' formulation verbatim. */
+  private def selectBudgetSql(budget: Long): String =
+    s"""WITH f AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN ($stopSet))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+           FROM documents),
+         c AS (SELECT doc_id, tokens, stop_ratio,
+                 CAST(SUM(tokens) OVER (ORDER BY stop_ratio DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+               FROM f)
+       SELECT doc_id, tokens, stop_ratio, cum_tokens FROM c
+       WHERE cum_tokens <= $budget"""
+
+  private def selectBudgetSourceSql(budget: Long): String =
+    s"""WITH f AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN ($stopSet))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+           FROM documents),
+         c AS (SELECT doc_id, source, tokens, stop_ratio,
+                 CAST(SUM(tokens) OVER (PARTITION BY source
+                   ORDER BY stop_ratio DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+               FROM f)
+       SELECT doc_id, source, tokens, stop_ratio, cum_tokens FROM c
+       WHERE cum_tokens <= $budget"""
 }

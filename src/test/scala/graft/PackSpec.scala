@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Tables
-import graft.ops.{Pack, Sampling}
+import graft.ops.{Pack, Sampling, TextAnalysis}
 
 class PackSpec extends AnyFunSuite {
   import TestSession._
@@ -45,6 +45,59 @@ class PackSpec extends AnyFunSuite {
     sizes.filter(_._1 != last).foreach { case (_, t) =>
       assert(t > budget - maxDoc)
     }
+  }
+
+  test("budget selection keeps the maximal affordable score-ranked " +
+      "prefix; shard count never changes it") {
+    import spark.implicits._
+    // hand case: rank by (score desc, id) → ids 5,1,4,2,3; cum 10,30,
+    // 60,100,150 under budget 99 keeps {5,1,4} — doc 2 (cum 100)
+    // busts the budget, and PREFIX semantics also excludes doc 3 even
+    // though its 50 would fit in the leftover 39: selection is an
+    // order-prefix, not a knapsack fill
+    val docs = Seq(
+      (1L, 20L, 0.9), (2L, 40L, 0.5), (3L, 50L, 0.4),
+      (4L, 30L, 0.7), (5L, 10L, 0.95)
+    ).toDF("id", "toks", "score")
+    val kept = Pack.selectUnderBudget(docs, "id", "toks", "score", 99L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept == Map(5L -> 10L, 1L -> 30L, 4L -> 60L))
+    // null score rows are excluded (no ranking evidence), null tokens
+    // count 0 (free)
+    val edge = Seq(
+      (1L, Some(20L), Some(0.9)), (2L, None, Some(0.8)),
+      (3L, Some(5L), None)
+    ).toDF("id", "toks", "score")
+    val keptE = Pack.selectUnderBudget(edge, "id", "toks", "score", 20L)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptE == Set(1L, 2L))
+    // sharded ≡ the semantics at any shard count, on the real corpus
+    val feats = TextAnalysis.qualityFeatures(
+        Tables.df(spark, sf, "documents"),
+        org.apache.spark.sql.functions.col("text"))
+      .select(col("doc_id"), col("n_words").cast("long").as("toks"),
+        col("stop_ratio"))
+    def sel(shards: Int) =
+      Pack.selectUnderBudget(feats, "doc_id", "toks", "stop_ratio",
+          1300L, shards)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    val one = sel(1)
+    assert(one.nonEmpty && sel(4) == one && sel(16) == one)
+  }
+
+  test("per-source budget selection spends each source's budget " +
+      "independently") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 30L, 0.9), (2L, "a", 30L, 0.8), (3L, "a", 30L, 0.7),
+      (4L, "b", 50L, 0.1), (5L, "b", 20L, 0.2)
+    ).toDF("id", "src", "toks", "score")
+    val kept = Pack.selectUnderBudgetBySource(
+        docs, "id", "toks", "score", "src", 60L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // source a: 1 (30), 2 (60), 3 busts; source b: 5 first by score
+    // (20), then 4 busts (70) — a's spending never affects b's
+    assert(kept == Map(1L -> 30L, 2L -> 60L, 5L -> 20L))
   }
 
   test("null token counts pack as zero; empty input packs to empty") {
