@@ -62,6 +62,7 @@ object Fs {
 object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -90,6 +91,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate returns any pre-existing session, on which
+    // withExtensions never ran — inject into the live registry too
+    // (idempotent; fresh sessions get both, identical builders)
+    GraftExtensions.registerInto(spark)
     spark
   }
 
@@ -106,6 +111,9 @@ object GraftSession {
     // parallel on small shuffles instead of coalescing to 2-3 tasks
     spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    // driver-made sessions never saw withExtensions — inject the SQL
+    // functions into the live registry (idempotent)
+    GraftExtensions.registerInto(spark)
     spark
   }
 }
