@@ -124,6 +124,32 @@ object MultimodalQueries extends QueryGroup {
         .withColumn("sum_value", col("sum_value").cast("string"))
     },
 
+    // stream-static incremental dedup — the streaming spelling of
+    // q_dedup_incremental's daily-ingest shape: the day's slice
+    // (doc_id%5==0) STREAMS in, fingerprints dedup statefully within
+    // the stream, and the ingested corpus's fingerprint index anti-
+    // joins as the STATIC side (never streamed, never re-shuffled per
+    // micro-batch). The surviving fingerprint SET is arrival-order-
+    // independent — that set is the oracle contract; kept ids are
+    // arrival order and deliberately not compared
+    q("q_stream_incremental_dedup", "streaming",
+      """WITH idx AS (SELECT DISTINCT md5(text) AS text_md5
+                      FROM documents
+                      WHERE doc_id % 5 != 0 AND text IS NOT NULL)
+         SELECT DISTINCT md5(text) AS text_md5 FROM documents
+         WHERE doc_id % 5 = 0 AND text IS NOT NULL
+           AND md5(text) NOT IN (SELECT text_md5 FROM idx)""") {
+      (spark, dir) =>
+      val seen = Tables.df(spark, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 0 && col("text").isNotNull)
+        .select(md5(col("text").cast("binary")).as("text_md5")).distinct()
+      graft.streaming.IngestStream.runDedupToBatch(spark,
+          s"$dir/documents.parquet", seen,
+          s"graft_sidedup_${System.nanoTime()}",
+          pre = _.filter(col("doc_id") % 5 === 0))
+        .select("text_md5")
+    },
+
     // stream-stream interval join (attribution) run to completion over
     // the bounded file source — inner joins emit on arrival, so the
     // bounded run ≡ the batch interval join; times as integer µs

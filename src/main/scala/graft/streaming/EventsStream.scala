@@ -144,28 +144,11 @@ object EventsStream {
     spark.table(queryName)
   }
 
-  /** Shared bounded-run scaffolding: stage the single parquet file into
-    * a directory (FileStreamSource requires one), drop the shuffle
-    * partitions to 8 for the run (each shuffle partition owns a state
-    * store; for a bounded local run 8 stores beat 32 — fixed per-store
-    * setup dominates), drain the source, restore the conf. Only the
-    * sink differs between runners. */
+  /** Bounded run over the events reader — scaffolding shared with the
+    * document-ingest twins via [[StreamRun.bounded]]. */
   private def boundedRun(spark: SparkSession, path: String,
       pipeline: DataFrame => DataFrame)(
       sink: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row]): Unit = {
-    val src = java.nio.file.Paths.get(path)
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = sink(pipeline(readEvents(spark, dir.toString))).start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      deleteRecursively(dir)
-    }
-  }
+        org.apache.spark.sql.Row]): Unit =
+    StreamRun.bounded(spark, path, readEvents, pipeline)(sink)
 }

@@ -880,6 +880,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream-static incremental dedup: surviving fp set equals the " +
+      "batch twin; stream-internal dups collapse; kept id is a batch id") {
+    import spark.implicits._
+    val docs = graft.core.Tables.df(spark, sf, "documents")
+    val seen = graft.ops.Dedup.exact(
+        docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"))
+      .select("text_md5")
+    val batchTwin = graft.ops.Dedup.incrementalExact(
+        docs.filter(col("doc_id") % 5 === 0), seen, "doc_id", "text")
+      .collect().map(r => r.getString(1)).toSet
+    val stream = graft.streaming.IngestStream.runDedupToBatch(spark,
+        s"$sf/documents.parquet", seen, "spec_sidedup",
+        pre = _.filter(col("doc_id") % 5 === 0))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(stream.map(_._1).toSet == batchTwin)
+    // at most one emission per fingerprint, and every kept id belongs
+    // to the streamed slice
+    assert(stream.map(_._1).distinct.length == stream.length)
+    assert(stream.forall(_._2 % 5 == 0))
+    // stream-internal duplicate handling: a doubled batch (same texts
+    // under new ids) must not grow the surviving fp set
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dup_batch")
+    try {
+      val doubled = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      doubled.unionAll(doubled.withColumn("doc_id", col("doc_id") + 1000000L))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir2.resolve("batch.parquet").toString)
+      // the writer emits a DIRECTORY; stage its single part file
+      val part = java.nio.file.Files.list(
+          dir2.resolve("batch.parquet")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val stream2 = graft.streaming.IngestStream.runDedupToBatch(spark,
+          part, seen, "spec_sidedup2")
+        .collect().map(_.getString(0)).toSet
+      assert(stream2 == batchTwin)
+    } finally graft.core.Fs.deleteRecursively(dir2)
+  }
+
   test("file-sink dedup run equals batch DISTINCT (no driver transit)") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_sink_dedup").toString
