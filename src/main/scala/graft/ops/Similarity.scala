@@ -671,6 +671,88 @@ object Similarity {
     }
   }
 
+  /** INCREMENTAL IVF×PQ index maintenance — assign + PQ-encode a new
+    * embedding batch against quantizers derived from the EXISTING
+    * corpus and FROZEN (the serving practice the composed index
+    * implies: coarse cells and codebooks re-train rarely — offline —
+    * while ingest appends daily; re-deriving them per batch would
+    * both rescan the corpus and silently re-key every stored code).
+    * Completes the incremental-ingest triple: exact dedup
+    * ([[graft.ops.Dedup.incrementalExact]]), near-dup
+    * ([[graft.ops.Dedup.incrementalNearDup]]), and now the ANN index.
+    *
+    * Returns (idCol, c_id, code): the rows a warehouse appends to its
+    * codes table — search-side composition is unchanged ([[ivfPqTopK]]
+    * over base∪appended reads the same (cell, code) shape).
+    *
+    * Scale shape: the base corpus contributes ONLY its two tiny
+    * derived frames (the centroid slice and the ksub-row codebook —
+    * both localCheckpointed, broadcast after); the batch is the only
+    * corpus-scale input, touched in two map-only-normalized passes
+    * (cell assignment vs broadcast centroids, subspace encode vs
+    * broadcast codebook), each collapsing through a partial-aggregated
+    * `min(struct)` argmin before any exchange. Nothing base-sized
+    * shuffles. Assignment/encode arithmetic is [[ivfPqTopK]]'s
+    * verbatim, so appended codes are bit-identical to what a full
+    * rebuild with the same quantizers would store. */
+  def ivfPqEncodeBatch(batch: DataFrame, base: DataFrame,
+      centroidEvery: Int = 50, m: Int = 16, ksub: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      release: Boolean = true): DataFrame = {
+    val dim = vecDim(base, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    def unit(df: DataFrame): DataFrame =
+      normalized(df.filter(isIndexable(col(vecCol), dim)), vecCol)
+        .filter(col(s"${vecCol}_unit").isNotNull)
+        .select(col(idCol).as("id"), col(s"${vecCol}_unit").as("u"))
+    // frozen quantizers from the base corpus: two small derived
+    // frames, checkpointed (cut the base-scan lineage once) and
+    // broadcast below. The base itself is scanned twice, map-only.
+    val cents = unit(base)
+      .filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .select(col("id").as("c_id"), col("u").as("cu"))
+      .localCheckpoint()
+    val cbW = Window.orderBy(col("hk"), col("id"))
+    val cb = unit(base).withColumn("hk", Sampling.hashU31(col("id")))
+      .orderBy(col("hk"), col("id")).limit(ksub)
+      .withColumn("cid", row_number().over(cbW) - 1)
+      .localCheckpoint()
+    require(cb.count() > 0, "ivfPqEncodeBatch: empty base codebook")
+    val subs = explode(array((0 until m).map(j =>
+      struct(lit(j).as("j"),
+        slice(col("u"), j * dsub + 1, dsub).as("sv"))): _*))
+    val cbsub = cb.select(col("cid"), subs.as("s"))
+      .select(col("cid"), col("s.j"), col("s.sv").as("cv"),
+        dot(col("s.sv"), col("s.sv")).as("cn2"))
+    // the batch's two map-shaped passes (normalize is map-only; both
+    // argmins partial-aggregate below their shuffle)
+    val batchU = unit(batch)
+    val cells = batchU.crossJoin(broadcast(cents))
+      .withColumn("ns", lit(-1.0) * dot(col("u"), col("cu")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
+    val d2 = col("cn2") - lit(2.0) * dot(col("sv"), col("cv"))
+    val codes = batchU.select(col("id"), subs.as("s"))
+      .select(col("id"), col("s.j"), col("s.sv"))
+      .join(broadcast(cbsub), "j")
+      .withColumn("d2", d2)
+      .groupBy(col("id"), col("j"))
+      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("code_j"))
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("j"),
+        col("code_j")))), x => x.getField("code_j")).as("code"))
+    val out = cells.join(codes, "id")
+      .select(col("id").as(idCol), col("c_id"), col("code"))
+    if (!release) out
+    else {
+      val o = out.localCheckpoint()
+      graft.core.Checkpoints.release(cents)
+      graft.core.Checkpoints.release(cb)
+      o
+    }
+  }
+
   /** Unit-normalize the vector column into `<vecCol>_unit`
     * (array<double>). The norm is projected ONCE per row before the
     * per-element division — inlining `norm()` inside the transform

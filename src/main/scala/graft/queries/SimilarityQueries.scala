@@ -143,6 +143,63 @@ object SimilarityQueries extends QueryGroup {
     * cells/probes are `q_knn_ivf`'s coarse quantizer re-spelled on UNIT
     * vectors (norms are 1, so nearest-by-dot ≡ nearest-by-cosine; the
     * engine's min(struct(−dot, c_id)) is ORDER BY dot DESC, c_id). */
+  /** DuckDB replay of the append path: frozen quantizers from the base
+    * slice (centroid id-slice + Lehmer-ordered ksub codebook), then
+    * nearest-cell assignment and per-subspace argmin-d2 encode of the
+    * batch — the knnIvfPqSql building blocks with base/batch split
+    * roles and no search stage. */
+  private def ivfPqAppendSql: String = {
+    val (m, dsub, ksub) = (16, 4, 64)
+    val centEvery = 50
+    s"""WITH n0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nrm
+          FROM embeddings
+          WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+        emb AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+                FROM n0 WHERE len(v) = 64 AND nrm > 0 AND NOT isnan(nrm)),
+        base AS (SELECT * FROM emb WHERE vec_id % 7 != 3),
+        batch AS (SELECT * FROM emb WHERE vec_id % 7 = 3),
+        cent AS (SELECT vec_id AS c_id, u AS cu FROM base
+                 WHERE vec_id % $centEvery = 0),
+        cells AS (
+          SELECT vec_id, c_id FROM (
+            SELECT b.vec_id, ct.c_id,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                list_sum(list_transform(list_zip(b.u, ct.cu),
+                  x -> x[1] * x[2])) DESC, ct.c_id) AS rnk
+            FROM batch b CROSS JOIN cent ct) t
+          WHERE rnk = 1),
+        cb AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid, u
+               FROM (SELECT vec_id, u,
+                       ((((((vec_id % 2147483646 + 1) * 48271) % 2147483647)
+                          * 48271) % 2147483647) * 48271) % 2147483647 AS hk
+                     FROM base) t
+               ORDER BY hk, vec_id LIMIT $ksub),
+        cbsub AS (SELECT jj.j AS j, cid,
+                    u[jj.j*$dsub+1 : jj.j*$dsub+$dsub] AS cv,
+                    list_sum(list_transform(
+                      u[jj.j*$dsub+1 : jj.j*$dsub+$dsub],
+                      x -> x * x)) AS cn2
+                  FROM cb, generate_series(0, ${m - 1}) jj(j)),
+        dists AS (
+          SELECT b.vec_id, c.j, c.cid,
+            c.cn2 - 2.0 * list_sum(list_transform(
+              list_zip(b.u[c.j*$dsub+1 : c.j*$dsub+$dsub], c.cv),
+              x -> x[1] * x[2])) AS d2
+          FROM batch b CROSS JOIN cbsub c),
+        codes AS (
+          SELECT vec_id, list(cid ORDER BY j) AS code FROM (
+            SELECT vec_id, j, cid,
+              row_number() OVER (PARTITION BY vec_id, j
+                ORDER BY d2, cid) AS rn
+            FROM dists) t WHERE rn = 1 GROUP BY vec_id)
+        SELECT ce.vec_id, ce.c_id,
+               array_to_string(c.code, ',') AS code_csv
+        FROM cells ce JOIN codes c USING (vec_id)"""
+  }
+
   private def knnIvfPqSql: String = {
     val (m, dsub, ksub, k, short) = (16, 4, 64, 5, 50)
     val (centEvery, nProbe) = (50, 4)
@@ -485,6 +542,23 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.df(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.ivfPqTopK(emb, queries, 5)
+    },
+
+    // incremental IVF×PQ ingest: the vec_id%7==3 slice arrives as the
+    // "new batch" and is assigned + PQ-encoded against quantizers
+    // derived from the REST of the corpus and frozen (cells re-train
+    // offline; ingest appends). Every step is deterministic, so the
+    // appended (cell, code) rows differential value-exactly — codes as
+    // a CSV string (list-typed output columns don't survive the
+    // comparator's pandas bridge uniformly)
+    q("q_ivfpq_append", "similarity", ivfPqAppendSql) { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+      graft.ops.Similarity.ivfPqEncodeBatch(
+          emb.filter(col("vec_id") % 7 === 3),
+          emb.filter(col("vec_id") % 7 =!= 3))
+        .select(col("vec_id"), col("c_id"),
+          concat_ws(",",
+            transform(col("code"), c => c.cast("string"))).as("code_csv"))
     },
 
     // IVF is fully deterministic given the bit-exact cosine: centroids

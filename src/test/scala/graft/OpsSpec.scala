@@ -274,6 +274,43 @@ class DedupSpec extends AnyFunSuite {
 class SimilaritySpec extends AnyFunSuite {
   import TestSession._
 
+  test("ivfPqEncodeBatch: frozen quantizers make appends stable, " +
+      "codes well-formed, junk excluded") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch1 = emb.filter(col("vec_id") % 7 === 3 &&
+      col("vec_id") % 2 === 0)
+    val batchAll = emb.filter(col("vec_id") % 7 === 3)
+    def enc(b: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqEncodeBatch(b, base)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getSeq[Int](2).toList))).toMap
+    val e1 = enc(batch1)
+    val eAll = enc(batchAll)
+    // append stability: a bigger batch never re-keys earlier rows
+    // (quantizers are frozen — the property that makes this an
+    // APPEND, not a rebuild)
+    assert(e1.nonEmpty && e1.forall { case (id, v) => eAll(id) == v })
+    // well-formed: m codebook entries, all within ksub; cells are
+    // base centroid ids
+    val centIds = base.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    eAll.values.foreach { case (cId, code) =>
+      assert(centIds.contains(cId))
+      assert(code.length == 16 && code.forall(c => c >= 0 && c < 64))
+    }
+    // determinism
+    assert(enc(batchAll) == eAll)
+    // junk routing: null / wrong-dim / zero-norm batch rows vanish
+    val junk = Seq(
+      (900001L, null.asInstanceOf[Array[Float]]),
+      (900002L, Array.fill(3)(1.0f)),
+      (900003L, Array.fill(64)(0.0f))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.ivfPqEncodeBatch(junk, base).count() == 0)
+  }
+
   test("LSH top-k recall vs brute force is usable") {
     val emb = Tables.df(spark, sf, "embeddings")
     val qs = emb.filter(col("vec_id") % 50 === 0)
