@@ -341,6 +341,60 @@ class ExplainSpec extends AnyFunSuite {
       s"non-equi join leaked into span dedup:\n$p0")
   }
 
+  test("budget selection plans shard-partitioned windows (global) and " +
+      "source-partitioned windows (per-source) — never unpartitioned") {
+    val docs = Tables.df(spark, sf, "documents")
+    val feats = graft.ops.TextAnalysis.qualityFeatures(docs, col("text"))
+      .select(col("doc_id"), col("source"),
+        col("n_words").cast("long").as("toks"), col("stop_ratio"))
+    val pg = plan(graft.ops.Pack.selectUnderBudget(
+      feats, "doc_id", "toks", "stop_ratio", 1300L, 4))
+    val wg = pg.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wg.nonEmpty, s"no window in budget plan:\n$pg")
+    wg.foreach(l => assert(l.contains("shard"),
+      s"global (unpartitioned) window in budget plan: $l"))
+    val ps = plan(graft.ops.Pack.selectUnderBudgetBySource(
+      feats, "doc_id", "toks", "stop_ratio", "source", 700L))
+    val ws = ps.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("source")),
+      s"per-source window not partitioned by source:\n$ps")
+  }
+
+  test("DSIR broadcasts the target LM count tables; corpus counts " +
+      "partial-aggregate") {
+    val docs = Tables.df(spark, sf, "documents")
+    val p = plan(graft.ops.TextAnalysis.dsirResample(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", -10000L, 12000L))
+    // target-side joins must be broadcast (benchmark-sized by
+    // definition); the corpus-side count aggregates must partial
+    assert(p.contains("BroadcastHashJoin"),
+      s"no broadcast join in DSIR plan:\n$p")
+    assert(p.contains("partial_count"),
+      s"no partial-aggregated bigram count in DSIR plan:\n$p")
+    // the sampler is a projection over the score frame — pmod(hash)
+    // compiles into the final Project, not a separate stage. (The
+    // plan's only SinglePartition exchanges are the two 1-row vocab
+    // scalar aggregates — corpus-sized data never passes one.)
+    assert(p.contains("pmod(hash(doc_id"),
+      s"sampler not a projection in DSIR plan:\n$p")
+  }
+
+  test("ivfPq batch encode broadcasts both frozen quantizer frames") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val p = plan(graft.ops.Similarity.ivfPqEncodeBatch(
+      emb.filter(col("vec_id") % 7 === 3),
+      emb.filter(col("vec_id") % 7 =!= 3), release = false))
+    val bcasts = p.linesIterator
+      .count(l => l.contains("BroadcastNestedLoopJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(bcasts >= 2,
+      s"expected centroid + codebook broadcasts, got $bcasts:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"argmin not partial-aggregated:\n$p")
+  }
+
   test("curation v3 materializes its composition boundaries") {
     // the v3 chain re-executes its upstream DAGs multiplicatively
     // without boundary materialization: lm is consumed twice (total
