@@ -246,6 +246,52 @@ object ScaleRamp {
           .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
         timeIt(Dedup.spanDedup(corp, "doc_id", "text", 8).count())
       },
+      "bloom_decontaminate" -> { k =>
+        // map-only corpus probe (round 11): the eval side is FIXED
+        // (base docs' %7==0 slice — benchmarks don't grow with the
+        // corpus) while the probed corpus ramps. scan→project shape:
+        // expect ~linear wall time, no shuffle to go superlinear.
+        val d = docsAt(k)
+        val ev = docs0.filter(col("doc_id") % 7 === 0)
+        timeIt(graft.ops.Decontaminate
+          .bloomFlag(d, ev, "doc_id", "text", 4)
+          .filter(col("contaminated")).count())
+      },
+      "dsir_resample" -> { k =>
+        // two corpus LM passes + broadcast target LMs (round 11):
+        // target FIXED (the base %7==0 slice), corpus ramps — the
+        // selection shape at 100 TB. Expect the bigram-LM family's
+        // ~linear profile.
+        val d = docsAt(k)
+        val tgt = docs0.filter(col("doc_id") % 7 === 0)
+        timeIt(graft.ops.TextAnalysis
+          .dsirResample(d, tgt, "doc_id", "text", -10000L, 12000L)
+          .filter(col("kept")).count())
+      },
+      "select_budget" -> { k =>
+        // score-sharded prefix-sum selection (round 11): budget scales
+        // with k so the kept fraction stays constant — the ramp
+        // measures the prefix-sum machinery, not a shrinking output.
+        val d = docsAt(k)
+        val feats = graft.ops.TextAnalysis
+          .qualityFeatures(d, col("text"))
+          .select(col("doc_id"), col("n_words").cast("long").as("toks"),
+            col("stop_ratio"))
+        timeIt(graft.ops.Pack.selectUnderBudget(
+          feats, "doc_id", "toks", "stop_ratio", 130000L * k).count())
+      },
+      "ivfpq_encode_batch" -> { k =>
+        // incremental ANN ingest (round 11): the BASE (and its frozen
+        // quantizers) is FIXED while the ingested batch ramps — the
+        // daily-append shape. Batch passes are map-shaped vs broadcast
+        // quantizers: expect ~linear in batch size.
+        val e = embAt(k)
+        val base = emb0
+        val r = timeIt(
+          graft.ops.Similarity.ivfPqEncodeBatch(e, base).count())
+        spark.catalog.clearCache()
+        r
+      },
       "curate_v3" -> { k =>
         // the full v3 composition (LM gate → unit dedup → pack), the
         // second most expensive catalog query at r10 and the shape
@@ -353,6 +399,16 @@ object ScaleRamp {
     Dedup.spanDedup(docs0.limit(200), "doc_id", "text", 8).count()
     graft.queries.PackQueries.curateV3Frames(docs0.limit(200))._3.count()
     Similarity.ivfPqTopK(emb0.limit(500), emb0.limit(20), 5).count()
+    graft.ops.Decontaminate.bloomFlag(docs0.limit(200),
+      docs0.limit(50), "doc_id", "text", 4).count()
+    graft.ops.TextAnalysis.dsirResample(docs0.limit(200),
+      docs0.limit(50), "doc_id", "text", -10000L, 12000L).count()
+    graft.ops.Pack.selectUnderBudget(
+      graft.ops.TextAnalysis.qualityFeatures(docs0.limit(200), col("text"))
+        .select(col("doc_id"), col("n_words").cast("long").as("toks"),
+          col("stop_ratio")),
+      "doc_id", "toks", "stop_ratio", 10000L).count()
+    Similarity.ivfPqEncodeBatch(emb0.limit(200), emb0.limit(500)).count()
     spark.catalog.clearCache()
     ParseRunner.run(spark,
       ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),

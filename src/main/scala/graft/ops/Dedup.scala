@@ -307,6 +307,34 @@ object Dedup {
       .select(col("did").as(idCol), col("deduped_text"), col("n_removed"))
   }
 
+  /** Cross-source duplication matrix — the dashboard aggregate over a
+    * verified near-dup pair set: for every unordered source pair
+    * (src_a ≤ src_b), how many near-duplicate document pairs straddle
+    * it. The curation diagnostic that tells you WHERE duplication
+    * comes from (mirrors within a crawl, cross-source syndication,
+    * licensing copies) before deciding which side to drop.
+    *
+    * Scale shape: the pair set is [[ngramJaccardPairs]]' output —
+    * pairs-sized, ids-only — and the two source-attach joins carry the
+    * (id, source) projection only, never text; the final aggregate is
+    * #sources² at most. Everything downstream of the (already
+    * shuffle-bounded) pair join is a light equi-join chain. Null
+    * sources group as null (a diagnostic should surface them, not
+    * silently drop them). */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, n: Int,
+      minJaccard: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs.select(col(idCol), col(textCol)),
+      idCol, textCol, n, minJaccard).select("a_id", "b_id")
+    val s = docs.select(col(idCol), col(srcCol))
+    pairs
+      .join(s.select(col(idCol).as("a_id"), col(srcCol).as("sa")), "a_id")
+      .join(s.select(col(idCol).as("b_id"), col(srcCol).as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Word n-gram shingles (distinct). Guarded for docs shorter than n.
     *
     * Built by folding n−1 shifted zips instead of

@@ -164,6 +164,52 @@ object DedupQueries extends QueryGroup {
           col("nb").cast(LongType).as("nb"), col("common"), col("jaccard"))
     },
 
+    // cross-source duplication matrix: near-dup pair volume per
+    // unordered source pair, over the duplicate-injected corpus WITH
+    // its source column carried through (copies keep their original
+    // row's source). The diagnostic that says where duplication comes
+    // from; same verified-Jaccard pair set as q_dedup_ngram_jaccard,
+    // so the matrix is exactly oracle-able
+    q("q_dedup_source_matrix", "dedup",
+      """WITH corpus AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text, source FROM documents
+           WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 200000, text || ' graft tail token', source
+           FROM documents WHERE doc_id % 10 = 5),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+               for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shl
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM corpus)),
+         inv AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+           HAVING CAST(count(*) AS DOUBLE)
+                  / (a.n_sh + b.n_sh - count(*)) >= 0.8)
+         SELECT least(ca.source, cb.source) AS src_a,
+                greatest(ca.source, cb.source) AS src_b,
+                count(*) AS n_pairs
+         FROM p JOIN corpus ca ON p.a_id = ca.doc_id
+                JOIN corpus cb ON p.b_id = cb.doc_id
+         GROUP BY 1, 2""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val c = docs.select(col("doc_id"), col("text"), col("source"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+            col("source")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" graft tail token")).as("text"),
+            col("source")))
+      Dedup.crossSourceDupMatrix(c, "doc_id", "text", "source", 3, 0.8)
+    },
+
     q("q_dedup_minhash_lsh", "dedup", exactDupPairsSql) { (spark, dir) =>
       val c = corpus(spark, dir)
       val cands = Dedup.minhashCandidates(c, "doc_id", "text")

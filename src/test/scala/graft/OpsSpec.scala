@@ -82,6 +82,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(11L, 12L))
   }
 
+  test("cross-source dup matrix counts unordered source pairs") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog tonight"
+    val t2 = "completely different sentence with no shared shingles here"
+    val docs = Seq(
+      (1L, t1, "web"),   // dup of 2 (cross-source) and 3 (same-source)
+      (2L, t1, "books"),
+      (3L, t1, "web"),
+      (4L, t2, "web"),   // no partner
+      (5L, t2 + " x", "books") // near-dup of 4 across sources
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(docs, "doc_id", "text",
+        "source", 3, 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // pairs: (1,2) web/books, (1,3) web/web, (2,3) books/web, (4,5)
+    // web/books — unordered keys fold both cross-source orientations
+    assert(got == Map(
+      ("books", "web") -> 3L,
+      ("web", "web") -> 1L))
+  }
+
   test("span dedup removes repeated spans with different surroundings") {
     import spark.implicits._
     val docs = Seq[(Long, String)](
