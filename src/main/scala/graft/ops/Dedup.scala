@@ -307,6 +307,55 @@ object Dedup {
       .select(col("did").as(idCol), col("deduped_text"), col("n_removed"))
   }
 
+  /** Per-document n-gram NOVELTY score — the scoring twin of
+    * [[spanDedup]]: for each doc, the fraction of its w-token windows
+    * whose globally FIRST occurrence (min (doc id, position), the
+    * spanDedup winner rule) lies in this document. 1.0 = every window
+    * first seen here (fully novel text); near 0 = the doc is stitched
+    * from text the corpus already contains. The thresholdable
+    * prioritization signal for dedup triage and curriculum ordering —
+    * spanDedup REMOVES repeated spans, this MEASURES how much of a doc
+    * would survive, without rewriting anything.
+    *
+    * Same scale shape as spanDedup's first two stages and nothing
+    * else: one rolling-hash window pass (occurrences shuffle as
+    * (did, pos, gh) fingerprints, text never leaves its scan
+    * partition), one winner aggregate, one join back, one per-doc
+    * count — the removal/reassembly tail is absent entirely. The
+    * denominator is map-side (n − w + 1 windows). Docs shorter than
+    * w tokens have no window evidence: novelty NULL, not 0 — "no
+    * evidence" and "nothing novel" must stay distinguishable (the
+    * overlapScore null contract). Null text → NULL novelty.
+    * @return (idCol, n_windows, n_first, novelty) */
+  def spanNovelty(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"span window must be >= 2 tokens, got $w")
+    val docs = spread(df, col(idCol))
+      .select(col(idCol).as("did"), col(textCol).as("text"))
+    val toks = split(col("text"), " ")
+    val wins = docs.select(col("did"),
+        posexplode(CB.column(RollingWindowHash(
+          CB.expression(transform(toks, t => xxhash64(t))), w))))
+      .select(col("did"), col("pos"), col("col").as("gh"))
+    val firsts = wins.groupBy(col("gh"))
+      .agg(min(struct(col("did"), col("pos"))).as("fo"))
+    val nFirst = wins.join(firsts, "gh")
+      .filter(col("did") === col("fo.did") && col("pos") === col("fo.pos"))
+      .groupBy(col("did")).agg(count(lit(1)).as("n_first"))
+    val totals = docs.select(col("did"),
+      when(col("text").isNotNull &&
+          size(split(col("text"), " ")) >= w,
+        (size(split(col("text"), " ")) - (w - 1)).cast("long"))
+        .as("n_windows"))
+    totals.join(nFirst, Seq("did"), "left")
+      .select(col("did").as(idCol), col("n_windows"),
+        when(col("n_windows").isNotNull,
+          coalesce(col("n_first"), lit(0L))).as("n_first"),
+        when(col("n_windows").isNotNull,
+          coalesce(col("n_first"), lit(0L)).cast("double") /
+            col("n_windows").cast("double")).as("novelty"))
+  }
+
   /** Cross-source duplication matrix — the dashboard aggregate over a
     * verified near-dup pair set: for every unordered source pair
     * (src_a ≤ src_b), how many near-duplicate document pairs straddle

@@ -164,6 +164,40 @@ object DedupQueries extends QueryGroup {
           col("nb").cast(LongType).as("nb"), col("common"), col("jaccard"))
     },
 
+    // per-doc n-gram novelty: fraction of a doc's 8-token windows
+    // first seen in that doc (spanDedup's winner rule, scoring
+    // instead of removing). Injected +100000 exact copies score 0.0
+    // (every window first occurs in the original); tail variants
+    // score low-nonzero (only the tail's windows are novel)
+    q("q_span_novelty", "dedup",
+      s"""WITH $clustersCorpusSql,
+          toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM corpus WHERE text IS NOT NULL),
+          wins AS (SELECT doc_id, ww.pos AS pos, ww.g AS g FROM (
+                     SELECT doc_id,
+                            unnest([{'pos': i - 1,
+                                     'g': array_to_string(tk[i:i+7], ' ')}
+                              for i in generate_series(1,
+                                greatest(len(tk) - 7, 0))]) AS ww
+                     FROM toks) t),
+          f AS (SELECT doc_id, count(*) AS n_first FROM (
+                  SELECT doc_id, row_number() OVER (
+                           PARTITION BY g ORDER BY doc_id, pos) AS rn
+                  FROM wins) w WHERE rn = 1 GROUP BY doc_id),
+          tot AS (SELECT doc_id,
+                    CASE WHEN len(tk) >= 8
+                         THEN CAST(len(tk) - 7 AS BIGINT) END AS n_windows
+                  FROM toks)
+          SELECT t.doc_id, t.n_windows,
+                 CASE WHEN t.n_windows IS NOT NULL
+                      THEN COALESCE(f.n_first, 0) END AS n_first,
+                 CASE WHEN t.n_windows IS NOT NULL
+                      THEN CAST(COALESCE(f.n_first, 0) AS DOUBLE)
+                           / t.n_windows END AS novelty
+          FROM tot t LEFT JOIN f USING (doc_id)""") { (spark, dir) =>
+      Dedup.spanNovelty(clustersCorpus(spark, dir), "doc_id", "text", 8)
+    },
+
     // cross-source duplication matrix: near-dup pair volume per
     // unordered source pair, over the duplicate-injected corpus WITH
     // its source column carried through (copies keep their original

@@ -82,6 +82,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(11L, 12L))
   }
 
+  test("span novelty: copies score 0, novel text 1, splices the " +
+      "exact fraction, short docs NULL") {
+    import spark.implicits._
+    val a = (1 to 12).map(i => s"a$i").mkString(" ") // 12 tokens
+    val b = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, a),                                // fully novel → 1.0
+      (2L, a),                                // exact copy → 0.0
+      (3L, b + " " + a),                      // b-half novel, a-half not
+      (4L, "too short now")                   // 3 < w tokens → NULL
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanNovelty(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(1L) == ((Some(9L), Some(1.0))))
+    assert(got(2L) == ((Some(9L), Some(0.0))))
+    // doc 3: 21 windows; novel = b-internal (9) + the 3 bridge
+    // windows mixing b/a tokens; the 9 pure-a windows first occurred
+    // in doc 1 → 12/21
+    assert(got(3L) == ((Some(21L), Some(12.0 / 21.0))))
+    assert(got(4L) == ((None, None)))
+  }
+
   test("cross-source dup matrix counts unordered source pairs") {
     import spark.implicits._
     val t1 = "the quick brown fox jumps over the lazy dog tonight"
