@@ -282,7 +282,11 @@ object TextAnalysis {
     * its unsigned 32-bit words). */
   def dsirResample(train: DataFrame, target: DataFrame, idCol: String,
       textCol: String, thetaFp: Long, rampFp: Long): DataFrame = {
-    require(rampFp > 0, s"rampFp must be positive, got $rampFp")
+    require(rampFp > 0 && rampFp <= 100000000L,
+      s"rampFp must be in (0, 1e8] (the documented overflow bound " +
+        s"u*rampFp*n < 2^63), got $rampFp")
+    require(math.abs(thetaFp) <= 1000000000000L,
+      s"|thetaFp| must be <= 1e12 (overflow bound), got $thetaFp")
     val df = spread(train)
     val toks = tokens(col(textCol))
     val nTok = size(toks)
