@@ -753,6 +753,76 @@ object Similarity {
     }
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv 2303.09540, public): semantic
+    * deduplication — cluster the embedding space with a coarse
+    * quantizer, then within each cluster resolve every group of
+    * vectors with pairwise cosine ≥ `threshold` down to one survivor.
+    * Catches meaning-level duplicates (re-crawls, boilerplate
+    * rewrites, translations embedded near-identically) that lexical
+    * dedup (exact / MinHash / SimHash over tokens) cannot see.
+    *
+    * Spark shape, stage by stage:
+    *   1. coarse cells — [[ivfTopK]]'s deterministic quantizer
+    *      (centroids = every `centroidEvery`-th vector, nearest by
+    *      cosine, ties by centroid id). One broadcast-join map pass;
+    *      the per-vector argmin collapses through a partial-aggregated
+    *      `min(struct(-sim, c_id))` BEFORE the exchange, so only
+    *      |corpus| assignment rows shuffle, not |corpus|·#centroids.
+    *   2. within-cell pairs — self-join keyed on `c_id`, `a_id <
+    *      b_id`, exact cosine ≥ threshold. Candidate volume is
+    *      Σ|cell|²: bounded by the CELL-SIZE knob, so `#centroids
+    *      must track corpus size` (the same measured scale contract
+    *      as LSH plane count — SCALE.md). No all-pairs term anywhere.
+    *   3. [[Dedup.representatives]] — connected components over the
+    *      pair list (pairs-sized, tiny next to the corpus) and the
+    *      min-id survivor per semantic group, so chains a–b–c
+    *      collapse to ONE kept doc instead of over-deleting.
+    * Returns the surviving rows of `corpus` (all columns).
+    * Non-indexable vectors (null / wrong-dim / zero-norm / NaN) carry
+    * no usable direction; they bypass clustering and are KEPT — same
+    * junk sentinel stance as the whole ANN family ([[isIndexable]]).
+    *
+    * Both corpus-sized intermediates are localCheckpoint'd for the
+    * self-join / CC reuse and released eagerly ([[graft.core
+    * .Checkpoints]]); only the pairs frame outlives the call. */
+  def semDedup(corpus: DataFrame, threshold: Double,
+      centroidEvery: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val dim = vecDim(corpus, vecCol)
+    val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
+    val centroids = c
+      .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"))
+      .localCheckpoint()
+    val cells = c
+      .select(col(idCol).as("m_id"), col(vecCol).as("m_vec"),
+        norm(col(vecCol)).as("m_norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ns", lit(-1.0) * (dot(col("m_vec"), col("c_vec")) /
+        (col("m_norm") * col("c_norm"))))
+      .groupBy(col("m_id"))
+      // m_vec/m_norm are constant within the group (keyed by m_id);
+      // first() just carries them through the partial agg
+      .agg(first(col("m_vec")).as("m_vec"), first(col("m_norm")).as("m_norm"),
+        min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
+      .localCheckpoint()
+    val x = cells.select(col("c_id"), col("m_id").as("a_id"),
+      col("m_vec").as("va"), col("m_norm").as("na"))
+    val y = cells.select(col("c_id"), col("m_id").as("b_id"),
+      col("m_vec").as("vb"), col("m_norm").as("nb"))
+    val pairs = x.join(y, Seq("c_id")).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id")
+      .localCheckpoint()
+    graft.core.Checkpoints.release(cells)
+    graft.core.Checkpoints.release(centroids)
+    Dedup.representatives(corpus, pairs, idCol)
+  }
+
   /** Unit-normalize the vector column into `<vecCol>_unit`
     * (array<double>). The norm is projected ONCE per row before the
     * per-element division — inlining `norm()` inside the transform

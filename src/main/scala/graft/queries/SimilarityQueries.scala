@@ -406,6 +406,47 @@ object SimilarityQueries extends QueryGroup {
       .select("a_id", "b_id", "sim")
   }
 
+  /** q_semdedup oracle: the duplicate-injected corpus, ivf-style
+    * deterministic cells (q_knn_ivf's quantizer re-spelled), within-cell
+    * exact-cosine pairs ≥ 0.95, recursive-CTE connected components,
+    * min-id survivor — SemDeDup end to end in SQL. */
+  private val semDedupSql =
+    """WITH RECURSIVE corpus AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+         FROM embeddings WHERE vec_id % 10 = 0),
+       n AS (SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             FROM corpus),
+       cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+                FROM n WHERE vec_id % 50 = 0),
+       cells AS (
+         SELECT vec_id AS m_id, v, nrm, c_id FROM (
+           SELECT a.vec_id, a.v, a.nrm, cent.c_id,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               list_sum(list_transform(list_zip(a.v, cent.cv),
+                 x -> x[1] * x[2])) / (a.nrm * cent.cnrm) DESC,
+               cent.c_id) AS rnk
+           FROM n a CROSS JOIN cent) t
+         WHERE rnk = 1),
+       prs AS (
+         SELECT x.m_id AS a, y.m_id AS b
+         FROM cells x JOIN cells y
+           ON x.c_id = y.c_id AND x.m_id < y.m_id
+         WHERE list_sum(list_transform(list_zip(x.v, y.v),
+             p -> p[1] * p[2])) / (x.nrm * y.nrm) >= 0.95),
+       edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+       reach(id, r) AS (
+         SELECT a, a FROM edges
+         UNION
+         SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+       losers AS (SELECT id FROM (SELECT id, min(r) AS component
+                                  FROM reach GROUP BY id) c
+                  WHERE component <> id)
+       SELECT vec_id FROM corpus
+       WHERE vec_id NOT IN (SELECT id FROM losers)"""
+
   val queries: Seq[Q] = Seq(
     q("q_knn_bruteforce", "similarity",
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -463,6 +504,23 @@ object SimilarityQueries extends QueryGroup {
       graft.ops.Dedup.connectedComponents(
           exactNearDupPairs(spark, dir), "a_id", "b_id")
         .select(col("id").as("vec_id"), col("comp").as("component"))
+    },
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup = coarse cells +
+    // within-cell cosine pruning + CC survivors. Fully deterministic
+    // (fixed-slice centroids, total-order tie-breaks, exact cosine), so
+    // the WHOLE approximate operator differentials against DuckDB —
+    // same corpus as q_embed_neardup (injected identical vectors, which
+    // MUST land in the same cell: equal sims, equal tie-break).
+    // Production scale shape: Σ|cell|² candidate volume — #centroids
+    // tracks corpus size, the same knob contract as LSH planes.
+    q("q_semdedup", "similarity", semDedupSql) { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionAll(
+        emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.semDedup(corpus, 0.95).select("vec_id")
     },
 
     // the near-dup SCALE path: sign-LSH blocking + exact cosine verify.

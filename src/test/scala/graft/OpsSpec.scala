@@ -400,6 +400,44 @@ class SimilaritySpec extends AnyFunSuite {
       s"identical-vector pairs missed by LSH blocking: ${(exact -- lsh).take(5)}")
   }
 
+  test("semDedup: chains collapse to the min id, junk vectors are kept") {
+    import spark.implicits._
+    // a=(1,0,0), b=15° away, c=30° away: cos(a,b)=cos(b,c)=cos15°≈.966
+    // ≥ t=.94 but cos(a,c)=cos30°≈.866 < t — a–b–c is a CHAIN, and the
+    // whole component must resolve to ONE survivor (min id), not drop
+    // b and c independently. d is orthogonal (kept); e is zero-norm
+    // junk (bypasses clustering, kept).
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9659258f, 0.2588190f, 0.0f)),
+      (2L, Array(0.8660254f, 0.5f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // centroidEvery=100: the only centroid is id 0 → one cell, so the
+    // pair stage sees every indexable pair (the pure-CC semantics)
+    val kept = Similarity.semDedup(rows, 0.94, centroidEvery = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L), s"survivors $kept")
+  }
+
+  test("semDedup prunes exactly the injected duplicates on the corpus") {
+    val emb = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val injected = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(injected)
+    val kept = Similarity.semDedup(corpus, 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val injectedIds = injected.select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // every injected copy shares a cell with its identical original
+    // (equal sims, equal tie-break) and loses min-id resolution to it
+    assert((kept & injectedIds).isEmpty,
+      s"injected dups survived: ${(kept & injectedIds).take(5)}")
+    assert(kept.nonEmpty && kept.subsetOf(
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet))
+  }
+
   test("PQ/ADC + exact re-rank recall vs brute force is high") {
     val emb = Tables.df(spark, sf, "embeddings")
     val qs = emb.filter(col("vec_id") % 50 === 0)
