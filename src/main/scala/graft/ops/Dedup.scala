@@ -774,9 +774,54 @@ object Dedup {
     * even though killing b breaks the a—c link). */
   def representatives(df: DataFrame, pairs: DataFrame, idCol: String,
       aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
-    // connectedComponents casts ids to long; a non-numeric id would
-    // either ANSI-throw or (ANSI off) cast to null and silently skip
-    // all dedup — fail loudly instead
+    requireIntegralIds(df, pairs, idCol, aCol, bCol)
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Like [[representatives]], but keeps the highest-`priority` row per
+    * duplicate cluster (ties → lowest id) — the keep rule production
+    * pipelines actually want: among near-identical copies keep the
+    * longest / highest-quality one, not whichever carried the smaller
+    * id. `priority` is any numeric expression over `df`'s columns
+    * (e.g. `octet_length(col("text"))` or a quality score); it is
+    * compared in double, so priorities must be distinguishable within
+    * 53-bit precision (every realistic length/score is).
+    *
+    * Null-priority members never win their cluster; if EVERY member of
+    * a cluster has a null priority the keeper falls back to the min id
+    * (the CC label itself), so a cluster never silently keeps all its
+    * copies. Cost over [[representatives]]: one pairs-sized join of
+    * the CC labels against df's (id, priority) projection plus one
+    * partial-aggregated per-component argmax — the corpus is still
+    * touched only by the final left_anti. */
+  def representativesBy(df: DataFrame, pairs: DataFrame, idCol: String,
+      priority: Column, aCol: String = "a_id", bCol: String = "b_id")
+      : DataFrame = {
+    requireIntegralIds(df, pairs, idCol, aCol, bCol)
+    val pri = df.select(col(idCol).cast("long").as("id"),
+      priority.cast("double").as("__pri"))
+      .filter(col("__pri").isNotNull && !isnan(col("__pri")))
+    val labels = connectedComponents(pairs, aCol, bCol)
+    // argmax via the house min(struct(-priority, id)) idiom — partial-
+    // aggregated below its exchange, matches ORDER BY pri DESC, id ASC
+    val keep = labels.join(pri, "id")
+      .groupBy(col("comp"))
+      .agg(min(struct((col("__pri") * lit(-1.0)).as("np"), col("id")))
+        .getField("id").as("__keep"))
+    val losers = labels.join(keep, Seq("comp"), "left")
+      .filter(col("id") =!= coalesce(col("__keep"), col("comp")))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** connectedComponents casts ids to long; a non-numeric id would
+    * either ANSI-throw or (ANSI off) cast to null and silently skip
+    * all dedup — fail loudly instead. */
+  private def requireIntegralIds(df: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String, bCol: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
     Seq(pairs.schema(aCol), pairs.schema(bCol), df.schema(idCol))
       .foreach { f =>
@@ -784,10 +829,6 @@ object Dedup {
           .contains(f.dataType),
           s"representatives needs integral ids; ${f.name} is ${f.dataType}")
       }
-    val losers = connectedComponents(pairs, aCol, bCol)
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as("__loser"))
-    df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 }
 

@@ -398,5 +398,49 @@ object DedupQueries extends QueryGroup {
         "doc_id", "text", 3, 0.8)
       Dedup.connectedComponents(pairs, "a_id", "b_id")
         .select(col("id").as("doc_id"), col("comp").as("component"))
+    },
+
+    // quality-priority keep rule: same clusters as q_dedup_clusters,
+    // but the survivor is the LONGEST copy (octet_length, ties → min
+    // id) instead of the min id. On this fixture the rule is visibly
+    // different from representatives(): the +200000 near-copies carry
+    // 17 extra bytes (' graft tail token'), so THEY win their cluster
+    // and the shorter originals are dropped, while exact-copy clusters
+    // (+100000, equal lengths) still resolve to the min id by the tie.
+    q("q_dedup_keep_best", "dedup",
+      s"""WITH RECURSIVE $clustersCorpusSql,
+          sh AS (
+            SELECT doc_id,
+              list_distinct([array_to_string(toks[i:i+2], ' ')
+                for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shl
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+          inv AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+            HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*))
+                   >= 0.8),
+          edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+                    UNION SELECT b_id, a_id FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+          comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          keep AS (SELECT component, id AS keeper FROM (
+                     SELECT comp.id, comp.component, row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY strlen(c.text) DESC, comp.id) AS rn
+                     FROM comp JOIN corpus c ON c.doc_id = comp.id) t
+                   WHERE rn = 1),
+          losers AS (SELECT comp.id FROM comp JOIN keep USING (component)
+                     WHERE comp.id <> keep.keeper)
+          SELECT doc_id FROM corpus
+          WHERE doc_id NOT IN (SELECT id FROM losers)""") { (spark, dir) =>
+      val c = clustersCorpus(spark, dir)
+      val pairs = Dedup.ngramJaccardPairs(c, "doc_id", "text", 3, 0.8)
+      Dedup.representativesBy(c, pairs, "doc_id", octet_length(col("text")))
+        .select("doc_id")
     })
 }

@@ -155,6 +155,26 @@ class DedupSpec extends AnyFunSuite {
       6L -> (("", 6L))))
   }
 
+  test("representativesBy keeps the highest-priority copy, min id on " +
+      "ties, min-id fallback when no member has a priority") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 20.0), // chain {1,2,3} → keeper 2
+      (4L, 5.0), (5L, 5.0),               // tie {4,5} → min id 4
+      (6L, 1.0),                          // unpaired → kept
+      (7L, Double.NaN), (8L, Double.NaN)  // no usable priority → comp 7
+    ).toDF("id", "pri")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L))
+      .toDF("a_id", "b_id")
+    val kept = Dedup.representativesBy(docs, pairs, "id", col("pri"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L, 7L), s"survivors $kept")
+    // same clusters under the min-id rule differ exactly on cluster 1
+    val minId = Dedup.representatives(docs, pairs, "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L, 6L, 7L), s"min-id survivors $minId")
+  }
+
   test("rolling window hash equals the direct per-window fold") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.ops.{MinHashArray, RollingWindowHash}
