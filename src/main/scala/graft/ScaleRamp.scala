@@ -362,6 +362,27 @@ object ScaleRamp {
         spark.catalog.clearCache()
         r
       },
+      "sem_dedup_sqrt_cells" -> { k =>
+        // SemDeDup (round 11): coarse cells → within-cell cosine pairs
+        // → CC survivors. The brute-force centroid assignment is
+        // |corpus|·#cells work and the pair join Σ|cell|²: scaling
+        // centroidEvery with √k grows BOTH #cells and cell size as √k,
+        // balancing the two terms at the algorithm's n^1.5 — the
+        // documented operating contract for this formulation (at true
+        // 100 TB scale the assignment pass becomes hierarchical /
+        // ANN-assisted; the pair-join term is the one this row pins).
+        // Inject one identical copy per vec_id%10==0 row inside each
+        // stripe (the q_semdedup shape) so semantic-dup volume scales
+        // with k; the label-clustered embeddings make cell occupancy
+        // SKEWED — the realistic shape, same as the LSH rows.
+        val e = embAt(k)
+        val corpus = e.unionAll(e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")))
+        val every = 50 * math.sqrt(k.toDouble).round.toInt
+        timeIt(Similarity.semDedup(corpus, 0.95, centroidEvery = every)
+          .count())
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
@@ -409,6 +430,7 @@ object ScaleRamp {
           col("stop_ratio")),
       "doc_id", "toks", "stop_ratio", 10000L).count()
     Similarity.ivfPqEncodeBatch(emb0.limit(200), emb0.limit(500)).count()
+    Similarity.semDedup(emb0.limit(500), 0.95).count()
     spark.catalog.clearCache()
     ParseRunner.run(spark,
       ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),
