@@ -787,17 +787,32 @@ object Similarity {
     * .Checkpoints]]); only the pairs frame outlives the call. */
   def semDedup(corpus: DataFrame, threshold: Double,
       centroidEvery: Int = 50, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    Dedup.representatives(corpus,
+      semDedupPairs(corpus, threshold, centroidEvery, idCol, vecCol,
+        checkpoint = true),
+      idCol)
+
+  /** [[semDedup]]'s pair stage. With `checkpoint` (the production
+    * path) both corpus-sized intermediates are localCheckpoint'd for
+    * the self-join / CC reuse and released eagerly once the (small)
+    * pair list is materialized; without it the returned frame is one
+    * lazily-planned tree — ExplainSpec asserts its shape (map-side
+    * combined assignment, c_id equi-join, no cartesian). */
+  private[graft] def semDedupPairs(corpus: DataFrame, threshold: Double,
+      centroidEvery: Int, idCol: String, vecCol: String,
+      checkpoint: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val dim = vecDim(corpus, vecCol)
     val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
-    val centroids = c
+    val centroids0 = c
       .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         norm(col(vecCol)).as("c_norm"))
-      .localCheckpoint()
-    val cells = c
+    val centroids = if (checkpoint) centroids0.localCheckpoint()
+                    else centroids0
+    val cells0 = c
       .select(col(idCol).as("m_id"), col(vecCol).as("m_vec"),
         norm(col(vecCol)).as("m_norm"))
       .crossJoin(broadcast(centroids))
@@ -808,7 +823,7 @@ object Similarity {
       // first() just carries them through the partial agg
       .agg(first(col("m_vec")).as("m_vec"), first(col("m_norm")).as("m_norm"),
         min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
-      .localCheckpoint()
+    val cells = if (checkpoint) cells0.localCheckpoint() else cells0
     val x = cells.select(col("c_id"), col("m_id").as("a_id"),
       col("m_vec").as("va"), col("m_norm").as("na"))
     val y = cells.select(col("c_id"), col("m_id").as("b_id"),
@@ -817,10 +832,13 @@ object Similarity {
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id")
-      .localCheckpoint()
-    graft.core.Checkpoints.release(cells)
-    graft.core.Checkpoints.release(centroids)
-    Dedup.representatives(corpus, pairs, idCol)
+    if (!checkpoint) pairs
+    else {
+      val p = pairs.localCheckpoint()
+      graft.core.Checkpoints.release(cells)
+      graft.core.Checkpoints.release(centroids)
+      p
+    }
   }
 
   /** Unit-normalize the vector column into `<vecCol>_unit`

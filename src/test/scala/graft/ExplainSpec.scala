@@ -303,6 +303,38 @@ class ExplainSpec extends AnyFunSuite {
       s"encode distance lost the codegen'd dot product:\n$p")
   }
 
+  test("semDedup assigns cells with a map-side combine and joins pairs " +
+      "on the cell id — no cartesian anywhere") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val p = plan(graft.ops.Similarity.semDedupPairs(
+      emb, 0.95, 50, "vec_id", "embedding", checkpoint = false))
+    // the |corpus|·#centroids assignment intermediate must collapse
+    // through a partial min(struct(ns, c_id)) BEFORE its exchange —
+    // losing the combine shuffles #centroids× more rows at 100 TB
+    assert(p.contains("partial_min(struct(ns"),
+      s"cell assignment lost its map-side combine:\n$p")
+    // the pair stage must be an equi-join KEYED on the cell id (the
+    // Σ|cell|² bound); a cartesian/nested-loop means the key
+    // degenerated. At spec scale the cells side is broadcastable so
+    // Spark may rightly pick BroadcastHashJoin — accept any hash-join
+    // whose keys lead with c_id (at corpus scale AQE falls back to the
+    // shuffled form of the SAME equi-join).
+    assert(p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin [c_id") ||
+        l.contains("SortMergeJoin [c_id") ||
+        l.contains("ShuffledHashJoin [c_id") ||
+        l.contains("Exchange hashpartitioning(c_id"))),
+      s"no cell-id-keyed equi-join for the pair stage:\n$p")
+    // the only permitted non-equi joins are the broadcast-centroid
+    // assignment crosses (BroadcastNestedLoopJoin vs the small
+    // broadcast side — the ivfTopK stance); a CartesianProduct means
+    // two large sides met without a key
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product leaked into semDedup:\n$p")
+    assert(p.contains("dot_product_fold"),
+      s"pair cosine lost the codegen'd dot product:\n$p")
+  }
+
   test("unit dedup combines map-side and shuffles fingerprints, not text") {
     val docs = Tables.df(spark, sf, "documents")
     val p = plan(Dedup.unitDedup(docs, "doc_id", "text"))
