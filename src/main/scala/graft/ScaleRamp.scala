@@ -307,6 +307,22 @@ object ScaleRamp {
               concat(col("text"), lit(" graft tail token")).as("text")))
         timeIt(graft.queries.PackQueries.curateV3Frames(corp)._3.count())
       },
+      "curate_v4" -> { k =>
+        // v4 composition (round 11): span dedup → Jaccard clusters
+        // over the span-deduped text → keep-LONGEST resolution → pack,
+        // on the duplicate-injected replica corpus (same injection as
+        // curate_v3's row, so both span and jaccard stages carry
+        // k-scaled duplicate work; z{i} prefixes keep all of it
+        // copy-local). The boundary-discipline stress row for the new
+        // composition — sd is consumed three times downstream.
+        val d = docsAt(k)
+        val corp = d.unionAll(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+          .unionAll(d.filter(col("doc_id") % 10 === 5)
+            .select((col("doc_id") + 200000L).as("doc_id"),
+              concat(col("text"), lit(" graft tail token")).as("text")))
+        timeIt(graft.queries.PackQueries.curateV4Frames(corp)._3.count())
+      },
       "connected_components" -> { k =>
         // isolate CC from candidate generation: the edge list is
         // materialized before the clock starts
@@ -419,6 +435,7 @@ object ScaleRamp {
     Similarity.lshNearDup(emb0.limit(500), 0.99).count()
     Dedup.spanDedup(docs0.limit(200), "doc_id", "text", 8).count()
     graft.queries.PackQueries.curateV3Frames(docs0.limit(200))._3.count()
+    graft.queries.PackQueries.curateV4Frames(docs0.limit(200))._3.count()
     Similarity.ivfPqTopK(emb0.limit(500), emb0.limit(20), 5).count()
     graft.ops.Decontaminate.bloomFlag(docs0.limit(200),
       docs0.limit(50), "doc_id", "text", 4).count()

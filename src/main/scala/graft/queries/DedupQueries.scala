@@ -55,13 +55,15 @@ object DedupQueries extends QueryGroup {
     corpus(spark, dir)
       .filter(col("doc_id") % 100000 % 10 isin (0, 5))
 
-  /** Span-dedup oracle, w = 8. DuckDB list slices are 1-based inclusive
-    * both ends (tk[i:i+7] = 8 tokens, pos = i − 1); generate_series is
-    * inclusive like Spark's sequence. */
-  private val spanDedupSql: String = {
-    val w = 8
-    s"""WITH $clustersCorpusSql,
-        toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+  /** Span-dedup oracle CTE chain (after a `corpus` CTE), ending in
+    * `sd(doc_id, dtext, n_removed)` — shared verbatim by the
+    * standalone q_dedup_spans oracle and the curate-v4 composition
+    * (PackQueries) so the two formulations cannot drift. DuckDB list
+    * slices are 1-based inclusive both ends (tk[i:i+7] = 8 tokens,
+    * pos = i − 1); generate_series is inclusive like Spark's
+    * sequence. */
+  private[queries] def spanDedupCtes(w: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk
                  FROM corpus WHERE text IS NOT NULL),
         wins AS (SELECT doc_id, ww.pos AS pos, ww.g AS g FROM (
                    SELECT doc_id,
@@ -90,15 +92,19 @@ object DedupQueries extends QueryGroup {
                    WHERE r.doc_id = a.doc_id AND r.tpos = a.tpos)),
         reasm AS (SELECT doc_id,
                          array_to_string(list(tok ORDER BY tpos), ' ') AS dt
-                  FROM kept GROUP BY doc_id)
-        SELECT c.doc_id,
-               CASE WHEN rc.doc_id IS NULL THEN c.text
-                    ELSE coalesce(m.dt, '') END AS deduped_text,
-               coalesce(rc.n_removed, 0) AS n_removed
-        FROM corpus c
-        LEFT JOIN remcnt rc ON c.doc_id = rc.doc_id
-        LEFT JOIN reasm m ON c.doc_id = m.doc_id"""
-  }
+                  FROM kept GROUP BY doc_id),
+        sd AS (SELECT c.doc_id,
+                      CASE WHEN rc.doc_id IS NULL THEN c.text
+                           ELSE coalesce(m.dt, '') END AS dtext,
+                      coalesce(rc.n_removed, 0) AS n_removed
+               FROM corpus c
+               LEFT JOIN remcnt rc ON c.doc_id = rc.doc_id
+               LEFT JOIN reasm m ON c.doc_id = m.doc_id)"""
+
+  private val spanDedupSql: String =
+    s"""WITH $clustersCorpusSql,
+        ${spanDedupCtes(8)}
+        SELECT doc_id, dtext AS deduped_text, n_removed FROM sd"""
 
   private val exactDupPairsSql =
     s"""WITH $corpusSql

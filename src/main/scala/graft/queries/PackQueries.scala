@@ -19,6 +19,22 @@ object PackQueries extends QueryGroup {
   /** tokens per pack for the oracled query; ~37 packs at sf0.01 */
   private val Budget = 4096L
 
+  /** v4: near-dup clustering applies from this many tokens up; shorter
+    * span-dedup remnants go through EXACT dedup instead. Load-bearing
+    * at scale, not a tuning nicety: span dedup CONCENTRATES shared
+    * boilerplate into short residual docs (a doc reduced to its novel
+    * tail keeps the same few tokens every sibling kept), and for a doc
+    * shorter than the shingle prefix can discriminate, its "prefix" IS
+    * the shared boilerplate shingle — the frequent-shingle posting
+    * join the PPJoin rarest-first defense cannot prune. Measured: the
+    * un-gated composition built a 32 000-doc posting list for the
+    * shared 3-token tail at ramp 64× and died allocating a 5 GB
+    * aggregation page. Exact dedup (hash group on the full remnant)
+    * handles short docs with no posting list at all — the split real
+    * pipelines use. (Declared ABOVE `queries`: interpolated into the
+    * oracle SQL — a val below the `queries` init would read 0.) */
+  private[graft] val MinNearDupTokens = 8
+
   /** src0..src19 → cycling keep probabilities 0.25/0.5/0.75/1.0 */
   private[graft] val mixtureWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
@@ -351,7 +367,73 @@ object PackQueries extends QueryGroup {
                         ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) // $Budget AS BIGINT) AS pack_id
-          FROM dedup""") { (spark, dir) => curateV3(spark, dir)._3 })
+          FROM dedup""") { (spark, dir) => curateV3(spark, dir)._3 },
+
+    // Curation composition v4 over the round-11 operators: span dedup
+    // (remove every ≥8-token span already seen elsewhere, reassemble),
+    // drop empty remnants, then SPLIT — short remnants (<8 tokens)
+    // resolve by EXACT dedup (hash group, min id; no posting lists —
+    // span dedup concentrates shared boilerplate into short docs whose
+    // shingle prefix IS the boilerplate, the frequent-shingle blowup
+    // the PPJoin prefix cannot prune below its own window), long docs
+    // by n-gram Jaccard clusters resolved keep-LONGEST (ties → min id
+    // — representativesBy, not min-id) — then sequence packing on the
+    // deduped length. Runs on the duplicate-bearing slice (the jaccard
+    // join's cost is already benched standalone; q_dedup_clusters'
+    // stance). Every stage is engine-exact, so the whole composition
+    // oracles end to end; the span CTE chain is shared VERBATIM with
+    // q_dedup_spans (DedupQueries.spanDedupCtes), so the two cannot
+    // drift.
+    q("q_curate_corpus_v4", "llm-pack",
+      s"""WITH RECURSIVE ${DedupQueries.clustersCorpusSql},
+          ${DedupQueries.spanDedupCtes(8)},
+          ne AS (SELECT doc_id, dtext, string_split(dtext, ' ') AS tk2
+                 FROM sd WHERE dtext <> ''),
+          shrt AS (SELECT doc_id, dtext FROM ne
+                   WHERE len(tk2) < $MinNearDupTokens),
+          skeep AS (SELECT min(doc_id) AS doc_id FROM shrt GROUP BY dtext),
+          lng AS (SELECT doc_id, dtext, tk2 FROM ne
+                  WHERE len(tk2) >= $MinNearDupTokens),
+          sh AS (
+            SELECT doc_id,
+              list_distinct([array_to_string(tk2[i:i+2], ' ')
+                for i in generate_series(1, greatest(len(tk2)-2, 0))]) AS shl
+            FROM lng),
+          inv AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+          prs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+            HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*))
+                   >= 0.8),
+          edges AS (SELECT a_id AS a, b_id AS b FROM prs
+                    UNION SELECT b_id, a_id FROM prs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+          comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          keepr AS (SELECT component, id AS keeper FROM (
+                      SELECT comp.id, comp.component, row_number() OVER (
+                        PARTITION BY component
+                        ORDER BY strlen(s2.dtext) DESC, comp.id) AS rn
+                      FROM comp JOIN lng s2 ON s2.doc_id = comp.id) t
+                    WHERE rn = 1),
+          losers AS (SELECT comp.id FROM comp JOIN keepr USING (component)
+                     WHERE comp.id <> keepr.keeper),
+          surv AS (SELECT doc_id, length(dtext) AS tokens FROM shrt
+                   WHERE doc_id IN (SELECT doc_id FROM skeep)
+                   UNION ALL
+                   SELECT doc_id, length(dtext) AS tokens FROM lng
+                   WHERE doc_id NOT IN (SELECT id FROM losers))
+          SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+                 CAST(COALESCE(SUM(tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // $Budget AS BIGINT) AS pack_id
+          FROM surv""") { (spark, dir) =>
+      curateV4Frames(DedupQueries.clustersCorpus(spark, dir))._3
+    })
 
   /** The v3 composition with its stage frames exposed so the spec can
     * pin the boundary materialization (returns (lm, gated, result)).
@@ -424,6 +506,44 @@ object PackQueries extends QueryGroup {
     graft.core.Checkpoints.release(lm)
     graft.core.Checkpoints.release(gated)
     (lm, gated, packed)
+  }
+
+  /** Frame-based core of the v4 composition: span dedup → (short
+    * remnants: exact dedup | long docs: Jaccard clusters resolved by
+    * keep-LONGEST) → pack; returns (spanDeduped, pairs, packed).
+    * Empty remnants (docs wholly composed of already-seen spans) are
+    * dropped — the unitDedup vanishing-copy precedent. Same boundary
+    * discipline as [[curateV3Frames]]: the corpus-sized span-deduped
+    * frame is eagerly localCheckpoint'd — it is consumed four times
+    * (short/long splits, shingle pass, priority projection, keep
+    * joins) and each re-execution would re-run the whole span-dedup
+    * DAG — then RELEASED before returning (ngramJaccardPairs
+    * checkpoints its own pair list, representativesBy's CC labels are
+    * checkpointed internally, and sequencePack eagerly checkpoints its
+    * small text-free input, so by return time nothing references the
+    * blocks). The returned sd/pairs stay explainable, blocks freed. */
+  private[graft] def curateV4Frames(
+      corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val sd = Dedup.spanDedup(corpus, "doc_id", "text", 8)
+      .localCheckpoint()
+    val nTok = size(split(col("deduped_text"), " "))
+    val nonEmpty = sd.filter(col("deduped_text") =!= "")
+    val short = nonEmpty.filter(nTok < MinNearDupTokens)
+    val long = nonEmpty.filter(nTok >= MinNearDupTokens)
+    val shortKept = short.join(
+      Dedup.exact(short, col("doc_id"), col("deduped_text"))
+        .select(col("keep_id").as("doc_id")), "doc_id")
+    val pairs = Dedup.ngramJaccardPairs(
+      long.select(col("doc_id"), col("deduped_text").as("text")),
+      "doc_id", "text", 3, 0.8)
+    val longKept = Dedup.representativesBy(long, pairs, "doc_id",
+      octet_length(col("deduped_text")))
+    val kept = shortKept.unionByName(longKept)
+      .select(col("doc_id"),
+        length(col("deduped_text")).cast("long").as("tokens"))
+    val packed = Pack.sequencePack(kept, "doc_id", "tokens", Budget)
+    graft.core.Checkpoints.release(sd)
+    (sd, pairs, packed)
   }
 
   // lazy: referenced from `queries` (declared ABOVE) during object
