@@ -265,6 +265,26 @@ object Sampling {
     step(step(step(pmod(id.cast("long"), lit(Mod - 1)) + lit(1L))))
   }
 
+  /** Deterministic train/val/test split labels: permille thresholds
+    * over the 3-round Lehmer hash of the id — reproducible across
+    * engines, runs and cluster sizes (no RNG, no `randomSplit`, whose
+    * assignment depends on partitioning), and STABLE under corpus
+    * growth: a doc's split never changes when other docs arrive — the
+    * property eval hygiene needs (a doc must never migrate from val
+    * into train between corpus snapshots, or the eval set leaks).
+    * Map-only: one hash per row, no shuffle, no state. */
+  def assignSplit(df: DataFrame, idCol: String, valPermille: Int,
+      testPermille: Int): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"val+test permilles must fit in [0, 1000]: $valPermille + $testPermille")
+    val slot = pmod(hashU31(col(idCol)), lit(1000L))
+    df.withColumn("split",
+      when(slot < valPermille, lit("val"))
+        .when(slot < valPermille + testPermille, lit("test"))
+        .otherwise(lit("train")))
+  }
+
   /** @param weights source value → keep probability in [0,1]; sources
     *                absent from the map are dropped */
   def weightedBySource(df: DataFrame, idCol: String, sourceCol: String,

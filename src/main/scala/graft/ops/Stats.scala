@@ -79,6 +79,65 @@ object Stats {
       .select(col("p").cast("long").as("permille"), col("v_at"))
   }
 
+  /** Quantiles for CONTINUOUS (unbounded-cardinality) columns — the
+    * complement of [[exactQuantiles]]'s contract: instead of ASSUMING
+    * a bounded value domain, MANUFACTURE one by binning the observed
+    * value range into 2^bits equal-width bins, then run the same
+    * integer rank machinery over the ≤2^bits-row bin table. Returns,
+    * per permille, the bin BRACKET [q_lo, q_hi) containing the type-1
+    * quantile — guaranteed error ≤ (max−min)/2^bits, fully
+    * deterministic and cross-engine exact (floor over IEEE doubles
+    * with a fixed operation order; no engine-specific sketch, unlike
+    * `approx_percentile`).
+    *
+    * Scale shape: two corpus passes (a min/max/count aggregate and a
+    * partial-agg'd bin groupBy whose shuffle carries ≤2^bits rows per
+    * map partition), then a window over ≤2^bits rows — the bounded
+    * cardinality exactQuantiles must assume is manufactured BY
+    * CONSTRUCTION here, so no runtime guard is needed. Null and NaN
+    * values are excluded (no order position). Degenerate range
+    * (max == min) puts everything in bin 0 with a zero-width bracket. */
+  def binnedQuantiles(df: DataFrame, value: Column, permilles: Seq[Int],
+      bits: Int = 10): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be within [1, 1000]: $permilles")
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val nb = 1L << bits
+    import df.sparkSession.implicits._
+    val v = df.select(value.cast("double").as("x"))
+      .filter(col("x").isNotNull && !isnan(col("x")))
+    val mm = v.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+    // bin(x) = least(floor((x−mn)/(mx−mn)·2^bits), 2^bits−1); the max
+    // value hits exactly 2^bits and clamps into the top bin. The
+    // arithmetic order (subtract, divide, multiply, floor) is the
+    // oracle's spelling verbatim — IEEE doubles make it bit-exact.
+    val binned = v.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+              * lit(nb.toDouble)).cast("long"),
+            lit(nb - 1))))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val cum = binned.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranks = permilles.distinct.toDF("p")
+      .crossJoin(broadcast(mm))
+      .withColumn("r", expr("(p * n + 999) div 1000"))
+      .select(col("p"), col("r"), col("mn"), col("mx"))
+    cum.crossJoin(broadcast(ranks))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("p"), col("mn"), col("mx"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("p").cast("long").as("permille"), col("bin"),
+        (col("mn") + col("bin").cast("double") * (col("mx") - col("mn"))
+          / lit(nb.toDouble)).as("q_lo"),
+        (col("mn") + (col("bin") + lit(1L)).cast("double")
+          * (col("mx") - col("mn")) / lit(nb.toDouble)).as("q_hi"))
+  }
+
   /** Per-group exact quantiles — [[exactQuantiles]] partitioned by a
     * group column (the per-source / per-language length profile).
     * Identical rank arithmetic per group; the cumulative window runs

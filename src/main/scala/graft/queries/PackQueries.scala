@@ -111,6 +111,26 @@ object PackQueries extends QueryGroup {
           Sampling.hashU31(col("doc_id")).as("u"))
     },
 
+    // deterministic train/val/test split: permille thresholds on the
+    // Lehmer id hash — a doc's split NEVER changes as the corpus grows
+    // (eval hygiene: no val→train migration between snapshots), and
+    // the assignment reproduces in any engine (no randomSplit, whose
+    // result depends on partitioning)
+    q("q_split_assign", "llm-pack",
+      """SELECT doc_id,
+           CASE WHEN u % 1000 < 100 THEN 'val'
+                WHEN u % 1000 < 200 THEN 'test'
+                ELSE 'train' END AS split
+         FROM (SELECT doc_id,
+                 ((((((doc_id % 2147483646 + 1) * 48271) % 2147483647)
+                    * 48271) % 2147483647) * 48271) % 2147483647 AS u
+               FROM documents) t""") { (spark, dir) =>
+      import org.apache.spark.sql.functions.col
+      Sampling.assignSplit(Tables.df(spark, dir, "documents"),
+          "doc_id", valPermille = 100, testPermille = 100)
+        .select(col("doc_id"), col("split"))
+    },
+
     // exact-k strata by deterministic hash order (5 per source)
     q("q_sample_stratified", "llm-pack",
       """WITH h AS (

@@ -378,6 +378,48 @@ object TextQueries extends QueryGroup {
          GROUP BY 1""") { (spark, dir) =>
       graft.ops.Stats.exactQuantiles(Tables.df(spark, dir, "documents"),
         length(col("text")), Seq(100, 250, 500, 750, 900, 990, 1000))
+    },
+
+    // binned quantiles for a CONTINUOUS column (dup_token_frac — the
+    // q_text_repetition formulation verbatim): exactQuantiles would
+    // reject its per-doc cardinality, so the range is binned into 2^10
+    // equal-width bins (one min/max pass, floor over IEEE doubles with
+    // a pinned operation order) and the same integer rank machinery
+    // runs over the ≤1024-row bin table. The bracket bounds are
+    // double arithmetic in the identical spelling on both engines.
+    q("q_quantiles_binned", "text",
+      """WITH vals AS (
+           SELECT CASE WHEN len(toks) < 1 THEN 0.0
+                       ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / len(toks) END AS x
+           FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+         clean AS (SELECT x FROM vals
+                   WHERE x IS NOT NULL AND NOT isnan(x)),
+         mm AS (SELECT min(x) AS mn, max(x) AS mx, count(*) AS n
+                FROM clean),
+         binned AS (
+           SELECT CASE WHEN mx = mn THEN 0
+                       ELSE least(CAST(floor((x - mn) / (mx - mn)
+                              * 1024.0) AS BIGINT), 1023) END AS bin,
+                  count(*) AS c
+           FROM clean CROSS JOIN mm GROUP BY 1),
+         cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum
+                 FROM binned),
+         ranks AS (SELECT p, (p * n + 999) // 1000 AS r, mn, mx
+                   FROM (VALUES (100), (250), (500), (750), (900),
+                                (990)) t(p)
+                   CROSS JOIN mm),
+         sel AS (SELECT p, mn, mx, MIN(bin) AS bin
+                 FROM ranks JOIN cum ON cum.cum >= ranks.r
+                 GROUP BY p, mn, mx)
+         SELECT CAST(p AS BIGINT) AS permille, bin,
+                mn + CAST(bin AS DOUBLE) * (mx - mn) / 1024.0 AS q_lo,
+                mn + CAST(bin + 1 AS DOUBLE) * (mx - mn) / 1024.0 AS q_hi
+         FROM sel""") { (spark, dir) =>
+      graft.ops.Stats.binnedQuantiles(
+        TextAnalysis.repetitionFeatures(
+          Tables.df(spark, dir, "documents"), col("text")),
+        col("dup_token_frac"), Seq(100, 250, 500, 750, 900, 990))
     })
 
   /** DuckDB replay of the DSIR pipeline: both bigram LMs in the

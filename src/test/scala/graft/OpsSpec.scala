@@ -1334,6 +1334,52 @@ class StatsSpec extends AnyFunSuite {
     assert(ok.toMap == Map(500L -> 50L))
   }
 
+  test("binned quantiles bracket the exact quantile; degenerate range " +
+      "collapses to a zero-width bin") {
+    // 1000 distinct continuous values — exactQuantiles territory
+    // violation by construction, binnedQuantiles' whole purpose
+    val xs = (0 until 1000).map(i => 1.0 + i * 0.003)
+    val df = xs.toDF("x")
+    val got = graft.ops.Stats.binnedQuantiles(df, col("x"),
+        Seq(500, 990), bits = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sorted = xs.sorted
+    for ((p, (bin, lo, hi)) <- got) {
+      val exact = sorted((p.toInt * 1000 + 999) / 1000 - 1)
+      assert(bin >= 0 && bin < 16, s"bin $bin out of range")
+      assert(lo <= exact && exact <= hi,
+        s"p=$p: exact $exact outside bracket [$lo, $hi]")
+      // bracket width is the guaranteed error bound (max-min)/2^bits
+      assert(hi - lo <= (sorted.last - sorted.head) / 16 + 1e-12)
+    }
+    // all-equal column: everything lands in bin 0, zero-width bracket
+    val one = Seq.fill(10)(7.5).toDF("x")
+    val deg = graft.ops.Stats.binnedQuantiles(one, col("x"), Seq(500))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(deg.forall { case (b, lo, hi) => b == 0L && lo == 7.5 && hi == 7.5 })
+  }
+
+  test("assignSplit labels are a pure function of the id (no val→train " +
+      "migration as the corpus grows)") {
+    import graft.ops.Sampling
+    val docs = Tables.df(spark, sf, "documents")
+    val full = Sampling.assignSplit(docs, "doc_id", 100, 100)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(full.values.count(_ == "train") > full.size / 2,
+      "train must be the bulk at 100/100 permille")
+    // growth stability: assigning on a half-corpus snapshot must agree
+    // with the full corpus on every shared doc
+    val half = Sampling.assignSplit(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", 100, 100)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => full(id) == s },
+      "split labels changed between corpus snapshots")
+  }
+
   test("grouped quantiles: independent ranks per group") {
     // g1 = [1,2,3,4]: p500 → rank 2 → 2, p1000 → 4; g2 = [10,10]:
     // both permilles land on 10
