@@ -265,6 +265,47 @@ object Sampling {
     step(step(step(pmod(id.cast("long"), lit(Mod - 1)) + lit(1L))))
   }
 
+  /** Temperature-flattened source mixing (the public XLM-R/mT5
+    * multinomial recipe): resample so corpus shares follow
+    * q_s ∝ (n_s/N)^α — α < 1 flattens the source distribution,
+    * boosting low-resource sources relative to dominant ones.
+    *
+    * Cross-engine exactness drives two design choices:
+    *  - α = 1/2^halvings, computed by REPEATED sqrt: IEEE-754 requires
+    *    sqrt to be correctly rounded (pow is not), so both engines
+    *    produce bit-identical weights. halvings 1..6 covers the
+    *    practical α range [1/64, 1/2] (mT5 uses α≈0.3; 0.25 = 2
+    *    halvings is the nearest exact rung).
+    *  - no floating-point SUM anywhere: the usual Σw_s normalization
+    *    cancels out of the acceptance rate, which only needs
+    *    rate_s = w_s/n_s scaled by max_t(rate_t) — and max over
+    *    doubles is order-free where a double sum is not.
+    * Acceptance: keep doc iff hashU31(id) < floor(rate_s/max·(2³¹−1)).
+    * The most-boosted (smallest) source keeps everything; downsampling
+    * only — compose with [[epochRepeat]] when a source must repeat.
+    * Scale: one partial-agg'd source count, a ~|sources|-row broadcast
+    * threshold table, one map-side hash filter — no corpus shuffle. */
+  def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
+      halvings: Int): DataFrame = {
+    require(halvings >= 1 && halvings <= 6,
+      s"halvings must be in [1, 6] (alpha = 1/2^h), got $halvings")
+    val c = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__ns"))
+    val tot = c.agg(sum(col("__ns")).as("__n")) // integer sum — exact
+    val w = (0 until halvings).foldLeft(
+      col("__ns").cast("double") / col("__n").cast("double"))((e, _) => sqrt(e))
+    val rates = c.crossJoin(broadcast(tot))
+      .withColumn("__rate", w / col("__ns").cast("double"))
+    val mx = rates.agg(max(col("__rate")).as("__m"))
+    val thr = rates.crossJoin(broadcast(mx))
+      .select(col("__src"),
+        floor(col("__rate") / col("__m") * lit(2147483647.0))
+          .cast("long").as("__thr"))
+    df.join(broadcast(thr), col(sourceCol) === col("__src"))
+      .filter(hashU31(col(idCol)) < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
   /** Deterministic train/val/test split labels: permille thresholds
     * over the 3-round Lehmer hash of the id — reproducible across
     * engines, runs and cluster sizes (no RNG, no `randomSplit`, whose

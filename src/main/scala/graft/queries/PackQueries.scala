@@ -111,6 +111,47 @@ object PackQueries extends QueryGroup {
           Sampling.hashU31(col("doc_id")).as("u"))
     },
 
+    // temperature-flattened source mixing, α = 1/4 (2 sqrt halvings —
+    // IEEE sqrt is correctly rounded, so the weights are bit-identical
+    // cross-engine where pow would not be); the Σw normalization
+    // cancels out of the acceptance rate, so the only float reduction
+    // is an order-free MAX. Output = the resampled (doc_id, source)
+    // rows, decided per-row by the Lehmer hash against the derived
+    // threshold.
+    q("q_sample_temperature", "llm-pack",
+      """WITH skew AS (
+           SELECT doc_id, source FROM documents
+           WHERE doc_id % 23 < CAST(substr(source, 4) AS INT) + 1),
+         c AS (SELECT source, count(*) AS ns FROM skew GROUP BY source),
+         tot AS (SELECT SUM(ns) AS n FROM c),
+         r AS (SELECT source,
+                 sqrt(sqrt(CAST(ns AS DOUBLE) / n)) / CAST(ns AS DOUBLE)
+                   AS rate
+               FROM c CROSS JOIN tot),
+         mx AS (SELECT MAX(rate) AS m FROM r),
+         thr AS (SELECT source,
+                   CAST(floor(rate / m * 2147483647.0) AS BIGINT) AS t
+                 FROM r CROSS JOIN mx)
+         SELECT d.doc_id, d.source
+         FROM (SELECT doc_id, source,
+                 ((((((doc_id % 2147483646 + 1) * 48271) % 2147483647)
+                    * 48271) % 2147483647) * 48271) % 2147483647 AS u
+               FROM skew) d
+         JOIN thr ON d.source = thr.source
+         WHERE d.u < thr.t""") { (spark, dir) =>
+      import org.apache.spark.sql.functions.col
+      // the sf sources are uniform AND source = src(doc_id%20), so the
+      // skew modulus must be COPRIME with the assignment: srcK keeps
+      // ~(K+1)/23 of its docs, sizes range ~1:20 and the α=1/4
+      // flattening has real work (small sources keep all, the largest
+      // is downsampled hardest)
+      val skew = Tables.df(spark, dir, "documents")
+        .filter(col("doc_id") % 23 <
+          substring(col("source"), 4, 10).cast("int") + 1)
+      Sampling.temperatureMixture(skew, "doc_id", "source", halvings = 2)
+        .select(col("doc_id"), col("source"))
+    },
+
     // deterministic train/val/test split: permille thresholds on the
     // Lehmer id hash — a doc's split NEVER changes as the corpus grows
     // (eval hygiene: no val→train migration between snapshots), and

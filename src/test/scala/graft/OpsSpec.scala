@@ -1360,6 +1360,29 @@ class StatsSpec extends AnyFunSuite {
     assert(deg.forall { case (b, lo, hi) => b == 0L && lo == 7.5 && hi == 7.5 })
   }
 
+  test("temperatureMixture flattens a skewed source distribution " +
+      "deterministically; the smallest source keeps everything") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // A: 4 docs, B: 64 docs; α = 1/2 → rate_A/rate_B = sqrt(4/64)·16 =
+    // 4, so A (smallest) normalizes to acceptance 1.0 and B to 0.25
+    val docs = ((1L to 4L).map(i => (i, "A")) ++
+      (101L to 164L).map(i => (i, "B"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureMixture(docs, "doc_id", "source", 1)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("A", 0) == 4, s"smallest source not fully kept: $bySrc")
+    val b = bySrc.getOrElse("B", 0)
+    // acceptance 0.25 over 64 deterministic hash draws: loose bounds
+    assert(b > 4 && b < 40, s"B kept $b of 64 at acceptance 0.25")
+    // pure function: a second run reproduces the exact row set
+    val again = Sampling.temperatureMixture(docs, "doc_id", "source", 1)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+  }
+
   test("assignSplit labels are a pure function of the id (no val→train " +
       "migration as the corpus grows)") {
     import graft.ops.Sampling
