@@ -289,8 +289,12 @@ object Sampling {
       halvings: Int): DataFrame = {
     require(halvings >= 1 && halvings <= 6,
       s"halvings must be in [1, 6] (alpha = 1/2^h), got $halvings")
+    // ONE corpus pass for the counts: the ~|sources|-row result is
+    // checkpointed, so the four consumers below (tot, rates via mx and
+    // thr) derive from it instead of re-scanning the corpus each
     val c = df.groupBy(col(sourceCol).as("__src"))
       .agg(count(lit(1)).as("__ns"))
+      .localCheckpoint()
     val tot = c.agg(sum(col("__ns")).as("__n")) // integer sum — exact
     val w = (0 until halvings).foldLeft(
       col("__ns").cast("double") / col("__n").cast("double"))((e, _) => sqrt(e))

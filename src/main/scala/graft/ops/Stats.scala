@@ -138,6 +138,53 @@ object Stats {
           * (col("mx") - col("mn")) / lit(nb.toDouble)).as("q_hi"))
   }
 
+  /** Per-group binned quantiles — [[binnedQuantiles]] with an
+    * independent bin RANGE per group (each group's min/max defines its
+    * own 2^bits grid, so a group with a narrow value range gets the
+    * full resolution instead of inheriting the global spread). Null
+    * group keys are a real slice and keep their profile row
+    * (null-safe joins, the [[exactQuantilesBy]] stance). Scale: every
+    * stage is shuffle-bounded by groups (the min/max aggregate and the
+    * (group, bin) counts both partial-aggregate map-side; the
+    * cumulative window partitions per group over ≤2^bits rows). */
+  def binnedQuantilesBy(df: DataFrame, grpCol: String, value: Column,
+      permilles: Seq[Int], bits: Int = 10): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be within [1, 1000]: $permilles")
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val nb = 1L << bits
+    import df.sparkSession.implicits._
+    val v = df.select(col(grpCol).as("g"), value.cast("double").as("x"))
+      .filter(col("x").isNotNull && !isnan(col("x")))
+    val mm = v.groupBy(col("g").as("mg"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"))
+    val binned = v.join(mm, col("g") <=> col("mg"))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+              * lit(nb.toDouble)).cast("long"),
+            lit(nb - 1))))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
+    val cum = binned.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranks = mm.crossJoin(broadcast(permilles.distinct.toDF("p")))
+      .withColumn("r", expr("(p * n + 999) div 1000"))
+      .select(col("mg"), col("p"), col("r"), col("mn"), col("mx"))
+    cum.join(ranks, col("g") <=> col("mg"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("g"), col("p"), col("mn"), col("mx"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("g").as(grpCol), col("p").cast("long").as("permille"),
+        col("bin"),
+        (col("mn") + col("bin").cast("double") * (col("mx") - col("mn"))
+          / lit(nb.toDouble)).as("q_lo"),
+        (col("mn") + (col("bin") + lit(1L)).cast("double")
+          * (col("mx") - col("mn")) / lit(nb.toDouble)).as("q_hi"))
+  }
+
   /** Per-group exact quantiles — [[exactQuantiles]] partitioned by a
     * group column (the per-source / per-language length profile).
     * Identical rank arithmetic per group; the cumulative window runs

@@ -420,6 +420,50 @@ object TextQueries extends QueryGroup {
         TextAnalysis.repetitionFeatures(
           Tables.df(spark, dir, "documents"), col("text")),
         col("dup_token_frac"), Seq(100, 250, 500, 750, 900, 990))
+    },
+
+    // per-language binned profile of the same continuous column — each
+    // lang gets its OWN 2^10 grid from its own min/max (narrow-range
+    // groups keep full resolution); null-safe group handling is
+    // inherited from the exact grouped variant
+    q("q_lang_quantiles_binned", "text",
+      """WITH vals AS (
+           SELECT lang AS g,
+             CASE WHEN len(toks) < 1 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / len(toks) END AS x
+           FROM (SELECT lang, string_split(text, ' ') AS toks
+                 FROM documents)),
+         clean AS (SELECT g, x FROM vals
+                   WHERE x IS NOT NULL AND NOT isnan(x)),
+         mm AS (SELECT g, min(x) AS mn, max(x) AS mx, count(*) AS n
+                FROM clean GROUP BY g),
+         binned AS (
+           SELECT c.g,
+                  CASE WHEN mx = mn THEN 0
+                       ELSE least(CAST(floor((x - mn) / (mx - mn)
+                              * 1024.0) AS BIGINT), 1023) END AS bin,
+                  count(*) AS c
+           FROM clean c JOIN mm ON c.g IS NOT DISTINCT FROM mm.g
+           GROUP BY 1, 2),
+         cum AS (SELECT g, bin,
+                        SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum
+                 FROM binned),
+         ranks AS (SELECT g, p, (p * n + 999) // 1000 AS r, mn, mx
+                   FROM mm CROSS JOIN (VALUES (500), (900)) t(p)),
+         sel AS (SELECT cum.g, p, mn, mx, MIN(bin) AS bin
+                 FROM ranks JOIN cum
+                   ON cum.g IS NOT DISTINCT FROM ranks.g
+                  AND cum.cum >= ranks.r
+                 GROUP BY 1, 2, 3, 4)
+         SELECT g AS lang, CAST(p AS BIGINT) AS permille, bin,
+                mn + CAST(bin AS DOUBLE) * (mx - mn) / 1024.0 AS q_lo,
+                mn + CAST(bin + 1 AS DOUBLE) * (mx - mn) / 1024.0 AS q_hi
+         FROM sel""") { (spark, dir) =>
+      val feats = TextAnalysis.repetitionFeatures(
+        Tables.df(spark, dir, "documents"), col("text"))
+      graft.ops.Stats.binnedQuantilesBy(feats, "lang",
+        col("dup_token_frac"), Seq(500, 900))
     })
 
   /** DuckDB replay of the DSIR pipeline: both bigram LMs in the

@@ -335,6 +335,23 @@ class ExplainSpec extends AnyFunSuite {
       s"pair cosine lost the codegen'd dot product:\n$p")
   }
 
+  test("temperatureMixture broadcasts the threshold table; every " +
+      "exchange belongs to the tiny per-source side") {
+    val docs = Tables.df(spark, sf, "documents")
+    val p = plan(graft.ops.Sampling.temperatureMixture(
+      docs, "doc_id", "source", 2))
+    // the corpus keeps docs via a broadcast join against the
+    // ~|sources|-row threshold table — map-only on the corpus side
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast:\n$p")
+    // a broadcast join needs no probe-side exchange by construction;
+    // the only way the corpus could shuffle here is a shuffled join
+    // form (the threshold subtree's tiny count-agg exchanges remain,
+    // keyed on the pre-alias source column)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffled join leaked into temperatureMixture:\n$p")
+  }
+
   test("unit dedup combines map-side and shuffles fingerprints, not text") {
     val docs = Tables.df(spark, sf, "documents")
     val p = plan(Dedup.unitDedup(docs, "doc_id", "text"))

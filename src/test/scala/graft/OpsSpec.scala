@@ -1360,6 +1360,29 @@ class StatsSpec extends AnyFunSuite {
     assert(deg.forall { case (b, lo, hi) => b == 0L && lo == 7.5 && hi == 7.5 })
   }
 
+  test("grouped binned quantiles: independent grids per group, null " +
+      "group keeps its profile row") {
+    val rows: Seq[(String, Double)] =
+      (0 until 100).map(i => ("a", i.toDouble)) ++
+        (0 until 5).map(i => ("b", 1000.0 + i)) :+
+        (null.asInstanceOf[String], 5.0)
+    val df = rows.toDF("g", "x")
+    val got = graft.ops.Stats.binnedQuantilesBy(df, "g", col("x"), Seq(500))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(Some("a"), Some("b"), None),
+      s"groups ${got.keySet}")
+    // group b's OWN narrow grid: p500 rank 3 → exact 1002, bracket
+    // width (1004-1000)/1024 — far finer than a's 0..99 range allows
+    val (_, bLo, bHi) = got(Some("b"))
+    assert(bLo <= 1002.0 && 1002.0 <= bHi && bHi - bLo < 0.005,
+      s"b bracket [$bLo, $bHi]")
+    val (_, aLo, aHi) = got(Some("a"))
+    assert(aLo <= 49.0 && 49.0 <= aHi, s"a bracket [$aLo, $aHi]")
+    // a single-value null group degenerates to its zero-width bracket
+    assert(got(None)._2 == 5.0 && got(None)._3 == 5.0)
+  }
+
   test("temperatureMixture flattens a skewed source distribution " +
       "deterministically; the smallest source keeps everything") {
     import graft.ops.Sampling
