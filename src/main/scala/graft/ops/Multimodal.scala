@@ -118,6 +118,92 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic uncompressed 24-bit BMP with equal BGR channels
+    * (grayscale payload) — the media fixture for the REAL image-hash
+    * decode path: every JDK's ImageIO reads BMP with no external
+    * codecs, so unlike video this path needs no stub. `gray(j)` is the
+    * row-major 8-bit value of pixel j. Rows are stored bottom-up per
+    * the BMP spec; the writer reverses so DECODED (x, y) returns
+    * gray(y·w + x). */
+  def bmpPayload(gray: Int => Int, w: Int, h: Int): Array[Byte] = {
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var row = h - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val g = (gray(row * w + x) & 0xff).toByte
+        b.put(g).put(g).put(g)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { b.put(0.toByte); p += 1 }
+      row -= 1
+    }
+    b.array()
+  }
+
+  /** 64-bit average hash (aHash — the public perceptual-hash family's
+    * baseline member): REAL ImageIO decode, block-mean downsample to
+    * 8×8 in pure integer arithmetic, threshold at the integer mean of
+    * the 64 cell means; bit j (row-major) is set iff cell j EXCEEDS
+    * the mean. Returned as two 32-bit halves carried in Longs so a SQL
+    * oracle rebuilds the value without signed-64-bit overflow (bit 63
+    * would need 2⁶³, which BIGINT cannot hold). Near-identical images
+    * land within a small Hamming distance; unrelated images differ in
+    * ~32 bits — the dedup-blocking contract SimHash already
+    * establishes for text, extended to pixels. None = undecodable. */
+  def imageAHash(payload: Array[Byte]): Option[(Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val cx = x * 8 / w
+            sums(cy * 8 + cx) += (img.getRGB(x, y) & 0xff).toLong
+            cnts(cy * 8 + cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val cell = Array.tabulate(64)(j =>
+          if (cnts(j) == 0) 0L else sums(j) / cnts(j))
+        val mean = cell.sum / 64
+        var hi = 0L
+        var lo = 0L
+        var j = 0
+        while (j < 64) {
+          if (cell(j) > mean) {
+            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+          }
+          j += 1
+        }
+        Some((hi, lo))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Hamming distance between two (hi, lo) aHash halves. */
+  def aHashHamming(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) +
+      java.lang.Long.bitCount(a._2 ^ b._2)
+
   /** Build a media table from documents (payload = utf-8 bytes) — the
     * fixture path; a real pipeline reads payloads from object storage. */
   def fromDocuments(docs: DataFrame)(implicit spark: SparkSession)

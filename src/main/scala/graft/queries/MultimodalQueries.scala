@@ -65,6 +65,42 @@ object MultimodalQueries extends QueryGroup {
           "channels", "n_frames")
     },
 
+    // REAL image decode + perceptual hash: payloads are 8×8 grayscale
+    // BMPs whose pixel values derive from doc_id by integer formula;
+    // the Spark side decodes the actual bytes via ImageIO and computes
+    // the 64-bit average hash, the oracle recomputes the SAME hash
+    // from the generating formula in pure integer SQL — a wrong BMP
+    // write, a wrong decode, or a wrong threshold cannot hash-match.
+    // The hash is emitted as two 32-bit halves (bit 63 would overflow
+    // a signed BIGINT in the oracle's 1<<j arithmetic).
+    q("q_image_ahash", "multimodal",
+      """WITH px AS (
+           SELECT doc_id, j,
+             ((doc_id * 64 + j) * 48271) % 2147483647 % 256 AS g
+           FROM documents, generate_series(0, 63) t(j)),
+         m AS (SELECT doc_id, SUM(g) // 64 AS mean
+               FROM px GROUP BY doc_id),
+         bits AS (
+           SELECT px.doc_id,
+             SUM(CASE WHEN j >= 32 AND g > mean
+                      THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END) AS hi,
+             SUM(CASE WHEN j < 32 AND g > mean
+                      THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS lo
+           FROM px JOIN m USING (doc_id) GROUP BY 1)
+         SELECT doc_id AS media_id, CAST(hi AS BIGINT) AS ahash_hi,
+                CAST(lo AS BIGINT) AS ahash_lo
+         FROM bits""") { (spark, dir) =>
+      import spark.implicits._
+      val ids = Tables.df(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val payload = Multimodal.bmpPayload(
+          j => (((id * 64 + j) * 48271L) % 2147483647L % 256L).toInt, 8, 8)
+        val (hi, lo) = Multimodal.imageAHash(payload).get
+        (id, hi, lo)
+      }.toDF("media_id", "ahash_hi", "ahash_lo")
+    },
+
     q("q_binary_prefix", "multimodal",
       """SELECT doc_id,
            lower(substr(hex(encode(text)), 1, 16)) AS prefix8,

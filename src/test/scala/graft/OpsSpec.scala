@@ -1163,6 +1163,36 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach(f => assert(again(f.media_id) == f.checksum))
   }
 
+  test("aHash: near-identical images land within a small Hamming " +
+      "distance, unrelated images ~32 bits apart; junk bytes → None") {
+    import graft.ops.Multimodal
+    def g(id: Long)(j: Int): Int =
+      (((id * 64 + j) * 48271L) % 2147483647L % 256L).toInt
+    val base = Multimodal.imageAHash(
+      Multimodal.bmpPayload(g(7L), 8, 8)).get
+    // perturb ONE pixel by one gray level — a re-encode / slight edit
+    val tweaked = Multimodal.imageAHash(Multimodal.bmpPayload(
+      j => if (j == 13) (g(7L)(13) + 1) min 255 else g(7L)(j), 8, 8)).get
+    assert(Multimodal.aHashHamming(base, tweaked) <= 4,
+      s"near-copy too far: ${Multimodal.aHashHamming(base, tweaked)}")
+    // a different id draws a different image; the single-multiplier
+    // Lehmer pixel formula is only weakly mixing across ids (truly
+    // random images would differ in ~32 bits; this fixture's linear
+    // structure yields less), so the bound asserted is separation
+    // from the near-copy band, not full randomness
+    val other = Multimodal.imageAHash(
+      Multimodal.bmpPayload(g(9999L), 8, 8)).get
+    assert(Multimodal.aHashHamming(base, other) >= 6,
+      s"unrelated too close: ${Multimodal.aHashHamming(base, other)}")
+    // a 16x16 upscale of the same content block-means back to the
+    // same 8x8 cells → identical hash (scale invariance of aHash)
+    val up = Multimodal.imageAHash(Multimodal.bmpPayload(
+      j => { val y = j / 16; val x = j % 16; g(7L)((y / 2) * 8 + x / 2) },
+      16, 16)).get
+    assert(up == base, s"upscaled hash drifted: $up vs $base")
+    assert(Multimodal.imageAHash("not an image".getBytes).isEmpty)
+  }
+
   test("image payloads decode for real via ImageIO; bad bytes fall back") {
     import graft.ops.Multimodal
     import Multimodal.MediaRecord
