@@ -204,6 +204,45 @@ object Multimodal {
     java.lang.Long.bitCount(a._1 ^ b._1) +
       java.lang.Long.bitCount(a._2 ^ b._2)
 
+  /** Image near-duplicate pairs over (hi, lo) aHash halves: the 64
+    * bits split into 4 × 16-bit bands; candidates share at least one
+    * exact band (a bucket equi-join — never all-pairs), then verify
+    * Hamming ≤ `maxHamming` exactly. `maxHamming` ≤ 3 is REQUIRED:
+    * with 4 bands, ≤3 differing bits pigeonhole at least one band
+    * clean, so recall is 1.0 by construction — at 4 the guarantee
+    * collapses (one flip per band evades every bucket) and the
+    * operator would silently under-report. Scale shape is SimHash's:
+    * 4 narrow (band, value, id) postings rows per image, bucket join,
+    * ids-only shuffle, exact popcount verify on the pair list. */
+  def aHashNearDupPairs(hashes: DataFrame, idCol: String,
+      hiCol: String, loCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (4-band recall guarantee), got $maxHamming")
+    val bands = hashes.select(col(idCol).as("id"),
+        col(hiCol).as("hi"), col(loCol).as("lo"))
+      .withColumn("band", explode(array(
+        struct(lit(0).as("bi"), (col("lo") % 65536).as("bv")),
+        struct(lit(1).as("bi"),
+          ((col("lo") / 65536) % 65536).cast("long").as("bv")),
+        struct(lit(2).as("bi"), (col("hi") % 65536).as("bv")),
+        struct(lit(3).as("bi"),
+          ((col("hi") / 65536) % 65536).cast("long").as("bv")))))
+      .select(col("id"), col("hi"), col("lo"),
+        col("band.bi"), col("band.bv"))
+    val a = bands.select(col("bi"), col("bv"), col("id").as("a_id"),
+      col("hi").as("ha"), col("lo").as("la"))
+    val b = bands.select(col("bi"), col("bv"), col("id").as("b_id"),
+      col("hi").as("hb"), col("lo").as("lb"))
+    a.join(b, Seq("bi", "bv")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "ha", "la", "hb", "lb")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Build a media table from documents (payload = utf-8 bytes) — the
     * fixture path; a real pipeline reads payloads from object storage. */
   def fromDocuments(docs: DataFrame)(implicit spark: SparkSession)

@@ -12,6 +12,17 @@ import graft.streaming.EventsStream
   */
 object MultimodalQueries extends QueryGroup {
 
+  /** Pixel j of fixture image `id`: the 3-round multiply-mod-p +
+    * xorshift mixer (the sign-LSH planeComponent recipe — one pure
+    * Lehmer round is LINEAR across seeds and collapsed hundreds of
+    * images onto identical aHashes when first tried here), reduced to
+    * 8 bits. Replayed verbatim in the oracles' integer SQL. */
+  private[queries] def pixelGray(id: Long, j: Int): Int = {
+    val u1 = ((id * 64 + j) % 2147483646L + 1) * 48271L % 2147483647L
+    val u3 = (u1 ^ (u1 / 32768)) * 69621L % 2147483647L
+    ((u3 ^ (u3 / 8192)) % 256L).toInt
+  }
+
   val queries: Seq[Q] = Seq(
     // typed-Dataset mapPartitions pipeline: schema/partitioning/batch
     // iteration are real; the decode is the documented stub
@@ -76,8 +87,15 @@ object MultimodalQueries extends QueryGroup {
     q("q_image_ahash", "multimodal",
       """WITH px AS (
            SELECT doc_id, j,
-             ((doc_id * 64 + j) * 48271) % 2147483647 % 256 AS g
-           FROM documents, generate_series(0, 63) t(j)),
+             xor(u3, u3 // 8192) % 256 AS g
+           FROM (
+             SELECT doc_id, j,
+               xor(u1, u1 // 32768) * 69621 % 2147483647 AS u3
+             FROM (
+               SELECT doc_id, j,
+                 ((doc_id * 64 + j) % 2147483646 + 1) * 48271
+                   % 2147483647 AS u1
+               FROM documents, generate_series(0, 63) t(j)) s1) s2),
          m AS (SELECT doc_id, SUM(g) // 64 AS mean
                FROM px GROUP BY doc_id),
          bits AS (
@@ -95,10 +113,72 @@ object MultimodalQueries extends QueryGroup {
         .select(col("doc_id")).as[Long]
       ids.map { id =>
         val payload = Multimodal.bmpPayload(
-          j => (((id * 64 + j) * 48271L) % 2147483647L % 256L).toInt, 8, 8)
+          j => MultimodalQueries.pixelGray(id, j), 8, 8)
         val (hi, lo) = Multimodal.imageAHash(payload).get
         (id, hi, lo)
       }.toDF("media_id", "ahash_hi", "ahash_lo")
+    },
+
+    // image NEAR-DUP detection end to end: the injected corpus carries
+    // a one-pixel-perturbed copy of every doc_id%10==0 image (a
+    // re-encode / slight edit); hashes come from REAL BMP decode, the
+    // pair stage is the 4×16-bit band bucket join (recall 1.0 at
+    // Hamming ≤ 3 by pigeonhole), and the oracle replays pixels →
+    // means → hash halves → all-pairs popcount in pure integer SQL.
+    // The all-pairs spelling is the labeled ORACLE TWIN — production
+    // is the banded join, which must emit the identical pair set.
+    q("q_image_neardup", "multimodal",
+      """WITH ids AS (
+           SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, doc_id, TRUE
+           FROM documents WHERE doc_id % 10 = 0),
+         px AS (
+           SELECT media_id, j,
+             CASE WHEN pert AND j = base % 64
+                  THEN least(xor(u3, u3 // 8192) % 256 + 1, 255)
+                  ELSE xor(u3, u3 // 8192) % 256 END AS g
+           FROM (
+             SELECT media_id, base, pert, j,
+               xor(u1, u1 // 32768) * 69621 % 2147483647 AS u3
+             FROM (
+               SELECT media_id, base, pert, j,
+                 ((base * 64 + j) % 2147483646 + 1) * 48271
+                   % 2147483647 AS u1
+               FROM ids, generate_series(0, 63) t(j)) s1) s2),
+         m AS (SELECT media_id, SUM(g) // 64 AS mean
+               FROM px GROUP BY media_id),
+         h AS (
+           SELECT px.media_id,
+             SUM(CASE WHEN j >= 32 AND g > mean
+                      THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END) AS hi,
+             SUM(CASE WHEN j < 32 AND g > mean
+                      THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS lo
+           FROM px JOIN m USING (media_id) GROUP BY 1)
+         SELECT a.media_id AS a_id, b.media_id AS b_id,
+                CAST(bit_count(xor(a.hi, b.hi))
+                     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+         FROM h a JOIN h b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.hi, b.hi))
+               + bit_count(xor(a.lo, b.lo)) <= 3""") { (spark, dir) =>
+      import spark.implicits._
+      val ids = Tables.df(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+      def g(id: Long)(j: Int): Int = MultimodalQueries.pixelGray(id, j)
+      val hashes = ids.flatMap { id =>
+        val o = Multimodal.imageAHash(
+          Multimodal.bmpPayload(g(id), 8, 8)).get
+        val base = Seq((id, o._1, o._2))
+        if (id % 10 == 0) {
+          val p = Multimodal.imageAHash(Multimodal.bmpPayload(
+            j => if (j == (id % 64).toInt) math.min(g(id)(j) + 1, 255)
+                 else g(id)(j), 8, 8)).get
+          base :+ ((id + 100000L, p._1, p._2))
+        } else base
+      }.toDF("media_id", "ahash_hi", "ahash_lo")
+      Multimodal.aHashNearDupPairs(hashes, "media_id",
+        "ahash_hi", "ahash_lo", maxHamming = 3)
     },
 
     q("q_binary_prefix", "multimodal",

@@ -1166,8 +1166,13 @@ class MultimodalSpec extends AnyFunSuite {
   test("aHash: near-identical images land within a small Hamming " +
       "distance, unrelated images ~32 bits apart; junk bytes → None") {
     import graft.ops.Multimodal
-    def g(id: Long)(j: Int): Int =
-      (((id * 64 + j) * 48271L) % 2147483647L % 256L).toInt
+    // the catalog fixture's 3-round mixer (a single Lehmer round is
+    // linear across ids and collapses images onto identical hashes)
+    def g(id: Long)(j: Int): Int = {
+      val u1 = ((id * 64 + j) % 2147483646L + 1) * 48271L % 2147483647L
+      val u3 = (u1 ^ (u1 / 32768)) * 69621L % 2147483647L
+      ((u3 ^ (u3 / 8192)) % 256L).toInt
+    }
     val base = Multimodal.imageAHash(
       Multimodal.bmpPayload(g(7L), 8, 8)).get
     // perturb ONE pixel by one gray level — a re-encode / slight edit
@@ -1175,14 +1180,11 @@ class MultimodalSpec extends AnyFunSuite {
       j => if (j == 13) (g(7L)(13) + 1) min 255 else g(7L)(j), 8, 8)).get
     assert(Multimodal.aHashHamming(base, tweaked) <= 4,
       s"near-copy too far: ${Multimodal.aHashHamming(base, tweaked)}")
-    // a different id draws a different image; the single-multiplier
-    // Lehmer pixel formula is only weakly mixing across ids (truly
-    // random images would differ in ~32 bits; this fixture's linear
-    // structure yields less), so the bound asserted is separation
-    // from the near-copy band, not full randomness
+    // a different id draws an unrelated pseudorandom image: expected
+    // ~half of the 64 bits differ
     val other = Multimodal.imageAHash(
       Multimodal.bmpPayload(g(9999L), 8, 8)).get
-    assert(Multimodal.aHashHamming(base, other) >= 6,
+    assert(Multimodal.aHashHamming(base, other) >= 10,
       s"unrelated too close: ${Multimodal.aHashHamming(base, other)}")
     // a 16x16 upscale of the same content block-means back to the
     // same 8x8 cells → identical hash (scale invariance of aHash)
