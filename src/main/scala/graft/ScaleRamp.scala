@@ -307,6 +307,17 @@ object ScaleRamp {
               concat(col("text"), lit(" graft tail token")).as("text")))
         timeIt(graft.queries.PackQueries.curateV3Frames(corp)._3.count())
       },
+      "binned_quantiles" -> { k =>
+        // continuous-column quantiles (round 11): min/max pass + bin
+        // counts (both partial-agg'd map-side) + a ≤2^bits-row window.
+        // The bounded cardinality is manufactured by construction, so
+        // the expected profile is the flat two-scan shape regardless
+        // of the value domain's size.
+        val d = docsAt(k)
+        timeIt(graft.ops.Stats.binnedQuantiles(
+          graft.ops.TextAnalysis.repetitionFeatures(d, col("text")),
+          col("dup_token_frac"), Seq(100, 500, 900, 990)).count())
+      },
       "curate_v4" -> { k =>
         // v4 composition (round 11): span dedup → Jaccard clusters
         // over the span-deduped text → keep-LONGEST resolution → pack,
@@ -436,6 +447,9 @@ object ScaleRamp {
     Dedup.spanDedup(docs0.limit(200), "doc_id", "text", 8).count()
     graft.queries.PackQueries.curateV3Frames(docs0.limit(200))._3.count()
     graft.queries.PackQueries.curateV4Frames(docs0.limit(200))._3.count()
+    graft.ops.Stats.binnedQuantiles(
+      graft.ops.TextAnalysis.repetitionFeatures(docs0.limit(200),
+        col("text")), col("dup_token_frac"), Seq(500)).count()
     Similarity.ivfPqTopK(emb0.limit(500), emb0.limit(20), 5).count()
     graft.ops.Decontaminate.bloomFlag(docs0.limit(200),
       docs0.limit(50), "doc_id", "text", 4).count()

@@ -301,10 +301,15 @@ object Sampling {
     val rates = c.crossJoin(broadcast(tot))
       .withColumn("__rate", w / col("__ns").cast("double"))
     val mx = rates.agg(max(col("__rate")).as("__m"))
+    // materialize the tiny threshold table eagerly, then release the
+    // count checkpoint (containmentPairs' result-then-release
+    // discipline — even a small block should not outlive its use)
     val thr = rates.crossJoin(broadcast(mx))
       .select(col("__src"),
         floor(col("__rate") / col("__m") * lit(2147483647.0))
           .cast("long").as("__thr"))
+      .localCheckpoint()
+    graft.core.Checkpoints.release(c)
     df.join(broadcast(thr), col(sourceCol) === col("__src"))
       .filter(hashU31(col(idCol)) < col("__thr"))
       .drop("__src", "__thr")
