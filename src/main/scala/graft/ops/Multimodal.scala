@@ -211,7 +211,10 @@ object Multimodal {
     * with 4 bands, ≤3 differing bits pigeonhole at least one band
     * clean, so recall is 1.0 by construction — at 4 the guarantee
     * collapses (one flip per band evades every bucket) and the
-    * operator would silently under-report. Scale shape is SimHash's:
+    * operator would silently under-report. Rows with a null hash half
+    * (an undecodable payload upstream) match no band bucket and drop
+    * out of the pair set — filter or route them explicitly if they
+    * must be accounted for. Scale shape is SimHash's:
     * 4 narrow (band, value, id) postings rows per image, bucket join,
     * ids-only shuffle, exact popcount verify on the pair list. */
   def aHashNearDupPairs(hashes: DataFrame, idCol: String,

@@ -812,6 +812,18 @@ object Similarity {
         norm(col(vecCol)).as("c_norm"))
     val centroids = if (checkpoint) centroids0.localCheckpoint()
                     else centroids0
+    // a corpus whose id space contains NO multiple of centroidEvery
+    // (odd-only ids with an even stride, re-keyed ids, …) would yield
+    // zero centroids → zero cells → zero pairs → a dedup that silently
+    // KEEPS EVERY DUPLICATE. Fail loudly instead (the exactQuantiles
+    // guard stance); an empty corpus legitimately returns empty. The
+    // probe is two limit-1 scans on the production path only — the
+    // plan-inspection path (checkpoint=false) must stay action-free.
+    if (checkpoint && centroids.isEmpty && !c.isEmpty)
+      throw new IllegalArgumentException(
+        s"semDedup: no corpus id is divisible by centroidEvery=" +
+          s"$centroidEvery — every vector would silently survive; pick " +
+          "a stride that intersects the id space")
     val cells0 = c
       .select(col(idCol).as("m_id"), col(vecCol).as("m_vec"),
         norm(col(vecCol)).as("m_norm"))

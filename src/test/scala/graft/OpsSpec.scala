@@ -440,6 +440,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept == Set(0L, 3L, 4L), s"survivors $kept")
   }
 
+  test("semDedup fails loudly when the id space misses every centroid " +
+      "stride; an empty corpus returns empty") {
+    import spark.implicits._
+    // odd-only ids with an even stride: zero centroids would silently
+    // keep every duplicate — must be an ERROR, not a no-op dedup
+    val odd = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedup(odd, 0.9, centroidEvery = 2)
+    }
+    assert(ex.getMessage.contains("centroidEvery"))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(empty, 0.9).count() == 0)
+  }
+
   test("semDedup prunes exactly the injected duplicates on the corpus") {
     val emb = Tables.df(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
