@@ -390,25 +390,41 @@ object ScaleRamp {
         r
       },
       "sem_dedup_sqrt_cells" -> { k =>
-        // SemDeDup (round 11): coarse cells → within-cell cosine pairs
-        // → CC survivors. The brute-force centroid assignment is
-        // |corpus|·#cells work and the pair join Σ|cell|²: scaling
-        // centroidEvery with √k grows BOTH #cells and cell size as √k,
-        // balancing the two terms at the algorithm's n^1.5 — the
-        // documented operating contract for this formulation (at true
-        // 100 TB scale the assignment pass becomes hierarchical /
-        // ANN-assisted; the pair-join term is the one this row pins).
-        // Inject one identical copy per vec_id%10==0 row inside each
-        // stripe (the q_semdedup shape) so semantic-dup volume scales
-        // with k; the label-clustered embeddings make cell occupancy
-        // SKEWED — the realistic shape, same as the LSH rows.
+        // SemDeDup production row (round 12: HIERARCHICAL assignment).
+        // centroidEvery scales with √k (#cells and cell size both √k,
+        // the pair join balanced at its n^1.5 candidate volume) and
+        // superFactor scales with ∜k per the knob contract (#supers ≈
+        // ∜n), so assignment is n^1.25: vector routing n·#supers +
+        // candidate scan n·centProbe·#cells/#supers — the flat-control
+        // row below keeps the n^1.5 assignment for the step-exponent
+        // comparison. Inject one identical copy per vec_id%10==0 row
+        // inside each stripe (the q_semdedup shape) so semantic-dup
+        // volume scales with k; the label-clustered embeddings make
+        // cell occupancy SKEWED — the realistic shape, same as the
+        // LSH rows.
         val e = embAt(k)
         val corpus = e.unionAll(e.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"),
             col("embedding")))
         val every = 50 * math.sqrt(k.toDouble).round.toInt
-        timeIt(Similarity.semDedup(corpus, 0.95, centroidEvery = every)
-          .count())
+        val sf4 = math.max(1,
+          (8 * math.sqrt(math.sqrt(k.toDouble))).round.toInt)
+        timeIt(Similarity.semDedup(corpus, 0.95, centroidEvery = every,
+          superFactor = sf4).count())
+      },
+      "sem_dedup_flat_control" -> { k =>
+        // control row: the round-11 FLAT assignment (superFactor=0) —
+        // corpus × broadcast(centroids) at #cells ∝ √k, i.e. the
+        // n^1.5 compute term and the √n-growth broadcast the
+        // hierarchical row removes. Expect its 16×→64× step exponent
+        // to sit visibly above the production row's.
+        val e = embAt(k)
+        val corpus = e.unionAll(e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")))
+        val every = 50 * math.sqrt(k.toDouble).round.toInt
+        timeIt(Similarity.semDedup(corpus, 0.95, centroidEvery = every,
+          superFactor = 0).count())
       },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
@@ -462,6 +478,7 @@ object ScaleRamp {
       "doc_id", "toks", "stop_ratio", 10000L).count()
     Similarity.ivfPqEncodeBatch(emb0.limit(200), emb0.limit(500)).count()
     Similarity.semDedup(emb0.limit(500), 0.95).count()
+    Similarity.semDedup(emb0.limit(500), 0.95, superFactor = 0).count()
     spark.catalog.clearCache()
     ParseRunner.run(spark,
       ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),

@@ -764,10 +764,14 @@ object Similarity {
     * Spark shape, stage by stage:
     *   1. coarse cells — [[ivfTopK]]'s deterministic quantizer
     *      (centroids = every `centroidEvery`-th vector, nearest by
-    *      cosine, ties by centroid id). One broadcast-join map pass;
-    *      the per-vector argmin collapses through a partial-aggregated
-    *      `min(struct(-sim, c_id))` BEFORE the exchange, so only
-    *      |corpus| assignment rows shuffle, not |corpus|·#centroids.
+    *      cosine, ties by centroid id), assigned HIERARCHICALLY: each
+    *      vector routes through a ∜n super-centroid slice and scans
+    *      only its routed super-cell's centroids (see
+    *      [[semDedupPairs]] for the full two-level contract — n^1.5
+    *      compute and the √n centroid broadcast both die there). Every
+    *      per-vector argmin collapses through a partial-aggregated
+    *      `min(struct(-sim, c_id))` BEFORE its exchange, so only
+    *      |corpus|-scale rows shuffle, never |corpus|·#centroids.
     *   2. within-cell pairs — self-join keyed on `c_id`, `a_id <
     *      b_id`, exact cosine ≥ threshold. Candidate volume is
     *      Σ|cell|²: bounded by the CELL-SIZE knob, so `#centroids
@@ -787,10 +791,12 @@ object Similarity {
     * .Checkpoints]]); only the pairs frame outlives the call. */
   def semDedup(corpus: DataFrame, threshold: Double,
       centroidEvery: Int = 50, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding", superFactor: Int = 8,
+      centProbe: Int = 2): DataFrame =
     Dedup.representatives(corpus,
       semDedupPairs(corpus, threshold, centroidEvery, idCol, vecCol,
-        checkpoint = true),
+        checkpoint = true, superFactor = superFactor,
+        centProbe = centProbe),
       idCol)
 
   /** [[semDedup]]'s pair stage. With `checkpoint` (the production
@@ -798,20 +804,69 @@ object Similarity {
     * the self-join / CC reuse and released eagerly once the (small)
     * pair list is materialized; without it the returned frame is one
     * lazily-planned tree — ExplainSpec asserts its shape (map-side
-    * combined assignment, c_id equi-join, no cartesian). */
+    * combined assignment, c_id equi-join, no cartesian).
+    *
+    * CELL ASSIGNMENT IS HIERARCHICAL (`superFactor` > 0, the
+    * production default). The flat formulation — corpus ×
+    * broadcast(centroids) nested loop — carries two terms that break
+    * first at 100 TB under the `#centroids tracks corpus size` knob
+    * contract (#centroids ≈ √n): an n·√n assignment compute term and
+    * a √n-growth broadcast (10⁶ centroids × ~1 KB vector ≈ 1 GB per
+    * executor). The two-level pass kills both:
+    *
+    *   1. SUPER-CENTROIDS — a second deterministic stride over the
+    *      SAME id space (`centroidEvery · superFactor`), so supers ⊂
+    *      centroids. Sizing contract: with #centroids tracking √n,
+    *      `superFactor` should track ∜n so #supers ≈ ∜n — the only
+    *      frame ever broadcast here, ~KBs where the flat broadcast
+    *      was GBs.
+    *   2. CENTROID ROUTING — every centroid joins its top-`centProbe`
+    *      supers (window over the √n·∜n cross, sub-corpus). Boundary
+    *      robustness is bought ON THE CHEAP SIDE: a vector probing
+    *      only its single nearest super still finds any centroid that
+    *      keeps that super among ITS top-`centProbe` — the multi-probe
+    *      cost lands on √n rows, not n.
+    *   3. VECTOR ROUTING — corpus × broadcast(supers), argmin as the
+    *      same partial-aggregated `min(struct)` as the flat path:
+    *      n·∜n compute, only n rows shuffle.
+    *   4. CANDIDATE SCAN — vectors ⋈ routed centroids is an EQUI-JOIN
+    *      on the super id (deliberately NOT broadcast: the centroid
+    *      side is the √n frame the flat path broadcast; a shuffled
+    *      hash/merge join keeps it partitioned), then the per-vector
+    *      argmin over ~#centroids/#supers candidates, map-side
+    *      combined. n·∜n compute, n-row-scale shuffle — the corpus
+    *      shuffles once more than flat, but the within-cell pair join
+    *      downstream shuffles it on c_id anyway, so the scale budget
+    *      is unchanged while n^1.5 → n^1.25.
+    *
+    * Routing is approximate: a vector whose true nearest centroid
+    * keeps NONE of the vector's routed super in its top-`centProbe`
+    * is assigned to a second-best cell. Identical vectors still route
+    * identically (equal sims, equal tie-breaks), so exact duplicates
+    * always co-locate — the SemDeDup blocking guarantee that matters.
+    * Every step is deterministic (cos desc, id asc total order), so
+    * the WHOLE hierarchical operator still differentials against the
+    * DuckDB oracle. `superFactor = 0` selects the flat formulation
+    * (kept for the parity spec and small corpora whose centroid count
+    * never grows). */
   private[graft] def semDedupPairs(corpus: DataFrame, threshold: Double,
       centroidEvery: Int, idCol: String, vecCol: String,
-      checkpoint: Boolean): DataFrame = {
+      checkpoint: Boolean, superFactor: Int = 8,
+      centProbe: Int = 2): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(superFactor >= 0, s"superFactor must be >= 0, got $superFactor")
+    require(centProbe >= 1, s"centProbe must be >= 1, got $centProbe")
     val dim = vecDim(corpus, vecCol)
     val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
     val centroids0 = c
       .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         norm(col(vecCol)).as("c_norm"))
-    val centroids = if (checkpoint) centroids0.localCheckpoint()
-                    else centroids0
+    // hierarchical path consumes centroids once (the routing cross);
+    // only the flat path's double consumption needs the checkpoint
+    val centroids = if (checkpoint && superFactor == 0)
+      centroids0.localCheckpoint() else centroids0
     // a corpus whose id space contains NO multiple of centroidEvery
     // (odd-only ids with an even stride, re-keyed ids, …) would yield
     // zero centroids → zero cells → zero pairs → a dedup that silently
@@ -824,17 +879,76 @@ object Similarity {
         s"semDedup: no corpus id is divisible by centroidEvery=" +
           s"$centroidEvery — every vector would silently survive; pick " +
           "a stride that intersects the id space")
-    val cells0 = c
-      .select(col(idCol).as("m_id"), col(vecCol).as("m_vec"),
-        norm(col(vecCol)).as("m_norm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("ns", lit(-1.0) * (dot(col("m_vec"), col("c_vec")) /
-        (col("m_norm") * col("c_norm"))))
-      .groupBy(col("m_id"))
-      // m_vec/m_norm are constant within the group (keyed by m_id);
-      // first() just carries them through the partial agg
-      .agg(first(col("m_vec")).as("m_vec"), first(col("m_norm")).as("m_norm"),
-        min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
+    val vecs = c.select(col(idCol).as("m_id"), col(vecCol).as("m_vec"),
+      norm(col(vecCol)).as("m_norm"))
+    // checkpointed frames created inside the assignment branch (the
+    // super slice) that the tail must release alongside cells/centroids
+    val branchCk = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val cells0 =
+      if (superFactor == 0) {
+        // flat assignment: corpus × broadcast(centroids) — the spec
+        // baseline; see the scaladoc for why production routes instead
+        vecs.crossJoin(broadcast(centroids))
+          .withColumn("ns", lit(-1.0) * (dot(col("m_vec"), col("c_vec")) /
+            (col("m_norm") * col("c_norm"))))
+          .groupBy(col("m_id"))
+          // m_vec/m_norm are constant within the group (keyed by m_id);
+          // first() just carries them through the partial agg
+          .agg(first(col("m_vec")).as("m_vec"),
+            first(col("m_norm")).as("m_norm"),
+            min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
+      } else {
+        val superStride = centroidEvery.toLong * superFactor
+        val sups0 = c.filter(pmod(col(idCol), lit(superStride)) === 0)
+          .select(col(idCol).as("s_id"), col(vecCol).as("s_vec"),
+            norm(col(vecCol)).as("s_norm"))
+        val sups = if (checkpoint) sups0.localCheckpoint() else sups0
+        if (checkpoint) branchCk += sups
+        // same silent-keep-all failure mode one level up: centroids
+        // exist but the super stride misses every one of them
+        if (checkpoint && sups.isEmpty && !centroids.isEmpty)
+          throw new IllegalArgumentException(
+            "semDedup: no centroid id is divisible by superStride=" +
+              s"$superStride (centroidEvery=$centroidEvery × superFactor=" +
+              s"$superFactor) — every vector would silently survive; " +
+              "shrink superFactor or pass superFactor=0 for flat " +
+              "assignment")
+        // centroid → its top-centProbe supers. Window over the
+        // √n·∜n cross — the multi-probe boundary insurance priced on
+        // the centroid side, never the corpus side. A super always
+        // routes to itself first (cos=1, and an identical-vector twin
+        // with a smaller id wins BOTH the centroid's and every
+        // vector's tie-break, consistently), so each reachable s_id
+        // keeps at least one candidate and the cells join below can
+        // stay inner.
+        val crW = Window.partitionBy(col("c_id"))
+          .orderBy(col("ns"), col("s_id"))
+        val centroute = centroids.crossJoin(broadcast(sups))
+          .withColumn("ns", lit(-1.0) * (dot(col("c_vec"), col("s_vec")) /
+            (col("c_norm") * col("s_norm"))))
+          .withColumn("rnk", row_number().over(crW))
+          .filter(col("rnk") <= centProbe)
+          .select(col("s_id"), col("c_id"), col("c_vec"), col("c_norm"))
+        // vector → single nearest super: the flat argmin shape against
+        // the ∜n broadcast — n·∜n compute, n rows shuffled
+        val vroute = vecs.crossJoin(broadcast(sups))
+          .withColumn("ns", lit(-1.0) * (dot(col("m_vec"), col("s_vec")) /
+            (col("m_norm") * col("s_norm"))))
+          .groupBy(col("m_id"))
+          .agg(first(col("m_vec")).as("m_vec"),
+            first(col("m_norm")).as("m_norm"),
+            min(struct(col("ns"), col("s_id"))).getField("s_id").as("s_id"))
+        // candidate scan: EQUI-join on s_id (not broadcast — the
+        // centroid side is the √n-growth frame), argmin over the
+        // routed super-cell's centroids only
+        vroute.join(centroute, "s_id")
+          .withColumn("ns", lit(-1.0) * (dot(col("m_vec"), col("c_vec")) /
+            (col("m_norm") * col("c_norm"))))
+          .groupBy(col("m_id"))
+          .agg(first(col("m_vec")).as("m_vec"),
+            first(col("m_norm")).as("m_norm"),
+            min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
+      }
     val cells = if (checkpoint) cells0.localCheckpoint() else cells0
     val x = cells.select(col("c_id"), col("m_id").as("a_id"),
       col("m_vec").as("va"), col("m_norm").as("na"))
@@ -848,7 +962,9 @@ object Similarity {
     else {
       val p = pairs.localCheckpoint()
       graft.core.Checkpoints.release(cells)
+      // no-op on the hierarchical path (centroids stay lazy there)
       graft.core.Checkpoints.release(centroids)
+      branchCk.foreach(graft.core.Checkpoints.release)
       p
     }
   }

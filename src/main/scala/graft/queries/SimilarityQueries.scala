@@ -406,10 +406,15 @@ object SimilarityQueries extends QueryGroup {
       .select("a_id", "b_id", "sim")
   }
 
-  /** q_semdedup oracle: the duplicate-injected corpus, ivf-style
-    * deterministic cells (q_knn_ivf's quantizer re-spelled), within-cell
+  /** q_semdedup oracle: the duplicate-injected corpus, HIERARCHICAL
+    * deterministic cells — the exact two-level routing semDedupPairs
+    * runs (super slice at stride 50·8=400, each centroid keeps its
+    * top-2 supers, each vector routes to its single nearest super and
+    * argmins over that super-cell's centroids only) — then within-cell
     * exact-cosine pairs ≥ 0.95, recursive-CTE connected components,
-    * min-id survivor — SemDeDup end to end in SQL. */
+    * min-id survivor — SemDeDup end to end in SQL. Spark's
+    * `min(struct(-cos, id))` argmin ≡ row_number rank 1 here: both
+    * take the head of the identical (cos DESC, id ASC) total order. */
   private val semDedupSql =
     """WITH RECURSIVE corpus AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -421,14 +426,34 @@ object SimilarityQueries extends QueryGroup {
              FROM corpus),
        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
                 FROM n WHERE vec_id % 50 = 0),
-       cells AS (
-         SELECT vec_id AS m_id, v, nrm, c_id FROM (
-           SELECT a.vec_id, a.v, a.nrm, cent.c_id,
+       sup AS (SELECT c_id AS s_id, cv AS sv, cnrm AS snrm
+               FROM cent WHERE c_id % 400 = 0),
+       cr AS (
+         SELECT s_id, c_id, cv, cnrm FROM (
+           SELECT sup.s_id, cent.c_id, cent.cv, cent.cnrm,
+             row_number() OVER (PARTITION BY cent.c_id ORDER BY
+               list_sum(list_transform(list_zip(cent.cv, sup.sv),
+                 x -> x[1] * x[2])) / (cent.cnrm * sup.snrm) DESC,
+               sup.s_id) AS rnk
+           FROM cent CROSS JOIN sup) t
+         WHERE rnk <= 2),
+       vr AS (
+         SELECT vec_id AS m_id, v, nrm, s_id FROM (
+           SELECT a.vec_id, a.v, a.nrm, sup.s_id,
              row_number() OVER (PARTITION BY a.vec_id ORDER BY
-               list_sum(list_transform(list_zip(a.v, cent.cv),
-                 x -> x[1] * x[2])) / (a.nrm * cent.cnrm) DESC,
-               cent.c_id) AS rnk
-           FROM n a CROSS JOIN cent) t
+               list_sum(list_transform(list_zip(a.v, sup.sv),
+                 x -> x[1] * x[2])) / (a.nrm * sup.snrm) DESC,
+               sup.s_id) AS rnk
+           FROM n a CROSS JOIN sup) t
+         WHERE rnk = 1),
+       cells AS (
+         SELECT m_id, v, nrm, c_id FROM (
+           SELECT vr.m_id, vr.v, vr.nrm, cr.c_id,
+             row_number() OVER (PARTITION BY vr.m_id ORDER BY
+               list_sum(list_transform(list_zip(vr.v, cr.cv),
+                 x -> x[1] * x[2])) / (vr.nrm * cr.cnrm) DESC,
+               cr.c_id) AS rnk
+           FROM vr JOIN cr ON vr.s_id = cr.s_id) t
          WHERE rnk = 1),
        prs AS (
          SELECT x.m_id AS a, y.m_id AS b

@@ -335,6 +335,157 @@ class ExplainSpec extends AnyFunSuite {
       s"pair cosine lost the codegen'd dot product:\n$p")
   }
 
+  test("semDedup hierarchical assignment: the corpus×centroids nested " +
+      "loop is gone — only the ∜n super slice broadcasts, candidates " +
+      "arrive through an s_id equi-join") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val p = plan(graft.ops.Similarity.semDedupPairs(
+      emb, 0.95, 50, "vec_id", "embedding", checkpoint = false))
+    // under #centroids ≈ √n the flat broadcast grows ~1 GB per
+    // executor and the nested-loop compute term is n^1.5; the
+    // hierarchical plan may nested-loop ONLY against the super slice
+    // (stride 50·8 = 400) — every BroadcastNestedLoopJoin's broadcast
+    // build subtree must carry the 400-stride filter, never the bare
+    // 50-stride centroid slice (which may appear only as a STREAM
+    // side of the routing cross). The lazy inspection tree replicates
+    // the assignment DAG under the pair self-join, so we check every
+    // replica structurally instead of counting occurrences.
+    val crosses = bnljBroadcastSubtrees(p)
+    assert(crosses.nonEmpty, s"no routing crosses found:\n$p")
+    crosses.foreach { sub =>
+      assert(sub.exists(_.contains(", 400)")),
+        s"a nested-loop broadcast build is not the super slice:\n" +
+          sub.mkString("\n") + s"\n\nfull plan:\n$p")
+      assert(!sub.exists(l => l.contains(", 50)") && !l.contains(", 400)")),
+        s"the √n centroid slice leaked into a nested-loop broadcast:\n" +
+          sub.mkString("\n"))
+    }
+    // the candidate scan is KEYED on the routed super id — an
+    // equi-join, so the √n centroid side stays partitioned instead of
+    // broadcast (at spec scale Spark may rightly hash-broadcast it;
+    // at corpus scale AQE shuffles the SAME equi-join)
+    assert(p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin [s_id") ||
+        l.contains("ShuffledHashJoin [s_id") ||
+        l.contains("BroadcastHashJoin [s_id") ||
+        l.contains("Exchange hashpartitioning(s_id")),
+      s"no s_id-keyed equi-join for the candidate scan:\n$p")
+    // both per-vector argmins (super routing, candidate scan) must
+    // keep their map-side combine (struct fields render as
+    // name-expr pairs: partial_min(struct(ns, ns#…, s_id, s_id#…)))
+    assert(p.linesIterator.exists(l =>
+      l.contains("partial_min(struct(ns") && l.contains("s_id, s_id")),
+      s"the super-routing argmin lost its map-side combine:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("partial_min(struct(ns") && l.contains("c_id, c_id")),
+      s"the candidate-scan argmin lost its map-side combine:\n$p")
+    // the flat formulation stays reachable for parity — and shows the
+    // exact shape the hierarchy removes: its nested-loop broadcast IS
+    // the 50-stride centroid slice (also proves the subtree parser
+    // actually sees build-side filters)
+    val pf = plan(graft.ops.Similarity.semDedupPairs(
+      emb, 0.95, 50, "vec_id", "embedding", checkpoint = false,
+      superFactor = 0))
+    val flatCrosses = bnljBroadcastSubtrees(pf)
+    assert(flatCrosses.nonEmpty &&
+      flatCrosses.forall(_.exists(_.contains(", 50)"))),
+      s"flat formulation lost its centroid-broadcast cross:\n$pf")
+  }
+
+  test("incremental dedup probes the stored bucketed index with NO " +
+      "Exchange on the index side — the 100 TB ingest contract") {
+    import graft.write.IndexStore
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    IndexStore.writeFingerprints(
+      seen.select(md5(col("text").cast("binary")).as("text_md5")),
+      "graft_spec_fp_idx", 8)
+    IndexStore.writeBands(
+      Dedup.lshBands(Dedup.minhashSignature(seen, "doc_id", "text", 3, 16),
+        16, 4),
+      "graft_spec_band_idx", 8)
+    // forbid broadcast so the spec pins the SHUFFLED join form — at
+    // corpus scale the index side is never broadcastable, and the
+    // whole point is that its bucketed layout replaces the shuffle
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // exact-dedup ingest: the anti join's index side must stream
+      // from the bucketed scan with no intervening Exchange
+      val pe = plan(Dedup.incrementalExact(batch,
+        IndexStore.read(spark, "graft_spec_fp_idx"), "doc_id", "text"))
+      assertBucketedProbe(pe, "fingerprint")
+      // near-dup ingest: same property for the band-key probe join
+      // (incrementalNearDup delegates its index join to exactly this
+      // candidate stage)
+      val pb = plan(Dedup.incrementalNearDupCandidates(batch,
+        IndexStore.read(spark, "graft_spec_band_idx"), "doc_id", "text"))
+      assertBucketedProbe(pb, "band")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_spec_fp_idx")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_band_idx")
+    }
+  }
+
+  /** Assert the plan reads a bucketed index scan and that NO Exchange
+    * sits on the ancestor path from that scan up to the join above it
+    * — i.e. the on-disk bucket layout satisfied the join's
+    * distribution requirement and only the batch side shuffles. */
+  private def assertBucketedProbe(p: String, what: String): Unit = {
+    val lines = p.linesIterator.toIndexedSeq
+    def depth(l: String): Int =
+      math.max(l.indexOf("+- "), l.indexOf(":- "))
+    val scanIdx = lines.indexWhere(_.contains("Bucketed: true"))
+    assert(scanIdx >= 0,
+      s"$what index scan lost its bucketed layout (autoBucketedScan " +
+        s"disabled, or the bucket spec never reached the catalog):\n$p")
+    // walk the ancestor chain from the scan to the first join node
+    var d = depth(lines(scanIdx))
+    var i = scanIdx - 1
+    var joinSeen = false
+    while (i >= 0 && !joinSeen) {
+      val di = depth(lines(i))
+      if (di >= 0 && di < d) {
+        val l = lines(i)
+        if (l.contains("Join")) joinSeen = true
+        else assert(!l.contains("Exchange"),
+          s"Exchange on the $what-index side of the probe join — the " +
+            s"bucket layout did not satisfy the join distribution:\n$p")
+        d = di
+      }
+      i -= 1
+    }
+    assert(joinSeen, s"no join found above the $what index scan:\n$p")
+  }
+
+  /** For each BroadcastNestedLoopJoin in a `toString` physical plan,
+    * the lines of its broadcast build's subtree (the BroadcastExchange
+    * under the join, by tree-drawing indentation). */
+  private def bnljBroadcastSubtrees(p: String): Seq[Seq[String]] = {
+    val lines = p.linesIterator.toIndexedSeq
+    def depth(l: String): Int =
+      math.max(l.indexOf("+- "), l.indexOf(":- "))
+    def subtree(start: Int): Seq[String] = {
+      val d = depth(lines(start))
+      val buf = scala.collection.mutable.Buffer(lines(start))
+      var i = start + 1
+      while (i < lines.length && depth(lines(i)) > d) {
+        buf += lines(i); i += 1
+      }
+      buf.toSeq
+    }
+    for {
+      (l, i) <- lines.zipWithIndex
+      if l.contains("BroadcastNestedLoopJoin")
+      sub = subtree(i)
+      bx = sub.indexWhere(_.contains("BroadcastExchange"))
+      if bx >= 0
+    } yield subtree(i + bx)
+  }
+
   test("temperatureMixture broadcasts the threshold table; every " +
       "exchange belongs to the tiny per-source side") {
     val docs = Tables.df(spark, sf, "documents")

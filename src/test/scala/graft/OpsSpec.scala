@@ -19,6 +19,10 @@ object TestSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // bucketed-index specs saveAsTable; keep the warehouse out of
+      // the repo working tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_spec_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -453,6 +457,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("centroidEvery"))
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.semDedup(empty, 0.9).count() == 0)
+  }
+
+  test("semDedup hierarchical routing keeps survivor parity with the " +
+      "flat formulation on the corpus") {
+    val emb = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(
+      emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    // the hierarchy is an assignment APPROXIMATION, but identical
+    // vectors route identically at both levels, so every injected
+    // exact-duplicate pair still co-locates — and on this corpus the
+    // full survivor set must match the flat assignment exactly
+    val hier = Similarity.semDedup(corpus, 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val flat = Similarity.semDedup(corpus, 0.95, superFactor = 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hier == flat,
+      s"hier-only=${(hier -- flat).take(5)} flat-only=${(flat -- hier).take(5)}")
+  }
+
+  test("semDedup fails loudly when the super stride misses every " +
+      "centroid") {
+    import spark.implicits._
+    // ids 0..9: centroidEvery=1 keeps every id a centroid, but
+    // superFactor=100 → stride 100 misses all of them except id 0…
+    // so drop id 0: zero supers with live centroids must ERROR, not
+    // silently keep every duplicate
+    val rows = (1L to 9L).map(i => (i, Array(1.0f, 0.0f))).toDF(
+      "vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedup(rows, 0.9, centroidEvery = 1, superFactor = 100)
+    }
+    assert(ex.getMessage.contains("superStride"))
   }
 
   test("semDedup prunes exactly the injected duplicates on the corpus") {
