@@ -29,6 +29,28 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  /** REAL deterministic BPE subword tokens (greedy rank-merge encode
+    * against an ordered merges table — [[graft.functions.BpeEncode]]
+    * for the algorithm and oracle contract). Unlike [[bpeishTokenCount]]
+    * this is an actual trained-vocabulary tokenizer: budgets computed
+    * from it are in model tokens, not whitespace or regex proxies. */
+  def bpeTokens(text: Column,
+      merges: Seq[String] = graft.functions.BpeFixture.Merges): Column =
+    CB.column(graft.functions.BpeEncode(CB.expression(text), merges))
+
+  /** Per-doc BPE token count + the reassembled subword text (tokens
+    * never contain spaces — words were space-split — so the space
+    * join is unambiguous and oracle-comparable). */
+  def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String] = graft.functions.BpeFixture.Merges): DataFrame = {
+    val toks = bpeTokens(col(textCol), merges)
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__bpe", toks)
+      .select(col(idCol),
+        size(col("__bpe")).cast("long").as("n_tokens_bpe"),
+        array_join(col("__bpe"), " ").as("bpe_text"))
+  }
+
   val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   def stopwordCount(text: Column): Column =

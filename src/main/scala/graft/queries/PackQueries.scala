@@ -75,6 +75,31 @@ object PackQueries extends QueryGroup {
         .withColumnRenamed("score", "stop_ratio")
     },
 
+    // the budget surface in MODEL tokens: the same sharded prefix-sum
+    // selection, but budgeted on the real BPE tokenizer's counts
+    // (q_tokenize_bpe) instead of whitespace words — longest-doc-first
+    // (score = n_tokens_bpe, ties by doc_id), budget ~half the
+    // corpus's BPE mass so the edge cuts mid-distribution. The oracle
+    // recomputes the tokenizer via TextQueries' shared recursive CTE
+    // and re-spells the selection as one global window.
+    q("q_select_budget_bpe", "llm-pack",
+      s"""WITH RECURSIVE ${TextQueries.bpeEncCtes},
+          c AS (SELECT doc_id, n_tokens_bpe,
+                  CAST(SUM(n_tokens_bpe) OVER (
+                    ORDER BY n_tokens_bpe DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+                FROM bdocs)
+          SELECT doc_id, n_tokens_bpe, cum_tokens FROM c
+          WHERE cum_tokens <= 35000""") { (spark, dir) =>
+      val toks = TextAnalysis.bpeTokenize(
+        Tables.df(spark, dir, "documents"), "doc_id", "text")
+        .withColumn("score", col("n_tokens_bpe").cast("double"))
+      Pack.selectUnderBudget(toks, "doc_id", "n_tokens_bpe", "score", 35000L)
+        .select(col("doc_id"), col("tokens").as("n_tokens_bpe"),
+          col("cum_tokens"))
+    },
+
     // per-source variant: every source spends its own 700 tokens in
     // parallel — no global structure at all (the dashboard-friendly
     // shape when sources must stay balanced)

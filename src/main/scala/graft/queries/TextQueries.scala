@@ -15,7 +15,73 @@ object TextQueries extends QueryGroup {
   private val stopSet =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The BPE encode loop as recursive-CTE SQL, ending in `bdocs`
+    * (doc_id, n_tokens_bpe, bpe_text) — shared by q_tokenize_bpe and
+    * the budget composition in PackQueries so the two cannot drift.
+    * A `def` (not a val below `queries`): object-init order would
+    * interpolate null otherwise — the r11 stop_ratio lesson.
+    *
+    * Replay mechanics: per (doc, word) the state is the token list;
+    * each recursive step merges the LEFTMOST occurrence of the
+    * lowest-rank pair (rank = `list_position` into the literal merges
+    * array — exactly BpeEncode's HashMap rank), terminal states are
+    * rows where no pair ranks. DuckDB struct lists sort
+    * lexicographically by field order, so `list_sort(...)[1]` over
+    * {'r', 'i'} structs IS the (rank, position) argmin. */
+  private[queries] def bpeEncCtes: String = {
+    val merges = graft.functions.BpeFixture.sqlLiteral
+    val best =
+      s"""list_sort(list_filter(
+            [{'r': coalesce(list_position($merges,
+                toks[i] || ' ' || toks[i + 1]), 0), 'i': i}
+             for i in generate_series(1, greatest(len(toks) - 1, 0))],
+            x -> x.r > 0))[1].i"""
+    s"""bw AS (
+         SELECT doc_id, wi, word FROM (
+           SELECT doc_id, unnest([{'wi': i, 'word': ws[i]}
+                    for i in generate_series(1, len(ws))],
+                  recursive := true)
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents WHERE text IS NOT NULL) s0) s1
+         WHERE word <> ''),
+       enc(doc_id, wi, toks) AS (
+         SELECT doc_id, wi, regexp_extract_all(word, '.') FROM bw
+         UNION ALL
+         SELECT doc_id, wi,
+           toks[1:b - 1] || [toks[b] || toks[b + 1]] || toks[b + 2:]
+         FROM (SELECT doc_id, wi, toks, $best AS b FROM enc) t
+         WHERE b IS NOT NULL),
+       bterm AS (
+         SELECT doc_id, wi, toks
+         FROM (SELECT doc_id, wi, toks, $best AS b FROM enc) t
+         WHERE b IS NULL),
+       bagg AS (
+         SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n,
+                string_agg(array_to_string(toks, ' '), ' '
+                  ORDER BY wi) AS s
+         FROM bterm GROUP BY doc_id),
+       bdocs AS (
+         SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens_bpe,
+                coalesce(a.s, '') AS bpe_text
+         FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         LEFT JOIN bagg a USING (doc_id))"""
+  }
+
   val queries: Seq[Q] = Seq(
+    // REAL deterministic BPE tokenization (graft.functions.BpeEncode):
+    // greedy rank-merge encode against the fixture-trained merges
+    // table. The WHOLE tokenizer — seed chars, merge order, terminal
+    // states, reassembly — differentials against the recursive-CTE
+    // replay; n_tokens_bpe is the model-token count the budget/pack
+    // surface composes on (q_select_budget_bpe).
+    q("q_tokenize_bpe", "text",
+      s"""WITH RECURSIVE $bpeEncCtes
+          SELECT doc_id, n_tokens_bpe, bpe_text FROM bdocs""") {
+      (spark, dir) =>
+      TextAnalysis.bpeTokenize(
+        Tables.df(spark, dir, "documents"), "doc_id", "text")
+    },
+
     q("q_text_stats", "text",
       s"""SELECT doc_id,
             CAST(length(text) AS BIGINT) AS n_chars_m,

@@ -807,6 +807,30 @@ class SimilaritySpec extends AnyFunSuite {
 class TextQualitySpec extends AnyFunSuite {
   import TestSession._
 
+  test("BPE encode: hand cases under the leftmost-lowest-rank rule") {
+    import spark.implicits._
+    // expected values from an independent reference implementation of
+    // the defined rule (one merge per step, leftmost occurrence of the
+    // lowest-rank pair) over the 40-merge fixture:
+    //   customer/filter → fully merged single tokens
+    //   window → w in d ow   (no "d ow"/"in dow" merge in the prefix)
+    //   stream → st r e a m  ("s t" is the only applicable merge)
+    //   erin → er in ; zzz → z z z (nothing applies) ; a → a
+    val docs = Seq(
+      (0L, "customer window"),
+      (1L, "stream erin zzz a"),
+      (2L, "  double  spaced  "), // empty words dropped
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bpeTokenize(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out(0L) == (5L, "customer w in d ow"), s"got ${out(0L)}")
+    assert(out(1L) == (11L, "st r e a m er in z z z a"), s"got ${out(1L)}")
+    assert(out(2L)._2 == "d o u b l e s p a c e d", s"got ${out(2L)}")
+    assert(!out.contains(3L), "null text must be excluded, not tokenized")
+  }
+
   test("tfidf keywords: hand-computed ranks on a known corpus") {
     import spark.implicits._
     // N=3; df: apple 1, banana 3, cherry 1 → idf_fp: 3e6 / 1e6 / 3e6.
