@@ -55,6 +55,31 @@ object DedupQueries extends QueryGroup {
     corpus(spark, dir)
       .filter(col("doc_id") % 100000 % 10 isin (0, 5))
 
+  /** q_dedup_incremental_near's oracle, shared VERBATIM with its
+    * streaming twin (q_stream_incremental_neardup) so the two cannot
+    * drift — the streaming run is one staged file → one micro-batch →
+    * exactly the batch operator: survivors = batch docs (ids ≥
+    * 100000) with no shingle-set-identical partner among ingested
+    * docs or earlier batch docs (minJaccard = 1.0 ⟺ set equality). */
+  private[queries] def incrementalNearSql: String =
+    s"""WITH $clustersCorpusSql,
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [text]
+                      ELSE list_sort(list_distinct(
+                        [array_to_string(toks[i:i+2], ' ')
+                         for i in generate_series(1,
+                           greatest(len(toks) - 2, 0))])) END AS shl
+               FROM (SELECT doc_id, text,
+                       string_split(text, ' ') AS toks
+                     FROM corpus WHERE text IS NOT NULL) t),
+        base AS (SELECT doc_id, shl FROM sh WHERE doc_id < 100000),
+        batch AS (SELECT doc_id, shl FROM sh WHERE doc_id >= 100000)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM base s WHERE s.shl = b.shl)
+          AND NOT EXISTS (SELECT 1 FROM batch b2
+                          WHERE b2.doc_id < b.doc_id
+                            AND b2.shl = b.shl)"""
+
   /** Span-dedup oracle CTE chain (after a `corpus` CTE), ending in
     * `sd(doc_id, dtext, n_removed)` — shared verbatim by the
     * standalone q_dedup_spans oracle and the curate-v4 composition
@@ -308,24 +333,8 @@ object DedupQueries extends QueryGroup {
     // batch docs. The +100000 exact copies die against the index; the
     // +200000 tail variants survive (Jaccard < 1) — the near-dup
     // threshold path below 1.0 is spec-pinned instead.
-    q("q_dedup_incremental_near", "dedup",
-      s"""WITH $clustersCorpusSql,
-          sh AS (SELECT doc_id,
-                   CASE WHEN len(toks) < 3 THEN [text]
-                        ELSE list_sort(list_distinct(
-                          [array_to_string(toks[i:i+2], ' ')
-                           for i in generate_series(1,
-                             greatest(len(toks) - 2, 0))])) END AS shl
-                 FROM (SELECT doc_id, text,
-                         string_split(text, ' ') AS toks
-                       FROM corpus WHERE text IS NOT NULL) t),
-          base AS (SELECT doc_id, shl FROM sh WHERE doc_id < 100000),
-          batch AS (SELECT doc_id, shl FROM sh WHERE doc_id >= 100000)
-          SELECT b.doc_id FROM batch b
-          WHERE NOT EXISTS (SELECT 1 FROM base s WHERE s.shl = b.shl)
-            AND NOT EXISTS (SELECT 1 FROM batch b2
-                            WHERE b2.doc_id < b.doc_id
-                              AND b2.shl = b.shl)""") { (spark, dir) =>
+    q("q_dedup_incremental_near", "dedup", incrementalNearSql) {
+      (spark, dir) =>
       val c = clustersCorpus(spark, dir)
       val seen = c.filter(col("doc_id") < 100000)
       val seenBands = Dedup.lshBands(

@@ -266,6 +266,36 @@ object MultimodalQueries extends QueryGroup {
         .select("text_md5")
     },
 
+    // stream-static incremental NEAR-dup — the MinHash-band sibling of
+    // q_stream_incremental_dedup, the streaming face of
+    // q_dedup_incremental_near: the injected-duplicate batch slice is
+    // staged as one parquet file and STREAMED through the foreachBatch
+    // ingest loop (band-index candidates → exact-Jaccard verify →
+    // survivors → index append) against the ingested corpus's band
+    // index. One file → one micro-batch → survivors are exactly the
+    // batch operator's, so the oracle is q_dedup_incremental_near's
+    // SQL verbatim (shared via DedupQueries.incrementalNearSql);
+    // multi-batch sequencing is spec-pinned in StreamingSpec instead.
+    q("q_stream_incremental_neardup", "streaming",
+      DedupQueries.incrementalNearSql) { (spark, dir) =>
+      import graft.ops.Dedup
+      val c = DedupQueries.clustersCorpus(spark, dir)
+      val seen = c.filter(col("doc_id") < 100000)
+      val seenBands = Dedup.lshBands(
+        Dedup.minhashSignature(seen, "doc_id", "text", 3, 16), 16, 4)
+      val staged = java.nio.file.Files.createTempDirectory("graft_sneard")
+      c.filter(col("doc_id") >= 100000).coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+      try graft.streaming.IngestStream.runNearDedupToBatch(spark,
+        staged.toString, seenBands, seen.select("doc_id", "text"),
+        schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
     // stream-stream interval join (attribution) run to completion over
     // the bounded file source — inner joins emit on arrival, so the
     // bounded run ≡ the batch interval join; times as integer µs

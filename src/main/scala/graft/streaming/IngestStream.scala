@@ -57,6 +57,90 @@ object IngestStream {
     }
     spark.table(queryName)
   }
+
+  /** Streaming NEAR-dup ingest — [[dedupAgainstIndex]]'s MinHash-band
+    * sibling, completing the incremental trio's streaming face: each
+    * micro-batch runs EXACTLY [[graft.ops.Dedup.incrementalNearDup]]
+    * (band-index candidates → exact-Jaccard verify → survivors)
+    * against the current index, then appends the survivors' band rows
+    * and text to the index so later batches dedup against earlier
+    * survivors — the production ingest loop, spelled with
+    * `foreachBatch` (the Structured Streaming idiom for a stream
+    * against an EVOLVING static side; a plain stream-static join
+    * cannot express the per-doc "no candidate verified" aggregation
+    * in append mode, and could never advance the index).
+    *
+    * Identical micro-batch logic means the oracle IS the batch
+    * operator's: one staged file → one batch → survivors equal
+    * [[graft.ops.Dedup.incrementalNearDup]] row for row; multi-batch
+    * runs equal the sequential-ingest composition (spec-pinned
+    * against the single-batch twin — at `minJaccard = 1.0` near-dup
+    * is set-equality, an equivalence relation, so batch partitioning
+    * cannot change the survivor classes; below 1.0 the usual
+    * non-transitivity caveat applies, same stance as the batch
+    * operator). Index state evolves as localCheckpoint'd frames with
+    * the previous generation released per batch ([[graft.core
+    * .Checkpoints]] discipline) — at warehouse scale the same loop
+    * appends to the [[graft.write.IndexStore]] bucketed tables
+    * instead.
+    *
+    * `seenDocs` must carry (idCol, textCol); ids across index and
+    * stream must be disjoint (the ingest invariant). Returns the
+    * accumulated survivor ids (idCol). */
+  def runNearDedupToBatch(spark: SparkSession, path: String,
+      seenBands: DataFrame, seenDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      schema: StructType = docsFileSchema,
+      pre: DataFrame => DataFrame = identity,
+      n: Int = 3, k: Int = 16, r: Int = 4, minJaccard: Double = 1.0,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.ops.Dedup
+    import graft.core.Checkpoints
+    var bands = seenBands.select(col("doc"), col("band_id"),
+      col("band_key")).localCheckpoint()
+    var docs = seenDocs.select(col(idCol), col(textCol)).localCheckpoint()
+    var kept: DataFrame = null
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val reader = spark.readStream.schema(schema)
+      val src = maxFilesPerTrigger
+        .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+        .parquet(path)
+      val q = pre(src).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val batch = b.select(col(idCol), col(textCol))
+          val survivors = Dedup.incrementalNearDup(batch, bands, docs,
+            idCol, textCol, n, k, r, minJaccard)
+          val survivorDocs = batch.filter(col(textCol).isNotNull)
+            .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+            .localCheckpoint()
+          val nb = bands.unionByName(
+            Dedup.lshBands(Dedup.minhashSignature(survivorDocs, idCol,
+              textCol, n, k), k, r)).localCheckpoint()
+          val nd = docs.unionByName(survivorDocs).localCheckpoint()
+          Checkpoints.release(bands); Checkpoints.release(docs)
+          Checkpoints.release(survivorDocs)
+          bands = nb; docs = nd
+          val nk = if (kept == null) survivors
+            else {
+              val u = kept.unionByName(survivors).localCheckpoint()
+              Checkpoints.release(kept); Checkpoints.release(survivors)
+              u
+            }
+          kept = nk
+          ()
+        }
+        .outputMode("update").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    if (kept != null) kept
+    else seenDocs.select(col(idCol)).limit(0)
+  }
 }
 
 /** Shared bounded-run scaffolding for file-source streaming twins:

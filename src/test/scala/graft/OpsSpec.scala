@@ -1138,6 +1138,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.core.Fs.deleteRecursively(dir2)
   }
 
+  test("stream-static incremental NEAR-dup: multi-batch ingest loop " +
+      "equals the single-batch twin; later batches dedup against " +
+      "earlier survivors") {
+    import spark.implicits._
+    // index: two ingested docs. stream, split across TWO micro-batch
+    // files: file1 = {dup-of-ingested (drops), novel A (survives),
+    // novel B (survives)}; file2 = {dup-of-file1's-survivor A (drops
+    // — ONLY because the loop appended batch-1 survivors to the
+    // index), novel C (survives), short-doc dup of ingested short
+    // (drops via the sentinel path)}
+    val seenDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "tiny doc")).toDF("doc_id", "text")
+    val seenBands = graft.ops.Dedup.lshBands(
+      graft.ops.Dedup.minhashSignature(seenDocs, "doc_id", "text", 3, 16),
+      16, 4)
+    val f1 = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "one two three four five"),
+      (12L, "six seven eight nine ten")).toDF("doc_id", "text")
+    val f2 = Seq(
+      (20L, "one two three four five"),
+      (21L, "eleven twelve thirteen fourteen"),
+      (22L, "tiny doc")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_snear_mb")
+    try {
+      f1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+      f2.coalesce(1).write.parquet(dir.resolve("b2").toString)
+      def part(sub: String): java.io.File = java.nio.file.Files
+        .list(dir.resolve(sub)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).map(new java.io.File(_)).head
+      val staged = java.nio.file.Files.createTempDirectory("graft_snear_s")
+      val p1 = staged.resolve("b1.parquet")
+      val p2 = staged.resolve("b2.parquet")
+      java.nio.file.Files.copy(part("b1").toPath, p1)
+      java.nio.file.Files.copy(part("b2").toPath, p2)
+      // FileStreamSource orders files by modification time — force
+      // b1 strictly earlier so maxFilesPerTrigger=1 yields the
+      // intended batch sequence deterministically
+      p1.toFile.setLastModified(p2.toFile.lastModified() - 60000L)
+      val kept = graft.streaming.IngestStream.runNearDedupToBatch(spark,
+          staged.toString, seenBands, seenDocs,
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))),
+          maxFilesPerTrigger = Some(1))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 12L, 21L), s"got $kept")
+      // sequential ingest ≡ the single-batch twin over the union (at
+      // minJaccard = 1.0 near-dup is set-equality, so batch
+      // partitioning cannot change survivors; min-id and first-arrival
+      // agree because earlier files carry smaller ids here)
+      val single = graft.ops.Dedup.incrementalNearDup(
+          f1.unionByName(f2), seenBands, seenDocs, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == single, s"stream $kept != single-batch $single")
+      graft.core.Fs.deleteRecursively(staged)
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
   test("file-sink dedup run equals batch DISTINCT (no driver transit)") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_sink_dedup").toString
