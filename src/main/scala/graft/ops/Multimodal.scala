@@ -104,19 +104,95 @@ object Multimodal {
     * a genuine round-trip: 44-byte RIFF header + nFrames·channels·2
     * data bytes. Sample i is a deterministic triangle-ish ramp so the
     * payload (and thus checksum) is reproducible. */
-  def wavPayload(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+  def wavPayload(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] =
+    wavPayload(sampleRate, channels, nFrames, 0)
+
+  /** `seed` offsets the deterministic ramp (pcm byte i = (i·31 + 7 +
+    * seed) & 0xff) so distinct fixture ids carry distinct CONTENT, not
+    * just distinct length — the audio-fingerprint corpus needs hashes
+    * that vary with the waveform. seed = 0 is the original payload. */
+  def wavPayload(sampleRate: Int, channels: Int, nFrames: Int,
+      seed: Int): Array[Byte] = {
     import javax.sound.sampled._
     val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
       /* signed = */ true, /* bigEndian = */ false)
     val pcm = new Array[Byte](nFrames * channels * 2)
     var i = 0
-    while (i < pcm.length) { pcm(i) = ((i * 31 + 7) & 0xff).toByte; i += 1 }
+    while (i < pcm.length) {
+      pcm(i) = ((i * 31 + 7 + seed) & 0xff).toByte; i += 1
+    }
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  /** 64-bit audio perceptual fingerprint over the REAL WAV decode path
+    * — chromaprint-SHAPED (the public Chromaprint/AcoustID recipe:
+    * decode → time × band energy grid → per-cell threshold → compact
+    * bit signature → banded candidate join), with the FFT filterbank
+    * replaced by an integer polyphase-component energy grid so every
+    * step replays exactly in BIGINT SQL (the q_knn_int8 exactness
+    * stance; a float FFT would be engine-rounding-dependent). Grid:
+    * 8 time slices (sample j → slice j·8/N, the aHash block mapping)
+    * × 8 polyphase components (j mod 8 — the energy split a real
+    * filterbank refines); cell value = mean |sample| (integer
+    * division), bit set iff the cell EXCEEDS the integer mean of the
+    * 64 cells. Interleaved multi-channel streams are fingerprinted
+    * as-is (channel order is deterministic in PCM).
+    *
+    * Decode is the real javax.sound.sampled parse of the payload
+    * bytes — a wrong header parse, wrong endianness, or wrong frame
+    * count CANNOT hash-match the oracle's from-formula replay. Only
+    * PCM_SIGNED 16-bit little-endian is fingerprinted (the canonical
+    * warehouse normalization); anything else → None, same junk
+    * stance as [[imageAHash]]. Returned as two 32-bit halves in
+    * Longs, [[aHashHamming]]/[[aHashNearDupPairs]]-compatible — the
+    * audio near-dup join IS the image one over different bits. */
+  def audioFingerprint(payload: Array[Byte]): Option[(Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          if (n == 0) None
+          else {
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            var j = 0
+            while (j < n) {
+              val v = (bytes(2 * j + 1).toInt << 8) |
+                (bytes(2 * j).toInt & 0xff)
+              val t = (j.toLong * 8 / n).toInt
+              val idx = t * 8 + (j % 8)
+              sums(idx) += math.abs(v.toLong)
+              cnts(idx) += 1
+              j += 1
+            }
+            val cell = Array.tabulate(64)(i =>
+              if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+            val mean = cell.sum / 64
+            var hi = 0L
+            var lo = 0L
+            var i = 0
+            while (i < 64) {
+              if (cell(i) > mean) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            Some((hi, lo))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic uncompressed 24-bit BMP with equal BGR channels
     * (grayscale payload) — the media fixture for the REAL image-hash

@@ -23,6 +23,75 @@ object MultimodalQueries extends QueryGroup {
     ((u3 ^ (u3 / 8192)) % 256L).toInt
   }
 
+  /** WAV fixture payload for `id`: the q_audio_features shape
+    * parameters plus a per-id ramp seed (id % 251 — coprime to the 256
+    * byte wrap, so distinct ids get distinct waveforms) and an
+    * optional frame extension for the near-dup "edit" variants. */
+  private[queries] def audioPayload(id: Long,
+      extraFrames: Int): Array[Byte] =
+    Multimodal.wavPayload(8000 + (id % 4).toInt * 4000,
+      1 + (id % 2).toInt, 100 + (id % 400).toInt + extraFrames,
+      (id % 251).toInt)
+
+  /** Fingerprint chain from an `aud(media_id, n, seed)` CTE (n = total
+    * interleaved samples, seed = ramp offset) to `afp(media_id, hi,
+    * lo)` — the BIGINT replay of Multimodal.audioFingerprint: sample j
+    * is the little-endian signed 16 of ramp bytes (2j, 2j+1), cell =
+    * (time slice j·8//n) × (polyphase j%8), bit iff cell mean |s|
+    * exceeds the 64-cell integer mean. */
+  private def audioFpSql: String =
+    """smp AS (SELECT media_id, n, seed,
+                 unnest(generate_series(0, n - 1)) AS j
+               FROM aud),
+       sv AS (SELECT media_id, n, j,
+                CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+              FROM (SELECT media_id, n, j,
+                      ((2 * j * 31 + 7 + seed) % 256)
+                        + 256 * (((2 * j + 1) * 31 + 7 + seed) % 256) AS v
+                    FROM smp) t),
+       cells AS (SELECT media_id, (j * 8 // n) * 8 + j % 8 AS idx,
+                   SUM(abs(s)) // COUNT(*) AS cm
+                 FROM sv GROUP BY 1, 2),
+       m AS (SELECT media_id, SUM(cm) // 64 AS mean
+             FROM cells GROUP BY 1),
+       afp AS (SELECT cells.media_id,
+                 SUM(CASE WHEN idx >= 32 AND cm > mean
+                          THEN CAST(1 AS BIGINT)
+                               << CAST(idx - 32 AS INTEGER)
+                          ELSE 0 END) AS hi,
+                 SUM(CASE WHEN idx < 32 AND cm > mean
+                          THEN CAST(1 AS BIGINT) << CAST(idx AS INTEGER)
+                          ELSE 0 END) AS lo
+               FROM cells JOIN m USING (media_id) GROUP BY 1)"""
+
+  /** the base audio corpus: one fixture WAV per document */
+  private def audioBaseSql: String =
+    """aud AS (SELECT doc_id AS media_id,
+                 CAST(1 + doc_id % 2 AS BIGINT)
+                   * CAST(100 + doc_id % 400 AS BIGINT) AS n,
+                 doc_id % 251 AS seed
+               FROM documents)"""
+
+  /** near-dup corpus: base ∪ exact re-encodes ∪ one-frame edits */
+  private def audioNearCorpusSql: String =
+    """aud AS (SELECT doc_id AS media_id,
+                 CAST(1 + doc_id % 2 AS BIGINT)
+                   * CAST(100 + doc_id % 400 AS BIGINT) AS n,
+                 doc_id % 251 AS seed
+               FROM documents
+               UNION ALL
+               SELECT doc_id + 100000,
+                 CAST(1 + doc_id % 2 AS BIGINT)
+                   * CAST(100 + doc_id % 400 AS BIGINT),
+                 doc_id % 251
+               FROM documents WHERE doc_id % 10 = 0
+               UNION ALL
+               SELECT doc_id + 200000,
+                 CAST(1 + doc_id % 2 AS BIGINT)
+                   * CAST(101 + doc_id % 400 AS BIGINT),
+                 doc_id % 251
+               FROM documents WHERE doc_id % 10 = 5)"""
+
   val queries: Seq[Q] = Seq(
     // typed-Dataset mapPartitions pipeline: schema/partitioning/batch
     // iteration are real; the decode is the documented stub
@@ -74,6 +143,68 @@ object MultimodalQueries extends QueryGroup {
           spark.sparkContext.defaultParallelism)
         .select("media_id", "media_type", "byte_len", "sample_rate",
           "channels", "n_frames")
+    },
+
+    // REAL audio decode + perceptual fingerprint: payloads are PCM16
+    // WAVs synthesized through the JDK encoder from an integer ramp
+    // seeded per id; the Spark side parses the ACTUAL bytes via
+    // javax.sound.sampled and computes the 8-time × 8-polyphase
+    // energy-grid fingerprint, the oracle recomputes the SAME bits
+    // from the generating formula in pure BIGINT SQL — a wrong header
+    // parse, endianness, or frame count cannot hash-match. Two 32-bit
+    // halves for the same BIGINT-shift reason as the image hash.
+    q("q_audio_fingerprint", "multimodal",
+      s"""WITH $audioBaseSql, $audioFpSql
+          SELECT media_id, CAST(hi AS BIGINT) AS afp_hi,
+                 CAST(lo AS BIGINT) AS afp_lo
+          FROM afp""") { (spark, dir) =>
+      import spark.implicits._
+      val ids = Tables.df(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val (hi, lo) = Multimodal.audioFingerprint(
+          MultimodalQueries.audioPayload(id, 0)).get
+        (id, hi, lo)
+      }.toDF("media_id", "afp_hi", "afp_lo")
+    },
+
+    // audio NEAR-DUP end to end, completing the multimodal dedup
+    // matrix (text ✓ image ✓ audio ✓): the corpus injects exact
+    // re-encodes (+100000, identical waveform → Hamming 0) and
+    // one-frame-longer edits (+200000 — trims/appends, whose bit
+    // flips are deterministic either way); fingerprints come from
+    // REAL WAV decode, the pair stage reuses the 4×16-bit band
+    // bucket join (recall 1.0 at Hamming ≤ 3 by pigeonhole), and the
+    // oracle replays waveform → cells → bits → all-pairs popcount in
+    // integer SQL. The all-pairs spelling is the labeled ORACLE TWIN;
+    // production is the banded join, which must emit the identical
+    // pair set.
+    q("q_audio_neardup", "multimodal",
+      s"""WITH $audioNearCorpusSql, $audioFpSql
+          SELECT a.media_id AS a_id, b.media_id AS b_id,
+                 CAST(bit_count(xor(a.hi, b.hi))
+                      + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+          FROM afp a JOIN afp b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.hi, b.hi))
+                + bit_count(xor(a.lo, b.lo)) <= 3""") { (spark, dir) =>
+      import spark.implicits._
+      val ids = Tables.df(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+      val hashes = ids.flatMap { id =>
+        def fp(extraFrames: Int, mid: Long): (Long, Long, Long) = {
+          val (hi, lo) = Multimodal.audioFingerprint(
+            MultimodalQueries.audioPayload(id, extraFrames)).get
+          (mid, hi, lo)
+        }
+        val base = Seq(fp(0, id))
+        val copies =
+          if (id % 10 == 0) Seq(fp(0, id + 100000L)) else Seq.empty
+        val edits =
+          if (id % 10 == 5) Seq(fp(1, id + 200000L)) else Seq.empty
+        base ++ copies ++ edits
+      }.toDF("media_id", "afp_hi", "afp_lo")
+      Multimodal.aHashNearDupPairs(hashes, "media_id",
+        "afp_hi", "afp_lo", maxHamming = 3)
     },
 
     // REAL image decode + perceptual hash: payloads are 8×8 grayscale

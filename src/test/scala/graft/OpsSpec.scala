@@ -1288,6 +1288,48 @@ class StreamingSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   import TestSession._
 
+  test("audio fingerprint: real decode, deterministic bits, junk → None") {
+    import graft.ops.Multimodal
+    val p = Multimodal.wavPayload(8000, 2, 300, seed = 17)
+    val fp1 = Multimodal.audioFingerprint(p)
+    assert(fp1.nonEmpty, "canonical PCM16 WAV must fingerprint")
+    // byte-identical payload → identical bits (re-encode dedup case)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.wavPayload(8000, 2, 300, seed = 17)) == fp1)
+    // different waveform (other seed) → different bits on this fixture
+    assert(Multimodal.audioFingerprint(
+      Multimodal.wavPayload(8000, 2, 300, seed = 18)) != fp1)
+    // sample-rate-only change keeps the waveform → same bits (the
+    // perceptual contract: the grid reads samples, not the header rate)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.wavPayload(16000, 2, 300, seed = 17)) == fp1)
+    // torn payload and non-audio bytes → None, not an exception
+    assert(Multimodal.audioFingerprint(p.take(30)).isEmpty)
+    assert(Multimodal.audioFingerprint(
+      "not audio at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audio near-dup banding: exact re-encodes pair at Hamming 0 " +
+      "through the banded join") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val hashes = (0L until 20L).flatMap { id =>
+      val (hi, lo) = Multimodal.audioFingerprint(
+        Multimodal.wavPayload(8000, 1, 100 + id.toInt * 7,
+          seed = id.toInt * 13)).get
+      // ids 0/5/10/15 get an exact re-encoded copy under +1000
+      if (id % 5 == 0) Seq((id, hi, lo), (id + 1000L, hi, lo))
+      else Seq((id, hi, lo))
+    }.toDF("media_id", "afp_hi", "afp_lo")
+    val pairs = Multimodal.aHashNearDupPairs(hashes, "media_id",
+        "afp_hi", "afp_lo", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = pairs.filter(p => p._2 == p._1 + 1000L)
+    assert(exact.map(_._1).toSet == Set(0L, 5L, 10L, 15L),
+      s"re-encoded copies missed: ${exact.mkString(",")}")
+    assert(exact.forall(_._3 == 0L), "identical bits must be Hamming 0")
+  }
+
   test("binary pipeline: schema, partitioning, deterministic decode") {
     implicit val s = spark
     val docs = Tables.df(spark, sf, "documents")
