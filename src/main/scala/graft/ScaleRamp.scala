@@ -332,7 +332,7 @@ object ScaleRamp {
           .unionAll(d.filter(col("doc_id") % 10 === 5)
             .select((col("doc_id") + 200000L).as("doc_id"),
               concat(col("text"), lit(" graft tail token")).as("text")))
-        timeIt(graft.queries.PackQueries.curateV4Frames(corp)._3.count())
+        timeIt(graft.queries.PackQueries.curateV4Frames(corp)._2.count())
       },
       "connected_components" -> { k =>
         // isolate CC from candidate generation: the edge list is
@@ -462,7 +462,7 @@ object ScaleRamp {
     Similarity.lshNearDup(emb0.limit(500), 0.99).count()
     Dedup.spanDedup(docs0.limit(200), "doc_id", "text", 8).count()
     graft.queries.PackQueries.curateV3Frames(docs0.limit(200))._3.count()
-    graft.queries.PackQueries.curateV4Frames(docs0.limit(200))._3.count()
+    graft.queries.PackQueries.curateV4Frames(docs0.limit(200))._2.count()
     graft.ops.Stats.binnedQuantiles(
       graft.ops.TextAnalysis.repetitionFeatures(docs0.limit(200),
         col("text")), col("dup_token_frac"), Seq(500)).count()

@@ -122,14 +122,20 @@ object Decontaminate {
     * truly-contaminated doc is flagged; a false-positive gram can flag
     * a clean one — rate ≈ occupancy^k, sized by mBits). Docs shorter
     * than n tokens have no gram evidence and are never flagged, same
-    * as [[flag]]. */
+    * as [[flag]]; null text likewise flags false, not NULL — the
+    * coalesce below, because `exists` over the null shingle array
+    * yields NULL while the oracle's IN-subquery spelling yields
+    * false, and a safety FILTER's consumers branch on the flag (a
+    * NULL would silently drop the doc from both the contaminated and
+    * the clean side of a split). */
   def bloomFlag(train: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int, mBits: Int = 1 << 20,
       k: Int = 3): DataFrame = {
     val bits = bloomBits(evalSet, textCol, n, mBits, k)
     train.withColumn("contaminated",
-      exists(Dedup.shingles(col(textCol), n),
-        g => CB.column(BloomProbe(CB.expression(hash(g)), bits, mBits, k))))
+      coalesce(exists(Dedup.shingles(col(textCol), n),
+        g => CB.column(BloomProbe(CB.expression(hash(g)), bits, mBits, k))),
+        lit(false)))
   }
 }
 

@@ -367,20 +367,39 @@ object Dedup {
     * pairs-sized, ids-only — and the two source-attach joins carry the
     * (id, source) projection only, never text; the final aggregate is
     * #sources² at most. Everything downstream of the (already
-    * shuffle-bounded) pair join is a light equi-join chain. Null
-    * sources group as null (a diagnostic should surface them, not
-    * silently drop them). */
+    * shuffle-bounded) pair join is a light equi-join chain. A null
+    * source sorts FIRST explicitly (`least`/`greatest` would SKIP the
+    * null and conflate a (null, srcX) pair with genuine (srcX, srcX)
+    * same-source pairs — exactly what a provenance diagnostic must
+    * not do), so mixed-null pairs surface as a (null, srcX) row and
+    * both-null pairs as (null, null). */
   def crossSourceDupMatrix(docs: DataFrame, idCol: String,
       textCol: String, srcCol: String, n: Int,
-      minJaccard: Double): DataFrame = {
-    val pairs = ngramJaccardPairs(docs.select(col(idCol), col(textCol)),
-      idCol, textCol, n, minJaccard).select("a_id", "b_id")
+      minJaccard: Double): DataFrame =
+    crossSourceDupMatrix(
+      ngramJaccardPairs(docs.select(col(idCol), col(textCol)),
+        idCol, textCol, n, minJaccard).select("a_id", "b_id"),
+      docs, idCol, srcCol)
+
+  /** [[crossSourceDupMatrix]] over a PRECOMPUTED pair frame
+    * (`a_id`/`b_id`, e.g. [[ngramJaccardPairs]]' output a caller
+    * already materialized for [[representativesBy]] or clustering) —
+    * the matrix is a pairs-sized equi-join tail, so a diagnostic
+    * caller should never pay the corpus-scale candidate join twice
+    * just to re-derive it. The self-contained overload above stays
+    * for the oracle and delegates here. */
+  def crossSourceDupMatrix(pairs: DataFrame, docs: DataFrame,
+      idCol: String, srcCol: String): DataFrame = {
     val s = docs.select(col(idCol), col(srcCol))
-    pairs
+    // null-first unordered key, spelled with when() because Spark's
+    // least/greatest are null-SKIPPING (see scaladoc above)
+    val aFirst = col("sa").isNull ||
+      (col("sb").isNotNull && col("sa") <= col("sb"))
+    pairs.select("a_id", "b_id")
       .join(s.select(col(idCol).as("a_id"), col(srcCol).as("sa")), "a_id")
       .join(s.select(col(idCol).as("b_id"), col(srcCol).as("sb")), "b_id")
-      .select(least(col("sa"), col("sb")).as("src_a"),
-        greatest(col("sa"), col("sb")).as("src_b"))
+      .select(when(aFirst, col("sa")).otherwise(col("sb")).as("src_a"),
+        when(aFirst, col("sb")).otherwise(col("sa")).as("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
   }
 

@@ -719,6 +719,17 @@ object Similarity {
       .withColumn("cid", row_number().over(cbW) - 1)
       .localCheckpoint()
     require(cb.count() > 0, "ivfPqEncodeBatch: empty base codebook")
+    // cb non-empty proves the base has indexable vectors, so an empty
+    // centroid slice means the stride missed every base id — the
+    // crossJoin below would be empty and the append SILENTLY empty
+    // (the semDedup stride guard, mirrored; the cb require above
+    // can't catch this: the codebook sample is stride-independent)
+    if (cents.isEmpty)
+      throw new IllegalArgumentException(
+        "ivfPqEncodeBatch: no base id is divisible by centroidEvery=" +
+          s"$centroidEvery — the batch would assign to zero cells and " +
+          "the append would be silently empty; pick a stride that " +
+          "intersects the base id space")
     val subs = explode(array((0 until m).map(j =>
       struct(lit(j).as("j"),
         slice(col("u"), j * dsub + 1, dsub).as("sv"))): _*))

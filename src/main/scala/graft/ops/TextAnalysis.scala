@@ -337,11 +337,27 @@ object TextAnalysis {
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("fp_t") - col("fp_c")).as("diff_fp_sum"))
+    // the overflow contract CHECKED, not just documented: the param
+    // requires above bound rampFp and thetaFp, but a single
+    // pathological doc can still push n_bigrams past the point where
+    // u·rampFp·n (left side) or (|θ|+10⁶)·n (accept's diff bound)
+    // wraps 2⁶³ and silently flips the kept bit — fail the job loudly
+    // instead. At the default-ish rampFp=10⁴ the bound is ~9.2e8
+    // bigrams per doc; no real document approaches it.
+    val maxN = math.min(
+      Long.MaxValue / (1000000L * rampFp),
+      Long.MaxValue / (math.max(math.abs(thetaFp), 1L) + 1000000L))
     df.select(col(idCol)).distinct()
       .join(terms, col(idCol) === col("__id"), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("diff_fp_sum"), lit(0L)).as("diff_fp_sum"))
+      .withColumn("n_bigrams",
+        when(col("n_bigrams") > maxN, raise_error(concat(
+            lit(s"dsirResample: doc "), col(idCol).cast("string"),
+            lit(s" exceeds $maxN bigrams — the 64-bit keep-test bound" +
+              s" for rampFp=$rampFp, thetaFp=$thetaFp"))).cast("long"))
+          .otherwise(col("n_bigrams")))
       .withColumn("dsir_score",
         when(col("n_bigrams") === 0, lit(0.0))
           .otherwise(col("diff_fp_sum").cast("double") /

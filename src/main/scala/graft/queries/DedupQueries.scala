@@ -215,10 +215,18 @@ object DedupQueries extends QueryGroup {
                   SELECT doc_id, row_number() OVER (
                            PARTITION BY g ORDER BY doc_id, pos) AS rn
                   FROM wins) w WHERE rn = 1 GROUP BY doc_id),
+          -- tot reads CORPUS, not the text-filtered toks CTE: the
+          -- engine emits a (NULL n_windows, NULL novelty) row for
+          -- null-text docs ("no evidence", the overlapScore
+          -- contract), so the oracle must carry those docs too or a
+          -- regenerated fixture with one null-text row breaks the
+          -- differential on row count alone
           tot AS (SELECT doc_id,
-                    CASE WHEN len(tk) >= 8
-                         THEN CAST(len(tk) - 7 AS BIGINT) END AS n_windows
-                  FROM toks)
+                    CASE WHEN text IS NOT NULL
+                          AND len(string_split(text, ' ')) >= 8
+                         THEN CAST(len(string_split(text, ' ')) - 7
+                                   AS BIGINT) END AS n_windows
+                  FROM corpus)
           SELECT t.doc_id, t.n_windows,
                  CASE WHEN t.n_windows IS NOT NULL
                       THEN COALESCE(f.n_first, 0) END AS n_first,
@@ -257,8 +265,16 @@ object DedupQueries extends QueryGroup {
            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
            HAVING CAST(count(*) AS DOUBLE)
                   / (a.n_sh + b.n_sh - count(*)) >= 0.8)
-         SELECT least(ca.source, cb.source) AS src_a,
-                greatest(ca.source, cb.source) AS src_b,
+         -- null-first CASE, not least/greatest: both engines' least/
+         -- greatest SKIP nulls, which would fold a (null, srcX) pair
+         -- into (srcX, srcX) — the engine routes nulls first
+         -- explicitly, and the oracle spells the same rule
+         SELECT CASE WHEN ca.source IS NULL OR (cb.source IS NOT NULL
+                       AND ca.source <= cb.source)
+                     THEN ca.source ELSE cb.source END AS src_a,
+                CASE WHEN ca.source IS NULL OR (cb.source IS NOT NULL
+                       AND ca.source <= cb.source)
+                     THEN cb.source ELSE ca.source END AS src_b,
                 count(*) AS n_pairs
          FROM p JOIN corpus ca ON p.a_id = ca.doc_id
                 JOIN corpus cb ON p.b_id = cb.doc_id

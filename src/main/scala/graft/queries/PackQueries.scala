@@ -518,7 +518,7 @@ object PackQueries extends QueryGroup {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) // $Budget AS BIGINT) AS pack_id
           FROM surv""") { (spark, dir) =>
-      curateV4Frames(DedupQueries.clustersCorpus(spark, dir))._3
+      curateV4Frames(DedupQueries.clustersCorpus(spark, dir))._2
     })
 
   /** The v3 composition with its stage frames exposed so the spec can
@@ -596,20 +596,23 @@ object PackQueries extends QueryGroup {
 
   /** Frame-based core of the v4 composition: span dedup → (short
     * remnants: exact dedup | long docs: Jaccard clusters resolved by
-    * keep-LONGEST) → pack; returns (spanDeduped, pairs, packed).
-    * Empty remnants (docs wholly composed of already-seen spans) are
-    * dropped — the unitDedup vanishing-copy precedent. Same boundary
-    * discipline as [[curateV3Frames]]: the corpus-sized span-deduped
-    * frame is eagerly localCheckpoint'd — it is consumed four times
+    * keep-LONGEST) → pack; returns (pairs, packed). Empty remnants
+    * (docs wholly composed of already-seen spans) are dropped — the
+    * unitDedup vanishing-copy precedent. Same boundary discipline as
+    * [[curateV3Frames]]: the corpus-sized span-deduped frame is
+    * eagerly localCheckpoint'd — it is consumed four times
     * (short/long splits, shingle pass, priority projection, keep
     * joins) and each re-execution would re-run the whole span-dedup
     * DAG — then RELEASED before returning (ngramJaccardPairs
     * checkpoints its own pair list, representativesBy's CC labels are
     * checkpointed internally, and sequencePack eagerly checkpoints its
     * small text-free input, so by return time nothing references the
-    * blocks). The returned sd/pairs stay explainable, blocks freed. */
+    * blocks). The span-deduped frame is deliberately NOT returned:
+    * its checkpoint blocks are freed here, so executing it later
+    * would fail at runtime — a tuple slot that only works under
+    * .explain invites misuse. */
   private[graft] def curateV4Frames(
-      corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      corpus: DataFrame): (DataFrame, DataFrame) = {
     val sd = Dedup.spanDedup(corpus, "doc_id", "text", 8)
       .localCheckpoint()
     val nTok = size(split(col("deduped_text"), " "))
@@ -629,7 +632,7 @@ object PackQueries extends QueryGroup {
         length(col("deduped_text")).cast("long").as("tokens"))
     val packed = Pack.sequencePack(kept, "doc_id", "tokens", Budget)
     graft.core.Checkpoints.release(sd)
-    (sd, pairs, packed)
+    (pairs, packed)
   }
 
   // lazy: referenced from `queries` (declared ABOVE) during object

@@ -127,14 +127,20 @@ class BloomDecontaminateSpec extends AnyFunSuite {
       assert(!plan.contains(op), s"probe plan must not $op:\n$plan"))
   }
 
-  test("edge contracts: short docs and empty eval sets never flag") {
+  test("edge contracts: short, null-text docs and empty eval sets " +
+      "never flag (false, not NULL)") {
     import spark.implicits._
-    val train = Seq((1L, "too short"), (2L, "a b c d e f g"))
+    val train = Seq((1L, "too short"), (2L, "a b c d e f g"),
+        (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val evEmpty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val got = Decontaminate.bloomFlag(train, evEmpty, "doc_id", "text", 4)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(got == Map(1L -> false, 2L -> false))
+    // null text must read false like the other no-evidence cases —
+    // exists() over a null shingle array is NULL, and a NULL flag
+    // would drop the doc from BOTH sides of a contaminated/clean
+    // split downstream
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false))
   }
 
   test("BloomProbe.contains: every inserted hash is found; positions " +

@@ -95,12 +95,16 @@ class DedupSpec extends AnyFunSuite {
       (1L, a),                                // fully novel → 1.0
       (2L, a),                                // exact copy → 0.0
       (3L, b + " " + a),                      // b-half novel, a-half not
-      (4L, "too short now")                   // 3 < w tokens → NULL
+      (4L, "too short now"),                  // 3 < w tokens → NULL
+      (5L, null.asInstanceOf[String])         // null text → NULL row,
+                                              // not dropped (the
+                                              // oracle carries it too)
     ).toDF("doc_id", "text")
     val got = Dedup.spanNovelty(docs, "doc_id", "text", 4)
       .collect().map(r => r.getLong(0) ->
         ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
           if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.size == 5)
     assert(got(1L) == ((Some(9L), Some(1.0))))
     assert(got(2L) == ((Some(9L), Some(0.0))))
     // doc 3: 21 windows; novel = b-internal (9) + the 3 bridge
@@ -108,6 +112,7 @@ class DedupSpec extends AnyFunSuite {
     // in doc 1 → 12/21
     assert(got(3L) == ((Some(21L), Some(12.0 / 21.0))))
     assert(got(4L) == ((None, None)))
+    assert(got(5L) == ((None, None)))
   }
 
   test("cross-source dup matrix counts unordered source pairs") {
@@ -119,17 +124,33 @@ class DedupSpec extends AnyFunSuite {
       (2L, t1, "books"),
       (3L, t1, "web"),
       (4L, t2, "web"),   // no partner
-      (5L, t2 + " x", "books") // near-dup of 4 across sources
+      (5L, t2 + " x", "books"), // near-dup of 4 across sources
+      (6L, t1, null)     // unattributed dup of 1/2/3: must surface as
+                         // (null, src), NOT fold into (src, src)
     ).toDF("doc_id", "text", "source")
     val got = Dedup.crossSourceDupMatrix(docs, "doc_id", "text",
         "source", 3, 0.8)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     // pairs: (1,2) web/books, (1,3) web/web, (2,3) books/web, (4,5)
-    // web/books — unordered keys fold both cross-source orientations
+    // web/books — unordered keys fold both cross-source orientations;
+    // doc 6 contributes (null,books) ×1 and (null,web) ×2 — a
+    // least/greatest spelling would have miscounted these as
+    // (books,books)/(web,web)
     assert(got == Map(
       ("books", "web") -> 3L,
-      ("web", "web") -> 1L))
+      ("web", "web") -> 1L,
+      (null, "books") -> 1L,
+      (null, "web") -> 2L))
+    // precomputed-pair overload ≡ self-contained (same pair frame in,
+    // same matrix out) — diagnostic callers reuse an existing pair
+    // join instead of paying the Jaccard candidate join twice
+    val pairs = Dedup.ngramJaccardPairs(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", 3, 0.8)
+    val got2 = Dedup.crossSourceDupMatrix(pairs, docs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got2 == got)
   }
 
   test("span dedup removes repeated spans with different surroundings") {
@@ -379,6 +400,14 @@ class SimilaritySpec extends AnyFunSuite {
       (900003L, Array.fill(64)(0.0f))
     ).toDF("vec_id", "embedding")
     assert(Similarity.ivfPqEncodeBatch(junk, base).count() == 0)
+    // stride guard: a centroidEvery no base id divides must fail
+    // loudly — the crossJoin against zero centroids would otherwise
+    // append NOTHING and the caller would read it as "batch indexed"
+    val oddBase = base.filter(col("vec_id") % 2 === 1)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqEncodeBatch(batch1, oddBase, centroidEvery = 2)
+    }
+    assert(ex.getMessage.contains("centroidEvery"))
   }
 
   test("LSH top-k recall vs brute force is usable") {
@@ -980,6 +1009,26 @@ class TextQualitySpec extends AnyFunSuite {
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
     degen2.values.foreach { case (n, k) => assert(n == 0L && !k) }
+  }
+
+  test("dsirResample fails loudly past the 64-bit keep-test bound " +
+      "instead of silently wrapping the kept bit") {
+    import spark.implicits._
+    // at rampFp = 1e8 the guard bound is Long.Max/(1e6·1e8) = 92233
+    // bigrams; a ~92k-token doc crosses it (all-distinct tokens, so
+    // n_bigrams = n_tokens − 1)
+    val big = (0 to 92300).map(i => s"t$i").mkString(" ")
+    val train = Seq((1L, big)).toDF("doc_id", "text")
+    val target = Seq((2L, "t1 t2 t3")).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      graft.ops.TextAnalysis
+        .dsirResample(train, target, "doc_id", "text", 0L, 100000000L)
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("exceeds"),
+      s"expected the overflow guard to fire, got: ${chain(e)}")
   }
 }
 
