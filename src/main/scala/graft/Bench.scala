@@ -52,19 +52,39 @@ object Bench {
     // repeat threshold sits at 2 s: borderline 1-2 s samples also get
     // min-of-2, and only genuinely multi-second queries run once per
     // pass. NaN (failure) never repeats; min with NaN keeps NaN.
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated query names): a targeted
+    // adjudication capture — time just the named queries with the same
+    // two-pass/min protocol and calibration brackets, for settling
+    // watch-flags on a quiet box without paying (and without being
+    // skewed by) the ~110-query suite. The driver never sets it, so
+    // the official per-round artifact is always the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val suite = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_(name)) }
     def runPass(tag: String): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      suite.map { case (name, fn) =>
         val t1 = time(s"$name/$tag", fn)
         val t = if (t1.isNaN || t1 > 2.0) t1
                 else math.min(t1, time(s"$name/$tag-rep", fn))
         System.err.println(f"bench [$tag] $name%-30s $t%8.3f s")
         name -> t
       }
-    val calStart = time("cal-start", calibration)
+    // calibration probes take min-of-2 like any other sub-2 s query:
+    // the spread exists to flag MINUTES-long co-tenant contention
+    // windows (which cover both back-to-back samples), not a single GC
+    // pause or residual JIT on the start probe — r11's full-suite
+    // spread read 1.49 purely start-loaded (0.347 → 0.233) from the
+    // latter.
+    def calProbe(tag: String): Double = {
+      val a = time(tag, calibration)
+      if (a.isNaN) a else math.min(a, time(s"$tag-rep", calibration))
+    }
+    val calStart = calProbe("cal-start")
     val pass1 = runPass("p1")
-    val calMid = time("cal-mid", calibration)
+    val calMid = calProbe("cal-mid")
     val pass2 = runPass("p2")
-    val calEnd = time("cal-end", calibration)
+    val calEnd = calProbe("cal-end")
     def mergeMin(a: Double, b: Double): Double =
       if (a.isNaN) b else if (b.isNaN) a else math.min(a, b)
     val results = pass1.map { case (name, a) =>
