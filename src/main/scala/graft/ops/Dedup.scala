@@ -62,6 +62,41 @@ object Dedup {
       .select(col("keep_id").as(idCol), col("fp").as(fpCol))
   }
 
+  /** Corpus snapshot DIFF — what changed between two curation runs:
+    * per doc id, `added` (new only), `removed` (old only), or
+    * `changed` (both sides, content fingerprint differs); unchanged
+    * docs are dropped so the OUTPUT is churn-sized, not corpus-sized
+    * (at 100 TB a daily diff is a few percent of the corpus — a
+    * report that re-emits the unchanged 98% is a report nobody can
+    * read or store). The reconciliation primitive for audit trails
+    * ("what did yesterday's pipeline change?") and for driving the
+    * incremental-ingest trio with exactly the docs that moved.
+    *
+    * Scale shape: both sides reduce map-side to (id, md5) — text
+    * never shuffles — and the single full-outer join carries 16-byte
+    * fingerprints. Presence is tracked with explicit marker columns,
+    * NOT fingerprint nullness: md5(null text) is null, so a null-text
+    * doc present on both sides must read `unchanged` (null <=> null),
+    * not masquerade as absent. A null-text doc against a text doc
+    * diffs as `changed` (content went from something to nothing or
+    * back — that IS a change).
+    * @return (idCol, status, old_fp, new_fp) */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("old_fp"), lit(1).as("po"))
+    val n = newSnap.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("new_fp"), lit(1).as("pn"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("po").isNull, lit("added"))
+          .when(col("pn").isNull, lit("removed"))
+          .when(!(col("old_fp") <=> col("new_fp")), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("id").as(idCol), col("status"), col("old_fp"),
+        col("new_fp"))
+  }
+
   /** INCREMENTAL near-dup candidate pairs — [[incrementalExact]]'s
     * daily-batch discipline applied to the MinHash/LSH band index: the
     * new batch's band keys probe the ingested corpus's band-bucket

@@ -1001,4 +1001,32 @@ object Similarity {
     * HALF_UP tie rules are not guaranteed to be. Pure per-row map. */
   def quantizeInt8(unit: Column): Column =
     transform(unit, x => floor(x * lit(127.0) + lit(0.5)).cast("int"))
+
+  /** Per-query recall@k of an approximate top-k result against an
+    * exact one — the measurement that turns every ANN knob in this
+    * file (nlist, nprobe, planes, shortlist) from a guess into a
+    * number. Both inputs are (q_id, n_id, …) top-k frames (the shape
+    * every *TopK here returns); output is one row per EXACT query:
+    * (q_id, n_hits, recall_at_k) with n_hits = |approx ∩ exact| and
+    * recall = n_hits/k. Queries the approximate index dropped
+    * entirely (an empty probe set) still appear — with 0 — because
+    * the exact side drives the join; silently missing queries are
+    * precisely what a recall report exists to expose.
+    *
+    * Scale shape: both frames are |Q|·k rows by construction —
+    * output-sized, never corpus-sized — so the anti-shape here would
+    * be recomputing the inputs, not this join. Callers measuring an
+    * expensive approximate frame should pass the SAME materialized
+    * frame they serve from. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    exact.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id"))
+          .withColumn("__hit", lit(1L)),
+        Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_at_k",
+        col("n_hits").cast("double") / lit(k.toDouble))
+  }
 }

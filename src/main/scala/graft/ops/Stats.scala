@@ -185,6 +185,132 @@ object Stats {
           * (col("mx") - col("mn")) / lit(nb.toDouble)).as("q_hi"))
   }
 
+  /** Quality-threshold sweep — the curation calibration table: bin a
+    * quality score into 2^bits equal-width bins ([[binnedQuantiles]]'
+    * floor arithmetic verbatim) and report, per non-empty bin, the
+    * doc/token volume at that score level PLUS the cumulative volume
+    * from the TOP (descending score): "if I keep everything scoring ≥
+    * thr_lo, I keep cum_docs docs / cum_tokens tokens". One read of
+    * the output picks the cutoff that fits a token budget — the
+    * decision [[Pack.selectBudget]] then executes — instead of
+    * re-running a filter-count per candidate threshold.
+    *
+    * Scale shape: one min/max pass + one (bin → count, token-sum)
+    * aggregate, both partial-aggregated map-side with a ≤2^bits-row
+    * shuffle; the descending cumulative window runs over the ≤2^bits
+    * bin rows (bounded by construction, the [[binnedQuantiles]]
+    * contract), never the corpus. Null/NaN scores and null token
+    * counts are excluded — no order position, no budget weight.
+    * @return (bin, thr_lo, n_docs, n_tokens, cum_docs, cum_tokens) */
+  def thresholdSweep(df: DataFrame, score: Column, tokens: Column,
+      bits: Int = 10): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val nb = 1L << bits
+    val v = df.select(score.cast("double").as("x"),
+        tokens.cast("long").as("t"))
+      .filter(col("x").isNotNull && !isnan(col("x")) && col("t").isNotNull)
+    val mm = v.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val binned = v.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+              * lit(nb.toDouble)).cast("long"),
+            lit(nb - 1))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.crossJoin(broadcast(mm))
+      .select(col("bin"),
+        (col("mn") + col("bin").cast("double") * (col("mx") - col("mn"))
+          / lit(nb.toDouble)).as("thr_lo"),
+        col("n_docs"), col("n_tokens"),
+        sum(col("n_docs")).over(w).as("cum_docs"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"))
+  }
+
+  /** MERGEABLE per-source corpus profile — the fourth member of the
+    * incremental-maintenance family (exact dedup, near-dup, ANN
+    * ingest, now corpus stats): every field is an algebraic aggregate
+    * (count/sum/min/max) or a KMV distinct-content sketch (Bar-Yossef
+    * et al. 2002, public: the k smallest distinct hash values of a
+    * set; union's sketch = k smallest of the sketches' union), so a
+    * 100 TB warehouse profiles each daily shard once and folds
+    * profiles with [[mergeProfiles]] — no corpus rescan, ever. The
+    * sketch hashes content with md5 (hex strings, ordered
+    * lexicographically — both engines' md5 agree byte for byte, which
+    * is what makes the sketch itself fully oracle-able; a numeric
+    * distinct estimate derives from it via [[kmvDistinctEstimate]]).
+    *
+    * Scale shape: the stats row is one partial-aggregated groupBy; the
+    * sketch is distinct (source, fp) → per-source top-k by fp — the
+    * rank ≤ k filter compiles to Spark's WindowGroupLimit, which keeps
+    * ≤ k rows per source per MAP partition before the exchange
+    * (ExplainSpec pins the node), so the sketch shuffle is
+    * k·partitions rows per source, not corpus-sized — then one
+    * bounded collect_list per source. Null text has no content
+    * fingerprint (md5 null) and is excluded from the sketch but
+    * counted in n_docs; null sources are a real slice and keep their
+    * row. @return (srcCol, n_docs, n_tokens, min_tokens, max_tokens,
+    * kmv: array<string> sorted ascending, |kmv| ≤ k) */
+  def sourceProfile(df: DataFrame, srcCol: String, textCol: String,
+      tokens: Column, k: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    val base = df.select(col(srcCol).as("src"),
+      md5(col(textCol).cast("binary")).as("fp"), tokens.cast("long").as("t"))
+    val stats = base.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"))
+    val w = Window.partitionBy(col("src")).orderBy(col("fp"))
+    val sketch = base.filter(col("fp").isNotNull)
+      .select(col("src"), col("fp")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("src").as("ssrc"))
+      .agg(sort_array(collect_list(col("fp"))).as("kmv"))
+    // null-safe join: a null source is a real slice and must keep its
+    // sketch (Seq-join equality would drop it to the coalesce arm)
+    stats.join(sketch, col("src") <=> col("ssrc"), "left")
+      .select(col("src").as(srcCol), col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        coalesce(col("kmv"), array().cast("array<string>")).as("kmv"))
+  }
+
+  /** Fold per-shard [[sourceProfile]] rows into the profile of the
+    * union — sums/mins/maxes re-aggregate, and the merged KMV sketch
+    * is the k smallest DISTINCT values across the shards' sketches
+    * (the KMV union rule: both sketches cover everything below their
+    * k-th minimum, so the union's k smallest all appear in one of
+    * them). The collect_list here is bounded by #shards per source ×
+    * k — profile-sized input, never corpus-sized. Exactness contract
+    * (spec-pinned): merge(profile(A), profile(B)) ≡ profile(A ∪ B)
+    * for disjoint shards, field for field including the sketch. */
+  def mergeProfiles(parts: DataFrame, srcCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    parts.groupBy(col(srcCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("min_tokens")).as("min_tokens"),
+        max(col("max_tokens")).as("max_tokens"),
+        slice(array_sort(array_distinct(flatten(
+          collect_list(col("kmv"))))), 1, k).as("kmv"))
+  }
+
+  /** Distinct-content estimate from a [[sourceProfile]] KMV sketch:
+    * exact when the sketch is short (fewer than k distinct
+    * fingerprints exist — the sketch IS the distinct set), otherwise
+    * the KMV estimator (k−1)/F(kth-min) with the md5 hex prefix
+    * mapped into [0, 2⁴⁸) by integer parse — deterministic, but a
+    * DOUBLE division at the end, so this column is spec-tested for
+    * accuracy rather than value-oracled (the sketch it derives from
+    * differentials exactly). */
+  def kmvDistinctEstimate(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+        conv(substring(element_at(kmv, k), 1, 12), 16, 10).cast("double"))
+
   /** Per-group exact quantiles — [[exactQuantiles]] partitioned by a
     * group column (the per-source / per-language length profile).
     * Identical rank arithmetic per group; the cumulative window runs

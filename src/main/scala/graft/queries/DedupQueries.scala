@@ -291,6 +291,40 @@ object DedupQueries extends QueryGroup {
       Dedup.crossSourceDupMatrix(c, "doc_id", "text", "source", 3, 0.8)
     },
 
+    // snapshot diff between two synthetic curation runs: the old run
+    // lacks the %13==1 docs (added), the new run lacks %13==2
+    // (removed), and %5==0 docs gained a revision suffix (changed);
+    // unchanged docs are absent from the report by contract. Both
+    // engines fingerprint with md5 over utf8 bytes, so the whole
+    // report differentials value-exactly including the fp columns
+    q("q_corpus_diff", "dedup",
+      """WITH o AS (SELECT doc_id, md5(text) AS old_fp, 1 AS po
+                    FROM documents WHERE doc_id % 13 <> 1),
+          n AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                           ELSE text END) AS new_fp, 1 AS pn
+                FROM documents WHERE doc_id % 13 <> 2),
+          j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                       old_fp, new_fp, po, pn
+                FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          SELECT doc_id,
+                 CASE WHEN po IS NULL THEN 'added'
+                      WHEN pn IS NULL THEN 'removed'
+                      WHEN old_fp IS DISTINCT FROM new_fp THEN 'changed'
+                 END AS status, old_fp, new_fp
+          FROM j
+          WHERE po IS NULL OR pn IS NULL
+             OR old_fp IS DISTINCT FROM new_fp""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 13 =!= 1)
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+    },
+
     q("q_dedup_minhash_lsh", "dedup", exactDupPairsSql) { (spark, dir) =>
       val c = corpus(spark, dir)
       val cands = Dedup.minhashCandidates(c, "doc_id", "text")

@@ -747,5 +747,73 @@ object SimilarityQueries extends QueryGroup {
           posexplode(Similarity.quantizeInt8(col("embedding_unit"))))
         .select(col("vec_id"), col("pos").cast("long").as("idx"),
           col("col").as("q"))
+    },
+
+    // per-query recall@5 of the IVF index against brute-force ground
+    // truth — the measurement that prices the nprobe/nlist knobs.
+    // Both sides are the already-oracled q_knn_ivf / q_knn_bruteforce
+    // formulations verbatim (deterministic centroids, total-order
+    // tie-breaks), so the recall JOIN of two engine-exact frames is
+    // engine-exact too: a FULL value oracle over an approximate
+    // index's quality report. The exact side drives the join — a
+    // query the index dropped entirely surfaces as 0, not as a
+    // missing row.
+    q("q_knn_recall_ivf", "similarity",
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_sum(list_transform(
+                        CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+                    FROM embeddings),
+          cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+                   FROM n WHERE vec_id % 50 = 0),
+          cells AS (
+            SELECT vec_id AS n_id, c_id FROM (
+              SELECT a.vec_id, cent.c_id,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(a.v, cent.cv),
+                    x -> x[1] * x[2])) / (a.nrm * cent.cnrm) DESC,
+                  cent.c_id) AS rnk
+              FROM n a CROSS JOIN cent) t
+            WHERE rnk = 1),
+          probes AS (
+            SELECT vec_id AS q_id, c_id FROM (
+              SELECT q.vec_id, cent.c_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(q.v, cent.cv),
+                    x -> x[1] * x[2])) / (q.nrm * cent.cnrm) DESC,
+                  cent.c_id) AS rnk
+              FROM n q CROSS JOIN cent WHERE q.vec_id % 50 = 0) t
+            WHERE rnk <= 4),
+          si AS (
+            SELECT p.q_id, c.n_id,
+              list_sum(list_transform(list_zip(qn.v, nn.v),
+                x -> x[1] * x[2])) / (qn.nrm * nn.nrm) AS sim
+            FROM probes p JOIN cells c USING (c_id)
+            JOIN n qn ON qn.vec_id = p.q_id
+            JOIN n nn ON nn.vec_id = c.n_id
+            WHERE p.q_id <> c.n_id),
+          ivf AS (SELECT q_id, n_id FROM (
+              SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, n_id) AS rnk FROM si) t
+            WHERE rnk <= 5),
+          sb AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              list_sum(list_transform(list_zip(q.v, c.v),
+                x -> x[1] * x[2])) / (q.nrm * c.nrm) AS sim
+            FROM n q JOIN n c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % 50 = 0),
+          brute AS (SELECT q_id, n_id FROM (
+              SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, n_id) AS rnk FROM sb) t
+            WHERE rnk <= 5)
+          SELECT b.q_id, CAST(count(i.n_id) AS BIGINT) AS n_hits,
+                 CAST(count(i.n_id) AS DOUBLE) / 5 AS recall_at_k
+          FROM brute b LEFT JOIN ivf i
+            ON b.q_id = i.q_id AND b.n_id = i.n_id
+          GROUP BY b.q_id""") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(emb, queries, 5),
+        Similarity.bruteForceTopK(emb, queries, 5), 5)
     })
 }

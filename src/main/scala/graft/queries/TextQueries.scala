@@ -488,6 +488,87 @@ object TextQueries extends QueryGroup {
         col("dup_token_frac"), Seq(100, 250, 500, 750, 900, 990))
     },
 
+    // mergeable per-source profile, exercised through the MERGE path:
+    // Spark profiles three disjoint doc_id%3 shards independently and
+    // folds them with mergeProfiles; DuckDB computes the union profile
+    // DIRECTLY over the full corpus. The hash compare therefore proves
+    // the merge identity merge(profile(s0..s2)) ≡ profile(corpus) —
+    // counts, sums, extremes, AND the 16-slot KMV distinct-content
+    // sketch (k smallest distinct md5 fingerprints; md5 hex agrees
+    // byte-for-byte across engines, CSV'd for the comparator)
+    q("q_profile_merge", "text",
+      """WITH t AS (SELECT source, text,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+                    FROM documents),
+         st AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(tk) AS BIGINT) AS n_tokens,
+                  min(tk) AS min_tokens, max(tk) AS max_tokens
+                FROM t GROUP BY source),
+         d AS (SELECT DISTINCT source, md5(text) AS fp FROM t
+               WHERE text IS NOT NULL),
+         sk AS (SELECT source, fp, row_number() OVER (
+                  PARTITION BY source ORDER BY fp) AS rn FROM d),
+         kmv AS (SELECT source,
+                   string_agg(fp, ',' ORDER BY fp) AS kmv_csv
+                 FROM sk WHERE rn <= 16 GROUP BY source)
+         SELECT st.source, st.n_docs, st.n_tokens, st.min_tokens,
+                st.max_tokens, COALESCE(kmv.kmv_csv, '') AS kmv_csv
+         FROM st LEFT JOIN kmv
+           ON st.source IS NOT DISTINCT FROM kmv.source""") {
+      (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val shards = (0 until 3).map(i =>
+        graft.ops.Stats.sourceProfile(
+          docs.filter(col("doc_id") % 3 === i),
+          "source", "text", size(split(col("text"), " ")), k = 16))
+      val merged = graft.ops.Stats.mergeProfiles(
+        shards.reduce(_ unionByName _), "source", k = 16)
+      merged.select(col("source"), col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        concat_ws(",", col("kmv")).as("kmv_csv"))
+    },
+
+    // quality-threshold sweep: stop_ratio (q_text_stats' formulation
+    // verbatim) binned into 2^10 equal-width bins, with doc and token
+    // volume cumulated from the TOP — the calibration table that maps
+    // a score cutoff to the corpus volume it keeps, read once instead
+    // of filter-counting per candidate threshold. Identical floor/
+    // window arithmetic to q_quantiles_binned, so the whole sweep
+    // differentials value-exactly.
+    q("q_threshold_sweep", "text",
+      s"""WITH f AS (SELECT
+             CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN ($stopSet))) AS DOUBLE) /
+               len(string_split(text, ' ')) AS x,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+           FROM documents),
+         clean AS (SELECT x, t FROM f
+                   WHERE x IS NOT NULL AND NOT isnan(x)
+                     AND t IS NOT NULL),
+         mm AS (SELECT min(x) AS mn, max(x) AS mx FROM clean),
+         binned AS (
+           SELECT CASE WHEN mx = mn THEN 0
+                       ELSE least(CAST(floor((x - mn) / (mx - mn)
+                              * 1024.0) AS BIGINT), 1023) END AS bin,
+                  count(*) AS n_docs,
+                  CAST(sum(t) AS BIGINT) AS n_tokens
+           FROM clean CROSS JOIN mm GROUP BY 1)
+         SELECT bin,
+                mn + CAST(bin AS DOUBLE) * (mx - mn) / 1024.0 AS thr_lo,
+                n_docs, n_tokens,
+                CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_docs,
+                CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+         FROM binned CROSS JOIN mm""") { (spark, dir) =>
+      graft.ops.Stats.thresholdSweep(
+        TextAnalysis.qualityFeatures(
+          Tables.df(spark, dir, "documents"), col("text")),
+        col("stop_ratio"), col("n_words"))
+    },
+
     // per-language binned profile of the same continuous column — each
     // lang gets its OWN 2^10 grid from its own min/max (narrow-range
     // groups keep full resolution); null-safe group handling is

@@ -47,6 +47,21 @@ class ExplainSpec extends AnyFunSuite {
       "part-side broadcast not planned")
   }
 
+  test("sourceProfile sketch pushes the rank<=k limit below the " +
+      "exchange (WindowGroupLimit)") {
+    // the KMV sketch's scale claim: the per-source top-k by
+    // fingerprint must compile to Spark's WindowGroupLimit so each
+    // MAP partition keeps <= k rows per source before the shuffle —
+    // without the node, the sketch shuffles every distinct
+    // fingerprint and the "profile once, merge forever" story reads
+    // the whole corpus through one window sort
+    val docs = Tables.df(spark, sf, "documents")
+    val p = plan(graft.ops.Stats.sourceProfile(docs, "source", "text",
+      size(split(col("text"), " ")), k = 8))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed down as WindowGroupLimit:\n$p")
+  }
+
   test("minhash signature plans map-only (no aggregate, one exchange)") {
     val c = DedupQueries.corpus(spark, sf)
     val p = plan(Dedup.minhashSignature(c, "doc_id", "text", 3, 16))

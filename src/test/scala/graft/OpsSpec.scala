@@ -153,6 +153,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("corpusDiff: added/removed/changed statuses, unchanged and " +
+      "both-null-text docs drop out") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, null.asInstanceOf[String]), (5L, "delta")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma prime"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]),
+      (6L, "zeta")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 removed; 2 unchanged (dropped); 3 changed; 4 null→null
+    // unchanged (dropped — same absent content); 5 text→null changed;
+    // 6 added
+    assert(got == Map(1L -> "removed", 3L -> "changed",
+      5L -> "changed", 6L -> "added"))
+  }
+
   test("span dedup removes repeated spans with different surroundings") {
     import spark.implicits._
     val docs = Seq[(Long, String)](
@@ -408,6 +425,38 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.ivfPqEncodeBatch(batch1, oddBase, centroidEvery = 2)
     }
     assert(ex.getMessage.contains("centroidEvery"))
+  }
+
+  test("recallAtK: hand case, dropped queries surface as 0, and the " +
+      "IVF report agrees with a direct set computation") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("q_id", "n_id")
+    // q1: both hit; q2: one hit (22 is a miss); q3: absent entirely
+    // from the approx side — must report 0, not vanish
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 22L))
+      .toDF("q_id", "n_id")
+    val got = Similarity.recallAtK(approx, exact, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ((2L, 1.0)), 2L -> ((1L, 0.5)),
+      3L -> ((0L, 0.0))))
+    // the cataloged IVF report must equal recall computed directly
+    // from the two top-k sets
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+    val ivf = Similarity.ivfTopK(emb, qs, 5)
+    val bSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val iSet = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val report = Similarity.recallAtK(ivf, brute, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bSet.groupBy(_._1).foreach { case (q, rows) =>
+      assert(report(q) == (rows & iSet).size.toLong)
+    }
+    // mean recall of 4-probe IVF on this corpus should be usable
+    val mean = report.values.sum.toDouble / (report.size * 5)
+    assert(mean >= 0.5, s"mean recall $mean")
   }
 
   test("LSH top-k recall vs brute force is usable") {
@@ -1620,6 +1669,77 @@ class StatsSpec extends AnyFunSuite {
     val deg = graft.ops.Stats.binnedQuantiles(one, col("x"), Seq(500))
       .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(deg.forall { case (b, lo, hi) => b == 0L && lo == 7.5 && hi == 7.5 })
+  }
+
+  test("threshold sweep: cumulative-from-top volumes, bottom bin " +
+      "carries the corpus totals, null scores excluded") {
+    // 4 bins over scores 0..1: docs at 0.0 (t=10), 0.3 (t=20),
+    // 0.6 (t=40), 0.9 (t=80), 1.0 (t=160) — the max clamps into the
+    // top bin alongside 0.9
+    val rows: Seq[(Double, Long)] = Seq((0.0, 10L), (0.3, 20L),
+      (0.6, 40L), (0.9, 80L), (1.0, 160L))
+    val df = rows.toDF("s", "t")
+      .unionByName(Seq((0.0, 5L)).toDF("s", "t")
+        .select(lit(null).cast("double").as("s"), col("t")))
+    val got = graft.ops.Stats.thresholdSweep(df, col("s"), col("t"),
+        bits = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // bin → (thr_lo, n_docs, n_tokens, cum_docs, cum_tokens)
+    assert(got == Map(
+      3L -> ((0.75, 2L, 240L, 2L, 240L)),
+      2L -> ((0.50, 1L, 40L, 3L, 280L)),
+      1L -> ((0.25, 1L, 20L, 4L, 300L)),
+      0L -> ((0.00, 1L, 10L, 5L, 310L))))
+    // invariant the calibration read relies on: the lowest bin's
+    // cumulative equals the corpus totals (keep-everything cutoff) —
+    // the null-score row's 5 tokens never enter
+    assert(got(0L)._4 == 5L && got(0L)._5 == 310L)
+  }
+
+  test("sourceProfile merge identity: folding disjoint shard profiles " +
+      "equals profiling the union, sketch included; estimator is " +
+      "usable at saturation and exact below k") {
+    val docs = Tables.df(spark, sf, "documents")
+    val tok = size(split(col("text"), " "))
+    def key(r: org.apache.spark.sql.Row) =
+      Option(r.getString(0)).getOrElse("∅") ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          r.getSeq[String](5).toList))
+    val direct = graft.ops.Stats.sourceProfile(docs, "source", "text",
+      tok, k = 8).collect().map(key).toMap
+    val shards = (0 until 4).map(i =>
+      graft.ops.Stats.sourceProfile(docs.filter(col("doc_id") % 4 === i),
+        "source", "text", tok, k = 8))
+    val merged = graft.ops.Stats.mergeProfiles(
+      shards.reduce(_ unionByName _), "source", k = 8)
+      .collect().map(key).toMap
+    assert(merged == direct && direct.nonEmpty)
+    // estimator: saturated sketches estimate within 5x at k=8 — a
+    // SMOKE bound chosen so fixture regeneration can't flake it (KMV
+    // stderr ~1/sqrt(k-1) ≈ 0.38 at this tiny k; ~25 docs/source
+    // here; accuracy tightens as 1/sqrt(k) in production where
+    // k = 64+). Short sketches are exact by construction.
+    import spark.implicits._
+    val est = graft.ops.Stats.sourceProfile(docs, "source", "text",
+        tok, k = 8)
+      .select(col("source"), size(col("kmv")).as("sk"),
+        graft.ops.Stats.kmvDistinctEstimate(col("kmv"), 8).as("est"))
+      .join(docs.filter(col("text").isNotNull)
+          .groupBy("source")
+          .agg(countDistinct(md5(col("text").cast("binary"))).as("truth")),
+        Seq("source"))
+      .collect()
+    est.foreach { r =>
+      val (sk, e, truth) = (r.getInt(1), r.getDouble(2), r.getLong(3))
+      if (sk < 8) assert(e == truth.toDouble,
+        s"${r.getString(0)}: short sketch must be exact ($e vs $truth)")
+      else assert(e > truth / 5.0 && e < truth * 5.0,
+        s"${r.getString(0)}: est $e vs truth $truth")
+    }
   }
 
   test("grouped binned quantiles: independent grids per group, null " +
