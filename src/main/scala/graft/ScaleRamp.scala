@@ -318,6 +318,43 @@ object ScaleRamp {
           graft.ops.TextAnalysis.repetitionFeatures(d, col("text")),
           col("dup_token_frac"), Seq(100, 500, 900, 990)).count())
       },
+      "source_profile_merge" -> { k =>
+        // mergeable profiles (round 12), exercised through the merge
+        // path: profile 4 disjoint shards, fold. Expected flat-to-
+        // linear: one stats groupBy + one distinct-fp pass per shard,
+        // the sketch shuffle bounded at k·partitions rows per source
+        // by WindowGroupLimit (plan-pinned), and the merge itself is
+        // profile-sized. 97 synthetic sources keep the group count
+        // fixed while the corpus ramps — the serving shape (sources
+        // don't multiply with corpus size).
+        val d = docsAt(k).withColumn("source",
+          pmod(col("doc_id"), lit(97)).cast("string"))
+        val tok = size(split(col("text"), " "))
+        timeIt {
+          val shards = (0 until 4).map(i =>
+            graft.ops.Stats.sourceProfile(
+              d.filter(col("doc_id") % 4 === i), "source", "text", tok,
+              k = 64))
+          graft.ops.Stats.mergeProfiles(
+            shards.reduce(_ unionByName _), "source", k = 64).count()
+        }
+      },
+      "corpus_diff" -> { k =>
+        // snapshot diff (round 12): both sides reduce to (id, md5)
+        // map-side, one fingerprint-width full-outer join, output ∝
+        // churn (which scales with k here: ~1/13 added, ~1/13
+        // removed, ~1/5 changed per stripe). Expect ~linear: two
+        // scans + one id-keyed shuffle of 16-byte fingerprints.
+        val d = docsAt(k)
+        val oldSnap = d.filter(col("doc_id") % 13 =!= 1)
+        val newSnap = d.filter(col("doc_id") % 13 =!= 2)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+        timeIt(Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+          .count())
+      },
       "curate_v4" -> { k =>
         // v4 composition (round 11): span dedup → Jaccard clusters
         // over the span-deduped text → keep-LONGEST resolution → pack,
@@ -466,6 +503,14 @@ object ScaleRamp {
     graft.ops.Stats.binnedQuantiles(
       graft.ops.TextAnalysis.repetitionFeatures(docs0.limit(200),
         col("text")), col("dup_token_frac"), Seq(500)).count()
+    graft.ops.Stats.mergeProfiles(
+      graft.ops.Stats.sourceProfile(
+        docs0.limit(200).withColumn("source",
+          pmod(col("doc_id"), lit(97)).cast("string")),
+        "source", "text", size(split(col("text"), " ")), k = 64),
+      "source", k = 64).count()
+    Dedup.corpusDiff(docs0.limit(200), docs0.limit(100),
+      "doc_id", "text").count()
     Similarity.ivfPqTopK(emb0.limit(500), emb0.limit(20), 5).count()
     graft.ops.Decontaminate.bloomFlag(docs0.limit(200),
       docs0.limit(50), "doc_id", "text", 4).count()

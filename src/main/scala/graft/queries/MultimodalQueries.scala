@@ -427,6 +427,41 @@ object MultimodalQueries extends QueryGroup {
       finally graft.core.Fs.deleteRecursively(staged.toFile)
     },
 
+    // streaming corpus-profile maintenance: documents staged as THREE
+    // files, drained one micro-batch each (maxFilesPerTrigger=1), each
+    // batch profiled and folded into the running profile. The merge
+    // identity makes the fold batch-partitioning-invariant, so the
+    // oracle is the DIRECT profile of the whole corpus
+    // (TextQueries.profileDirectSql, shared verbatim with
+    // q_profile_merge's shard spelling) — counts, sums, extremes, and
+    // the 16-slot KMV sketch all land exactly
+    q("q_stream_profile", "streaming",
+      TextQueries.profileDirectSql) { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val staged = java.nio.file.Files.createTempDirectory("graft_sprof")
+      try {
+        (0 until 3).foreach(i =>
+          docs.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        val cold = graft.ops.Stats.sourceProfile(docs.limit(0),
+          "source", "text", size(split(col("text"), " ")), k = 16)
+        graft.streaming.IngestStream.runProfileToBatch(spark,
+            staged.toString, cold, "source", "text", k = 16,
+            schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("source",
+                org.apache.spark.sql.types.StringType))),
+            maxFilesPerTrigger = Some(1))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("min_tokens"), col("max_tokens"),
+            concat_ws(",", col("kmv")).as("kmv_csv"))
+      } finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
     // stream-stream interval join (attribution) run to completion over
     // the bounded file source — inner joins emit on arrival, so the
     // bounded run ≡ the batch interval join; times as integer µs

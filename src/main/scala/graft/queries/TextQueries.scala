@@ -496,25 +496,7 @@ object TextQueries extends QueryGroup {
     // counts, sums, extremes, AND the 16-slot KMV distinct-content
     // sketch (k smallest distinct md5 fingerprints; md5 hex agrees
     // byte-for-byte across engines, CSV'd for the comparator)
-    q("q_profile_merge", "text",
-      """WITH t AS (SELECT source, text,
-                      CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
-                    FROM documents),
-         st AS (SELECT source, count(*) AS n_docs,
-                  CAST(sum(tk) AS BIGINT) AS n_tokens,
-                  min(tk) AS min_tokens, max(tk) AS max_tokens
-                FROM t GROUP BY source),
-         d AS (SELECT DISTINCT source, md5(text) AS fp FROM t
-               WHERE text IS NOT NULL),
-         sk AS (SELECT source, fp, row_number() OVER (
-                  PARTITION BY source ORDER BY fp) AS rn FROM d),
-         kmv AS (SELECT source,
-                   string_agg(fp, ',' ORDER BY fp) AS kmv_csv
-                 FROM sk WHERE rn <= 16 GROUP BY source)
-         SELECT st.source, st.n_docs, st.n_tokens, st.min_tokens,
-                st.max_tokens, COALESCE(kmv.kmv_csv, '') AS kmv_csv
-         FROM st LEFT JOIN kmv
-           ON st.source IS NOT DISTINCT FROM kmv.source""") {
+    q("q_profile_merge", "text", profileDirectSql) {
       (spark, dir) =>
       val docs = Tables.df(spark, dir, "documents")
       val shards = (0 until 3).map(i =>
@@ -696,6 +678,31 @@ object TextQueries extends QueryGroup {
        FROM (SELECT doc_id FROM documents WHERE doc_id % 7 != 0) d
        LEFT JOIN terms USING (doc_id)
        JOIN samp USING (doc_id)""" + "\n"
+
+  /** DIRECT full-corpus per-source profile — the oracle for BOTH
+    * merge spellings (q_profile_merge's shard fold and
+    * q_stream_profile's micro-batch fold): the merge identity says
+    * every partitioning of the corpus must land on exactly this
+    * frame, sums, extremes, and 16-slot KMV sketch included. */
+  private[queries] def profileDirectSql: String =
+    """WITH t AS (SELECT source, text,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+                  FROM documents),
+       st AS (SELECT source, count(*) AS n_docs,
+                CAST(sum(tk) AS BIGINT) AS n_tokens,
+                min(tk) AS min_tokens, max(tk) AS max_tokens
+              FROM t GROUP BY source),
+       d AS (SELECT DISTINCT source, md5(text) AS fp FROM t
+             WHERE text IS NOT NULL),
+       sk AS (SELECT source, fp, row_number() OVER (
+                PARTITION BY source ORDER BY fp) AS rn FROM d),
+       kmv AS (SELECT source,
+                 string_agg(fp, ',' ORDER BY fp) AS kmv_csv
+               FROM sk WHERE rn <= 16 GROUP BY source)
+       SELECT st.source, st.n_docs, st.n_tokens, st.min_tokens,
+              st.max_tokens, COALESCE(kmv.kmv_csv, '') AS kmv_csv
+       FROM st LEFT JOIN kmv
+         ON st.source IS NOT DISTINCT FROM kmv.source"""
 
   /** DuckDB replay of the full Bloom pipeline (mBits = 2¹⁹ = 524288,
     * k = 3, 4-grams, eval = doc_id%7==0 slice): Spark's

@@ -141,6 +141,59 @@ object IngestStream {
     if (kept != null) kept
     else seenDocs.select(col(idCol)).limit(0)
   }
+
+  /** Streaming corpus-profile maintenance — the
+    * [[graft.ops.Stats.sourceProfile]]/[[graft.ops.Stats.mergeProfiles]]
+    * pair run as an ingest loop: each micro-batch is profiled
+    * independently and FOLDED into the running profile (algebraic
+    * fields re-aggregate, the KMV sketch unions by the k-smallest
+    * rule), so the warehouse's corpus stats stay current without ever
+    * rescanning ingested data — the streaming face of the merge
+    * identity, which also makes the result batch-partitioning-
+    * INVARIANT: however the stream is sliced into micro-batches, the
+    * final profile equals the direct profile of everything ingested
+    * (plus `initial`) — that is exactly what the catalog oracle
+    * checks, with the stream deliberately staged as multiple files /
+    * micro-batches. `initial` is the warehouse's existing profile
+    * frame ([[graft.ops.Stats.sourceProfile]] schema; pass a
+    * `limit(0)` profile to start cold). Per-batch state is two
+    * profile-sized frames, checkpoint-released generationally (the
+    * [[runNearDedupToBatch]] discipline). */
+  def runProfileToBatch(spark: SparkSession, path: String,
+      initial: DataFrame, srcCol: String = "source",
+      textCol: String = "text", k: Int = 16,
+      schema: StructType = docsFileSchema,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.core.Checkpoints
+    import graft.ops.Stats
+    var prof = initial.localCheckpoint()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val reader = spark.readStream.schema(schema)
+      val src = maxFilesPerTrigger
+        .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+        .parquet(path)
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val p = Stats.sourceProfile(
+            b.select(col(srcCol), col(textCol)), srcCol, textCol,
+            size(split(col(textCol), " ")), k)
+          val merged = Stats.mergeProfiles(prof.unionByName(p), srcCol, k)
+            .localCheckpoint()
+          Checkpoints.release(prof)
+          prof = merged
+          ()
+        }
+        .outputMode("update").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    prof
+  }
 }
 
 /** Shared bounded-run scaffolding for file-source streaming twins:

@@ -1298,6 +1298,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.core.Fs.deleteRecursively(dir)
   }
 
+  test("streaming profile maintenance continues a WARM warehouse " +
+      "profile: initial + streamed batches equals the direct profile " +
+      "of everything") {
+    import spark.implicits._
+    val tok = size(split(col("text"), " "))
+    // warehouse already profiled these before the stream started
+    val history = Seq(
+      (1L, "alpha beta gamma", "web"),
+      (2L, "delta epsilon", "web"),
+      (3L, "zeta eta theta iota", "books")).toDF("doc_id", "text", "source")
+    val streamed = Seq(
+      (10L, "kappa lambda", "web"),
+      (11L, "alpha beta gamma", "web"),   // dup content: sketch unions
+      (12L, "mu nu xi omicron pi", "news") // new source appears mid-stream
+    ).toDF("doc_id", "text", "source")
+    val initial = graft.ops.Stats.sourceProfile(history,
+      "source", "text", tok, k = 4)
+    val staged = java.nio.file.Files.createTempDirectory("graft_sprof_t")
+    try {
+      streamed.coalesce(1).write.mode("append").parquet(staged.toString)
+      val got = graft.streaming.IngestStream.runProfileToBatch(spark,
+          staged.toString, initial, "source", "text", k = 4,
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType))))
+      val direct = graft.ops.Stats.sourceProfile(
+        history.unionByName(streamed), "source", "text", tok, k = 4)
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getSeq[String](5).toList))).toMap
+      assert(m(got) == m(direct) && m(got).keySet == Set("web", "books",
+        "news"))
+    } finally graft.core.Fs.deleteRecursively(staged.toFile)
+  }
+
   test("file-sink dedup run equals batch DISTINCT (no driver transit)") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_sink_dedup").toString
