@@ -871,6 +871,41 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Duplicate-cluster SIZE histogram — the corpus-health dashboard
+    * row that tells you the SHAPE of duplication, not just its volume:
+    * per cluster size, how many duplicate clusters and how many docs
+    * they hold, with a size-1 row for the unclustered remainder. A
+    * corpus whose dup mass sits in two 10⁵-doc clusters (a mirrored
+    * site) needs a different intervention than one with 10⁵ pairs —
+    * same dup rate, different story; this is the read that tells them
+    * apart, and sizes the dedup win before running it ([[
+    * representatives]] keeps exactly one doc per row counted here).
+    *
+    * Scale shape: CC labels are pairs-sized; the two histogram
+    * aggregates run over components (≤ pairs-sized) and ≤
+    * max-cluster-size rows; the corpus contributes ONE count-distinct
+    * aggregate (for the singleton row) and nothing else — output is ≤
+    * max cluster size rows. @return (cluster_size, n_clusters,
+    * n_docs), sizes ≥ 2 from the pair graph plus the size-1 row when
+    * any doc is unclustered. */
+  def clusterSizeHistogram(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id")
+      : DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val multi = comp.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val singleton = docs.agg(countDistinct(col(idCol)).as("n_total"))
+      .crossJoin(broadcast(comp.agg(count(lit(1)).as("n_clustered"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
+      .filter(col("n_clusters") > 0)
+    multi.unionByName(singleton)
+  }
+
   /** connectedComponents casts ids to long; a non-numeric id would
     * either ANSI-throw or (ANSI off) cast to null and silently skip
     * all dedup — fail loudly instead. */

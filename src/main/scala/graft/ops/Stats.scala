@@ -206,28 +206,43 @@ object Stats {
       bits: Int = 10): DataFrame = {
     require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
     val nb = 1L << bits
-    val v = df.select(score.cast("double").as("x"),
-        tokens.cast("long").as("t"))
-      .filter(col("x").isNotNull && !isnan(col("x")) && col("t").isNotNull)
-    val mm = v.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val binned = v.crossJoin(broadcast(mm))
-      .withColumn("bin",
-        when(col("mx") === col("mn"), lit(0L))
-          .otherwise(least(
-            floor((col("x") - col("mn")) / (col("mx") - col("mn"))
-              * lit(nb.toDouble)).cast("long"),
-            lit(nb - 1))))
+    val binned = scoreBins(df, score, tokens, bits)
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        first(col("mn")).as("mn"), first(col("mx")).as("mx"))
     val w = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    binned.crossJoin(broadcast(mm))
+    binned
       .select(col("bin"),
         (col("mn") + col("bin").cast("double") * (col("mx") - col("mn"))
           / lit(nb.toDouble)).as("thr_lo"),
         col("n_docs"), col("n_tokens"),
         sum(col("n_docs")).over(w).as("cum_docs"),
         sum(col("n_tokens")).over(w).as("cum_tokens"))
+  }
+
+  /** [[thresholdSweep]]'s per-row binning, exposed so compositions
+    * that pick a cutoff FROM the sweep can re-bin rows with the
+    * IDENTICAL arithmetic (re-spelling the floor formula at a call
+    * site is how a grid desyncs from its own sweep — the curate-v3
+    * lm_score lesson). Carries every input column plus (x, t, bin,
+    * mn, mx); null/NaN scores and null token counts are dropped, as
+    * in the sweep. */
+  def scoreBins(df: DataFrame, score: Column, tokens: Column,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val nb = 1L << bits
+    val v = df.withColumn("x", score.cast("double"))
+      .withColumn("t", tokens.cast("long"))
+      .filter(col("x").isNotNull && !isnan(col("x")) && col("t").isNotNull)
+    val mm = v.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    v.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+              * lit(nb.toDouble)).cast("long"),
+            lit(nb - 1))))
   }
 
   /** MERGEABLE per-source corpus profile — the fourth member of the

@@ -465,6 +465,54 @@ object DedupQueries extends QueryGroup {
         .select(col("id").as("doc_id"), col("comp").as("component"))
     },
 
+    // duplicate-cluster SIZE histogram over the same verified pair
+    // graph: per size, how many clusters and docs (plus the size-1
+    // unclustered remainder) — the diagnostic separating "two huge
+    // mirror clusters" from "many small pairs" at equal dup rate. The
+    // injected fixture makes the shape known: %10==0 docs pair with
+    // one exact copy, %10==5 with one tail near-copy → dominated by
+    // size-2 clusters
+    q("q_dedup_cluster_histogram", "dedup",
+      s"""WITH RECURSIVE $clustersCorpusSql,
+          sh AS (
+            SELECT doc_id,
+              list_distinct([array_to_string(toks[i:i+2], ' ')
+                for i in generate_series(1, greatest(len(toks)-2, 0))]) AS shl
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+          inv AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+            HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*))
+                   >= 0.8),
+          edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+                    UNION SELECT b_id, a_id FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+          comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          sizes AS (SELECT component, count(*) AS cluster_size
+                    FROM comp GROUP BY component),
+          multi AS (SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                      CAST(count(*) AS BIGINT) AS n_clusters,
+                      CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+                    FROM sizes GROUP BY cluster_size),
+          tot AS (SELECT count(DISTINCT doc_id) AS n_total FROM corpus),
+          cl AS (SELECT count(*) AS n_clustered FROM comp)
+          SELECT * FROM multi
+          UNION ALL
+          SELECT CAST(1 AS BIGINT),
+                 CAST(n_total - n_clustered AS BIGINT),
+                 CAST(n_total - n_clustered AS BIGINT)
+          FROM tot CROSS JOIN cl WHERE n_total > n_clustered""") {
+      (spark, dir) =>
+      val c = clustersCorpus(spark, dir)
+      val pairs = Dedup.ngramJaccardPairs(c, "doc_id", "text", 3, 0.8)
+      Dedup.clusterSizeHistogram(c, "doc_id", pairs)
+    },
+
     // quality-priority keep rule: same clusters as q_dedup_clusters,
     // but the survivor is the LONGEST copy (octet_length, ties → min
     // id) instead of the min id. On this fixture the rule is visibly

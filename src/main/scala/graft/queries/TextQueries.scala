@@ -551,6 +551,53 @@ object TextQueries extends QueryGroup {
         col("stop_ratio"), col("n_words"))
     },
 
+    // the sweep's intended USE, composed: pick the lowest score
+    // cutoff whose kept volume fits a 15k-token budget (~55% of the sf corpus, so the cutoff BITES) (min bin with
+    // cum_tokens <= B on the descending cumulative), then keep every
+    // doc at or above it. The engine re-bins docs through
+    // Stats.scoreBins — the sweep's own arithmetic, shared, so grid
+    // and cutoff cannot desync (the curate-v3 lm_score lesson). An
+    // infeasible budget (even the top bin overshoots) yields an empty
+    // keep set on both engines (min over empty = NULL, bin >= NULL
+    // keeps nothing)
+    q("q_sweep_budget_cutoff", "text",
+      s"""WITH f AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN ($stopSet))) AS DOUBLE) /
+               len(string_split(text, ' ')) AS x,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+           FROM documents),
+         clean AS (SELECT doc_id, x, t FROM f
+                   WHERE x IS NOT NULL AND NOT isnan(x)
+                     AND t IS NOT NULL),
+         mm AS (SELECT min(x) AS mn, max(x) AS mx FROM clean),
+         b AS (SELECT doc_id, t,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE least(CAST(floor((x - mn) / (mx - mn)
+                             * 1024.0) AS BIGINT), 1023) END AS bin
+               FROM clean CROSS JOIN mm),
+         agg AS (SELECT bin, sum(t) AS n_tokens FROM b GROUP BY bin),
+         cum AS (SELECT bin,
+                   CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_tokens
+                 FROM agg),
+         cut AS (SELECT min(bin) AS cut_bin FROM cum
+                 WHERE cum_tokens <= 15000)
+         SELECT doc_id, bin, t AS tokens
+         FROM b CROSS JOIN cut WHERE bin >= cut_bin""") { (spark, dir) =>
+      val feat = TextAnalysis.qualityFeatures(
+        Tables.df(spark, dir, "documents"), col("text"))
+      val bins = graft.ops.Stats.scoreBins(feat, col("stop_ratio"),
+        col("n_words"), 10)
+      val cut = graft.ops.Stats.thresholdSweep(feat, col("stop_ratio"),
+          col("n_words"), 10)
+        .filter(col("cum_tokens") <= 15000L)
+        .agg(min(col("bin")).as("cut_bin"))
+      bins.crossJoin(broadcast(cut)).filter(col("bin") >= col("cut_bin"))
+        .select(col("doc_id"), col("bin"), col("t").as("tokens"))
+    },
+
     // per-language binned profile of the same continuous column — each
     // lang gets its OWN 2^10 grid from its own min/max (narrow-range
     // groups keep full resolution); null-safe group handling is

@@ -170,6 +170,25 @@ class DedupSpec extends AnyFunSuite {
       5L -> "changed", 6L -> "added"))
   }
 
+  test("cluster size histogram: chain cluster counted once, " +
+      "singleton row covers the unclustered remainder") {
+    import spark.implicits._
+    // docs 1-2-3 chain into ONE size-3 cluster; 4-5 a size-2 pair;
+    // 6,7 unclustered → histogram {3:1, 2:1, 1:2}
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Dedup.clusterSizeHistogram(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)),
+      1L -> ((2L, 2L))))
+    // fully-clustered corpus: no size-1 row at all, not a zero row
+    val all = Dedup.clusterSizeHistogram(
+      docs.filter(col("doc_id") <= 5), "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(3L, 2L))
+  }
+
   test("span dedup removes repeated spans with different surroundings") {
     import spark.implicits._
     val docs = Seq[(Long, String)](
