@@ -245,6 +245,40 @@ object Stats {
             lit(nb - 1))))
   }
 
+  /** EQUAL-MASS bucket assignment by a continuous score — the
+    * curriculum/stratification primitive: split the corpus into
+    * nBuckets quantile buckets (deciles by LM typicality, repetition,
+    * quality…) so downstream stages can order, mix, or sample by
+    * difficulty tier. Built ON [[binnedQuantiles]]: the bucket edges
+    * are the binned type-1 quantile BINS at permilles j·1000/nBuckets,
+    * and each doc's bucket is the first edge at or above its own bin —
+    * [[scoreBins]]' arithmetic, shared, so the grid cannot desync from
+    * its own edges. Equal mass holds to bin granularity (ties inside
+    * one 2^bits bin land in one bucket — the usual quantile-tie lump).
+    *
+    * Scale shape: the edge table is nBuckets rows — collected
+    * driver-side BY DESIGN (the Pack shard-offset precedent: a
+    * bounded, output-sized collect that turns assignment into a pure
+    * broadcast-literal map) — so the corpus pays binnedQuantiles' two
+    * partial-agg'd scans plus ONE map-only pass with a ≤1000-element
+    * array probe per row; no join, no shuffle in assignment.
+    * @return (idCol, bin, bucket) with bucket ∈ [1, nBuckets],
+    * null/NaN scores dropped (no order position). */
+  def quantileBuckets(df: DataFrame, idCol: String, score: Column,
+      nBuckets: Int = 10, bits: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000 && 1000 % nBuckets == 0,
+      s"nBuckets must divide 1000 and lie in [2, 1000], got $nBuckets")
+    val permilles = (1 to nBuckets).map(_ * 1000 / nBuckets)
+    val edges = binnedQuantiles(df, score, permilles, bits)
+      .orderBy(col("permille"))
+      .collect().map(_.getAs[Long]("bin"))
+    val arr = array(edges.map(lit(_)): _*)
+    scoreBins(df, score, lit(0L), bits)
+      .withColumn("bucket",
+        (size(filter(arr, e => e < col("bin"))) + 1).cast("long"))
+      .select(col(idCol), col("bin"), col("bucket"))
+  }
+
   /** MERGEABLE per-source corpus profile — the fourth member of the
     * incremental-maintenance family (exact dedup, near-dup, ANN
     * ingest, now corpus stats): every field is an algebraic aggregate

@@ -598,6 +598,49 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("bin"), col("t").as("tokens"))
     },
 
+    // equal-mass decile assignment by the repetition score — the
+    // curriculum primitive: edges are the binned decile bins
+    // (q_quantiles_binned's machinery at permilles 100..1000), each
+    // doc's bucket is the first edge at or above its own bin. The
+    // oracle recomputes edges independently and assigns via a
+    // correlated edge count — different spelling, same totals
+    q("q_quantile_buckets", "text",
+      """WITH vals AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 1 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / len(toks) END AS x
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)),
+         clean AS (SELECT doc_id, x FROM vals
+                   WHERE x IS NOT NULL AND NOT isnan(x)),
+         mm AS (SELECT min(x) AS mn, max(x) AS mx, count(*) AS n
+                FROM clean),
+         b AS (SELECT doc_id,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE least(CAST(floor((x - mn) / (mx - mn)
+                             * 1024.0) AS BIGINT), 1023) END AS bin
+               FROM clean CROSS JOIN mm),
+         binned AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+         cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum
+                 FROM binned),
+         ranks AS (SELECT p, (p * n + 999) // 1000 AS r
+                   FROM (VALUES (100), (200), (300), (400), (500),
+                                (600), (700), (800), (900), (1000)) t(p)
+                   CROSS JOIN mm),
+         edges AS (SELECT p, MIN(bin) AS ebin
+                   FROM ranks JOIN cum ON cum.cum >= ranks.r
+                   GROUP BY p)
+         SELECT doc_id, bin,
+                CAST(1 + (SELECT count(*) FROM edges e
+                          WHERE e.ebin < b.bin) AS BIGINT) AS bucket
+         FROM b""") { (spark, dir) =>
+      graft.ops.Stats.quantileBuckets(
+        TextAnalysis.repetitionFeatures(
+          Tables.df(spark, dir, "documents"), col("text")),
+        "doc_id", col("dup_token_frac"), nBuckets = 10)
+    },
+
     // per-language binned profile of the same continuous column — each
     // lang gets its OWN 2^10 grid from its own min/max (narrow-range
     // groups keep full resolution); null-safe group handling is

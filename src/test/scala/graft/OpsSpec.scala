@@ -1757,6 +1757,32 @@ class StatsSpec extends AnyFunSuite {
     assert(got(0L)._4 == 5L && got(0L)._5 == 310L)
   }
 
+  test("quantile buckets: ~equal mass on a smooth score, monotone in " +
+      "score, ties lump into one bucket") {
+    import spark.implicits._
+    val smooth = (0 until 1000).map(i => (i.toLong, i * 0.001))
+      .toDF("doc_id", "s")
+    val got = graft.ops.Stats.quantileBuckets(smooth, "doc_id",
+        col("s"), nBuckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (1L to 10L).toSet, s"buckets ${sizes.keySet}")
+    // equal mass to bin granularity: 1000 docs over 1024 bins → each
+    // decile within a couple of bins of 100
+    sizes.values.foreach(n => assert(n >= 90 && n <= 110, s"sizes $sizes"))
+    // monotone: a higher score never lands in a lower bucket
+    val byScore = got.toSeq.sortBy(_._1).map(_._2)
+    assert(byScore == byScore.sorted)
+    // massive tie: 90% zeros land in ONE bucket together
+    val tied = ((0 until 900).map(i => (i.toLong, 0.0)) ++
+      (900 until 1000).map(i => (i.toLong, i * 0.001)))
+      .toDF("doc_id", "s")
+    val tb = graft.ops.Stats.quantileBuckets(tied, "doc_id", col("s"),
+        nBuckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tb.filter(_._1 < 900).values.toSet.size == 1)
+  }
+
   test("sourceProfile merge identity: folding disjoint shard profiles " +
       "equals profiling the union, sketch included; estimator is " +
       "usable at saturation and exact below k") {
