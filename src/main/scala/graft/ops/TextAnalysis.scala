@@ -465,6 +465,29 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
   }
+
+  /** Corpus BOILERPLATE gram report: the k word n-grams appearing in
+    * the most DOCUMENTS (distinct per doc — [[graft.ops.Dedup
+    * .shingles]] dedups within a doc, so the count is true document
+    * frequency, immune to one doc repeating its own header 1000×).
+    * The survey that tells a curation pipeline WHAT its span-dedup /
+    * filter passes are about to remove — navigation chrome, license
+    * headers, templated footers — before it removes them.
+    *
+    * Scale shape: explode → partial-aggregated count (gram-keyed
+    * shuffle of 8-byte-ish strings), then a GLOBAL top-k that plans
+    * as TakeOrderedAndProject (ExplainSpec-pinned) — each map
+    * partition keeps its own k rows, the driver merges #partitions·k,
+    * so no full sort of the distinct-gram table ever happens.
+    * Deterministic: lexicographic tie-break on the gram. */
+  def boilerplateGrams(df: DataFrame, text: Column, n: Int,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(graft.ops.Dedup.shingles(text, n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
+  }
 }
 
 /** 64-bit polynomial rolling fingerprint: h = h*31 + byte (wrapping).

@@ -357,6 +357,22 @@ object TextQueries extends QueryGroup {
         col("text"), 20)
     },
 
+    // boilerplate survey: the 20 4-grams present in the most DOCUMENTS
+    // (within-doc distinct, so a doc repeating its own header doesn't
+    // inflate the count) — what span-dedup/filters are about to remove
+    q("q_boilerplate_grams", "text",
+      """SELECT g AS gram, count(*) AS n_docs
+         FROM (SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(toks[i:i+3], ' ')
+                  for i in generate_series(1, greatest(len(toks)-3, 0))]))
+                 AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents))
+         GROUP BY g ORDER BY n_docs DESC, g LIMIT 20""") { (spark, dir) =>
+      TextAnalysis.boilerplateGrams(
+        Tables.df(spark, dir, "documents"), col("text"), 4, 20)
+    },
+
     // per-language length profile: the grouped variant of the exact
     // quantile operator — same integer rank arithmetic per group
     q("q_lang_length_quantiles", "text",

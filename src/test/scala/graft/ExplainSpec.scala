@@ -62,6 +62,20 @@ class ExplainSpec extends AnyFunSuite {
       s"rank filter not pushed down as WindowGroupLimit:\n$p")
   }
 
+  test("boilerplate gram top-k plans as TakeOrderedAndProject, not a " +
+      "global sort") {
+    // the global top-k must be the partial-per-partition merge, not an
+    // all-distinct-grams sort — at corpus scale the distinct-gram
+    // table is corpus-sized and a full sort of it is the difference
+    // between a report and a job
+    val docs = Tables.df(spark, sf, "documents")
+    val p = plan(graft.ops.TextAnalysis.boilerplateGrams(
+      docs, col("text"), 4, 20))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not planned as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("GlobalLimit"), s"unexpected sort+limit plan:\n$p")
+  }
+
   test("minhash signature plans map-only (no aggregate, one exchange)") {
     val c = DedupQueries.corpus(spark, sf)
     val p = plan(Dedup.minhashSignature(c, "doc_id", "text", 3, 16))
