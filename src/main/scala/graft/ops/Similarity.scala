@@ -980,6 +980,85 @@ object Similarity {
     }
   }
 
+  /** Deterministic SPHERICAL k-means (Lloyd's algorithm over unit
+    * vectors; public — Dhillon & Modha 2001): the data-ADAPTIVE
+    * centroid source for the coarse quantizers this file otherwise
+    * seeds by id stride ([[semDedup]], [[ivfTopK]], [[ivfPqTopK]] —
+    * the SemDeDup paper itself clusters with k-means). Seeds are the
+    * stride slice (the existing deterministic contract), then `iters`
+    * assign/update rounds; each round provably does not increase the
+    * spherical objective Σ(1 − cos(u, c(u))) (spec-pinned), so even 2
+    * rounds buy measurably tighter cells than raw strides.
+    *
+    * Engine-exact BY CONSTRUCTION, which is what makes a full oracle
+    * possible for an iterative fp algorithm: the mean is NEVER a
+    * floating-point sum (fp addition is order-sensitive, and Spark's
+    * partial aggregation order is not even run-stable) — each member
+    * component quantizes to the exact integer floor(u·2²⁴ + 0.5),
+    * sums run as longs (order-free; |Σ| < 2⁴⁰ at 32 k members), and
+    * only then does one exact-long double division + one fixed-order
+    * renormalization fold produce the new centroid. Assignment
+    * tie-breaks by centroid id; an empty cluster keeps its previous
+    * centroid; a zero-norm mean (exact cancellation) likewise.
+    *
+    * Scale shape per round: one broadcast-centroid argmin over the
+    * corpus (the [[ivfPqEncodeBatch]] assignment shape — partial-
+    * aggregated below its exchange) plus one (c_id, pos)-keyed
+    * integer-sum aggregate whose shuffle is #centroids·dim rows.
+    * Centroid count is a build-time budget (the FAISS nlist
+    * contract): hold it fixed as the corpus grows and every round
+    * stays linear. @return (c_id, cu: array<double>, unit length). */
+  def kmeansCentroids(corpus: DataFrame, seedEvery: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(seedEvery >= 1, s"seedEvery must be >= 1, got $seedEvery")
+    require(iters >= 0 && iters <= 8,
+      s"iters must be in [0, 8] (each round is a corpus pass), got $iters")
+    val dim = vecDim(corpus, vecCol)
+    val base = normalized(
+        spread(corpus).filter(isIndexable(col(vecCol), dim)), vecCol)
+      .filter(col(s"${vecCol}_unit").isNotNull)
+      .select(col(idCol).as("id"), col(s"${vecCol}_unit").as("u"))
+      .localCheckpoint()
+    var cents = base.filter(pmod(col("id"), lit(seedEvery)) === 0)
+      .select(col("id").as("c_id"), col("u").as("cu"))
+      .localCheckpoint()
+    if (cents.isEmpty && !base.isEmpty)
+      throw new IllegalArgumentException(
+        "kmeansCentroids: no indexable id is divisible by seedEvery=" +
+          s"$seedEvery — pick a stride that intersects the id space")
+    for (_ <- 0 until iters) {
+      val assign = base.crossJoin(broadcast(cents))
+        .withColumn("ns", lit(-1.0) * dot(col("u"), col("cu")))
+        .groupBy(col("id"))
+        .agg(first(col("u")).as("u"),
+          min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
+      val sums = assign.select(col("c_id"), posexplode(col("u")))
+        .select(col("c_id"), col("pos"),
+          floor(col("col") * lit(16777216.0) + lit(0.5)).cast("long")
+            .as("q"))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+      val means = sums
+        .withColumn("m",
+          col("sq").cast("double") / col("cnt").cast("double"))
+        .groupBy(col("c_id"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"),
+          col("m")))), x => x.getField("m")).as("mv"))
+        .withColumn("nrm", sqrt(dot(col("mv"), col("mv"))))
+        .select(col("c_id"),
+          when(col("nrm") === 0.0, lit(null).cast("array<double>"))
+            .otherwise(transform(col("mv"), x => x / col("nrm")))
+            .as("cu2"))
+      val next = cents.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("cu2"), col("cu")).as("cu"))
+        .localCheckpoint()
+      graft.core.Checkpoints.release(cents)
+      cents = next
+    }
+    graft.core.Checkpoints.release(base)
+    cents
+  }
+
   /** Unit-normalize the vector column into `<vecCol>_unit`
     * (array<double>). The norm is projected ONCE per row before the
     * per-element division — inlining `norm()` inside the transform

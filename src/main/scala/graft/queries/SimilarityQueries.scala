@@ -749,6 +749,67 @@ object SimilarityQueries extends QueryGroup {
           col("col").as("q"))
     },
 
+    // deterministic spherical k-means, 2 Lloyd rounds from the stride
+    // seeds — an ITERATIVE floating-point algorithm with a FULL value
+    // oracle, possible because the mean is never an fp sum: member
+    // components quantize to exact ints (floor(u·2^24 + 0.5)), sums
+    // run in BIGINT (order-free), and the one division + fixed-order
+    // renorm fold replay bit-identically. Output exploded to
+    // (c_id, pos, val) scalar rows. Empty clusters and zero-norm
+    // means fall back to the previous centroid on both engines.
+    q("q_kmeans_centroids", "similarity", {
+      def qexp(src: String) =
+        s"""SELECT c_id, unnest([{'pos': i - 1,
+              'q': CAST(floor(u[i] * 16777216.0 + 0.5) AS BIGINT)}
+             for i in generate_series(1, len(u))]) AS e
+           FROM $src"""
+      def round(prev: String, a: String, out: String) =
+        s"""$a AS (SELECT id, u, c_id FROM (
+              SELECT u.id, u.u, $prev.c_id,
+                row_number() OVER (PARTITION BY u.id ORDER BY
+                  list_sum(list_transform(list_zip(u.u, $prev.cu),
+                    x -> x[1] * x[2])) DESC, $prev.c_id) AS rnk
+              FROM u CROSS JOIN $prev) t WHERE rnk = 1),
+            ${a}q AS (SELECT c_id, e.pos AS pos, e.q AS q FROM (
+              ${qexp(a)}) t),
+            ${a}s AS (SELECT c_id, pos, sum(q) AS sq, count(*) AS cnt
+                      FROM ${a}q GROUP BY 1, 2),
+            ${a}m AS (SELECT c_id,
+                        list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)
+                          ORDER BY pos) AS mv
+                      FROM ${a}s GROUP BY c_id),
+            ${a}r AS (SELECT c_id, mv,
+                        sqrt(list_sum(list_transform(mv, x -> x * x)))
+                          AS nrm
+                      FROM ${a}m),
+            $out AS (SELECT $prev.c_id,
+                       CASE WHEN ${a}r.c_id IS NULL OR ${a}r.nrm = 0
+                            THEN $prev.cu
+                            ELSE list_transform(${a}r.mv,
+                              x -> x / ${a}r.nrm) END AS cu
+                     FROM $prev LEFT JOIN ${a}r USING (c_id))"""
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> x * x))) AS nrm
+              FROM embeddings
+              WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+          u AS (SELECT vec_id AS id, list_transform(v, x -> x / nrm) AS u
+                FROM n WHERE nrm > 0),
+          c0 AS (SELECT id AS c_id, u AS cu FROM u WHERE id % 25 = 0),
+          ${round("c0", "a1", "c1")},
+          ${round("c1", "a2", "c2")}
+          SELECT c_id, e.pos AS pos, e.val AS val FROM (
+            SELECT c_id, unnest([{'pos': i - 1, 'val': cu[i]}
+              for i in generate_series(1, len(cu))]) AS e
+            FROM c2) t"""
+    }) { (spark, dir) =>
+      Similarity.kmeansCentroids(Tables.df(spark, dir, "embeddings"),
+          seedEvery = 25, iters = 2)
+        .select(col("c_id"), posexplode(col("cu")))
+        .select(col("c_id"), col("pos").cast("long").as("pos"),
+          col("col").as("val"))
+    },
+
     // per-query recall@5 of the IVF index against brute-force ground
     // truth — the measurement that prices the nprobe/nlist knobs.
     // Both sides are the already-oracled q_knn_ivf / q_knn_bruteforce

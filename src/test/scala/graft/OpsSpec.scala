@@ -446,6 +446,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("centroidEvery"))
   }
 
+  test("kmeans: each Lloyd round does not increase the spherical " +
+      "objective, centroids stay unit, stride guard fires") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      // the full normalized corpus, via the operator's own pipeline
+      // (seedEvery=1, iters=0 → every indexable unit vector)
+      val corpus = Similarity.kmeansCentroids(emb, 1, iters = 0)
+        .select(col("c_id").as("id"), col("cu").as("u"))
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("s", Similarity.dot(col("u"), col("cu")))
+        .groupBy(col("id")).agg(max(col("s")).as("best"))
+        .agg(avg(lit(1.0) - col("best"))).collect()(0).getDouble(0)
+    }
+    val seeds = Similarity.kmeansCentroids(emb, 500, iters = 0)
+    val one = Similarity.kmeansCentroids(emb, 500, iters = 1)
+    val two = Similarity.kmeansCentroids(emb, 500, iters = 2)
+    val (o0, o1, o2) = (objective(seeds), objective(one), objective(two))
+    assert(o1 <= o0 + 1e-9 && o2 <= o1 + 1e-9, s"objective $o0 $o1 $o2")
+    // centroids are unit length after an update round
+    val norms = one.select(Similarity.dot(col("cu"), col("cu")).as("n2"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9, s"norm2 $n2"))
+    // same centroid count as the seed slice, ids preserved
+    assert(two.select("c_id").collect().map(_.getLong(0)).toSet ==
+      seeds.select("c_id").collect().map(_.getLong(0)).toSet)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(
+        emb.filter(col("vec_id") % 2 === 1), seedEvery = 2, iters = 1)
+    }
+    assert(ex.getMessage.contains("seedEvery"))
+  }
+
   test("recallAtK: hand case, dropped queries surface as 0, and the " +
       "IVF report agrees with a direct set computation") {
     import spark.implicits._
