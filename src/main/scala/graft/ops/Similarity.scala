@@ -193,6 +193,24 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroidEvery: Int = 50, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = corpus.filter(isIndexable(col(vecCol),
+        vecDim(corpus, vecCol)))
+      .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    ivfTopKWithCentroids(corpus, queries, k, centroids, nProbe,
+      idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] against an EXPLICIT centroid frame (`c_id`, `c_vec`)
+    * — the composition point for a data-adaptive coarse quantizer:
+    * pass [[kmeansCentroids]]' output (renamed `cu` → `c_vec`) and
+    * the same IVF search runs over tighter, k-means-fitted cells
+    * (SimilaritySpec compares recall against the stride quantizer at
+    * equal centroid count). The stride overload above delegates here,
+    * so the two paths cannot drift. */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      k: Int, centroidFrame: DataFrame, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // same junk filter as bruteForceTopK/lshTopK — and doubly load-
     // bearing here: a zero-norm CENTROID would have NaN similarity to
     // every vector and, under NaN-ranks-first ordering, swallow the
@@ -200,9 +218,7 @@ object Similarity {
     val dim = vecDim(corpus, vecCol)
     val corpusC = corpus.filter(isIndexable(col(vecCol), dim))
     val queriesC = queries.filter(isIndexable(col(vecCol), dim))
-    val centroids = corpusC
-      .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val centroids = centroidFrame.select(col("c_id"), col("c_vec"))
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int) = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("c_sim").desc, col("c_id"))

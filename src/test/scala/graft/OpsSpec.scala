@@ -478,6 +478,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("seedEvery"))
   }
 
+  test("kmeans centroids vs stride centroids at equal count: IVF " +
+      "recall does not degrade (and the adaptive cells measurably " +
+      "help or tie on this clustered corpus)") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, qs, 5).localCheckpoint()
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(df, brute, 5)
+        .agg(avg(col("recall_at_k"))).collect()(0).getDouble(0)
+    val stride = meanRecall(Similarity.ivfTopK(emb, qs, 5,
+      centroidEvery = 25))
+    val km = Similarity.kmeansCentroids(emb, seedEvery = 25, iters = 2)
+      .select(col("c_id"), col("cu").as("c_vec"))
+    val adaptive = meanRecall(Similarity.ivfTopKWithCentroids(
+      emb, qs, 5, km))
+    info(s"IVF recall@5: stride $stride vs kmeans $adaptive")
+    assert(adaptive >= stride - 1e-9,
+      s"kmeans cells degraded recall: $adaptive < $stride")
+  }
+
   test("recallAtK: hand case, dropped queries surface as 0, and the " +
       "IVF report agrees with a direct set computation") {
     import spark.implicits._
