@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Tables}
 import graft.ops.{Dedup, Similarity}
@@ -426,6 +427,30 @@ object ScaleRamp {
         spark.catalog.clearCache()
         r
       },
+      "kmeans_fixed_budget" -> { k =>
+        // spherical k-means (round 12), operated per the nlist
+        // contract: centroid COUNT is a build-time budget, so
+        // seedEvery scales with k to hold #centroids fixed (40) —
+        // each of the 2 Lloyd rounds is then one linear broadcast
+        // argmin + one #centroids·dim integer-sum shuffle. Expect
+        // ~linear; a fixed seedEvery would be the ivfpq quadratic
+        // control all over again (measured there, not repeated here).
+        // Ids are REMAPPED DENSE outside the timed window: the
+        // replica stripes' 10^7 offsets interact with the stride so a
+        // raw seedEvery=50k yields 40/48/64 centroids across the ramp
+        // — the first capture fitted 1.16 against n alone, yet was
+        // exactly linear (0.99) against the true n·#centroids work;
+        // dense ids make the budget knob hold so the table reads the
+        // contract directly.
+        val e = embAt(k)
+        val dense = e.withColumn("vec_id",
+            row_number().over(Window.orderBy(col("vec_id")))
+              .cast("long") - 1)
+          .localCheckpoint()
+        dense.count()
+        timeIt(Similarity.kmeansCentroids(dense, seedEvery = 50 * k,
+          iters = 2).count())
+      },
       "sem_dedup_sqrt_cells" -> { k =>
         // SemDeDup production row (round 12: HIERARCHICAL assignment).
         // centroidEvery scales with √k (#cells and cell size both √k,
@@ -524,6 +549,7 @@ object ScaleRamp {
     Similarity.ivfPqEncodeBatch(emb0.limit(200), emb0.limit(500)).count()
     Similarity.semDedup(emb0.limit(500), 0.95).count()
     Similarity.semDedup(emb0.limit(500), 0.95, superFactor = 0).count()
+    Similarity.kmeansCentroids(emb0.limit(500), 50, iters = 1).count()
     spark.catalog.clearCache()
     ParseRunner.run(spark,
       ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),

@@ -1043,11 +1043,19 @@ object Similarity {
         "kmeansCentroids: no indexable id is divisible by seedEvery=" +
           s"$seedEvery — pick a stride that intersects the id space")
     for (_ <- 0 until iters) {
-      val assign = base.crossJoin(broadcast(cents))
-        .withColumn("ns", lit(-1.0) * dot(col("u"), col("cu")))
+      // skinny argmin: project (id, ns, c_id) BEFORE the aggregate so
+      // the 64-double vectors never ride the crossJoin output or the
+      // agg buffer (a first(u) formulation measured 1.2-superlinear
+      // at the 64× ramp cell — array-payload churn through the
+      // partial aggregate; the ivfPqEncodeBatch shape ramps 0.96),
+      // then re-attach u by an id equi-join for the update stage
+      val cells = base.crossJoin(broadcast(cents))
+        .select(col("id"),
+          (lit(-1.0) * dot(col("u"), col("cu"))).as("ns"), col("c_id"))
         .groupBy(col("id"))
-        .agg(first(col("u")).as("u"),
-          min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
+        .agg(min(struct(col("ns"), col("c_id"))).getField("c_id")
+          .as("c_id"))
+      val assign = base.join(cells, "id")
       val sums = assign.select(col("c_id"), posexplode(col("u")))
         .select(col("c_id"), col("pos"),
           floor(col("col") * lit(16777216.0) + lit(0.5)).cast("long")
