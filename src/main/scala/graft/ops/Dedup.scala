@@ -29,6 +29,35 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"),
         max(id).as("max_id"))
 
+  /** Canonical text form for formatting-insensitive dedup — the
+    * C4/RefinedWeb-style normalization pass (public: Raffel et al.
+    * 2020 §2.2, Penedo et al. 2023): lowercase, strip
+    * punctuation-class characters, collapse whitespace runs, trim.
+    * Re-crawls and mirrors differ in exactly these — case, trailing
+    * spaces, smart punctuation — and byte-exact dedup misses every
+    * one of them. Pure codegen'd per-row map (lower + two
+    * regexp_replace + trim), no shuffle; the character classes are
+    * chosen for identical Java-regex/DuckDB-RE2 semantics (explicit
+    * classes, no \\p{Punct} — POSIX class coverage differs between
+    * engines). Null passes through null. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[.,!?;:'\"()\\[\\]{}<>_/\\\\|`~*#-]",
+        ""),
+      // explicit whitespace class, not \s: Java's \s includes \x0B
+      // where RE2's does not — one of the few char-class divergences
+      // between the two regex engines, so it never enters an oracle
+      "[ \\t\\n\\r]+", " "))
+
+  /** [[exact]] over the canonical form: groups everything that differs
+    * only by case/punctuation/whitespace. Same single-shuffle shape —
+    * canonicalization happens map-side inside the hash projection.
+    * Returns (canon_md5, keep_id, n_copies, max_id). */
+  def canonicalExact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(canonicalText(text).cast("binary")).as("canon_md5"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"),
+        max(id).as("max_id"))
+
   /** INCREMENTAL exact dedup — the daily-batch shape: dedupe a NEW
     * batch against the corpus already ingested without touching the
     * corpus. `seenFps` is the ingested side's fingerprint table (the

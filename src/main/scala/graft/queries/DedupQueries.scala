@@ -291,6 +291,39 @@ object DedupQueries extends QueryGroup {
       Dedup.crossSourceDupMatrix(c, "doc_id", "text", "source", 3, 0.8)
     },
 
+    // formatting-insensitive dedup: canonicalize (lowercase, strip
+    // punctuation class, collapse whitespace, trim) then exact-group.
+    // The fixture injects an UPPERCASED copy per %10==3 doc and a
+    // trailing-double-space copy per %10==7 doc — byte-exact dedup
+    // misses both; the canonical groups absorb them (n_copies=2).
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all; the whitespace class is explicit (Java \s ⊃ RE2 \s)
+    q("q_dedup_canonical", "dedup",
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 300000, upper(text) FROM documents
+           WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id + 400000, text || '  ' FROM documents
+           WHERE doc_id % 10 = 7)
+         SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[.,!?;:''"()\[\]{}<>_/\\|`~*#-]', '', 'g'),
+                  '[ \t\n\r]+', ' ', 'g'))) AS canon_md5,
+                min(doc_id) AS keep_id, count(*) AS n_copies,
+                max(doc_id) AS max_id
+         FROM corpus GROUP BY 1""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val c = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            upper(col("text")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit("  ")).as("text")))
+      Dedup.canonicalExact(c, col("doc_id"), col("text"))
+    },
+
     // snapshot diff between two synthetic curation runs: the old run
     // lacks the %13==1 docs (added), the new run lacks %13==2
     // (removed), and %5==0 docs gained a revision suffix (changed);

@@ -153,6 +153,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("canonical dedup groups case/punctuation/whitespace variants; " +
+      "genuinely different texts stay apart") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!  How are you?"),
+      (2L, "hello world how are you"),      // canonical twin of 1
+      (3L, "HELLO   world, how are\tyou"),  // tabs + runs + case
+      (4L, "hello world how are you today") // different content
+    ).toDF("doc_id", "text")
+    val got = Dedup.canonicalExact(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 3L, 4L -> 1L), s"got $got")
+    // canonicalText contract directly
+    val c = docs.select(Dedup.canonicalText(col("text"))).collect()
+      .map(_.getString(0))
+    assert(c(0) == "hello world how are you" && c(0) == c(1) &&
+      c(1) == c(2))
+  }
+
   test("corpusDiff: added/removed/changed statuses, unchanged and " +
       "both-null-text docs drop out") {
     import spark.implicits._
