@@ -956,25 +956,38 @@ object Similarity {
           .withColumn("rnk", row_number().over(crW))
           .filter(col("rnk") <= centProbe)
           .select(col("s_id"), col("c_id"), col("c_vec"), col("c_norm"))
-        // vector → single nearest super: the flat argmin shape against
-        // the ∜n broadcast — n·∜n compute, n rows shuffled
+        // vector → single nearest super: SKINNY argmin — the dot is
+        // projected to (m_id, ns, s_id) BEFORE the aggregate so the
+        // vectors never ride the crossJoin output or the agg buffer
+        // (a first(m_vec) formulation is array-payload churn through
+        // the partial aggregate, measured 11× superlinear on the
+        // kmeans ramp — SCALE.md round-12; vectors re-attach by an id
+        // equi-join where actually needed). n·∜n compute, n skinny
+        // rows shuffled.
         val vroute = vecs.crossJoin(broadcast(sups))
-          .withColumn("ns", lit(-1.0) * (dot(col("m_vec"), col("s_vec")) /
-            (col("m_norm") * col("s_norm"))))
+          .select(col("m_id"),
+            (lit(-1.0) * (dot(col("m_vec"), col("s_vec")) /
+              (col("m_norm") * col("s_norm")))).as("ns"),
+            col("s_id"))
           .groupBy(col("m_id"))
-          .agg(first(col("m_vec")).as("m_vec"),
-            first(col("m_norm")).as("m_norm"),
-            min(struct(col("ns"), col("s_id"))).getField("s_id").as("s_id"))
-        // candidate scan: EQUI-join on s_id (not broadcast — the
-        // centroid side is the √n-growth frame), argmin over the
-        // routed super-cell's centroids only
-        vroute.join(centroute, "s_id")
-          .withColumn("ns", lit(-1.0) * (dot(col("m_vec"), col("c_vec")) /
-            (col("m_norm") * col("c_norm"))))
+          .agg(min(struct(col("ns"), col("s_id"))).getField("s_id")
+            .as("s_id"))
+        // candidate scan: re-attach vectors by id, EQUI-join on s_id
+        // (not broadcast — the centroid side is the √n-growth frame),
+        // skinny argmin over the routed super-cell's centroids only,
+        // then one final id join builds the (id, vec, cell) frame the
+        // pair stage consumes
+        val assigned = vecs.join(vroute, "m_id")
+          .join(centroute, "s_id")
+          .select(col("m_id"),
+            (lit(-1.0) * (dot(col("m_vec"), col("c_vec")) /
+              (col("m_norm") * col("c_norm")))).as("ns"),
+            col("c_id"))
           .groupBy(col("m_id"))
-          .agg(first(col("m_vec")).as("m_vec"),
-            first(col("m_norm")).as("m_norm"),
-            min(struct(col("ns"), col("c_id"))).getField("c_id").as("c_id"))
+          .agg(min(struct(col("ns"), col("c_id"))).getField("c_id")
+            .as("c_id"))
+        vecs.join(assigned, "m_id")
+          .select(col("m_id"), col("m_vec"), col("m_norm"), col("c_id"))
       }
     val cells = if (checkpoint) cells0.localCheckpoint() else cells0
     val x = cells.select(col("c_id"), col("m_id").as("a_id"),
