@@ -826,6 +826,52 @@ object Similarity {
         centProbe = centProbe),
       idCol)
 
+  /** SemDeDup over an EXPLICIT centroid frame (`c_id`, `cu` — UNIT
+    * vectors, [[kmeansCentroids]]' output shape): the paper-faithful
+    * composition (Abbas et al. 2023 cluster with k-means; the default
+    * [[semDedup]] stride-samples instead). Assignment is the flat
+    * skinny argmin against the broadcast centroid set — flat is the
+    * RIGHT shape here because a k-means centroid count is a
+    * build-time BUDGET (the FAISS nlist contract), held fixed as the
+    * corpus grows, so the n·#centroids term stays linear and the
+    * broadcast stays KB-sized; the hierarchical routing in
+    * [[semDedupPairs]] exists for stride-derived counts that track
+    * √n. Within-cell pair resolution and the min-id survivor rule are
+    * identical. Junk vectors bypass clustering and are kept. */
+  def semDedupWithCentroids(corpus: DataFrame, threshold: Double,
+      centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val dim = vecDim(corpus, vecCol)
+    val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
+    val vecs = c.select(col(idCol).as("m_id"), col(vecCol).as("m_vec"),
+      norm(col(vecCol)).as("m_norm"))
+    // cu is unit, so cos(v, cu) = dot(v, cu)/|v| — one division saved
+    val assigned = vecs
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("cu"))))
+      .select(col("m_id"),
+        (lit(-1.0) * (dot(col("m_vec"), col("cu")) / col("m_norm")))
+          .as("ns"),
+        col("c_id"))
+      .groupBy(col("m_id"))
+      .agg(min(struct(col("ns"), col("c_id"))).getField("c_id")
+        .as("c_id"))
+    val cells = vecs.join(assigned, "m_id").localCheckpoint()
+    val x = cells.select(col("c_id"), col("m_id").as("a_id"),
+      col("m_vec").as("va"), col("m_norm").as("na"))
+    val y = cells.select(col("c_id"), col("m_id").as("b_id"),
+      col("m_vec").as("vb"), col("m_norm").as("nb"))
+    val pairs = x.join(y, Seq("c_id")).filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id")
+      .localCheckpoint()
+    graft.core.Checkpoints.release(cells)
+    Dedup.representatives(corpus, pairs, idCol)
+  }
+
   /** [[semDedup]]'s pair stage. With `checkpoint` (the production
     * path) both corpus-sized intermediates are localCheckpoint'd for
     * the self-join / CC reuse and released eagerly once the (small)

@@ -406,6 +406,59 @@ object SimilarityQueries extends QueryGroup {
       .select("a_id", "b_id", "sim")
   }
 
+  /** One kmeans assign/update round in SQL: assignment is the
+    * row_number argmin over u × prev-centroids (independent spelling
+    * of the engine's min(struct)); the update quantizes members to
+    * exact ints (floor(u·2²⁴+0.5)), BIGINT-sums per (c_id, pos), and
+    * renormalizes with the same fixed-order fold — the arithmetic
+    * that lets an ITERATIVE fp algorithm differential exactly. */
+  private def kmeansRound(prev: String, a: String,
+      out: String): String =
+    s"""$a AS (SELECT id, u, c_id FROM (
+          SELECT u.id, u.u, $prev.c_id,
+            row_number() OVER (PARTITION BY u.id ORDER BY
+              list_sum(list_transform(list_zip(u.u, $prev.cu),
+                x -> x[1] * x[2])) DESC, $prev.c_id) AS rnk
+          FROM u CROSS JOIN $prev) t WHERE rnk = 1),
+        ${a}q AS (SELECT c_id, e.pos AS pos, e.q AS q FROM (
+          SELECT c_id, unnest([{'pos': i - 1,
+              'q': CAST(floor(u[i] * 16777216.0 + 0.5) AS BIGINT)}
+            for i in generate_series(1, len(u))]) AS e
+          FROM $a) t),
+        ${a}s AS (SELECT c_id, pos, sum(q) AS sq, count(*) AS cnt
+                  FROM ${a}q GROUP BY 1, 2),
+        ${a}m AS (SELECT c_id,
+                    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)
+                      ORDER BY pos) AS mv
+                  FROM ${a}s GROUP BY c_id),
+        ${a}r AS (SELECT c_id, mv,
+                    sqrt(list_sum(list_transform(mv, x -> x * x)))
+                      AS nrm
+                  FROM ${a}m),
+        $out AS (SELECT $prev.c_id,
+                   CASE WHEN ${a}r.c_id IS NULL OR ${a}r.nrm = 0
+                        THEN $prev.cu
+                        ELSE list_transform(${a}r.mv,
+                          x -> x / ${a}r.nrm) END AS cu
+                 FROM $prev LEFT JOIN ${a}r USING (c_id))"""
+
+  /** The 2-round kmeans chain over a `src(vec_id, v)` CTE (raw
+    * DOUBLE[] vectors), ending in `c2(c_id, cu)` — shared verbatim by
+    * q_kmeans_centroids and q_semdedup_kmeans so the clustering the
+    * dedup runs on and the clustering the centroid query checks can
+    * never drift. Also defines `kn(vec_id, v, nrm)` (null-element
+    * rows excluded) and `u(id, u)` (unit vectors, nrm > 0). */
+  private def kmeansChainCtes(stride: Int): String =
+    s"""kn AS (SELECT vec_id, v,
+              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM src
+            WHERE len(list_filter(v, x -> x IS NULL)) = 0),
+        u AS (SELECT vec_id AS id, list_transform(v, x -> x / nrm) AS u
+              FROM kn WHERE nrm > 0),
+        c0 AS (SELECT id AS c_id, u AS cu FROM u WHERE id % $stride = 0),
+        ${kmeansRound("c0", "a1", "c1")},
+        ${kmeansRound("c1", "a2", "c2")}"""
+
   /** q_semdedup oracle: the duplicate-injected corpus, HIERARCHICAL
     * deterministic cells — the exact two-level routing semDedupPairs
     * runs (super slice at stride 50·8=400, each centroid keeps its
@@ -757,57 +810,70 @@ object SimilarityQueries extends QueryGroup {
     // renorm fold replay bit-identically. Output exploded to
     // (c_id, pos, val) scalar rows. Empty clusters and zero-norm
     // means fall back to the previous centroid on both engines.
-    q("q_kmeans_centroids", "similarity", {
-      def qexp(src: String) =
-        s"""SELECT c_id, unnest([{'pos': i - 1,
-              'q': CAST(floor(u[i] * 16777216.0 + 0.5) AS BIGINT)}
-             for i in generate_series(1, len(u))]) AS e
-           FROM $src"""
-      def round(prev: String, a: String, out: String) =
-        s"""$a AS (SELECT id, u, c_id FROM (
-              SELECT u.id, u.u, $prev.c_id,
-                row_number() OVER (PARTITION BY u.id ORDER BY
-                  list_sum(list_transform(list_zip(u.u, $prev.cu),
-                    x -> x[1] * x[2])) DESC, $prev.c_id) AS rnk
-              FROM u CROSS JOIN $prev) t WHERE rnk = 1),
-            ${a}q AS (SELECT c_id, e.pos AS pos, e.q AS q FROM (
-              ${qexp(a)}) t),
-            ${a}s AS (SELECT c_id, pos, sum(q) AS sq, count(*) AS cnt
-                      FROM ${a}q GROUP BY 1, 2),
-            ${a}m AS (SELECT c_id,
-                        list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)
-                          ORDER BY pos) AS mv
-                      FROM ${a}s GROUP BY c_id),
-            ${a}r AS (SELECT c_id, mv,
-                        sqrt(list_sum(list_transform(mv, x -> x * x)))
-                          AS nrm
-                      FROM ${a}m),
-            $out AS (SELECT $prev.c_id,
-                       CASE WHEN ${a}r.c_id IS NULL OR ${a}r.nrm = 0
-                            THEN $prev.cu
-                            ELSE list_transform(${a}r.mv,
-                              x -> x / ${a}r.nrm) END AS cu
-                     FROM $prev LEFT JOIN ${a}r USING (c_id))"""
-      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                  x -> x * x))) AS nrm
-              FROM embeddings
-              WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
-          u AS (SELECT vec_id AS id, list_transform(v, x -> x / nrm) AS u
-                FROM n WHERE nrm > 0),
-          c0 AS (SELECT id AS c_id, u AS cu FROM u WHERE id % 25 = 0),
-          ${round("c0", "a1", "c1")},
-          ${round("c1", "a2", "c2")}
+    q("q_kmeans_centroids", "similarity",
+      s"""WITH src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+          ${kmeansChainCtes(25)}
           SELECT c_id, e.pos AS pos, e.val AS val FROM (
             SELECT c_id, unnest([{'pos': i - 1, 'val': cu[i]}
               for i in generate_series(1, len(cu))]) AS e
-            FROM c2) t"""
-    }) { (spark, dir) =>
+            FROM c2) t""") { (spark, dir) =>
       Similarity.kmeansCentroids(Tables.df(spark, dir, "embeddings"),
           seedEvery = 25, iters = 2)
         .select(col("c_id"), posexplode(col("cu")))
         .select(col("c_id"), col("pos").cast("long").as("pos"),
           col("col").as("val"))
+    },
+
+    // SemDeDup over k-means cells — the paper-faithful composition
+    // (Abbas et al. cluster with k-means; q_semdedup stride-samples):
+    // 2-round kmeans chain (shared CTEs with q_kmeans_centroids), flat
+    // assignment against the learned unit centroids (cos = dot/|v|),
+    // within-cell exact-cosine pairs, recursive-CTE CC, min-id
+    // survivors — a fully-oracled iterative-clustering dedup, end to
+    // end. Same injected-duplicate fixture as q_semdedup.
+    q("q_semdedup_kmeans", "similarity",
+      s"""WITH RECURSIVE src AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+            FROM embeddings WHERE vec_id % 10 = 0),
+          ${kmeansChainCtes(25)},
+          cells AS (
+            SELECT m_id, v, nrm, c_id FROM (
+              SELECT kn.vec_id AS m_id, kn.v, kn.nrm, c2.c_id,
+                row_number() OVER (PARTITION BY kn.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(kn.v, c2.cu),
+                    x -> x[1] * x[2])) / kn.nrm DESC, c2.c_id) AS rnk
+              FROM kn CROSS JOIN c2 WHERE kn.nrm > 0) t
+            WHERE rnk = 1),
+          prs AS (
+            SELECT x.m_id AS a, y.m_id AS b
+            FROM cells x JOIN cells y
+              ON x.c_id = y.c_id AND x.m_id < y.m_id
+            WHERE list_sum(list_transform(list_zip(x.v, y.v),
+                p -> p[1] * p[2])) / (x.nrm * y.nrm) >= 0.95),
+          edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e
+            JOIN reach ON reach.id = e.b),
+          losers AS (SELECT id FROM (SELECT id, min(r) AS component
+                                     FROM reach GROUP BY id) c
+                     WHERE component <> id)
+          SELECT vec_id FROM src
+          WHERE vec_id NOT IN (SELECT id FROM losers)""") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionAll(
+        emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val km = Similarity.kmeansCentroids(corpus, seedEvery = 25,
+        iters = 2)
+      Similarity.semDedupWithCentroids(corpus, 0.95, km)
+        .select("vec_id")
     },
 
     // per-query recall@5 of the IVF index against brute-force ground

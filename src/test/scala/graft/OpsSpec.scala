@@ -627,6 +627,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.semDedup(empty, 0.9).count() == 0)
   }
 
+  test("semDedupWithCentroids: kmeans cells still co-locate and " +
+      "remove every injected identical copy; junk vectors are kept") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .unionAll(Seq((900001L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val km = Similarity.kmeansCentroids(corpus, seedEvery = 25, iters = 2)
+    val kept = Similarity.semDedupWithCentroids(corpus, 0.95, km)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // identical vectors route identically under ANY centroid set —
+    // every +100000 copy must lose to its original's smaller id
+    val survivingCopies = kept.filter(id => id >= 100000L && id != 900001L)
+    assert(survivingCopies.isEmpty, s"surviving copies: $survivingCopies")
+    assert(kept.contains(900001L), "junk vector must bypass and be kept")
+  }
+
   test("semDedup hierarchical routing keeps survivor parity with the " +
       "flat formulation on the corpus") {
     val emb = Tables.df(spark, sf, "embeddings")
