@@ -60,6 +60,16 @@ object Bench {
     // the official per-round artifact is always the full suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would silently filter to nothing and the
+    // adjudication artifact would read "measured, nothing wrong" —
+    // fail loudly on unknowns instead (this is a human-driven knob;
+    // the driver never sets it)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val suite = SparkEntry.queries
       .filter { case (name, _) => only.forall(_(name)) }
     def runPass(tag: String): Map[String, Double] =

@@ -193,12 +193,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroidEvery: Int = 50, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = corpus.filter(isIndexable(col(vecCol),
-        vecDim(corpus, vecCol)))
+    val dim = vecDim(corpus, vecCol)
+    val centroids = corpus.filter(isIndexable(col(vecCol), dim))
       .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-    ivfTopKWithCentroids(corpus, queries, k, centroids, nProbe,
-      idCol, vecCol)
+    ivfTopKCore(corpus, queries, k, centroids, nProbe, idCol, vecCol,
+      dim)
   }
 
   /** [[ivfTopK]] against an EXPLICIT centroid frame (`c_id`, `c_vec`)
@@ -206,19 +206,28 @@ object Similarity {
     * pass [[kmeansCentroids]]' output (renamed `cu` → `c_vec`) and
     * the same IVF search runs over tighter, k-means-fitted cells
     * (SimilaritySpec compares recall against the stride quantizer at
-    * equal centroid count). The stride overload above delegates here,
-    * so the two paths cannot drift. */
+    * equal centroid count). The stride overload above delegates to
+    * the same core, so the two paths cannot drift. The frame gets the
+    * SAME junk filter the stride path applies to its slice: one
+    * zero-norm/NaN centroid would otherwise rank first for every
+    * vector under NaN-first ordering and swallow the whole corpus
+    * into its cell. */
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
       k: Int, centroidFrame: DataFrame, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // same junk filter as bruteForceTopK/lshTopK — and doubly load-
-    // bearing here: a zero-norm CENTROID would have NaN similarity to
-    // every vector and, under NaN-ranks-first ordering, swallow the
-    // entire corpus into its cell
     val dim = vecDim(corpus, vecCol)
+    ivfTopKCore(corpus, queries, k,
+      centroidFrame.select(col("c_id"), col("c_vec"))
+        .filter(isIndexable(col("c_vec"), dim)),
+      nProbe, idCol, vecCol, dim)
+  }
+
+  private def ivfTopKCore(corpus: DataFrame, queries: DataFrame,
+      k: Int, centroids: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String, dim: Int): DataFrame = {
+    // same junk filter as bruteForceTopK/lshTopK on both row sides
     val corpusC = corpus.filter(isIndexable(col(vecCol), dim))
     val queriesC = queries.filter(isIndexable(col(vecCol), dim))
-    val centroids = centroidFrame.select(col("c_id"), col("c_vec"))
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int) = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("c_sim").desc, col("c_id"))
@@ -845,6 +854,14 @@ object Similarity {
       s"threshold must be in (0, 1], got $threshold")
     val dim = vecDim(corpus, vecCol)
     val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
+    // the semDedupPairs stride-guard stance, lifted to the explicit
+    // frame: an empty centroid set (an empty kmeans input, a
+    // mis-filtered frame) would yield zero cells → zero pairs → a
+    // dedup that silently KEEPS EVERY DUPLICATE
+    if (centroids.isEmpty && !c.isEmpty)
+      throw new IllegalArgumentException(
+        "semDedupWithCentroids: empty centroid frame — every vector " +
+          "would silently survive; pass a non-empty (c_id, cu) frame")
     val vecs = c.select(col(idCol).as("m_id"), col(vecCol).as("m_vec"),
       norm(col(vecCol)).as("m_norm"))
     // cu is unit, so cos(v, cu) = dot(v, cu)/|v| — one division saved

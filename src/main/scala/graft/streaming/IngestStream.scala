@@ -100,43 +100,29 @@ object IngestStream {
       col("band_key")).localCheckpoint()
     var docs = seenDocs.select(col(idCol), col(textCol)).localCheckpoint()
     var kept: DataFrame = null
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val reader = spark.readStream.schema(schema)
-      val src = maxFilesPerTrigger
-        .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
-        .parquet(path)
-      val q = pre(src).writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          val batch = b.select(col(idCol), col(textCol))
-          val survivors = Dedup.incrementalNearDup(batch, bands, docs,
-            idCol, textCol, n, k, r, minJaccard)
-          val survivorDocs = batch.filter(col(textCol).isNotNull)
-            .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
-            .localCheckpoint()
-          val nb = bands.unionByName(
-            Dedup.lshBands(Dedup.minhashSignature(survivorDocs, idCol,
-              textCol, n, k), k, r)).localCheckpoint()
-          val nd = docs.unionByName(survivorDocs).localCheckpoint()
-          Checkpoints.release(bands); Checkpoints.release(docs)
-          Checkpoints.release(survivorDocs)
-          bands = nb; docs = nd
-          val nk = if (kept == null) survivors
-            else {
-              val u = kept.unionByName(survivors).localCheckpoint()
-              Checkpoints.release(kept); Checkpoints.release(survivors)
-              u
-            }
-          kept = nk
-          ()
+    StreamRun.boundedForeach(spark, path, schema, maxFilesPerTrigger,
+        pre) { b =>
+      val batch = b.select(col(idCol), col(textCol))
+      val survivors = Dedup.incrementalNearDup(batch, bands, docs,
+        idCol, textCol, n, k, r, minJaccard)
+      val survivorDocs = batch.filter(col(textCol).isNotNull)
+        .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+        .localCheckpoint()
+      val nb = bands.unionByName(
+        Dedup.lshBands(Dedup.minhashSignature(survivorDocs, idCol,
+          textCol, n, k), k, r)).localCheckpoint()
+      val nd = docs.unionByName(survivorDocs).localCheckpoint()
+      Checkpoints.release(bands); Checkpoints.release(docs)
+      Checkpoints.release(survivorDocs)
+      bands = nb; docs = nd
+      val nk = if (kept == null) survivors
+        else {
+          val u = kept.unionByName(survivors).localCheckpoint()
+          Checkpoints.release(kept); Checkpoints.release(survivors)
+          u
         }
-        .outputMode("update").start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      kept = nk
+      ()
     }
     if (kept != null) kept
     else seenDocs.select(col(idCol)).limit(0)
@@ -167,30 +153,16 @@ object IngestStream {
     import graft.core.Checkpoints
     import graft.ops.Stats
     var prof = initial.localCheckpoint()
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val reader = spark.readStream.schema(schema)
-      val src = maxFilesPerTrigger
-        .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
-        .parquet(path)
-      val q = src.writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          val p = Stats.sourceProfile(
-            b.select(col(srcCol), col(textCol)), srcCol, textCol,
-            size(split(col(textCol), " ")), k)
-          val merged = Stats.mergeProfiles(prof.unionByName(p), srcCol, k)
-            .localCheckpoint()
-          Checkpoints.release(prof)
-          prof = merged
-          ()
-        }
-        .outputMode("update").start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      val p = Stats.sourceProfile(
+        b.select(col(srcCol), col(textCol)), srcCol, textCol,
+        size(split(col(textCol), " ")), k)
+      val merged = Stats.mergeProfiles(prof.unionByName(p), srcCol, k)
+        .localCheckpoint()
+      Checkpoints.release(prof)
+      prof = merged
+      ()
     }
     prof
   }
@@ -230,4 +202,34 @@ private[streaming] object StreamRun {
       sink: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row]): Unit =
     bounded(spark, path, read, df => pipeline(df.filter(keep)))(sink)
+
+  /** Bounded foreachBatch drain over a parquet file-stream directory —
+    * the shared scaffolding for the evolving-state ingest loops
+    * (near-dup, profile): same shuffle-partition discipline as
+    * [[bounded]] (8 for the run — each shuffle partition owns a state
+    * store), optional per-trigger file cap for deterministic
+    * multi-batch sequencing, drained to completion, conf restored. */
+  def boundedForeach(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int],
+      pre: DataFrame => DataFrame = identity)(
+      fn: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]
+        => Unit): Unit = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val reader = spark.readStream.schema(schema)
+      val src = maxFilesPerTrigger
+        .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+        .parquet(path)
+      val q = pre(src).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) => fn(b) }
+        .outputMode("update").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
 }
