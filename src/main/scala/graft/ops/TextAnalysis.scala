@@ -466,6 +466,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary DRIFT report between two corpora — the distribution
+    * monitor that pairs with [[graft.ops.Dedup.corpusDiff]]: where
+    * the diff says WHICH docs changed, this says how the LANGUAGE
+    * changed (a crawl source pivoting topics, a filter suddenly
+    * eating one register, a contamination burst). Per-word token
+    * frequencies in exact fixed point (occurrences·10⁶ div corpus
+    * tokens — the [[tfidfKeywords]] discipline: no float sums, no
+    * libm), absolute drift = |fp_a − fp_b|, top-k by (drift DESC,
+    * word) — a total order, so the cut is deterministic and the whole
+    * report differentials.
+    *
+    * Scale shape: two word-count aggregates (partial-agg'd, word-
+    * keyed shuffles), one scalar total per side (broadcast), one
+    * word-keyed full-outer join of the two count tables (vocabulary-
+    * sized, not corpus-sized), and a global top-k that plans as
+    * TakeOrderedAndProject ([[boilerplateGrams]]' shape — no full
+    * vocabulary sort). A word absent from one side counts 0 there —
+    * appearing/disappearing vocabulary is exactly what the report
+    * exists to surface. */
+  def vocabDrift(a: DataFrame, b: DataFrame, text: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def counts(df: DataFrame) =
+      df.select(explode(tokens(text)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val ta = ca.agg(sum(col("n")).as("tot_a"))
+    val tb = cb.agg(sum(col("n")).as("tot_b"))
+    ca.withColumnRenamed("n", "n_a")
+      .join(cb.withColumnRenamed("n", "n_b"), Seq("word"), "full_outer")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("word"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        expr("(coalesce(n_a, 0L) * 1000000L) div tot_a").as("fp_a"),
+        expr("(coalesce(n_b, 0L) * 1000000L) div tot_b").as("fp_b"))
+      .withColumn("drift_fp", abs(col("fp_a") - col("fp_b")))
+      .orderBy(col("drift_fp").desc, col("word"))
+      .limit(k)
+  }
+
   /** Corpus BOILERPLATE gram report: the k word n-grams appearing in
     * the most DOCUMENTS (distinct per doc — [[graft.ops.Dedup
     * .shingles]] dedups within a doc, so the count is true document

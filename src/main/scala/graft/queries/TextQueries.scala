@@ -373,6 +373,44 @@ object TextQueries extends QueryGroup {
         Tables.df(spark, dir, "documents"), col("text"), 4, 20)
     },
 
+    // vocabulary drift between the even- and odd-id halves of the
+    // corpus — the distribution monitor pairing with q_corpus_diff:
+    // exact fixed-point per-million frequencies, |fp_a − fp_b| top-20
+    // with the (drift DESC, word) total order. Words absent from one
+    // side count 0 there — appearing/disappearing vocabulary is the
+    // signal
+    q("q_vocab_drift", "text",
+      """WITH ea AS (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents WHERE doc_id % 2 = 0),
+         eb AS (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id % 2 = 1),
+         ca AS (SELECT w AS word, count(*) AS n FROM ea
+                WHERE w != '' GROUP BY 1),
+         cb AS (SELECT w AS word, count(*) AS n FROM eb
+                WHERE w != '' GROUP BY 1),
+         ta AS (SELECT CAST(sum(n) AS BIGINT) AS tot_a FROM ca),
+         tb AS (SELECT CAST(sum(n) AS BIGINT) AS tot_b FROM cb)
+         SELECT word, n_a, n_b, fp_a, fp_b, drift_fp FROM (
+           SELECT COALESCE(ca.word, cb.word) AS word,
+             CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_a,
+             CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_b,
+             CAST(COALESCE(ca.n, 0) * 1000000 // tot_a AS BIGINT)
+               AS fp_a,
+             CAST(COALESCE(cb.n, 0) * 1000000 // tot_b AS BIGINT)
+               AS fp_b,
+             CAST(abs(COALESCE(ca.n, 0) * 1000000 // tot_a
+                      - COALESCE(cb.n, 0) * 1000000 // tot_b)
+               AS BIGINT) AS drift_fp
+           FROM ca FULL OUTER JOIN cb ON ca.word = cb.word
+           CROSS JOIN ta CROSS JOIN tb) t
+         ORDER BY drift_fp DESC, word LIMIT 20""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      TextAnalysis.vocabDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("text"), 20)
+    },
+
     // per-language length profile: the grouped variant of the exact
     // quantile operator — same integer rank arithmetic per group
     q("q_lang_length_quantiles", "text",

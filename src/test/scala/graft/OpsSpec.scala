@@ -189,6 +189,22 @@ class DedupSpec extends AnyFunSuite {
       5L -> "changed", 6L -> "added"))
   }
 
+  test("vocab drift: one-sided words surface with zero on the other " +
+      "side, fixed-point frequencies are exact") {
+    import spark.implicits._
+    val a = Seq((1L, "x x x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val b = Seq((3L, "y y w")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.vocabDrift(a, b, col("text"), 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // totals: a = 7 tokens, b = 3. fp = n*1e6 div tot
+    assert(got("x") == ((4L, 0L, 571428L, 0L, 571428L)))
+    assert(got("w") == ((0L, 1L, 0L, 333333L, 333333L)))
+    assert(got("y") == ((2L, 2L, 285714L, 666666L, 380952L)))
+    assert(got("z") == ((1L, 0L, 142857L, 0L, 142857L)))
+  }
+
   test("cluster size histogram: chain cluster counted once, " +
       "singleton row covers the unclustered remainder") {
     import spark.implicits._
