@@ -358,6 +358,48 @@ object DedupQueries extends QueryGroup {
       Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
     },
 
+    // the maintenance family COMPOSING: corpusDiff picks the docs that
+    // moved (added/changed) between the two snapshot fixtures, and
+    // ONLY those route through incrementalExact against the old
+    // snapshot's fingerprint index — the daily-reprocess shape where
+    // diff bounds the work and the index bounds the dedup. Survivors
+    // are moved docs whose content the old corpus had never seen
+    // (a changed doc whose new text equals some OTHER old doc's text
+    // is caught by the index, not re-ingested)
+    q("q_diff_incremental_ingest", "dedup",
+      """WITH o AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 13 <> 1),
+          n AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                       ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 2),
+          moved AS (
+            SELECT n.doc_id, n.text FROM n
+            LEFT JOIN o ON n.doc_id = o.doc_id
+            WHERE o.doc_id IS NULL
+               OR md5(o.text) IS DISTINCT FROM md5(n.text)),
+          seen AS (SELECT DISTINCT md5(text) AS fp FROM o
+                   WHERE text IS NOT NULL),
+          firsts AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+                     FROM moved WHERE text IS NOT NULL GROUP BY 1)
+          SELECT keep_id AS doc_id, fp AS text_md5 FROM firsts
+          WHERE fp NOT IN (SELECT fp FROM seen)""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 13 =!= 1)
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      val moved = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .filter(col("status").isin("added", "changed"))
+        .select("doc_id")
+      val batch = newSnap.join(moved, Seq("doc_id"), "left_semi")
+      val index = Dedup.exact(oldSnap, col("doc_id"), col("text"))
+        .select(col("text_md5"))
+      Dedup.incrementalExact(batch, index, "doc_id", "text")
+    },
+
     q("q_dedup_minhash_lsh", "dedup", exactDupPairsSql) { (spark, dir) =>
       val c = corpus(spark, dir)
       val cands = Dedup.minhashCandidates(c, "doc_id", "text")
