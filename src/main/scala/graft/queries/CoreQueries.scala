@@ -51,6 +51,34 @@ object CoreQueries extends QueryGroup {
             sum(col("l_quantity").cast(dec)).cast("string").as("sum_qty"))
     },
 
+    // the canonical dimension-chain rollup (supplier ⋈ nation ⋈
+    // region): BOTH dimension joins broadcast — a fact-side row never
+    // shuffles for a dimension attach, the first rule of warehouse
+    // join planning. Also the query that exercises the last otherwise
+    // untouched testdata table (supplier).
+    q("q_dim_rollup", "join",
+      """SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_acctbal_cents
+         FROM supplier s
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name""") { (spark, dir) =>
+      val s = Tables.df(spark, dir, "supplier")
+      val n = Tables.df(spark, dir, "nation")
+      val r = Tables.df(spark, dir, "region")
+      // acctbal sums in exact integer CENTS (floor(x·100 + 0.5) is
+      // engine-exact on doubles; a double→DECIMAL cast is not
+      // guaranteed to round identically across engines)
+      s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(floor(col("s_acctbal") * 100 + 0.5).cast("long"))
+            .as("sum_acctbal_cents"))
+    },
+
     q("q_semi_anti_join", "join",
       """SELECT
            (SELECT count(*) FROM orders WHERE o_custkey IN
