@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-quality filters for training-data curation — the public
+  * heuristic families every large text pipeline runs before dedup:
+  * Gopher's document-level rules (Rae et al. 2021, "Scaling Language
+  * Models", table A1) and C4's line-level rules (Raffel et al. 2020,
+  * §2.2). Both operate on newline-delimited document text.
+  *
+  * Everything is composed from codegen'd built-ins (split / lambda
+  * filters / regexp counts) — one map-only pass per document, no
+  * shuffle, no UDF: at 100 TB these filters run at scan speed and
+  * their selectivity is exactly what the scan's downstream stages
+  * (dedup, pack) want applied as early as possible. The line-frequency
+  * boilerplate strip ([[stripBoilerplate]]) is the one corpus-global
+  * member of the family; its aggregation is partial-agg'd and its
+  * removal join broadcasts only the (tiny by construction) frequent
+  * set, so the corpus itself is shuffled exactly once — to reassemble.
+  *
+  * Reference scope: the reference pipeline (datawaves ETL) carries no
+  * text-quality stage — these extend the engine toward the LLM-corpus
+  * workload the builder prompt names as first-class.
+  */
+object Quality {
+
+  /** Words = tokens split on the two separators multiline corpus text
+    * uses (single space within a line, single newline between lines).
+    * Both separators are single characters, so
+    * `length(text) − (n_words − 1)` is exactly the character mass of
+    * the words — the mean-word-length rule needs no second pass. */
+  def words(text: Column): Column = split(text, "[ \n]")
+
+  def lines(text: Column): Column = split(text, "\n")
+
+  /** Gopher's ≥2-distinct-stopwords rule list (Rae et al. 2021 A1). */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Document-level Gopher quality rules. Emits one row per input row:
+    * the raw features (integer counts and IEEE-double ratios — exact
+    * cross-engine) plus the composite `keep`. Thresholds are the
+    * published defaults unless the caller overrides; `minStopHits`
+    * defaults to the paper's 2 distinct stopwords.
+    *
+    * Rules (doc kept iff ALL hold):
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio ('#' or '…' as '...') ≤ 0.1
+    *  - ≤ 90% of lines start with a bullet ('- ' or '* ')
+    *  - ≤ 30% of lines end with an ellipsis
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - ≥ minStopHits distinct words from [[GopherStops]]
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val ls = lines(t)
+    val nWords = size(ws)
+    val nLines = size(ls)
+    val meanWordLen = (length(t) - (nWords - lit(1))).cast("double") /
+      nWords.cast("double")
+    val nSymbols = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+    val nBullet = size(filter(ls, l =>
+      l.startsWith("- ") || l.startsWith("* ")))
+    val nEllipsis = size(filter(ls, l => l.endsWith("...")))
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val nStop = size(array_distinct(
+      filter(ws, w => w.isInCollection(GopherStops))))
+    df.select(col(idCol),
+        nWords.cast("long").as("n_words_g"),
+        nLines.cast("long").as("n_lines_g"),
+        meanWordLen.as("mean_word_len"),
+        (nSymbols.cast("double") / nWords.cast("double"))
+          .as("symbol_ratio"),
+        (nBullet.cast("double") / nLines.cast("double"))
+          .as("bullet_ratio"),
+        (nEllipsis.cast("double") / nLines.cast("double"))
+          .as("ellipsis_ratio"),
+        (nAlpha.cast("double") / nWords.cast("double")).as("alpha_ratio"),
+        nStop.cast("long").as("n_stop_distinct"))
+      .withColumn("keep",
+        col("n_words_g").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_ratio") <= 0.9 &&
+        col("ellipsis_ratio") <= 0.3 &&
+        col("alpha_ratio") >= 0.8 &&
+        col("n_stop_distinct") >= minStopHits)
+  }
+
+  /** C4 line-level filter (Raffel et al. 2020 §2.2): a line survives
+    * iff it ends in terminal punctuation ('.', '!', '?', '"') that is
+    * not an ellipsis AND has at least `minLineWords` words; the doc
+    * survives iff at least `minKeptLines` lines survive. Emits the
+    * cleaned text (kept lines re-joined) so the pass composes directly
+    * into a curation chain. Map-only — no shuffle. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val ls = lines(col(textCol))
+    val keptLine = (l: Column) =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+      !l.endsWith("...") &&
+      size(split(l, " ")) >= minLineWords
+    val kept = filter(ls, keptLine)
+    df.select(col(idCol),
+        size(ls).cast("long").as("n_lines_c4"),
+        size(kept).cast("long").as("n_lines_kept"),
+        array_join(kept, "\n").as("text_c4"))
+      .withColumn("keep", col("n_lines_kept") >= minKeptLines)
+  }
+
+  /** Corpus-global boilerplate strip (the CCNet / RefinedWeb move):
+    * any LINE appearing in more than `maxDocFreq` distinct documents
+    * is chrome (headers, license banners, nav text) and is removed
+    * from every document; survivors are reassembled in original line
+    * order. Documents whose every line was boilerplate survive with
+    * empty `text_clean` — the caller decides whether to drop them.
+    *
+    * Scale shape: the line-frequency aggregate is preceded by a
+    * per-doc distinct (one shuffle row per distinct line per doc, so a
+    * doc repeating its own header 1000× counts once) and partial-agg
+    * combines on the line key; the frequent set is bounded by
+    * |corpus| / maxDocFreq lines and in practice tiny, so the removal
+    * is a BROADCAST anti-join — the corpus is never shuffled to probe
+    * it. The only corpus-sized shuffle is the doc-keyed reassembly,
+    * whose per-group state is one document's lines. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val id = col(idCol)
+    val exploded = df
+      .select(id, posexplode(lines(col(textCol))).as(Seq("pos", "line")))
+    val frequent = exploded.select(id, col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("line_docs"))
+      .filter(col("line_docs") > maxDocFreq)
+      .select("line")
+    val keptLines = exploded.join(broadcast(frequent), Seq("line"), "left_anti")
+    val reassembled = keptLines.groupBy(id)
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("text_clean"))
+    df.select(id, size(lines(col(textCol))).cast("long").as("n_lines_orig"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(id, col("n_lines_orig"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+}

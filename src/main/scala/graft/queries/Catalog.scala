@@ -36,7 +36,8 @@ object Catalog {
     TextQueries,
     SimilarityQueries,
     MultimodalQueries,
-    PackQueries)
+    PackQueries,
+    QualityQueries)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.queries)

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Quality
+
+/** Quality-filter queries (Gopher document rules, C4 line rules,
+  * corpus-global boilerplate stripping) over a deterministic MULTILINE
+  * fixture derived from the documents table.
+  *
+  * The raw corpus is single-line word salad, so — the `q_text_pii`
+  * discipline — each query synthesizes line structure identically on
+  * both sides from (doc_id, text) alone: words are grouped into
+  * 8-word lines, and line i of doc d is decorated by m = d + i as
+  *   m % 7 == 0 → '- ' bullet prefix,
+  *   m % 5 == 0 → '...' ellipsis suffix,
+  *   else m % 3 != 0 → '.' terminal period.
+  * Everything is integer-derived, so the Spark fixture and the DuckDB
+  * oracle cannot drift; the engine operators under test
+  * ([[graft.ops.Quality]]) see an honest newline-delimited document.
+  */
+object QualityQueries extends QueryGroup {
+
+  private val W = 8 // words per synthesized line
+
+  /** Spark side of the line synthesis. */
+  private def synthMl(docId: Column, text: Column): Column = {
+    val ws = split(text, " ")
+    val nLines = floor((size(ws) + lit(W - 1)) / lit(W)).cast("int")
+    val linesC = transform(sequence(lit(0), nLines - lit(1)), i => {
+      val m = docId + i
+      val base = array_join(slice(ws, i * lit(W) + lit(1), lit(W)), " ")
+      val pre = when(m % 7 === 0, lit("- ")).otherwise(lit(""))
+      val suf = when(m % 5 === 0, lit("..."))
+        .when(m % 3 =!= 0, lit(".")).otherwise(lit(""))
+      concat(pre, base, suf)
+    })
+    array_join(linesC, "\n")
+  }
+
+  /** DuckDB side of the line synthesis; `ws` must be in scope as the
+    * space-split word list and `doc_id` as the id. */
+  private val synthSql: String =
+    s"""array_to_string(
+       |  [CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END ||
+       |   array_to_string(ws[(i*$W+1):(i*$W+$W)], ' ') ||
+       |   CASE WHEN (doc_id + i) % 5 = 0 THEN '...'
+       |        WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+       |   for i in generate_series(0, (len(ws) + ${W - 1}) // $W - 1)],
+       |  chr(10))""".stripMargin
+
+  private val mlCte: String =
+    s"""ml AS (
+       |  SELECT doc_id, $synthSql AS mtext
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents
+       |        WHERE text IS NOT NULL AND length(text) > 0))""".stripMargin
+
+  private def mlFrame(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    docs.filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), synthMl(col("doc_id"), col("text")).as("mtext"))
+  }
+
+  // fixture word counts at the verify SF span ~9..60, so 40 splits the
+  // population; the corpus vocabulary holds only 'the' from Gopher's
+  // stop list, so the distinct-stopword gate is exercised at 1
+  private val GopherMinWords = 40
+  private val GopherStopHits = 1
+
+  def queries: Seq[Q] = Seq(
+
+    q("q_quality_gopher", "quality", {
+      val stops = Quality.GopherStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH $mlCte,
+          feats AS (
+            SELECT doc_id, mtext,
+              string_split_regex(mtext, '[ \n]') AS wsm,
+              string_split(mtext, chr(10)) AS lsm
+            FROM ml),
+          f2 AS (
+            SELECT doc_id,
+              CAST(len(wsm) AS BIGINT) AS n_words_g,
+              CAST(len(lsm) AS BIGINT) AS n_lines_g,
+              CAST(length(mtext) - (len(wsm) - 1) AS DOUBLE) / len(wsm)
+                AS mean_word_len,
+              CAST(len(regexp_extract_all(mtext, '#|\\.\\.\\.')) AS DOUBLE)
+                / len(wsm) AS symbol_ratio,
+              CAST(len(list_filter(lsm,
+                l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lsm)
+                AS bullet_ratio,
+              CAST(len(list_filter(lsm, l -> l LIKE '%...')) AS DOUBLE)
+                / len(lsm) AS ellipsis_ratio,
+              CAST(len(list_filter(wsm,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(wsm)
+                AS alpha_ratio,
+              CAST(len(list_distinct(list_filter(wsm,
+                w -> w IN ($stops)))) AS BIGINT) AS n_stop_distinct
+            FROM feats)
+          SELECT *,
+            (n_words_g BETWEEN $GopherMinWords AND 100000) AND
+            (mean_word_len BETWEEN 3.0 AND 10.0) AND
+            symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND
+            ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND
+            n_stop_distinct >= $GopherStopHits AS keep
+          FROM f2"""
+    }) { (spark, dir) =>
+      Quality.gopherRules(mlFrame(spark, dir), "doc_id", "mtext",
+        minWords = GopherMinWords, minStopHits = GopherStopHits)
+    },
+
+    q("q_quality_c4", "quality",
+      s"""WITH $mlCte,
+          feats AS (
+            SELECT doc_id, lsm,
+              list_filter(lsm, l ->
+                (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+                AND NOT l LIKE '%...'
+                AND len(string_split(l, ' ')) >= 5) AS kept
+            FROM (SELECT doc_id, string_split(mtext, chr(10)) AS lsm
+                  FROM ml))
+          SELECT doc_id,
+            CAST(len(lsm) AS BIGINT) AS n_lines_c4,
+            CAST(len(kept) AS BIGINT) AS n_lines_kept,
+            coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
+            len(kept) >= 3 AS keep
+          FROM feats""") { (spark, dir) =>
+      Quality.c4LineFilter(mlFrame(spark, dir), "doc_id", "mtext")
+        .select(col("doc_id"), col("n_lines_c4"), col("n_lines_kept"),
+          col("text_c4"), col("keep"))
+    },
+
+    // corpus-global strip: a per-source nav header (25 docs/source at
+    // the verify SF) and an every-other-doc footer are boilerplate by
+    // the >10-docs rule; the synthesized content lines are effectively
+    // unique and survive
+    q("q_strip_boilerplate", "quality",
+      s"""WITH src AS (
+            SELECT doc_id,
+              'NAV ' || source || ' HOME' || chr(10) || $synthSql ||
+              CASE WHEN doc_id % 2 = 0
+                   THEN chr(10) || 'COPYRIGHT FOOTER 2024' ELSE '' END
+                AS mtext
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+                  FROM documents
+                  WHERE text IS NOT NULL AND length(text) > 0)),
+          ln AS (
+            SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+              SELECT doc_id,
+                unnest([{'pos': i - 1, 'line': lsm[i]}
+                  for i in generate_series(1, len(lsm))]) AS u
+              FROM (SELECT doc_id, string_split(mtext, chr(10)) AS lsm
+                    FROM src))),
+          freq AS (
+            SELECT line
+            FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                  FROM ln GROUP BY line)
+            WHERE nd > 10),
+          kept AS (
+            SELECT * FROM ln
+            WHERE line NOT IN (SELECT line FROM freq)),
+          agg AS (
+            SELECT doc_id, count(*) AS n_lines_kept,
+              string_agg(line, chr(10) ORDER BY pos) AS text_clean
+            FROM kept GROUP BY doc_id)
+          SELECT s.doc_id,
+            CAST(len(string_split(s.mtext, chr(10))) AS BIGINT)
+              AS n_lines_orig,
+            CAST(coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+            coalesce(a.text_clean, '') AS text_clean
+          FROM src s LEFT JOIN agg a USING (doc_id)""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val withChrome = docs.select(col("doc_id"),
+        concat(
+          lit("NAV "), col("source"), lit(" HOME\n"),
+          synthMl(col("doc_id"), col("text")),
+          when(col("doc_id") % 2 === 0, lit("\nCOPYRIGHT FOOTER 2024"))
+            .otherwise(lit(""))).as("mtext"))
+      Quality.stripBoilerplate(withChrome, "doc_id", "mtext",
+        maxDocFreq = 10L)
+    })
+}

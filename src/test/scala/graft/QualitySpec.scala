@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Quality
+
+/** Hand-verified cases for the quality filters ([[graft.ops.Quality]]);
+  * the corpus-scale differential lives in QualityQueries' oracles. */
+class QualitySpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("gopherRules computes the documented features on a hand doc") {
+    // 2 lines, 6 words; '-' bullet word + ellipsis line
+    val doc = "- the cat sat...\nab cd."
+    val out = Quality.gopherRules(
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 1, minStopHits = 1).collect().head
+    assert(out.getAs[Long]("n_words_g") === 6L)
+    assert(out.getAs[Long]("n_lines_g") === 2L)
+    // chars: len(doc)=23, separators 5 -> 18/6 = 3.0
+    assert(out.getAs[Double]("mean_word_len") === 3.0)
+    assert(out.getAs[Double]("bullet_ratio") === 0.5)
+    assert(out.getAs[Double]("ellipsis_ratio") === 0.5)
+    // '-' has no letter: 5/6 alpha
+    assert(math.abs(out.getAs[Double]("alpha_ratio") - 5.0 / 6) < 1e-12)
+    assert(out.getAs[Long]("n_stop_distinct") === 1L) // 'the'
+    // ellipsis_ratio 0.5 > 0.3 -> fails the composite
+    assert(!out.getAs[Boolean]("keep"))
+  }
+
+  test("c4LineFilter keeps terminal-punct >=minWords lines, in order") {
+    val doc = Seq(
+      "one two three four five.",  // kept
+      "short.",                    // < 5 words
+      "no terminal punct here",    // no punct
+      "a b c d e f...",            // ellipsis excluded
+      "alpha beta gamma delta eps!" // kept
+    ).mkString("\n")
+    val out = Quality.c4LineFilter(
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text",
+      minLineWords = 5, minKeptLines = 2).collect().head
+    assert(out.getAs[Long]("n_lines_c4") === 5L)
+    assert(out.getAs[Long]("n_lines_kept") === 2L)
+    assert(out.getAs[String]("text_c4") ===
+      "one two three four five.\nalpha beta gamma delta eps!")
+    assert(out.getAs[Boolean]("keep"))
+  }
+
+  test("stripBoilerplate removes frequent lines, keeps order, empties " +
+      "fully-boilerplate docs") {
+    val docs = Seq(
+      (1L, "HDR\nu1 a\nu1 b"),
+      (2L, "HDR\nu2 a"),
+      (3L, "HDR\nu3 a\nHDR"), // repeats its own header: counted once
+      (4L, "HDR")             // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    val out = Quality.stripBoilerplate(docs, "doc_id", "text",
+      maxDocFreq = 3L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("text_clean")).toSeq ===
+      Seq("u1 a\nu1 b", "u2 a", "u3 a", ""))
+    assert(out.map(_.getAs[Long]("n_lines_kept")).toSeq ===
+      Seq(2L, 1L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("n_lines_orig")).toSeq ===
+      Seq(3L, 2L, 3L, 1L))
+    // below the threshold nothing is frequent: identity
+    val loose = Quality.stripBoilerplate(docs, "doc_id", "text",
+      maxDocFreq = 4L).orderBy("doc_id").collect()
+    assert(loose.map(_.getAs[Long]("n_lines_kept")).toSeq ===
+      Seq(3L, 2L, 3L, 1L))
+  }
+}
