@@ -241,5 +241,27 @@ object CoreQueries extends QueryGroup {
               .as("window_start"),
             col("event_type"), col("n"),
             col("sum_value").cast("string").as("sum_value"))
+    },
+
+    // the Z-order layout key, value-oracled: user dimension × minute
+    // bucket, bit-interleaved by the generated SQL twin of the same
+    // shift/mask spread the writer sorts by (write.ZOrder; the layout
+    // property itself — per-file min/max narrowing on BOTH dims — is
+    // asserted in ZOrderSpec against a linear-sort baseline)
+    q("q_zorder_keys", "layout",
+      s"""SELECT event_id,
+            ${graft.write.ZOrder.mortonKeySql("ua", "tb")} AS zkey
+          FROM (SELECT event_id, user_id % 65536 AS ua,
+                       (epoch_ms(ts) // 60000) % 65536 AS tb
+                FROM events)""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+      ev.select(col("event_id"),
+        graft.write.ZOrder.mortonKey(
+          col("user_id") % 65536,
+          // `div` (not `/`): long / long in Spark is DOUBLE division,
+          // whose rounding can cross an integer boundary; div matches
+          // DuckDB's `//` exactly
+          expr("(unix_millis(ts) div 60000) % 65536"))
+          .as("zkey"))
     })
 }

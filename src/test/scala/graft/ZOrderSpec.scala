@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.write.ZOrder
+
+/** Morton-key hand values + the layout property the writer exists for:
+  * per-file min/max ranges narrow on BOTH dimensions, where a linear
+  * sort narrows only its leading one. */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  /** bit-at-a-time reference interleave (independent formulation) */
+  private def mortonRef(a: Long, b: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+    }
+
+  test("mortonKey interleaves bits (hand values)") {
+    val rows = Seq(
+      (0xFFFFL, 0L, 0x55555555L),      // a fills even positions
+      (0L, 0xFFFFL, 0xAAAAAAAAL),      // b fills odd positions
+      (3L, 1L, 7L),                    // 0b11 ⨯ 0b1 → 0b111
+      (0L, 0L, 0L),
+      (0x12345L, 0L,                   // only the low 16 bits survive
+        mortonRef(0x2345L, 0L)))
+    val got = rows.toDF("a", "b", "want")
+      .select(ZOrder.mortonKey(col("a"), col("b")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("z-order layout narrows per-file ranges on BOTH dims; linear " +
+      "sort only on its leading dim") {
+    // 64×64 grid, 16 files → a Morton sort packs each file into
+    // contiguous curve blocks spanning ~16 cells per dim
+    val grid = spark.range(64 * 64).select(
+      (col("id") % 64).as("u"), (col("id") / 64).cast("long").as("t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val zPath = s"$dir/z"
+    val linPath = s"$dir/lin"
+    ZOrder.writeZOrdered(grid, col("u"), col("t"), 16, zPath)
+    grid.repartitionByRange(16, col("t")).sortWithinPartitions("t")
+      .write.mode("overwrite").parquet(linPath)
+
+    def avgRanges(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.length > 8, s"expected many files at $path")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max("u") - min("u"), max("t") - min("t")).collect().head
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val (zU, zT) = avgRanges(zPath)
+    val (linU, linT) = avgRanges(linPath)
+    // linear: perfect on t, useless on u (full 0..63 span per file)
+    assert(linT < 8, s"linear sort should nail its own dim, got $linT")
+    assert(linU > 60, s"linear sort leaves the other dim unclustered")
+    // morton: BOTH dims well under half the full span
+    assert(zU < 32, s"z-order u-span should be bounded, got $zU")
+    assert(zT < 32, s"z-order t-span should be bounded, got $zT")
+  }
+
+  test("the SQL twin replays the Spark key bit-for-bit") {
+    // differential inside one engine: evaluate the generated SQL text
+    // with Spark's own SQL parser (operator syntax is shared) — the
+    // DuckDB-side replay is q_zorder_keys' oracle
+    val df = spark.range(1000).select(
+      (col("id") * 37 % 65536).as("a"), (col("id") * 101 % 65536).as("b"))
+    val sqlKey = ZOrder.mortonKeySql("a", "b")
+    val n = df.select(
+        ZOrder.mortonKey(col("a"), col("b")).as("k1"),
+        expr(sqlKey).as("k2"))
+      .filter(col("k1") =!= col("k2")).count()
+    assert(n === 0L)
+  }
+}
