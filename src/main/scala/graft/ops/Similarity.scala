@@ -224,7 +224,8 @@ object Similarity {
 
   private def ivfTopKCore(corpus: DataFrame, queries: DataFrame,
       k: Int, centroids: DataFrame, nProbe: Int,
-      idCol: String, vecCol: String, dim: Int): DataFrame = {
+      idCol: String, vecCol: String, dim: Int,
+      negLabelCol: Option[String] = None): DataFrame = {
     // same junk filter as bruteForceTopK/lshTopK on both row sides
     val corpusC = corpus.filter(isIndexable(col(vecCol), dim))
     val queriesC = queries.filter(isIndexable(col(vecCol), dim))
@@ -237,22 +238,84 @@ object Similarity {
         .filter(col("c_rank") <= n)
         .drop("c_vec", "c_sim", "c_rank")
     }
+    def lbl(as: String): Seq[Column] =
+      negLabelCol.map(c => col(c).as(as)).toSeq
     val cells = nearestCells(
-      spread(corpusC).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        norm(col(vecCol)).as("n_norm")), "n_id", "n_vec", 1)
+      spread(corpusC).select(Seq(col(idCol).as("n_id"),
+        col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm")) ++
+        lbl("n_label"): _*), "n_id", "n_vec", 1)
     val probes = nearestCells(
-      queriesC.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        norm(col(vecCol)).as("q_norm")), "q_id", "q_vec", nProbe)
+      queriesC.select(Seq(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm")) ++
+        lbl("q_label"): _*), "q_id", "q_vec", nProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
-    probes.join(cells, Seq("c_id"))
+    val paired = probes.join(cells, Seq("c_id"))
       .filter(col("q_id") =!= col("n_id"))
+    val filtered = if (negLabelCol.isDefined)
+      paired.filter(col("q_label") =!= col("n_label")) else paired
+    val outCols =
+      Seq(col("q_id")) ++
+      negLabelCol.map(_ => col("q_label")).toSeq ++
+      Seq(col("n_id")) ++
+      negLabelCol.map(_ => col("n_label")).toSeq ++
+      Seq(col("rank").cast("long").as("rank"), col("sim"))
+    filtered
       .withColumn("sim",
         dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
-        col("sim"))
+      .select(outCols: _*)
+  }
+
+  /** Hard-NEGATIVE mining for contrastive / retrieval training data:
+    * for each query vector, the k most-similar corpus vectors with a
+    * DIFFERENT label (Karpukhin et al. 2020's in-batch-negatives
+    * upgrade: the negatives that look most like positives teach the
+    * most). ORACLE TWIN — exact all-pairs scan, O(|q|·|corpus|) by
+    * construction with the query side broadcast; production at corpus
+    * scale is [[hardNegativesIvf]], which this formulation anchors in
+    * SimilaritySpec. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_norm"), col(labelCol).as("n_label"))
+    val q = queries.filter(isIndexable(col(vecCol), dim))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"), col(labelCol).as("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id") &&
+        col("q_label") =!= col("n_label"))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** Scale path for [[hardNegatives]]: IVF cell routing (the
+    * [[ivfTopK]] scaled-nlist contract) with the label-mismatch
+    * predicate applied INSIDE the probed cells — so a query still
+    * receives k negatives as long as its probed cells hold k
+    * differently-labeled vectors. Per-query work is nProbe cells, not
+    * the corpus; recall vs the exact twin is a SimilaritySpec
+    * assertion, not an assumption. */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int = 50, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    val centroids = corpus.filter(isIndexable(col(vecCol), dim))
+      .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    ivfTopKCore(corpus, queries, k, centroids, nProbe, idCol, vecCol,
+      dim, negLabelCol = Some(labelCol))
   }
 
   /** ANN top-k: candidates = union over nTables of same-bucket rows,

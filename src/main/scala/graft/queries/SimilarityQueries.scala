@@ -942,5 +942,35 @@ object SimilarityQueries extends QueryGroup {
       Similarity.recallAtK(
         Similarity.ivfTopK(emb, queries, 5),
         Similarity.bruteForceTopK(emb, queries, 5), 5)
+    },
+
+    // hard-negative mining (contrastive/retrieval training data): the
+    // k nearest DIFFERENT-label vectors per query. ORACLE TWIN — the
+    // exact all-pairs formulation; production is hardNegativesIvf
+    // (cell-routed, label filter inside the probed cells), whose
+    // recall SimilaritySpec anchors against this frame
+    q("q_hard_negatives", "similarity",
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 50 = 0),
+          c AS (SELECT vec_id AS n_id, label AS n_label,
+                  CAST(embedding AS DOUBLE[]) AS nv
+                FROM embeddings),
+          s AS (SELECT q_id, q_label, n_id, n_label,
+                  list_sum(list_transform(list_zip(qv, nv),
+                    x -> x[1] * x[2])) /
+                  (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+                   sqrt(list_sum(list_transform(nv, x -> x * x)))) AS sim
+                FROM q, c
+                WHERE q_id <> n_id AND q_label <> n_label)
+          SELECT q_id, q_label, n_id, n_label, rank, sim FROM (
+            SELECT q_id, q_label, n_id, n_label, sim,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+            FROM s) t
+          WHERE rank <= 5""") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.hardNegatives(emb, queries, 5)
     })
 }

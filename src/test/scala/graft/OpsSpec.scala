@@ -586,6 +586,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recallM >= 0.5, s"multi-probe recall $recallM")
   }
 
+  test("hard negatives: never same-label, k per query, and the IVF " +
+      "scale path holds usable recall vs the exact twin") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.hardNegatives(emb, qs, 5)
+    val rows = exact.collect()
+    assert(rows.forall(r =>
+      r.getAs[Int]("q_label") != r.getAs[Int]("n_label")))
+    // every query has >=k differently-labeled candidates on this corpus
+    val perQ = rows.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 5), s"per-query counts: ${perQ.toMap}")
+    // the negative set must differ from plain top-k where a same-label
+    // vector was among the true top-5 (otherwise the filter is a no-op)
+    val plain = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hard = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(hard != plain, "label filter changed nothing — fixture dead")
+    val ivf = Similarity.hardNegativesIvf(emb, qs, 5)
+      .collect()
+    assert(ivf.forall(r =>
+      r.getAs[Int]("q_label") != r.getAs[Int]("n_label")))
+    val ivfSet = ivf.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recallHn = (hard & ivfSet).size.toDouble / hard.size
+    assert(recallHn >= 0.5, s"hard-negative IVF recall $recallHn")
+  }
+
   test("LSH near-dup finds every pair the all-pairs twin finds at sim=1") {
     val emb = Tables.df(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
