@@ -488,6 +488,47 @@ object ScaleRamp {
         timeIt(Similarity.semDedup(corpus, 0.95, centroidEvery = every,
           superFactor = 0).count())
       },
+      "strip_boilerplate" -> { k =>
+        // corpus-global line-frequency strip (round 12): 8-word lines
+        // + an injected common header/footer so the frequent set is
+        // non-empty at every k. Expected ~linear: the (doc, line)
+        // distinct and line-count agg are partial-agg'd one-pass
+        // shuffles, the frequent set stays tiny (its SIZE is
+        // k-invariant here — same chrome, more copies), so removal
+        // stays a broadcast anti-join; reassembly is one doc-keyed
+        // shuffle.
+        val d = docsAt(k)
+        val ml = d.select(col("doc_id"), concat(
+          lit("NAV HOME\n"),
+          array_join(transform(
+            sequence(lit(0),
+              floor((size(split(col("text"), " ")) + lit(7)) / lit(8))
+                .cast("int") - lit(1)),
+            i => array_join(
+              slice(split(col("text"), " "), i * lit(8) + lit(1), lit(8)),
+              " ")), "\n"),
+          when(col("doc_id") % 2 === 0, lit("\nCOPYRIGHT FOOTER"))
+            .otherwise(lit(""))).as("mltext"))
+          .localCheckpoint()
+        ml.count()
+        timeIt(graft.ops.Quality.stripBoilerplate(
+          ml, "doc_id", "mltext", maxDocFreq = 10L).count())
+      },
+      "hard_negatives_ivf" -> { k =>
+        // label-filtered IVF top-k (round 12), operated per the
+        // scaled-nlist contract (centroidEvery × k holds #cells
+        // constant — the ivfpq_topk_scaled_every discipline). Labels
+        // synthesized as vec_id % 10 (the base table's label shape).
+        // Corpus ramps, queries fixed: serving shape.
+        val e = embAt(k).withColumn("label",
+          (col("vec_id") % 10).cast("int"))
+        val qs = emb0.filter(col("vec_id") % 50 === 0)
+          .withColumn("label", (col("vec_id") % 10).cast("int"))
+        val r = timeIt(Similarity.hardNegativesIvf(
+          e, qs, 5, centroidEvery = 50 * k).count())
+        spark.catalog.clearCache()
+        r
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
@@ -550,6 +591,13 @@ object ScaleRamp {
     Similarity.semDedup(emb0.limit(500), 0.95).count()
     Similarity.semDedup(emb0.limit(500), 0.95, superFactor = 0).count()
     Similarity.kmeansCentroids(emb0.limit(500), 50, iters = 1).count()
+    graft.ops.Quality.stripBoilerplate(
+      docs0.limit(200).withColumnRenamed("text", "mltext"),
+      "doc_id", "mltext", maxDocFreq = 10L).count()
+    Similarity.hardNegativesIvf(
+      emb0.limit(500).withColumn("label", (col("vec_id") % 10).cast("int")),
+      emb0.limit(20).withColumn("label", (col("vec_id") % 10).cast("int")),
+      5).count()
     spark.catalog.clearCache()
     ParseRunner.run(spark,
       ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),

@@ -51,6 +51,33 @@ object TextAnalysis {
         array_join(col("__bpe"), " ").as("bpe_text"))
   }
 
+  /** Tokenizer FERTILITY report: mean BPE tokens per whitespace word,
+    * grouped (typically by language) — the standard multilingual-
+    * tokenizer health metric (a vocabulary that fragments one
+    * language 3× more than another silently triples its training
+    * cost per word). Integer sums (exact, order-free) with one final
+    * double division, so the report differentials bit-exactly against
+    * the recursive-CTE BPE replay. Scale shape: the encode is the
+    * map-only [[bpeTokens]] pass; the report is one partial-agg'd
+    * group-keyed aggregate over per-doc counts — no corpus shuffle
+    * beyond the #groups-sized one. */
+  def bpeFertility(df: DataFrame, idCol: String, textCol: String,
+      grpCol: String,
+      merges: Seq[String] = graft.functions.BpeFixture.Merges): DataFrame = {
+    val enc = bpeTokenize(df, idCol, textCol, merges)
+      .select(col(idCol), col("n_tokens_bpe"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(grpCol),
+        tokenCount(col(textCol)).cast("long").as("n_words_f"))
+      .join(enc, Seq(idCol))
+      .groupBy(grpCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words_f")).as("n_words"),
+        sum(col("n_tokens_bpe")).as("n_tokens"),
+        (sum(col("n_tokens_bpe")).cast("double") /
+          sum(col("n_words_f")).cast("double")).as("fertility"))
+  }
+
   val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   def stopwordCount(text: Column): Column =

@@ -52,15 +52,16 @@ object QualityQueries extends QueryGroup {
 
   private val mlCte: String =
     s"""ml AS (
-       |  SELECT doc_id, $synthSql AS mtext
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |  SELECT doc_id, source, $synthSql AS mtext
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
        |        FROM documents
        |        WHERE text IS NOT NULL AND length(text) > 0))""".stripMargin
 
   private def mlFrame(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.df(spark, dir, "documents")
     docs.filter(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("doc_id"), synthMl(col("doc_id"), col("text")).as("mtext"))
+      .select(col("doc_id"), col("source"),
+        synthMl(col("doc_id"), col("text")).as("mtext"))
   }
 
   // fixture word counts at the verify SF span ~9..60, so 40 splits the
@@ -69,66 +70,108 @@ object QualityQueries extends QueryGroup {
   private val GopherMinWords = 40
   private val GopherStopHits = 1
 
-  def queries: Seq[Q] = Seq(
-
-    q("q_quality_gopher", "quality", {
-      val stops = Quality.GopherStops.map(w => s"'$w'").mkString(", ")
-      s"""WITH $mlCte,
-          feats AS (
-            SELECT doc_id, mtext,
-              string_split_regex(mtext, '[ \n]') AS wsm,
-              string_split(mtext, chr(10)) AS lsm
-            FROM ml),
-          f2 AS (
-            SELECT doc_id,
-              CAST(len(wsm) AS BIGINT) AS n_words_g,
-              CAST(len(lsm) AS BIGINT) AS n_lines_g,
-              CAST(length(mtext) - (len(wsm) - 1) AS DOUBLE) / len(wsm)
-                AS mean_word_len,
-              CAST(len(regexp_extract_all(mtext, '#|\\.\\.\\.')) AS DOUBLE)
-                / len(wsm) AS symbol_ratio,
-              CAST(len(list_filter(lsm,
-                l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lsm)
-                AS bullet_ratio,
-              CAST(len(list_filter(lsm, l -> l LIKE '%...')) AS DOUBLE)
-                / len(lsm) AS ellipsis_ratio,
-              CAST(len(list_filter(wsm,
-                w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(wsm)
-                AS alpha_ratio,
-              CAST(len(list_distinct(list_filter(wsm,
-                w -> w IN ($stops)))) AS BIGINT) AS n_stop_distinct
-            FROM feats)
+  /** Gopher features + keep as CTEs over `ml` — shared by the gopher
+    * query and the funnel so the rule spelling cannot drift. */
+  private val gopherCtes: String = {
+    val stops = Quality.GopherStops.map(w => s"'$w'").mkString(", ")
+    s"""gfeats AS (
+          SELECT doc_id, mtext,
+            string_split_regex(mtext, '[ \n]') AS wsm,
+            string_split(mtext, chr(10)) AS lsm
+          FROM ml),
+        gf2 AS (
+          SELECT doc_id,
+            CAST(len(wsm) AS BIGINT) AS n_words_g,
+            CAST(len(lsm) AS BIGINT) AS n_lines_g,
+            CAST(length(mtext) - (len(wsm) - 1) AS DOUBLE) / len(wsm)
+              AS mean_word_len,
+            CAST(len(regexp_extract_all(mtext, '#|\\.\\.\\.')) AS DOUBLE)
+              / len(wsm) AS symbol_ratio,
+            CAST(len(list_filter(lsm,
+              l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lsm)
+              AS bullet_ratio,
+            CAST(len(list_filter(lsm, l -> l LIKE '%...')) AS DOUBLE)
+              / len(lsm) AS ellipsis_ratio,
+            CAST(len(list_filter(wsm,
+              w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(wsm)
+              AS alpha_ratio,
+            CAST(len(list_distinct(list_filter(wsm,
+              w -> w IN ($stops)))) AS BIGINT) AS n_stop_distinct
+          FROM gfeats),
+        gkeep AS (
           SELECT *,
             (n_words_g BETWEEN $GopherMinWords AND 100000) AND
             (mean_word_len BETWEEN 3.0 AND 10.0) AND
             symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND
             ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND
             n_stop_distinct >= $GopherStopHits AS keep
-          FROM f2"""
-    }) { (spark, dir) =>
+          FROM gf2)"""
+  }
+
+  /** C4 kept-lines CTE over `ml` — shared with the funnel. */
+  private val c4Ctes: String =
+    s"""cfeats AS (
+          SELECT doc_id, lsm,
+            list_filter(lsm, l ->
+              (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+              AND NOT l LIKE '%...'
+              AND len(string_split(l, ' ')) >= 5) AS kept
+          FROM (SELECT doc_id, string_split(mtext, chr(10)) AS lsm
+                FROM ml))"""
+
+  def queries: Seq[Q] = Seq(
+
+    q("q_quality_gopher", "quality",
+      s"""WITH $mlCte, $gopherCtes
+          SELECT * FROM gkeep""") { (spark, dir) =>
       Quality.gopherRules(mlFrame(spark, dir), "doc_id", "mtext",
         minWords = GopherMinWords, minStopHits = GopherStopHits)
     },
 
     q("q_quality_c4", "quality",
-      s"""WITH $mlCte,
-          feats AS (
-            SELECT doc_id, lsm,
-              list_filter(lsm, l ->
-                (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
-                AND NOT l LIKE '%...'
-                AND len(string_split(l, ' ')) >= 5) AS kept
-            FROM (SELECT doc_id, string_split(mtext, chr(10)) AS lsm
-                  FROM ml))
+      s"""WITH $mlCte, $c4Ctes
           SELECT doc_id,
             CAST(len(lsm) AS BIGINT) AS n_lines_c4,
             CAST(len(kept) AS BIGINT) AS n_lines_kept,
             coalesce(array_to_string(kept, chr(10)), '') AS text_c4,
             len(kept) >= 3 AS keep
-          FROM feats""") { (spark, dir) =>
+          FROM cfeats""") { (spark, dir) =>
       Quality.c4LineFilter(mlFrame(spark, dir), "doc_id", "mtext")
         .select(col("doc_id"), col("n_lines_c4"), col("n_lines_kept"),
           col("text_c4"), col("keep"))
+    },
+
+    // the per-source survival funnel: how many docs each source loses
+    // to each filter family — the report a curation run reads before
+    // committing thresholds. One map-only pass per filter + one
+    // source-keyed agg; at corpus scale this is scan-speed
+    q("q_quality_funnel", "quality",
+      s"""WITH $mlCte, $gopherCtes, $c4Ctes
+          SELECT m.source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_gopher,
+            CAST(sum(CASE WHEN len(c.kept) >= 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_c4,
+            CAST(sum(CASE WHEN g.keep AND len(c.kept) >= 3
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+          FROM ml m
+          JOIN gkeep g USING (doc_id)
+          JOIN cfeats c ON m.doc_id = c.doc_id
+          GROUP BY m.source""") { (spark, dir) =>
+      val ml = mlFrame(spark, dir)
+      val g = Quality.gopherRules(ml, "doc_id", "mtext",
+          minWords = GopherMinWords, minStopHits = GopherStopHits)
+        .select(col("doc_id"), col("keep").as("gk"))
+      val c = Quality.c4LineFilter(ml, "doc_id", "mtext")
+        .select(col("doc_id"), col("keep").as("ck"))
+      ml.select("doc_id", "source")
+        .join(g, Seq("doc_id")).join(c, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("gk"), 1L).otherwise(0L)).as("n_gopher"),
+          sum(when(col("ck"), 1L).otherwise(0L)).as("n_c4"),
+          sum(when(col("gk") && col("ck"), 1L).otherwise(0L)).as("n_both"))
     },
 
     // corpus-global strip: a per-source nav header (25 docs/source at

@@ -82,6 +82,26 @@ object TextQueries extends QueryGroup {
         Tables.df(spark, dir, "documents"), "doc_id", "text")
     },
 
+    // tokenizer fertility (BPE tokens per word, by language): the
+    // multilingual-tokenizer health metric. Reuses the bdocs replay so
+    // the encode under test is the identical recursive-CTE contract
+    q("q_bpe_fertility", "text",
+      s"""WITH RECURSIVE $bpeEncCtes,
+          wl AS (SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS nw
+                 FROM documents WHERE text IS NOT NULL)
+          SELECT lang,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(nw) AS BIGINT) AS n_words,
+            CAST(sum(b.n_tokens_bpe) AS BIGINT) AS n_tokens,
+            CAST(sum(b.n_tokens_bpe) AS DOUBLE) /
+              CAST(sum(nw) AS DOUBLE) AS fertility
+          FROM wl JOIN bdocs b USING (doc_id)
+          GROUP BY lang""") { (spark, dir) =>
+      TextAnalysis.bpeFertility(
+        Tables.df(spark, dir, "documents"), "doc_id", "text", "lang")
+    },
+
     q("q_text_stats", "text",
       s"""SELECT doc_id,
             CAST(length(text) AS BIGINT) AS n_chars_m,
