@@ -420,4 +420,49 @@ object Sampling {
       .withColumn("shard", col("__shard").cast("int"))
       .drop("__h", "__shard")
   }
+
+  /** CURRICULUM ordering: documents stream tier-by-tier (equal-mass
+    * score quantile tiers via [[graft.ops.Stats.quantileBuckets]] —
+    * tier 1 = lowest scores first), pseudorandomly shuffled WITHIN
+    * each tier by the [[trainingOrder]] shard/hash discipline. The
+    * composition every curriculum-learning recipe needs (Bengio et
+    * al. 2009): easy→hard macro order, decorrelated micro order.
+    *
+    * `curriculum_pos` is globally unique and tier-monotone: positions
+    * of tier t all precede positions of tier t+1. Tier offsets come
+    * from a BOUNDED #tiers-row collect (the Pack shard-offset
+    * pattern) of per-tier max position + 1 — ordinal gaps from
+    * unequal shards are preserved, not compacted, so the offset is a
+    * pure broadcast-literal map and no global sort or corpus-wide
+    * window ever runs. Scale shape: quantile tiers are two
+    * partial-agg'd scans + a map-only probe; the within-tier shuffle
+    * is one (tier, shard)-keyed exchange. */
+  def curriculumOrder(df: DataFrame, idCol: String, score: Column,
+      tiers: Int, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val tiered = graft.ops.Stats.quantileBuckets(df, idCol, score,
+        nBuckets = tiers)
+      .select(col(idCol), col("bucket").as("tier"))
+    val w = Window.partitionBy(col("tier"), col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+    val tp = tiered.withColumn("__h", hashU31(col(idCol)))
+      .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("tier_pos",
+        (row_number().over(w) - 1).cast("long") * shards + col("__shard"))
+    // bounded: one row per tier
+    val sizes = tp.groupBy("tier").agg(max(col("tier_pos")).as("mx"))
+      .orderBy("tier").collect()
+    var acc = 0L
+    val offsets = sizes.map { r =>
+      val o = acc; acc += r.getAs[Long]("mx") + 1
+      r.getAs[Long]("tier") -> o
+    }.toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (t, o)) =>
+      when(col("tier") === t, lit(o)).otherwise(e)
+    }
+    tp.select(col(idCol), col("tier"),
+      col("__shard").cast("int").as("shard"), col("tier_pos"),
+      (offExpr + col("tier_pos")).as("curriculum_pos"))
+  }
 }

@@ -113,6 +113,42 @@ object Quality {
       .withColumn("keep", col("n_lines_kept") >= minKeptLines)
   }
 
+  /** Gopher's within-document REPETITION rules (Rae et al. 2021 A1,
+    * line family): fraction of duplicate lines ≤ 0.30 and fraction of
+    * CHARACTERS inside duplicate lines ≤ 0.20 — the filter that kills
+    * templated/boilerplate-stuffed pages whose line set is small but
+    * whose text is long. A line is a duplicate iff an identical line
+    * occurs EARLIER in the document (first occurrence is never
+    * charged), spelled as `array_position(lines, line_i) < i` on both
+    * engines. All higher-order functions, map-only, codegen'd — one
+    * pass per document at scan speed. */
+  def repetitionRules(df: DataFrame, idCol: String, textCol: String,
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20): DataFrame = {
+    val ls = lines(col(textCol))
+    val n = size(ls)
+    val nDistinct = size(array_distinct(ls))
+    // 1-based positions of duplicate (non-first-occurrence) lines
+    val dupIdx = filter(sequence(lit(1), n),
+      i => array_position(ls, element_at(ls, i)) < i)
+    val dupChars = aggregate(
+      transform(dupIdx, i => length(element_at(ls, i)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    // character mass of the lines themselves (separators are single
+    // newlines: length − (n_lines − 1))
+    val totChars = (length(col(textCol)) - (n - lit(1))).cast("long")
+    df.select(col(idCol),
+        n.cast("long").as("n_lines_r"),
+        (lit(1.0) - nDistinct.cast("double") / n.cast("double"))
+          .as("dup_line_frac"),
+        when(totChars <= 0, lit(0.0))
+          .otherwise(dupChars.cast("double") / totChars.cast("double"))
+          .as("dup_line_char_frac"))
+      .withColumn("keep",
+        col("dup_line_frac") <= maxDupLineFrac &&
+        col("dup_line_char_frac") <= maxDupLineCharFrac)
+  }
+
   /** Corpus-global boilerplate strip (the CCNet / RefinedWeb move):
     * any LINE appearing in more than `maxDocFreq` distinct documents
     * is chrome (headers, license banners, nav text) and is removed

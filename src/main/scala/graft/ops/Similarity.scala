@@ -1227,6 +1227,34 @@ object Similarity {
     * per-element division — inlining `norm()` inside the transform
     * lambda would re-run the O(d) fold for every element (O(d²)/row).
     * Zero-norm and null vectors normalize to null: no direction. */
+  /** Chunk→document embedding MEAN-POOLING, fixed-point exact — the
+    * aggregation step after a long document is embedded chunk-wise
+    * (the public sentence-transformers recipe). A double mean would
+    * sum floats in partition order (non-deterministic across engines
+    * and retries); instead each component is floor-quantized at 2^bits
+    * (exact: floats are exact doubles, power-of-two scale), summed as
+    * LONGS (order-free), and the mean is floor(sum/n) — with |sum| <
+    * 2^50 the double division can never round across the ≥1 integer
+    * gap, so both engines floor identically. Output is EXPLODED
+    * (group, dim, n_chunks, sum_fp, pool_fp): one partial-agg'd
+    * (group, dim)-keyed aggregate, no arrays through the shuffle —
+    * the kmeans array-payload lesson applied. */
+  def meanPoolFp(df: DataFrame, grpExpr: Column, vecCol: String,
+      bits: Int = 20): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"bits must be in [1,30], got $bits")
+    val scale = (1L << bits).toDouble
+    df.filter(col(vecCol).isNotNull)
+      .select(grpExpr.as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("grp"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * scale).cast("long").as("xfp"))
+      .groupBy(col("grp"), col("dim"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("xfp")).as("sum_fp"))
+      .withColumn("pool_fp",
+        floor(col("sum_fp").cast("double") / col("n_chunks").cast("double"))
+          .cast("long"))
+  }
+
   def normalized(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__nrm", norm(col(vecCol)))
       .withColumn(s"${vecCol}_unit",

@@ -355,6 +355,25 @@ object Stats {
     * DOUBLE division at the end, so this column is spec-tested for
     * accuracy rather than value-oracled (the sketch it derives from
     * differentials exactly). */
+  /** Key-SKEW diagnosis report: the k heaviest keys with row counts
+    * and exact fixed-point corpus share (ppm) — what an operator reads
+    * before choosing salting factors or AQE skew thresholds for a
+    * 100 TB join. One partial-agg'd count keyed on the column, a
+    * broadcast scalar total, and a global top-k that plans as
+    * TakeOrderedAndProject (no full sort of the distinct-key table).
+    * Deterministic: ties broken by key. */
+  def skewReport(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_rows"),
+        expr("(n_rows * 1000000L) div total").as("share_ppm"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(k)
+  }
+
   def kmvDistinctEstimate(kmv: Column, k: Int): Column =
     when(size(kmv) < k, size(kmv).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /

@@ -263,5 +263,19 @@ object CoreQueries extends QueryGroup {
           // DuckDB's `//` exactly
           expr("(unix_millis(ts) div 60000) % 65536"))
           .as("zkey"))
+    },
+
+    // key-skew diagnosis: heaviest users by event count with exact
+    // ppm share — the pre-join report that decides salting/AQE knobs
+    q("q_skew_report", "diagnostic",
+      """WITH c AS (SELECT user_id AS key, count(*) AS n_rows
+                    FROM events GROUP BY user_id),
+          t AS (SELECT sum(n_rows) AS total FROM c)
+          SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+                 CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm
+          FROM c CROSS JOIN t
+          ORDER BY n_rows DESC, key LIMIT 20""") { (spark, dir) =>
+      graft.ops.Stats.skewReport(
+        Tables.df(spark, dir, "events"), col("user_id"), 20)
     })
 }

@@ -261,6 +261,66 @@ object PackQueries extends QueryGroup {
         .select(col("doc_id"), col("shard"), col("global_pos"))
     },
 
+    // curriculum ordering: 4 equal-mass score tiers (easy→hard macro
+    // order), trainingOrder's Lehmer shard shuffle within each tier,
+    // tier offsets from the bounded per-tier max (ordinal gaps
+    // preserved — the oracle replays max+1, not count). Composes the
+    // already-oracled quantileBuckets and trainingOrder spellings
+    q("q_curriculum_order", "llm-pack",
+      """WITH vals AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 1 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / len(toks) END AS x
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)),
+         clean AS (SELECT doc_id, x FROM vals
+                   WHERE x IS NOT NULL AND NOT isnan(x)),
+         mm AS (SELECT min(x) AS mn, max(x) AS mx, count(*) AS n
+                FROM clean),
+         b AS (SELECT doc_id,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE least(CAST(floor((x - mn) / (mx - mn)
+                             * 1024.0) AS BIGINT), 1023) END AS bin
+               FROM clean CROSS JOIN mm),
+         binned AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+         cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum
+                 FROM binned),
+         ranks AS (SELECT p, (p * n + 999) // 1000 AS r
+                   FROM (VALUES (250), (500), (750), (1000)) t(p)
+                   CROSS JOIN mm),
+         edges AS (SELECT p, MIN(bin) AS ebin
+                   FROM ranks JOIN cum ON cum.cum >= ranks.r
+                   GROUP BY p),
+         tiers AS (SELECT doc_id,
+                     CAST(1 + (SELECT count(*) FROM edges e
+                               WHERE e.ebin < b.bin) AS BIGINT) AS tier
+                   FROM b),
+         h AS (SELECT doc_id,
+                 ((((((doc_id % 2147483646 + 1) * 48271) % 2147483647)
+                    * 48271) % 2147483647) * 48271) % 2147483647 AS u
+               FROM documents),
+         tp AS (SELECT t.doc_id, tier, CAST(u % 8 AS INT) AS shard,
+                  CAST((row_number() OVER (PARTITION BY tier, u % 8
+                          ORDER BY u, t.doc_id) - 1) * 8 + u % 8
+                    AS BIGINT) AS tier_pos
+                FROM tiers t JOIN h USING (doc_id)),
+         off AS (SELECT tier, max(tier_pos) + 1 AS sz FROM tp
+                 GROUP BY tier),
+         off2 AS (SELECT tier,
+                    CAST(coalesce(SUM(sz) OVER (ORDER BY tier
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS ofs
+                  FROM off)
+         SELECT tp.doc_id, tp.tier, tp.shard, tp.tier_pos,
+                ofs + tier_pos AS curriculum_pos
+         FROM tp JOIN off2 USING (tier)""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      Sampling.curriculumOrder(
+        graft.ops.TextAnalysis.repetitionFeatures(docs, col("text")),
+        "doc_id", col("dup_token_frac"), tiers = 4, shards = 8)
+    },
+
     // 120-char windows, 30-char overlap (stride 90); integer-exact
     // chunk counts so both engines cut identical windows
     q("q_chunk_docs", "llm-pack",

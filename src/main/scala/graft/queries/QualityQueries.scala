@@ -70,6 +70,28 @@ object QualityQueries extends QueryGroup {
   private val GopherMinWords = 40
   private val GopherStopHits = 1
 
+  /** Repetition fixture: undecorated 8-word lines where line 0 is
+    * REPEATED at every position i>0 with (doc_id + i) % 4 == 0 — so
+    * duplicate-line mass varies per doc and the rules have real work. */
+  private def synthRep(docId: Column, text: Column): Column = {
+    val ws = split(text, " ")
+    val nLines = floor((size(ws) + lit(W - 1)) / lit(W)).cast("int")
+    val line0 = array_join(slice(ws, 1, W), " ")
+    val linesC = transform(sequence(lit(0), nLines - lit(1)), i =>
+      when((docId + i) % 4 === 0 && i > 0, line0)
+        .otherwise(
+          array_join(slice(ws, i * lit(W) + lit(1), lit(W)), " ")))
+    array_join(linesC, "\n")
+  }
+
+  private val synthRepSql: String =
+    s"""array_to_string(
+       |  [CASE WHEN (doc_id + i) % 4 = 0 AND i > 0
+       |        THEN array_to_string(ws[1:$W], ' ')
+       |        ELSE array_to_string(ws[(i*$W+1):(i*$W+$W)], ' ') END
+       |   for i in generate_series(0, (len(ws) + ${W - 1}) // $W - 1)],
+       |  chr(10))""".stripMargin
+
   /** Gopher features + keep as CTEs over `ml` — shared by the gopher
     * query and the funnel so the rule spelling cannot drift. */
   private val gopherCtes: String = {
@@ -172,6 +194,42 @@ object QualityQueries extends QueryGroup {
           sum(when(col("gk"), 1L).otherwise(0L)).as("n_gopher"),
           sum(when(col("ck"), 1L).otherwise(0L)).as("n_c4"),
           sum(when(col("gk") && col("ck"), 1L).otherwise(0L)).as("n_both"))
+    },
+
+    // Gopher's within-doc repetition rules over the repeat-injected
+    // fixture: duplicate = identical line occurring EARLIER (first
+    // occurrence never charged), spelled list_position(ls, ls[i]) < i
+    // on both engines
+    q("q_quality_repetition", "quality",
+      s"""WITH mlr AS (
+            SELECT doc_id, $synthRepSql AS mtext
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents
+                  WHERE text IS NOT NULL AND length(text) > 0)),
+          f AS (SELECT doc_id, mtext,
+                  string_split(mtext, chr(10)) AS lsm FROM mlr),
+          f2 AS (
+            SELECT doc_id,
+              CAST(len(lsm) AS BIGINT) AS n_lines_r,
+              1.0 - CAST(len(list_distinct(lsm)) AS DOUBLE) / len(lsm)
+                AS dup_line_frac,
+              CASE WHEN (length(mtext) - (len(lsm) - 1)) <= 0 THEN 0.0
+                   ELSE CAST(coalesce(list_sum(list_transform(
+                          list_filter(range(1, len(lsm) + 1),
+                            i -> list_position(lsm, lsm[i]) < i),
+                          i -> length(lsm[i]))), 0) AS DOUBLE)
+                        / (length(mtext) - (len(lsm) - 1)) END
+                AS dup_line_char_frac
+            FROM f)
+          SELECT *,
+            dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20 AS keep
+          FROM f2""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      Quality.repetitionRules(
+        docs.select(col("doc_id"),
+          synthRep(col("doc_id"), col("text")).as("mtext")),
+        "doc_id", "mtext")
     },
 
     // corpus-global strip: a per-source nav header (25 docs/source at

@@ -972,5 +972,31 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.df(spark, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.hardNegatives(emb, queries, 5)
+    },
+
+    // chunk→doc mean pooling, fixed-point exact (groups of 5 chunks
+    // per synthetic doc): floor-quantized components summed as longs,
+    // floor(sum/n) mean — order-free, so the whole pooled matrix
+    // differentials bit-exactly
+    q("q_embed_pool", "similarity",
+      """WITH ex AS (
+           SELECT vec_id // 5 AS grp, u.dim AS dim, u.x AS x FROM (
+             SELECT vec_id,
+               unnest([{'dim': i - 1, 'x': e[i]}
+                 for i in generate_series(1, len(e))]) AS u
+             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE embedding IS NOT NULL))),
+          g AS (SELECT grp, dim, count(*) AS n_chunks,
+                  sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS sum_fp
+                FROM ex GROUP BY grp, dim)
+          SELECT CAST(grp AS BIGINT) AS grp, CAST(dim AS BIGINT) AS dim,
+                 CAST(n_chunks AS BIGINT) AS n_chunks,
+                 CAST(sum_fp AS BIGINT) AS sum_fp,
+                 CAST(floor(CAST(sum_fp AS DOUBLE) / n_chunks) AS BIGINT)
+                   AS pool_fp
+          FROM g""") { (spark, dir) =>
+      Similarity.meanPoolFp(
+        Tables.df(spark, dir, "embeddings"),
+        expr("vec_id div 5"), "embedding")
     })
 }

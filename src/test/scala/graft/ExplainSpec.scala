@@ -76,6 +76,18 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("GlobalLimit"), s"unexpected sort+limit plan:\n$p")
   }
 
+  test("skew report top-k plans as TakeOrderedAndProject over the " +
+      "distinct-key table") {
+    // same scale argument as the gram survey: the distinct-key count
+    // table can itself be huge (user ids), so the top-k must be the
+    // per-partition merge, never a global sort
+    val ev = Tables.df(spark, sf, "events")
+    val p = plan(graft.ops.Stats.skewReport(ev, col("user_id"), 20))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not planned as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("GlobalLimit"), s"unexpected sort+limit plan:\n$p")
+  }
+
   test("minhash signature plans map-only (no aggregate, one exchange)") {
     val c = DedupQueries.corpus(spark, sf)
     val p = plan(Dedup.minhashSignature(c, "doc_id", "text", 3, 16))

@@ -47,6 +47,25 @@ class QualitySpec extends AnyFunSuite {
     assert(out.getAs[Boolean]("keep"))
   }
 
+  test("repetitionRules charges duplicates to later occurrences only") {
+    // lines: A(3ch), B(1ch), A, A, C(2ch) -> 2 dup lines of 3 chars
+    // each; dup_line_frac = 1 - 3/5; dup chars = 6 of 12
+    val doc = "aaa\nb\naaa\naaa\ncc"
+    val out = Quality.repetitionRules(
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_lines_r") === 5L)
+    assert(math.abs(out.getAs[Double]("dup_line_frac") - 0.4) < 1e-12)
+    assert(math.abs(out.getAs[Double]("dup_line_char_frac") - 0.5) < 1e-12)
+    assert(!out.getAs[Boolean]("keep"))
+    // all-distinct doc keeps
+    val clean = Quality.repetitionRules(
+      Seq((2L, "one\ntwo\nthree")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(clean.getAs[Double]("dup_line_frac") === 0.0)
+    assert(clean.getAs[Boolean]("keep"))
+  }
+
   test("stripBoilerplate removes frequent lines, keeps order, empties " +
       "fully-boilerplate docs") {
     val docs = Seq(
