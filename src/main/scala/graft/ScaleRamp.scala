@@ -529,6 +529,27 @@ object ScaleRamp {
         spark.catalog.clearCache()
         r
       },
+      "curriculum_order" -> { k =>
+        // tiers via binned quantiles (two partial-agg'd scans + a
+        // map-only probe) + one (tier, shard)-keyed window; the tier
+        // offsets are a #tiers-row collect. Expect ~linear.
+        val d = docsAt(k).select(col("doc_id"),
+          length(col("text")).cast("double").as("s"))
+          .localCheckpoint()
+        d.count()
+        timeIt(graft.ops.Sampling.curriculumOrder(
+          d, "doc_id", col("s"), tiers = 4, shards = 8).count())
+      },
+      "mean_pool_fp" -> { k =>
+        // chunk→doc pooling: posexplode (64 rows per vector) into one
+        // (group, dim)-keyed partial-agg'd aggregate — scan-shaped,
+        // expect ~linear
+        val e = embAt(k)
+        // replica offsets are multiples of 5, so div-5 groups stay
+        // 5-chunk-sized at every k — the designed chunk→doc shape
+        timeIt(graft.ops.Similarity.meanPoolFp(
+          e, expr("vec_id div 5"), "embedding").count())
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
@@ -598,6 +619,12 @@ object ScaleRamp {
       emb0.limit(500).withColumn("label", (col("vec_id") % 10).cast("int")),
       emb0.limit(20).withColumn("label", (col("vec_id") % 10).cast("int")),
       5).count()
+    graft.ops.Sampling.curriculumOrder(
+      docs0.limit(200).select(col("doc_id"),
+        length(col("text")).cast("double").as("s")),
+      "doc_id", col("s"), tiers = 4, shards = 8).count()
+    Similarity.meanPoolFp(emb0.limit(500), expr("vec_id div 5"),
+      "embedding").count()
     spark.catalog.clearCache()
     ParseRunner.run(spark,
       ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),

@@ -421,6 +421,22 @@ object Sampling {
       .drop("__h", "__shard")
   }
 
+  /** Deterministic EXACT-k corpus sample: the k rows with the
+    * smallest [[hashU31]] of their id (ties impossible below 2³¹−1,
+    * id tie-break anyway) — the debug/eval sample you can re-draw
+    * identically on any engine or any day, unlike `TABLESAMPLE` /
+    * `rand()`. Plans as TakeOrderedAndProject: each map partition
+    * keeps k rows, the driver merges #partitions·k — no global sort,
+    * no single-reducer stage, which is what makes "give me 1000
+    * random-looking docs" safe against a 100 TB table. */
+  def sampleK(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("__h", hashU31(col(idCol)))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .drop("__h")
+  }
+
   /** CURRICULUM ordering: documents stream tier-by-tier (equal-mass
     * score quantile tiers via [[graft.ops.Stats.quantileBuckets]] —
     * tier 1 = lowest scores first), pseudorandomly shuffled WITHIN

@@ -261,6 +261,22 @@ object PackQueries extends QueryGroup {
         .select(col("doc_id"), col("shard"), col("global_pos"))
     },
 
+    // deterministic exact-k sample: smallest-Lehmer-hash rows, the
+    // re-drawable debug/eval sample (TakeOrderedAndProject, no global
+    // sort)
+    q("q_sample_k", "llm-pack",
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             ((((((doc_id % 2147483646 + 1) * 48271) % 2147483647)
+                * 48271) % 2147483647) * 48271) % 2147483647 AS u
+           FROM documents
+           ORDER BY u, doc_id LIMIT 100)""") { (spark, dir) =>
+      Sampling.sampleK(
+        Tables.df(spark, dir, "documents")
+          .select("doc_id", "lang", "source"),
+        "doc_id", 100)
+    },
+
     // curriculum ordering: 4 equal-mass score tiers (easy→hard macro
     // order), trainingOrder's Lehmer shard shuffle within each tier,
     // tier offsets from the bounded per-tier max (ordinal gaps
