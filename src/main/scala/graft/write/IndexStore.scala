@@ -55,6 +55,23 @@ object IndexStore {
       .bucketBy(buckets, "band_id", "band_key")
       .saveAsTable(table)
 
+  /** General bucketed-table writer for CO-LOCATED joins: two tables
+    * written with the SAME key and bucket count join with zero
+    * exchanges on BOTH sides — the layout move for a recurring
+    * fact⋈fact join at 100 TB (the dedup-index writers above are the
+    * one-bucketed-side special case). Callers should `repartition`
+    * by the key first if they want one file per bucket (bucketed
+    * APPEND otherwise adds a file per task per bucket — compact
+    * periodically, as above). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keyCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** The stored index, with its bucketing metadata intact — feed this
     * (not `spark.read.parquet(path)`, which loses the bucket spec) to
     * the incremental operators. */

@@ -471,6 +471,35 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("co-located bucketed join: ZERO exchanges when both sides " +
+      "share the bucket spec") {
+    import graft.write.IndexStore
+    val ev = Tables.df(spark, sf, "events")
+      .select("event_id", "user_id", "value")
+    val users = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"))
+    IndexStore.writeBucketed(ev.repartition(8, col("user_id")),
+      "graft_spec_ev_b", 8, Seq("user_id"))
+    IndexStore.writeBucketed(users.repartition(8, col("user_id")),
+      "graft_spec_usr_b", 8, Seq("user_id"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = IndexStore.read(spark, "graft_spec_ev_b")
+        .join(IndexStore.read(spark, "graft_spec_usr_b"), "user_id")
+      val p = plan(j)
+      assert(p.linesIterator.count(_.contains("Bucketed: true")) === 2,
+        s"both scans must report their bucket layout:\n$p")
+      assert(!p.contains("Exchange"),
+        s"co-located bucketed join must be exchange-FREE on both " +
+          s"sides:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_spec_ev_b")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_usr_b")
+    }
+  }
+
   /** Assert the plan reads a bucketed index scan and that NO Exchange
     * sits on the ancestor path from that scan up to the join above it
     * — i.e. the on-disk bucket layout satisfied the join's
