@@ -80,6 +80,10 @@ object GraftExtensions {
         "rolling_hash64(text) - rolling-polynomial 64-bit fingerprint") {
         case Seq(c) => graft.ops.RollingHash64(c)
       },
+      reg("nfc_normalize", 1,
+        "nfc_normalize(text) - Unicode NFC canonical normalization") {
+        case Seq(c) => graft.functions.NfcNormalize(c)
+      },
       reg("minhash_array", 2,
         "minhash_array(shingles, k) - k-seed MinHash signature") {
         case Seq(c, k) =>

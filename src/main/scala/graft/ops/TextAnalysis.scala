@@ -126,6 +126,11 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column = CB.column(RollingHash64(CB.expression(text)))
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]]) —
+    * run it before any hash-keyed dedup on multilingual text. */
+  def nfc(text: Column): Column =
+    CB.column(graft.functions.NfcNormalize(CB.expression(text)))
+
   /** PII redaction — the standard scrub pass before a corpus ships to
     * training. Conservative patterns chosen to behave identically in
     * Java regex (this engine) and RE2 (DuckDB oracle): emails,

@@ -265,6 +265,35 @@ object CoreQueries extends QueryGroup {
           .as("zkey"))
     },
 
+    // SLIDING windows (10 min span, 5 min slide): every event lands in
+    // exactly span/slide = 2 windows; the oracle materializes both via
+    // unnest — epoch-aligned on both engines
+    q("q_sliding_window_agg", "window",
+      """WITH e AS (
+           SELECT time_bucket(INTERVAL 5 MINUTE,
+                    date_trunc('second', ts)) AS w0,
+                  event_type, CAST(value AS DECIMAL(38,6)) AS v
+           FROM events),
+          x AS (SELECT unnest([w0, w0 - INTERVAL 5 MINUTE]) AS ws,
+                       event_type, v FROM e)
+          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type, count(*) AS n,
+                 CAST(sum(v) AS VARCHAR) AS sum_value
+          FROM x GROUP BY 1, 2""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+      ev.groupBy(
+          window(date_trunc("second", col("ts")), "10 minutes",
+            "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("string").as("sum_value"))
+    },
+
     // key-skew diagnosis: heaviest users by event count with exact
     // ppm share — the pre-join report that decides salting/AQE knobs
     q("q_skew_report", "diagnostic",

@@ -82,6 +82,29 @@ object TextQueries extends QueryGroup {
         Tables.df(spark, dir, "documents"), "doc_id", "text")
     },
 
+    // Unicode NFC normalization (codegen'd NfcNormalize expression vs
+    // DuckDB's nfc_normalize — both implement the Unicode standard):
+    // even docs get a DECOMPOSED e+U+0301 suffix (changed=true after
+    // normalization), odd docs the precomposed U+00E9 (NFC no-op) —
+    // the canonicalization step hash-keyed dedup needs first
+    q("q_text_nfc", "text",
+      """WITH a AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769)
+                          ELSE ' caf' || chr(233) END AS aug
+           FROM documents)
+         SELECT doc_id, nfc_normalize(aug) AS nfc_text,
+                aug <> nfc_normalize(aug) AS changed
+         FROM a""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(" cafe\u0301"))
+          .otherwise(lit(" caf\u00e9")))
+      docs.select(col("doc_id"),
+        TextAnalysis.nfc(aug).as("nfc_text"),
+        (aug =!= TextAnalysis.nfc(aug)).as("changed"))
+    },
+
     // tokenizer fertility (BPE tokens per word, by language): the
     // multilingual-tokenizer health metric. Reuses the bdocs replay so
     // the encode under test is the identical recursive-CTE contract

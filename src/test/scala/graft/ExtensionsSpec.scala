@@ -45,6 +45,20 @@ class ExtensionsSpec extends AnyFunSuite {
       CB.column(graft.functions.DotProductFold(
         CB.expression(array(lit(1.0), lit(2.0))),
         CB.expression(array(lit(3.0), col("doc_id").cast("double"))))))
+    // decomposed e+U+0301 composes; the pure-ASCII corpus text passes
+    // through the isNormalized fast path unchanged
+    sqlEqualsColumn("nfc_normalize(text || ' café')",
+      graft.ops.TextAnalysis.nfc(concat(col("text"), lit(" café"))))
+  }
+
+  test("nfc_normalize composes decomposed sequences and is idempotent") {
+    val decomposed = "cafe\u0301" // e + combining acute
+    val precomposed = "caf\u00e9" // precomposed e-acute
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS a, " +
+        s"nfc_normalize(nfc_normalize('$decomposed')) AS b").collect().head
+    assert(r.getString(0) === precomposed)
+    assert(r.getString(1) === precomposed)
   }
 
   test("abi_decode_event in SQL equals the Column API on valid and " +
