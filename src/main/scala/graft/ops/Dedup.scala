@@ -42,7 +42,12 @@ object Dedup {
     * engines). Null passes through null. */
   def canonicalText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[.,!?;:'\"()\\[\\]{}<>_/\\\\|`~*#-]",
+      regexp_replace(
+        // NFC FIRST (round 12): decomposed vs precomposed accents are
+        // different bytes — without it, "café" spelled both ways
+        // survives canonical dedup as two documents
+        lower(graft.ops.TextAnalysis.nfc(text)),
+        "[.,!?;:'\"()\\[\\]{}<>_/\\\\|`~*#-]",
         ""),
       // explicit whitespace class, not \s: Java's \s includes \x0B
       // where RE2's does not — one of the few char-class divergences

@@ -296,7 +296,9 @@ object DedupQueries extends QueryGroup {
     // The fixture injects an UPPERCASED copy per %10==3 doc and a
     // trailing-double-space copy per %10==7 doc — byte-exact dedup
     // misses both; the canonical groups absorb them (n_copies=2).
-    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // NFC runs first on both sides (decomposed-accent fixture pair
+    // collapses only through it); DuckDB regexp_replace needs the 'g'
+    // flag to match Spark's
     // replace-all; the whitespace class is explicit (Java \s ⊃ RE2 \s)
     q("q_dedup_canonical", "dedup",
       """WITH corpus AS (
@@ -306,8 +308,15 @@ object DedupQueries extends QueryGroup {
            WHERE doc_id % 10 = 3
            UNION ALL
            SELECT doc_id + 400000, text || '  ' FROM documents
-           WHERE doc_id % 10 = 7)
-         SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+           WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 500000, text || ' cafe' || chr(769)
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id + 600000, text || ' caf' || chr(233)
+           FROM documents WHERE doc_id % 10 = 5)
+         SELECT md5(trim(regexp_replace(regexp_replace(
+                  lower(nfc_normalize(text)),
                   '[.,!?;:''"()\[\]{}<>_/\\|`~*#-]', '', 'g'),
                   '[ \t\n\r]+', ' ', 'g'))) AS canon_md5,
                 min(doc_id) AS keep_id, count(*) AS n_copies,
@@ -321,6 +330,14 @@ object DedupQueries extends QueryGroup {
         .unionAll(docs.filter(col("doc_id") % 10 === 7)
           .select((col("doc_id") + 400000).as("doc_id"),
             concat(col("text"), lit("  ")).as("text")))
+        // decomposed vs precomposed accent pair: collapses into ONE
+        // canonical group only because canonicalText runs NFC first
+        .unionAll(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(col("text"), lit(" caf\u00e9")).as("text")))
       Dedup.canonicalExact(c, col("doc_id"), col("text"))
     },
 
