@@ -65,6 +65,34 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zT < 32, s"z-order t-span should be bounded, got $zT")
   }
 
+  test("manifest file-skipping: a 2-D range over z-ordered data reads " +
+      "a fraction of the files, exactly matching the full scan") {
+    import graft.write.Manifest
+    val grid = spark.range(64 * 64).select(
+      (col("id") % 64).as("u"), (col("id") / 64).cast("long").as("t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest")
+    val zPath = s"$dir/z"
+    ZOrder.writeZOrdered(grid, col("u"), col("t"), 16, zPath)
+    Manifest.build(spark, zPath, Seq("u", "t"))
+    val pred = col("u").between(8, 15) && col("t").between(8, 15)
+    val (pruned, read, total) = Manifest.prunedRead(spark, zPath,
+      Map("u" -> ((8L, 15L)), "t" -> ((8L, 15L))))
+    assert(total === 16)
+    assert(read < total / 2,
+      s"z-order + manifest should skip most files, read $read/$total")
+    // pruning is a superset selection: pruned+filter == full+filter
+    val got = pruned.filter(pred).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = spark.read.parquet(zPath).filter(pred).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.size === 64) // 8x8 block
+    // empty intersection prunes everything, returns an empty frame
+    val (none, r0, _) = Manifest.prunedRead(spark, zPath,
+      Map("u" -> ((1000L, 2000L))))
+    assert(r0 === 0 && none.count() === 0)
+  }
+
   test("the SQL twin replays the Spark key bit-for-bit") {
     // differential inside one engine: evaluate the generated SQL text
     // with Spark's own SQL parser (operator syntax is shared) — the
