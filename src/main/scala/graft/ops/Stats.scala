@@ -185,6 +185,50 @@ object Stats {
           * (col("mx") - col("mn")) / lit(nb.toDouble)).as("q_hi"))
   }
 
+  /** PER-GROUP equal-mass quantile buckets — the CCNet move (Wenzek et
+    * al. 2020, public): each language/source gets its own head/middle/
+    * tail split of a quality score, so a low-resource language is
+    * bucketed against ITS OWN distribution, not drowned by the
+    * dominant one. [[quantileBuckets]]' binned machinery with
+    * per-group grids ([[binnedQuantilesBy]]) and a group-keyed edges
+    * JOIN instead of the driver collect — group count is unbounded at
+    * corpus scale, so no per-group driver state exists anywhere.
+    * Scale shape: the two binned passes partial-aggregate map-side
+    * (shuffles bounded by #groups·2^bits), the edges table is
+    * #groups·nBuckets rows, assignment is one group-keyed join + a
+    * ≤nBuckets array probe per row. Null/NaN scores dropped; null
+    * group keys keep their slice (null-safe joins throughout).
+    * @return (grpCol, idCol, bin, bucket), bucket ∈ [1, nBuckets]. */
+  def quantileBucketsBy(df: DataFrame, grpCol: String, idCol: String,
+      score: Column, nBuckets: Int = 3, bits: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets must lie in [2, 1000], got $nBuckets")
+    val nb = 1L << bits
+    val permilles = (1 to nBuckets).map(_ * 1000 / nBuckets)
+    val edges = binnedQuantilesBy(df, grpCol, score, permilles, bits)
+      // bins are monotone in permille, so the sorted bin array IS the
+      // permille-ordered edge list (duplicates preserved — the probe
+      // counts edge ROWS, matching the global variant's semantics)
+      .groupBy(col(grpCol).as("eg"))
+      .agg(sort_array(collect_list(col("bin"))).as("ebins"))
+    val v = df.select(col(grpCol).as("g"), col(idCol),
+        score.cast("double").as("x"))
+      .filter(col("x").isNotNull && !isnan(col("x")))
+    val mm = v.groupBy(col("g").as("mg"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    v.join(mm, col("g") <=> col("mg"))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+              * lit(nb.toDouble)).cast("long"),
+            lit(nb - 1))))
+      .join(edges, col("g") <=> col("eg"))
+      .withColumn("bucket",
+        (size(filter(col("ebins"), e => e < col("bin"))) + 1).cast("long"))
+      .select(col("g").as(grpCol), col(idCol), col("bin"), col("bucket"))
+  }
+
   /** Quality-threshold sweep — the curation calibration table: bin a
     * quality score into 2^bits equal-width bins ([[binnedQuantiles]]'
     * floor arithmetic verbatim) and report, per non-empty bin, the

@@ -738,6 +738,47 @@ object TextQueries extends QueryGroup {
         "doc_id", col("dup_token_frac"), nBuckets = 10)
     },
 
+    // CCNet-style per-language head/middle/tail: each lang's docs
+    // bucketed into tertiles of ITS OWN score distribution — the
+    // public multilingual-curation split (Wenzek et al. 2020)
+    q("q_ccnet_buckets", "text",
+      """WITH vals AS (
+           SELECT doc_id, lang AS g,
+             CASE WHEN len(toks) < 1 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / len(toks) END AS x
+           FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM documents)),
+         clean AS (SELECT doc_id, g, x FROM vals
+                   WHERE x IS NOT NULL AND NOT isnan(x)),
+         mm AS (SELECT g, min(x) AS mn, max(x) AS mx, count(*) AS n
+                FROM clean GROUP BY g),
+         b AS (SELECT doc_id, c.g, CASE WHEN mx = mn THEN 0
+                 ELSE least(CAST(floor((x - mn) / (mx - mn) * 1024.0)
+                   AS BIGINT), 1023) END AS bin
+               FROM clean c JOIN mm USING (g)),
+         binned AS (SELECT g, bin, count(*) AS c FROM b GROUP BY g, bin),
+         cum AS (SELECT g, bin,
+                   SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum
+                 FROM binned),
+         ranks AS (SELECT g, p, (p * n + 999) // 1000 AS r
+                   FROM mm CROSS JOIN (VALUES (333), (666), (1000)) t(p)),
+         edges AS (SELECT ranks.g AS g, p, MIN(bin) AS ebin
+                   FROM ranks JOIN cum ON ranks.g = cum.g
+                     AND cum.cum >= ranks.r
+                   GROUP BY ranks.g, p)
+         SELECT b.doc_id, b.g AS lang, b.bin,
+                CAST(1 + (SELECT count(*) FROM edges e
+                          WHERE e.g = b.g AND e.ebin < b.bin) AS BIGINT)
+                  AS bucket
+         FROM b""") { (spark, dir) =>
+      graft.ops.Stats.quantileBucketsBy(
+        TextAnalysis.repetitionFeatures(
+          Tables.df(spark, dir, "documents"), col("text"))
+          .select(col("doc_id"), col("lang"), col("dup_token_frac")),
+        "lang", "doc_id", col("dup_token_frac"), nBuckets = 3)
+    },
+
     // per-language binned profile of the same continuous column — each
     // lang gets its OWN 2^10 grid from its own min/max (narrow-range
     // groups keep full resolution); null-safe group handling is

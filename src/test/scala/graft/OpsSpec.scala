@@ -1917,6 +1917,31 @@ class StatsSpec extends AnyFunSuite {
     assert(tb.filter(_._1 < 900).values.toSet.size == 1)
   }
 
+  test("per-group quantile buckets: each group tiered against its OWN " +
+      "distribution, monotone within group") {
+    import spark.implicits._
+    // group a: scores 0..99; group b: 1000..1099 — a global tiering
+    // would put ALL of a in the head and ALL of b in the tail
+    val df = ((0 until 100).map(i => ("a", i.toLong, i * 1.0)) ++
+      (0 until 100).map(i => ("b", 100L + i, 1000.0 + i)))
+      .toDF("g", "doc_id", "s")
+    val got = graft.ops.Stats.quantileBucketsBy(df, "g", "doc_id",
+        col("s"), nBuckets = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("bucket"))
+      .toMap
+    Seq("a", "b").foreach { g =>
+      val ids = got.keys.filter(_._1 == g).map(_._2).toSeq.sorted
+      val buckets = ids.map(i => got((g, i)))
+      assert(buckets.toSet == Set(1L, 2L, 3L),
+        s"group $g missing tiers: ${buckets.toSet}")
+      assert(buckets == buckets.sorted, s"group $g not monotone")
+      // near-equal mass per tier
+      val sizes = buckets.groupBy(identity).view.mapValues(_.size)
+      sizes.values.foreach(n => assert(n >= 30 && n <= 37, s"$g $sizes"))
+    }
+  }
+
   test("sourceProfile merge identity: folding disjoint shard profiles " +
       "equals profiling the union, sketch included; estimator is " +
       "usable at saturation and exact below k") {
