@@ -237,49 +237,103 @@ object QualityQueries extends QueryGroup {
     // the >10-docs rule; the synthesized content lines are effectively
     // unique and survive
     q("q_strip_boilerplate", "quality",
-      s"""WITH src AS (
-            SELECT doc_id,
-              'NAV ' || source || ' HOME' || chr(10) || $synthSql ||
-              CASE WHEN doc_id % 2 = 0
-                   THEN chr(10) || 'COPYRIGHT FOOTER 2024' ELSE '' END
-                AS mtext
-            FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
-                  FROM documents
-                  WHERE text IS NOT NULL AND length(text) > 0)),
-          ln AS (
-            SELECT doc_id, u.pos AS pos, u.line AS line FROM (
-              SELECT doc_id,
-                unnest([{'pos': i - 1, 'line': lsm[i]}
-                  for i in generate_series(1, len(lsm))]) AS u
-              FROM (SELECT doc_id, string_split(mtext, chr(10)) AS lsm
-                    FROM src))),
-          freq AS (
-            SELECT line
-            FROM (SELECT line, count(DISTINCT doc_id) AS nd
-                  FROM ln GROUP BY line)
-            WHERE nd > 10),
-          kept AS (
-            SELECT * FROM ln
-            WHERE line NOT IN (SELECT line FROM freq)),
-          agg AS (
-            SELECT doc_id, count(*) AS n_lines_kept,
-              string_agg(line, chr(10) ORDER BY pos) AS text_clean
-            FROM kept GROUP BY doc_id)
+      s"""WITH $chromeCte, $stripCtes
           SELECT s.doc_id,
             CAST(len(string_split(s.mtext, chr(10))) AS BIGINT)
               AS n_lines_orig,
             CAST(coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
             coalesce(a.text_clean, '') AS text_clean
           FROM src s LEFT JOIN agg a USING (doc_id)""") { (spark, dir) =>
-      val docs = Tables.df(spark, dir, "documents")
-        .filter(col("text").isNotNull && length(col("text")) > 0)
-      val withChrome = docs.select(col("doc_id"),
-        concat(
-          lit("NAV "), col("source"), lit(" HOME\n"),
-          synthMl(col("doc_id"), col("text")),
-          when(col("doc_id") % 2 === 0, lit("\nCOPYRIGHT FOOTER 2024"))
-            .otherwise(lit(""))).as("mtext"))
-      Quality.stripBoilerplate(withChrome, "doc_id", "mtext",
+      Quality.stripBoilerplate(chromeFrame(spark, dir), "doc_id", "mtext",
         maxDocFreq = 10L)
+    },
+
+    // the quality-family capstone: strip chrome → Gopher gate → C4
+    // line filter → sequence-pack the survivors' cleaned text. Every
+    // stage reuses the CTE spelling its standalone query verifies, so
+    // the composition cannot drift from the parts; the Spark side runs
+    // the production shapes (broadcast anti-join strip, map-only
+    // gates, sharded prefix-sum pack) while the oracle is the
+    // single-window replay
+    q("q_curate_corpus_v5", "quality",
+      s"""WITH $chromeCte, $stripCtes,
+          ml AS (SELECT doc_id, text_clean AS mtext FROM agg),
+          $gopherCtes, $c4Ctes,
+          surv AS (
+            SELECT g.doc_id,
+              coalesce(array_to_string(c.kept, chr(10)), '') AS text_c4
+            FROM gkeep g JOIN cfeats c USING (doc_id)
+            WHERE g.keep AND len(c.kept) >= 3),
+          toks AS (
+            SELECT doc_id,
+              CAST(len(string_split_regex(text_c4, '[ \n]')) AS BIGINT)
+                AS t
+            FROM surv)
+          SELECT doc_id, t AS tokens,
+            CAST(COALESCE(SUM(t) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) // 256 AS BIGINT) AS pack_id
+          FROM toks""") { (spark, dir) =>
+      val stripped = Quality.stripBoilerplate(chromeFrame(spark, dir),
+          "doc_id", "mtext", maxDocFreq = 10L)
+        .filter(col("n_lines_kept") > 0)
+        .select(col("doc_id"), col("text_clean").as("mtext"))
+      val g = Quality.gopherRules(stripped, "doc_id", "mtext",
+          minWords = GopherMinWords, minStopHits = GopherStopHits)
+        .filter(col("keep")).select("doc_id")
+      val c = Quality.c4LineFilter(stripped, "doc_id", "mtext")
+        .filter(col("keep")).select(col("doc_id"), col("text_c4"))
+      val toks = g.join(c, Seq("doc_id"))
+        .select(col("doc_id"),
+          size(Quality.words(col("text_c4"))).cast("long").as("n_toks"))
+      graft.ops.Pack.sequencePack(toks, "doc_id", "n_toks", 256L)
     })
+
+  /** Chrome-injected multiline corpus (nav header per source, footer on
+    * even ids) — the strip fixture, shared by q_strip_boilerplate and
+    * the v5 composition. */
+  private val chromeCte: String =
+    s"""src AS (
+          SELECT doc_id,
+            'NAV ' || source || ' HOME' || chr(10) || $synthSql ||
+            CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'COPYRIGHT FOOTER 2024' ELSE '' END
+              AS mtext
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0))"""
+
+  /** The strip pipeline over `src` (ends in `agg`: docs with ≥1 kept
+    * line, reassembled). */
+  private val stripCtes: String =
+    """ln AS (
+          SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+            SELECT doc_id,
+              unnest([{'pos': i - 1, 'line': lsm[i]}
+                for i in generate_series(1, len(lsm))]) AS u
+            FROM (SELECT doc_id, string_split(mtext, chr(10)) AS lsm
+                  FROM src))),
+        freq AS (
+          SELECT line
+          FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                FROM ln GROUP BY line)
+          WHERE nd > 10),
+        kept AS (
+          SELECT * FROM ln
+          WHERE line NOT IN (SELECT line FROM freq)),
+        agg AS (
+          SELECT doc_id, count(*) AS n_lines_kept,
+            string_agg(line, chr(10) ORDER BY pos) AS text_clean
+          FROM kept GROUP BY doc_id)"""
+
+  private def chromeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    docs.select(col("doc_id"),
+      concat(
+        lit("NAV "), col("source"), lit(" HOME\n"),
+        synthMl(col("doc_id"), col("text")),
+        when(col("doc_id") % 2 === 0, lit("\nCOPYRIGHT FOOTER 2024"))
+          .otherwise(lit(""))).as("mtext"))
+  }
 }
