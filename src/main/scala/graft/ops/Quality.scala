@@ -52,43 +52,68 @@ object Quality {
     *  - ≥ 80% of words contain at least one alphabetic character
     *  - ≥ minStopHits distinct words from [[GopherStops]]
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000,
-      minStopHits: Int = 2): DataFrame = {
-    val t = col(textCol)
+  /** The Gopher feature sub-expressions over one text column — the
+    * single spelling [[gopherRules]] (reporting) and [[gopherKeep]]
+    * (inline gate, streaming-safe) both build from. */
+  private final case class GopherFeats(nWordsG: Column, nLinesG: Column,
+      meanWordLen: Column, symbolRatio: Column, bulletRatio: Column,
+      ellipsisRatio: Column, alphaRatio: Column, nStopDistinct: Column)
+
+  private def gopherFeats(t: Column): GopherFeats = {
     val ws = words(t)
     val ls = lines(t)
     val nWords = size(ws)
     val nLines = size(ls)
-    val meanWordLen = (length(t) - (nWords - lit(1))).cast("double") /
-      nWords.cast("double")
-    val nSymbols = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
-    val nBullet = size(filter(ls, l =>
-      l.startsWith("- ") || l.startsWith("* ")))
-    val nEllipsis = size(filter(ls, l => l.endsWith("...")))
-    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]")))
-    val nStop = size(array_distinct(
-      filter(ws, w => w.isInCollection(GopherStops))))
+    GopherFeats(
+      nWordsG = nWords,
+      nLinesG = nLines,
+      meanWordLen = (length(t) - (nWords - lit(1))).cast("double") /
+        nWords.cast("double"),
+      symbolRatio =
+        size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+          .cast("double") / nWords.cast("double"),
+      bulletRatio = size(filter(ls, l =>
+        l.startsWith("- ") || l.startsWith("* "))).cast("double") /
+        nLines.cast("double"),
+      ellipsisRatio = size(filter(ls, l => l.endsWith("...")))
+        .cast("double") / nLines.cast("double"),
+      alphaRatio = size(filter(ws, w => w.rlike("[A-Za-z]")))
+        .cast("double") / nWords.cast("double"),
+      nStopDistinct = size(array_distinct(
+        filter(ws, w => w.isInCollection(GopherStops)))))
+  }
+
+  private def gopherKeepOf(f: GopherFeats, minWords: Int, maxWords: Int,
+      minStopHits: Int): Column =
+    f.nWordsG.between(minWords, maxWords) &&
+    f.meanWordLen.between(3.0, 10.0) &&
+    f.symbolRatio <= 0.1 &&
+    f.bulletRatio <= 0.9 &&
+    f.ellipsisRatio <= 0.3 &&
+    f.alphaRatio >= 0.8 &&
+    f.nStopDistinct >= minStopHits
+
+  /** The composite rule as ONE boolean expression — usable as an
+    * inline filter in a streaming pipeline (map-only, no aggregation,
+    * so it composes into any micro-batch plan). */
+  def gopherKeep(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000, minStopHits: Int = 2): Column =
+    gopherKeepOf(gopherFeats(text), minWords, maxWords, minStopHits)
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
+    val f = gopherFeats(col(textCol))
     df.select(col(idCol),
-        nWords.cast("long").as("n_words_g"),
-        nLines.cast("long").as("n_lines_g"),
-        meanWordLen.as("mean_word_len"),
-        (nSymbols.cast("double") / nWords.cast("double"))
-          .as("symbol_ratio"),
-        (nBullet.cast("double") / nLines.cast("double"))
-          .as("bullet_ratio"),
-        (nEllipsis.cast("double") / nLines.cast("double"))
-          .as("ellipsis_ratio"),
-        (nAlpha.cast("double") / nWords.cast("double")).as("alpha_ratio"),
-        nStop.cast("long").as("n_stop_distinct"))
-      .withColumn("keep",
-        col("n_words_g").between(minWords, maxWords) &&
-        col("mean_word_len").between(3.0, 10.0) &&
-        col("symbol_ratio") <= 0.1 &&
-        col("bullet_ratio") <= 0.9 &&
-        col("ellipsis_ratio") <= 0.3 &&
-        col("alpha_ratio") >= 0.8 &&
-        col("n_stop_distinct") >= minStopHits)
+      f.nWordsG.cast("long").as("n_words_g"),
+      f.nLinesG.cast("long").as("n_lines_g"),
+      f.meanWordLen.as("mean_word_len"),
+      f.symbolRatio.as("symbol_ratio"),
+      f.bulletRatio.as("bullet_ratio"),
+      f.ellipsisRatio.as("ellipsis_ratio"),
+      f.alphaRatio.as("alpha_ratio"),
+      f.nStopDistinct.cast("long").as("n_stop_distinct"),
+      gopherKeepOf(f, minWords, maxWords, minStopHits).as("keep"))
   }
 
   /** C4 line-level filter (Raffel et al. 2020 §2.2): a line survives

@@ -371,6 +371,26 @@ object MultimodalQueries extends QueryGroup {
         .withColumn("sum_value", col("sum_value").cast("string"))
     },
 
+    // SLIDING-window streaming agg run to completion — same oracle as
+    // the batch twin q_sliding_window_agg (both span/slide windows per
+    // event, epoch-aligned)
+    q("q_stream_sliding_agg", "streaming",
+      """WITH e AS (
+           SELECT time_bucket(INTERVAL 5 MINUTE,
+                    date_trunc('second', ts)) AS w0,
+                  event_type, CAST(value AS DECIMAL(38,6)) AS v
+           FROM events),
+          x AS (SELECT unnest([w0, w0 - INTERVAL 5 MINUTE]) AS ws,
+                       event_type, v FROM e)
+          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type, count(*) AS n,
+                 CAST(sum(v) AS VARCHAR) AS sum_value
+          FROM x GROUP BY 1, 2""") { (spark, dir) =>
+      EventsStream.runSlidingToBatch(spark, s"$dir/events.parquet",
+          s"graft_sliding_${System.nanoTime()}")
+        .withColumn("sum_value", col("sum_value").cast("string"))
+    },
+
     // stream-static incremental dedup — the streaming spelling of
     // q_dedup_incremental's daily-ingest shape: the day's slice
     // (doc_id%5==0) STREAMS in, fingerprints dedup statefully within
@@ -394,6 +414,44 @@ object MultimodalQueries extends QueryGroup {
           s"$dir/documents.parquet", seen,
           s"graft_sidedup_${System.nanoTime()}",
           pre = _.filter(col("doc_id") % 5 === 0))
+        .select("text_md5")
+    },
+
+    // QUALITY-GATED streaming ingest: the Gopher composite rule as one
+    // inline boolean expression (Quality.gopherKeep — map-only, so it
+    // composes into the micro-batch plan with no extra state) gates
+    // the stream BEFORE the stateful dedup and the static-index anti
+    // join. The oracle replays the same gate via the shared gopherCtes
+    // spelling over the slice, then the fingerprint-set contract of
+    // q_stream_incremental_dedup
+    q("q_stream_quality_ingest", "streaming",
+      s"""WITH ml AS (
+            SELECT doc_id, ${QualityQueries.synthSql} AS mtext
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents
+                  WHERE doc_id % 5 = 0 AND text IS NOT NULL
+                    AND length(text) > 0)),
+          ${QualityQueries.gopherCtes},
+          idx AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents
+                  WHERE doc_id % 5 != 0 AND text IS NOT NULL)
+          SELECT DISTINCT md5(d.text) AS text_md5
+          FROM documents d JOIN gkeep g ON d.doc_id = g.doc_id
+          WHERE g.keep
+            AND md5(d.text) NOT IN (SELECT text_md5 FROM idx)""") {
+      (spark, dir) =>
+      val seen = Tables.df(spark, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 0 && col("text").isNotNull)
+        .select(md5(col("text").cast("binary")).as("text_md5")).distinct()
+      graft.streaming.IngestStream.runDedupToBatch(spark,
+          s"$dir/documents.parquet", seen,
+          s"graft_sqing_${System.nanoTime()}",
+          pre = df => df
+            .filter(col("doc_id") % 5 === 0 && col("text").isNotNull &&
+              length(col("text")) > 0)
+            .filter(graft.ops.Quality.gopherKeep(
+              QualityQueries.synthMl(col("doc_id"), col("text")),
+              minWords = QualityQueries.GopherMinWords,
+              minStopHits = QualityQueries.GopherStopHits)))
         .select("text_md5")
     },
 

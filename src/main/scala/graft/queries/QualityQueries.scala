@@ -25,7 +25,7 @@ object QualityQueries extends QueryGroup {
   private val W = 8 // words per synthesized line
 
   /** Spark side of the line synthesis. */
-  private def synthMl(docId: Column, text: Column): Column = {
+  private[queries] def synthMl(docId: Column, text: Column): Column = {
     val ws = split(text, " ")
     val nLines = floor((size(ws) + lit(W - 1)) / lit(W)).cast("int")
     val linesC = transform(sequence(lit(0), nLines - lit(1)), i => {
@@ -41,7 +41,7 @@ object QualityQueries extends QueryGroup {
 
   /** DuckDB side of the line synthesis; `ws` must be in scope as the
     * space-split word list and `doc_id` as the id. */
-  private val synthSql: String =
+  private[queries] val synthSql: String =
     s"""array_to_string(
        |  [CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END ||
        |   array_to_string(ws[(i*$W+1):(i*$W+$W)], ' ') ||
@@ -67,8 +67,8 @@ object QualityQueries extends QueryGroup {
   // fixture word counts at the verify SF span ~9..60, so 40 splits the
   // population; the corpus vocabulary holds only 'the' from Gopher's
   // stop list, so the distinct-stopword gate is exercised at 1
-  private val GopherMinWords = 40
-  private val GopherStopHits = 1
+  private[queries] val GopherMinWords = 40
+  private[queries] val GopherStopHits = 1
 
   /** Repetition fixture: undecorated 8-word lines where line 0 is
     * REPEATED at every position i>0 with (doc_id + i) % 4 == 0 — so
@@ -94,7 +94,7 @@ object QualityQueries extends QueryGroup {
 
   /** Gopher features + keep as CTEs over `ml` — shared by the gopher
     * query and the funnel so the rule spelling cannot drift. */
-  private val gopherCtes: String = {
+  private[queries] val gopherCtes: String = {
     val stops = Quality.GopherStops.map(w => s"'$w'").mkString(", ")
     s"""gfeats AS (
           SELECT doc_id, mtext,

@@ -47,6 +47,23 @@ object EventsStream {
           .as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** SLIDING-window twin (10-minute span, 5-minute slide): every event
+    * contributes to span/slide = 2 windows; state per key doubles
+    * relative to the tumbling agg and is still watermark-bounded. Same
+    * truncate-before-watermark discipline as [[windowedAgg]]. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming stateful dedup: first occurrence per key wins — exact
     * (state grows with key cardinality, fine for entity-id keys; swap
     * in dropDuplicatesWithinWatermark when keys don't recur past a
@@ -101,6 +118,10 @@ object EventsStream {
   def runToBatch(spark: SparkSession, path: String,
       queryName: String): DataFrame =
     runStream(spark, path, queryName, windowedAgg, "complete")
+
+  def runSlidingToBatch(spark: SparkSession, path: String,
+      queryName: String): DataFrame =
+    runStream(spark, path, queryName, slidingAgg, "complete")
 
   /** Production-shaped bounded run: parquet file sink + checkpoint, so
     * results never transit driver memory (the memory-sink runners above
