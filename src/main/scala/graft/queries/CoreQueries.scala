@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.core.Tables
@@ -292,6 +293,76 @@ object CoreQueries extends QueryGroup {
             .as("window_start"),
           col("event_type"), col("n"),
           col("sum_value").cast("string").as("sum_value"))
+    },
+
+    // PIVOT with an explicit column domain (never the two-pass
+    // inferred form — at 100 TB the inference pass is a full extra
+    // scan and an unbounded output schema); oracle is the portable
+    // CASE-sum spelling
+    q("q_pivot_events", "agg", {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val cases = types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+        .mkString(",\n              ")
+      s"""SELECT user_id,
+              $cases
+          FROM events GROUP BY user_id"""
+    }) { (spark, dir) =>
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val ev = Tables.df(spark, dir, "events")
+      val p = ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p) { (d, t) =>
+        d.withColumnRenamed(t, s"n_$t")
+          .withColumn(s"n_$t", coalesce(col(s"n_$t"), lit(0L)))
+      }
+    },
+
+    // ROLLUP grouping sets with grouping_id — the warehouse subtotal
+    // shape; DECIMAL sums emitted as strings (the round-2 rule)
+    q("q_rollup_orders", "agg",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+                AS total,
+              CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid
+          FROM orders
+          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""") {
+      (spark, dir) =>
+      Tables.df(spark, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).as("total"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total").cast("string").as("total"),
+          col("gid"))
+    },
+
+    // RANGE-frame window: per-user trailing 1-hour event-value sum at
+    // every event — the time-decayed feature shape; RANGE frames bound
+    // by the ORDER BY value, not row counts, so ties and gaps behave
+    // identically across engines. DECIMAL sum → string (round-2 rule)
+    q("q_range_frame_window", "window",
+      """SELECT event_id, user_id,
+              CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+                     PARTITION BY user_id ORDER BY epoch_ms(ts)
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+                AS VARCHAR) AS sum_1h
+          FROM events""") { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      Tables.df(spark, dir, "events")
+        .withColumn("t_ms", unix_millis(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(dec)).over(w)
+            .cast("string").as("sum_1h"))
     },
 
     // key-skew diagnosis: heaviest users by event count with exact
