@@ -529,6 +529,47 @@ object ScaleRamp {
         spark.catalog.clearCache()
         r
       },
+      "curate_v5" -> { k =>
+        // the quality-family composition (round 12): chrome strip →
+        // Gopher gate → C4 filter → sharded pack. Lines carry the
+        // QualityQueries decorations (bullet/ellipsis/period) so the
+        // C4 terminal-punct rule has real survivors at every k.
+        val d = docsAt(k)
+        val ws = split(col("text"), " ")
+        val nLines = floor((size(ws) + lit(7)) / lit(8)).cast("int")
+        val decorated = transform(sequence(lit(0), nLines - lit(1)), i => {
+          val m = col("doc_id") + i
+          concat(
+            when(m % 7 === 0, lit("- ")).otherwise(lit("")),
+            array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " "),
+            when(m % 5 === 0, lit("..."))
+              .when(m % 3 =!= 0, lit(".")).otherwise(lit("")))
+        })
+        val ml = d.select(col("doc_id"), concat(
+            lit("NAV src"), (col("doc_id") % 20).cast("string"),
+            lit(" HOME\n"),
+            array_join(decorated, "\n"),
+            when(col("doc_id") % 2 === 0, lit("\nCOPYRIGHT FOOTER"))
+              .otherwise(lit(""))).as("mtext"))
+          .localCheckpoint()
+        ml.count()
+        import graft.ops.Quality
+        timeIt {
+          val stripped = Quality.stripBoilerplate(ml, "doc_id", "mtext",
+              maxDocFreq = 10L)
+            .filter(col("n_lines_kept") > 0)
+            .select(col("doc_id"), col("text_clean").as("mtext"))
+          val g = Quality.gopherRules(stripped, "doc_id", "mtext",
+              minWords = 40, minStopHits = 1)
+            .filter(col("keep")).select("doc_id")
+          val c = Quality.c4LineFilter(stripped, "doc_id", "mtext")
+            .filter(col("keep")).select(col("doc_id"), col("text_c4"))
+          val toks = g.join(c, Seq("doc_id"))
+            .select(col("doc_id"),
+              size(Quality.words(col("text_c4"))).cast("long").as("t"))
+          graft.ops.Pack.sequencePack(toks, "doc_id", "t", 256L).count()
+        }
+      },
       "curriculum_order" -> { k =>
         // tiers via binned quantiles (two partial-agg'd scans + a
         // map-only probe) + one (tier, shard)-keyed window; the tier

@@ -48,6 +48,19 @@ object SourceQueries extends QueryGroup {
       spark.read.schema(r.schema).option("header", "true").csv(out)
     },
 
+    // ORC sink + scan roundtrip (Spark-native ORC; DuckDB cannot read
+    // ORC, so the oracle is the roundtrip IDENTITY against the source
+    // table — any write/read corruption breaks the hash)
+    q("q_source_orc_roundtrip", "source",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") {
+      (spark, dir) =>
+      val n = Tables.df(spark, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val out = tmpDir("graft_orc")
+      n.write.mode("overwrite").orc(out)
+      spark.read.schema(n.schema).orc(out)
+    },
+
     q("q_partitioned_write", "sink",
       """SELECT '2026-01-01' AS dt, l_returnflag,
            count(*) AS cnt,

@@ -471,6 +471,25 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("quality filters are map-only: no Exchange anywhere in the plan") {
+    // the whole point of running Gopher/C4 BEFORE dedup at 100 TB is
+    // that they execute at scan speed; one accidental aggregate or
+    // join in their plan silently turns the cheap gate into a shuffle
+    import graft.ops.Quality
+    val ml = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), col("text").as("mtext"))
+    Seq(
+      "gopherRules" -> plan(Quality.gopherRules(ml, "doc_id", "mtext")),
+      "c4LineFilter" -> plan(Quality.c4LineFilter(ml, "doc_id", "mtext")),
+      "gopherKeep gate" ->
+        plan(ml.filter(Quality.gopherKeep(col("mtext")))),
+      "repetitionRules" ->
+        plan(Quality.repetitionRules(ml, "doc_id", "mtext"))
+    ).foreach { case (what, p) =>
+      assert(!p.contains("Exchange"), s"$what gained a shuffle:\n$p")
+    }
+  }
+
   test("co-located bucketed join: ZERO exchanges when both sides " +
       "share the bucket spec") {
     import graft.write.IndexStore
