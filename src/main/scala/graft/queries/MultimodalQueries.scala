@@ -33,6 +33,67 @@ object MultimodalQueries extends QueryGroup {
       1 + (id % 2).toInt, 100 + (id % 400).toInt + extraFrames,
       (id % 251).toInt)
 
+  /** The image near-dup PAIR pipeline as CTEs ending in `img_pairs` —
+    * shared by q_image_neardup and q_image_dedup_clusters so the two
+    * oracles cannot drift. */
+  private def imagePairsSql: String =
+    """ids AS (
+           SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, doc_id, TRUE
+           FROM documents WHERE doc_id % 10 = 0),
+         px AS (
+           SELECT media_id, j,
+             CASE WHEN pert AND j = base % 64
+                  THEN least(xor(u3, u3 // 8192) % 256 + 1, 255)
+                  ELSE xor(u3, u3 // 8192) % 256 END AS g
+           FROM (
+             SELECT media_id, base, pert, j,
+               xor(u1, u1 // 32768) * 69621 % 2147483647 AS u3
+             FROM (
+               SELECT media_id, base, pert, j,
+                 ((base * 64 + j) % 2147483646 + 1) * 48271
+                   % 2147483647 AS u1
+               FROM ids, generate_series(0, 63) t(j)) s1) s2),
+         m AS (SELECT media_id, SUM(g) // 64 AS mean
+               FROM px GROUP BY media_id),
+         h AS (
+           SELECT px.media_id,
+             SUM(CASE WHEN j >= 32 AND g > mean
+                      THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END) AS hi,
+             SUM(CASE WHEN j < 32 AND g > mean
+                      THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS lo
+           FROM px JOIN m USING (media_id) GROUP BY 1),
+         img_pairs AS (
+           SELECT a.media_id AS a_id, b.media_id AS b_id,
+                  CAST(bit_count(xor(a.hi, b.hi))
+                       + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+           FROM h a JOIN h b ON a.media_id < b.media_id
+           WHERE bit_count(xor(a.hi, b.hi))
+                 + bit_count(xor(a.lo, b.lo)) <= 3)"""
+
+  /** Spark twin of [[imagePairsSql]]'s hash stage: REAL BMP decode →
+    * aHash per media id (base + one-pixel perturbed copies). */
+  private def imageHashFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ids = Tables.df(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    def g(id: Long)(j: Int): Int = MultimodalQueries.pixelGray(id, j)
+    ids.flatMap { id =>
+      val o = Multimodal.imageAHash(
+        Multimodal.bmpPayload(g(id), 8, 8)).get
+      val base = Seq((id, o._1, o._2))
+      if (id % 10 == 0) {
+        val p = Multimodal.imageAHash(Multimodal.bmpPayload(
+          j => if (j == (id % 64).toInt) math.min(g(id)(j) + 1, 255)
+               else g(id)(j), 8, 8)).get
+        base :+ ((id + 100000L, p._1, p._2))
+      } else base
+    }.toDF("media_id", "ahash_hi", "ahash_lo")
+  }
+
   /** Fingerprint chain from an `aud(media_id, n, seed)` CTE (n = total
     * interleaved samples, seed = ramp offset) to `afp(media_id, hi,
     * lo)` — the BIGINT replay of Multimodal.audioFingerprint: sample j
@@ -259,57 +320,31 @@ object MultimodalQueries extends QueryGroup {
     // The all-pairs spelling is the labeled ORACLE TWIN — production
     // is the banded join, which must emit the identical pair set.
     q("q_image_neardup", "multimodal",
-      """WITH ids AS (
-           SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
-           FROM documents
-           UNION ALL
-           SELECT doc_id + 100000, doc_id, TRUE
-           FROM documents WHERE doc_id % 10 = 0),
-         px AS (
-           SELECT media_id, j,
-             CASE WHEN pert AND j = base % 64
-                  THEN least(xor(u3, u3 // 8192) % 256 + 1, 255)
-                  ELSE xor(u3, u3 // 8192) % 256 END AS g
-           FROM (
-             SELECT media_id, base, pert, j,
-               xor(u1, u1 // 32768) * 69621 % 2147483647 AS u3
-             FROM (
-               SELECT media_id, base, pert, j,
-                 ((base * 64 + j) % 2147483646 + 1) * 48271
-                   % 2147483647 AS u1
-               FROM ids, generate_series(0, 63) t(j)) s1) s2),
-         m AS (SELECT media_id, SUM(g) // 64 AS mean
-               FROM px GROUP BY media_id),
-         h AS (
-           SELECT px.media_id,
-             SUM(CASE WHEN j >= 32 AND g > mean
-                      THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END) AS hi,
-             SUM(CASE WHEN j < 32 AND g > mean
-                      THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS lo
-           FROM px JOIN m USING (media_id) GROUP BY 1)
-         SELECT a.media_id AS a_id, b.media_id AS b_id,
-                CAST(bit_count(xor(a.hi, b.hi))
-                     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
-         FROM h a JOIN h b ON a.media_id < b.media_id
-         WHERE bit_count(xor(a.hi, b.hi))
-               + bit_count(xor(a.lo, b.lo)) <= 3""") { (spark, dir) =>
-      import spark.implicits._
-      val ids = Tables.df(spark, dir, "documents")
-        .select(col("doc_id")).as[Long]
-      def g(id: Long)(j: Int): Int = MultimodalQueries.pixelGray(id, j)
-      val hashes = ids.flatMap { id =>
-        val o = Multimodal.imageAHash(
-          Multimodal.bmpPayload(g(id), 8, 8)).get
-        val base = Seq((id, o._1, o._2))
-        if (id % 10 == 0) {
-          val p = Multimodal.imageAHash(Multimodal.bmpPayload(
-            j => if (j == (id % 64).toInt) math.min(g(id)(j) + 1, 255)
-                 else g(id)(j), 8, 8)).get
-          base :+ ((id + 100000L, p._1, p._2))
-        } else base
-      }.toDF("media_id", "ahash_hi", "ahash_lo")
-      Multimodal.aHashNearDupPairs(hashes, "media_id",
+      s"""WITH $imagePairsSql
+         SELECT a_id, b_id, hamming FROM img_pairs""") { (spark, dir) =>
+      Multimodal.aHashNearDupPairs(imageHashFrame(spark, dir), "media_id",
         "ahash_hi", "ahash_lo", maxHamming = 3)
+    },
+
+    // image duplicate CLUSTERS: the same CC resolution the text and
+    // embedding dedup paths use, over the banded aHash pair graph —
+    // a-b-c chains of perturbed copies collapse to one component.
+    // Pairs-sized edge list, recursive-CTE closure oracle
+    q("q_image_dedup_clusters", "multimodal",
+      s"""WITH RECURSIVE $imagePairsSql,
+          edges AS (SELECT a_id AS a, b_id AS b FROM img_pairs
+                    UNION SELECT b_id, a_id FROM img_pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+          SELECT id AS media_id, min(r) AS component
+          FROM reach GROUP BY id""") { (spark, dir) =>
+      graft.ops.Dedup.connectedComponents(
+          Multimodal.aHashNearDupPairs(imageHashFrame(spark, dir),
+            "media_id", "ahash_hi", "ahash_lo", maxHamming = 3),
+          "a_id", "b_id")
+        .select(col("id").as("media_id"), col("comp").as("component"))
     },
 
     q("q_binary_prefix", "multimodal",
