@@ -268,6 +268,47 @@ object MultimodalQueries extends QueryGroup {
         "afp_hi", "afp_lo", maxHamming = 3)
     },
 
+    // audio duplicate CLUSTERS — the fourth cell of the modality ×
+    // cluster matrix (text, embedding, image, now audio): CC over the
+    // banded fingerprint pair graph, recursive-CTE closure oracle
+    q("q_audio_dedup_clusters", "multimodal",
+      s"""WITH RECURSIVE $audioNearCorpusSql, $audioFpSql,
+          apairs AS (
+            SELECT a.media_id AS a_id, b.media_id AS b_id
+            FROM afp a JOIN afp b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.hi, b.hi))
+                  + bit_count(xor(a.lo, b.lo)) <= 3),
+          edges AS (SELECT a_id AS a, b_id AS b FROM apairs
+                    UNION SELECT b_id, a_id FROM apairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+          SELECT id AS media_id, min(r) AS component
+          FROM reach GROUP BY id""") { (spark, dir) =>
+      import spark.implicits._
+      val ids = Tables.df(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+      val hashes = ids.flatMap { id =>
+        def fp(extraFrames: Int, mid: Long): (Long, Long, Long) = {
+          val (hi, lo) = Multimodal.audioFingerprint(
+            MultimodalQueries.audioPayload(id, extraFrames)).get
+          (mid, hi, lo)
+        }
+        val base = Seq(fp(0, id))
+        val copies =
+          if (id % 10 == 0) Seq(fp(0, id + 100000L)) else Seq.empty
+        val edits =
+          if (id % 10 == 5) Seq(fp(1, id + 200000L)) else Seq.empty
+        base ++ copies ++ edits
+      }.toDF("media_id", "afp_hi", "afp_lo")
+      graft.ops.Dedup.connectedComponents(
+          Multimodal.aHashNearDupPairs(hashes, "media_id",
+            "afp_hi", "afp_lo", maxHamming = 3),
+          "a_id", "b_id")
+        .select(col("id").as("media_id"), col("comp").as("component"))
+    },
+
     // REAL image decode + perceptual hash: payloads are 8×8 grayscale
     // BMPs whose pixel values derive from doc_id by integer formula;
     // the Spark side decodes the actual bytes via ImageIO and computes
