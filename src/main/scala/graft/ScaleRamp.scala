@@ -555,10 +555,15 @@ object ScaleRamp {
         ml.count()
         import graft.ops.Quality
         timeIt {
+          // checkpoint between stages (the curateV3/V4 discipline; see
+          // the q_curate_corpus_v5 comment): without it the strip
+          // executes once per downstream gate and the 64× cell went
+          // superlinear on string churn
           val stripped = Quality.stripBoilerplate(ml, "doc_id", "mtext",
               maxDocFreq = 10L)
             .filter(col("n_lines_kept") > 0)
             .select(col("doc_id"), col("text_clean").as("mtext"))
+            .localCheckpoint()
           val g = Quality.gopherRules(stripped, "doc_id", "mtext",
               minWords = 40, minStopHits = 1)
             .filter(col("keep")).select("doc_id")

@@ -274,10 +274,16 @@ object QualityQueries extends QueryGroup {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                  0) // 256 AS BIGINT) AS pack_id
           FROM toks""") { (spark, dir) =>
+      // checkpoint between stages (the curateV3/V4 discipline): the
+      // stripped frame feeds BOTH gates — un-materialized, the whole
+      // strip pipeline (line agg + anti join + reassembly) executes
+      // twice, and the doubled string churn turned the 64× ramp cell
+      // superlinear (measured: 29.8 s → 6.7 s with the checkpoint)
       val stripped = Quality.stripBoilerplate(chromeFrame(spark, dir),
           "doc_id", "mtext", maxDocFreq = 10L)
         .filter(col("n_lines_kept") > 0)
         .select(col("doc_id"), col("text_clean").as("mtext"))
+        .localCheckpoint()
       val g = Quality.gopherRules(stripped, "doc_id", "mtext",
           minWords = GopherMinWords, minStopHits = GopherStopHits)
         .filter(col("keep")).select("doc_id")
