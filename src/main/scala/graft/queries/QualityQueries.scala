@@ -232,6 +232,57 @@ object QualityQueries extends QueryGroup {
         "doc_id", "mtext")
     },
 
+    // per-doc curation AUDIT — the provenance row data governance
+    // wants: WHY did each document survive or not. One row per doc
+    // with each gate's verdict (quality gates over the ml fixture,
+    // decontamination over the raw text vs the %7 eval slice) and the
+    // composite selection. Every flag reuses the spelling its
+    // standalone query verifies
+    q("q_curation_audit", "quality",
+      s"""WITH $mlCte, $gopherCtes, $c4Ctes,
+          g4 AS (
+            SELECT doc_id, unnest([array_to_string(toks[i:i+3], ' ')
+              for i in generate_series(1, greatest(len(toks)-3, 0))]) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)),
+          ev AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 7 = 0),
+          hit AS (SELECT DISTINCT doc_id FROM g4
+                  WHERE doc_id % 7 != 0 AND g IN (SELECT g FROM ev))
+          SELECT m.doc_id,
+            m.doc_id % 7 = 0 AS is_eval,
+            gk.keep AS q_gopher,
+            len(c.kept) >= 3 AS q_c4,
+            CASE WHEN m.doc_id % 7 = 0 THEN NULL
+                 ELSE m.doc_id IN (SELECT doc_id FROM hit) END
+              AS contaminated,
+            m.doc_id % 7 != 0 AND gk.keep AND len(c.kept) >= 3
+              AND NOT coalesce(m.doc_id IN (SELECT doc_id FROM hit),
+                    false) AS selected
+          FROM ml m
+          JOIN gkeep gk USING (doc_id)
+          JOIN cfeats c ON m.doc_id = c.doc_id""") { (spark, dir) =>
+      val ml = mlFrame(spark, dir)
+      val g = Quality.gopherRules(ml, "doc_id", "mtext",
+          minWords = GopherMinWords, minStopHits = GopherStopHits)
+        .select(col("doc_id"), col("keep").as("q_gopher"))
+      val c = Quality.c4LineFilter(ml, "doc_id", "mtext")
+        .select(col("doc_id"), col("keep").as("q_c4"))
+      val docs = Tables.df(spark, dir, "documents")
+      val cont = graft.ops.Decontaminate.flag(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("contaminated"))
+      ml.select("doc_id")
+        .join(g, Seq("doc_id")).join(c, Seq("doc_id"))
+        .withColumn("is_eval", col("doc_id") % 7 === 0)
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_eval"), col("q_gopher"),
+          col("q_c4"), col("contaminated"),
+          (!col("is_eval") && col("q_gopher") && col("q_c4") &&
+            !coalesce(col("contaminated"), lit(false))).as("selected"))
+    },
+
     // corpus-global strip: a per-source nav header (25 docs/source at
     // the verify SF) and an every-other-doc footer are boilerplate by
     // the >10-docs rule; the synthesized content lines are effectively
