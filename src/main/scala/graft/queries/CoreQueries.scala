@@ -295,6 +295,19 @@ object CoreQueries extends QueryGroup {
           col("sum_value").cast("string").as("sum_value"))
     },
 
+    // INTERSECT (distinct semantics — the EXCEPT sibling): users who
+    // both viewed and purchased
+    q("q_intersect_setop", "setop",
+      """SELECT user_id FROM events WHERE event_type = 'view'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'""") {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+      ev.filter(col("event_type") === "view").select("user_id")
+        .intersect(
+          ev.filter(col("event_type") === "purchase").select("user_id"))
+    },
+
     // PIVOT with an explicit column domain (never the two-pass
     // inferred form — at 100 TB the inference pass is a full extra
     // scan and an unbounded output schema); oracle is the portable
