@@ -378,6 +378,26 @@ object CoreQueries extends QueryGroup {
             .cast("string").as("sum_1h"))
     },
 
+    // lag/lead over a UNIQUE total order (ts can tie; event_id breaks
+    // it) — inter-event gap per user, the feature-engineering staple
+    q("q_window_lag", "window",
+      """SELECT event_id, user_id,
+              epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                AS gap_ms,
+              lead(event_type) OVER (
+                PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                AS next_type
+          FROM events""") { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_ms"), col("event_id"))
+      Tables.df(spark, dir, "events")
+        .withColumn("t_ms", unix_millis(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          (col("t_ms") - lag(col("t_ms"), 1).over(w)).as("gap_ms"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+    },
+
     // key-skew diagnosis: heaviest users by event count with exact
     // ppm share — the pre-join report that decides salting/AQE knobs
     q("q_skew_report", "diagnostic",
