@@ -270,14 +270,21 @@ object MultimodalQueries extends QueryGroup {
 
     // audio duplicate CLUSTERS — the fourth cell of the modality ×
     // cluster matrix (text, embedding, image, now audio): CC over the
-    // banded fingerprint pair graph, recursive-CTE closure oracle
+    // banded fingerprint pair graph, recursive-CTE closure oracle.
+    // Hamming ≤ 1, NOT the pair query's ≤ 3: the band-energy signature
+    // is weakly discriminative on this synthetic corpus (at ≤ 3 most
+    // of the corpus fuses into one near-clique — 578/~650 ids at the
+    // verify SF — and the quadratic pair volume stalled the 10× bench;
+    // measured, which is exactly why a CLUSTER composition must run
+    // tighter than a pair REPORT: transitivity amplifies any
+    // permissive threshold)
     q("q_audio_dedup_clusters", "multimodal",
       s"""WITH RECURSIVE $audioNearCorpusSql, $audioFpSql,
           apairs AS (
             SELECT a.media_id AS a_id, b.media_id AS b_id
             FROM afp a JOIN afp b ON a.media_id < b.media_id
             WHERE bit_count(xor(a.hi, b.hi))
-                  + bit_count(xor(a.lo, b.lo)) <= 3),
+                  + bit_count(xor(a.lo, b.lo)) <= 1),
           edges AS (SELECT a_id AS a, b_id AS b FROM apairs
                     UNION SELECT b_id, a_id FROM apairs),
           reach(id, r) AS (
@@ -304,7 +311,7 @@ object MultimodalQueries extends QueryGroup {
       }.toDF("media_id", "afp_hi", "afp_lo")
       graft.ops.Dedup.connectedComponents(
           Multimodal.aHashNearDupPairs(hashes, "media_id",
-            "afp_hi", "afp_lo", maxHamming = 3),
+            "afp_hi", "afp_lo", maxHamming = 1),
           "a_id", "b_id")
         .select(col("id").as("media_id"), col("comp").as("component"))
     },
