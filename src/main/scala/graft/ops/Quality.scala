@@ -138,6 +138,22 @@ object Quality {
       .withColumn("keep", col("n_lines_kept") >= minKeptLines)
   }
 
+  /** Blocklist gate — the C4 "bad words" filter (Raffel et al. 2020
+    * §2.2 drops any page containing a word from a public blocklist).
+    * The list rides as a literal set inside a codegen'd `exists`
+    * lambda — map-only, scan-speed, no broadcast variable or join.
+    * Callers supply their own list; matching is exact-token (the C4
+    * behavior), so a blocklist word inside another word does NOT
+    * flag. */
+  def wordlistFlag(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    df.select(col(idCol),
+        exists(words(col(textCol)), w => w.isInCollection(blocklist))
+          .as("flagged"))
+      .withColumn("keep", !col("flagged"))
+  }
+
   /** Gopher's within-document REPETITION rules (Rae et al. 2021 A1,
     * line family): fraction of duplicate lines ≤ 0.30 and fraction of
     * CHARACTERS inside duplicate lines ≤ 0.20 — the filter that kills

@@ -232,6 +232,26 @@ object QualityQueries extends QueryGroup {
         "doc_id", "mtext")
     },
 
+    // blocklist gate (C4 bad-words shape; neutral fixture words stand
+    // in for the public list). Exact-token: 'spark' flags, 'sparkly'
+    // would not
+    q("q_wordlist_flag", "quality", {
+      val bl = Seq("spark", "vector").map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+            len(list_filter(string_split_regex(mtext, '[ \n]'),
+              w -> w IN ($bl))) > 0 AS flagged,
+            NOT (len(list_filter(string_split_regex(mtext, '[ \n]'),
+              w -> w IN ($bl))) > 0) AS keep
+          FROM (SELECT doc_id, $synthSql AS mtext
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents
+                      WHERE text IS NOT NULL AND length(text) > 0))"""
+    }) { (spark, dir) =>
+      val ml = mlFrame(spark, dir)
+      Quality.wordlistFlag(ml, "doc_id", "mtext",
+        Seq("spark", "vector"))
+    },
+
     // per-doc curation AUDIT — the provenance row data governance
     // wants: WHY did each document survive or not. One row per doc
     // with each gate's verdict (quality gates over the ml fixture,

@@ -484,9 +484,14 @@ class ExplainSpec extends AnyFunSuite {
       "gopherKeep gate" ->
         plan(ml.filter(Quality.gopherKeep(col("mtext")))),
       "repetitionRules" ->
-        plan(Quality.repetitionRules(ml, "doc_id", "mtext"))
+        plan(Quality.repetitionRules(ml, "doc_id", "mtext")),
+      "wordlistFlag" ->
+        plan(Quality.wordlistFlag(ml, "doc_id", "mtext", Seq("x")))
     ).foreach { case (what, p) =>
       assert(!p.contains("Exchange"), s"$what gained a shuffle:\n$p")
+      // and inside whole-stage codegen (executedPlan marks codegen'd
+      // nodes with the "*(id)" prefix), not interpreted eval
+      assert(p.contains("*("), s"$what fell out of codegen:\n$p")
     }
   }
 
