@@ -40,5 +40,40 @@ object VerifyQueries extends QueryGroup {
           count(lit(1)).as("root_cnt"))
       val txs = EvmFixtures.transactions(li).agg(count(lit(1)).as("tx_cnt"))
       roots.crossJoin(txs)
+    },
+
+    // Deequ-shaped declarative constraint suite: ONE aggregate pass,
+    // one row per constraint. Mixed outcomes by design — uniqueness
+    // and the full type set pass; the deliberately-narrowed OneOf and
+    // the value range exercise the failing path
+    q("q_constraint_report", "verify",
+      """WITH a AS (
+           SELECT
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v0,
+             count(*) - count(DISTINCT event_id) AS v1,
+             sum(CASE WHEN value IS NOT NULL
+                       AND (value < 0 OR value > 50) THEN 1 ELSE 0 END)
+               AS v2,
+             sum(CASE WHEN event_type IS NOT NULL
+                       AND event_type NOT IN ('click', 'view',
+                         'purchase', 'signup') THEN 1 ELSE 0 END) AS v3
+           FROM events)
+         SELECT 'not_null(user_id)' AS constraint_name,
+                CAST(v0 AS BIGINT) AS violations, v0 = 0 AS passed FROM a
+         UNION ALL
+         SELECT 'unique(event_id)', CAST(v1 AS BIGINT), v1 = 0 FROM a
+         UNION ALL
+         SELECT 'in_range(value,0.0,50.0)', CAST(v2 AS BIGINT), v2 = 0
+         FROM a
+         UNION ALL
+         SELECT 'one_of(event_type)', CAST(v3 AS BIGINT), v3 = 0
+         FROM a""") { (spark, dir) =>
+      import graft.verify.Verifier._
+      constraintReport(Tables.df(spark, dir, "events"), Seq(
+        NotNull("user_id"),
+        Unique(Seq("event_id")),
+        InRange("value", 0.0, 50.0),
+        OneOf("event_type",
+          Seq("click", "view", "purchase", "signup"))))
     })
 }

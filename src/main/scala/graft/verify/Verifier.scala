@@ -56,4 +56,59 @@ object Verifier {
     haveLatest(logs, "logs"),
     haveLatest(traces, "traces"),
     rootTraceCountMatches(traces, transactions))
+
+  /** Declarative data-quality constraints (the Deequ shape —
+    * Schelter et al. 2018, public AWS research — and the
+    * generalization of the reference's verify SQL family): each
+    * constraint reduces to a VIOLATION COUNT aggregate, ALL
+    * constraints run in ONE pass over the table (a single
+    * partial-agg'd aggregate row, exploded into the report), and a
+    * constraint passes iff its violation count is 0. Nulls violate
+    * NotNull but never InRange/OneOf — those judge only present
+    * values, so the two families compose instead of double-counting. */
+  sealed trait Constraint { def name: String }
+  final case class NotNull(c: String) extends Constraint {
+    def name = s"not_null($c)"
+  }
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  final case class InRange(c: String, lo: Double, hi: Double)
+      extends Constraint {
+    def name = s"in_range($c,$lo,$hi)"
+  }
+  final case class OneOf(c: String, vals: Seq[String])
+      extends Constraint {
+    def name = s"one_of($c)"
+  }
+
+  /** @return (constraint_name, violations, passed), one row per
+    * constraint, from one aggregate pass. */
+  def constraintReport(df: DataFrame,
+      cs: Seq[Constraint]): DataFrame = {
+    require(cs.nonEmpty, "constraints must be non-empty")
+    val aggs = cs.zipWithIndex.map { case (c, i) =>
+      val viol = c match {
+        case NotNull(col0) =>
+          sum(when(col(col0).isNull, 1L).otherwise(0L))
+        case Unique(cols0) =>
+          count(lit(1)) -
+            countDistinct(col(cols0.head), cols0.tail.map(col): _*)
+        case InRange(col0, lo, hi) =>
+          sum(when(col(col0).isNotNull &&
+            (col(col0) < lo || col(col0) > hi), 1L).otherwise(0L))
+        case OneOf(col0, vals) =>
+          sum(when(col(col0).isNotNull &&
+            !col(col0).isInCollection(vals), 1L).otherwise(0L))
+      }
+      coalesce(viol, lit(0L)).as(s"v$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cs.zipWithIndex.map { case (c, i) =>
+        struct(lit(c.name).as("constraint_name"),
+          col(s"v$i").as("violations"))
+      }: _*)).as("r"))
+      .select(col("r.constraint_name"), col("r.violations"),
+        (col("r.violations") === 0L).as("passed"))
+  }
 }

@@ -1297,6 +1297,34 @@ class CurationParitySpec extends AnyFunSuite {
 class VerifierSpec extends AnyFunSuite {
   import TestSession._
 
+  test("constraintReport: hand-computed violations, nulls judged by " +
+      "NotNull only, one row per constraint") {
+    import spark.implicits._
+    import graft.verify.Verifier._
+    val df = Seq(
+      (1L, Some("a"), Some(5.0)),
+      (2L, None, Some(60.0)),   // null name; value out of range
+      (2L, Some("b"), None),    // dup id; null value (NOT a range viol)
+      (3L, Some("z"), Some(10.0)) // name outside OneOf
+    ).toDF("id", "name", "v")
+    val got = constraintReport(df, Seq(
+        NotNull("name"), Unique(Seq("id")),
+        InRange("v", 0.0, 50.0), OneOf("name", Seq("a", "b"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      "not_null(name)" -> ((1L, false)),
+      "unique(id)" -> ((1L, false)),
+      "in_range(v,0.0,50.0)" -> ((1L, false)),
+      "one_of(name)" -> ((1L, false))))
+    // a clean frame passes everything
+    val clean = constraintReport(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"),
+      Seq(NotNull("name"), Unique(Seq("id")), InRange("v", 0.0, 50.0),
+        OneOf("name", Seq("a", "b")))).collect()
+    assert(clean.forall(_.getBoolean(2)))
+  }
+
   test("all five reference invariants hold on fixtures") {
     val li = Tables.df(spark, sf, "lineitem")
     val o = Tables.df(spark, sf, "orders")
