@@ -75,5 +75,40 @@ object VerifyQueries extends QueryGroup {
         InRange("value", 0.0, 50.0),
         OneOf("event_type",
           Seq("click", "view", "purchase", "signup"))))
+    },
+
+    // referential integrity across frames: every order's customer must
+    // exist (passes), and a deliberately-shrunk parent set exercises
+    // the violating path — both as report rows unioned onto the
+    // constraint shape
+    q("q_ref_integrity", "verify",
+      """WITH p AS (SELECT count(*) AS v FROM orders o
+                    WHERE o.o_custkey IS NOT NULL
+                      AND o.o_custkey NOT IN
+                        (SELECT c_custkey FROM customer)),
+          f AS (SELECT count(*) AS v FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND o.o_custkey NOT IN
+                    (SELECT c_custkey FROM customer
+                     WHERE c_custkey % 2 = 0))
+          SELECT 'ref_integrity(o_custkey->c_custkey)'
+                   AS constraint_name,
+                 CAST(p.v AS BIGINT) AS violations, p.v = 0 AS passed
+          FROM p
+          UNION ALL
+          SELECT 'ref_integrity(o_custkey->even_custkey)',
+                 CAST(f.v AS BIGINT), f.v = 0
+          FROM f""") { (spark, dir) =>
+      import graft.verify.Verifier
+      val orders = Tables.df(spark, dir, "orders")
+      val cust = Tables.df(spark, dir, "customer")
+      Verifier.refIntegrityRow(orders, "o_custkey", cust, "c_custkey")
+        .unionAll(
+          Verifier.refIntegrityRow(orders, "o_custkey",
+              cust.filter(col("c_custkey") % 2 === 0), "c_custkey")
+            .select(
+              lit("ref_integrity(o_custkey->even_custkey)")
+                .as("constraint_name"),
+              col("violations"), col("passed")))
     })
 }

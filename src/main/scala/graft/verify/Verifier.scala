@@ -82,6 +82,24 @@ object Verifier {
     def name = s"one_of($c)"
   }
 
+  /** Referential integrity as a report row: child rows whose non-null
+    * key finds no parent. Needs its own anti-join pass (two frames —
+    * it cannot fold into [[constraintReport]]'s single aggregate);
+    * union the result onto the report. The join side is the PARENT
+    * key set — at warehouse scale usually the broadcastable dimension
+    * side, and the child never shuffles twice. */
+  def refIntegrityRow(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String): DataFrame = {
+    val viols = child.filter(col(childCol).isNotNull)
+      .join(parent.select(col(parentCol)).distinct(),
+        col(childCol) === col(parentCol), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    viols.select(
+      lit(s"ref_integrity($childCol->$parentCol)").as("constraint_name"),
+      col("violations"),
+      (col("violations") === 0L).as("passed"))
+  }
+
   /** @return (constraint_name, violations, passed), one row per
     * constraint, from one aggregate pass. */
   def constraintReport(df: DataFrame,
