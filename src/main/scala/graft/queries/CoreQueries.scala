@@ -357,6 +357,26 @@ object CoreQueries extends QueryGroup {
           col("gid"))
     },
 
+    // CUBE — the ROLLUP sibling with cross-dimension subtotals (the
+    // priority-only rows ROLLUP never emits)
+    q("q_cube_orders", "agg",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n,
+              CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid
+          FROM orders
+          GROUP BY CUBE (o_orderstatus, o_orderpriority)""") {
+      (spark, dir) =>
+      Tables.df(spark, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("gid"))
+    },
+
     // RANGE-frame window: per-user trailing 1-hour event-value sum at
     // every event — the time-decayed feature shape; RANGE frames bound
     // by the ORDER BY value, not row counts, so ties and gaps behave
