@@ -77,6 +77,42 @@ object VerifyQueries extends QueryGroup {
           Seq("click", "view", "purchase", "signup"))))
     },
 
+    // STREAMING constraint monitoring: the same one-pass report run as
+    // a bounded stream — violation counts are algebraic, so per-batch
+    // reports fold by addition (multi-batch folding spec'd in
+    // StreamingSpec; the oracle is the batch report's SQL verbatim)
+    q("q_stream_constraints", "verify",
+      """WITH a AS (
+           SELECT
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v0,
+             sum(CASE WHEN value IS NOT NULL
+                       AND (value < 0 OR value > 50) THEN 1 ELSE 0 END)
+               AS v1,
+             sum(CASE WHEN event_type IS NOT NULL
+                       AND event_type NOT IN ('click', 'view',
+                         'purchase', 'signup') THEN 1 ELSE 0 END) AS v2
+           FROM events)
+         SELECT 'not_null(user_id)' AS constraint_name,
+                CAST(v0 AS BIGINT) AS violations, v0 = 0 AS passed FROM a
+         UNION ALL
+         SELECT 'in_range(value,0.0,50.0)', CAST(v1 AS BIGINT), v1 = 0
+         FROM a
+         UNION ALL
+         SELECT 'one_of(event_type)', CAST(v2 AS BIGINT), v2 = 0
+         FROM a""") { (spark, dir) =>
+      import graft.verify.Verifier._
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val staged = java.nio.file.Files.createTempDirectory("graft_scons")
+      java.nio.file.Files.copy(src, staged.resolve(src.getFileName))
+      try graft.streaming.IngestStream.runConstraintsToBatch(spark,
+        staged.toString,
+        Seq(NotNull("user_id"), InRange("value", 0.0, 50.0),
+          OneOf("event_type",
+            Seq("click", "view", "purchase", "signup"))),
+        graft.streaming.EventsStream.eventsFileSchema)
+      finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
     // referential integrity across frames: every order's customer must
     // exist (passes), and a deliberately-shrunk parent set exercises
     // the violating path — both as report rows unioned onto the

@@ -166,6 +166,45 @@ object IngestStream {
     }
     prof
   }
+
+  /** STREAMING constraint monitoring — the data-quality face of the
+    * incremental-maintenance family (exact dedup, near-dup, ANN
+    * ingest, profiles, now constraints): every
+    * [[graft.verify.Verifier.constraintReport]] metric is a violation
+    * COUNT, i.e. algebraic, so per-micro-batch reports FOLD by
+    * addition and the final report equals the batch report over
+    * everything ingested — no rescan, ever, which is what lets a
+    * 100 TB warehouse keep its quality dashboard current per ingest
+    * batch instead of per full audit. Per-batch driver state is one
+    * #constraints-row array.
+    *
+    * One caveat is inherent, not an implementation gap: `Unique`
+    * folds as the sum of WITHIN-batch duplicate counts — cross-batch
+    * duplicates need the fingerprint-index discipline
+    * ([[dedupAgainstIndex]]) and are that operator's job; the
+    * constraint is documented as per-batch uniqueness under
+    * streaming. The catalog oracle stages the stream as ONE batch, so
+    * the fold is exact there; multi-batch folding of the row-local
+    * constraints is the spec's job. */
+  def runConstraintsToBatch(spark: SparkSession, path: String,
+      cs: Seq[graft.verify.Verifier.Constraint],
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.verify.Verifier
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      Verifier.constraintReport(b, cs).collect().foreach { r =>
+        val k = r.getString(0)
+        acc(k) = acc.getOrElse(k, 0L) + r.getLong(1)
+      }
+    }
+    import spark.implicits._
+    // constraint declaration order, not map order — deterministic
+    cs.map(c => (c.name, acc.getOrElse(c.name, 0L)))
+      .toDF("constraint_name", "violations")
+      .withColumn("passed", col("violations") === 0L)
+  }
 }
 
 /** Shared bounded-run scaffolding for file-source streaming twins:

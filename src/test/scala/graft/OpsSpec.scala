@@ -1362,6 +1362,28 @@ class VerifierSpec extends AnyFunSuite {
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
 
+  test("streaming constraint fold over multiple micro-batches equals " +
+      "the batch report (row-local constraints are algebraic)") {
+    import graft.verify.Verifier._
+    val ev = Tables.df(spark, sf, "events")
+    val cs = Seq(NotNull("user_id"), InRange("value", 0.0, 50.0),
+      OneOf("event_type", Seq("click", "view", "purchase", "signup")))
+    val want = constraintReport(ev, cs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val staged = java.nio.file.Files.createTempDirectory("graft_sconsp")
+    try {
+      (0 until 3).foreach(i =>
+        ev.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(staged.toString))
+      val got = graft.streaming.IngestStream.runConstraintsToBatch(
+          spark, staged.toString, cs,
+          graft.streaming.EventsStream.eventsFileSchema,
+          maxFilesPerTrigger = Some(1))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally graft.core.Fs.deleteRecursively(staged.toFile)
+  }
+
   test("streaming windowed agg equals batch twin") {
     // catalog queries render the decimal sum as its exact string; the
     // raw stream still carries DECIMAL(38,6) — compare via toString
