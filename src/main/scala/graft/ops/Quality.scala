@@ -25,12 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** Words = tokens split on the two separators multiline corpus text
-    * uses (single space within a line, single newline between lines).
-    * Both separators are single characters, so
-    * `length(text) − (n_words − 1)` is exactly the character mass of
-    * the words — the mean-word-length rule needs no second pass. */
-  def words(text: Column): Column = split(text, "[ \n]")
+  /** Words = tokens split on RUNS of separators (spaces and
+    * newlines), with empty tokens dropped. Real-world text carries
+    * paragraph breaks ('\n\n'), consecutive spaces, and leading or
+    * trailing separators; splitting on single characters would emit
+    * empty-string "words" that inflate word counts and deflate every
+    * per-word ratio downstream (the round-12 advisor's finding).
+    * The filter also covers the leading-empty Java `split` keeps when
+    * the text starts with a separator. */
+  def words(text: Column): Column =
+    filter(split(text, "[ \n]+"), w => length(w) > lit(0))
 
   def lines(text: Column): Column = split(text, "\n")
 
@@ -46,7 +50,7 @@ object Quality {
     * Rules (doc kept iff ALL hold):
     *  - word count in [minWords, maxWords]
     *  - mean word length in [3, 10] characters
-    *  - symbol-to-word ratio ('#' or '…' as '...') ≤ 0.1
+    *  - symbol-to-word ratio ('#', '...' or the one-char '…') ≤ 0.1
     *  - ≤ 90% of lines start with a bullet ('- ' or '* ')
     *  - ≤ 30% of lines end with an ellipsis
     *  - ≥ 80% of words contain at least one alphabetic character
@@ -67,10 +71,17 @@ object Quality {
     GopherFeats(
       nWordsG = nWords,
       nLinesG = nLines,
-      meanWordLen = (length(t) - (nWords - lit(1))).cast("double") /
+      // character mass of the words themselves — summed per word, so
+      // separator runs contribute nothing (length(t) − (n−1) would
+      // over-count under '\n\n' or double spaces)
+      meanWordLen = aggregate(ws, lit(0L),
+        (acc, w) => acc + length(w).cast("long")).cast("double") /
         nWords.cast("double"),
+      // '#', the three-dot ellipsis spelling, AND the single Unicode
+      // ellipsis U+2026 — real web text uses '…' and the Gopher rule
+      // intends to count it
       symbolRatio =
-        size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+        size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0)))
           .cast("double") / nWords.cast("double"),
       bulletRatio = size(filter(ls, l =>
         l.startsWith("- ") || l.startsWith("* "))).cast("double") /

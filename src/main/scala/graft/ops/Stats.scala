@@ -310,8 +310,12 @@ object Stats {
     * null/NaN scores dropped (no order position). */
   def quantileBuckets(df: DataFrame, idCol: String, score: Column,
       nBuckets: Int = 10, bits: Int = 10): DataFrame = {
-    require(nBuckets >= 2 && nBuckets <= 1000 && 1000 % nBuckets == 0,
-      s"nBuckets must divide 1000 and lie in [2, 1000], got $nBuckets")
+    // bucket edges round to the nearest permille below (integer
+    // division, the quantileBucketsBy spelling) — so ANY nBuckets in
+    // [2, 1000] works, including the canonical CCNet head/middle/tail
+    // tiers=3; non-divisors just get boundaries within 1‰ of ideal
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets must lie in [2, 1000], got $nBuckets")
     val permilles = (1 to nBuckets).map(_ * 1000 / nBuckets)
     val edges = binnedQuantiles(df, score, permilles, bits)
       .orderBy(col("permille"))

@@ -98,17 +98,18 @@ object QualityQueries extends QueryGroup {
     val stops = Quality.GopherStops.map(w => s"'$w'").mkString(", ")
     s"""gfeats AS (
           SELECT doc_id, mtext,
-            string_split_regex(mtext, '[ \n]') AS wsm,
+            list_filter(string_split_regex(mtext, '[ \n]+'),
+              w -> length(w) > 0) AS wsm,
             string_split(mtext, chr(10)) AS lsm
           FROM ml),
         gf2 AS (
           SELECT doc_id,
             CAST(len(wsm) AS BIGINT) AS n_words_g,
             CAST(len(lsm) AS BIGINT) AS n_lines_g,
-            CAST(length(mtext) - (len(wsm) - 1) AS DOUBLE) / len(wsm)
-              AS mean_word_len,
-            CAST(len(regexp_extract_all(mtext, '#|\\.\\.\\.')) AS DOUBLE)
-              / len(wsm) AS symbol_ratio,
+            CAST(list_sum(list_transform(wsm, w -> length(w)))
+              AS DOUBLE) / len(wsm) AS mean_word_len,
+            CAST(len(regexp_extract_all(mtext, '#|\\.\\.\\.|…'))
+              AS DOUBLE) / len(wsm) AS symbol_ratio,
             CAST(len(list_filter(lsm,
               l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lsm)
               AS bullet_ratio,
@@ -238,9 +239,9 @@ object QualityQueries extends QueryGroup {
     q("q_wordlist_flag", "quality", {
       val bl = Seq("spark", "vector").map(w => s"'$w'").mkString(", ")
       s"""SELECT doc_id,
-            len(list_filter(string_split_regex(mtext, '[ \n]'),
+            len(list_filter(string_split_regex(mtext, '[ \n]+'),
               w -> w IN ($bl))) > 0 AS flagged,
-            NOT (len(list_filter(string_split_regex(mtext, '[ \n]'),
+            NOT (len(list_filter(string_split_regex(mtext, '[ \n]+'),
               w -> w IN ($bl))) > 0) AS keep
           FROM (SELECT doc_id, $synthSql AS mtext
                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
@@ -337,7 +338,8 @@ object QualityQueries extends QueryGroup {
             WHERE g.keep AND len(c.kept) >= 3),
           toks AS (
             SELECT doc_id,
-              CAST(len(string_split_regex(text_c4, '[ \n]')) AS BIGINT)
+              CAST(len(list_filter(string_split_regex(text_c4,
+                '[ \n]+'), w -> length(w) > 0)) AS BIGINT)
                 AS t
             FROM surv)
           SELECT doc_id, t AS tokens,

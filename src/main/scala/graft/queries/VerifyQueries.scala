@@ -50,7 +50,8 @@ object VerifyQueries extends QueryGroup {
       """WITH a AS (
            SELECT
              sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v0,
-             count(*) - count(DISTINCT event_id) AS v1,
+             sum(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END)
+               - count(DISTINCT event_id) AS v1,
              sum(CASE WHEN value IS NOT NULL
                        AND (value < 0 OR value > 50) THEN 1 ELSE 0 END)
                AS v2,

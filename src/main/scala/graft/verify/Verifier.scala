@@ -64,8 +64,9 @@ object Verifier {
     * constraints run in ONE pass over the table (a single
     * partial-agg'd aggregate row, exploded into the report), and a
     * constraint passes iff its violation count is 0. Nulls violate
-    * NotNull but never InRange/OneOf — those judge only present
-    * values, so the two families compose instead of double-counting. */
+    * NotNull but never InRange/OneOf/Unique — those judge only
+    * present values (Unique counts duplicates among fully-non-null
+    * keys), so the families compose instead of double-counting. */
   sealed trait Constraint { def name: String }
   final case class NotNull(c: String) extends Constraint {
     def name = s"not_null($c)"
@@ -110,7 +111,14 @@ object Verifier {
         case NotNull(col0) =>
           sum(when(col(col0).isNull, 1L).otherwise(0L))
         case Unique(cols0) =>
-          count(lit(1)) -
+          // count only rows with a fully non-null key: countDistinct
+          // ignores any-NULL-key rows, so counting them on the left
+          // would charge every NULL-keyed row as a uniqueness
+          // violation even with no duplicate present. NULL keys are
+          // NotNull's jurisdiction — the two constraints compose
+          // without double-charging (the round-12 advisor's finding)
+          sum(when(cols0.map(c => col(c).isNotNull).reduce(_ && _),
+            1L).otherwise(0L)) -
             countDistinct(col(cols0.head), cols0.tail.map(col): _*)
         case InRange(col0, lo, hi) =>
           sum(when(col(col0).isNotNull &&

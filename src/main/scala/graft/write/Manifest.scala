@@ -54,8 +54,14 @@ object Manifest {
       ranges: Map[String, (Long, Long)]): (DataFrame, Int, Int) = {
     require(ranges.nonEmpty, "ranges must be non-empty")
     val m = read(spark, path)
+    // A file whose indexed column is all-NULL has NULL min/max stats,
+    // making the interval test NULL. Such files are CONSERVATIVELY
+    // READ (coalesce → true), never silently dropped: the superset
+    // contract must hold for ANY caller row filter, including ones
+    // that keep NULL rows ("c IS NULL OR …"). Explicit, not left to
+    // Row.getBoolean's null-unboxing.
     val keep = ranges.map { case (c, (lo, hi)) =>
-      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+      coalesce(col(s"min_$c") <= hi && col(s"max_$c") >= lo, lit(true))
     }.reduce(_ && _)
     // bounded collect: one row per FILE of one table
     val all = m.select(col("file"), keep.as("k")).collect()

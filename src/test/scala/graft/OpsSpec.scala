@@ -1325,6 +1325,24 @@ class VerifierSpec extends AnyFunSuite {
     assert(clean.forall(_.getBoolean(2)))
   }
 
+  test("Unique judges only fully-non-null keys: a NULL-keyed row is " +
+      "NotNull's violation, not a uniqueness violation") {
+    import spark.implicits._
+    import graft.verify.Verifier._
+    // one real duplicate (id 1 twice) + two NULL-keyed rows
+    val df = Seq(Option(1L), Option(1L), None, None, Option(2L))
+      .toDF("id")
+    val got = constraintReport(df, Seq(Unique(Seq("id")), NotNull("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("unique(id)") === 1L)   // NOT 3: nulls don't charge
+    assert(got("not_null(id)") === 2L) // nulls charged exactly once
+    // a lone NULL-keyed row with no duplicates passes Unique
+    val lone = constraintReport(
+      Seq(Option(1L), None).toDF("id"), Seq(Unique(Seq("id"))))
+      .collect().head
+    assert(lone.getLong(1) === 0L && lone.getBoolean(2))
+  }
+
   test("all five reference invariants hold on fixtures") {
     val li = Tables.df(spark, sf, "lineitem")
     val o = Tables.df(spark, sf, "orders")
@@ -1965,6 +1983,22 @@ class StatsSpec extends AnyFunSuite {
         nBuckets = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(tb.filter(_._1 < 900).values.toSet.size == 1)
+  }
+
+  test("quantileBuckets accepts non-divisor nBuckets (CCNet " +
+      "head/middle/tail tiers=3): near-equal mass, monotone") {
+    import spark.implicits._
+    val df = (0 until 999).map(i => (i.toLong, i * 0.001))
+      .toDF("doc_id", "s")
+    val got = graft.ops.Stats.quantileBuckets(df, "doc_id", col("s"),
+        nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (1L to 3L).toSet, s"buckets ${sizes.keySet}")
+    sizes.values.foreach(n =>
+      assert(n >= 300 && n <= 366, s"tier sizes $sizes"))
+    val byScore = got.toSeq.sortBy(_._1).map(_._2)
+    assert(byScore == byScore.sorted)
   }
 
   test("per-group quantile buckets: each group tiered against its OWN " +

@@ -42,6 +42,18 @@ class OrderingSpec extends AnyFunSuite {
     }, s"tier means not ascending: $meansByTier")
   }
 
+  test("curriculumOrder runs at tiers=3 (the canonical CCNet " +
+      "head/middle/tail split — a non-divisor of 1000)") {
+    val docs = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val out = Sampling.curriculumOrder(docs, "doc_id",
+      col("n_chars").cast("double"), tiers = 3, shards = 4).collect()
+    assert(out.length === docs.count())
+    assert(out.map(_.getAs[Long]("tier")).toSet === Set(1L, 2L, 3L))
+    val pos = out.map(_.getAs[Long]("curriculum_pos"))
+    assert(pos.distinct.length === pos.length)
+  }
+
   test("skewReport: counts, exact ppm shares, deterministic top-k") {
     import spark.implicits._
     val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L))

@@ -29,6 +29,33 @@ class QualitySpec extends AnyFunSuite {
     assert(!out.getAs[Boolean]("keep"))
   }
 
+  test("words/gopherRules robust to separator RUNS: blank lines, " +
+      "double spaces, leading/trailing whitespace add no empty words") {
+    // 7 real words behind a leading space, a paragraph break, double
+    // spaces, and a trailing newline — the round-12 advisor's case
+    val doc = " the cat  sat\n\nand the  dog ran\n"
+    val out = Quality.gopherRules(
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 1, minStopHits = 1).collect().head
+    assert(out.getAs[Long]("n_words_g") === 7L)
+    // mean word length from the words' own char mass, not
+    // length-minus-separators: 7 three-char words
+    assert(out.getAs[Double]("mean_word_len") === 3.0)
+    assert(out.getAs[Double]("alpha_ratio") === 1.0)
+    assert(out.getAs[Long]("n_stop_distinct") === 2L) // 'the', 'and'
+    assert(out.getAs[Boolean]("keep"))
+  }
+
+  test("symbolRatio counts the one-char Unicode ellipsis U+2026") {
+    val doc = "one two three… four # five"
+    val out = Quality.gopherRules(
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 1, minStopHits = 0).collect().head
+    assert(out.getAs[Long]("n_words_g") === 6L)
+    // '…' and '#' both count: 2 symbols / 6 words
+    assert(math.abs(out.getAs[Double]("symbol_ratio") - 2.0 / 6) < 1e-12)
+  }
+
   test("c4LineFilter keeps terminal-punct >=minWords lines, in order") {
     val doc = Seq(
       "one two three four five.",  // kept

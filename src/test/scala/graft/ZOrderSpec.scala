@@ -93,6 +93,26 @@ class ZOrderSpec extends AnyFunSuite {
     assert(r0 === 0 && none.count() === 0)
   }
 
+  test("prunedRead conservatively READS files whose indexed column is " +
+      "all-NULL (NULL min/max stats never silently prune)") {
+    import graft.write.Manifest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullstats")
+    val p = s"$dir/t"
+    // file A: real stats in [0, 9]; file B: all-NULL indexed column
+    Seq.tabulate(10)(i => (Option(i.toLong), s"a$i")).toDF("u", "s")
+      .coalesce(1).write.parquet(p)
+    Seq.tabulate(5)(i => (None: Option[Long], s"b$i")).toDF("u", "s")
+      .coalesce(1).write.mode("append").parquet(p)
+    Manifest.build(spark, p, Seq("u"))
+    // range misses file A's [0,9] → A pruned; B (NULL stats) must
+    // still be read so "u IS NULL OR …" row filters stay correct
+    val (df, read, total) = Manifest.prunedRead(spark, p,
+      Map("u" -> ((100L, 200L))))
+    assert(total === 2 && read === 1)
+    assert(df.filter(col("u").isNull).count() === 5L)
+  }
+
   test("the SQL twin replays the Spark key bit-for-bit") {
     // differential inside one engine: evaluate the generated SQL text
     // with Spark's own SQL parser (operator syntax is shared) — the
