@@ -22,6 +22,15 @@ trait QueryGroup {
   protected def q(name: String, section: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(oracle.trim), section)
+
+  /** Temp warehouse dir, reclaimed at JVM exit (the returned frames
+    * read it lazily, so it can't be deleted any earlier). */
+  protected def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.core.Fs.deleteRecursively(d)))
+    d.toString
+  }
 }
 
 object Catalog {

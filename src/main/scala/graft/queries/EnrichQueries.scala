@@ -5,6 +5,7 @@ import org.apache.spark.sql.types.LongType
 import graft.core.Tables
 import graft.enrich.Enrich
 import graft.sources.EvmFixtures
+import graft.write.PartitionedWriter
 
 /** The nine reference enrich operators (SURVEY §2.1-2.3, §2.6-2.7) run on
   * EVM-shaped fixtures derived from the testdata; each DuckDB oracle
@@ -238,6 +239,55 @@ object EnrichQueries extends QueryGroup {
       val existing =
         EvmFixtures.tokensStaged(part.filter(col("p_partkey") % 3 === 0))
       Enrich.tokensIncremental(staged, existing)
+    },
+
+    // the prices enrich projection itself (`evm_load_template.py:
+    // 246-257`): staged 6-column day table → the 5 price columns, the
+    // staging dt dropped. r12 verdict gap #3: this leg rode only on
+    // PipelineSpec + the fan-out oracle before; now it has its own
+    // hash row like the other eight resources
+    q("q_enrich_prices", "enrich",
+      """SELECT strftime(date_trunc('minute', ts),
+              '%Y-%m-%d %H:%M:%S') AS minute,
+            (event_id % 500) / 4.0 AS price,
+            user_id % 18 AS decimals,
+            '0xk' || user_id AS contract_address,
+            'SYM' || (event_id % 50) AS symbol
+          FROM events""") { (spark, dir) =>
+      Enrich.prices(EvmFixtures.pricesStaged(Tables.df(spark, dir, "events")))
+        .withColumn("minute", date_format(col("minute"), fmtTs))
+    },
+
+    // the tokens APPEND leg (`evm_load_template.py:281-297`, S5): the
+    // incremental selection feeding the real append sink, twice — the
+    // second replay selects nothing against the now-complete table, so
+    // the final warehouse state proves both the projection and the
+    // append idempotence contract. Oracle = the full staged set
+    // (existing ∪ newly-appended = every token, each exactly once)
+    q("q_enrich_tokens_append", "enrich",
+      """SELECT '0xk' || p_partkey AS address,
+            p_brand AS symbol, p_name AS name,
+            CAST(p_size % 19 AS VARCHAR) AS decimals,
+            CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR)
+              AS total_supply
+          FROM part""") { (spark, dir) =>
+      val part = Tables.df(spark, dir, "part")
+      val cols = Seq("address", "symbol", "name", "decimals",
+        "total_supply")
+      val staged = EvmFixtures.tokensStaged(part)
+      val out = tmpDir("graft_tokens")
+      // day 0: the pre-existing tokens table (every third token)
+      PartitionedWriter.append(
+        EvmFixtures.tokensStaged(part.filter(col("p_partkey") % 3 === 0))
+          .select(cols.map(col): _*), out)
+      // day 1: append only the genuinely new addresses
+      PartitionedWriter.append(
+        Enrich.tokensIncremental(staged, spark.read.parquet(out)), out)
+      // day 1 re-run: EXCEPT against the complete table selects
+      // nothing — the reference's INSERT INTO stays idempotent
+      PartitionedWriter.append(
+        Enrich.tokensIncremental(staged, spark.read.parquet(out)), out)
+      spark.read.parquet(out)
     },
 
     q("q_prices_fanout", "enrich",

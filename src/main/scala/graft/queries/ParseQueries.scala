@@ -24,15 +24,6 @@ object ParseQueries extends QueryGroup {
   private def pad64(c: org.apache.spark.sql.Column) =
     concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
 
-  /** Temp warehouse dir, reclaimed at JVM exit (the returned frames
-    * read it lazily, so it can't be deleted any earlier). */
-  private def tmpDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.core.Fs.deleteRecursively(d)))
-    d.toString
-  }
-
   val queries: Seq[Q] = Seq(
     q("q_parse_corpus_slice", "parse",
       """WITH li AS (

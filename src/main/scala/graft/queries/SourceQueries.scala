@@ -13,21 +13,6 @@ import graft.write.PartitionedWriter
   */
 object SourceQueries extends QueryGroup {
 
-  private def tmpDir(prefix: String): String = {
-    val d = Files.createTempDirectory(prefix)
-    // the returned DataFrame reads this dir lazily, so it can only be
-    // reclaimed at JVM exit — register a recursive delete so repeated
-    // verify/bench runs don't accumulate roundtrip dirs under /tmp
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(d.toFile)
-    }))
-    d.toString
-  }
-
   val queries: Seq[Q] = Seq(
     q("q_source_json_roundtrip", "source",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (spark, dir) =>

@@ -178,6 +178,22 @@ object EvmFixtures {
         .as("total_supply"),
       col("p_partkey").as("block_number"))
 
+  /** Staged minute-price table from events (the prices enrich input,
+    * `evm_load_template.py:246-257`): the five price columns plus the
+    * staging `dt` the enrich projection must drop. Prices are
+    * quarter-step doubles (exact binary fractions), so the
+    * pass-through projection stringifies identically cross-engine. */
+  def pricesStaged(events: DataFrame): DataFrame =
+    events.select(
+      date_trunc("minute", col("ts")).as("minute"),
+      ((col("event_id") % 500).cast("double") / 4.0).as("price"),
+      (col("user_id") % 18).as("decimals"),
+      concat(lit("0xk"), col("user_id").cast("string"))
+        .as("contract_address"),
+      concat(lit("SYM"), (col("event_id") % 50).cast("string"))
+        .as("symbol"),
+      to_date(col("ts")).as("dt"))
+
   /** raw contracts from orders (1:1 with blocks so J1 always hits). */
   def contracts(orders: DataFrame): DataFrame =
     orders.select(
