@@ -107,19 +107,46 @@ object Multimodal {
   def wavPayload(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] =
     wavPayload(sampleRate, channels, nFrames, 0)
 
-  /** `seed` offsets the deterministic ramp (pcm byte i = (i·31 + 7 +
-    * seed) & 0xff) so distinct fixture ids carry distinct CONTENT, not
-    * just distinct length — the audio-fingerprint corpus needs hashes
-    * that vary with the waveform. seed = 0 is the original payload. */
+  /** `seed` selects the waveform, so distinct fixture ids carry
+    * distinct CONTENT, not just distinct length. The waveform has the
+    * macro-structure real audio has (and the byte-ramp it replaces did
+    * not): a per-16-sample-block, per-polyphase-band gain envelope
+    * drawn from the repo's validated 3-round multiply-mod-p +
+    * xorshift mixer (the image fixture's pixelGray recipe — a single
+    * Lehmer round is LINEAR across seeds: the first cut here entered
+    * the seed additively and seeds 94 apart collided to within the
+    * near-dup threshold), modulating a seeded carrier. Interleaved
+    * sample j, block k = j/16, band b = j%2:
+    *
+    *   t(j)   = (31·j + 7 + 17·seed) mod 64 + 224          (carrier)
+    *   u1     = ((seed·128 + k·2 + b) mod (2³¹−2) + 1)·48271 mod (2³¹−1)
+    *   u3     = (xor(u1, u1/2¹⁵)·69621) mod (2³¹−1)
+    *   env    = xor(u3, u3/2¹³) mod 2
+    *   s(j)   = t(j) · (if env = 1 then 96 else 6)
+    *
+    * so adjacent 16-sample blocks carry loud (≈24k peak) or quiet
+    * (≈1.6k peak) energy per band — the structure
+    * [[audioFingerprint]]'s band-delta bits measure. All arithmetic
+    * fits BIGINT, so a DuckDB oracle rebuilds every sample exactly.
+    * seed = 0 is the original payload. */
   def wavPayload(sampleRate: Int, channels: Int, nFrames: Int,
       seed: Int): Array[Byte] = {
     import javax.sound.sampled._
     val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
       /* signed = */ true, /* bigEndian = */ false)
-    val pcm = new Array[Byte](nFrames * channels * 2)
-    var i = 0
-    while (i < pcm.length) {
-      pcm(i) = ((i * 31 + 7 + seed) & 0xff).toByte; i += 1
+    val ns = nFrames * channels
+    val pcm = new Array[Byte](ns * 2)
+    var j = 0
+    while (j < ns) {
+      val t = (31L * j + 7 + 17L * seed) % 64 + 224
+      val key = 128L * seed + 2L * (j / 16) + j % 2
+      val u1 = (key % 2147483646L + 1L) * 48271L % 2147483647L
+      val u3 = (u1 ^ (u1 / 32768L)) * 69621L % 2147483647L
+      val env = (u3 ^ (u3 / 8192L)) % 2
+      val s = (t * (if (env == 1) 96 else 6)).toInt
+      pcm(2 * j) = (s & 0xff).toByte
+      pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
     }
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
@@ -130,17 +157,33 @@ object Multimodal {
 
   /** 64-bit audio perceptual fingerprint over the REAL WAV decode path
     * — chromaprint-SHAPED (the public Chromaprint/AcoustID recipe:
-    * decode → time × band energy grid → per-cell threshold → compact
-    * bit signature → banded candidate join), with the FFT filterbank
-    * replaced by an integer polyphase-component energy grid so every
-    * step replays exactly in BIGINT SQL (the q_knn_int8 exactness
-    * stance; a float FFT would be engine-rounding-dependent). Grid:
-    * 8 time slices (sample j → slice j·8/N, the aHash block mapping)
-    * × 8 polyphase components (j mod 8 — the energy split a real
-    * filterbank refines); cell value = mean |sample| (integer
-    * division), bit set iff the cell EXCEEDS the integer mean of the
-    * 64 cells. Interleaved multi-channel streams are fingerprinted
-    * as-is (channel order is deterministic in PCM).
+    * decode → time × band energy image → derivative-style filters →
+    * compact bit signature → banded candidate join), with the FFT
+    * filterbank replaced by a polyphase band split so every step
+    * replays exactly in BIGINT SQL (the q_knn_int8 exactness stance;
+    * a float FFT would be engine-rounding-dependent).
+    *
+    * Shape (the round-12 verdict's demanded upgrade from the
+    * whole-file energy grid, whose global-mean thresholds fused the
+    * corpus at any useful Hamming threshold):
+    *  - frames are ABSOLUTE 16-sample windows (k = j/16), not
+    *    file-relative slices — an append/trim edit leaves every
+    *    interior frame's samples bit-identical instead of shifting
+    *    all 8 slice boundaries;
+    *  - only COMPLETE frames are fingerprinted (the sub-frame tail is
+    *    below the signature's temporal resolution), capped at 33
+    *    frames, so a one-frame-longer re-encode flips bits only when
+    *    the tail happens to complete a new frame — structurally ≤ 2
+    *    bits (one per band), most edits flip 0;
+    *  - 2 polyphase bands (j mod 2 — channels when stereo, the
+    *    even/odd energy split a real filterbank refines);
+    *  - bit (k−1)·2+b, k ∈ [1, 32], is a per-frame band DELTA:
+    *    set iff band-b energy of frame k exceeds band-b energy of
+    *    frame k−1 (Σ|s| over the 8 samples each; equal counts, so
+    *    comparing sums ≡ comparing means with no division). Adjacent
+    *    frame comparisons have no global reference value, so there is
+    *    no corpus-wide threshold for a whole corpus to straddle —
+    *    the failure mode of the r12 signature.
     *
     * Decode is the real javax.sound.sampled parse of the payload
     * bytes — a wrong header parse, wrong endianness, or wrong frame
@@ -164,29 +207,30 @@ object Multimodal {
           val n = bytes.length / 2
           if (n == 0) None
           else {
-            val sums = new Array[Long](64)
-            val cnts = new Array[Long](64)
+            val frames = math.min(n / 16, 33)
+            val cells = Array.ofDim[Long](math.max(frames, 1), 2)
+            val lim = frames * 16
             var j = 0
-            while (j < n) {
+            while (j < lim) {
               val v = (bytes(2 * j + 1).toInt << 8) |
                 (bytes(2 * j).toInt & 0xff)
-              val t = (j.toLong * 8 / n).toInt
-              val idx = t * 8 + (j % 8)
-              sums(idx) += math.abs(v.toLong)
-              cnts(idx) += 1
+              cells(j >> 4)(j & 1) += math.abs(v.toLong)
               j += 1
             }
-            val cell = Array.tabulate(64)(i =>
-              if (cnts(i) == 0) 0L else sums(i) / cnts(i))
-            val mean = cell.sum / 64
             var hi = 0L
             var lo = 0L
-            var i = 0
-            while (i < 64) {
-              if (cell(i) > mean) {
-                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            var k = 1
+            while (k < frames) {
+              var b = 0
+              while (b < 2) {
+                if (cells(k)(b) > cells(k - 1)(b)) {
+                  val idx = (k - 1) * 2 + b
+                  if (idx < 32) lo |= 1L << idx
+                  else hi |= 1L << (idx - 32)
+                }
+                b += 1
               }
-              i += 1
+              k += 1
             }
             Some((hi, lo))
           }

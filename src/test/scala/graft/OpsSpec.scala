@@ -1668,6 +1668,43 @@ class MultimodalSpec extends AnyFunSuite {
       "not audio at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("audio delta fingerprint holds the ≤3 near-dup threshold with " +
+      "margin: EVERY one-frame edit flips ≤2 bits, NO distinct pair " +
+      "comes near it") {
+    import graft.ops.Multimodal
+    // the catalog corpus' payload recipe (full-id seed, ≥300 frames)
+    def payload(id: Long, extra: Int): Array[Byte] =
+      Multimodal.wavPayload(8000 + (id % 4).toInt * 4000,
+        1 + (id % 2).toInt, 300 + (id % 400).toInt + extra, id.toInt)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val ids = 0L until 120L
+    val base = ids.map(id =>
+      id -> Multimodal.audioFingerprint(payload(id, 0)).get).toMap
+    // one-frame edits: absolute complete-frame cells make the flip
+    // budget STRUCTURAL (≤1 newly-completed frame × 2 bands), not
+    // corpus luck — asserted for every id, not just the catalog's
+    // %10==5 slice
+    ids.foreach { id =>
+      val e = Multimodal.audioFingerprint(payload(id, 1)).get
+      val d = ham(base(id), e)
+      assert(d <= 2, s"one-frame edit of id=$id flipped $d bits")
+    }
+    // distinct docs: every cross pair far outside the threshold (the
+    // r12 signature fused 578/650 ids at this threshold)
+    val dists = for {
+      a <- ids; b <- ids if a < b
+    } yield ham(base(a), base(b))
+    assert(dists.min > 3,
+      s"distinct docs within near-dup threshold: min=${dists.min}")
+    // ...and not marginally: the typical pair sits ~half the defined
+    // delta bits apart
+    val sorted = dists.sorted
+    assert(sorted(sorted.length / 2) >= 10,
+      s"median distinct-pair distance ${sorted(sorted.length / 2)}")
+  }
+
   test("audio near-dup banding: exact re-encodes pair at Hamming 0 " +
       "through the banded join") {
     import spark.implicits._
