@@ -683,8 +683,14 @@ object TextQueries extends QueryGroup {
                  WHERE cum_tokens <= 15000)
          SELECT doc_id, bin, t AS tokens
          FROM b CROSS JOIN cut WHERE bin >= cut_bin""") { (spark, dir) =>
+      // checkpoint the shared feature frame (the curate-v5 multi-
+      // consumer discipline): scoreBins AND thresholdSweep both
+      // consume it — un-materialized, the full qualityFeatures
+      // subtree (tokenize + ratio arithmetic over every doc) executes
+      // twice, once per consumer (the r12 verdict's nit)
       val feat = TextAnalysis.qualityFeatures(
-        Tables.df(spark, dir, "documents"), col("text"))
+          Tables.df(spark, dir, "documents"), col("text"))
+        .localCheckpoint()
       val bins = graft.ops.Stats.scoreBins(feat, col("stop_ratio"),
         col("n_words"), 10)
       val cut = graft.ops.Stats.thresholdSweep(feat, col("stop_ratio"),
