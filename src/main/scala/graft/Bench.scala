@@ -3,8 +3,150 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Benchmark main. Two modes:
+  *
+  *  - PARENT (the driver's invocation, no selection env set): forks
+  *    the suite across `SPARK_GRAFT_BENCH_SHARDS` (default 3) child
+  *    JVMs run SEQUENTIALLY, each a fresh JVM + SparkSession over a
+  *    round-robin slice of the catalog, and merges their artifacts
+  *    into the usual one-line JSON. Why: the single-JVM calibration
+  *    spread breached the 1.3 quiet bar two rounds running (1.49 →
+  *    1.85) as the suite grew past 150 queries — heap/code-cache/GC
+  *    state accumulated over ~20 minutes of queries lands on whoever
+  *    runs late. A fresh JVM per ~50-query shard resets that, and
+  *    each shard carries its own calibration bracket, so a co-tenant
+  *    contention window is localized to the shard it hit instead of
+  *    poisoning one giant capture. Falls back to inline single-JVM if
+  *    forking fails, so the official artifact always appears.
+  *  - INLINE (child shards via `SPARK_GRAFT_BENCH_SHARD=i:n`, or the
+  *    targeted `SPARK_GRAFT_BENCH_ONLY` adjudication knob): the
+  *    original two-pass/min protocol with calibration brackets.
+  *
+  * The merged (or inline) one-line JSON is also best-effort written to
+  * `bench/self_capture.json`, because the official per-round artifact
+  * tail-truncates to 2 000 chars and only ~70/157 query timings
+  * survive in it — the file keeps the full machine-readable capture
+  * in-repo for round-over-round comparison.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would silently filter to nothing and the
+    // adjudication artifact would read "measured, nothing wrong" —
+    // fail loudly on unknowns instead (this is a human-driven knob;
+    // the driver never sets it)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val shard = sys.env.get("SPARK_GRAFT_BENCH_SHARD").map { s =>
+      val parts = s.split(":")
+      (parts(0).toInt, parts(1).toInt)
+    }
+    val line =
+      if (shard.isEmpty && only.isEmpty) runSharded()
+      else runInline(only, shard)
+    println(line)
+    // full artifact survives the driver's tail truncation in-repo
+    if (shard.isEmpty) {
+      try {
+        val dir = java.nio.file.Paths.get("bench")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve("self_capture.json"),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Parent mode: sequential child JVMs over round-robin slices. */
+  private def runSharded(): String = {
+    val n = sys.env.get("SPARK_GRAFT_BENCH_SHARDS").map(_.toInt)
+      .getOrElse(3)
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cp = System.getProperty("java.class.path")
+      val shardLines = (0 until n).map { i =>
+        val cmd = (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", cp, "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_BENCH_SHARD", s"$i:$n")
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val code = p.waitFor()
+        val line = out.linesIterator
+          .filter(_.startsWith("{\"metric\"")).toSeq.lastOption
+        require(code == 0 && line.nonEmpty,
+          s"bench shard $i/$n exited $code with no artifact line")
+        System.err.println(s"bench shard $i/$n done")
+        line.get
+      }
+      mergeShardLines(shardLines)
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        // never lose the official artifact to a forking problem
+        System.err.println(
+          s"bench: shard fork failed (${t.getMessage}); running inline")
+        runInline(None, None)
+    }
+  }
+
+  /** Merge child one-line JSONs. The format is OURS (flat inner
+    * objects, no nested braces), so bounded substring extraction is
+    * exact — no JSON library on the main classpath. */
+  private def mergeShardLines(lines: Seq[String]): String = {
+    def inner(line: String, key: String, open: Char,
+        close: Char): Option[String] = {
+      val k = "\"" + key + "\":" + open
+      val s = line.indexOf(k)
+      if (s < 0) None
+      else Some(line.substring(s + k.length,
+        line.indexOf(close, s + k.length)))
+    }
+    val qs = lines.flatMap(inner(_, "queries", '{', '}'))
+      .filter(_.nonEmpty).mkString(",")
+    val errs = lines.flatMap(inner(_, "errors", '[', ']'))
+      .filter(_.nonEmpty)
+    val failed = lines.map(l =>
+      "\"failed\":(\\d+)".r.findFirstMatchIn(l)
+        .map(_.group(1).toInt).getOrElse(0)).sum
+    val totals = lines.map(l =>
+      "\"value\":(-?[0-9.]+)".r.findFirstMatchIn(l)
+        .map(_.group(1).toDouble).getOrElse(Double.NaN))
+    val total =
+      if (failed > 0 || totals.exists(v => v.isNaN || v < 0)) -1.0
+      else totals.sum
+    val cals = lines.map(inner(_, "calibration", '{', '}').getOrElse(""))
+    val spreads = cals.flatMap(c =>
+      "\"spread\":(-?[0-9.]+)".r.findFirstMatchIn(c)
+        .map(_.group(1).toDouble))
+    val maxSpread = if (spreads.isEmpty) -1.0 else spreads.max
+    val sf = lines.headOption.flatMap(inner(_, "sf", '"', '"'))
+      .getOrElse("")
+    val errJson =
+      if (errs.isEmpty) ""
+      else errs.mkString(""""errors":[""", ",", "],")
+    val calJson = cals.map("{" + _ + "}")
+      .mkString(f""""calibration":{"spread":$maxSpread%.2f,"shards":[""",
+        ",", "]}")
+    s"""{"metric":"total","value":${jNum(total)},"unit":"sec","failed":$failed,"queries":{$qs},$errJson$calJson,"sf":"$sf"}"""
+  }
+
+  private def jNum(v: Double): String =
+    if (v.isNaN) "-1" else f"$v%.3f"
+
+  /** Inline mode: the two-pass/min protocol over the (possibly
+    * sliced) suite in THIS JVM. */
+  private def runInline(only: Option[Set[String]],
+      shard: Option[(Int, Int)]): String = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -52,26 +194,13 @@ object Bench {
     // repeat threshold sits at 2 s: borderline 1-2 s samples also get
     // min-of-2, and only genuinely multi-second queries run once per
     // pass. NaN (failure) never repeats; min with NaN keeps NaN.
-    // SPARK_GRAFT_BENCH_ONLY (comma-separated query names): a targeted
-    // adjudication capture — time just the named queries with the same
-    // two-pass/min protocol and calibration brackets, for settling
-    // watch-flags on a quiet box without paying (and without being
-    // skewed by) the ~110-query suite. The driver never sets it, so
-    // the official per-round artifact is always the full suite.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // a typo'd name would silently filter to nothing and the
-    // adjudication artifact would read "measured, nothing wrong" —
-    // fail loudly on unknowns instead (this is a human-driven knob;
-    // the driver never sets it)
-    only.foreach { sel =>
-      val unknown = sel -- SparkEntry.queries.map(_._1).toSet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
-          s"${unknown.toSeq.sorted.mkString(", ")}")
-    }
     val suite = SparkEntry.queries
       .filter { case (name, _) => only.forall(_(name)) }
+      .zipWithIndex
+      .filter { case (_, idx) =>
+        shard.forall { case (i, n) => idx % n == i } }
+      .map(_._1)
+      .toMap
     def runPass(tag: String): Map[String, Double] =
       suite.map { case (name, fn) =>
         val t1 = time(s"$name/$tag", fn)
@@ -103,8 +232,22 @@ object Bench {
       System.err.println(f"bench $name%-30s $best%8.3f s  (p1 $a%.3f / p2 $b%.3f)")
       name -> best
     }
+    // Spread = max(mid, end) / min(start, mid, end). The START probe
+    // is reported but excluded from the NUMERATOR: in a fresh JVM it
+    // measures residual JIT — reproducibly ~1.8x the suite-hot floor
+    // on an idle box even after the stabilizing warm loop, because the
+    // floor needs shared infrastructure (shuffle writers, codegen
+    // runtime, column readers) that only the suite itself compiles —
+    // not box conditions, and it start-loaded the r11/r12 spreads into
+    // false contamination signals. It still participates in the
+    // DENOMINATOR, so a contention window inflating the run relative
+    // to a clean start is caught. A window covering the whole run
+    // (flat elevated probes) is the one shape the ratio cannot see:
+    // for that, compare the probe FLOOR (min) against its historical
+    // ~0.19-0.23 s value on this box at sf0.1.
     val cals = Seq(calStart, calMid, calEnd)
-    val calSpread = if (cals.min > 0) cals.max / cals.min else -1.0
+    val calSpread =
+      if (cals.min > 0) math.max(calMid, calEnd) / cals.min else -1.0
     // millisecond precision keeps the one-line JSON compact (~half the
     // full-double length) so the driver's tail capture can't truncate
     // it; the totals value sits at the HEAD of the line and "sf" stays
@@ -115,9 +258,8 @@ object Bench {
     // appear in "errors" — a failed query can never deflate the total.
     // JSON has no NaN: every double goes through j() so a failed probe
     // renders -1, keeping the one-line artifact parseable.
-    def j(v: Double): String = if (v.isNaN) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + j(v)
+      "\"" + k + "\":" + jNum(v)
     }.mkString("{", ",", "}")
     // A query failing BOTH passes would silently deflate a sum-of-passing
     // total (a totals-only consumer would read the broken run as a
@@ -129,9 +271,10 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""""errors":[""", ",", "],")
     val calSpreadJ = if (calSpread.isNaN) "-1" else f"$calSpread%.2f"
-    val cal = s""""calibration":{"start":${j(calStart)},"mid":${j(calMid)},"end":${j(calEnd)},"spread":$calSpreadJ}"""
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","failed":$failed,"queries":$qs,$errJson$cal,"sf":"$sfDir"}""")
+    val cal = s""""calibration":{"start":${jNum(calStart)},"mid":${jNum(calMid)},"end":${jNum(calEnd)},"spread":$calSpreadJ}"""
+    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","failed":$failed,"queries":$qs,$errJson$cal,"sf":"$sfDir"}"""
     spark.stop()
+    line
   }
 
   /** Fixed-cost probe: full lineitem scan + hash aggregate. Cheap enough
@@ -197,12 +340,31 @@ object Bench {
           part, s"graft_warm_${System.nanoTime()}").count()
       } finally graft.core.Fs.deleteRecursively(evDir)
     } catch { case _: Throwable => () }
-    // Run the calibration plan once UNTIMED so calStart doesn't pay its
-    // codegen + cold parquet read: without this, start/min spread reads
-    // ~2.4x on a perfectly quiet box and the contamination signal
-    // false-positives. Own try: an earlier warmup failure (e.g. a
-    // missing documents table) must not skip this step.
-    try { calibration(spark, sfDir).count() }
-    catch { case _: Throwable => () }
+    // Run the calibration plan UNTIMED until its timing STABILIZES
+    // (two consecutive non-improving runs, ≤10 attempts) so calStart
+    // doesn't pay codegen + cold parquet read + residual JIT: with a
+    // single untimed run, a FRESH child JVM's start probe still read
+    // ~2.5x its own mid/end probes (C2 hasn't finished compiling the
+    // scan/agg hot loops after one execution), and the contamination
+    // signal false-positived on every sharded capture. Own try: an
+    // earlier warmup failure (e.g. a missing documents table) must not
+    // skip this step.
+    try {
+      // stop when the latest run sits within 15% of the best seen
+      // twice in a row — a shallow monotone JIT decline (0.40, 0.30,
+      // 0.28, …) fools a prev-vs-next check long before the hot loops
+      // are actually compiled
+      var best = Double.MaxValue
+      var stable = 0
+      var i = 0
+      while (i < 15 && stable < 2) {
+        val t0 = System.nanoTime()
+        calibration(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t <= best * 1.15) stable += 1 else stable = 0
+        best = math.min(best, t)
+        i += 1
+      }
+    } catch { case _: Throwable => () }
   }
 }

@@ -575,6 +575,110 @@ object ScaleRamp {
           graft.ops.Pack.sequencePack(toks, "doc_id", "t", 256L).count()
         }
       },
+      "audio_dedup_clusters" -> { k =>
+        // the round-13 per-frame band-delta audio signature end to
+        // end: REAL WAV synth+decode (the honest dominant cost,
+        // embarrassingly parallel over the id frame) → banded
+        // fingerprint pair join at Hamming ≤ 3 → connected
+        // components. Replica ids carry distinct waveform seeds, and
+        // copies/edits are injected per the catalog recipe, so pair
+        // volume — the only super-linear risk — scales linearly with
+        // the corpus by construction. Expect ~linear, decode-bound.
+        import spark.implicits._
+        import graft.ops.Multimodal
+        def pay(id: Long, extra: Int): Array[Byte] =
+          Multimodal.wavPayload(8000 + (id % 4).toInt * 4000,
+            1 + (id % 2).toInt, 300 + (id % 400).toInt + extra,
+            id.toInt)
+        val ids = docsAt(k).select(col("doc_id")).localCheckpoint()
+        ids.count()
+        timeIt {
+          val fp = ids.as[Long].flatMap { id =>
+            def f(extra: Int, mid: Long): (Long, Long, Long) = {
+              val (hi, lo) =
+                Multimodal.audioFingerprint(pay(id, extra)).get
+              (mid, hi, lo)
+            }
+            // replica ids reach 6.4e8 at 64x, so the copy/edit id
+            // offsets sit at 1e9/2e9 — disjoint by construction
+            val base = Seq(f(0, id))
+            val copies =
+              if (id % 10 == 0) Seq(f(0, id + 1000000000L)) else Seq.empty
+            val edits =
+              if (id % 10 == 5) Seq(f(1, id + 2000000000L)) else Seq.empty
+            base ++ copies ++ edits
+          }.toDF("media_id", "afp_hi", "afp_lo")
+          graft.ops.Dedup.connectedComponents(
+            Multimodal.aHashNearDupPairs(fp, "media_id",
+              "afp_hi", "afp_lo", maxHamming = 3),
+            "a_id", "b_id").count()
+        }
+      },
+      "constraint_suite" -> { k =>
+        // the Deequ-shaped declarative report: N constraints in ONE
+        // partial-agg'd aggregate pass (a single row shuffled), then a
+        // constant-size explode. Expect ~linear with heavy fixed-cost
+        // amortization (sub-linear fitted exponent at these sizes).
+        import graft.verify.Verifier._
+        val d = docsAt(k).select(col("doc_id"),
+            when(col("doc_id") % 97 === 0, lit(null))
+              .otherwise(col("doc_id") % 1000).as("v"),
+            length(col("text")).cast("double").as("len"),
+            (col("doc_id") % 4).cast("string").as("src"))
+          .localCheckpoint()
+        d.count()
+        timeIt(constraintReport(d, Seq(
+          NotNull("v"), Unique(Seq("doc_id")),
+          InRange("len", 0.0, 1e9),
+          OneOf("src", Seq("0", "1", "2", "3")))).count())
+      },
+      "curation_audit" -> { k =>
+        // the per-doc governance row (round 12): Gopher + C4 gates
+        // over the decorated multiline fixture, 4-gram eval-overlap
+        // decontamination over the raw text (replica tokens are
+        // z{i}-prefixed, so cross-copy grams stay distinct and the
+        // gram join scales linearly), three doc-keyed joins. Expect
+        // ~linear: every stage is a partial-agg'd scan or an
+        // equi-join on doc_id.
+        import graft.ops.Quality
+        val d = docsAt(k)
+        val ws = split(col("text"), " ")
+        val nLines = floor((size(ws) + lit(7)) / lit(8)).cast("int")
+        val decorated = transform(sequence(lit(0), nLines - lit(1)), i => {
+          val m = col("doc_id") + i
+          concat(
+            when(m % 7 === 0, lit("- ")).otherwise(lit("")),
+            array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " "),
+            when(m % 5 === 0, lit("..."))
+              .when(m % 3 =!= 0, lit(".")).otherwise(lit("")))
+        })
+        val ml = d.select(col("doc_id"),
+            array_join(decorated, "\n").as("mtext"))
+          .localCheckpoint()
+        ml.count()
+        timeIt {
+          val g = Quality.gopherRules(ml, "doc_id", "mtext",
+              minWords = 40, minStopHits = 1)
+            .select(col("doc_id"), col("keep").as("q_gopher"))
+          val c = Quality.c4LineFilter(ml, "doc_id", "mtext")
+            .select(col("doc_id"), col("keep").as("q_c4"))
+          val cont = graft.ops.Decontaminate.flag(
+              d.filter(col("doc_id") % 7 =!= 0),
+              d.filter(col("doc_id") % 7 === 0),
+              "doc_id", "text", n = 4)
+            .select(col("doc_id"), col("contaminated"))
+          ml.select("doc_id")
+            .join(g, Seq("doc_id")).join(c, Seq("doc_id"))
+            .withColumn("is_eval", col("doc_id") % 7 === 0)
+            .join(cont, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("is_eval"), col("q_gopher"),
+              col("q_c4"), col("contaminated"),
+              (!col("is_eval") && col("q_gopher") && col("q_c4") &&
+                !coalesce(col("contaminated"), lit(false)))
+                .as("selected"))
+            .count()
+        }
+      },
       "curriculum_order" -> { k =>
         // tiers via binned quantiles (two partial-agg'd scans + a
         // map-only probe) + one (tier, shard)-keyed window; the tier
@@ -671,6 +775,33 @@ object ScaleRamp {
       "doc_id", col("s"), tiers = 4, shards = 8).count()
     Similarity.meanPoolFp(emb0.limit(500), expr("vec_id div 5"),
       "embedding").count()
+    // round-13 shapes: audio decode+fp+CC, constraint report, audit
+    locally {
+      import spark.implicits._
+      import graft.ops.Multimodal
+      val warmFp = docs0.limit(100).select(col("doc_id")).as[Long]
+        .map { id =>
+          val (hi, lo) = Multimodal.audioFingerprint(
+            Multimodal.wavPayload(8000, 1 + (id % 2).toInt,
+              300 + (id % 400).toInt, id.toInt)).get
+          (id, hi, lo)
+        }.toDF("media_id", "afp_hi", "afp_lo")
+      graft.ops.Dedup.connectedComponents(
+        Multimodal.aHashNearDupPairs(warmFp, "media_id",
+          "afp_hi", "afp_lo", maxHamming = 3),
+        "a_id", "b_id").count()
+    }
+    graft.verify.Verifier.constraintReport(
+      docs0.limit(200).select(col("doc_id"),
+        length(col("text")).cast("double").as("len")),
+      Seq(graft.verify.Verifier.NotNull("len"),
+        graft.verify.Verifier.Unique(Seq("doc_id")))).count()
+    graft.ops.Decontaminate.flag(docs0.limit(200), docs0.limit(50),
+      "doc_id", "text", n = 4).count()
+    graft.ops.Quality.gopherRules(docs0.limit(100), "doc_id", "text")
+      .count()
+    graft.ops.Quality.c4LineFilter(docs0.limit(100), "doc_id", "text")
+      .count()
     spark.catalog.clearCache()
     ParseRunner.run(spark,
       ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),

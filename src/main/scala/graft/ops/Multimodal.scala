@@ -116,10 +116,10 @@ object Multimodal {
     * Lehmer round is LINEAR across seeds: the first cut here entered
     * the seed additively and seeds 94 apart collided to within the
     * near-dup threshold), modulating a seeded carrier. Interleaved
-    * sample j, block k = j/16, band b = j%2:
+    * sample j, block k = j/16, band b = j%4:
     *
     *   t(j)   = (31·j + 7 + 17·seed) mod 64 + 224          (carrier)
-    *   u1     = ((seed·128 + k·2 + b) mod (2³¹−2) + 1)·48271 mod (2³¹−1)
+    *   u1     = ((seed·256 + k·4 + b) mod (2³¹−2) + 1)·48271 mod (2³¹−1)
     *   u3     = (xor(u1, u1/2¹⁵)·69621) mod (2³¹−1)
     *   env    = xor(u3, u3/2¹³) mod 2
     *   s(j)   = t(j) · (if env = 1 then 96 else 6)
@@ -139,7 +139,7 @@ object Multimodal {
     var j = 0
     while (j < ns) {
       val t = (31L * j + 7 + 17L * seed) % 64 + 224
-      val key = 128L * seed + 2L * (j / 16) + j % 2
+      val key = 256L * seed + 4L * (j / 16) + j % 4
       val u1 = (key % 2147483646L + 1L) * 48271L % 2147483647L
       val u3 = (u1 ^ (u1 / 32768L)) * 69621L % 2147483647L
       val env = (u3 ^ (u3 / 8192L)) % 2
@@ -170,20 +170,34 @@ object Multimodal {
     *    file-relative slices — an append/trim edit leaves every
     *    interior frame's samples bit-identical instead of shifting
     *    all 8 slice boundaries;
-    *  - only COMPLETE frames are fingerprinted (the sub-frame tail is
-    *    below the signature's temporal resolution), capped at 33
-    *    frames, so a one-frame-longer re-encode flips bits only when
-    *    the tail happens to complete a new frame — structurally ≤ 2
-    *    bits (one per band), most edits flip 0;
-    *  - 2 polyphase bands (j mod 2 — channels when stereo, the
-    *    even/odd energy split a real filterbank refines);
-    *  - bit (k−1)·2+b, k ∈ [1, 32], is a per-frame band DELTA:
+    *  - the signature reads a LEADING WINDOW of 17 complete frames
+    *    (272 samples) — the Chromaprint stance: the public algorithm
+    *    fingerprints a leading window of the clip, not the whole
+    *    file. Append/trim edits beyond the window flip ZERO bits; an
+    *    in-window corruption of one sample flips ≤ 2 (its band's two
+    *    adjacent deltas). W and the frame count are the knobs a real
+    *    deployment sizes to its clip-length distribution;
+    *  - 4 polyphase bands (j mod 4 — the even/odd × channel energy
+    *    split a real filterbank refines);
+    *  - bit (k−1)·4+b, k ∈ [1, 16], is a per-frame band DELTA:
     *    set iff band-b energy of frame k exceeds band-b energy of
-    *    frame k−1 (Σ|s| over the 8 samples each; equal counts, so
+    *    frame k−1 (Σ|s| over the 4 samples each; equal counts, so
     *    comparing sums ≡ comparing means with no division). Adjacent
     *    frame comparisons have no global reference value, so there is
     *    no corpus-wide threshold for a whole corpus to straddle —
     *    the failure mode of the r12 signature.
+    *
+    * ALL 64 bits are content-bearing for any input ≥ 272 samples —
+    * load-bearing for the banded near-dup join: a first cut used
+    * 2 bands × 32 deltas over up to 33 frames, which left the high
+    * band all-zero for every file under ~416 samples; ~15% of the
+    * corpus hashed into ONE band bucket and the 64× scale-ramp cell
+    * went quadratic in it (one straggler task, 38 CPU-minutes —
+    * caught by the ramp harness, the same Σ|bucket|² failure mode as
+    * SCALE.md's fixed-planes control row). Files shorter than 272
+    * samples get zero bits beyond their last complete frame; a corpus
+    * dominated by such clips should shrink W accordingly or the
+    * zero-band bucket re-forms.
     *
     * Decode is the real javax.sound.sampled parse of the payload
     * bytes — a wrong header parse, wrong endianness, or wrong frame
@@ -207,14 +221,14 @@ object Multimodal {
           val n = bytes.length / 2
           if (n == 0) None
           else {
-            val frames = math.min(n / 16, 33)
-            val cells = Array.ofDim[Long](math.max(frames, 1), 2)
+            val frames = math.min(n / 16, 17)
+            val cells = Array.ofDim[Long](math.max(frames, 1), 4)
             val lim = frames * 16
             var j = 0
             while (j < lim) {
               val v = (bytes(2 * j + 1).toInt << 8) |
                 (bytes(2 * j).toInt & 0xff)
-              cells(j >> 4)(j & 1) += math.abs(v.toLong)
+              cells(j >> 4)(j & 3) += math.abs(v.toLong)
               j += 1
             }
             var hi = 0L
@@ -222,9 +236,9 @@ object Multimodal {
             var k = 1
             while (k < frames) {
               var b = 0
-              while (b < 2) {
+              while (b < 4) {
                 if (cells(k)(b) > cells(k - 1)(b)) {
-                  val idx = (k - 1) * 2 + b
+                  val idx = (k - 1) * 4 + b
                   if (idx < 32) lo |= 1L << idx
                   else hi |= 1L << (idx - 32)
                 }

@@ -29,9 +29,11 @@ object MultimodalQueries extends QueryGroup {
     * its own envelope+carrier; only the deliberate re-encode copies
     * share content) and an optional frame extension for the near-dup
     * "edit" variants. 300 frames minimum so even the shortest mono
-    * file carries ≥ 18 complete 16-sample fingerprint frames (≥ 34
-    * delta bits — enough entropy that distinct docs cannot land
-    * within the Hamming ≤ 3 near-dup threshold). */
+    * file covers the fingerprint's full 17-frame (272-sample) leading
+    * window — all 64 delta bits content-bearing for every fixture
+    * file, which both gives distinct docs ~32-bit separation and
+    * keeps the banded join's buckets uniformly occupied (no zero-band
+    * mega-bucket; see the audioFingerprint scaladoc). */
   private[queries] def audioPayload(id: Long,
       extraFrames: Int): Array[Byte] =
     Multimodal.wavPayload(8000 + (id % 4).toInt * 4000,
@@ -136,20 +138,20 @@ object MultimodalQueries extends QueryGroup {
     * interleaved samples, seed = waveform seed) to `afp(media_id, hi,
     * lo)` — the BIGINT replay of Multimodal.audioFingerprint over the
     * wavPayload waveform: sample j = carrier t(j) · envelope gain
-    * (the pixelGray 3-round mixer over (seed, block j/16, band j%2));
-    * cells = Σ s over each complete 16-sample frame × 2-band cell
+    * (the pixelGray 3-round mixer over (seed, block j/16, band j%4));
+    * cells = Σ s over each complete 16-sample frame × 4-band cell
     * (samples are positive by construction, so Σs = Σ|s|); bit
-    * (k−1)·2+b iff cell (k,b) > cell (k−1,b). Only complete frames,
-    * capped at 33, exactly like the engine — the generate_series
-    * bound IS that cap. */
+    * (k−1)·4+b iff cell (k,b) > cell (k−1,b). Only complete frames
+    * inside the 17-frame leading window, exactly like the engine —
+    * the generate_series bound IS that window. */
   private def audioFpSql: String =
     """smp AS (SELECT media_id, n, seed,
-                 unnest(generate_series(0, least(n // 16, 33) * 16 - 1))
+                 unnest(generate_series(0, least(n // 16, 17) * 16 - 1))
                    AS j
                FROM aud),
-       sv0 AS (SELECT media_id, j // 16 AS k, j % 2 AS b,
+       sv0 AS (SELECT media_id, j // 16 AS k, j % 4 AS b,
                  (31 * j + 7 + 17 * seed) % 64 + 224 AS t,
-                 ((128 * seed + 2 * (j // 16) + j % 2) % 2147483646 + 1)
+                 ((256 * seed + 4 * (j // 16) + j % 4) % 2147483646 + 1)
                    * 48271 % 2147483647 AS u1
                FROM smp),
        sv1 AS (SELECT media_id, k, b, t,
@@ -159,7 +161,7 @@ object MultimodalQueries extends QueryGroup {
                    SUM(t * CASE WHEN xor(u3, u3 // 8192) % 2 = 1
                                 THEN 96 ELSE 6 END) AS cm
                  FROM sv1 GROUP BY 1, 2, 3),
-       bits AS (SELECT c1.media_id, (c1.k - 1) * 2 + c1.b AS idx
+       bits AS (SELECT c1.media_id, (c1.k - 1) * 4 + c1.b AS idx
                 FROM cells c1 JOIN cells c0
                   ON c1.media_id = c0.media_id
                  AND c1.k = c0.k + 1 AND c1.b = c0.b
@@ -284,9 +286,11 @@ object MultimodalQueries extends QueryGroup {
     // audio NEAR-DUP end to end, completing the multimodal dedup
     // matrix (text ✓ image ✓ audio ✓): the corpus injects exact
     // re-encodes (+100000, identical waveform → Hamming 0) and
-    // one-frame-longer edits (+200000 — trims/appends; the absolute-
-    // frame delta signature bounds their flips at 2 bits, spec-
-    // asserted); fingerprints come from REAL WAV decode (the shared
+    // one-frame-longer edits (+200000 — trims/appends beyond the
+    // fingerprint's leading window, so the absolute-frame delta
+    // signature flips ZERO bits for them, spec-asserted; in-window
+    // corruption flips ≤2); fingerprints come from REAL WAV decode
+    // (the shared
     // audioCorpusFp frame — decoded once for both audio queries), the
     // pair stage reuses the 4×16-bit band bucket join (recall 1.0 at
     // Hamming ≤ 3 by pigeonhole), and the oracle replays waveform →
@@ -314,7 +318,7 @@ object MultimodalQueries extends QueryGroup {
     // near-clique); the per-frame delta signature holds ≤ 3 with the
     // components exactly the injected base/copy/edit groups —
     // transitivity no longer amplifies, because distinct docs sit
-    // ≥ ~17 bits apart by construction (≥ 34 seeded delta bits).
+    // ~32 bits apart (64 seeded delta bits, all content-bearing).
     q("q_audio_dedup_clusters", "multimodal",
       s"""WITH RECURSIVE $audioNearCorpusSql, $audioFpSql,
           apairs AS (
