@@ -1272,6 +1272,78 @@ object Similarity {
   def quantizeInt8(unit: Column): Column =
     transform(unit, x => floor(x * lit(127.0) + lit(0.5)).cast("int"))
 
+  /** Greedy k-center diversity selection (farthest-point traversal,
+    * Gonzalez 1985 — public algorithm) over int8-quantized unit
+    * embeddings: the CORESET / diverse-subset primitive a curation
+    * pipeline runs after dedup (the D4 recipe — Tirumala et al. 2023
+    * — pairs SemDeDup with a diversity-aware selection pass; k-center
+    * is its classical deterministic form). Start from the smallest
+    * id, then k−1 times pick the point FARTHEST from the selected
+    * set (max-min squared L2 over the int8 codes, ties to the
+    * smallest id) — a 2-approximation of the optimal k-center cover.
+    *
+    * Fully deterministic and integer-exact (floor quantization +
+    * integer squared distances, the q_knn_int8 stance), so the whole
+    * greedy trajectory — which point is picked at every round —
+    * replays in DuckDB (`q_kcenter_select`, the rounds unrolled as
+    * chained CTEs).
+    *
+    * Scale shape: k rounds, each ONE map-only distance update against
+    * a BROADCAST-LITERAL center (one dim-int array riding in the
+    * plan) plus one TakeOrdered argmax (per-partition top-1, driver
+    * merges #partitions rows); the working frame is localCheckpoint'd
+    * per round so round i never replays rounds 1..i−1 — k·n total
+    * work, not k²·n, and no corpus-sized shuffle anywhere. The driver
+    * holds k rows (the Pack shard-offset bounded-collect budget); k
+    * is a sample-size knob (tens to hundreds), never corpus-sized.
+    * Selection stops early if every remaining point is at distance 0
+    * (the corpus has ≤ selected distinct codes — nothing left to
+    * diversify).
+    *
+    * @return (idCol, sel_round ∈ [1, k], d2_prev) — d2_prev is the
+    * point's squared int8 distance to the previously-selected set at
+    * pick time (0 for the seed); max d2_prev over rounds ≥ r bounds
+    * the covering radius after round r−1. Requires an integral id. */
+  def kCenterSelect(df: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = vecDim(df, vecCol)
+    val pts = normalized(df.filter(isIndexable(col(vecCol), dim)), vecCol)
+      .filter(col(s"${vecCol}_unit").isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        quantizeInt8(col(s"${vecCol}_unit")).as("v8"))
+      .localCheckpoint()
+    // integer-exact squared L2 to one literal center: per-element
+    // (x−y)² ≤ 254² fits int, the running sum is long
+    def d2To(center: Seq[Int]): Column =
+      aggregate(
+        zip_with(col("v8"), array(center.map(lit): _*),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e.cast("long"))
+    val seed = pts.orderBy(col("id")).limit(1).collect()
+    require(seed.nonEmpty, "kCenterSelect: no indexable vectors")
+    var centerVec = seed(0).getSeq[Int](1)
+    val sel = scala.collection.mutable.ArrayBuffer(
+      (seed(0).getLong(0), 1L, 0L))
+    var cur = pts.withColumn("md", d2To(centerVec))
+    var round = 2
+    var done = false
+    while (round <= k && !done) {
+      cur = cur.localCheckpoint()
+      val nxt = cur.orderBy(col("md").desc, col("id")).limit(1).collect()
+      if (nxt.isEmpty || nxt(0).getLong(2) == 0L) done = true
+      else {
+        sel += ((nxt(0).getLong(0), round.toLong, nxt(0).getLong(2)))
+        centerVec = nxt(0).getSeq[Int](1)
+        cur = cur.withColumn("md", least(col("md"), d2To(centerVec)))
+        round += 1
+      }
+    }
+    sel.toSeq.toDF(idCol, "sel_round", "d2_prev")
+  }
+
   /** Per-query recall@k of an approximate top-k result against an
     * exact one — the measurement that turns every ANN knob in this
     * file (nlist, nprobe, planes, shortlist) from a guess into a

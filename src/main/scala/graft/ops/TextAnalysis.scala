@@ -18,7 +18,14 @@ import org.apache.spark.sql.{GraftColumnBridge => CB}
   */
 object TextAnalysis {
 
-  /** whitespace tokens (single-space convention of the corpus) */
+  /** Whitespace tokens under the corpus' SINGLE-SPACE convention —
+    * an explicit precondition, not an assumption: the driver's
+    * documents table is single-space-delimited by construction, and
+    * every oracle replays `string_split(text, ' ')` byte-for-byte.
+    * Text with separator RUNS (paragraph breaks, double spaces —
+    * e.g. the synthesized multiline fixtures) must go through
+    * [[graft.ops.Quality.words]], which splits on runs and drops
+    * empty tokens; feeding it here would inflate token counts. */
   def tokens(text: Column): Column = split(text, " ")
 
   def tokenCount(text: Column): Column = size(tokens(text))

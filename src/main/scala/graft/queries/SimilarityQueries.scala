@@ -775,6 +775,57 @@ object SimilarityQueries extends QueryGroup {
       Similarity.bruteForceTopKInt8(emb, queries, 5)
     },
 
+    // greedy k-center diversity selection (farthest-point traversal)
+    // over the int8-quantized corpus — the coreset/diverse-subset
+    // primitive. Every step is integer-exact (floor quantization,
+    // integer squared L2, ties to smallest id), so the oracle replays
+    // the ENTIRE greedy trajectory with the k=4 rounds unrolled as
+    // chained argmax CTEs — a wrong pick at any round cascades into a
+    // hash mismatch.
+    q("q_kcenter_select", "similarity",
+      """WITH n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x * x))) AS nrm
+           FROM embeddings
+           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+         q8 AS (
+           SELECT vec_id,
+             list_transform(v, x -> CAST(floor(127.0 * (x / nrm) + 0.5)
+               AS BIGINT)) AS v8
+           FROM n WHERE nrm > 0),
+         c1 AS (SELECT vec_id AS id, v8 FROM q8
+                ORDER BY vec_id LIMIT 1),
+         m1 AS (SELECT q8.vec_id, q8.v8,
+                  CAST(list_sum(list_transform(list_zip(q8.v8, c1.v8),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS md
+                FROM q8 CROSS JOIN c1),
+         c2 AS (SELECT vec_id AS id, v8, md FROM m1
+                ORDER BY md DESC, vec_id LIMIT 1),
+         m2 AS (SELECT m1.vec_id, m1.v8,
+                  least(m1.md,
+                    CAST(list_sum(list_transform(list_zip(m1.v8, c2.v8),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
+                    AS md
+                FROM m1 CROSS JOIN c2),
+         c3 AS (SELECT vec_id AS id, v8, md FROM m2
+                ORDER BY md DESC, vec_id LIMIT 1),
+         m3 AS (SELECT m2.vec_id, m2.v8,
+                  least(m2.md,
+                    CAST(list_sum(list_transform(list_zip(m2.v8, c3.v8),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
+                    AS md
+                FROM m2 CROSS JOIN c3),
+         c4 AS (SELECT vec_id AS id, md FROM m3
+                ORDER BY md DESC, vec_id LIMIT 1)
+         SELECT id AS vec_id, CAST(1 AS BIGINT) AS sel_round,
+                CAST(0 AS BIGINT) AS d2_prev FROM c1
+         UNION ALL SELECT id, 2, md FROM c2
+         UNION ALL SELECT id, 3, md FROM c3
+         UNION ALL SELECT id, 4, md FROM c4""") { (spark, dir) =>
+      Similarity.kCenterSelect(Tables.df(spark, dir, "embeddings"), 4)
+    },
+
     // unit-normalize + symmetric int8 quantization, exploded to scalar
     // rows; floor(127x + 0.5) is engine-exact (no HALF_UP tie rules)
     q("q_embed_quantize", "similarity",

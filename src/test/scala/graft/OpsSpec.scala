@@ -533,6 +533,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"kmeans cells degraded recall: $adaptive < $stride")
   }
 
+  test("kCenterSelect: hand-verified farthest-point trajectory, " +
+      "early stop when codes exhaust, degenerate vectors excluded") {
+    import spark.implicits._
+    // quantized: 1→[127,0], 2→[0,127], 3→[-127,0], 4→[90,90]
+    // greedy from seed 1: picks 3 (d²=254²=64516), then 2 (32258),
+    // then 4 (min over {1,3,2} = d² to 1 = 37²+90²=9469)
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f)), (4L, Seq(0.7071f, 0.7071f)),
+      (5L, Seq(0.0f, 0.0f))) // zero norm: excluded
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(pts, 4)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 0L), (3L, 2L, 64516L),
+      (2L, 3L, 32258L), (4L, 4L, 9469L)))
+    // k larger than the distinct-code count: stops after the corpus
+    // is exhausted (every remaining point at distance 0), never
+    // re-selects a center
+    val dup = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val s = Similarity.kCenterSelect(dup, 3).collect()
+    assert(s.length === 2 &&
+      s.map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
   test("recallAtK: hand case, dropped queries surface as 0, and the " +
       "IVF report agrees with a direct set computation") {
     import spark.implicits._
