@@ -614,6 +614,17 @@ object ScaleRamp {
             "a_id", "b_id").count()
         }
       },
+      "kcenter_select_assign" -> { k =>
+        // greedy k-center (k=8 rounds of map-only distance update +
+        // TakeOrdered argmax) then the literal-folded assignment
+        // pass. Expect ~linear: per-round work is one corpus map, the
+        // round count is fixed, and nothing shuffles.
+        val e = embAt(k)
+        timeIt {
+          val sel = Similarity.kCenterSelect(e, 8)
+          Similarity.kCenterAssign(e, sel).count()
+        }
+      },
       "constraint_suite" -> { k =>
         // the Deequ-shaped declarative report: N constraints in ONE
         // partial-agg'd aggregate pass (a single row shuffled), then a
@@ -790,6 +801,10 @@ object ScaleRamp {
         Multimodal.aHashNearDupPairs(warmFp, "media_id",
           "afp_hi", "afp_lo", maxHamming = 3),
         "a_id", "b_id").count()
+    }
+    locally {
+      val warmSel = Similarity.kCenterSelect(emb0.limit(300), 3)
+      Similarity.kCenterAssign(emb0.limit(300), warmSel).count()
     }
     graft.verify.Verifier.constraintReport(
       docs0.limit(200).select(col("doc_id"),

@@ -1344,6 +1344,62 @@ object Similarity {
     sel.toSeq.toDF(idCol, "sel_round", "d2_prev")
   }
 
+  /** Nearest-center assignment against a [[kCenterSelect]] result —
+    * the consumption half of the coreset: every indexable point gets
+    * its closest selected center (integer-exact squared L2 over the
+    * int8 codes, ties to the lowest round) plus the distance, giving
+    * per-center occupancy (the cluster-balanced sampling weights) and
+    * the realized covering radius (max d2 — the k-center objective)
+    * in one output-sized aggregate away.
+    *
+    * Scale shape: the k centers are a BOUNDED k-row collect (the
+    * same budget as the selection itself) folded into LITERAL
+    * expressions — the argmin is a chain of k when/least columns
+    * riding in whole-stage codegen, so the assignment is one
+    * map-only pass: no join, no window, NO corpus shuffle anywhere.
+    * Deterministic end to end, so the oracle replays it
+    * (`q_kcenter_assign`).
+    *
+    * @return (idCol, center_id, center_round, d2) one row per
+    * indexable point. */
+  def kCenterAssign(df: DataFrame, selected: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = vecDim(df, vecCol)
+    def q8(d: DataFrame): DataFrame =
+      normalized(d.filter(isIndexable(col(vecCol), dim)), vecCol)
+        .filter(col(s"${vecCol}_unit").isNotNull)
+        .select(col(idCol).cast("long").as("__pid"),
+          quantizeInt8(col(s"${vecCol}_unit")).as("__v8"))
+    // bounded: one row per selected center
+    val cents = q8(df)
+      .join(selected.select(col(idCol).cast("long").as("__cid"),
+          col("sel_round").as("__round")),
+        col("__pid") === col("__cid"))
+      .select(col("__cid"), col("__round"), col("__v8"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+      .sortBy(_._2) // round-ascending, so strict '<' keeps the
+                    // earliest round on distance ties
+    require(cents.nonEmpty, "kCenterAssign: empty center set")
+    def d2To(v: Seq[Int]): Column =
+      aggregate(
+        zip_with(col("__v8"), array(v.map(lit): _*),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e.cast("long"))
+    var bestD2 = d2To(cents.head._3)
+    var bestCid: Column = lit(cents.head._1)
+    var bestRnd: Column = lit(cents.head._2)
+    cents.tail.foreach { case (cid, rnd, v) =>
+      val d = d2To(v)
+      val better = d < bestD2
+      bestCid = when(better, lit(cid)).otherwise(bestCid)
+      bestRnd = when(better, lit(rnd)).otherwise(bestRnd)
+      bestD2 = when(better, d).otherwise(bestD2)
+    }
+    q8(df).select(col("__pid").as(idCol), bestCid.as("center_id"),
+      bestRnd.as("center_round"), bestD2.as("d2"))
+  }
+
   /** Per-query recall@k of an approximate top-k result against an
     * exact one — the measurement that turns every ANN knob in this
     * file (nlist, nprobe, planes, shortlist) from a guess into a

@@ -74,6 +74,46 @@ object SimilarityQueries extends QueryGroup {
     * winner selection spells argmin as row_number (independent
     * formulation of the engine's min(struct)); d2/lut/ADC folds are
     * the same sequential arithmetic on both sides. */
+  /** The k=4 greedy k-center trajectory as chained CTEs ending in
+    * q8 (quantized corpus) and c1..c4 (the picked centers, with v8
+    * and md) — shared by the selection and assignment oracles. */
+  private val kcenterCtes: String =
+    """n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x * x))) AS nrm
+           FROM embeddings
+           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+         q8 AS (
+           SELECT vec_id,
+             list_transform(v, x -> CAST(floor(127.0 * (x / nrm) + 0.5)
+               AS BIGINT)) AS v8
+           FROM n WHERE nrm > 0),
+         c1 AS (SELECT vec_id AS id, v8 FROM q8
+                ORDER BY vec_id LIMIT 1),
+         m1 AS (SELECT q8.vec_id, q8.v8,
+                  CAST(list_sum(list_transform(list_zip(q8.v8, c1.v8),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS md
+                FROM q8 CROSS JOIN c1),
+         c2 AS (SELECT vec_id AS id, v8, md FROM m1
+                ORDER BY md DESC, vec_id LIMIT 1),
+         m2 AS (SELECT m1.vec_id, m1.v8,
+                  least(m1.md,
+                    CAST(list_sum(list_transform(list_zip(m1.v8, c2.v8),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
+                    AS md
+                FROM m1 CROSS JOIN c2),
+         c3 AS (SELECT vec_id AS id, v8, md FROM m2
+                ORDER BY md DESC, vec_id LIMIT 1),
+         m3 AS (SELECT m2.vec_id, m2.v8,
+                  least(m2.md,
+                    CAST(list_sum(list_transform(list_zip(m2.v8, c3.v8),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
+                    AS md
+                FROM m2 CROSS JOIN c3),
+         c4 AS (SELECT vec_id AS id, v8, md FROM m3
+                ORDER BY md DESC, vec_id LIMIT 1)"""
+
   private def knnPqSql: String = {
     val (m, dsub, ksub, k, short) = (16, 4, 64, 5, 50)
     s"""WITH n0 AS (
@@ -783,47 +823,37 @@ object SimilarityQueries extends QueryGroup {
     // chained argmax CTEs — a wrong pick at any round cascades into a
     // hash mismatch.
     q("q_kcenter_select", "similarity",
-      """WITH n AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-               x -> x * x))) AS nrm
-           FROM embeddings
-           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
-         q8 AS (
-           SELECT vec_id,
-             list_transform(v, x -> CAST(floor(127.0 * (x / nrm) + 0.5)
-               AS BIGINT)) AS v8
-           FROM n WHERE nrm > 0),
-         c1 AS (SELECT vec_id AS id, v8 FROM q8
-                ORDER BY vec_id LIMIT 1),
-         m1 AS (SELECT q8.vec_id, q8.v8,
-                  CAST(list_sum(list_transform(list_zip(q8.v8, c1.v8),
-                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS md
-                FROM q8 CROSS JOIN c1),
-         c2 AS (SELECT vec_id AS id, v8, md FROM m1
-                ORDER BY md DESC, vec_id LIMIT 1),
-         m2 AS (SELECT m1.vec_id, m1.v8,
-                  least(m1.md,
-                    CAST(list_sum(list_transform(list_zip(m1.v8, c2.v8),
-                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
-                    AS md
-                FROM m1 CROSS JOIN c2),
-         c3 AS (SELECT vec_id AS id, v8, md FROM m2
-                ORDER BY md DESC, vec_id LIMIT 1),
-         m3 AS (SELECT m2.vec_id, m2.v8,
-                  least(m2.md,
-                    CAST(list_sum(list_transform(list_zip(m2.v8, c3.v8),
-                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
-                    AS md
-                FROM m2 CROSS JOIN c3),
-         c4 AS (SELECT vec_id AS id, md FROM m3
-                ORDER BY md DESC, vec_id LIMIT 1)
+      s"""WITH $kcenterCtes
          SELECT id AS vec_id, CAST(1 AS BIGINT) AS sel_round,
                 CAST(0 AS BIGINT) AS d2_prev FROM c1
          UNION ALL SELECT id, 2, md FROM c2
          UNION ALL SELECT id, 3, md FROM c3
          UNION ALL SELECT id, 4, md FROM c4""") { (spark, dir) =>
       Similarity.kCenterSelect(Tables.df(spark, dir, "embeddings"), 4)
+    },
+
+    // nearest-center assignment against the k-center coreset — the
+    // consumption half: per-point closest center (ties to the lowest
+    // round), giving per-center occupancy and the realized covering
+    // radius. Selection CTEs shared with q_kcenter_select so the two
+    // oracles cannot drift.
+    q("q_kcenter_assign", "similarity",
+      s"""WITH $kcenterCtes,
+         cents AS (
+           SELECT id, v8, 1 AS rnd FROM c1
+           UNION ALL SELECT id, v8, 2 FROM c2
+           UNION ALL SELECT id, v8, 3 FROM c3
+           UNION ALL SELECT id, v8, 4 FROM c4),
+         a AS (SELECT q8.vec_id, cents.id AS center_id, cents.rnd,
+                 CAST(list_sum(list_transform(list_zip(q8.v8, cents.v8),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+               FROM q8 CROSS JOIN cents)
+         SELECT vec_id, center_id, CAST(rnd AS BIGINT) AS center_round,
+                d2
+         FROM a QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY d2, rnd) = 1""") { (spark, dir) =>
+      val emb = Tables.df(spark, dir, "embeddings")
+      Similarity.kCenterAssign(emb, Similarity.kCenterSelect(emb, 4))
     },
 
     // unit-normalize + symmetric int8 quantization, exploded to scalar

@@ -495,6 +495,18 @@ class ExplainSpec extends AnyFunSuite {
     }
   }
 
+  test("k-center assignment is map-only: literal-folded centers, no " +
+      "join, no corpus shuffle, inside codegen") {
+    import graft.ops.Similarity
+    val emb = Tables.df(spark, sf, "embeddings")
+    val sel = Similarity.kCenterSelect(emb, 3)
+    val p = plan(Similarity.kCenterAssign(emb, sel))
+    assert(!p.contains("Exchange"),
+      s"kCenterAssign gained a corpus shuffle:\n$p")
+    assert(!p.contains("Join"), s"kCenterAssign gained a join:\n$p")
+    assert(p.contains("*("), s"kCenterAssign fell out of codegen:\n$p")
+  }
+
   test("co-located bucketed join: ZERO exchanges when both sides " +
       "share the bucket spec") {
     import graft.write.IndexStore

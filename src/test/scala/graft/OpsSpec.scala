@@ -557,6 +557,16 @@ class SimilaritySpec extends AnyFunSuite {
     val s = Similarity.kCenterSelect(dup, 3).collect()
     assert(s.length === 2 &&
       s.map(_.getLong(0)).toSet === Set(1L, 3L))
+    // assignment: closest selected center, distance ties to the
+    // LOWEST round — point 4 sits at d²=9469 from both center 1
+    // (round 1) and center 2 (round 3) and must land on 1
+    val asg = Similarity.kCenterAssign(pts,
+        Similarity.kCenterSelect(pts, 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(asg === Map(
+      1L -> ((1L, 1L, 0L)), 2L -> ((2L, 3L, 0L)),
+      3L -> ((3L, 2L, 0L)), 4L -> ((1L, 1L, 9469L))))
   }
 
   test("recallAtK: hand case, dropped queries surface as 0, and the " +
