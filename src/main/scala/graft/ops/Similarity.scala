@@ -1293,12 +1293,19 @@ object Similarity {
     * plan) plus one TakeOrdered argmax (per-partition top-1, driver
     * merges #partitions rows); the working frame is localCheckpoint'd
     * per round so round i never replays rounds 1..i−1 — k·n total
-    * work, not k²·n, and no corpus-sized shuffle anywhere. The driver
-    * holds k rows (the Pack shard-offset bounded-collect budget); k
-    * is a sample-size knob (tens to hundreds), never corpus-sized.
-    * Selection stops early if every remaining point is at distance 0
-    * (the corpus has ≤ selected distinct codes — nothing left to
-    * diversify).
+    * work, not k²·n, and no corpus-sized shuffle anywhere. The
+    * checkpoints ROTATE: localCheckpoint registers outside the
+    * CacheManager (Dataset.unpersist is a no-op on it), so each
+    * round's materialization is tracked through the SparkContext's
+    * persistent-RDD registry and the previous round's blocks are
+    * freed once the new copy exists — executor storage holds TWO
+    * corpus-sized copies at any moment, not k (at corpus scale k
+    * pinned copies would evict everything else on the cluster). The
+    * driver holds k rows (the Pack shard-offset bounded-collect
+    * budget); k is a sample-size knob (tens to hundreds), never
+    * corpus-sized. Selection stops early if every remaining point is
+    * at distance 0 (the corpus has ≤ selected distinct codes —
+    * nothing left to diversify).
     *
     * @return (idCol, sel_round ∈ [1, k], d2_prev) — d2_prev is the
     * point's squared int8 distance to the previously-selected set at
@@ -1310,11 +1317,14 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = vecDim(df, vecCol)
+    val sc0 = df.sparkSession.sparkContext
+    val preIn = sc0.getPersistentRDDs.keySet.toSet
     val pts = normalized(df.filter(isIndexable(col(vecCol), dim)), vecCol)
       .filter(col(s"${vecCol}_unit").isNotNull)
       .select(col(idCol).cast("long").as("id"),
         quantizeInt8(col(s"${vecCol}_unit")).as("v8"))
       .localCheckpoint()
+    val ptsIds = sc0.getPersistentRDDs.keySet.toSet -- preIn
     // integer-exact squared L2 to one literal center: per-element
     // (x−y)² ≤ 254² fits int, the running sum is long
     def d2To(center: Seq[Int]): Column =
@@ -1327,11 +1337,24 @@ object Similarity {
     var centerVec = seed(0).getSeq[Int](1)
     val sel = scala.collection.mutable.ArrayBuffer(
       (seed(0).getLong(0), 1L, 0L))
+    val sc = spark.sparkContext
+    // rotate round checkpoints: materialize the new one (eager), then
+    // free the previous round's blocks via the SC registry delta
+    var prevIds = Set.empty[Int]
+    def checkpointRotating(df: DataFrame): DataFrame = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      val cp = df.localCheckpoint()
+      val mine = sc.getPersistentRDDs.keySet.toSet -- pre
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = mine
+      cp
+    }
     var cur = pts.withColumn("md", d2To(centerVec))
     var round = 2
     var done = false
     while (round <= k && !done) {
-      cur = cur.localCheckpoint()
+      cur = checkpointRotating(cur)
       val nxt = cur.orderBy(col("md").desc, col("id")).limit(1).collect()
       if (nxt.isEmpty || nxt(0).getLong(2) == 0L) done = true
       else {
@@ -1341,6 +1364,10 @@ object Similarity {
         round += 1
       }
     }
+    // free the final round's blocks AND the quantized input — the
+    // result is k driver rows, nothing downstream reads either
+    (prevIds ++ ptsIds).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     sel.toSeq.toDF(idCol, "sel_round", "d2_prev")
   }
 

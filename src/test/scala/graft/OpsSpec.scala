@@ -557,6 +557,16 @@ class SimilaritySpec extends AnyFunSuite {
     val s = Similarity.kCenterSelect(dup, 3).collect()
     assert(s.length === 2 &&
       s.map(_.getLong(0)).toSet === Set(1L, 3L))
+    // checkpoint rotation: the greedy loop must leave NO pinned
+    // blocks behind (localCheckpoint registers outside the
+    // CacheManager — at corpus scale k leaked copies would evict the
+    // cluster's working set)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    Similarity.kCenterSelect(pts, 4).collect()
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"kCenterSelect leaked persisted RDDs: $leaked")
     // assignment: closest selected center, distance ties to the
     // LOWEST round — point 4 sits at d²=9469 from both center 1
     // (round 1) and center 2 (round 3) and must land on 1
