@@ -74,44 +74,47 @@ object SimilarityQueries extends QueryGroup {
     * winner selection spells argmin as row_number (independent
     * formulation of the engine's min(struct)); d2/lut/ADC folds are
     * the same sequential arithmetic on both sides. */
-  /** The k=4 greedy k-center trajectory as chained CTEs ending in
-    * q8 (quantized corpus) and c1..c4 (the picked centers, with v8
-    * and md) — shared by the selection and assignment oracles. */
-  private val kcenterCtes: String =
-    """n AS (
+  /** The k=4 greedy k-center trajectory as chained CTEs over source
+    * table `src`, ending in {p}q8 (quantized corpus) and {p}c1..c4
+    * (the picked centers, with v8 and md). `p` prefixes every CTE
+    * name so the block composes next to other chains (the v6 curation
+    * oracle runs it beside the SemDeDup CTEs, which also define `n`).
+    * Shared by the selection, assignment, and v6 oracles. */
+  private def kcenterCtes(src: String, p: String): String =
+    s"""${p}n AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                x -> x * x))) AS nrm
-           FROM embeddings
+           FROM $src
            WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
-         q8 AS (
+         ${p}q8 AS (
            SELECT vec_id,
              list_transform(v, x -> CAST(floor(127.0 * (x / nrm) + 0.5)
                AS BIGINT)) AS v8
-           FROM n WHERE nrm > 0),
-         c1 AS (SELECT vec_id AS id, v8 FROM q8
+           FROM ${p}n WHERE nrm > 0),
+         ${p}c1 AS (SELECT vec_id AS id, v8 FROM ${p}q8
                 ORDER BY vec_id LIMIT 1),
-         m1 AS (SELECT q8.vec_id, q8.v8,
+         ${p}m1 AS (SELECT q8.vec_id, q8.v8,
                   CAST(list_sum(list_transform(list_zip(q8.v8, c1.v8),
                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS md
-                FROM q8 CROSS JOIN c1),
-         c2 AS (SELECT vec_id AS id, v8, md FROM m1
+                FROM ${p}q8 q8 CROSS JOIN ${p}c1 c1),
+         ${p}c2 AS (SELECT vec_id AS id, v8, md FROM ${p}m1
                 ORDER BY md DESC, vec_id LIMIT 1),
-         m2 AS (SELECT m1.vec_id, m1.v8,
+         ${p}m2 AS (SELECT m1.vec_id, m1.v8,
                   least(m1.md,
                     CAST(list_sum(list_transform(list_zip(m1.v8, c2.v8),
                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
                     AS md
-                FROM m1 CROSS JOIN c2),
-         c3 AS (SELECT vec_id AS id, v8, md FROM m2
+                FROM ${p}m1 m1 CROSS JOIN ${p}c2 c2),
+         ${p}c3 AS (SELECT vec_id AS id, v8, md FROM ${p}m2
                 ORDER BY md DESC, vec_id LIMIT 1),
-         m3 AS (SELECT m2.vec_id, m2.v8,
+         ${p}m3 AS (SELECT m2.vec_id, m2.v8,
                   least(m2.md,
                     CAST(list_sum(list_transform(list_zip(m2.v8, c3.v8),
                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT))
                     AS md
-                FROM m2 CROSS JOIN c3),
-         c4 AS (SELECT vec_id AS id, v8, md FROM m3
+                FROM ${p}m2 m2 CROSS JOIN ${p}c3 c3),
+         ${p}c4 AS (SELECT vec_id AS id, v8, md FROM ${p}m3
                 ORDER BY md DESC, vec_id LIMIT 1)"""
 
   private def knnPqSql: String = {
@@ -508,12 +511,11 @@ object SimilarityQueries extends QueryGroup {
     * min-id survivor — SemDeDup end to end in SQL. Spark's
     * `min(struct(-cos, id))` argmin ≡ row_number rank 1 here: both
     * take the head of the identical (cos DESC, id ASC) total order. */
-  private val semDedupSql =
-    """WITH RECURSIVE corpus AS (
-         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         UNION ALL
-         SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
-         FROM embeddings WHERE vec_id % 10 = 0),
+  /** The hierarchical SemDeDup chain from a caller-supplied corpus
+    * SELECT to `kept(vec_id)` (the surviving representatives) —
+    * shared by q_semdedup and the v6 curation composition. */
+  private def semDedupCtes(corpusSelect: String): String =
+    s"""corpus AS ($corpusSelect),
        n AS (SELECT vec_id, v,
                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
              FROM corpus),
@@ -561,9 +563,17 @@ object SimilarityQueries extends QueryGroup {
          SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
        losers AS (SELECT id FROM (SELECT id, min(r) AS component
                                   FROM reach GROUP BY id) c
-                  WHERE component <> id)
-       SELECT vec_id FROM corpus
-       WHERE vec_id NOT IN (SELECT id FROM losers)"""
+                  WHERE component <> id),
+       kept AS (SELECT vec_id FROM corpus
+                WHERE vec_id NOT IN (SELECT id FROM losers))"""
+
+  private val semDedupSql =
+    s"""WITH RECURSIVE ${semDedupCtes(
+         """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+            FROM embeddings WHERE vec_id % 10 = 0""")}
+       SELECT vec_id FROM kept"""
 
   val queries: Seq[Q] = Seq(
     q("q_knn_bruteforce", "similarity",
@@ -639,6 +649,59 @@ object SimilarityQueries extends QueryGroup {
         emb.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       Similarity.semDedup(corpus, 0.95).select("vec_id")
+    },
+
+    // curation composition v6 — the D4 shape (Tirumala et al. 2023:
+    // semantic dedup THEN a diversity-aware pass): hierarchical
+    // SemDeDup removes near-duplicate extras, greedy k-center picks
+    // the 4 most mutually-distant survivors as strata anchors, and
+    // the cluster-balanced subset keeps each anchor's 8 nearest
+    // survivors — coverage-stratified sampling where every region of
+    // embedding space contributes, instead of frequency-weighted
+    // sampling that over-draws dense regions. Single oracle end to
+    // end: the SemDeDup chain, the unrolled greedy trajectory, the
+    // assignment argmin, and the per-center window all replay in one SQL
+    // statement built from the SAME CTE blocks the standalone queries
+    // verify — the composition cannot drift from the parts.
+    q("q_curate_corpus_v6", "similarity",
+      s"""WITH RECURSIVE ${semDedupCtes(
+           "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")},
+         surv AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                  JOIN kept USING (vec_id)),
+         ${kcenterCtes("surv", "k")},
+         cents AS (SELECT id, v8, 1 AS rnd FROM kc1
+                   UNION ALL SELECT id, v8, 2 FROM kc2
+                   UNION ALL SELECT id, v8, 3 FROM kc3
+                   UNION ALL SELECT id, v8, 4 FROM kc4),
+         av AS (SELECT kq8.vec_id, cents.id AS center_id, cents.rnd,
+                  CAST(list_sum(list_transform(
+                    list_zip(kq8.v8, cents.v8),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)
+                    AS d2
+                FROM kq8 CROSS JOIN cents),
+         best AS (SELECT vec_id, center_id, d2 FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d2, rnd) AS pr FROM av) t
+                  WHERE pr = 1)
+         SELECT vec_id, center_id, CAST(rk AS BIGINT) AS rank_in_center,
+                d2
+         FROM (SELECT *, row_number() OVER (PARTITION BY center_id
+                 ORDER BY d2, vec_id) AS rk FROM best) t
+         WHERE rk <= 8""") { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.df(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      // checkpoint between stages (the curate-v5 discipline): the
+      // survivor frame feeds the selection AND the assignment
+      val surv = Similarity.semDedup(emb, 0.95).localCheckpoint()
+      val centers = Similarity.kCenterSelect(surv, 4)
+      val w = Window.partitionBy(col("center_id"))
+        .orderBy(col("d2"), col("vec_id"))
+      Similarity.kCenterAssign(surv, centers)
+        .withColumn("rank_in_center", row_number().over(w).cast("long"))
+        .filter(col("rank_in_center") <= 8)
+        .select(col("vec_id"), col("center_id"), col("rank_in_center"),
+          col("d2"))
     },
 
     // the near-dup SCALE path: sign-LSH blocking + exact cosine verify.
@@ -823,7 +886,7 @@ object SimilarityQueries extends QueryGroup {
     // chained argmax CTEs — a wrong pick at any round cascades into a
     // hash mismatch.
     q("q_kcenter_select", "similarity",
-      s"""WITH $kcenterCtes
+      s"""WITH ${kcenterCtes("embeddings", "")}
          SELECT id AS vec_id, CAST(1 AS BIGINT) AS sel_round,
                 CAST(0 AS BIGINT) AS d2_prev FROM c1
          UNION ALL SELECT id, 2, md FROM c2
@@ -838,7 +901,7 @@ object SimilarityQueries extends QueryGroup {
     // radius. Selection CTEs shared with q_kcenter_select so the two
     // oracles cannot drift.
     q("q_kcenter_assign", "similarity",
-      s"""WITH $kcenterCtes,
+      s"""WITH ${kcenterCtes("embeddings", "")},
          cents AS (
            SELECT id, v8, 1 AS rnd FROM c1
            UNION ALL SELECT id, v8, 2 FROM c2

@@ -579,6 +579,42 @@ class SimilaritySpec extends AnyFunSuite {
       3L -> ((3L, 2L, 0L)), 4L -> ((1L, 1L, 9469L))))
   }
 
+  test("kCenterSelect respects the Gonzalez 2x bound vs the optimal " +
+      "discrete cover (exhaustive small instances)") {
+    import spark.implicits._
+    // fixed 2-D instances (no RNG): a ring, and two tight clusters
+    // plus an outlier — shapes where greedy and optimal genuinely
+    // differ
+    val ring = (0 until 8).map(i => (i.toLong,
+      Seq(math.cos(i * 0.785).toFloat, math.sin(i * 0.785).toFloat)))
+    val clusters = Seq(
+      (0L, Seq(1.0f, 0.02f)), (1L, Seq(1.0f, 0.05f)),
+      (2L, Seq(0.98f, 0.0f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.03f, 1.0f)), (5L, Seq(-0.9f, 0.4f)))
+    // the operator's own quantization, replicated so radii are scored
+    // over the SAME int8 codes the operator compares
+    def q8(v: Seq[Float]): Seq[Long] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => math.floor(127.0 * (x / n) + 0.5).toLong)
+    }
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    Seq(ring, clusters).foreach { pts =>
+      val codes = pts.map { case (id, v) => id -> q8(v) }.toMap
+      val k = 3
+      val sel = Similarity.kCenterSelect(
+          pts.toDF("vec_id", "embedding"), k)
+        .collect().map(_.getLong(0)).toSeq
+      def radius(cs: Seq[Long]): Long =
+        codes.keys.map(p => cs.map(c => d2(codes(p), codes(c))).min).max
+      val greedy = radius(sel)
+      val opt = codes.keys.toSeq.combinations(k).map(radius).min
+      // Gonzalez 1985: greedy DISTANCE <= 2x optimal, so squared <= 4x
+      assert(greedy <= 4 * opt,
+        s"greedy radius² $greedy exceeds 4x optimal $opt")
+    }
+  }
+
   test("recallAtK: hand case, dropped queries surface as 0, and the " +
       "IVF report agrees with a direct set computation") {
     import spark.implicits._
