@@ -437,6 +437,70 @@ object Sampling {
       .drop("__h")
   }
 
+  /** UniMax sampling (Chung et al. 2023, public: "UniMax: Fairer and
+    * More Effective Language Sampling") — the budget allocator that
+    * replaced temperature mixing for mT5-class corpora: given a total
+    * doc budget and a per-source epoch CAP, walk sources smallest
+    * first, granting each min(cap·n_s, fair share of the remaining
+    * budget over the remaining sources). Small sources get their full
+    * capped mass (never starved, never over-repeated); what they
+    * leave unused flows to the larger sources — fairer than any
+    * single temperature exponent, with repetition bounded by
+    * construction.
+    *
+    * Deterministic end to end: ascending (count, source) walk with
+    * floor division for the fair share, full epochs = alloc/n_s per
+    * doc, and the alloc%n_s partial-epoch extras go to the docs with
+    * the smallest (hashU31, id) — the [[sampleK]] draw — so the whole
+    * allocation AND the materialized per-doc copy counts replay in
+    * SQL (`q_sample_unimax`, the allocation walk as a recursive CTE).
+    *
+    * Scale shape: one partial-agg'd source count collected at
+    * ~|sources| rows (bounded — the Pack shard-offset budget), the
+    * allocation walk on the driver over that, a broadcast threshold
+    * table, and ONE source-keyed exchange for the partial-epoch rank
+    * (only the rank needs it; the full-epoch copies are decided
+    * map-side from the broadcast row). Docs with zero copies are
+    * dropped from the output.
+    *
+    * @return (idCol, sourceCol, n_copies ≥ 1) */
+  def unimaxSample(df: DataFrame, idCol: String, sourceCol: String,
+      budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    // bounded collect: one row per source, ordered by the column's
+    // NATIVE ordering so the walk matches the SQL replay for any
+    // source type
+    val counts = df.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n"), col("__src"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var remB = budget
+    var remS = counts.length
+    val thr = counts.map { case (s, n) =>
+      val fair = remB / remS
+      val a = math.min(maxEpochs.toLong * n, fair)
+      remB -= a
+      remS -= 1
+      (s, a / n, a % n)
+    }
+    val thrDf = broadcast(thr.toSeq.toDF("__src", "__full", "__extra"))
+    val w = Window.partitionBy(col("__src"))
+      .orderBy(hashU31(col(idCol)), col(idCol))
+    df.withColumn("__src", col(sourceCol).cast("string"))
+      .join(thrDf, Seq("__src"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_copies",
+        col("__full") + when(col("__rk") <= col("__extra"), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(sourceCol),
+        col("n_copies").cast("long").as("n_copies"))
+  }
+
   /** CURRICULUM ordering: documents stream tier-by-tier (equal-mass
     * score quantile tiers via [[graft.ops.Stats.quantileBuckets]] —
     * tier 1 = lowest scores first), pseudorandomly shuffled WITHIN

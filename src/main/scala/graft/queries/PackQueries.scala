@@ -277,6 +277,60 @@ object PackQueries extends QueryGroup {
         "doc_id", 100)
     },
 
+    // UniMax sampling (Chung et al. 2023): per-source epoch-capped
+    // budget allocation, smallest sources first — the fairer
+    // replacement for temperature mixing. Sources are a synthesized
+    // SKEWED grouping (floor(sqrt(doc_id%400)) → sizes ~2g+1, so the
+    // small groups hit the 2-epoch cap and the large ones split the
+    // leftover fair shares — both branches of the allocator exercised
+    // and hash-checked). The oracle replays the sequential allocation
+    // walk as a recursive CTE and the partial-epoch draw with the
+    // q_sample_k hash spelling.
+    q("q_sample_unimax", "llm-pack",
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             's' || CAST(CAST(floor(sqrt(doc_id % 400)) AS BIGINT)
+                         AS VARCHAR) AS src_grp
+           FROM documents),
+         cnt AS (SELECT src_grp, count(*) AS n FROM d GROUP BY 1),
+         ord AS (SELECT src_grp, n,
+                   CAST(row_number() OVER (ORDER BY n, src_grp)
+                        AS BIGINT) AS i,
+                   CAST(count(*) OVER () AS BIGINT) AS s
+                 FROM cnt),
+         walk(i, src_grp, n, alloc, rem) AS (
+           SELECT i, src_grp, n,
+             least(2 * n, 600 // s),
+             600 - least(2 * n, 600 // s)
+           FROM ord WHERE i = 1
+           UNION ALL
+           SELECT o.i, o.src_grp, o.n,
+             least(2 * o.n, w.rem // (o.s - w.i)),
+             w.rem - least(2 * o.n, w.rem // (o.s - w.i))
+           FROM walk w JOIN ord o ON o.i = w.i + 1),
+         thr AS (SELECT src_grp, alloc // n AS f, alloc % n AS extra
+                 FROM walk),
+         rk AS (SELECT d.doc_id, d.src_grp,
+                  row_number() OVER (PARTITION BY d.src_grp ORDER BY
+                    ((((((doc_id % 2147483646 + 1) * 48271)
+                        % 2147483647) * 48271) % 2147483647) * 48271)
+                      % 2147483647, doc_id) AS r
+                FROM d)
+         SELECT rk.doc_id, rk.src_grp,
+           CAST(t.f + CASE WHEN rk.r <= t.extra THEN 1 ELSE 0 END
+                AS BIGINT) AS n_copies
+         FROM rk JOIN thr t USING (src_grp)
+         WHERE t.f + CASE WHEN rk.r <= t.extra THEN 1 ELSE 0 END
+               > 0""") { (spark, dir) =>
+      val d = Tables.df(spark, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("s"),
+            floor(sqrt((col("doc_id") % 400).cast("double")))
+              .cast("long").cast("string")).as("src_grp"))
+      Sampling.unimaxSample(d, "doc_id", "src_grp",
+        budget = 600L, maxEpochs = 2)
+    },
+
     // curriculum ordering: 4 equal-mass score tiers (easy→hard macro
     // order), trainingOrder's Lehmer shard shuffle within each tier,
     // tier offsets from the bounded per-tier max (ordinal gaps

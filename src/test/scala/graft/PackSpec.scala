@@ -250,4 +250,31 @@ class PackSpec extends AnyFunSuite {
     assert(got.forall(u => u >= 1 && u < Sampling.Mod))
     assert(got.distinct.length == got.length)
   }
+
+  test("unimaxSample: caps bind for small sources, fair shares split " +
+      "the rest, leftovers stay unspent when every source caps out") {
+    import spark.implicits._
+    // A: 1 doc, B: 2 docs, C: 5 docs
+    val d = (Seq((0L, "A")) ++ (1L to 2L).map((_, "B")) ++
+      (10L to 14L).map((_, "C"))).toDF("doc_id", "src")
+    def run(budget: Long, cap: Int): Map[String, (Long, Long)] =
+      Sampling.unimaxSample(d, "doc_id", "src", budget, cap)
+        .groupBy("src")
+        .agg(sum("n_copies").as("copies"), count(lit(1)).as("docs"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    // budget 6, cap 2: walk A(fair 2, capped 2) → B(fair 2) →
+    // C(fair 2): A's doc repeats twice, B's docs once each, C draws
+    // 2 of 5 docs
+    assert(run(6, 2) === Map(
+      "A" -> ((2L, 1L)), "B" -> ((2L, 2L)), "C" -> ((2L, 2L))))
+    // budget 20, cap 2: every source caps out (2+4+10=16 < 20) — the
+    // leftover stays UNSPENT, never over-repeats a source
+    assert(run(20, 2) === Map(
+      "A" -> ((2L, 1L)), "B" -> ((4L, 2L)), "C" -> ((10L, 5L))))
+    // budget below the smallest fair share still floors cleanly
+    val tiny = Sampling.unimaxSample(d, "doc_id", "src", 2, 2)
+      .agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(tiny <= 2)
+  }
 }
