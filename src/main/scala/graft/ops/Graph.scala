@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for corpus curation: PageRank over a
+  * domain/document link graph is the classic web-scale quality prior
+  * (the public PageRank formulation, Brin & Page 1998 — used by
+  * Common-Crawl-derived corpora to weight or gate domains before text
+  * filters ever run).
+  *
+  * This is the FIXED-POINT INTEGER variant: ranks are scaled longs
+  * (`scale` total mass units at seed), every division is a floor
+  * division, and iteration count is fixed — so the result is exactly
+  * reproducible on any engine (the oracle replays all iterations as a
+  * recursive CTE; a libm-double PageRank would drift in the last ulp
+  * across engines and summation orders). Floor truncation loses a few
+  * mass units per node per round — irrelevant for ranking/weighting
+  * (relative order is preserved at `scale` ≫ n) and the price of
+  * engine-exactness, the same trade [[TextAnalysis.bigramLmScore]]
+  * makes.
+  *
+  * Scale shape per iteration: one equi-shuffle join of the edge list
+  * with the current rank table on the source id, a partial-agg'd
+  * groupBy on the destination, and an outer join back to the node
+  * set — all linear in |E| + |V|. Out-degrees are joined ONCE onto the
+  * edge list before the loop (they never change) and the rank table is
+  * rotating-localCheckpointed each round, so executor storage holds two
+  * |V|-sized copies at any moment (not `iterations`) and the logical
+  * plan stays O(1) deep. Dangling nodes (no out-edges) simply leak
+  * their damped mass — the standard simplification; ranks remain a
+  * valid centrality order.
+  */
+object Graph {
+
+  /** @param edges     distinct directed edges (self-loops and duplicate
+    *                  edges should be removed by the caller — each row
+    *                  carries one unit of out-share)
+    * @param iterations fixed power-iteration count (8 ≈ converged for
+    *                  ranking purposes on web-shaped graphs)
+    * @param dampingPct damping factor in percent (the public 0.85)
+    * @param scale     total mass in integer units at seed
+    * @param nodesOpt  explicit node universe (one column); defaults to
+    *                  the ids appearing in the edge list — pass it when
+    *                  isolated nodes must still receive teleport mass
+    * @return (node, rank) — rank in integer mass units */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8, dampingPct: Int = 85,
+      scale: Long = 1000000L, nodesOpt: Option[DataFrame] = None)
+      : DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100]: $dampingPct")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = nodesOpt
+      .map(_.toDF("node").select(col("node").cast("long").as("node")))
+      .getOrElse(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+      .localCheckpoint() // consumed every round: cut the scan lineage once
+    val nNodes = nodes.count()
+    require(nNodes > 0, "pageRank: empty graph")
+    val r0 = scale / nNodes
+    val base = (100L - dampingPct) * r0 / 100L
+
+    // out-degree is loop-invariant: fold it onto the edges once
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(deg, "src").localCheckpoint()
+
+    var prevIds = Set.empty[Int]
+    def checkpointRotating(df: DataFrame): DataFrame = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      val cp = df.localCheckpoint()
+      val mine = sc.getPersistentRDDs.keySet.toSet -- pre
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = mine
+      cp
+    }
+
+    var ranks = nodes.withColumn("rank", lit(r0))
+    for (_ <- 1 to iterations) {
+      val contrib = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("rank div deg").as("share")) // true integer floor div
+        .groupBy("node").agg(sum(col("share")).as("contrib"))
+      ranks = checkpointRotating(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(
+              s"($dampingPct * coalesce(contrib, 0L)) div 100"))
+              .as("rank")))
+    }
+    ranks
+  }
+}

@@ -239,4 +239,39 @@ object Quality {
         coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** k-anonymous aggregate release (the public Sweeney 2002 model,
+    * applied at the release gate): published group counts whose
+    * quasi-identifier combination matches fewer than `k` underlying
+    * rows re-identify individuals by intersection — so groups below
+    * the threshold are SUPPRESSED into one residual row whose quasi
+    * columns read `*`, keeping the released table's total row count
+    * exact while no published combination isolates < k people.
+    *
+    * Scale shape: one partial-agg'd groupBy over the quasi columns
+    * (corpus-sized shuffle of distinct combinations), then a
+    * map-side mask + a second groupBy over the ≤ |groups| rows to
+    * fold all suppressed combinations together. Quasi columns are
+    * cast to string (the `*` mask needs one type; NULL masks to `*`
+    * via the cast-and-coalesce, so a NULL quasi value can't leak as
+    * its own publishable group).
+    *
+    * @return one row per surviving combination + at most one
+    * residual: (quasiCols…, n_rows) */
+  def kAnonymousRelease(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2 for suppression to mean anything: $k")
+    val grouped = df
+      .select(quasiCols.map(c =>
+        coalesce(col(c).cast("string"), lit("*")).as(c)): _*)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val masked = grouped.select(
+      quasiCols.map(c =>
+        when(col("n_rows") >= k, col(c)).otherwise(lit("*")).as(c)) :+
+        col("n_rows"): _*)
+    masked.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension merge — the warehouse operation the
+  * reference's daily dimension loads imply but hand off to overwrite
+  * semantics (`/root/reference/dags/templates/evm_load_template.py`
+  * keeps only latest-state dims): keep EVERY historical version of a
+  * dimension row, each with a validity interval, so facts can join to
+  * the version that was current at their event time.
+  *
+  * Semantics per key, given the current table and an updates batch at
+  * `effectiveDate`:
+  *   - tracked attributes changed → close the open version
+  *     (`valid_to = effectiveDate`, `is_current = false`) and open a
+  *     new one (`valid_from = effectiveDate`, open-ended, current);
+  *   - update row identical on all tracked attributes → no-op;
+  *   - key only in updates → brand-new current version;
+  *   - key not in updates, and all already-closed history → pass
+  *     through untouched.
+  *
+  * Scale shape: ONE equi-shuffle join of the open-version slice with
+  * the updates batch on the business key (history rows never join —
+  * they're unioned straight through), map-side change detection via
+  * null-safe attribute comparison, then a union of three projections
+  * of that single join. A daily dim batch is typically ≪ the dim —
+  * broadcast-eligible under AQE; nothing here is quadratic or
+  * driver-bound.
+  */
+object Scd {
+
+  /** Merge `updates` into the SCD2 `current` table. `current` must
+    * carry `keyCol`, the tracked columns, and `valid_from`/`valid_to`/
+    * `is_current` bookkeeping; `updates` carries `keyCol` + tracked
+    * columns. Returns the full post-merge SCD2 table. */
+  def scd2Merge(current: DataFrame, updates: DataFrame, keyCol: String,
+      trackedCols: Seq[String], effectiveDate: String): DataFrame = {
+    require(trackedCols.nonEmpty, "trackedCols must be non-empty")
+    val book = Seq("valid_from", "valid_to", "is_current")
+    val open = current.filter(col("is_current"))
+    val hist = current.filter(!col("is_current"))
+
+    val u = updates.select(
+      col(keyCol).as("_uk") +: trackedCols.map(c => col(c).as(s"_u_$c")): _*)
+    // one shuffle (or AQE-broadcast) join; every branch below reuses it
+    val joined = open.join(u, open(keyCol) === col("_uk"), "full_outer")
+    val changed = trackedCols
+      .map(c => !(col(c) <=> col(s"_u_$c"))).reduce(_ || _)
+
+    // open versions that survive as-is: no update row, or a no-op one
+    val untouched = joined.filter(col("_uk").isNull ||
+        (col(keyCol).isNotNull && !changed))
+      .select(current.columns.map(col): _*)
+    // open versions closed by a genuinely-different update row
+    val closed = joined.filter(col(keyCol).isNotNull &&
+        col("_uk").isNotNull && changed)
+      .select(col(keyCol) +: trackedCols.map(col) :+ col("valid_from") :+
+        lit(effectiveDate).as("valid_to") :+ lit(false).as("is_current"): _*)
+    // new versions: changed keys re-open, brand-new keys insert
+    val opened = joined.filter(col("_uk").isNotNull &&
+        (col(keyCol).isNull || changed))
+      .select(col("_uk").as(keyCol) +:
+        trackedCols.map(c => col(s"_u_$c").as(c)) :+
+        lit(effectiveDate).as("valid_from") :+
+        lit(null.asInstanceOf[String]).as("valid_to") :+
+        lit(true).as("is_current"): _*)
+
+    val ordered = Seq(keyCol) ++ trackedCols ++ book
+    hist.select(ordered.map(col): _*)
+      .unionByName(untouched.select(ordered.map(col): _*))
+      .unionByName(closed)
+      .unionByName(opened)
+  }
+}

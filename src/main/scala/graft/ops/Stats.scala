@@ -460,4 +460,36 @@ object Stats {
       .select(col("g").as(grpCol), col("p").cast("long").as("permille"),
         col("v_at"))
   }
+
+  /** Robust outlier flagging by median absolute deviation — the
+    * time-series QC gate a daily ingest needs ("which days' volumes
+    * are anomalous"): mean/stddev z-scores are dragged by the very
+    * outliers they hunt; the median/MAD pair has a 50% breakdown
+    * point (the public Hampel identifier). Integer-exact end to end:
+    * both medians come from [[exactQuantiles]]'s type-1 permille-500
+    * rank (no interpolation, no doubles), and the flag compares
+    * `|x − median| > nMads · MAD` in long arithmetic — so the oracle
+    * replays it verbatim.
+    *
+    * Input contract: `df` is the already-aggregated SERIES (one row
+    * per period/entity, value integral) — typically the output of a
+    * corpus-sized groupBy, so this operator's own passes (two
+    * quantile aggregates + one broadcast-joined projection) run over
+    * series-sized data, never the corpus.
+    *
+    * @return one row per input row: (keyCol, x, med, mad, is_outlier) */
+  def madOutliers(df: DataFrame, keyCol: String, value: Column,
+      nMads: Int = 3): DataFrame = {
+    require(nMads >= 1, s"nMads must be >= 1, got $nMads")
+    val x = df.select(col(keyCol), value.cast("long").as("x"))
+    val med = exactQuantiles(x, col("x"), Seq(500))
+      .select(col("v_at").as("med"))
+    val dev = x.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = exactQuantiles(dev, col("adev"), Seq(500))
+      .select(col("v_at").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col(keyCol), col("x"), col("med"), col("mad"),
+        (col("adev") > lit(nMads.toLong) * col("mad")).as("is_outlier"))
+  }
 }

@@ -46,7 +46,8 @@ object Catalog {
     SimilarityQueries,
     MultimodalQueries,
     PackQueries,
-    QualityQueries)
+    QualityQueries,
+    WarehouseQueries)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.queries)

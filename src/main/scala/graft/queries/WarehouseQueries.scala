@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Graph, Linkage, Quality, Scd, Sketch, Stats}
+
+/** Warehouse/governance operators beyond the reference's template set:
+  * entity linkage, SCD2 dimension history, k-anonymous release, robust
+  * series QC, link-graph centrality, and the count-min sketch — each
+  * with a full DuckDB oracle over the same parquet tables.
+  */
+object WarehouseQueries extends QueryGroup {
+
+  /** Deterministic "dirty" entity side for the linkage queries: one
+    * digit substituted (custkey%3==0), one digit deleted (%3==1), or
+    * untouched (%3==2), at digit position 10 + custkey%8 — the same
+    * formula the oracle spells in SQL. */
+  private val dirtyNameExpr: String =
+    """CASE CAST(c_custkey % 3 AS INT)
+         WHEN 0 THEN concat(
+           substring(c_name, 1, CAST(9 + c_custkey % 8 AS INT)),
+           char((ascii(substring(c_name,
+             CAST(10 + c_custkey % 8 AS INT), 1)) - 48 + 1) % 10 + 48),
+           substring(c_name, CAST(11 + c_custkey % 8 AS INT), 100))
+         WHEN 1 THEN concat(
+           substring(c_name, 1, CAST(9 + c_custkey % 8 AS INT)),
+           substring(c_name, CAST(11 + c_custkey % 8 AS INT), 100))
+         ELSE c_name END"""
+
+  val queries: Seq[Q] = Seq(
+
+    // Record linkage: clean customer names vs a deterministically
+    // dirtied copy (digit substituted / deleted / untouched), matched
+    // at edit distance <= 1. Production is the PassJoin segment
+    // blocking (recall 1 by pigeonhole, then exact levenshtein
+    // verify); the oracle is the labeled ALL-PAIRS twin — both must
+    // emit the identical 22k-pair set, so a blocking recall hole or a
+    // verify drift cannot hash-match. Both engines' levenshtein is
+    // the classic DP edit distance.
+    q("q_linkage_fuzzy", "warehouse",
+      """WITH clean AS (SELECT c_custkey AS clean_id, c_name AS name
+                        FROM customer),
+         dirty0 AS (SELECT c_custkey, c_name, 10 + c_custkey % 8 AS p
+                    FROM customer),
+         dirty AS (SELECT c_custkey + 1000000 AS dirty_id,
+             CASE c_custkey % 3
+               WHEN 0 THEN substr(c_name, 1, p - 1)
+                 || chr((ord(substr(c_name, p, 1)) - 48 + 1) % 10 + 48)
+                 || substr(c_name, p + 1)
+               WHEN 1 THEN substr(c_name, 1, p - 1) || substr(c_name, p + 1)
+               ELSE c_name END AS dname
+           FROM dirty0)
+         SELECT clean_id, dirty_id,
+                CAST(levenshtein(name, dname) AS BIGINT) AS dist
+         FROM clean, dirty
+         WHERE abs(length(name) - length(dname)) <= 1
+           AND levenshtein(name, dname) <= 1""") { (spark, dir) =>
+      val cust = Tables.df(spark, dir, "customer")
+      val clean = cust.select(col("c_custkey").as("clean_id"),
+        col("c_name").as("name"))
+      val dirty = cust.select(
+        (col("c_custkey") + 1000000L).as("dirty_id"),
+        expr(dirtyNameExpr).as("dname"))
+      Linkage.fuzzyJoin(clean, dirty, "clean_id", "name",
+        "dirty_id", "dname", maxEdit = 1)
+    },
+
+    // SCD2 dimension merge: the customer dim (plus a closed history
+    // version for custkey%13==0) merged with a day's update batch —
+    // %5 bumps the balance, %7 remaps the segment, %11 arrives as a
+    // no-op row, and 50 brand-new keys insert. All four merge branches
+    // (close, re-open, insert, pass-through) land in the output and
+    // the oracle replays each as its own CTE leg.
+    q("q_scd2_merge", "warehouse",
+      """WITH cur AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal,
+                  '2024-01-01' AS valid_from,
+                  CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+           FROM customer),
+         hist AS (
+           SELECT c_custkey, 'OLDSEG' AS c_mktsegment,
+                  c_acctbal - 50.0 AS c_acctbal,
+                  '2023-01-01' AS valid_from, '2024-01-01' AS valid_to,
+                  false AS is_current
+           FROM customer WHERE c_custkey % 13 = 0),
+         upd AS (
+           SELECT c_custkey AS uk,
+                  CASE WHEN c_custkey % 7 = 0 THEN 'REMAPPED'
+                       ELSE c_mktsegment END AS u_seg,
+                  c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0
+                                   ELSE 0.0 END AS u_bal
+           FROM customer
+           WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+              OR c_custkey % 11 = 0
+           UNION ALL
+           SELECT c_custkey + 100000, 'NEWKEY', c_custkey * 1.5
+           FROM customer WHERE c_custkey < 50),
+         chg AS (
+           SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+             c.valid_from, c.valid_to, c.is_current,
+             u.uk, u.u_seg, u.u_bal,
+             (c.c_mktsegment IS DISTINCT FROM u.u_seg
+              OR c.c_acctbal IS DISTINCT FROM u.u_bal) AS changed
+           FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.uk)
+         SELECT * FROM hist
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+                valid_to, is_current
+         FROM chg WHERE uk IS NULL
+                     OR (c_custkey IS NOT NULL AND NOT changed)
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+                '2024-02-01', false
+         FROM chg WHERE c_custkey IS NOT NULL AND uk IS NOT NULL
+                    AND changed
+         UNION ALL
+         SELECT uk, u_seg, u_bal, '2024-02-01',
+                CAST(NULL AS VARCHAR), true
+         FROM chg WHERE uk IS NOT NULL
+                    AND (c_custkey IS NULL OR changed)""") { (spark, dir) =>
+      val cust = Tables.df(spark, dir, "customer")
+      val cur = cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal"), lit("2024-01-01").as("valid_from"),
+          lit(null.asInstanceOf[String]).as("valid_to"),
+          lit(true).as("is_current"))
+      val hist = cust.filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
+          (col("c_acctbal") - 50.0).as("c_acctbal"),
+          lit("2023-01-01").as("valid_from"),
+          lit("2024-01-01").as("valid_to"), lit(false).as("is_current"))
+      val updates = cust
+        .filter(col("c_custkey") % 5 === 0 || col("c_custkey") % 7 === 0 ||
+          col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit("REMAPPED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          (col("c_acctbal") + when(col("c_custkey") % 5 === 0, lit(100.0))
+            .otherwise(lit(0.0))).as("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") < 50)
+          .select((col("c_custkey") + 100000L).as("c_custkey"),
+            lit("NEWKEY").as("c_mktsegment"),
+            (col("c_custkey") * 1.5).as("c_acctbal")))
+      Scd.scd2Merge(cur.unionByName(hist), updates, "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"), "2024-02-01")
+    },
+
+    // k-anonymous release of (event_type, user cohort) counts at
+    // k=10: 106 of the ~700 combinations fall below the threshold on
+    // this corpus and collapse into the '*' residual — both the
+    // publish and the suppress branch are load-bearing in the hash.
+    q("q_kanon_release", "warehouse",
+      """WITH g AS (
+           SELECT COALESCE(event_type, '*') AS event_type,
+                  COALESCE(CAST(user_id % 149 AS VARCHAR), '*') AS cohort,
+                  count(*) AS n_rows
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT CASE WHEN n_rows >= 10 THEN event_type ELSE '*' END
+                    AS event_type,
+                  CASE WHEN n_rows >= 10 THEN cohort ELSE '*' END
+                    AS cohort,
+                  n_rows
+           FROM g)
+         SELECT event_type, cohort, CAST(sum(n_rows) AS BIGINT) AS n_rows
+         FROM m GROUP BY 1, 2""") { (spark, dir) =>
+      Quality.kAnonymousRelease(
+        Tables.df(spark, dir, "events")
+          .select(col("event_type"), (col("user_id") % 149).as("cohort")),
+        Seq("event_type", "cohort"), k = 10)
+    },
+
+    // Robust daily-volume QC: the 30-day event count series plus one
+    // injected bad-ingest day (3x the max) flagged by the Hampel
+    // identifier — median/MAD from the integer type-1 permille-500
+    // rank, flag at |x - med| > 3*MAD. Only the injected day trips it;
+    // the real series' spread stays inside three MADs.
+    q("q_mad_outlier_days", "warehouse",
+      """WITH daily AS (
+           SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1
+           UNION ALL
+           SELECT '2024-02-05', 3 * (SELECT max(n) FROM (
+             SELECT count(*) AS n FROM events
+             GROUP BY CAST(ts AS DATE)))),
+         med AS (SELECT v FROM (
+           SELECT x AS v, sum(1) OVER (ORDER BY x) AS cum,
+                  count(*) OVER () AS n
+           FROM daily) WHERE cum >= (500 * n + 999) // 1000
+           ORDER BY v LIMIT 1),
+         dev AS (SELECT day, x, (SELECT v FROM med) AS med,
+                        abs(x - (SELECT v FROM med)) AS adev
+                 FROM daily),
+         mad AS (SELECT v FROM (
+           SELECT adev AS v, sum(1) OVER (ORDER BY adev) AS cum,
+                  count(*) OVER () AS n
+           FROM dev) WHERE cum >= (500 * n + 999) // 1000
+           ORDER BY v LIMIT 1)
+         SELECT day, x, med, (SELECT v FROM mad) AS mad,
+                adev > 3 * (SELECT v FROM mad) AS is_outlier
+         FROM dev""") { (spark, dir) =>
+      val daily = Tables.df(spark, dir, "events")
+        .groupBy(col("ts").cast("date").cast("string").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint() // consumed twice (spike max + series): one scan
+      val spike = daily.agg(max(col("x")).as("mx"))
+        .select(lit("2024-02-05").as("day"), (col("mx") * 3).as("x"))
+      Stats.madOutliers(daily.unionByName(spike), "day", col("x"),
+        nMads = 3)
+    },
+
+    // Fixed-point PageRank over a deterministic Lehmer-derived doc
+    // link graph (3 out-edges per doc, self-loops dropped): 8 power
+    // iterations in scaled-long arithmetic, the oracle unrolling them
+    // as a recursive CTE — a libm-double PageRank could never
+    // hash-match across engines; this one must.
+    q("q_pagerank", "warehouse",
+      """WITH RECURSIVE
+         docs AS (SELECT doc_id FROM documents),
+         nn AS (SELECT count(*) AS n FROM docs),
+         e1 AS (SELECT doc_id AS src,
+                  ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS u1
+                FROM docs),
+         e3 AS (SELECT src, u1, u1 * 48271 % 2147483647 AS u2,
+                  u1 * 48271 % 2147483647 * 48271 % 2147483647 AS u3
+                FROM e1),
+         edges AS (SELECT DISTINCT src, dst FROM (
+             SELECT src, u1 % (SELECT n FROM nn) AS dst FROM e3
+             UNION ALL
+             SELECT src, u2 % (SELECT n FROM nn) FROM e3
+             UNION ALL
+             SELECT src, u3 % (SELECT n FROM nn) FROM e3)
+           WHERE src != dst),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         pr(t, node, r) AS (
+           SELECT 0, doc_id, (SELECT 1000000 // n FROM nn) FROM docs
+           UNION ALL
+           SELECT p.t + 1, p.node,
+             (SELECT 15 * (1000000 // n) // 100 FROM nn)
+             + 85 * COALESCE((
+                 SELECT SUM(p2.r // d.deg) FROM pr p2
+                 JOIN edges e ON e.src = p2.node
+                 JOIN deg d ON d.src = p2.node
+                 WHERE e.dst = p.node AND p2.t = p.t), 0) // 100
+           FROM pr p WHERE p.t < 8)
+         SELECT node, r AS pr_mass FROM pr WHERE t = 8""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
+          .as("u1"))
+      val e3 = e1.select(col("src"), col("u1"),
+        (col("u1") * 48271L % 2147483647L).as("u2"),
+        (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L)
+          .as("u3"))
+      val edges = e3.select(col("src"), (col("u1") % n).as("dst"))
+        .unionByName(e3.select(col("src"), (col("u2") % n).as("dst")))
+        .unionByName(e3.select(col("src"), (col("u3") % n).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.pageRank(edges, "src", "dst", iterations = 8,
+          nodesOpt = Some(docs)) // isolated docs still earn teleport mass
+        .select(col("node"), col("rank").as("pr_mass"))
+    },
+
+    // Count-min sketch heavy hitters: top-20 tokens by estimate with
+    // the exact count alongside. The oracle rebuilds the 4x1024 grid
+    // from the same unsigned Spark-Murmur3 + Knuth/Lehmer row mixing
+    // in BIGINT SQL, so every collision-inflated estimate (est >=
+    // exact, sometimes >) reproduces bit-for-bit.
+    q("q_heavy_hitters_cms", "warehouse",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS s
+                       FROM documents),
+         tf AS (SELECT s, CAST(count(*) AS BIGINT) AS exact
+                FROM tok WHERE len(s) > 0 GROUP BY 1),
+         strs AS (SELECT s FROM tf),
+         ${MurmurSql.chain},
+         tb AS (SELECT mm.s, rr.r,
+                  ((u + rr.r * 2654435761) % 4294967296 * 48271)
+                    % 2147483647 % 1024 AS bucket
+                FROM mm CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rr),
+         cms AS (SELECT r, bucket, SUM(tf.exact) AS c
+                 FROM tb JOIN tf ON tb.s = tf.s GROUP BY 1, 2),
+         est AS (SELECT tb.s, MIN(cms.c) AS est
+                 FROM tb JOIN cms USING (r, bucket) GROUP BY 1)
+         SELECT tf.s AS token, CAST(est.est AS BIGINT) AS est, tf.exact
+         FROM tf JOIN est ON tf.s = est.s
+         ORDER BY est DESC, token LIMIT 20""") { (spark, dir) =>
+      Sketch.cmsHeavyHitters(Tables.df(spark, dir, "documents"), "text",
+        depth = 4, width = 1024, k = 20)
+        .select(col("token"), col("est"), col("exact"))
+    })
+}
