@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Linkage
+
+/** Pins [[Linkage.fuzzyJoin]]'s exactness (≡ the all-pairs Levenshtein
+  * scan) and — the round-13 lesson — its behavior on the adversarial
+  * corpus shape that broke the earlier PassJoin segment blocking:
+  * every name sharing one long constant prefix. With positional
+  * segment keys that corpus collapses onto a single hash key (one
+  * reducer, O(n²) candidates); deletion-neighborhood keys stay
+  * near-unique because a key is the near-full string.
+  */
+class LinkageSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  /** Brute-force oracle: all pairs, exact levenshtein filter. */
+  private def brute(l: DataFrame, r: DataFrame, d: Int): Set[(Long, Long, Long)] =
+    l.toDF("lid", "lname").crossJoin(r.toDF("rid", "rname"))
+      .withColumn("dist", levenshtein(col("lname"), col("rname")))
+      .filter(col("dist") <= d)
+      .select(col("lid"), col("rid"), col("dist").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  private def fuzzy(l: DataFrame, r: DataFrame, d: Int): Set[(Long, Long, Long)] =
+    Linkage.fuzzyJoin(l.toDF("lid", "lname"), r.toDF("rid", "rname"),
+        "lid", "lname", "rid", "rname", maxEdit = d)
+      .as[(Long, Long, Long)].collect().toSet
+
+  /** The exact corpus shape that degenerated PassJoin: a 9-char
+    * constant prefix and digits-only tails (1 distinct prefix across
+    * the whole corpus). */
+  private def prefixCorpus(n: Int): DataFrame =
+    spark.range(n).select(col("id"),
+      format_string("Customer#%09d", col("id")).as("name"))
+
+  test("d=1 equals the all-pairs oracle on the shared-prefix corpus " +
+      "(substituted / deleted / inserted / untouched / unrelated)") {
+    val clean = prefixCorpus(120)
+    // one digit substituted (%4==0), one deleted (%4==1), one inserted
+    // (%4==2), untouched (%4==3) — all four single-edit kinds
+    val dirty = clean.select((col("id") + 1000L).as("id"),
+      when(col("id") % 4 === 0,
+        concat(substring(col("name"), 1, 12), lit("X"),
+          substring(col("name"), 14, 10)))
+      .when(col("id") % 4 === 1,
+        concat(substring(col("name"), 1, 12),
+          substring(col("name"), 14, 10)))
+      .when(col("id") % 4 === 2,
+        concat(substring(col("name"), 1, 12), lit("ZZ"),
+          substring(col("name"), 14, 10)))  // insert via replace-1-with-2
+      .otherwise(col("name")).as("name"))
+    // %4==2 is substitute-then-insert = distance 2: excluded at d=1,
+    // so the oracle equivalence exercises both keep and drop branches
+    val expected = brute(clean, dirty, 1)
+    assert(fuzzy(clean, dirty, 1) === expected)
+    assert(expected.nonEmpty)
+    assert(expected.exists(_._3 == 0L) && expected.exists(_._3 == 1L))
+  }
+
+  test("shared-prefix corpus produces no hot block: max key " +
+      "multiplicity stays O(true near-dup count), not O(n)") {
+    val n = 400
+    val corpus = prefixCorpus(n)
+    // replicate the blocking key derivation: count the largest block a
+    // single join key receives from one side. Under segment blocking
+    // this read n (every row in one block); deletion variants of
+    // distinct digit tails are near-unique.
+    val blocks = corpus
+      .select(explode(expr(
+        """array_distinct(array_union(array(name),
+             transform(sequence(1, length(name)),
+               i -> concat(substring(name, 1, i - 1),
+                           substring(name, i + 1, length(name))))))"""))
+        .as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val maxBlock = blocks.agg(max(col("c"))).as[Long].head()
+    // digit tails 0..399: deleting a digit collides only between
+    // genuinely near tails (the all-zeros key collects ~2·digits
+    // members — O(log n)), never a corpus fraction. Segment blocking
+    // read exactly n here.
+    assert(maxBlock <= 30, s"hot block of size $maxBlock on $n rows")
+    assert(maxBlock < n / 10,
+      s"block size $maxBlock is a corpus fraction of $n")
+  }
+
+  test("d=2 equals the all-pairs oracle (two-edit pairs captured, " +
+      "three-edit pairs rejected)") {
+    val clean = prefixCorpus(60)
+    val dirty = clean.select((col("id") + 500L).as("id"),
+      when(col("id") % 3 === 0, // two substitutions -> dist 2
+        concat(substring(col("name"), 1, 10), lit("XY"),
+          substring(col("name"), 13, 10)))
+      .when(col("id") % 3 === 1, // three substitutions -> dist 3, dropped
+        concat(substring(col("name"), 1, 10), lit("XYZ"),
+          substring(col("name"), 14, 10)))
+      .otherwise(col("name")).as("name"))
+    val expected = brute(clean, dirty, 2)
+    assert(fuzzy(clean, dirty, 2) === expected)
+    assert(expected.exists(_._3 == 2L))
+  }
+
+  test("edge shapes: empty and single-char strings, null names, " +
+      "cross-length matches") {
+    val l = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, null: String))
+      .toDF("lid", "lname")
+    val r = Seq((10L, ""), (11L, "b"), (12L, "ba"), (13L, null: String))
+      .toDF("rid", "rname")
+    val got = Linkage.fuzzyJoin(l, r, "lid", "lname", "rid", "rname", 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = brute(l.filter(col("lname").isNotNull),
+      r.filter(col("rname").isNotNull), 1)
+    assert(got === want)
+    // "" matches "" (0) and "b" (1); "a" matches "" and "b" (1); no
+    // null row ever appears
+    assert(got.contains((1L, 10L, 0L)) && got.contains((2L, 11L, 1L)))
+    assert(!got.exists(t => t._1 == 4L || t._2 == 13L))
+  }
+
+  test("maxEdit outside {1,2} is rejected") {
+    val d = Seq((1L, "x")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Linkage.fuzzyJoin(d, d, "id", "name", "id", "name", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Linkage.fuzzyJoin(d, d, "id", "name", "id", "name", 0)
+    }
+  }
+}
