@@ -28,4 +28,27 @@ object Checkpoints {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Rotating checkpoint for iterative loops (PageRank, greedy
+    * k-center): each call materializes the new round's frame and frees
+    * the PREVIOUS round's blocks, so executor storage holds a bounded
+    * number of copies instead of one per iteration.
+    *
+    * Tracking is by the checkpointed frame's OWN [[LogicalRDD]] leaf
+    * (via [[release]]), never by diffing `sc.getPersistentRDDs` around
+    * the checkpoint call — the registry delta claims, and would
+    * unpersist, any RDD a CONCURRENT job happened to persist inside
+    * the window. [[Rotating.releaseLast]] frees the final round too,
+    * for loops whose result is driver-side rows rather than the last
+    * frame. */
+  final class Rotating {
+    private var prev: Option[DataFrame] = None
+    def apply(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint()
+      prev.foreach(release)
+      prev = Some(cp)
+      cp
+    }
+    def releaseLast(): Unit = { prev.foreach(release); prev = None }
+  }
 }

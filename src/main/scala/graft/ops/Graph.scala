@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints
 
 /** Link-graph centrality for corpus curation: PageRank over a
   * domain/document link graph is the classic web-scale quality prior
@@ -43,16 +44,21 @@ object Graph {
     * @param nodesOpt  explicit node universe (one column); defaults to
     *                  the ids appearing in the edge list — pass it when
     *                  isolated nodes must still receive teleport mass
-    * @return (node, rank) — rank in integer mass units */
+    * @param nNodesOpt precomputed `nodesOpt.count()` — pass it when the
+    *                  caller already counted the universe, so the seed
+    *                  mass split doesn't re-run a corpus COUNT job
+    * @return (node, rank) — rank in integer mass units. The returned
+    *         frame IS the final round's local checkpoint (|V| rows of
+    *         executor-resident data, O(1)-deep plan); every
+    *         intermediate round, the node universe and the
+    *         degree-folded edge list are unpersisted before return. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 8, dampingPct: Int = 85,
-      scale: Long = 1000000L, nodesOpt: Option[DataFrame] = None)
-      : DataFrame = {
+      scale: Long = 1000000L, nodesOpt: Option[DataFrame] = None,
+      nNodesOpt: Option[Long] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100]: $dampingPct")
-    val spark = edges.sparkSession
-    val sc = spark.sparkContext
 
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
@@ -61,7 +67,10 @@ object Graph {
       .getOrElse(e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
       .localCheckpoint() // consumed every round: cut the scan lineage once
-    val nNodes = nodes.count()
+    // a caller-supplied count only applies to a caller-supplied
+    // universe (the derived src∪dst universe has no caller count)
+    val nNodes = nNodesOpt.filter(_ => nodesOpt.isDefined)
+      .getOrElse(nodes.count())
     require(nNodes > 0, "pageRank: empty graph")
     val r0 = scale / nNodes
     val base = (100L - dampingPct) * r0 / 100L
@@ -70,17 +79,7 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = e.join(deg, "src").localCheckpoint()
 
-    var prevIds = Set.empty[Int]
-    def checkpointRotating(df: DataFrame): DataFrame = {
-      val pre = sc.getPersistentRDDs.keySet.toSet
-      val cp = df.localCheckpoint()
-      val mine = sc.getPersistentRDDs.keySet.toSet -- pre
-      prevIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevIds = mine
-      cp
-    }
-
+    val rotate = new Checkpoints.Rotating
     var ranks = nodes.withColumn("rank", lit(r0))
     for (_ <- 1 to iterations) {
       val contrib = eDeg
@@ -88,13 +87,17 @@ object Graph {
         .select(col("dst").as("node"),
           expr("rank div deg").as("share")) // true integer floor div
         .groupBy("node").agg(sum(col("share")).as("contrib"))
-      ranks = checkpointRotating(
+      ranks = rotate(
         nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(base) + expr(
               s"($dampingPct * coalesce(contrib, 0L)) div 100"))
               .as("rank")))
     }
+    // the final checkpoint IS the result; the loop-invariant inputs
+    // are not referenced by it (checkpoints truncate lineage)
+    Checkpoints.release(nodes)
+    Checkpoints.release(eDeg)
     ranks
   }
 }

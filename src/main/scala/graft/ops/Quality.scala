@@ -254,7 +254,16 @@ object Quality {
     * fold all suppressed combinations together. Quasi columns are
     * cast to string (the `*` mask needs one type; NULL masks to `*`
     * via the cast-and-coalesce, so a NULL quasi value can't leak as
-    * its own publishable group).
+    * its own publishable group). A literal `"*"` VALUE in a quasi
+    * column is rejected with a runtime error (map-side guard, free
+    * when absent) — silently merging a real value with the mask
+    * sentinel would fold distinct groups into the residual.
+    *
+    * The residual row itself may aggregate fewer than `k` records
+    * (e.g. one suppressed group of k−1 publishes `n_rows = k−1`).
+    * That is INTENDED: the fully-masked class carries zero
+    * quasi-identifier information, so its count cannot intersect
+    * anything — while dropping it would make the released total lie.
     *
     * @return one row per surviving combination + at most one
     * residual: (quasiCols…, n_rows) */
@@ -263,8 +272,15 @@ object Quality {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
     require(k >= 2, s"k must be >= 2 for suppression to mean anything: $k")
     val grouped = df
-      .select(quasiCols.map(c =>
-        coalesce(col(c).cast("string"), lit("*")).as(c)): _*)
+      .select(quasiCols.map { c =>
+        val s = col(c).cast("string")
+        coalesce(
+          when(s === "*", raise_error(lit(
+            s"kAnonymousRelease: literal '*' value in quasi column " +
+              s"'$c' collides with the suppression sentinel")))
+            .otherwise(s),
+          lit("*")).as(c)
+      }: _*)
       .groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
     val masked = grouped.select(

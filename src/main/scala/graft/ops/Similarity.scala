@@ -1317,14 +1317,11 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = vecDim(df, vecCol)
-    val sc0 = df.sparkSession.sparkContext
-    val preIn = sc0.getPersistentRDDs.keySet.toSet
     val pts = normalized(df.filter(isIndexable(col(vecCol), dim)), vecCol)
       .filter(col(s"${vecCol}_unit").isNotNull)
       .select(col(idCol).cast("long").as("id"),
         quantizeInt8(col(s"${vecCol}_unit")).as("v8"))
       .localCheckpoint()
-    val ptsIds = sc0.getPersistentRDDs.keySet.toSet -- preIn
     // integer-exact squared L2 to one literal center: per-element
     // (x−y)² ≤ 254² fits int, the running sum is long
     def d2To(center: Seq[Int]): Column =
@@ -1337,24 +1334,15 @@ object Similarity {
     var centerVec = seed(0).getSeq[Int](1)
     val sel = scala.collection.mutable.ArrayBuffer(
       (seed(0).getLong(0), 1L, 0L))
-    val sc = spark.sparkContext
-    // rotate round checkpoints: materialize the new one (eager), then
-    // free the previous round's blocks via the SC registry delta
-    var prevIds = Set.empty[Int]
-    def checkpointRotating(df: DataFrame): DataFrame = {
-      val pre = sc.getPersistentRDDs.keySet.toSet
-      val cp = df.localCheckpoint()
-      val mine = sc.getPersistentRDDs.keySet.toSet -- pre
-      prevIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevIds = mine
-      cp
-    }
+    // rotate round checkpoints: materialize the new one, free the
+    // previous round's blocks by its own LogicalRDD leaf (never a
+    // registry diff, which could claim a concurrent job's RDDs)
+    val rotate = new graft.core.Checkpoints.Rotating
     var cur = pts.withColumn("md", d2To(centerVec))
     var round = 2
     var done = false
     while (round <= k && !done) {
-      cur = checkpointRotating(cur)
+      cur = rotate(cur)
       val nxt = cur.orderBy(col("md").desc, col("id")).limit(1).collect()
       if (nxt.isEmpty || nxt(0).getLong(2) == 0L) done = true
       else {
@@ -1366,8 +1354,8 @@ object Similarity {
     }
     // free the final round's blocks AND the quantized input — the
     // result is k driver rows, nothing downstream reads either
-    (prevIds ++ ptsIds).foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    rotate.releaseLast()
+    graft.core.Checkpoints.release(pts)
     sel.toSeq.toDF(idCol, "sel_round", "d2_prev")
   }
 

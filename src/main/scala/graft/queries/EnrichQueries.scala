@@ -357,49 +357,18 @@ object EnrichQueries extends QueryGroup {
     * abs() edge (hash = Int.MinValue stays negative, % keeps the
     * dividend sign) is mimicked branch-for-branch. */
   private def hashBucketsSql: String =
-    """WITH rows_ AS (
+    s"""WITH rows_ AS (
          SELECT '0xa' || CAST(user_id % 97 AS VARCHAR) AS a_s,
                 '0xe' || CAST(user_id % 7 AS VARCHAR) AS s_s
          FROM events),
        strs AS (SELECT a_s AS s FROM rows_ UNION SELECT s_s FROM rows_),
-       b AS (SELECT s, length(s) AS n,
-               [ord(s[i]) for i in generate_series(1, length(s))] AS bs
-             FROM strs),
-       it AS (SELECT s, n,
-                list_concat(
-                  [bs[4*j+1] + 256*bs[4*j+2] + 65536*bs[4*j+3]
-                     + 16777216*bs[4*j+4]
-                   for j in generate_series(0, n//4 - 1)],
-                  bs[4*(n//4)+1 : n]) AS items
-              FROM b),
-       k1 AS (SELECT s, n, list_transform(items, w ->
-                CAST((CAST(w AS HUGEINT) * 3432918353) % 4294967296
-                  AS BIGINT)) AS ks FROM it),
-       k2 AS (SELECT s, n, list_transform(ks, k ->
-                (k * 32768) % 4294967296 + k // 131072) AS ks FROM k1),
-       k3 AS (SELECT s, n, list_transform(ks, k ->
-                CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296
-                  AS BIGINT)) AS ks FROM k2),
-       hb AS (SELECT s, n,
-                list_reduce(list_prepend(CAST(42 AS BIGINT), ks),
-                  (h, k) -> (((xor(h, k) * 8192) % 4294967296
-                              + xor(h, k) // 524288) * 5
-                             + 3864292196) % 4294967296) AS raw
-              FROM k3),
-       f0 AS (SELECT s, xor(raw, n) AS h FROM hb),
-       f1 AS (SELECT s, xor(h, h // 65536) AS h FROM f0),
-       f2 AS (SELECT s, CAST((CAST(h AS HUGEINT) * 2246822507)
-                % 4294967296 AS BIGINT) AS h FROM f1),
-       f3 AS (SELECT s, xor(h, h // 8192) AS h FROM f2),
-       f4 AS (SELECT s, CAST((CAST(h AS HUGEINT) * 3266489909)
-                % 4294967296 AS BIGINT) AS h FROM f3),
-       f5 AS (SELECT s, xor(h, h // 65536) AS h FROM f4),
+       ${MurmurSql.chain},
        bk AS (SELECT s,
                 CAST((CASE WHEN sg = -2147483648 THEN sg ELSE abs(sg) END)
                   % 10 AS INTEGER) AS bucket
-              FROM (SELECT s, CASE WHEN h >= 2147483648
-                                   THEN h - 4294967296 ELSE h END AS sg
-                    FROM f5) t)
+              FROM (SELECT s, CASE WHEN u >= 2147483648
+                                   THEN u - 4294967296 ELSE u END AS sg
+                    FROM mm) t)
        SELECT ab.bucket AS address_hash, sb.bucket AS selector_hash,
               count(*) AS cnt
        FROM rows_ r JOIN bk ab ON r.a_s = ab.s

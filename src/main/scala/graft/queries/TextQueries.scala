@@ -838,7 +838,7 @@ object TextQueries extends QueryGroup {
     * handling), signed + pmod'd to u ∈ [0, 10⁶), then the exact
     * cross-multiplied keep test. */
   private def dsirResampleSql: String =
-    """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS tk
+    s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS tk
                    FROM documents WHERE doc_id % 7 != 0),
        tg AS (SELECT doc_id, string_split(text, ' ') AS tk
               FROM documents WHERE doc_id % 7 = 0),
@@ -869,35 +869,12 @@ object TextQueries extends QueryGroup {
          FROM trbg t JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v
          LEFT JOIN bt USING (bg) LEFT JOIN ut USING (w1) CROSS JOIN vt
          GROUP BY t.doc_id),
-       ith AS (SELECT doc_id,
-                 [doc_id % 4294967296, doc_id // 4294967296] AS items
-               FROM (SELECT DISTINCT doc_id FROM tr) i),
-       hk1 AS (SELECT doc_id, list_transform(items, w ->
-                 CAST((CAST(w AS HUGEINT) * 3432918353) % 4294967296
-                   AS BIGINT)) AS ks FROM ith),
-       hk2 AS (SELECT doc_id, list_transform(ks, k ->
-                 (k * 32768) % 4294967296 + k // 131072) AS ks FROM hk1),
-       hk3 AS (SELECT doc_id, list_transform(ks, k ->
-                 CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296
-                   AS BIGINT)) AS ks FROM hk2),
-       hhb AS (SELECT doc_id,
-                 list_reduce(list_prepend(CAST(42 AS BIGINT), ks),
-                   (h, k) -> (((xor(h, k) * 8192) % 4294967296
-                               + xor(h, k) // 524288) * 5
-                              + 3864292196) % 4294967296) AS raw
-               FROM hk3),
-       hf0 AS (SELECT doc_id, xor(raw, 8) AS h FROM hhb),
-       hf1 AS (SELECT doc_id, xor(h, h // 65536) AS h FROM hf0),
-       hf2 AS (SELECT doc_id, CAST((CAST(h AS HUGEINT) * 2246822507)
-                 % 4294967296 AS BIGINT) AS h FROM hf1),
-       hf3 AS (SELECT doc_id, xor(h, h // 8192) AS h FROM hf2),
-       hf4 AS (SELECT doc_id, CAST((CAST(h AS HUGEINT) * 3266489909)
-                 % 4294967296 AS BIGINT) AS h FROM hf3),
-       hf5 AS (SELECT doc_id, xor(h, h // 65536) AS u FROM hf4),
+       ids AS (SELECT DISTINCT doc_id FROM tr),
+       ${MurmurSql.chainLong("doc_id")},
        samp AS (SELECT doc_id,
                   ((CASE WHEN u >= 2147483648 THEN u - 4294967296
                          ELSE u END) % 1000000 + 1000000) % 1000000 AS uu
-                FROM hf5)
+                FROM mm)
        SELECT d.doc_id,
               COALESCE(terms.n, 0) AS n_bigrams,
               COALESCE(terms.diff, 0) AS diff_fp_sum,
@@ -951,7 +928,7 @@ object TextQueries extends QueryGroup {
     * contaminated iff ANY of its grams finds all 3 positions in the
     * eval bitset — false positives included, by construction. */
   private def bloomDecontaminateSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents),
        g AS (SELECT doc_id, unnest(list_distinct(
                [array_to_string(toks[i:i+3], ' ')
@@ -959,38 +936,7 @@ object TextQueries extends QueryGroup {
                AS g
              FROM t),
        strs AS (SELECT DISTINCT g AS s FROM g),
-       b AS (SELECT s, length(s) AS n,
-               [ord(s[i]) for i in generate_series(1, length(s))] AS bs
-             FROM strs),
-       it AS (SELECT s, n,
-                list_concat(
-                  [bs[4*j+1] + 256*bs[4*j+2] + 65536*bs[4*j+3]
-                     + 16777216*bs[4*j+4]
-                   for j in generate_series(0, n//4 - 1)],
-                  bs[4*(n//4)+1 : n]) AS items
-              FROM b),
-       k1 AS (SELECT s, n, list_transform(items, w ->
-                CAST((CAST(w AS HUGEINT) * 3432918353) % 4294967296
-                  AS BIGINT)) AS ks FROM it),
-       k2 AS (SELECT s, n, list_transform(ks, k ->
-                (k * 32768) % 4294967296 + k // 131072) AS ks FROM k1),
-       k3 AS (SELECT s, n, list_transform(ks, k ->
-                CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296
-                  AS BIGINT)) AS ks FROM k2),
-       hb AS (SELECT s, n,
-                list_reduce(list_prepend(CAST(42 AS BIGINT), ks),
-                  (h, k) -> (((xor(h, k) * 8192) % 4294967296
-                              + xor(h, k) // 524288) * 5
-                             + 3864292196) % 4294967296) AS raw
-              FROM k3),
-       f0 AS (SELECT s, xor(raw, n) AS h FROM hb),
-       f1 AS (SELECT s, xor(h, h // 65536) AS h FROM f0),
-       f2 AS (SELECT s, CAST((CAST(h AS HUGEINT) * 2246822507)
-                % 4294967296 AS BIGINT) AS h FROM f1),
-       f3 AS (SELECT s, xor(h, h // 8192) AS h FROM f2),
-       f4 AS (SELECT s, CAST((CAST(h AS HUGEINT) * 3266489909)
-                % 4294967296 AS BIGINT) AS h FROM f3),
-       mm AS (SELECT s, xor(h, h // 65536) AS u FROM f4),
+       ${MurmurSql.chain},
        pos AS (SELECT s, u,
                  ((xor(u, u // 65536) * 1103515245) % 4294967296)
                    // 2 * 2 + 1 AS h2

@@ -257,8 +257,10 @@ object WarehouseQueries extends QueryGroup {
         .unionByName(e3.select(col("src"), (col("u2") % n).as("dst")))
         .unionByName(e3.select(col("src"), (col("u3") % n).as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
+      // isolated docs still earn teleport mass; the count above is
+      // passed through so the seed split doesn't re-count the corpus
       Graph.pageRank(edges, "src", "dst", iterations = 8,
-          nodesOpt = Some(docs)) // isolated docs still earn teleport mass
+          nodesOpt = Some(docs), nNodesOpt = Some(n))
         .select(col("node"), col("rank").as("pr_mass"))
     },
 

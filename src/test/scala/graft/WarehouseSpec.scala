@@ -1,0 +1,324 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Graph, Quality, Scd, Sketch, Stats}
+
+/** Hand-case and property specs for the warehouse/governance family
+  * (SCD2 merge, PageRank, count-min sketch, k-anonymous release, MAD
+  * outlier QC) — the engine-level contracts behind the
+  * `WarehouseQueries` oracles.
+  */
+class ScdSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private val book = Seq("valid_from", "valid_to", "is_current")
+
+  test("all four merge branches: close+reopen, no-op, insert, " +
+      "pass-through (open and history)") {
+    val current = Seq(
+      ("A", "s1", "2024-01-01", null.asInstanceOf[String], true),
+      ("B", "s2", "2024-01-01", null.asInstanceOf[String], true),
+      ("C", "s3", "2024-01-01", null.asInstanceOf[String], true),
+      // closed history for A: must pass through untouched
+      ("A", "s0", "2023-01-01", "2024-01-01", false))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      ("A", "s1x"), // changed -> close + reopen
+      ("B", "s2"),  // identical -> no-op
+      ("E", "s9"))  // brand-new key -> insert
+      .toDF("k", "attr")
+    val out = Scd.scd2Merge(current, updates, "k", Seq("attr"),
+        "2024-02-01")
+      .as[(String, String, String, Option[String], Boolean)]
+      .collect().toSet
+    assert(out === Set(
+      ("A", "s0", "2023-01-01", Some("2024-01-01"), false), // history
+      ("A", "s1", "2024-01-01", Some("2024-02-01"), false), // closed
+      ("A", "s1x", "2024-02-01", None, true),               // reopened
+      ("B", "s2", "2024-01-01", None, true),                // no-op
+      ("C", "s3", "2024-01-01", None, true),                // untouched
+      ("E", "s9", "2024-02-01", None, true)))               // insert
+  }
+
+  test("exactly one open version per key after merge; key count = " +
+      "old keys + new keys") {
+    val current = Seq(
+      ("A", "s1", "2024-01-01", null.asInstanceOf[String], true),
+      ("B", "s2", "2024-01-01", null.asInstanceOf[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val updates = Seq(("A", "sX"), ("E", "s9")).toDF("k", "attr")
+    val out = Scd.scd2Merge(current, updates, "k", Seq("attr"),
+      "2024-02-01")
+    val opens = out.filter(col("is_current"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    assert(opens.filter(col("c") =!= 1).count() == 0)
+    assert(opens.count() == 3) // A, B, E
+  }
+
+  test("null-safe change detection: null->value and value->null are " +
+      "changes; null->null is a no-op") {
+    val current = Seq(
+      ("A", null.asInstanceOf[String], "2024-01-01",
+        null.asInstanceOf[String], true),
+      ("B", "v", "2024-01-01", null.asInstanceOf[String], true),
+      ("C", null.asInstanceOf[String], "2024-01-01",
+        null.asInstanceOf[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      ("A", "now-set"),            // null -> value: change
+      ("B", null.asInstanceOf[String]), // value -> null: change
+      ("C", null.asInstanceOf[String])) // null -> null: no-op
+      .toDF("k", "attr")
+    val out = Scd.scd2Merge(current, updates, "k", Seq("attr"),
+      "2024-02-01")
+    // A and B each closed + reopened; C untouched
+    assert(out.filter(col("k") === "A").count() == 2)
+    assert(out.filter(col("k") === "B").count() == 2)
+    assert(out.filter(col("k") === "C").count() == 1)
+    val cRow = out.filter(col("k") === "C").select("is_current")
+      .as[Boolean].head()
+    assert(cRow)
+  }
+
+  test("tracked-column order and bookkeeping columns survive merge") {
+    val current = Seq(("A", "x", 1L, "2024-01-01",
+        null.asInstanceOf[String], true))
+      .toDF("k", "a1", "a2", "valid_from", "valid_to", "is_current")
+    val updates = Seq(("A", "x", 2L)).toDF("k", "a1", "a2")
+    val out = Scd.scd2Merge(current, updates, "k", Seq("a1", "a2"),
+      "2024-02-01")
+    assert(out.columns.toSeq === Seq("k", "a1", "a2") ++ book)
+    // a2 changed -> close + reopen
+    assert(out.count() == 2)
+  }
+}
+
+class GraphSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  /** 4-cycle: every node out-degree 1, no dangling — mass is conserved
+    * up to floor truncation. */
+  private def cycle4 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    .toDF("src", "dst")
+
+  test("cycle graph: symmetric ranks, mass conserved within floor loss") {
+    val scale = 1000000L
+    val r = Graph.pageRank(cycle4, "src", "dst", iterations = 8,
+      scale = scale).as[(Long, Long)].collect().toMap
+    assert(r.size == 4)
+    // symmetry: the cycle is vertex-transitive, all ranks equal
+    assert(r.values.toSet.size == 1)
+    val total = r.values.sum
+    // floor losses: seed split (< n) + per round per node: damping
+    // div (< 1) + share div (< 1 per edge)
+    val bound = 4 + 8 * (4 + 4)
+    assert(total <= scale && total >= scale - bound,
+      s"total mass $total vs scale $scale")
+  }
+
+  test("dangling node leaks its damped mass; ranks stay >= teleport base") {
+    // 0 -> 1 -> 2, node 2 dangling
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iterations = 4,
+      scale = 300000L).as[(Long, Long)].collect().toMap
+    val base = (100L - 85L) * (300000L / 3) / 100L
+    assert(r.size == 3)
+    assert(r.values.forall(_ >= base))
+    assert(r.values.sum < 300000L) // dangling leak is real
+    // 2 receives from 1 and gives nothing: strictly the richest
+    assert(r(2L) > r(1L) && r(1L) > r(0L))
+  }
+
+  test("isolated node earns teleport mass only when the universe " +
+      "includes it (nodesOpt)") {
+    val nodes = Seq(0L, 1L, 2L, 9L).toDF("node") // 9 is isolated
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val without = Graph.pageRank(e, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(!without.contains(9L))
+    val withIso = Graph.pageRank(e, "src", "dst", iterations = 3,
+      nodesOpt = Some(nodes)).as[(Long, Long)].collect().toMap
+    val base = (100L - 85L) * (1000000L / 4) / 100L
+    assert(withIso(9L) == base) // teleport only, every round
+  }
+
+  test("precomputed nNodesOpt reproduces the counted result exactly") {
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val a = Graph.pageRank(cycle4, "src", "dst", iterations = 5,
+      nodesOpt = Some(nodes)).as[(Long, Long)].collect().toSet
+    val b = Graph.pageRank(cycle4, "src", "dst", iterations = 5,
+      nodesOpt = Some(nodes), nNodesOpt = Some(4L))
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("rotating checkpoints: at most one persisted RDD survives the " +
+      "call (the returned final round), loop rounds and inputs freed") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val r = Graph.pageRank(cycle4, "src", "dst", iterations = 8)
+    r.count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // 8 iterations + nodes + eDeg would be 10 without rotation; the
+    // contract is: only the returned frame's checkpoint remains
+    assert(leaked.size <= 1, s"leaked ${leaked.size} persisted RDDs")
+    graft.core.Checkpoints.release(r)
+  }
+
+  test("deterministic across runs") {
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+      .toDF("src", "dst")
+    val a = Graph.pageRank(e, "src", "dst").as[(Long, Long)]
+      .collect().toSet
+    val b = Graph.pageRank(e, "src", "dst").as[(Long, Long)]
+      .collect().toSet
+    assert(a === b)
+  }
+}
+
+class SketchSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def cells(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("r").cast("long"), col("bucket").cast("long"),
+        col("c").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+
+  test("merge algebra: cell-wise sum of part sketches equals the " +
+      "sketch of the union") {
+    val a = Seq("x y z", "x x", "w").toDF("text")
+    val b = Seq("y y", "z w q", "x").toDF("text")
+    val union = a.unionAll(b)
+    val merged = cells(Sketch.mergeCmsTables(
+      Sketch.cmsTable(a, "text", depth = 4, width = 32),
+      Sketch.cmsTable(b, "text", depth = 4, width = 32)))
+    val direct = cells(Sketch.cmsTable(union, "text", depth = 4,
+      width = 32))
+    assert(merged === direct)
+  }
+
+  test("est >= exact for every token, and equality when the grid is " +
+      "collision-free") {
+    val docs = Seq("a b c", "a a d", "b e").toDF("text")
+    // width 1024, 5 tokens: collisions essentially impossible
+    val hh = Sketch.cmsHeavyHitters(docs, "text", depth = 4,
+      width = 1024, k = 100).as[(String, Long, Long)].collect()
+    assert(hh.length == 5)
+    assert(hh.forall { case (_, est, exact) => est == exact })
+    // width 2 forces collisions: estimates inflate but never deflate
+    val hh2 = Sketch.cmsHeavyHitters(docs, "text", depth = 2,
+      width = 2, k = 100).as[(String, Long, Long)].collect()
+    assert(hh2.forall { case (_, est, exact) => est >= exact })
+    assert(hh2.exists { case (_, est, exact) => est > exact })
+  }
+
+  test("heavy-hitter output is ordered by estimate desc with " +
+      "deterministic token tie-break, capped at k") {
+    val docs = Seq(("t1 " * 5) + ("t2 " * 3) + "t3 t4").toDF("text")
+    val hh = Sketch.cmsHeavyHitters(docs, "text", k = 3)
+      .as[(String, Long, Long)].collect()
+    assert(hh.length == 3)
+    assert(hh.map(_._1).take(2).toSeq === Seq("t1", "t2"))
+    assert(hh(2)._1 == "t3") // t3/t4 tie on 1 -> lexicographic
+    val ests = hh.map(_._2)
+    assert(ests.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("bad dimensions rejected") {
+    val d = Seq("x").toDF("text")
+    intercept[IllegalArgumentException] {
+      Sketch.cmsTable(d, "text", depth = 0, width = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.cmsTable(d, "text", depth = 4, width = 1)
+    }
+  }
+}
+
+class KAnonSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("threshold edge: group of exactly k publishes, k-1 suppresses " +
+      "into the residual; released total is exact") {
+    val rows = Seq.fill(3)(("seg1", "c1")) ++ // k=3: published
+      Seq.fill(2)(("seg2", "c2")) ++          // 2 < k: suppressed
+      Seq.fill(4)(("seg3", "c3"))             // 4 >= k: published
+    val out = Quality.kAnonymousRelease(rows.toDF("seg", "cohort"),
+        Seq("seg", "cohort"), k = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(
+      ("seg1", "c1", 3L), ("seg3", "c3", 4L), ("*", "*", 2L)))
+  }
+
+  test("sub-k residual is published as documented (single suppressed " +
+      "group below k)") {
+    val rows = Seq.fill(5)(("a", "x")) ++ Seq(("b", "y"))
+    val out = Quality.kAnonymousRelease(rows.toDF("q1", "q2"),
+        Seq("q1", "q2"), k = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(out.contains(("*", "*", 1L))) // residual of 1 < k: intended
+  }
+
+  test("NULL quasi values mask into the residual class, never a " +
+      "publishable NULL group") {
+    val rows = Seq.fill(5)((null.asInstanceOf[String], "c")) ++
+      Seq.fill(3)(("s", "c"))
+    val out = Quality.kAnonymousRelease(rows.toDF("seg", "cohort"),
+        Seq("seg", "cohort"), k = 3)
+      .as[(String, String, Long)].collect().toSet
+    // the NULL group is >= k but its seg is the mask: it reads as
+    // ('*', 'c') — quasi info in the remaining column still publishes
+    assert(out === Set(("*", "c", 5L), ("s", "c", 3L)))
+  }
+
+  test("a literal '*' quasi VALUE is rejected, not silently merged") {
+    val rows = Seq.fill(4)(("*", "c"))
+    val ex = intercept[Exception] {
+      Quality.kAnonymousRelease(rows.toDF("seg", "cohort"),
+        Seq("seg", "cohort"), k = 3).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
+
+class MadOutliersSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("all-constant series: MAD = 0 and nothing is flagged") {
+    val s = (1 to 20).map(i => (s"d$i", 100L)).toDF("day", "x")
+    val out = Stats.madOutliers(s, "day", col("x"), nMads = 3)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(out.length == 20)
+    assert(out.forall { case (_, x, med, mad, flag) =>
+      x == 100L && med == 100L && mad == 0L && !flag })
+  }
+
+  test("constant series + one spike: MAD stays 0, only the spike " +
+      "is flagged (the Hampel degenerate case)") {
+    val s = ((1 to 10).map(i => (s"d$i", 50L)) :+ ("spike", 51L))
+      .toDF("day", "x")
+    val out = Stats.madOutliers(s, "day", col("x"), nMads = 3)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    val flagged = out.filter(_._5).map(_._1).toSet
+    assert(flagged === Set("spike")) // |51-50| = 1 > 3*0
+  }
+
+  test("hand-computed median and MAD on a small odd series") {
+    // xs = 1,2,3,4,100 -> med 3; adevs = 2,1,0,1,97 -> mad 1
+    val s = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L),
+      ("e", 100L)).toDF("k", "x")
+    val out = Stats.madOutliers(s, "k", col("x"), nMads = 3)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a")._3 == 3L && out("a")._4 == 1L)
+    // flag: |x-3| > 3*1 -> only 100
+    assert(out.values.filter(_._5).map(_._1).toSet === Set("e"))
+  }
+}
