@@ -711,6 +711,80 @@ object ScaleRamp {
         timeIt(graft.ops.Similarity.meanPoolFp(
           e, expr("vec_id div 5"), "embedding").count())
       },
+      "linkage_fuzzy" -> { k =>
+        // FastSS fuzzy join (round 14): clean vs dirtied entity names
+        // on the ADVERSARIAL shared-prefix shape (every name starts
+        // "Customer#") that degenerated the earlier segment blocking.
+        // Both sides ramp with the corpus; deletion-variant keys are
+        // near-full strings, so candidate volume tracks the true
+        // near-neighbor multiplicity of dense digit tails (~constant
+        // per row) — expect ~linear.
+        val ids = docsAt(k).select(col("doc_id"))
+        val clean = ids.select(col("doc_id").as("clean_id"),
+          format_string("Customer#%09d", col("doc_id")).as("name"))
+        val dirty = ids.select((col("doc_id") + 100000000L).as("dirty_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(substring(format_string("Customer#%09d", col("doc_id")),
+                1, 12), lit("X"),
+              substring(format_string("Customer#%09d", col("doc_id")),
+                14, 10)))
+          .when(col("doc_id") % 3 === 1,
+            concat(substring(format_string("Customer#%09d", col("doc_id")),
+                1, 12),
+              substring(format_string("Customer#%09d", col("doc_id")),
+                14, 10)))
+          .otherwise(format_string("Customer#%09d", col("doc_id")))
+            .as("name"))
+        timeIt(graft.ops.Linkage.fuzzyJoin(clean, dirty, "clean_id",
+          "name", "dirty_id", "name", maxEdit = 1).count())
+      },
+      "scd2_merge" -> { k =>
+        // SCD2 dimension merge (round 14): the DIMENSION ramps with k
+        // while the daily update batch stays FIXED at base size — the
+        // production shape (a day's changes ≪ the dim). One full-outer
+        // join of the open slice with the small batch (AQE broadcast)
+        // plus history pass-through: expect ~linear in the dim scan.
+        val dim = docsAt(k).select(col("doc_id").as("k"),
+          (col("doc_id") % 97).cast("string").as("attr"),
+          lit("2024-01-01").as("valid_from"),
+          lit(null.asInstanceOf[String]).as("valid_to"),
+          lit(true).as("is_current"))
+        val batch = docsAt(1).select(col("doc_id").as("k"),
+          (col("doc_id") % 89).cast("string").as("attr"))
+        timeIt(graft.ops.Scd.scd2Merge(dim, batch, "k", Seq("attr"),
+          "2024-02-01").count())
+      },
+      "pagerank_8iter" -> { k =>
+        // fixed-point PageRank (round 14): |V| and |E| (3 out-edges
+        // per node) ramp together, iteration count FIXED at 8. Each
+        // round is one equi-join + partial agg + outer join, rotating
+        // checkpoints — expect ~linear in |E|.
+        val nodes = docsAt(k).select(col("doc_id"))
+        val n = nodes.count()
+        val e1 = nodes.select(col("doc_id").as("src"),
+          (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
+            .as("u1"))
+        val edges = e1.select(col("src"), (col("u1") % n).as("dst"))
+          .unionByName(e1.select(col("src"),
+            (col("u1") * 48271L % 2147483647L % n).as("dst")))
+          .unionByName(e1.select(col("src"),
+            (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L % n)
+              .as("dst")))
+          .filter(col("src") =!= col("dst")).distinct()
+        timeIt(graft.ops.Graph.pageRank(edges, "src", "dst",
+          iterations = 8, nodesOpt = Some(nodes), nNodesOpt = Some(n))
+          .count())
+      },
+      "cms_heavy_hitters" -> { k =>
+        // count-min sketch (round 14): corpus ramps, grid FIXED at
+        // 4x1024 (the whole point — the summary does not grow). The
+        // z{i} token prefixes make the vocabulary grow ~linearly with
+        // k, so this measures tokenize + vocab-sized shuffle +
+        // broadcast grid probe — expect ~linear.
+        val d = docsAt(k)
+        timeIt(graft.ops.Sketch.cmsHeavyHitters(d, "text", depth = 4,
+          width = 1024, k = 20).count())
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
@@ -817,6 +891,29 @@ object ScaleRamp {
       .count()
     graft.ops.Quality.c4LineFilter(docs0.limit(100), "doc_id", "text")
       .count()
+    // round-14 shapes: FastSS linkage, SCD2 merge, PageRank, CMS
+    locally {
+      val ids = docs0.limit(300).select(col("doc_id"))
+      val nm = ids.select(col("doc_id").as("id"),
+        format_string("Customer#%09d", col("doc_id")).as("name"))
+      graft.ops.Linkage.fuzzyJoin(nm,
+        nm.withColumnRenamed("id", "rid"), "id", "name", "rid", "name",
+        maxEdit = 1).count()
+      val dim = ids.select(col("doc_id").as("k"),
+        (col("doc_id") % 7).cast("string").as("attr"),
+        lit("2024-01-01").as("valid_from"),
+        lit(null.asInstanceOf[String]).as("valid_to"),
+        lit(true).as("is_current"))
+      graft.ops.Scd.scd2Merge(dim,
+        ids.select(col("doc_id").as("k"),
+          (col("doc_id") % 5).cast("string").as("attr")),
+        "k", Seq("attr"), "2024-02-01").count()
+      val e = ids.select(col("doc_id").as("src"),
+        ((col("doc_id") * 48271L) % 300L).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.ops.Graph.pageRank(e, "src", "dst", iterations = 2).count()
+      graft.ops.Sketch.cmsHeavyHitters(docs0.limit(200), "text").count()
+    }
     spark.catalog.clearCache()
     ParseRunner.run(spark,
       ContractCatalog.fromDirectory(graft.queries.ParseQueries.CorpusDir),

@@ -102,11 +102,18 @@ object Linkage {
       maxEdit: Int = 1): DataFrame = {
     require(maxEdit >= 1 && maxEdit <= 2,
       s"maxEdit must be 1 or 2, got $maxEdit")
+    // output columns are named after the inputs; internal aliases keep
+    // a self-join with identical column names unambiguous
+    require(leftId != rightId,
+      s"leftId and rightId must differ in the output ('$leftId'): " +
+        "alias one side")
     if (maxEdit == 1) {
       val l = left.filter(col(leftName).isNotNull)
-        .select(col(leftId), explode(del1Keys(col(leftName))).as("_lk"))
+        .select(col(leftId).as("_l_id"),
+          explode(del1Keys(col(leftName))).as("_lk"))
       val r = right.filter(col(rightName).isNotNull)
-        .select(col(rightId), explode(del1Keys(col(rightName))).as("_rk"))
+        .select(col(rightId).as("_r_id"),
+          explode(del1Keys(col(rightName))).as("_rk"))
       val lp = col("_lk.p"); val rp = col("_rk.p")
       val dist =
         when(lp === 0 && rp === 0, lit(0))
@@ -117,23 +124,23 @@ object Linkage {
       l.join(r, col("_lk.v") === col("_rk.v"))
         .withColumn("dist", dist)
         .filter(col("dist") <= 1)
-        .select(col(leftId), col(rightId),
+        .select(col("_l_id").as(leftId), col("_r_id").as(rightId),
           col("dist").cast("long").as("dist"))
         .distinct()
     } else {
       val l = left.filter(col(leftName).isNotNull)
-        .select(col(leftId), col(leftName),
+        .select(col(leftId).as("_l_id"), col(leftName).as("_l_nm"),
           explode(neighborhood2(col(leftName))).as("_k"))
       val r = right.filter(col(rightName).isNotNull)
-        .select(col(rightId), col(rightName),
+        .select(col(rightId).as("_r_id"), col(rightName).as("_r_nm"),
           explode(neighborhood2(col(rightName))).as("_k"))
       // verify BEFORE the candidate dedup: the map-side filter means
       // the distinct shuffles only true pairs (output-sized), never
       // the raw collision volume
       l.join(r, l("_k") === r("_k"))
-        .withColumn("dist", levenshtein(col(leftName), col(rightName)))
+        .withColumn("dist", levenshtein(col("_l_nm"), col("_r_nm")))
         .filter(col("dist") <= maxEdit)
-        .select(col(leftId), col(rightId),
+        .select(col("_l_id").as(leftId), col("_r_id").as(rightId),
           col("dist").cast("long").as("dist"))
         .distinct()
     }

@@ -72,4 +72,42 @@ object Scd {
       .unionByName(closed)
       .unionByName(opened)
   }
+
+  /** Point-in-time (as-of) join: each fact row picks up the dimension
+    * VERSION that was valid at its event date — the read-side half of
+    * SCD2 (facts must never see attributes from the future, the
+    * classic time-travel-leak bug in training-data joins).
+    *
+    * `dim` is an SCD2 table ([[scd2Merge]] output shape): `dimKeyCol`,
+    * the tracked columns, `valid_from`/`valid_to` (ISO date strings —
+    * lexicographic order IS date order — with NULL `valid_to` = open).
+    * A fact whose date falls in no version's `[valid_from, valid_to)`
+    * interval keeps NULL attributes (LEFT join) — the honest answer
+    * for facts predating the dimension. Version intervals per key are
+    * non-overlapping by SCD2 construction, so each fact matches at
+    * most one version and the output is exactly one row per fact.
+    *
+    * Scale shape: ONE equi-shuffle join on the business key (the
+    * interval predicate rides along as a join-side filter, not a
+    * range-join explosion — versions per key are few), AQE-broadcast
+    * when the dim is small. Nothing quadratic or driver-bound.
+    *
+    * @return all fact columns + the tracked columns + `valid_from`
+    *         (version provenance) */
+  def pointInTime(facts: DataFrame, dim: DataFrame,
+      factKeyCol: String, factDateCol: String,
+      dimKeyCol: String, trackedCols: Seq[String]): DataFrame = {
+    require(trackedCols.nonEmpty, "trackedCols must be non-empty")
+    val d = dim.select(
+      col(dimKeyCol).as("_pit_k") +: trackedCols.map(col) :+
+        col("valid_from") :+ col("valid_to"): _*)
+    val fd = facts(factDateCol)
+    facts.join(d,
+        facts(factKeyCol) === d("_pit_k") &&
+          fd >= d("valid_from") &&
+          (d("valid_to").isNull || fd < d("valid_to")),
+        "left")
+      .select(facts.columns.map(facts(_)) ++ trackedCols.map(col) :+
+        d("valid_from"): _*)
+  }
 }

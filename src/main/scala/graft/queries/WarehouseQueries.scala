@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Graph, Linkage, Quality, Scd, Sketch, Stats}
+import graft.ops.{Dedup, Graph, Linkage, Quality, Scd, Sketch, Stats}
 
 /** Warehouse/governance operators beyond the reference's template set:
   * entity linkage, SCD2 dimension history, k-anonymous release, robust
@@ -26,6 +27,90 @@ object WarehouseQueries extends QueryGroup {
            substring(c_name, 1, CAST(9 + c_custkey % 8 AS INT)),
            substring(c_name, CAST(11 + c_custkey % 8 AS INT), 100))
          ELSE c_name END"""
+
+  /** Shared SCD2 fixture (q_scd2_merge + q_scd2_pit, one spelling so
+    * the two cannot drift): the customer dim as current versions, a
+    * closed history slice for custkey%13==0, and a day's update batch
+    * (%5 balance bump, %7 segment remap, %11 no-op, 50 new keys).
+    * Ends in CTE `merged` — the post-merge SCD2 table with all four
+    * branch legs. */
+  private val scd2MergedCtes: String =
+    """cur AS (
+         SELECT c_custkey, c_mktsegment, c_acctbal,
+                '2024-01-01' AS valid_from,
+                CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+         FROM customer),
+       hist AS (
+         SELECT c_custkey, 'OLDSEG' AS c_mktsegment,
+                c_acctbal - 50.0 AS c_acctbal,
+                '2023-01-01' AS valid_from, '2024-01-01' AS valid_to,
+                false AS is_current
+         FROM customer WHERE c_custkey % 13 = 0),
+       upd AS (
+         SELECT c_custkey AS uk,
+                CASE WHEN c_custkey % 7 = 0 THEN 'REMAPPED'
+                     ELSE c_mktsegment END AS u_seg,
+                c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0
+                                 ELSE 0.0 END AS u_bal
+         FROM customer
+         WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+            OR c_custkey % 11 = 0
+         UNION ALL
+         SELECT c_custkey + 100000, 'NEWKEY', c_custkey * 1.5
+         FROM customer WHERE c_custkey < 50),
+       chg AS (
+         SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           c.valid_from, c.valid_to, c.is_current,
+           u.uk, u.u_seg, u.u_bal,
+           (c.c_mktsegment IS DISTINCT FROM u.u_seg
+            OR c.c_acctbal IS DISTINCT FROM u.u_bal) AS changed
+         FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.uk),
+       merged AS (
+         SELECT * FROM hist
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+                valid_to, is_current
+         FROM chg WHERE uk IS NULL
+                     OR (c_custkey IS NOT NULL AND NOT changed)
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+                '2024-02-01', false
+         FROM chg WHERE c_custkey IS NOT NULL AND uk IS NOT NULL
+                    AND changed
+         UNION ALL
+         SELECT uk, u_seg, u_bal, '2024-02-01',
+                CAST(NULL AS VARCHAR), true
+         FROM chg WHERE uk IS NOT NULL
+                    AND (c_custkey IS NULL OR changed))"""
+
+  /** The Spark twin of [[scd2MergedCtes]]: the same fixture through
+    * the real [[Scd.scd2Merge]] operator. */
+  private def scd2MergedDim(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.df(spark, dir, "customer")
+    val cur = cust.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal"), lit("2024-01-01").as("valid_from"),
+      lit(null.asInstanceOf[String]).as("valid_to"),
+      lit(true).as("is_current"))
+    val hist = cust.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
+        (col("c_acctbal") - 50.0).as("c_acctbal"),
+        lit("2023-01-01").as("valid_from"),
+        lit("2024-01-01").as("valid_to"), lit(false).as("is_current"))
+    val updates = cust
+      .filter(col("c_custkey") % 5 === 0 || col("c_custkey") % 7 === 0 ||
+        col("c_custkey") % 11 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit("REMAPPED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        (col("c_acctbal") + when(col("c_custkey") % 5 === 0, lit(100.0))
+          .otherwise(lit(0.0))).as("c_acctbal"))
+      .unionByName(cust.filter(col("c_custkey") < 50)
+        .select((col("c_custkey") + 100000L).as("c_custkey"),
+          lit("NEWKEY").as("c_mktsegment"),
+          (col("c_custkey") * 1.5).as("c_acctbal")))
+    Scd.scd2Merge(cur.unionByName(hist), updates, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), "2024-02-01")
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -72,76 +157,42 @@ object WarehouseQueries extends QueryGroup {
     // (close, re-open, insert, pass-through) land in the output and
     // the oracle replays each as its own CTE leg.
     q("q_scd2_merge", "warehouse",
-      """WITH cur AS (
-           SELECT c_custkey, c_mktsegment, c_acctbal,
-                  '2024-01-01' AS valid_from,
-                  CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
-           FROM customer),
-         hist AS (
-           SELECT c_custkey, 'OLDSEG' AS c_mktsegment,
-                  c_acctbal - 50.0 AS c_acctbal,
-                  '2023-01-01' AS valid_from, '2024-01-01' AS valid_to,
-                  false AS is_current
-           FROM customer WHERE c_custkey % 13 = 0),
-         upd AS (
-           SELECT c_custkey AS uk,
-                  CASE WHEN c_custkey % 7 = 0 THEN 'REMAPPED'
-                       ELSE c_mktsegment END AS u_seg,
-                  c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0
-                                   ELSE 0.0 END AS u_bal
-           FROM customer
-           WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
-              OR c_custkey % 11 = 0
-           UNION ALL
-           SELECT c_custkey + 100000, 'NEWKEY', c_custkey * 1.5
-           FROM customer WHERE c_custkey < 50),
-         chg AS (
-           SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
-             c.valid_from, c.valid_to, c.is_current,
-             u.uk, u.u_seg, u.u_bal,
-             (c.c_mktsegment IS DISTINCT FROM u.u_seg
-              OR c.c_acctbal IS DISTINCT FROM u.u_bal) AS changed
-           FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.uk)
-         SELECT * FROM hist
-         UNION ALL
-         SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
-                valid_to, is_current
-         FROM chg WHERE uk IS NULL
-                     OR (c_custkey IS NOT NULL AND NOT changed)
-         UNION ALL
-         SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
-                '2024-02-01', false
-         FROM chg WHERE c_custkey IS NOT NULL AND uk IS NOT NULL
-                    AND changed
-         UNION ALL
-         SELECT uk, u_seg, u_bal, '2024-02-01',
-                CAST(NULL AS VARCHAR), true
-         FROM chg WHERE uk IS NOT NULL
-                    AND (c_custkey IS NULL OR changed)""") { (spark, dir) =>
-      val cust = Tables.df(spark, dir, "customer")
-      val cur = cust.select(col("c_custkey"), col("c_mktsegment"),
-          col("c_acctbal"), lit("2024-01-01").as("valid_from"),
-          lit(null.asInstanceOf[String]).as("valid_to"),
-          lit(true).as("is_current"))
-      val hist = cust.filter(col("c_custkey") % 13 === 0)
-        .select(col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
-          (col("c_acctbal") - 50.0).as("c_acctbal"),
-          lit("2023-01-01").as("valid_from"),
-          lit("2024-01-01").as("valid_to"), lit(false).as("is_current"))
-      val updates = cust
-        .filter(col("c_custkey") % 5 === 0 || col("c_custkey") % 7 === 0 ||
-          col("c_custkey") % 11 === 0)
-        .select(col("c_custkey"),
-          when(col("c_custkey") % 7 === 0, lit("REMAPPED"))
-            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
-          (col("c_acctbal") + when(col("c_custkey") % 5 === 0, lit(100.0))
-            .otherwise(lit(0.0))).as("c_acctbal"))
-        .unionByName(cust.filter(col("c_custkey") < 50)
-          .select((col("c_custkey") + 100000L).as("c_custkey"),
-            lit("NEWKEY").as("c_mktsegment"),
-            (col("c_custkey") * 1.5).as("c_acctbal")))
-      Scd.scd2Merge(cur.unionByName(hist), updates, "c_custkey",
-        Seq("c_mktsegment", "c_acctbal"), "2024-02-01")
+      s"""WITH $scd2MergedCtes
+         SELECT * FROM merged""") { (spark, dir) =>
+      scd2MergedDim(spark, dir)
+    },
+
+    // Point-in-time (as-of) join over the SCD2 output: each order
+    // fact picks the dimension version valid at its synthetic event
+    // date — '2023-06-01' hits only the %13 history slice (everyone
+    // else NULLs: the dim didn't exist yet), '2024-01-15' the January
+    // versions, '2024-03-01' the post-merge current rows. One row per
+    // fact (SCD2 intervals are disjoint per key), LEFT-join NULLs
+    // load-bearing in the hash.
+    q("q_scd2_pit", "warehouse",
+      s"""WITH $scd2MergedCtes,
+         facts AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE CAST(o_orderkey % 3 AS INT)
+                    WHEN 0 THEN '2023-06-01'
+                    WHEN 1 THEN '2024-01-15'
+                    ELSE '2024-03-01' END AS event_date
+           FROM orders)
+         SELECT f.o_orderkey, f.o_custkey, f.event_date,
+                m.c_mktsegment, m.c_acctbal, m.valid_from
+         FROM facts f LEFT JOIN merged m
+           ON m.c_custkey = f.o_custkey
+          AND f.event_date >= m.valid_from
+          AND (m.valid_to IS NULL OR f.event_date < m.valid_to)""") {
+      (spark, dir) =>
+      val facts = Tables.df(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 3 === 0, lit("2023-06-01"))
+          .when(col("o_orderkey") % 3 === 1, lit("2024-01-15"))
+          .otherwise(lit("2024-03-01")).as("event_date"))
+      Scd.pointInTime(facts, scd2MergedDim(spark, dir),
+        "o_custkey", "event_date", "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"))
     },
 
     // k-anonymous release of (event_type, user cohort) counts at
@@ -290,5 +341,91 @@ object WarehouseQueries extends QueryGroup {
       Sketch.cmsHeavyHitters(Tables.df(spark, dir, "documents"), "text",
         depth = 4, width = 1024, k = 20)
         .select(col("token"), col("est"), col("exact"))
+    },
+
+    // Entity resolution end-to-end: clean + dirtied names as ONE
+    // corpus, fuzzy-matched at edit distance <= 1 (FastSS blocking),
+    // the match graph resolved into entities by connected components,
+    // canonical = min member id, with per-entity size. Names carry a
+    // mod-11 checksum character so distinct canonical entities sit at
+    // distance >= 2 (any single-digit change flips the checksum —
+    // 10^p = +/-1 mod 11, so no in-corpus digit edit cancels), which
+    // is what keeps dense serial numbers from chaining into one giant
+    // entity; each dirty copy (substituted/deleted digit, or exact
+    // dup) attaches to its own canonical. The oracle is the all-pairs
+    // Levenshtein twin + a recursive-CTE min-label closure.
+    q("q_entity_resolution", "warehouse",
+      """WITH RECURSIVE base0 AS (
+           SELECT c_custkey AS k,
+                  'Customer#' ||
+                    lpad(CAST(c_custkey AS VARCHAR), 9, '0') ||
+                    chr(65 + CAST(c_custkey % 11 AS INT)) AS nm,
+                  10 + c_custkey % 8 AS p
+           FROM customer WHERE c_custkey % 2 = 0),
+         base AS (
+           SELECT k AS id, nm AS name FROM base0
+           UNION ALL
+           SELECT k + 1000000,
+             CASE CAST(k % 3 AS INT)
+               WHEN 0 THEN substr(nm, 1, p - 1)
+                 || chr((ord(substr(nm, p, 1)) - 48 + 1) % 10 + 48)
+                 || substr(nm, p + 1)
+               WHEN 1 THEN substr(nm, 1, p - 1) || substr(nm, p + 1)
+               ELSE nm END
+           FROM base0),
+         cand AS (
+           SELECT a.id AS a_id, b.id AS b_id
+           FROM base a JOIN base b
+             ON a.id < b.id
+            AND abs(length(a.name) - length(b.name)) <= 1
+            AND levenshtein(a.name, b.name) <= 1),
+         edges AS (SELECT a_id AS a, b_id AS b FROM cand
+                   UNION SELECT b_id, a_id FROM cand),
+         reach(id, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         comp AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id),
+         resolved AS (
+           SELECT b.id, COALESCE(c.entity_id, b.id) AS entity_id
+           FROM base b LEFT JOIN comp c ON b.id = c.id),
+         sizes AS (SELECT entity_id, CAST(count(*) AS BIGINT)
+                     AS entity_size
+                   FROM resolved GROUP BY 1)
+         SELECT r.id, r.entity_id, s.entity_size
+         FROM resolved r JOIN sizes s USING (entity_id)""") {
+      (spark, dir) =>
+      val base0 = Tables.df(spark, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k"),
+          expr("""concat('Customer#',
+                    lpad(CAST(c_custkey AS STRING), 9, '0'),
+                    char(65 + CAST(c_custkey % 11 AS INT)))""").as("nm"),
+          (lit(10) + col("c_custkey") % 8).as("p"))
+      val clean = base0.select(col("k").as("id"), col("nm").as("name"))
+      val dirty = base0.select((col("k") + 1000000L).as("id"),
+        expr("""CASE CAST(k % 3 AS INT)
+                  WHEN 0 THEN concat(substring(nm, 1, CAST(p - 1 AS INT)),
+                    char((ascii(substring(nm, CAST(p AS INT), 1))
+                          - 48 + 1) % 10 + 48),
+                    substring(nm, CAST(p + 1 AS INT), 100))
+                  WHEN 1 THEN concat(substring(nm, 1, CAST(p - 1 AS INT)),
+                    substring(nm, CAST(p + 1 AS INT), 100))
+                  ELSE nm END""").as("name"))
+      val corpus = clean.unionByName(dirty)
+      val pairs = Linkage.fuzzyJoin(corpus,
+          corpus.withColumnRenamed("id", "rid"),
+          "id", "name", "rid", "name", maxEdit = 1)
+        .filter(col("id") < col("rid"))
+      val labels = Dedup.connectedComponents(pairs, "id", "rid")
+      val resolved = corpus
+        .join(labels.withColumnRenamed("id", "lid"),
+          col("id") === col("lid"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id"))
+          .as("entity_id"))
+      val sizes = resolved.groupBy("entity_id")
+        .agg(count(lit(1)).as("entity_size"))
+      resolved.join(sizes, "entity_id")
+        .select(col("id"), col("entity_id"), col("entity_size"))
     })
 }

@@ -82,6 +82,43 @@ class ScdSpec extends AnyFunSuite {
     assert(cRow)
   }
 
+  test("pointInTime: boundary semantics — date == valid_from joins the " +
+      "NEW version, date == valid_to the NEXT; gaps yield NULLs") {
+    val dim = Seq(
+      ("A", "v1", "2024-01-01", "2024-02-01", false),
+      ("A", "v2", "2024-02-01", null.asInstanceOf[String], true),
+      ("B", "w1", "2024-03-01", null.asInstanceOf[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (1L, "A", "2024-01-01"), // == v1.valid_from -> v1
+      (2L, "A", "2024-01-31"), // inside v1
+      (3L, "A", "2024-02-01"), // == v1.valid_to -> v2 (half-open)
+      (4L, "A", "2023-12-31"), // before all versions -> NULL
+      (5L, "B", "2024-02-15"), // before B existed -> NULL
+      (6L, "C", "2024-02-15")) // key never in dim -> NULL
+      .toDF("fid", "ck", "d")
+    val out = Scd.pointInTime(facts, dim, "ck", "d", "k", Seq("attr"))
+      .select(col("fid"), col("attr"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("v1"), 2L -> Some("v1"),
+      3L -> Some("v2"), 4L -> None, 5L -> None, 6L -> None))
+  }
+
+  test("pointInTime: exactly one output row per fact (disjoint SCD2 " +
+      "intervals can't fan out)") {
+    val dim = Seq(
+      ("A", "v1", "2024-01-01", "2024-02-01", false),
+      ("A", "v2", "2024-02-01", null.asInstanceOf[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val facts = (1 to 50).map(i =>
+      (i.toLong, "A", if (i % 2 == 0) "2024-01-15" else "2024-03-01"))
+      .toDF("fid", "ck", "d")
+    val out = Scd.pointInTime(facts, dim, "ck", "d", "k", Seq("attr"))
+    assert(out.count() == 50)
+    assert(out.groupBy("fid").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 1).count() == 0)
+  }
+
   test("tracked-column order and bookkeeping columns survive merge") {
     val current = Seq(("A", "x", 1L, "2024-01-01",
         null.asInstanceOf[String], true))
