@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Type-2 slowly-changing-dimension merge — the warehouse operation the
@@ -33,7 +33,16 @@ object Scd {
   /** Merge `updates` into the SCD2 `current` table. `current` must
     * carry `keyCol`, the tracked columns, and `valid_from`/`valid_to`/
     * `is_current` bookkeeping; `updates` carries `keyCol` + tracked
-    * columns. Returns the full post-merge SCD2 table. */
+    * columns. Returns the full post-merge SCD2 table.
+    *
+    * The three merge branches are emitted from ONE pass over the
+    * full-outer join: each joined row builds an array of its 0-2
+    * applicable branch structs (untouched / close / open) and explodes
+    * the non-null ones. Filtering three projections of the join
+    * instead reads cleaner but physically plans the JOIN — and the
+    * dim-side scan+shuffle under it — three times (measured: 3 joins,
+    * 0 reused exchanges); at warehouse scale that triples the
+    * dominant cost. ExplainSpec pins the single-join shape. */
   def scd2Merge(current: DataFrame, updates: DataFrame, keyCol: String,
       trackedCols: Seq[String], effectiveDate: String): DataFrame = {
     require(trackedCols.nonEmpty, "trackedCols must be non-empty")
@@ -43,34 +52,39 @@ object Scd {
 
     val u = updates.select(
       col(keyCol).as("_uk") +: trackedCols.map(c => col(c).as(s"_u_$c")): _*)
-    // one shuffle (or AQE-broadcast) join; every branch below reuses it
+    // the ONE shuffle (or AQE-broadcast) join of the merge
     val joined = open.join(u, open(keyCol) === col("_uk"), "full_outer")
     val changed = trackedCols
       .map(c => !(col(c) <=> col(s"_u_$c"))).reduce(_ || _)
 
-    // open versions that survive as-is: no update row, or a no-op one
-    val untouched = joined.filter(col("_uk").isNull ||
-        (col(keyCol).isNotNull && !changed))
-      .select(current.columns.map(col): _*)
-    // open versions closed by a genuinely-different update row
-    val closed = joined.filter(col(keyCol).isNotNull &&
-        col("_uk").isNotNull && changed)
-      .select(col(keyCol) +: trackedCols.map(col) :+ col("valid_from") :+
-        lit(effectiveDate).as("valid_to") :+ lit(false).as("is_current"): _*)
-    // new versions: changed keys re-open, brand-new keys insert
-    val opened = joined.filter(col("_uk").isNotNull &&
-        (col(keyCol).isNull || changed))
-      .select(col("_uk").as(keyCol) +:
-        trackedCols.map(c => col(s"_u_$c").as(c)) :+
-        lit(effectiveDate).as("valid_from") :+
-        lit(null.asInstanceOf[String]).as("valid_to") :+
-        lit(true).as("is_current"): _*)
+    def branch(key: Column, tracked: Seq[Column], from: Column,
+        to: Column, cur: Column): Column =
+      struct(key.as(keyCol) +:
+        tracked.zip(trackedCols).map { case (c, n) => c.as(n) } :+
+        from.cast("string").as("valid_from") :+
+        to.cast("string").as("valid_to") :+
+        cur.as("is_current"): _*)
+
+    val nullStr = lit(null).cast("string")
+    val branches = array(
+      // open version survives as-is: no update row, or a no-op one
+      when(col("_uk").isNull || (col(keyCol).isNotNull && !changed),
+        branch(col(keyCol), trackedCols.map(col), col("valid_from"),
+          col("valid_to"), col("is_current"))),
+      // open version closed by a genuinely-different update row
+      when(col(keyCol).isNotNull && col("_uk").isNotNull && changed,
+        branch(col(keyCol), trackedCols.map(col), col("valid_from"),
+          lit(effectiveDate), lit(false))),
+      // new version: changed key re-opens, brand-new key inserts
+      when(col("_uk").isNotNull && (col(keyCol).isNull || changed),
+        branch(col("_uk"), trackedCols.map(c => col(s"_u_$c")),
+          lit(effectiveDate), nullStr, lit(true))))
+    val mergedOpen = joined
+      .select(explode(filter(branches, b => b.isNotNull)).as("_r"))
+      .select(col("_r.*"))
 
     val ordered = Seq(keyCol) ++ trackedCols ++ book
-    hist.select(ordered.map(col): _*)
-      .unionByName(untouched.select(ordered.map(col): _*))
-      .unionByName(closed)
-      .unionByName(opened)
+    hist.select(ordered.map(col): _*).unionByName(mergedOpen)
   }
 
   /** Point-in-time (as-of) join: each fact row picks up the dimension

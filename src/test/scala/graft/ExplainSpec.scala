@@ -736,4 +736,58 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"non-broadcast cartesian leaked into the quantile plan:\n$p")
   }
+
+  private def joinCount(p: String): Int =
+    "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size
+
+  test("scd2Merge plans exactly ONE join (branch legs explode from " +
+      "it, they don't re-plan it)") {
+    import spark.implicits._
+    // the naive spelling — three filtered projections of the joined
+    // frame, unioned — planned the full-outer join (and the dim scan
+    // under it) three times with zero exchange reuse; at warehouse
+    // scale that triples the dominant cost
+    val cur = Seq(("A", "s1", "2024-01-01",
+        null.asInstanceOf[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val upd = Seq(("A", "s2")).toDF("k", "attr")
+    val p = plan(graft.ops.Scd.scd2Merge(cur, upd, "k", Seq("attr"),
+      "2024-02-01"))
+    assert(joinCount(p) == 1, s"expected exactly 1 join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"non-equi join leaked:\n$p")
+  }
+
+  test("pointInTime is one equi-join on the key — the interval " +
+      "predicate rides along, it never becomes a range-join explosion") {
+    import spark.implicits._
+    val dim = Seq(("A", "v1", "2024-01-01",
+        null.asInstanceOf[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val facts = Seq((1L, "A", "2024-02-01")).toDF("fid", "ck", "d")
+    val p = plan(graft.ops.Scd.pointInTime(facts, dim, "ck", "d", "k",
+      Seq("attr")))
+    assert(joinCount(p) == 1, s"expected exactly 1 equi join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"interval predicate became a non-equi join:\n$p")
+  }
+
+  test("fuzzyJoin d=1 plans an equi join with NO Levenshtein — the " +
+      "positional predicate is the whole verify") {
+    val cust = Tables.df(spark, sf, "customer")
+    val clean = cust.select(col("c_custkey").as("cid"),
+      col("c_name").as("cn"))
+    val dirty = cust.select((col("c_custkey") + 99L).as("did"),
+      col("c_name").as("dn"))
+    val p = plan(graft.ops.Linkage.fuzzyJoin(clean, dirty, "cid", "cn",
+      "did", "dn", maxEdit = 1))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"blocking degenerated to a non-equi join:\n$p")
+    assert(!p.toLowerCase.contains("levenshtein"),
+      s"d=1 path should verify positionally, not via the DP:\n$p")
+  }
 }
