@@ -738,6 +738,44 @@ object ScaleRamp {
         timeIt(graft.ops.Linkage.fuzzyJoin(clean, dirty, "clean_id",
           "name", "dirty_id", "name", maxEdit = 1).count())
       },
+      "entity_resolution" -> { k =>
+        // the full ER composition (round 14): fuzzy self-match at d=1
+        // over checksummed names → connected components → canonical +
+        // sizes. Pairs grow ~linearly; CC round count grows with the
+        // log of the longest dirty-bridge chain, each round a fixed
+        // set of label-table joins — expect mildly super-linear wall
+        // only if chains deepen with density.
+        val ids = docsAt(k).select(col("doc_id"))
+        val nm = expr(
+          """concat('Customer#', lpad(CAST(doc_id AS STRING), 9, '0'),
+               char(65 + CAST(doc_id % 11 AS INT)))""")
+        val base = ids.select(col("doc_id").as("k0"), nm.as("nm"),
+          (lit(10) + col("doc_id") % 8).as("p"))
+        val clean = base.select(col("k0").as("id"), col("nm").as("name"))
+        val dirty = base.select((col("k0") + 100000000L).as("id"),
+          expr("""CASE CAST(k0 % 3 AS INT)
+                    WHEN 0 THEN concat(substring(nm, 1, CAST(p - 1 AS INT)),
+                      char((ascii(substring(nm, CAST(p AS INT), 1))
+                            - 48 + 1) % 10 + 48),
+                      substring(nm, CAST(p + 1 AS INT), 100))
+                    WHEN 1 THEN concat(substring(nm, 1, CAST(p - 1 AS INT)),
+                      substring(nm, CAST(p + 1 AS INT), 100))
+                    ELSE nm END""").as("name"))
+        val corpus = clean.unionByName(dirty)
+        timeIt {
+          val pairs = graft.ops.Linkage.fuzzyJoin(corpus,
+              corpus.withColumnRenamed("id", "rid"),
+              "id", "name", "rid", "name", maxEdit = 1)
+            .filter(col("id") < col("rid"))
+          val labels = graft.ops.Dedup.connectedComponents(
+            pairs, "id", "rid")
+          corpus.join(labels.withColumnRenamed("id", "lid"),
+              col("id") === col("lid"), "left")
+            .select(col("id"),
+              coalesce(col("comp"), col("id")).as("entity_id"))
+            .count()
+        }
+      },
       "scd2_merge" -> { k =>
         // SCD2 dimension merge (round 14): the DIMENSION ramps with k
         // while the daily update batch stays FIXED at base size — the

@@ -838,7 +838,12 @@ object Dedup {
         .select(col("id"), col("prev"),
           least(col("prev"), coalesce(col("nbr"), col("prev")))
             .as("comp"))
-      // pointer jump: comp values are node ids, so look up THEIR comp
+      // pointer jump: comp values are node ids, so look up THEIR comp.
+      // ONE jump per round is deliberate: nesting a second jump
+      // (jump∘jump, 4x chain contraction) measured per-round times
+      // exploding 7x/round after ~8 rounds on the entity-resolution
+      // graph — a nested-self-join planning pathology, not data — while
+      // the single-jump rounds stay flat (~0.35 s at 15k labels).
       val jumped = stepped
         .join(stepped.select(col("id").as("cid"), col("comp").as("cc")),
           col("comp") === col("cid"), "left")

@@ -56,17 +56,7 @@ object Graph {
       iterations: Int = 8, dampingPct: Int = 85,
       scale: Long = 1000000L, nodesOpt: Option[DataFrame] = None,
       nNodesOpt: Option[Long] = None): DataFrame = {
-    require(iterations >= 1, "iterations must be >= 1")
-    require(dampingPct >= 0 && dampingPct <= 100,
-      s"dampingPct must be in [0,100]: $dampingPct")
-
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val nodes = nodesOpt
-      .map(_.toDF("node").select(col("node").cast("long").as("node")))
-      .getOrElse(e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
-      .localCheckpoint() // consumed every round: cut the scan lineage once
+    val (nodes, eDeg) = prepare(edges, srcCol, dstCol, nodesOpt)
     // a caller-supplied count only applies to a caller-supplied
     // universe (the derived src∪dst universe has no caller count)
     val nNodes = nNodesOpt.filter(_ => nodesOpt.isDefined)
@@ -74,13 +64,74 @@ object Graph {
     require(nNodes > 0, "pageRank: empty graph")
     val r0 = scale / nNodes
     val base = (100L - dampingPct) * r0 / 100L
+    powerIterate(
+      nodes.select(col("node"), lit(base).as("base"), lit(r0).as("r0")),
+      eDeg, iterations, dampingPct, nodes)
+  }
 
-    // out-degree is loop-invariant: fold it onto the edges once
+  /** Seeded-teleport PageRank — the public TrustRank formulation
+    * (Gyöngyi, Garcia-Molina, Pedersen 2004): random-jump mass lands
+    * ONLY on a trusted seed set, so rank measures proximity-to-trust
+    * instead of raw link popularity — the curation prior that gates
+    * spam-adjacent domains a plain PageRank still rewards. Nodes
+    * unreachable from every seed hold exactly ZERO mass (integer
+    * arithmetic, nothing to round). Same fixed-point contract,
+    * per-iteration shape, and rotating-checkpoint storage bound as
+    * [[pageRank]]; the seed set joins in once, broadcast-sized.
+    *
+    * @param seeds one-column frame of trusted node ids (deduplicated
+    *              here; ids outside the node universe are ignored —
+    *              their mass share would teleport to nowhere) */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iterations: Int = 8, dampingPct: Int = 85,
+      scale: Long = 1000000L, nodesOpt: Option[DataFrame] = None)
+      : DataFrame = {
+    val (nodes, eDeg) = prepare(edges, srcCol, dstCol, nodesOpt)
+    val s = seeds.toDF("node")
+      .select(col("node").cast("long").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .withColumn("_seed", lit(true))
+    val nSeeds = s.count()
+    require(nSeeds > 0, "trustRank: no seed intersects the node universe")
+    val r0 = scale / nSeeds
+    val base = (100L - dampingPct) * r0 / 100L
+    powerIterate(
+      nodes.join(broadcast(s), Seq("node"), "left")
+        .select(col("node"),
+          when(col("_seed"), lit(base)).otherwise(lit(0L)).as("base"),
+          when(col("_seed"), lit(r0)).otherwise(lit(0L)).as("r0")),
+      eDeg, iterations, dampingPct, nodes)
+  }
+
+  /** Shared setup: normalized edge list with out-degree folded on
+    * (loop-invariant, checkpointed once) + the node universe. */
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      nodesOpt: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = nodesOpt
+      .map(_.toDF("node").select(col("node").cast("long").as("node")))
+      .getOrElse(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+      .localCheckpoint() // consumed every round: cut the scan lineage once
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(deg, "src").localCheckpoint()
+    (nodes, e.join(deg, "src").localCheckpoint())
+  }
 
+  /** The fixed-point power loop over a per-node (base, r0) seeding —
+    * constant for PageRank, seed-gated for TrustRank. `prepNodes` is
+    * [[prepare]]'s universe checkpoint, released as soon as the seeded
+    * frame (which subsumes it) is materialized. */
+  private def powerIterate(seeded: DataFrame, eDeg: DataFrame,
+      iterations: Int, dampingPct: Int, prepNodes: DataFrame)
+      : DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100]: $dampingPct")
+    val nodes = seeded.localCheckpoint()
+    Checkpoints.release(prepNodes)
     val rotate = new Checkpoints.Rotating
-    var ranks = nodes.withColumn("rank", lit(r0))
+    var ranks = nodes.select(col("node"), col("r0").as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
@@ -90,7 +141,7 @@ object Graph {
       ranks = rotate(
         nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            (lit(base) + expr(
+            (col("base") + expr(
               s"($dampingPct * coalesce(contrib, 0L)) div 100"))
               .as("rank")))
     }

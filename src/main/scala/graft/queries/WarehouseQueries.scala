@@ -112,6 +112,46 @@ object WarehouseQueries extends QueryGroup {
       Seq("c_mktsegment", "c_acctbal"), "2024-02-01")
   }
 
+  /** Shared deterministic doc link graph (q_pagerank + q_trustrank,
+    * one spelling): 3 Lehmer-derived out-edges per doc, self-loops
+    * dropped. Ends in CTEs `docs`, `nn`, `edges`, `deg`. */
+  private val linkGraphCtes: String =
+    """docs AS (SELECT doc_id FROM documents),
+       nn AS (SELECT count(*) AS n FROM docs),
+       e1 AS (SELECT doc_id AS src,
+                ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS u1
+              FROM docs),
+       e3 AS (SELECT src, u1, u1 * 48271 % 2147483647 AS u2,
+                u1 * 48271 % 2147483647 * 48271 % 2147483647 AS u3
+              FROM e1),
+       edges AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, u1 % (SELECT n FROM nn) AS dst FROM e3
+           UNION ALL
+           SELECT src, u2 % (SELECT n FROM nn) FROM e3
+           UNION ALL
+           SELECT src, u3 % (SELECT n FROM nn) FROM e3)
+         WHERE src != dst),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)"""
+
+  /** Spark twin of [[linkGraphCtes]]: (docs, n, edges). */
+  private def linkGraph(spark: SparkSession, dir: String)
+      : (DataFrame, Long, DataFrame) = {
+    val docs = Tables.df(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e1 = docs.select(col("doc_id").as("src"),
+      (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
+        .as("u1"))
+    val e3 = e1.select(col("src"), col("u1"),
+      (col("u1") * 48271L % 2147483647L).as("u2"),
+      (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L)
+        .as("u3"))
+    val edges = e3.select(col("src"), (col("u1") % n).as("dst"))
+      .unionByName(e3.select(col("src"), (col("u2") % n).as("dst")))
+      .unionByName(e3.select(col("src"), (col("u3") % n).as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    (docs, n, edges)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Record linkage: clean customer names vs a deterministically
@@ -266,23 +306,7 @@ object WarehouseQueries extends QueryGroup {
     // as a recursive CTE — a libm-double PageRank could never
     // hash-match across engines; this one must.
     q("q_pagerank", "warehouse",
-      """WITH RECURSIVE
-         docs AS (SELECT doc_id FROM documents),
-         nn AS (SELECT count(*) AS n FROM docs),
-         e1 AS (SELECT doc_id AS src,
-                  ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS u1
-                FROM docs),
-         e3 AS (SELECT src, u1, u1 * 48271 % 2147483647 AS u2,
-                  u1 * 48271 % 2147483647 * 48271 % 2147483647 AS u3
-                FROM e1),
-         edges AS (SELECT DISTINCT src, dst FROM (
-             SELECT src, u1 % (SELECT n FROM nn) AS dst FROM e3
-             UNION ALL
-             SELECT src, u2 % (SELECT n FROM nn) FROM e3
-             UNION ALL
-             SELECT src, u3 % (SELECT n FROM nn) FROM e3)
-           WHERE src != dst),
-         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      s"""WITH RECURSIVE $linkGraphCtes,
          pr(t, node, r) AS (
            SELECT 0, doc_id, (SELECT 1000000 // n FROM nn) FROM docs
            UNION ALL
@@ -295,24 +319,47 @@ object WarehouseQueries extends QueryGroup {
                  WHERE e.dst = p.node AND p2.t = p.t), 0) // 100
            FROM pr p WHERE p.t < 8)
          SELECT node, r AS pr_mass FROM pr WHERE t = 8""") { (spark, dir) =>
-      val docs = Tables.df(spark, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
-      val e1 = docs.select(col("doc_id").as("src"),
-        (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
-          .as("u1"))
-      val e3 = e1.select(col("src"), col("u1"),
-        (col("u1") * 48271L % 2147483647L).as("u2"),
-        (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L)
-          .as("u3"))
-      val edges = e3.select(col("src"), (col("u1") % n).as("dst"))
-        .unionByName(e3.select(col("src"), (col("u2") % n).as("dst")))
-        .unionByName(e3.select(col("src"), (col("u3") % n).as("dst")))
-        .filter(col("src") =!= col("dst")).distinct()
+      val (docs, n, edges) = linkGraph(spark, dir)
       // isolated docs still earn teleport mass; the count above is
       // passed through so the seed split doesn't re-count the corpus
       Graph.pageRank(edges, "src", "dst", iterations = 8,
           nodesOpt = Some(docs), nNodesOpt = Some(n))
         .select(col("node"), col("rank").as("pr_mass"))
+    },
+
+    // TrustRank over the same link graph: teleport mass lands only on
+    // the %17==0 trusted slice, so rank measures proximity-to-trust —
+    // docs unreachable from every seed hold exactly ZERO mass
+    // (integer arithmetic, nothing to round), load-bearing in the
+    // hash alongside the seeds' inflated base. Same fixed-point
+    // contract as q_pagerank; the oracle unrolls the seeded teleport
+    // through the identical recursive CTE.
+    q("q_trustrank", "warehouse",
+      s"""WITH RECURSIVE $linkGraphCtes,
+         ns AS (SELECT count(*) AS n FROM docs WHERE doc_id % 17 = 0),
+         pr(t, node, r) AS (
+           SELECT 0, doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN (SELECT 1000000 // n FROM ns) ELSE 0 END
+           FROM docs
+           UNION ALL
+           SELECT p.t + 1, p.node,
+             (CASE WHEN p.node % 17 = 0
+                   THEN (SELECT 15 * (1000000 // n) // 100 FROM ns)
+                   ELSE 0 END)
+             + 85 * COALESCE((
+                 SELECT SUM(p2.r // d.deg) FROM pr p2
+                 JOIN edges e ON e.src = p2.node
+                 JOIN deg d ON d.src = p2.node
+                 WHERE e.dst = p.node AND p2.t = p.t), 0) // 100
+           FROM pr p WHERE p.t < 8)
+         SELECT node, r AS trust_mass FROM pr WHERE t = 8""") {
+      (spark, dir) =>
+      val (docs, _, edges) = linkGraph(spark, dir)
+      Graph.trustRank(edges, "src", "dst",
+          docs.filter(col("doc_id") % 17 === 0), iterations = 8,
+          nodesOpt = Some(docs))
+        .select(col("node"), col("rank").as("trust_mass"))
     },
 
     // Count-min sketch heavy hitters: top-20 tokens by estimate with

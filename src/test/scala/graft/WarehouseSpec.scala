@@ -214,6 +214,44 @@ class GraphSpec extends AnyFunSuite {
       .collect().toSet
     assert(a === b)
   }
+
+  test("trustRank: nodes unreachable from every seed hold exactly " +
+      "zero mass; seeds carry at least the teleport base") {
+    // two components: 0->1->2 (seeded at 0) and 8->9 (no seed)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (8L, 9L), (9L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("s")
+    val r = Graph.trustRank(e, "src", "dst", seeds, iterations = 6,
+      scale = 900000L).as[(Long, Long)].collect().toMap
+    assert(r(8L) == 0L && r(9L) == 0L)
+    val base = (100L - 85L) * 900000L / 100L // one seed: r0 = scale
+    assert(r(0L) >= base)
+    assert(r(1L) > 0L && r(2L) > 0L) // trust flows along links
+    assert(r.values.sum <= 900000L)
+  }
+
+  test("trustRank: seeds outside the node universe are ignored; " +
+      "no surviving seed is an error") {
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    val r = Graph.trustRank(e, "src", "dst",
+      Seq(0L, 777L).toDF("s"), iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    // 777 is outside: the whole teleport mass splits over {0} only
+    assert(r(0L) > 0L)
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(e, "src", "dst", Seq(777L).toDF("s"))
+    }
+  }
+
+  test("trustRank with ALL nodes as seeds reproduces pageRank exactly") {
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val pr = Graph.pageRank(cycle4, "src", "dst", iterations = 5,
+      nodesOpt = Some(nodes)).as[(Long, Long)].collect().toSet
+    val tr = Graph.trustRank(cycle4, "src", "dst", nodes,
+      iterations = 5, nodesOpt = Some(nodes))
+      .as[(Long, Long)].collect().toSet
+    assert(pr === tr)
+  }
 }
 
 class SketchSpec extends AnyFunSuite {
