@@ -145,4 +145,38 @@ object Linkage {
         .distinct()
     }
   }
+
+  /** Incremental entity ASSIGNMENT — the daily-batch twin of full
+    * resolution ([[fuzzyJoin]] + connected components): match a batch
+    * of incoming names against an existing canonical-entity index at
+    * edit distance ≤ `maxEdit`; each batch row takes its best match
+    * (smallest distance, ties to the smallest entity id — a total
+    * order, so the assignment is deterministic), and unmatched rows
+    * become NEW entities keyed by their own id. No transitive closure
+    * runs — assignment against frozen canonicals is index-lookup
+    * shaped (ONE blocking shuffle over batch+index keys), which is
+    * what lets a stream of entity mentions resolve per batch instead
+    * of re-clustering the corpus. Periodic full re-resolution merging
+    * drifted entities is the batch operator's job.
+    *
+    * @return one row per batch row: (batchId, entity_id, dist,
+    *         is_new) — `dist` NULL for new entities */
+  def assignToEntities(batch: DataFrame, entities: DataFrame,
+      batchId: String, batchName: String,
+      entityId: String, entityName: String,
+      maxEdit: Int = 1): DataFrame = {
+    require(batchId != entityId,
+      s"batchId and entityId must differ in the output ('$batchId')")
+    val m = fuzzyJoin(batch, entities, batchId, batchName,
+      entityId, entityName, maxEdit)
+    val best = m.groupBy(col(batchId))
+      .agg(min(struct(col("dist"), col(entityId))).as("_b"))
+      .select(col(batchId), col("_b.dist").as("dist"),
+        col(s"_b.$entityId").as(entityId))
+    batch.select(col(batchId)).join(best, Seq(batchId), "left")
+      .select(col(batchId),
+        coalesce(col(entityId), col(batchId)).as("entity_id"),
+        col("dist"),
+        col(entityId).isNull.as("is_new"))
+  }
 }

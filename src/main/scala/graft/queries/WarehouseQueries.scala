@@ -83,9 +83,11 @@ object WarehouseQueries extends QueryGroup {
          FROM chg WHERE uk IS NOT NULL
                     AND (c_custkey IS NULL OR changed))"""
 
-  /** The Spark twin of [[scd2MergedCtes]]: the same fixture through
-    * the real [[Scd.scd2Merge]] operator. */
-  private def scd2MergedDim(spark: SparkSession, dir: String): DataFrame = {
+  /** Spark twins of [[scd2MergedCtes]]'s legs: the pre-merge SCD2
+    * table (current versions + closed history) and the day's update
+    * batch — shared by the batch merge, the PIT join fixture, and the
+    * streaming fold. */
+  private def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.df(spark, dir, "customer")
     val cur = cust.select(col("c_custkey"), col("c_mktsegment"),
       col("c_acctbal"), lit("2024-01-01").as("valid_from"),
@@ -96,7 +98,12 @@ object WarehouseQueries extends QueryGroup {
         (col("c_acctbal") - 50.0).as("c_acctbal"),
         lit("2023-01-01").as("valid_from"),
         lit("2024-01-01").as("valid_to"), lit(false).as("is_current"))
-    val updates = cust
+    cur.unionByName(hist)
+  }
+
+  private def scd2Updates(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.df(spark, dir, "customer")
+    cust
       .filter(col("c_custkey") % 5 === 0 || col("c_custkey") % 7 === 0 ||
         col("c_custkey") % 11 === 0)
       .select(col("c_custkey"),
@@ -108,9 +115,12 @@ object WarehouseQueries extends QueryGroup {
         .select((col("c_custkey") + 100000L).as("c_custkey"),
           lit("NEWKEY").as("c_mktsegment"),
           (col("c_custkey") * 1.5).as("c_acctbal")))
-    Scd.scd2Merge(cur.unionByName(hist), updates, "c_custkey",
-      Seq("c_mktsegment", "c_acctbal"), "2024-02-01")
   }
+
+  /** The same fixture through the real [[Scd.scd2Merge]] operator. */
+  private def scd2MergedDim(spark: SparkSession, dir: String): DataFrame =
+    Scd.scd2Merge(scd2Dim(spark, dir), scd2Updates(spark, dir),
+      "c_custkey", Seq("c_mktsegment", "c_acctbal"), "2024-02-01")
 
   /** Shared deterministic doc link graph (q_pagerank + q_trustrank,
     * one spelling): 3 Lehmer-derived out-edges per doc, self-loops
@@ -474,5 +484,94 @@ object WarehouseQueries extends QueryGroup {
         .agg(count(lit(1)).as("entity_size"))
       resolved.join(sizes, "entity_id")
         .select(col("id"), col("entity_id"), col("entity_size"))
+    },
+
+    // Incremental entity assignment: a batch of incoming mentions
+    // (dirtied copies of even-key canonicals + genuinely-new odd-key
+    // names) matched against the frozen even-key entity index at
+    // d<=1. Matched rows take the best (dist, entity) pair — the
+    // total-order tie-break replayed by the oracle's row_number —
+    // unmatched rows open NEW entities under their own id; the mod-11
+    // checksum keeps odd-key names >= 2 edits from every canonical,
+    // so both branches are load-bearing in the hash. The daily-batch
+    // twin of q_entity_resolution: one blocking shuffle, no closure.
+    q("q_er_incremental", "warehouse",
+      """WITH base0 AS (
+           SELECT c_custkey AS k,
+                  'Customer#' ||
+                    lpad(CAST(c_custkey AS VARCHAR), 9, '0') ||
+                    chr(65 + CAST(c_custkey % 11 AS INT)) AS nm,
+                  10 + c_custkey % 8 AS p
+           FROM customer),
+         ent AS (SELECT k AS eid, nm AS ename FROM base0
+                 WHERE k % 2 = 0),
+         batch AS (
+           SELECT k + 1000000 AS id,
+             CASE CAST(k % 3 AS INT)
+               WHEN 0 THEN substr(nm, 1, p - 1)
+                 || chr((ord(substr(nm, p, 1)) - 48 + 1) % 10 + 48)
+                 || substr(nm, p + 1)
+               WHEN 1 THEN substr(nm, 1, p - 1) || substr(nm, p + 1)
+               ELSE nm END AS name
+           FROM base0 WHERE k % 2 = 0
+           UNION ALL
+           SELECT k + 1000000, nm FROM base0 WHERE k % 2 = 1),
+         m AS (SELECT b.id, e.eid,
+                      CAST(levenshtein(b.name, e.ename) AS BIGINT)
+                        AS dist
+               FROM batch b JOIN ent e
+                 ON abs(length(b.name) - length(e.ename)) <= 1
+                AND levenshtein(b.name, e.ename) <= 1),
+         best AS (SELECT id, eid, dist FROM (
+             SELECT id, eid, dist,
+                    row_number() OVER (PARTITION BY id
+                                       ORDER BY dist, eid) AS rn
+             FROM m) t WHERE rn = 1)
+         SELECT b.id, COALESCE(s.eid, b.id) AS entity_id, s.dist,
+                s.eid IS NULL AS is_new
+         FROM batch b LEFT JOIN best s USING (id)""") { (spark, dir) =>
+      val base0 = Tables.df(spark, dir, "customer")
+        .select(col("c_custkey").as("k"),
+          expr("""concat('Customer#',
+                    lpad(CAST(c_custkey AS STRING), 9, '0'),
+                    char(65 + CAST(c_custkey % 11 AS INT)))""").as("nm"),
+          (lit(10) + col("c_custkey") % 8).as("p"))
+      val ents = base0.filter(col("k") % 2 === 0)
+        .select(col("k").as("eid"), col("nm").as("ename"))
+      val batch = base0.filter(col("k") % 2 === 0)
+        .select((col("k") + 1000000L).as("id"),
+          expr("""CASE CAST(k % 3 AS INT)
+                    WHEN 0 THEN concat(substring(nm, 1, CAST(p - 1 AS INT)),
+                      char((ascii(substring(nm, CAST(p AS INT), 1))
+                            - 48 + 1) % 10 + 48),
+                      substring(nm, CAST(p + 1 AS INT), 100))
+                    WHEN 1 THEN concat(substring(nm, 1, CAST(p - 1 AS INT)),
+                      substring(nm, CAST(p + 1 AS INT), 100))
+                    ELSE nm END""").as("name"))
+        .unionByName(base0.filter(col("k") % 2 === 1)
+          .select((col("k") + 1000000L).as("id"), col("nm").as("name")))
+      Linkage.assignToEntities(batch, ents, "id", "name",
+        "eid", "ename", maxEdit = 1)
+    },
+
+    // STREAMING SCD2 maintenance: the same update batch arrives as a
+    // micro-batch through the real foreachBatch runner and folds into
+    // the dim via scd2Merge — for a one-batch stream the fold equals
+    // the batch merge EXACTLY, so this shares q_scd2_merge's oracle
+    // verbatim (multi-batch sequencing, where order matters, is
+    // spec-pinned with controlled staging instead).
+    q("q_stream_scd2", "warehouse",
+      s"""WITH $scd2MergedCtes
+         SELECT * FROM merged""") { (spark, dir) =>
+      val staged = java.nio.file.Files.createTempDirectory("graft_sscd")
+      try {
+        val up = s"$staged/updates"
+        scd2Updates(spark, dir).coalesce(1).write
+          .mode("overwrite").parquet(up)
+        graft.streaming.IngestStream.runScd2ToBatch(spark, up,
+          scd2Dim(spark, dir), "c_custkey",
+          Seq("c_mktsegment", "c_acctbal"), _ => "2024-02-01",
+          scd2Updates(spark, dir).schema)
+      } finally graft.core.Fs.deleteRecursively(staged.toFile)
     })
 }

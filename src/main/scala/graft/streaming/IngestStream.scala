@@ -205,6 +205,45 @@ object IngestStream {
       .toDF("constraint_name", "violations")
       .withColumn("passed", col("violations") === 0L)
   }
+
+  /** STREAMING SCD2 maintenance — the dimension-history face of the
+    * incremental family: each micro-batch of dim updates folds into
+    * the running SCD2 table via [[graft.ops.Scd.scd2Merge]], so the
+    * warehouse's version history is current per ingest batch instead
+    * of per nightly rebuild. Per-batch state is the dim itself,
+    * checkpoint-released generationally (the [[runProfileToBatch]]
+    * discipline); the merge cost per batch is scd2Merge's single
+    * equi-join of the OPEN slice with the batch.
+    *
+    * The SCD2 fold is ORDER-DEPENDENT (a key updated in two batches
+    * gets two chained versions), unlike the profile/constraint folds —
+    * so the catalog oracle stages the stream as ONE batch (where fold
+    * ≡ batch merge exactly) and the multi-batch sequencing contract
+    * (fold over n batches ≡ chaining scd2Merge n times in arrival
+    * order) is spec-pinned with controlled batch staging
+    * (`maxFilesPerTrigger = 1`, one file per batch).
+    *
+    * @param effectiveDateAt batch index (0-based arrival order) → the
+    *        effective date stamped on that batch's closes/opens */
+  def runScd2ToBatch(spark: SparkSession, path: String,
+      initial: DataFrame, keyCol: String, trackedCols: Seq[String],
+      effectiveDateAt: Long => String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.core.Checkpoints
+    var cur = initial.localCheckpoint()
+    var i = 0L
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val merged = graft.ops.Scd.scd2Merge(cur, b, keyCol,
+          trackedCols, effectiveDateAt(i)).localCheckpoint()
+        Checkpoints.release(cur)
+        cur = merged
+        i += 1
+      }
+    }
+    cur
+  }
 }
 
 /** Shared bounded-run scaffolding for file-source streaming twins:

@@ -120,6 +120,42 @@ class LinkageSpec extends AnyFunSuite {
     assert(!got.exists(t => t._1 == 4L || t._2 == 13L))
   }
 
+  test("assignToEntities: best match wins by (dist, entity) total " +
+      "order; unmatched rows open new entities with NULL dist") {
+    val ents = Seq((10L, "alpha"), (20L, "alphx"), (30L, "alphy"))
+      .toDF("eid", "ename")
+    val batch = Seq(
+      (100L, "alpha"),   // exact: dist 0 -> entity 10
+      (101L, "alphz"),   // dist 1 to ALL of 10/20/30 -> min entity 10
+      (102L, "zzzzz"))   // no match -> new entity under own id
+      .toDF("id", "name")
+    val got = graft.ops.Linkage.assignToEntities(batch, ents,
+        "id", "name", "eid", "ename", maxEdit = 1)
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(got === Set(
+      (100L, 10L, Some(0L), false),
+      (101L, 10L, Some(1L), false),
+      (102L, 102L, None, true)))
+  }
+
+  test("assignToEntities: exactly one output row per batch row even " +
+      "with many candidate entities") {
+    val ents = (0 until 20).map(i => (i.toLong, s"name$i"))
+      .toDF("eid", "ename")
+    // every batch name is dist<=1 to several entities (name0..name9
+    // mutual dist 1 via last char)
+    val batch = (0 until 30).map(i => (100L + i, s"name${i % 10}"))
+      .toDF("id", "name")
+    val out = graft.ops.Linkage.assignToEntities(batch, ents,
+      "id", "name", "eid", "ename", maxEdit = 1)
+    assert(out.count() == 30)
+    assert(out.groupBy("id").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 1).count() == 0)
+    // exact self-match beats the dist-1 crowd
+    assert(out.filter(col("id") === 100L).select("entity_id")
+      .as[Long].head() == 0L)
+  }
+
   test("maxEdit outside {1,2} is rejected") {
     val d = Seq((1L, "x")).toDF("id", "name")
     intercept[IllegalArgumentException] {

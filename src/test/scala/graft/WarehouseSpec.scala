@@ -119,6 +119,59 @@ class ScdSpec extends AnyFunSuite {
       .filter(col("c") =!= 1).count() == 0)
   }
 
+  test("streaming SCD2 fold over two ordered micro-batches equals " +
+      "chaining scd2Merge in arrival order (version chains across " +
+      "batches)") {
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    val initial = Seq(
+      ("A", "s1", "2024-01-01", null.asInstanceOf[String], true),
+      ("B", "s2", "2024-01-01", null.asInstanceOf[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    // batch 1 changes A; batch 2 changes A AGAIN and inserts C — the
+    // double-change produces a two-link version chain only a
+    // sequential fold can build
+    val b1 = Seq(("A", "s1x")).toDF("k", "attr")
+    val b2 = Seq(("A", "s1y"), ("C", "s3")).toDF("k", "attr")
+    val staged = java.nio.file.Files.createTempDirectory("graft_sscd_mb")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sscd_w")
+    try {
+      b1.coalesce(1).write.parquet(tmp.resolve("b1").toString)
+      b2.coalesce(1).write.parquet(tmp.resolve("b2").toString)
+      def part(sub: String) = java.nio.file.Files
+        .list(tmp.resolve(sub)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val p1 = staged.resolve("b1.parquet")
+      val p2 = staged.resolve("b2.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part("b1")), p1)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part("b2")), p2)
+      // FileStreamSource orders by modification time — force b1 first
+      p1.toFile.setLastModified(p2.toFile.lastModified() - 60000L)
+      val dates = Seq("2024-02-01", "2024-03-01")
+      val got = graft.streaming.IngestStream.runScd2ToBatch(spark,
+          staged.toString, initial, "k", Seq("attr"),
+          i => dates(i.toInt),
+          StructType(Seq(StructField("k", StringType),
+            StructField("attr", StringType))),
+          maxFilesPerTrigger = Some(1))
+        .as[(String, String, String, Option[String], Boolean)]
+        .collect().toSet
+      val want = Scd.scd2Merge(
+          Scd.scd2Merge(initial, b1, "k", Seq("attr"), "2024-02-01"),
+          b2, "k", Seq("attr"), "2024-03-01")
+        .as[(String, String, String, Option[String], Boolean)]
+        .collect().toSet
+      assert(got === want)
+      // the cross-batch chain is really there: A has three versions
+      assert(got.count(_._1 == "A") == 3)
+      assert(got.contains(("A", "s1y", "2024-03-01", None, true)))
+      assert(got.contains(("C", "s3", "2024-03-01", None, true)))
+    } finally {
+      graft.core.Fs.deleteRecursively(staged.toFile)
+      graft.core.Fs.deleteRecursively(tmp.toFile)
+    }
+  }
+
   test("tracked-column order and bookkeeping columns survive merge") {
     val current = Seq(("A", "x", 1L, "2024-01-01",
         null.asInstanceOf[String], true))
