@@ -156,6 +156,45 @@ class LinkageSpec extends AnyFunSuite {
       .as[Long].head() == 0L)
   }
 
+  test("randomized exactness: fuzzyJoin == scala-side Levenshtein " +
+      "brute force on dense tiny-alphabet corpora (d=1 and d=2)") {
+    // raw ScalaCheck (scalatestplus bridge is not in the offline
+    // cache). A 2-letter alphabet at lengths 0..6 makes the edit
+    // space DENSE — repeated-char runs, empties and transposition
+    // shapes (the positional verify's hard cases) occur constantly,
+    // unlike realistic name corpora where they are rare.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val genCorpus = Gen.listOfN(24,
+      Gen.chooseNum(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)))
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(1, 2)) { (ss, d) =>
+      val l = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("lid", "lname")
+      val r = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("rid", "rname")
+      val got = graft.ops.Linkage.fuzzyJoin(l, r, "lid", "lname",
+          "rid", "rname", d)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, i) <- ss.zipWithIndex; (b, j) <- ss.zipWithIndex
+        dist = lev(a, b) if dist <= d
+      } yield (i.toLong, j.toLong, dist.toLong)).toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("maxEdit outside {1,2} is rejected") {
     val d = Seq((1L, "x")).toDF("id", "name")
     intercept[IllegalArgumentException] {
