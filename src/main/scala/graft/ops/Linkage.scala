@@ -136,10 +136,14 @@ object Linkage {
           explode(neighborhood2(col(rightName))).as("_k"))
       // verify BEFORE the candidate dedup: the map-side filter means
       // the distinct shuffles only true pairs (output-sized), never
-      // the raw collision volume
+      // the raw collision volume. The THRESHOLD form of levenshtein
+      // runs the banded O(maxEdit·len) DP with early exit (returns -1
+      // past the threshold) instead of the full len² grid — candidates
+      // here are overwhelmingly within-band by construction
       l.join(r, l("_k") === r("_k"))
-        .withColumn("dist", levenshtein(col("_l_nm"), col("_r_nm")))
-        .filter(col("dist") <= maxEdit)
+        .withColumn("dist",
+          levenshtein(col("_l_nm"), col("_r_nm"), maxEdit))
+        .filter(col("dist") >= 0 && col("dist") <= maxEdit)
         .select(col("_l_id").as(leftId), col("_r_id").as(rightId),
           col("dist").cast("long").as("dist"))
         .distinct()

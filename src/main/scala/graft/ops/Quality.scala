@@ -267,20 +267,24 @@ object Quality {
     *
     * @return one row per surviving combination + at most one
     * residual: (quasiCols…, n_rows) */
+  /** NULL → `*` mask with the literal-`*` collision guard (map-side
+    * raise_error, free when absent) — shared by the release gates. */
+  private def quasiMasked(c: String): Column = {
+    val s = col(c).cast("string")
+    coalesce(
+      when(s === "*", raise_error(lit(
+        s"release gate: literal '*' value in quasi column " +
+          s"'$c' collides with the suppression sentinel")))
+        .otherwise(s),
+      lit("*")).as(c)
+  }
+
   def kAnonymousRelease(df: DataFrame, quasiCols: Seq[String],
       k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
     require(k >= 2, s"k must be >= 2 for suppression to mean anything: $k")
     val grouped = df
-      .select(quasiCols.map { c =>
-        val s = col(c).cast("string")
-        coalesce(
-          when(s === "*", raise_error(lit(
-            s"kAnonymousRelease: literal '*' value in quasi column " +
-              s"'$c' collides with the suppression sentinel")))
-            .otherwise(s),
-          lit("*")).as(c)
-      }: _*)
+      .select(quasiCols.map(quasiMasked): _*)
       .groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
     val masked = grouped.select(
@@ -289,5 +293,54 @@ object Quality {
         col("n_rows"): _*)
     masked.groupBy(quasiCols.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"))
+  }
+
+  /** l-diverse aggregate release — k-anonymity's stronger sibling (the
+    * public Machanavajjhala et al. 2007 model): a group whose k+ rows
+    * all share ONE sensitive value still discloses that value to
+    * anyone who can place a person in the group (the homogeneity
+    * attack k-anonymity misses). A combination publishes only when it
+    * covers ≥ `k` rows AND ≥ `l` DISTINCT sensitive values; everything
+    * else folds into the `*` residual, whose `n_sensitive` is the
+    * distinct-sensitive count across all suppressed rows.
+    *
+    * Scale shape: a (quasi…, sensitive) partial-agg'd groupBy (the
+    * only corpus-sized shuffle), a groups-sized verdict aggregate, and
+    * a groups-sized re-aggregate for the fold — nothing corpus-
+    * quadratic. Sensitive values are never published, only counted;
+    * a NULL sensitive value counts as one distinct value. Quasi
+    * columns share [[kAnonymousRelease]]'s NULL-mask + literal-`*`
+    * guard.
+    *
+    * @return one row per surviving combination + at most one residual:
+    *         (quasiCols…, n_rows, n_sensitive) */
+  def lDiverseRelease(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi column")
+    require(k >= 2, s"k must be >= 2: $k")
+    require(l >= 1, s"l must be >= 1: $l")
+    val g1 = df
+      .select(quasiCols.map(quasiMasked) :+
+        coalesce(col(sensitiveCol).cast("string"), lit(" "))
+          .as("_sens"): _*)
+      .groupBy((quasiCols :+ "_sens").map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    // one row per (quasi, sensitive): rows per quasi = sum, distinct
+    // sensitive per quasi = row count
+    val verdict = g1.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("_l"))
+      .select(quasiCols.map(c => col(c).as(s"_v_$c")) :+
+        (col("_n") >= k && col("_l") >= l).as("_pub"): _*)
+    val joined = g1.join(verdict,
+      quasiCols.map(c => col(c) <=> col(s"_v_$c")).reduce(_ && _))
+    joined
+      .select(quasiCols.map(c =>
+        when(col("_pub"), col(c)).otherwise(lit("*")).as(c)) :+
+        col("_sens") :+ col("_c"): _*)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("_c")).as("n_rows"),
+        count_distinct(col("_sens")).as("n_sensitive"))
   }
 }

@@ -492,4 +492,41 @@ object Stats {
       .select(col(keyCol), col("x"), col("med"), col("mad"),
         (col("adev") > lit(nMads.toLong) * col("mad")).as("is_outlier"))
   }
+
+  /** Quantile winsorization — clip a feature to its [lo, hi] permille
+    * thresholds instead of dropping outlier rows (the standard
+    * feature-cleaning transform when the row must survive but its
+    * tail value would dominate a mean/σ or a model). Integer-exact:
+    * thresholds come from [[exactQuantiles]]'s type-1 permille rank
+    * (no interpolation), the clip is `least(greatest(x, lo), hi)` in
+    * long arithmetic — the oracle replays it verbatim.
+    *
+    * Scale shape: one value-keyed partial-agg'd groupBy for the
+    * thresholds (the exactQuantiles contract: bounded-cardinality
+    * values), then a map-only clip pass with the two thresholds as
+    * 1-row broadcasts. NULL values pass through un-clipped (no row is
+    * dropped).
+    *
+    * @return one row per input row: (keyCol, x, x_wins) */
+  def winsorize(df: DataFrame, keyCol: String, value: Column,
+      loPermille: Int = 50, hiPermille: Int = 950): DataFrame = {
+    require(loPermille >= 1 && hiPermille <= 1000 &&
+      loPermille < hiPermille,
+      s"need 1 <= lo < hi <= 1000: [$loPermille, $hiPermille]")
+    val x = df.select(col(keyCol), value.cast("long").as("x"))
+    val qs = exactQuantiles(x, col("x"),
+      Seq(loPermille, hiPermille)).localCheckpoint() // consumed twice
+    val lo = qs.filter(col("permille") === loPermille)
+      .select(col("v_at").as("_lo"))
+    val hi = qs.filter(col("permille") === hiPermille)
+      .select(col("v_at").as("_hi"))
+    x.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col(keyCol), col("x"),
+        // explicit NULL guard: least/greatest SKIP null arguments (in
+        // both engines), which would silently clip a NULL to the low
+        // threshold instead of passing it through
+        when(col("x").isNull, lit(null).cast("long"))
+          .otherwise(least(greatest(col("x"), col("_lo")), col("_hi")))
+          .as("x_wins"))
+  }
 }

@@ -573,5 +573,67 @@ object WarehouseQueries extends QueryGroup {
           Seq("c_mktsegment", "c_acctbal"), _ => "2024-02-01",
           scd2Updates(spark, dir).schema)
       } finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
+    // l-diverse release at k=10, l=5 over 7 sensitive classes: 623
+    // combinations publish, 106 fail the row threshold and 16 pass it
+    // but fail DIVERSITY (≥10 rows yet <5 distinct sensitive values —
+    // the homogeneity attack k-anonymity misses) — all three outcomes
+    // land in the hash, the fail-l groups only via the l-branch.
+    q("q_ldiverse_release", "warehouse",
+      """WITH g1 AS (
+           SELECT COALESCE(event_type, '*') AS event_type,
+                  COALESCE(CAST(user_id % 149 AS VARCHAR), '*') AS cohort,
+                  CAST(event_id % 7 AS VARCHAR) AS sens,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2, 3),
+         g2 AS (SELECT event_type, cohort, sum(c) AS n, count(*) AS l
+                FROM g1 GROUP BY 1, 2),
+         m AS (
+           SELECT CASE WHEN g2.n >= 10 AND g2.l >= 5
+                       THEN g1.event_type ELSE '*' END AS event_type,
+                  CASE WHEN g2.n >= 10 AND g2.l >= 5
+                       THEN g1.cohort ELSE '*' END AS cohort,
+                  g1.sens, g1.c
+           FROM g1 JOIN g2 USING (event_type, cohort))
+         SELECT event_type, cohort, CAST(sum(c) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive
+         FROM m GROUP BY 1, 2""") { (spark, dir) =>
+      Quality.lDiverseRelease(
+        Tables.df(spark, dir, "events")
+          .select(col("event_type"), (col("user_id") % 149).as("cohort"),
+            (col("event_id") % 7).as("sens")),
+        Seq("event_type", "cohort"), "sens", k = 10, l = 5)
+    },
+
+    // Quantile winsorization of the event value at [p05, p95]: clip,
+    // don't drop — every input row survives with its tail value pulled
+    // to the integer type-1 thresholds; NULL values pass through
+    // un-clipped. floor() before the double->long cast on BOTH sides
+    // (DuckDB CAST rounds, Spark truncates — the one rounding-rule
+    // divergence this query must not touch).
+    q("q_winsorize", "warehouse",
+      """WITH v AS (SELECT event_id,
+                  CAST(floor(value) AS BIGINT) AS x FROM events),
+         nn AS (SELECT x FROM v WHERE x IS NOT NULL),
+         lo AS (SELECT v FROM (
+           SELECT x AS v, sum(1) OVER (ORDER BY x) AS cum,
+                  count(*) OVER () AS n
+           FROM nn) t WHERE cum >= (50 * n + 999) // 1000
+           ORDER BY v LIMIT 1),
+         hi AS (SELECT v FROM (
+           SELECT x AS v, sum(1) OVER (ORDER BY x) AS cum,
+                  count(*) OVER () AS n
+           FROM nn) t WHERE cum >= (950 * n + 999) // 1000
+           ORDER BY v LIMIT 1)
+         SELECT event_id, x,
+                CASE WHEN x IS NULL THEN NULL
+                     ELSE least(greatest(x, (SELECT v FROM lo)),
+                                (SELECT v FROM hi)) END AS x_wins
+         FROM v""") { (spark, dir) =>
+      Stats.winsorize(
+        Tables.df(spark, dir, "events")
+          .select(col("event_id"), floor(col("value")).as("value")),
+        "event_id", col("value"), loPermille = 50, hiPermille = 950)
     })
 }

@@ -415,6 +415,101 @@ class KAnonSpec extends AnyFunSuite {
   }
 }
 
+class LDiverseSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("diversity threshold edge: exactly l distinct sensitive values " +
+      "publishes, l-1 suppresses even with many rows (homogeneity)") {
+    val rows =
+      // group A: 6 rows, 3 distinct sensitive -> publishes at k=3,l=3
+      Seq(("A", "s1"), ("A", "s1"), ("A", "s2"), ("A", "s2"),
+        ("A", "s3"), ("A", "s3")) ++
+      // group B: 8 rows but only 2 sensitive values -> suppressed
+      Seq.fill(4)(("B", "t1")) ++ Seq.fill(4)(("B", "t2")) ++
+      // group C: diverse but only 2 rows -> fails k
+      Seq(("C", "u1"), ("C", "u2"))
+    val out = graft.ops.Quality.lDiverseRelease(
+        rows.toDF("seg", "sens"), Seq("seg"), "sens", k = 3, l = 3)
+      .as[(String, Long, Long)].collect().toSet
+    // residual: B's 8 rows + C's 2 rows, sensitive {t1,t2,u1,u2}
+    assert(out === Set(("A", 6L, 3L), ("*", 10L, 4L)))
+  }
+
+  test("l=1 reduces to kAnonymousRelease's row sets (diversity never " +
+      "binds)") {
+    val rows = Seq.fill(3)(("a", "x", "s1")) ++
+      Seq.fill(2)(("b", "y", "s2")) ++ Seq.fill(4)(("c", "z", "s1"))
+    val df = rows.toDF("q1", "q2", "sens")
+    val ld = graft.ops.Quality.lDiverseRelease(df, Seq("q1", "q2"),
+        "sens", k = 3, l = 1)
+      .select("q1", "q2", "n_rows")
+      .as[(String, String, Long)].collect().toSet
+    val ka = graft.ops.Quality.kAnonymousRelease(
+        df.select(col("q1"), col("q2")), Seq("q1", "q2"), k = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(ld === ka)
+  }
+
+  test("NULL sensitive counts as one distinct value; sensitive " +
+      "column may not be quasi") {
+    val rows = Seq(("a", null.asInstanceOf[String]), ("a", "s1"),
+      ("a", "s1"))
+    val out = graft.ops.Quality.lDiverseRelease(
+        rows.toDF("seg", "sens"), Seq("seg"), "sens", k = 2, l = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("a", 3L, 2L))) // {NULL, s1} = 2 distinct
+    intercept[IllegalArgumentException] {
+      graft.ops.Quality.lDiverseRelease(rows.toDF("seg", "sens"),
+        Seq("seg", "sens"), "sens", k = 2, l = 2)
+    }
+  }
+}
+
+class WinsorizeSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("hand case: p05/p95 type-1 thresholds clip the tails, middle " +
+      "values untouched, every row survives") {
+    // xs = 1..20: lo rank (50*20+999)//1000 = 1 -> v=1; hi rank
+    // (950*20+999)//1000 = 19 -> v=19
+    val df = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("k", "x")
+    val out = graft.ops.Stats.winsorize(df, "k", col("x"), 50, 950)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, x, w) => k -> ((x, w)) }.toMap
+    assert(out.size == 20)
+    assert(out(20L) == ((20L, 19L))) // clipped down to hi
+    assert(out(1L) == ((1L, 1L)))    // at the lo threshold already
+    assert(out(10L) == ((10L, 10L))) // untouched
+  }
+
+  test("asymmetric tails: extreme outlier pulled to threshold; " +
+      "clipped range is [lo, hi] for every non-null row") {
+    val df = ((1 to 99).map(i => (i.toLong, 10L)) :+ (100L, 100000L))
+      .toDF("k", "x")
+    val out = graft.ops.Stats.winsorize(df, "k", col("x"), 100, 900)
+    val bad = out.filter(col("x_wins") < 10L || col("x_wins") > 10L)
+    // p10 = p90 = 10 on this mass -> everything clips to exactly 10
+    assert(bad.count() == 0)
+    assert(out.count() == 100)
+  }
+
+  test("NULL values pass through unclipped; bad permille bounds " +
+      "rejected") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("k", "x")
+    val out = graft.ops.Stats.winsorize(df, "k", col("x"), 200, 800)
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, x, w) => k -> ((x, w)) }.toMap
+    assert(out(2L) == ((None, None)))
+    assert(out.size == 3)
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.winsorize(df, "k", col("x"), 900, 100)
+    }
+  }
+}
+
 class MadOutliersSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
