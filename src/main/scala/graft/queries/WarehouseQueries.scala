@@ -575,6 +575,60 @@ object WarehouseQueries extends QueryGroup {
       } finally graft.core.Fs.deleteRecursively(staged.toFile)
     },
 
+    // Curation composition v7 — the domain-prior shape: TrustRank
+    // mass over the doc link graph (teleport to the %17 trusted
+    // seeds) becomes the selection score, and the token budget is
+    // spent highest-trust-first (trust_mass desc, doc_id) until the
+    // inclusive prefix no longer fits — the CommonCrawl-style "trust
+    // the link graph before reading the text" pipeline. The oracle
+    // chains the q_trustrank recursive CTE into the budget window.
+    q("q_curate_corpus_v7", "warehouse",
+      s"""WITH RECURSIVE $linkGraphCtes,
+         ns AS (SELECT count(*) AS n FROM docs WHERE doc_id % 17 = 0),
+         pr(t, node, r) AS (
+           SELECT 0, doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN (SELECT 1000000 // n FROM ns) ELSE 0 END
+           FROM docs
+           UNION ALL
+           SELECT p.t + 1, p.node,
+             (CASE WHEN p.node % 17 = 0
+                   THEN (SELECT 15 * (1000000 // n) // 100 FROM ns)
+                   ELSE 0 END)
+             + 85 * COALESCE((
+                 SELECT SUM(p2.r // d.deg) FROM pr p2
+                 JOIN edges e ON e.src = p2.node
+                 JOIN deg d ON d.src = p2.node
+                 WHERE e.dst = p.node AND p2.t = p.t), 0) // 100
+           FROM pr p WHERE p.t < 8),
+         trust AS (SELECT node, r FROM pr WHERE t = 8),
+         f AS (SELECT d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                   AS tokens,
+                 CAST(tr.r AS DOUBLE) AS trust_mass
+               FROM documents d JOIN trust tr ON tr.node = d.doc_id),
+         c AS (SELECT doc_id, tokens, trust_mass,
+                 CAST(SUM(tokens) OVER (
+                   ORDER BY trust_mass DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+               FROM f)
+         SELECT doc_id, tokens, trust_mass, cum_tokens FROM c
+         WHERE cum_tokens <= 12000""") { (spark, dir) =>
+      val (docs, _, edges) = linkGraph(spark, dir)
+      val trust = Graph.trustRank(edges, "src", "dst",
+        docs.filter(col("doc_id") % 17 === 0), iterations = 8,
+        nodesOpt = Some(docs))
+      val feats = Tables.df(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .join(trust, col("doc_id") === col("node"))
+        .select(col("doc_id"), col("tokens"), col("rank").as("trust"))
+      graft.ops.Pack.selectUnderBudget(feats, "doc_id", "tokens",
+          "trust", 12000L)
+        .withColumnRenamed("score", "trust_mass")
+    },
+
     // l-diverse release at k=10, l=5 over 7 sensitive classes: 623
     // combinations publish, 106 fail the row threshold and 16 pass it
     // but fail DIVERSITY (≥10 rows yet <5 distinct sensitive values —
