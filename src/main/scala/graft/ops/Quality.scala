@@ -323,7 +323,7 @@ object Quality {
     require(l >= 1, s"l must be >= 1: $l")
     val g1 = df
       .select(quasiCols.map(quasiMasked) :+
-        coalesce(col(sensitiveCol).cast("string"), lit(" "))
+        coalesce(col(sensitiveCol).cast("string"), lit("\u0000"))
           .as("_sens"): _*)
       .groupBy((quasiCols :+ "_sens").map(col): _*)
       .agg(count(lit(1)).as("_c"))
@@ -342,5 +342,78 @@ object Quality {
       .groupBy(quasiCols.map(col): _*)
       .agg(sum(col("_c")).as("n_rows"),
         count_distinct(col("_sens")).as("n_sensitive"))
+  }
+
+  /** t-close aggregate release — the third rung of the public release-
+    * gate ladder (Li, Li, Venkatasubramanian 2007, ICDE): l-diversity
+    * counts distinct sensitive values but ignores their PROPORTIONS,
+    * so a group that is 98% one diagnosis still discloses it
+    * (skewness attack). A combination publishes only when it covers
+    * ≥ `k` rows AND its sensitive-value distribution sits within
+    * total-variation distance `tPermille`/1000 of the corpus-global
+    * distribution (TVD = the categorical earth-mover's distance under
+    * the unit ground metric, the paper's equal-distance case);
+    * everything else folds into the `*` residual.
+    *
+    * The check is INTEGER-EXACT — no floating-point densities: for
+    * group g of n rows in a corpus of N rows, with value counts c_v
+    * (group) and C_v (global),
+    *   TVD(g) <= t/1000  <=>  1000 * Σ_v |c_v·N − C_v·n| <= 2·t·n·N
+    * with the Σ over the FULL value domain: values absent from the
+    * group contribute C_v·n, folded in as (N − Σ_{v∈g} C_v)·n without
+    * ever materializing the absent (group, value) pairs. Cross
+    * products are computed in DECIMAL(38,0) — c_v·N reaches N², past
+    * Long at ~3·10⁹ corpus rows — and the oracle replays the same
+    * algebra in HUGEINT.
+    *
+    * Scale shape: the (quasi…, sensitive) partial-agg'd groupBy is
+    * the only corpus-sized shuffle (shared with [[lDiverseRelease]]);
+    * the global distribution is a values-sized broadcast, the
+    * corpus total a 1-row broadcast, and the per-group window +
+    * verdict + residual fold all run on the groups×values frame under
+    * ONE hash partitioning (window and groupBy share the quasi keys).
+    *
+    * @return one row per surviving combination + at most one residual:
+    *         (quasiCols…, n_rows) */
+  def tCloseRelease(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, tPermille: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi column")
+    require(k >= 2, s"k must be >= 2: $k")
+    require(tPermille >= 0 && tPermille <= 1000,
+      s"tPermille must be in [0, 1000]: $tPermille")
+    val g1 = df
+      .select(quasiCols.map(quasiMasked) :+
+        coalesce(col(sensitiveCol).cast("string"), lit("\u0000"))
+          .as("_sens"): _*)
+      .groupBy((quasiCols :+ "_sens").map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    val glob = g1.groupBy(col("_sens")).agg(sum(col("_c")).as("_cv"))
+    val total = glob.agg(sum(col("_cv")).as("_nn"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val per = g1
+      .join(broadcast(glob), "_sens")
+      .crossJoin(broadcast(total))
+      // _ng, not _n: a lateral alias equal to the child's window
+      // column name makes later agg references ambiguous under LCA
+      .withColumn("_n", sum(col("_c")).over(w))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("_n")).as("_ng"), max(col("_nn")).as("_N"),
+        sum(abs(dec(col("_c")) * dec(col("_nn")) -
+          dec(col("_cv")) * dec(col("_n")))).as("_s1"),
+        sum(col("_cv")).as("_cov"))
+    val s = col("_s1") +
+      (dec(col("_N")) - dec(col("_cov"))) * dec(col("_ng"))
+    val pub = col("_ng") >= k &&
+      s * lit(1000) <=
+        dec(lit(2 * tPermille)) * dec(col("_ng")) * dec(col("_N"))
+    per
+      .select(quasiCols.map(c =>
+        when(pub, col(c)).otherwise(lit("*")).as(c)) :+ col("_ng"): _*)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("_ng")).as("n_rows"))
   }
 }

@@ -660,6 +660,52 @@ object WarehouseQueries extends QueryGroup {
         Seq("event_type", "cohort"), "sens", k = 10, l = 5)
     },
 
+    // t-close release at k=10, t=0.200: the skewness attack l-diversity
+    // misses — a group can carry >=5 distinct sensitive values in
+    // wildly non-global proportions. 146 combinations publish, 106
+    // fail the row threshold, 493 pass it but sit further than TVD
+    // 0.2 from the global sensitive distribution; the check is
+    // integer-exact (HUGEINT here, DECIMAL(38,0) in the engine), with
+    // absent (group, value) cells folded in as (N - cov)*n rather
+    // than materialized.
+    q("q_tclose_release", "warehouse",
+      """WITH g1 AS (
+           SELECT COALESCE(event_type, '*') AS event_type,
+                  COALESCE(CAST(user_id % 149 AS VARCHAR), '*') AS cohort,
+                  CAST(event_id % 7 AS VARCHAR) AS sens,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2, 3),
+         gd AS (SELECT sens, sum(c) AS cv FROM g1 GROUP BY 1),
+         nn AS (SELECT sum(c) AS n FROM g1),
+         w AS (SELECT g1.*, gd.cv,
+                 sum(c) OVER (PARTITION BY event_type, cohort) AS ng
+               FROM g1 JOIN gd USING (sens)),
+         per AS (SELECT event_type, cohort, max(ng) AS ng,
+                  sum(abs(CAST(c AS HUGEINT) * (SELECT n FROM nn)
+                      - CAST(cv AS HUGEINT) * ng)) AS s1,
+                  sum(cv) AS cov
+                 FROM w GROUP BY 1, 2),
+         v AS (SELECT *,
+                 ng >= 10 AND
+                 (s1 + (CAST((SELECT n FROM nn) AS HUGEINT) - cov) * ng)
+                   * 1000
+                   <= 2 * 200 * CAST(ng AS HUGEINT) * (SELECT n FROM nn)
+                   AS pub
+               FROM per),
+         m AS (SELECT CASE WHEN pub THEN event_type ELSE '*' END
+                        AS event_type,
+                      CASE WHEN pub THEN cohort ELSE '*' END AS cohort,
+                      ng
+               FROM v)
+         SELECT event_type, cohort, CAST(sum(ng) AS BIGINT) AS n_rows
+         FROM m GROUP BY 1, 2""") { (spark, dir) =>
+      Quality.tCloseRelease(
+        Tables.df(spark, dir, "events")
+          .select(col("event_type"), (col("user_id") % 149).as("cohort"),
+            (col("event_id") % 7).as("sens")),
+        Seq("event_type", "cohort"), "sens", k = 10, tPermille = 200)
+    },
+
     // Quantile winsorization of the event value at [p05, p95]: clip,
     // don't drop — every input row survives with its tail value pulled
     // to the integer type-1 thresholds; NULL values pass through

@@ -545,3 +545,68 @@ class MadOutliersSpec extends AnyFunSuite {
     assert(out.values.filter(_._5).map(_._1).toSet === Set("e"))
   }
 }
+
+class TCloseSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  // corpus: A = 6x+2y (TVD 1/28 from global), B = 4x (TVD 3/14),
+  // C = 1x+1y (fails k) -> global 11x+3y over N=14
+  private def corpus = (
+    Seq.fill(6)(("A", "x")) ++ Seq.fill(2)(("A", "y")) ++
+    Seq.fill(4)(("B", "x")) ++ Seq(("C", "x"), ("C", "y"))
+  ).toDF("seg", "sens")
+
+  test("skewness attack: diverse-but-skewed group fails t while the " +
+      "near-global group publishes (hand-checked integer algebra)") {
+    // A: sum|c*N - C*n| = |84-88| + |28-24| = 8; 8000 <= 2*100*8*14
+    // B: |56-44| + absent-y fold 3*4 = 24; 24000 > 11200 -> suppress
+    val out = graft.ops.Quality.tCloseRelease(corpus, Seq("seg"),
+        "sens", k = 3, tPermille = 100)
+      .as[(String, Long)].collect().toSet
+    assert(out === Set(("A", 8L), ("*", 6L)))
+  }
+
+  test("loosening t to 300 admits the skewed group; the sub-k group " +
+      "still folds") {
+    val out = graft.ops.Quality.tCloseRelease(corpus, Seq("seg"),
+        "sens", k = 3, tPermille = 300)
+      .as[(String, Long)].collect().toSet
+    assert(out === Set(("A", 8L), ("B", 4L), ("*", 2L)))
+  }
+
+  test("t = 1000 never binds (group TVD < 1 by inclusion): row sets " +
+      "reduce to kAnonymousRelease") {
+    val rows = Seq.fill(3)(("a", "w", "s1")) ++
+      Seq.fill(2)(("b", "y", "s2")) ++ Seq.fill(4)(("c", "z", "s1"))
+    val df = rows.toDF("q1", "q2", "sens")
+    val tc = graft.ops.Quality.tCloseRelease(df, Seq("q1", "q2"),
+        "sens", k = 3, tPermille = 1000)
+      .as[(String, String, Long)].collect().toSet
+    val ka = graft.ops.Quality.kAnonymousRelease(
+        df.select(col("q1"), col("q2")), Seq("q1", "q2"), k = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(tc === ka)
+  }
+
+  test("t = 0 publishes only groups exactly at the global " +
+      "distribution; NULL sensitive is a countable value; sensitive " +
+      "may not be quasi; bad tPermille rejected") {
+    // D and E both exactly 2:1 x:null -> global 2:1, TVD 0 for both
+    val rows = Seq(("D", "x"), ("D", "x"), ("D", null),
+      ("E", "x"), ("E", "x"), ("E", null))
+    val out = graft.ops.Quality.tCloseRelease(
+        rows.toDF("seg", "sens"), Seq("seg"), "sens",
+        k = 2, tPermille = 0)
+      .as[(String, Long)].collect().toSet
+    assert(out === Set(("D", 3L), ("E", 3L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Quality.tCloseRelease(rows.toDF("seg", "sens"),
+        Seq("seg", "sens"), "sens", k = 2, tPermille = 100)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Quality.tCloseRelease(rows.toDF("seg", "sens"),
+        Seq("seg"), "sens", k = 2, tPermille = 1001)
+    }
+  }
+}
