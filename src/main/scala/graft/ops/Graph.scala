@@ -103,6 +103,82 @@ object Graph {
       eDeg, iterations, dampingPct, nodes)
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999, the public mutual-
+    * reinforcement formulation): an authority is a node pointed at by
+    * good hubs, a hub points at good authorities. PageRank's single
+    * score conflates the two — a link directory can be a top hub while
+    * carrying zero authority, and curation wants them apart (gate on
+    * authority, spend crawl budget by hub).
+    *
+    * This is the JACOBI (simultaneous-update) variant under the same
+    * fixed-point integer contract as [[pageRank]]: both vectors step
+    * from the PREVIOUS round's values — aₜ = norm(Lᵀ h₍ₜ₋₁₎),
+    * hₜ = norm(L a₍ₜ₋₁₎) — normalized to `scale` total mass by floor
+    * division, so every value is a long and the oracle replays all
+    * iterations in a recursive CTE (Kleinberg's sequential update
+    * needs the freshly-normalized aₜ inside the same step — a nested
+    * full-table aggregate no recursive CTE can express; the Jacobi
+    * even/odd subsequences converge to the same principal vectors).
+    * Normalizers come out of the SAME previous round — the authority
+    * total is Σᵤ h₍ₜ₋₁₎(u)·outdeg(u), the hub total Σᵥ a₍ₜ₋₁₎(v)·indeg(v)
+    * — so one (node, h, a) state frame per round suffices.
+    *
+    * Scale shape per iteration: two equi-shuffle joins of the edge
+    * list with the |V|-sized state (on src for the authority step, on
+    * dst for the hub step), two partial-agg'd groupBys, two 1-row
+    * normalizer broadcasts, one outer join back to the universe —
+    * linear in |E| + |V|, rotating-checkpointed like [[pageRank]] (two
+    * |V|-sized copies resident, O(1)-deep plan). Overflow bound:
+    * raw·scale ≤ scale² and the normalizers ≤ scale·maxdeg must fit a
+    * long — the default 10⁶ leaves 9 orders of headroom.
+    *
+    * @return (node, hub, auth) in integer mass units; nodes with no
+    *         out-edges hold hub = 0, nodes with no in-edges auth = 0. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8, scale: Long = 1000000L,
+      nodesOpt: Option[DataFrame] = None,
+      nNodesOpt: Option[Long] = None): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    require(!e.isEmpty, "hits: empty edge list")
+    // the node universe stays checkpointed for the whole loop (every
+    // round's outer join reads it); the (h, a) state frame rotates
+    val nodes = nodesOpt
+      .map(_.toDF("node").select(col("node").cast("long").as("node")))
+      .getOrElse(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+      .localCheckpoint()
+    val nNodes = nNodesOpt.filter(_ => nodesOpt.isDefined)
+      .getOrElse(nodes.count())
+    val r0 = scale / nNodes
+    require(r0 > 0, s"hits: scale $scale must be >= node count $nNodes")
+    val rotate = new Checkpoints.Rotating
+    var st = nodes.select(col("node"), lit(r0).as("h"), lit(r0).as("a"))
+    for (_ <- 1 to iterations) {
+      val hv = st.select(col("node").as("_sn"), col("h"))
+      val av = st.select(col("node").as("_dn"), col("a"))
+      // raw mutual-reinforcement sums off the previous round
+      val araw = e.join(hv, e("src") === hv("_sn"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("araw"))
+      val hraw = e.join(av, e("dst") === av("_dn"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("hraw"))
+      // normalizers are |V|-row re-sums of the raw frames (identical
+      // to the degree-weighted previous-round totals, fewer joins)
+      val aTot = araw.agg(sum(col("araw")).as("_ta"))
+      val hTot = hraw.agg(sum(col("hraw")).as("_th"))
+      st = rotate(nodes
+        .join(araw, Seq("node"), "left").join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(aTot)).crossJoin(broadcast(hTot))
+        .select(col("node"),
+          expr("coalesce(hraw, 0L) * " + scale + "L div _th").as("h"),
+          expr("coalesce(araw, 0L) * " + scale + "L div _ta").as("a")))
+    }
+    Checkpoints.release(nodes)
+    Checkpoints.release(e)
+    st
+  }
+
   /** Shared setup: normalized edge list with out-degree folded on
     * (loop-invariant, checkpointed once) + the node universe. */
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,

@@ -122,9 +122,9 @@ object WarehouseQueries extends QueryGroup {
     Scd.scd2Merge(scd2Dim(spark, dir), scd2Updates(spark, dir),
       "c_custkey", Seq("c_mktsegment", "c_acctbal"), "2024-02-01")
 
-  /** Shared deterministic doc link graph (q_pagerank + q_trustrank,
-    * one spelling): 3 Lehmer-derived out-edges per doc, self-loops
-    * dropped. Ends in CTEs `docs`, `nn`, `edges`, `deg`. */
+  /** Shared deterministic doc link graph (q_pagerank + q_trustrank +
+    * q_hits, one spelling): 3 Lehmer-derived out-edges per doc,
+    * self-loops dropped. Ends in CTEs `docs`, `nn`, `edges`, `deg`. */
   private val linkGraphCtes: String =
     """docs AS (SELECT doc_id FROM documents),
        nn AS (SELECT count(*) AS n FROM docs),
@@ -370,6 +370,45 @@ object WarehouseQueries extends QueryGroup {
           docs.filter(col("doc_id") % 17 === 0), iterations = 8,
           nodesOpt = Some(docs))
         .select(col("node"), col("rank").as("trust_mass"))
+    },
+
+    // HITS hubs-and-authorities over the same link graph: the two
+    // scores PageRank conflates, under the fixed-point integer
+    // contract (Jacobi simultaneous update, floor-normalized to 1e6
+    // mass per vector per round) so the oracle unrolls all 8 rounds
+    // in a recursive CTE. The authority normalizer is the previous
+    // round's hub mass weighted by OUT-degree, the hub normalizer
+    // the previous authority mass weighted by IN-degree — the two
+    // totals the engine computes by re-summing its raw frames.
+    q("q_hits", "warehouse",
+      s"""WITH RECURSIVE $linkGraphCtes,
+         indeg AS (SELECT dst, count(*) AS ind FROM edges GROUP BY 1),
+         hh(t, node, h, a) AS (
+           SELECT 0, doc_id, (SELECT 1000000 // n FROM nn),
+                  (SELECT 1000000 // n FROM nn)
+           FROM docs
+           UNION ALL
+           SELECT p.t + 1, p.node,
+             COALESCE((SELECT SUM(p2.a) FROM hh p2
+                       JOIN edges e ON e.dst = p2.node
+                       WHERE e.src = p.node AND p2.t = p.t), 0)
+               * 1000000
+               // (SELECT SUM(p3.a * i.ind) FROM hh p3
+                   JOIN indeg i ON i.dst = p3.node WHERE p3.t = p.t),
+             COALESCE((SELECT SUM(p2.h) FROM hh p2
+                       JOIN edges e ON e.src = p2.node
+                       WHERE e.dst = p.node AND p2.t = p.t), 0)
+               * 1000000
+               // (SELECT SUM(p3.h * d.deg) FROM hh p3
+                   JOIN deg d ON d.src = p3.node WHERE p3.t = p.t)
+           FROM hh p WHERE p.t < 8)
+         SELECT node, h AS hub_mass, a AS auth_mass
+         FROM hh WHERE t = 8""") { (spark, dir) =>
+      val (docs, n, edges) = linkGraph(spark, dir)
+      Graph.hits(edges, "src", "dst", iterations = 8,
+          nodesOpt = Some(docs), nNodesOpt = Some(n))
+        .select(col("node"), col("h").as("hub_mass"),
+          col("a").as("auth_mass"))
     },
 
     // Count-min sketch heavy hitters: top-20 tokens by estimate with

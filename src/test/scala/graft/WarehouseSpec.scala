@@ -610,3 +610,83 @@ class TCloseSpec extends AnyFunSuite {
     }
   }
 }
+
+class HitsSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("hand case, two Jacobi rounds at scale 1000: {1,2}->3->4") {
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    // n=4, r0=250. Round 1: araw(3)=500, araw(4)=250, Ta=750;
+    // hraw(1)=hraw(2)=hraw(3)=250, Th=750 -> a=(0,0,666,333),
+    // h=(333,333,333,0). Round 2: araw(3)=666, araw(4)=333, Ta=999;
+    // hraw(1)=hraw(2)=666, hraw(3)=333, Th=1665 ->
+    // a(3)=666000//999=666, a(4)=333, h(1)=h(2)=666000//1665=400,
+    // h(3)=200 -- every division a floor division.
+    val r = Graph.hits(e, "src", "dst", iterations = 2, scale = 1000L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(r === Map(1L -> (400L, 0L), 2L -> (400L, 0L),
+      3L -> (200L, 666L), 4L -> (0L, 333L)))
+  }
+
+  test("sinks hold exactly zero hub mass, sources zero authority; " +
+      "per-vector mass is scale within floor loss") {
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", iterations = 6)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(r(4L)._1 == 0L && r(5L)._1 == 0L) // no out-edges: hub 0
+    assert(r(1L)._2 == 0L && r(2L)._2 == 0L) // no in-edges: auth 0
+    val (hs, as_) = (r.values.map(_._1).sum, r.values.map(_._2).sum)
+    assert(hs <= 1000000L && hs >= 1000000L - r.size)
+    assert(as_ <= 1000000L && as_ >= 1000000L - r.size)
+  }
+
+  test("4-cycle is a fixed point: every node holds scale/n of both " +
+      "vectors every round") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", iterations = 7)
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == 4)
+    assert(r.forall { case (_, h, a) => h == 250000L && a == 250000L })
+  }
+
+  test("isolated node in an explicit universe holds (0, 0); " +
+      "deterministic across runs; empty edges and scale < n rejected") {
+    val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 9L).toDF("node")
+    val r = Graph.hits(e, "src", "dst", iterations = 3,
+      nodesOpt = Some(nodes), nNodesOpt = Some(3L))
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(r(9L) === (0L, 0L))
+    val again = Graph.hits(e, "src", "dst", iterations = 3,
+      nodesOpt = Some(nodes), nNodesOpt = Some(3L))
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(r === again)
+    intercept[IllegalArgumentException] {
+      Graph.hits(spark.emptyDataset[(Long, Long)].toDF("src", "dst"),
+        "src", "dst")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(e, "src", "dst", scale = 1L,
+        nodesOpt = Some(nodes)) // r0 = 1/3 = 0
+    }
+  }
+
+  test("rotating checkpoints: at most one persisted RDD survives " +
+      "beyond the edge-list checkpoint lifecycle") {
+    val sc = spark.sparkContext
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet
+    val r = Graph.hits(e, "src", "dst", iterations = 8)
+    r.count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked ${leaked.size} persisted RDDs")
+    graft.core.Checkpoints.release(r)
+  }
+}
