@@ -1,0 +1,107 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Checkpoints
+
+/** Event-sequence analytics over an (user, type, timestamp) event
+  * stream: ordered-step funnel conversion and cohort retention — the
+  * two warehouse questions every product-event table answers weekly,
+  * and for an LLM-data pipeline the same shapes measure annotator /
+  * user engagement with a labeling or feedback tool.
+  *
+  * Both operators are engine-exact (timestamp comparisons and integer
+  * divisions only — no floats) and their only corpus-sized operations
+  * are per-step filtered scans and user-keyed partial aggregations.
+  */
+object Events {
+
+  /** Ordered-step funnel: for steps s₁…s_k, a user reaches step i when
+    * an event of type sᵢ exists STRICTLY after their step-(i−1) time
+    * (earliest-completion greedy — exact, because taking the earliest
+    * feasible event only widens every later step's window), where the
+    * step-1 time is the user's EARLIEST s₁ event. With `horizonSeconds`
+    * set, steps 2…k must also land within that horizon of the step-1
+    * time (the "converted within N days" gate).
+    *
+    * Scale shape: one pass per step — each scans only that step's
+    * type-filtered slice (the predicate reaches the parquet scan) and
+    * shuffles it once on the user key into a user-sized frame; the
+    * previous step's frame joins co-partitioned (both sides hash on
+    * the user). Reached frames are rotating-localCheckpointed and the
+    * per-step cardinality is read off the checkpoint, so executor
+    * storage holds at most two user-sized copies and nothing
+    * corpus-sized. The k-row result is built driver-side from the k
+    * scalar counts — the only driver data is the counts themselves.
+    *
+    * @return (step_idx, step, users, permille) — `permille` is the
+    *         floor of users·1000 / step-1 users (1000 for step 1;
+    *         all zeros when nobody reaches step 1). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      horizonSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    require(horizonSeconds.forall(_ > 0),
+      s"funnel: horizon must be positive: $horizonSeconds")
+    val spark = events.sparkSession
+    val ev = events.select(col(userCol).as("_u"), col(typeCol).as("_t"),
+      col(tsCol).as("_ts"))
+    val rotate = new Checkpoints.Rotating
+    var reached = rotate(ev.filter(col("_t") === steps.head)
+      .groupBy("_u")
+      .agg(min(col("_ts")).as("_t1"))
+      .select(col("_u").as("_ru"), col("_t1"), col("_t1").as("_tp")))
+    val counts = ArrayBuffer(reached.count())
+    for (s <- steps.tail) {
+      val f = ev.filter(col("_t") === s)
+      val inOrder = f("_ts") > reached("_tp")
+      val cond = horizonSeconds.fold(inOrder) { h =>
+        inOrder && f("_ts") <= reached("_t1") + expr(s"INTERVAL $h SECOND")
+      }
+      reached = rotate(f.join(reached, f("_u") === reached("_ru") && cond)
+        .groupBy(col("_u").as("_ru"))
+        .agg(min(col("_t1")).as("_t1"), min(col("_ts")).as("_tp")))
+      counts += reached.count()
+    }
+    rotate.releaseLast()
+    val first = counts.head
+    import spark.implicits._
+    steps.zipWithIndex.map { case (s, i) =>
+      (i + 1, s, counts(i),
+        if (first == 0) 0L else counts(i) * 1000L / first)
+    }.toDF("step_idx", "step", "users", "permille")
+  }
+
+  /** Weekly cohort retention matrix: users are cohorted by the ISO
+    * week (Monday-start, both engines' `date_trunc('week', …)`) of
+    * their FIRST event; each (user, activity-week) pair counts once
+    * toward (cohort_week, offset_week) where the offset is whole
+    * weeks between the two week STARTS — an exact integer because
+    * both endpoints are week-truncated dates (`datediff div 7`, no
+    * epoch floats, no DST hazard under the pinned UTC session).
+    *
+    * Scale shape: one user-keyed partial agg for first-event times,
+    * one co-partitioned join back (the groupBy output and the join
+    * reuse the same user hash), a (user, cohort, week)-distinct that
+    * partial-aggregates map-side, and a cohort×offset-sized final
+    * agg. Nothing is ever wider than the event table itself.
+    *
+    * @return (cohort_week yyyy-MM-dd, offset_week, active_users) */
+  def retentionMatrix(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ev = events.select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+    val wk = (c: Column) => to_date(date_trunc("week", c))
+    val first = ev.groupBy("_u").agg(min(col("_ts")).as("_f"))
+      .select(col("_u").as("_fu"), wk(col("_f")).as("_cw"))
+    ev.join(first, ev("_u") === first("_fu"))
+      .select(col("_u"), col("_cw"),
+        datediff(wk(col("_ts")), col("_cw")).cast("long").as("_d"))
+      .select(col("_u"), col("_cw"), expr("_d div 7").as("offset_week"))
+      .distinct()
+      .groupBy(date_format(col("_cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset_week"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+}

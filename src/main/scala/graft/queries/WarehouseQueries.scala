@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Dedup, Graph, Linkage, Quality, Scd, Sketch, Stats}
+import graft.ops.{Dedup, Events, Graph, Linkage, Quality, Scd, Sketch, Stats}
 
 /** Warehouse/governance operators beyond the reference's template set:
   * entity linkage, SCD2 dimension history, k-anonymous release, robust
@@ -409,6 +409,60 @@ object WarehouseQueries extends QueryGroup {
           nodesOpt = Some(docs), nNodesOpt = Some(n))
         .select(col("node"), col("h").as("hub_mass"),
           col("a").as("auth_mass"))
+    },
+
+    // Ordered-step funnel view -> click -> purchase with a 7-day
+    // conversion horizon: a user reaches step i on an event strictly
+    // after their step-(i-1) time and within the horizon of their
+    // FIRST view (earliest-completion greedy — exact, see Events).
+    // The oracle chains the same per-step min CTEs; permille is a
+    // floor division of BIGINTs on both sides.
+    q("q_funnel", "warehouse",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS tp
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 AND e.ts > s1.t1
+                 AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+                WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                 AND e.ts > s2.tp
+                 AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT 1 AS step_idx, 'view' AS step,
+                 (SELECT count(*) FROM s1) AS users
+               UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+               UNION ALL SELECT 3, 'purchase',
+                 (SELECT count(*) FROM s3))
+         SELECT step_idx, step, CAST(users AS BIGINT) AS users,
+                CAST(users * 1000
+                  // (SELECT users FROM c WHERE step_idx = 1)
+                  AS BIGINT) AS permille
+         FROM c""") { (spark, dir) =>
+      Events.funnel(Tables.df(spark, dir, "events"), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        horizonSeconds = Some(604800L))
+    },
+
+    // Weekly cohort retention matrix: cohort = ISO week of the user's
+    // first event, offset = whole weeks between week STARTS (exact
+    // integer: both endpoints are Monday-truncated dates, datediff
+    // div 7). (user, cohort, week) pairs count once.
+    q("q_retention_cohorts", "warehouse",
+      """WITH f AS (SELECT user_id,
+                      CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+                    FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT e.user_id, f.cw,
+                 datediff('day', f.cw,
+                   CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS ow
+               FROM events e JOIN f ON e.user_id = f.user_id)
+         SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+                CAST(ow AS BIGINT) AS offset_week,
+                CAST(count(*) AS BIGINT) AS active_users
+         FROM a GROUP BY 1, 2""") { (spark, dir) =>
+      Events.retentionMatrix(Tables.df(spark, dir, "events"),
+        "user_id", "ts")
     },
 
     // Count-min sketch heavy hitters: top-20 tokens by estimate with

@@ -690,3 +690,118 @@ class HitsSpec extends AnyFunSuite {
     graft.core.Checkpoints.release(r)
   }
 }
+
+class EventsSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import graft.ops.Events
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel hand case: order is enforced strictly, counts and " +
+      "permille floor-divide") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      (2L, "click", ts("2024-01-02 09:00:00")), // before the view
+      (2L, "view", ts("2024-01-02 10:00:00")),
+      (2L, "purchase", ts("2024-01-02 11:00:00")),
+      (3L, "view", ts("2024-01-03 10:00:00")),
+      (3L, "purchase", ts("2024-01-03 11:00:00")), // before the click
+      (3L, "click", ts("2024-01-03 12:00:00")),
+      (4L, "click", ts("2024-01-04 10:00:00")) // never viewed
+    ).toDF("u", "t", "at")
+    val out = Events.funnel(ev, "u", "t", "at",
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long, Long)].collect().toList
+    assert(out === List((1, "view", 3L, 1000L), (2, "click", 2L, 666L),
+      (3, "purchase", 1L, 333L)))
+  }
+
+  test("earliest-completion greedy: the first qualifying step-2 event " +
+      "is taken, keeping a step-3 event feasible") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      (1L, "click", ts("2024-01-01 13:00:00"))
+    ).toDF("u", "t", "at")
+    val out = Events.funnel(ev, "u", "t", "at",
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long, Long)].collect()
+    assert(out.map(_._3).toList === List(1L, 1L, 1L))
+  }
+
+  test("horizon gates steps 2..k against the step-1 time: inside-" +
+      "boundary included (<=), outside excluded, equality-with-t1 " +
+      "excluded (strict order)") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")), // exactly t1 + 3600s
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 11:00:01")), // past the horizon
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-01 10:00:00")) // == t1: not after
+    ).toDF("u", "t", "at")
+    val out = Events.funnel(ev, "u", "t", "at", Seq("view", "click"),
+      horizonSeconds = Some(3600L))
+      .as[(Int, String, Long, Long)].collect()
+    assert(out.map(_._3).toList === List(3L, 1L))
+  }
+
+  test("nobody reaches step 1: zero users, zero permille everywhere; " +
+      "repeated step types demand distinct strictly-ordered events") {
+    val ev = Seq((1L, "click", ts("2024-01-01 10:00:00")))
+      .toDF("u", "t", "at")
+    val out = Events.funnel(ev, "u", "t", "at", Seq("view", "click"))
+      .as[(Int, String, Long, Long)].collect()
+    assert(out.toList === List((1, "view", 0L, 0L), (2, "click", 0L, 0L)))
+    val two = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "view", ts("2024-01-01 11:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00"))
+    ).toDF("u", "t", "at")
+    val rep = Events.funnel(two, "u", "t", "at", Seq("view", "view"))
+      .as[(Int, String, Long, Long)].collect()
+    assert(rep.map(_._3).toList === List(2L, 1L))
+    intercept[IllegalArgumentException] {
+      Events.funnel(ev, "u", "t", "at", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Events.funnel(ev, "u", "t", "at", Seq("view"),
+        horizonSeconds = Some(0L))
+    }
+  }
+
+  test("funnel leaves no persisted RDDs behind (rotating + final " +
+      "release; the result is driver-built)") {
+    val sc = spark.sparkContext
+    val ev = Seq((1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00"))).toDF("u", "t", "at")
+    val before = sc.getPersistentRDDs.keySet
+    Events.funnel(ev, "u", "t", "at", Seq("view", "click")).count()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
+  test("retention hand case: Monday-start ISO weeks, per-week dedup, " +
+      "gap weeks absent") {
+    // 2024-01-01 is a Monday
+    val ev = Seq(
+      (1L, ts("2024-01-03 10:00:00")), // cohort 2024-01-01, offset 0
+      (1L, ts("2024-01-10 10:00:00")), // offset 1
+      (1L, ts("2024-01-11 10:00:00")), // offset 1 again: dedup
+      (1L, ts("2024-01-22 10:00:00")), // offset 3 (week 2 skipped)
+      (2L, ts("2024-01-09 10:00:00")), // cohort 2024-01-08, offset 0
+      (3L, ts("2024-01-07 23:59:59")), // Sunday: cohort 2024-01-01
+      (3L, ts("2024-01-08 00:00:00"))  // Monday: offset 1
+    ).toDF("u", "at")
+    val out = Events.retentionMatrix(ev, "u", "at")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("2024-01-01", 0L, 2L), // users 1 and 3 in their first week
+      ("2024-01-01", 1L, 2L), // both active the following week
+      ("2024-01-01", 3L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+}
