@@ -69,6 +69,74 @@ object Sketch {
     parts.reduce(_ unionByName _)
       .groupBy("r", "bucket").agg(sum(col("c")).as("c"))
 
+  /** KMV (k-minimum-values) distinct-count synopsis per group — the
+    * public bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al.
+    * 2007): keep the k smallest DISTINCT hash values seen; if the k-th
+    * smallest is u₍ₖ₎ over the 2³² hash space, the distinct count is
+    * ≈ (k−1)·2³²/(u₍ₖ₎+1). Like [[cmsTable]] it is a FIXED-SIZE
+    * MERGEABLE summary — the union's synopsis is the k smallest of
+    * the two synopses' union (KmvSpec pins that algebra) — but it
+    * answers COUNT DISTINCT instead of frequency, the pairing every
+    * warehouse keeps (Theta/HLL next to CMS).
+    *
+    * Engine-exactness: values hash through the same unsigned
+    * Spark-Murmur3 the Bloom/CMS paths replay in DuckDB
+    * ([[graft.queries.MurmurSql.chainLong]]); the estimator is the
+    * integer floor `(k−1)·2³² div (u₍ₖ₎+1)` — no doubles — and when
+    * fewer than k distinct hashes exist the synopsis is complete and
+    * the estimate is their exact count.
+    *
+    * Scale shape: [[KmvAggregator]] is a typed `Aggregator`, so the
+    * bounded k-long buffer partial-aggregates MAP-SIDE — the shuffle
+    * carries one ≤k-length array per (partition, group), never the
+    * distinct values themselves (the `count_distinct` twin the report
+    * column carries is exactly the distinct-sized shuffle the sketch
+    * exists to avoid at 100 TB — it rides along here only because the
+    * report wants the error visible). */
+  def kmvSynopsis(df: DataFrame, valueCol: String, k: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    val agg = udaf(new KmvAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // NULL values are ignored, matching count_distinct — a group with
+    // no non-null values is absent from the output
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(unsignedHash(col(valueCol))).as("kmv"))
+  }
+
+  /** Cell-wise merge of KMV synopses built with the same k: the k
+    * smallest of the per-part minima — exactly the union's synopsis. */
+  def mergeKmvSynopses(k: Int, groupCols: Seq[String],
+      parts: DataFrame*): DataFrame = {
+    val m = udaf(new KmvMergeAggregator(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Long]]())
+    parts.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(m(col("kmv")).as("kmv"))
+  }
+
+  /** Distinct-count report per group: (groupCols…, est_distinct,
+    * exact_distinct) with the integer-floor KMV estimate next to the
+    * exact count. */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    val agg = udaf(new KmvAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    df.filter(col(valueCol).isNotNull) // as in [[kmvSynopsis]]
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(unsignedHash(col(valueCol))).as("_syn"),
+        count_distinct(col(valueCol)).as("exact_distinct"))
+      .withColumn("_uk", get(col("_syn"), lit(k - 1)))
+      .select(groupCols.map(col) ++ Seq(
+        when(size(col("_syn")) < k, size(col("_syn")).cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * 4294967296L}L div (_uk + 1L)"))
+          .as("est_distinct"),
+        col("exact_distinct")): _*)
+  }
+
   /** Top-k heavy hitters by CMS estimate: (token, est, exact) with
     * est ≥ exact always (the sketch only over-counts), ordered and
     * tie-broken deterministically. */
@@ -90,4 +158,89 @@ object Sketch {
       .orderBy(col("est").desc, col("token"))
       .limit(k)
   }
+}
+
+/** Bounded bottom-k buffer shared by the two KMV aggregators: an
+  * ascending sorted array of DISTINCT hash values, length ≤ k — the
+  * whole synopsis is ≤ k longs however many rows fold into it. */
+private[ops] object KmvBuffer {
+  /** Insert one value, preserving sortedness/distinctness/cap. */
+  def add(buf: Array[Long], h: Long, k: Int): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(buf, h)
+    if (i >= 0) buf // already present
+    else {
+      val ip = -i - 1
+      if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ip)
+        out(ip) = h
+        System.arraycopy(buf, ip, out, ip + 1, buf.length - ip)
+        out
+      } else if (ip < k) { // displaces the current maximum
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ip)
+        out(ip) = h
+        System.arraycopy(buf, ip, out, ip + 1, k - ip - 1)
+        out
+      } else buf
+    }
+  }
+
+  /** Sorted-merge two synopses, dedup, keep the k smallest. */
+  def merge(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    if (a.isEmpty) return if (b.length <= k) b else b.take(k)
+    if (b.isEmpty) return if (a.length <= k) a else a.take(k)
+    val out = new Array[Long](math.min(k, a.length + b.length))
+    var (i, j, n) = (0, 0, 0)
+    while (n < k && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+          val x = a(i); i += 1
+          if (j < b.length && b(j) == x) j += 1 // dedup across parts
+          x
+        } else { val x = b(j); j += 1; x }
+      out(n) = v; n += 1
+    }
+    if (n == out.length) out else out.take(n)
+  }
+}
+
+/** Typed KMV aggregate over pre-hashed values: map-side partial
+  * aggregation folds each partition's hashes into a ≤k-long buffer, so
+  * the shuffle carries synopses, not values — the idiomatic Spark
+  * sketch shape ([[MinHashAggregator]], SURVEY §7.4). */
+class KmvAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Array[Long], Array[Long]] {
+  import org.apache.spark.sql.Encoder
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
+    KmvBuffer.add(buf, h, k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KmvBuffer.merge(a, b, k)
+  override def finish(r: Array[Long]): Array[Long] = r
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
+/** Merge-side twin: folds already-built synopses (e.g. per-source or
+  * per-day parts) into the union's synopsis. */
+class KmvMergeAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Long], Array[Long], Array[Long]] {
+  import org.apache.spark.sql.Encoder
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], part: Array[Long]): Array[Long] =
+    KmvBuffer.merge(buf, part, k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KmvBuffer.merge(a, b, k)
+  override def finish(r: Array[Long]): Array[Long] = r
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
 }

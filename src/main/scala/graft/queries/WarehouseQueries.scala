@@ -465,6 +465,38 @@ object WarehouseQueries extends QueryGroup {
         "user_id", "ts")
     },
 
+    // KMV distinct-count sketch (k = 64) of users per event type, the
+    // exact count alongside: the oracle rebuilds the bottom-64 of the
+    // same unsigned Spark-Murmur3 hash space via a rank window and
+    // replays the integer-floor estimator 63*2^32 // (u_k + 1) in
+    // BIGINT — every hash, rank, and floor reproduces bit-for-bit, so
+    // the sketch's actual error (est vs exact) is itself in the hash.
+    q("q_kmv_distinct", "warehouse",
+      s"""WITH ids AS (SELECT DISTINCT user_id AS id FROM events),
+         ${MurmurSql.chainLong("id")},
+         pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+         hx AS (SELECT DISTINCT p.event_type, mm.u
+                FROM pairs p JOIN mm ON mm.id = p.user_id),
+         rk AS (SELECT event_type, u,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY u) AS r
+                FROM hx),
+         syn AS (SELECT event_type, count(*) AS nh,
+                   max(CASE WHEN r = 64 THEN u END) AS uk
+                 FROM rk GROUP BY 1),
+         ex AS (SELECT event_type,
+                  count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1)
+         SELECT s.event_type,
+           CAST(CASE WHEN s.nh < 64 THEN s.nh
+                     ELSE 63 * 4294967296 // (s.uk + 1)
+                END AS BIGINT) AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+         FROM syn s JOIN ex USING (event_type)""") { (spark, dir) =>
+      Sketch.kmvDistinct(Tables.df(spark, dir, "events"), "user_id",
+        k = 64, groupCols = Seq("event_type"))
+    },
+
     // Count-min sketch heavy hitters: top-20 tokens by estimate with
     // the exact count alongside. The oracle rebuilds the 4x1024 grid
     // from the same unsigned Spark-Murmur3 + Knuth/Lehmer row mixing

@@ -805,3 +805,75 @@ class EventsSpec extends AnyFunSuite {
       ("2024-01-08", 0L, 1L)))
   }
 }
+
+class KmvSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import graft.ops.Sketch
+
+  test("below k distinct the synopsis is complete and the estimate " +
+      "IS the exact count; synopsis is sorted, distinct, <= k") {
+    val df = (1L to 40L).flatMap(v => Seq(("g", v), ("g", v)))
+      .toDF("grp", "v") // every value twice
+    val syn = Sketch.kmvSynopsis(df, "v", k = 64, Seq("grp"))
+      .as[(String, Array[Long])].collect().head._2
+    assert(syn.length == 40)
+    assert(syn.toSeq == syn.toSeq.sorted && syn.distinct.length == 40)
+    val est = Sketch.kmvDistinct(df, "v", k = 64, Seq("grp"))
+      .as[(String, Long, Long)].collect().head
+    assert(est._2 == 40L && est._3 == 40L)
+  }
+
+  test("duplicate insensitivity: a 10x-duplicated corpus yields the " +
+      "identical synopsis and estimate") {
+    val once = (1L to 500L).map(("g", _)).toDF("grp", "v")
+    val many = (1L to 500L).flatMap(v =>
+      Seq.fill(10)(("g", v))).toDF("grp", "v")
+    val a = Sketch.kmvSynopsis(once, "v", 32, Seq("grp"))
+      .as[(String, Array[Long])].collect().head._2
+    val b = Sketch.kmvSynopsis(many, "v", 32, Seq("grp"))
+      .as[(String, Array[Long])].collect().head._2
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("merge algebra: merging two parts' synopses equals the union's " +
+      "synopsis, including overlapping values") {
+    val k = 32
+    val pa = (1L to 500L).map(("g", _)).toDF("grp", "v")
+    val pb = (300L to 800L).map(("g", _)).toDF("grp", "v")
+    val union = pa.unionByName(pb)
+    val merged = Sketch.mergeKmvSynopses(k, Seq("grp"),
+        Sketch.kmvSynopsis(pa, "v", k, Seq("grp")),
+        Sketch.kmvSynopsis(pb, "v", k, Seq("grp")))
+      .as[(String, Array[Long])].collect().head._2
+    val direct = Sketch.kmvSynopsis(union, "v", k, Seq("grp"))
+      .as[(String, Array[Long])].collect().head._2
+    assert(merged.toSeq === direct.toSeq)
+  }
+
+  test("estimate tracks the exact count within the k=64 error " +
+      "envelope on 2000 distinct values, per group") {
+    val df = (1L to 2000L).flatMap(v =>
+      Seq(("a", v), ("b", v * 7 + 1))).toDF("grp", "v")
+    val out = Sketch.kmvDistinct(df, "v", k = 64, Seq("grp"))
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 2)
+    out.foreach { case (g, est, exact) =>
+      assert(exact == 2000L)
+      // deterministic given the fixed hash; ~2/sqrt(k) = 25% is the
+      // loose public bound, both groups land well inside it
+      assert(math.abs(est - exact) <= 500, s"$g: est $est vs $exact")
+    }
+  }
+
+  test("NULL values are ignored like count_distinct; k < 2 rejected") {
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)))
+      .toDF("grp", "v")
+    val est = Sketch.kmvDistinct(df, "v", k = 8, Seq("grp"))
+      .as[(String, Long, Long)].collect().head
+    assert(est._2 == 2L && est._3 == 2L)
+    intercept[IllegalArgumentException] {
+      Sketch.kmvDistinct(df, "v", k = 1, Seq("grp"))
+    }
+  }
+}
