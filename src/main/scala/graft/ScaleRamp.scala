@@ -99,6 +99,30 @@ object ScaleRamp {
       spark.read.parquet(path)
     })
 
+    // ---- event-stream ramp input (round 14): 8 events per doc with
+    // user_id = doc_id % (500·k), so the USER population ramps with
+    // the corpus while events-per-user stays constant at 80 — the
+    // shape a growing product has. Types and µs-timestamps derive
+    // from Knuth/prime mixes of (doc_id, i): deterministic, spread
+    // over a 30-day window.
+    val evCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def eventsAt(k: Int): DataFrame = evCache.getOrElseUpdate(k, {
+      val path = s"$out/events_x$k"
+      docsAt(k).select(col("doc_id"),
+          explode(sequence(lit(0), lit(7))).as("i"))
+        .select(
+          pmod(col("doc_id"), lit(500L * k)).as("user_id"),
+          element_at(
+            array(lit("view"), lit("click"), lit("purchase"),
+              lit("error"), lit("signup")),
+            (pmod(col("doc_id") * 31 + col("i") * 7, lit(5)) + 1)
+              .cast("int")).as("etype"),
+          expr("""timestamp_micros((doc_id * 2654435761L + i * 7919L)
+                    % 2592000000000L)""").as("ts"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    })
+
     // ---- parse-stage ramp input (round-8 verdict #7): an enriched
     // chain-day of logs built from lineitem (the q_parse_corpus_slice
     // fixture shape, incl. the writer's bucket columns and a dt so the
@@ -823,6 +847,80 @@ object ScaleRamp {
         timeIt(graft.ops.Sketch.cmsHeavyHitters(d, "text", depth = 4,
           width = 1024, k = 20).count())
       },
+      "hits_8iter" -> { k =>
+        // HITS (round 14): same |V|/|E| ramp as pagerank_8iter,
+        // iteration count FIXED at 8. Each round is two edge⋈state
+        // joins + two partial aggs + two 1-row normalizer broadcasts,
+        // rotating checkpoints — expect ~linear in |E|, ~2× the
+        // pagerank constant.
+        val nodes = docsAt(k).select(col("doc_id"))
+        val n = nodes.count()
+        val e1 = nodes.select(col("doc_id").as("src"),
+          (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
+            .as("u1"))
+        val edges = e1.select(col("src"), (col("u1") % n).as("dst"))
+          .unionByName(e1.select(col("src"),
+            (col("u1") * 48271L % 2147483647L % n).as("dst")))
+          .unionByName(e1.select(col("src"),
+            (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L % n)
+              .as("dst")))
+          .filter(col("src") =!= col("dst")).distinct()
+        timeIt(graft.ops.Graph.hits(edges, "src", "dst",
+          iterations = 8, nodesOpt = Some(nodes), nNodesOpt = Some(n))
+          .count())
+      },
+      "triangles" -> { k =>
+        // degree-ordered triangle counting (round 14): |V|/|E| ramp
+        // with ~3 out-edges per node. Wedge volume is bounded by
+        // Σ outdeg⁺² with outdeg⁺ ≤ O(√m) — at this density the graph
+        // is sparse and near-regular, so expect ~linear.
+        val nodes = docsAt(k).select(col("doc_id"))
+        val n = nodes.count()
+        val e1 = nodes.select(col("doc_id").as("src"),
+          (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
+            .as("u1"))
+        val edges = e1.select(col("src"), (col("u1") % n).as("dst"))
+          .unionByName(e1.select(col("src"),
+            (col("u1") * 48271L % 2147483647L % n).as("dst")))
+          .unionByName(e1.select(col("src"),
+            (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L % n)
+              .as("dst")))
+          .filter(col("src") =!= col("dst")).distinct()
+        timeIt(graft.ops.Graph.triangleCounts(edges, "src", "dst")
+          .count())
+      },
+      "rolling_active_7d" -> { k =>
+        // rolling distinct actives (round 14): (day,user) distinct +
+        // bounded x7 fan-out + re-dedup — expect ~linear.
+        timeIt(graft.ops.Events.rollingActive(eventsAt(k),
+          "user_id", "ts", windowDays = 7).count())
+      },
+      "funnel_3step" -> { k =>
+        // ordered-step funnel (round 14): events and users ramp
+        // together at constant events-per-user; 3 type-filtered
+        // scans + 3 user-keyed shuffles, user-sized frames between —
+        // expect ~linear in the event count.
+        val ev = eventsAt(k)
+        timeIt {
+          graft.ops.Events.funnel(ev, "user_id", "etype", "ts",
+            Seq("view", "click", "purchase"),
+            horizonSeconds = Some(604800L)).count()
+        }
+      },
+      "retention_weekly" -> { k =>
+        // cohort retention (round 14): one user agg + co-partitioned
+        // join + map-side-combining distinct — expect ~linear.
+        timeIt(graft.ops.Events.retentionMatrix(eventsAt(k),
+          "user_id", "ts").count())
+      },
+      "kmv_synopsis" -> { k =>
+        // KMV sketch (round 14): distinct users ramp with k, synopsis
+        // FIXED at 64 longs per group (the point of the sketch) — the
+        // shuffle carries one <=64-long array per (partition, group).
+        // Expect ~linear in the event scan.
+        timeIt(graft.ops.Sketch.kmvSynopsis(eventsAt(k), "user_id",
+          k = 64, groupCols = Seq("etype")).count())
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
@@ -951,6 +1049,16 @@ object ScaleRamp {
         .filter(col("src") =!= col("dst")).distinct()
       graft.ops.Graph.pageRank(e, "src", "dst", iterations = 2).count()
       graft.ops.Sketch.cmsHeavyHitters(docs0.limit(200), "text").count()
+      // round-14 shapes: HITS, triangles, funnel, retention, KMV
+      graft.ops.Graph.hits(e, "src", "dst", iterations = 2).count()
+      graft.ops.Graph.triangleCounts(e, "src", "dst").count()
+      val evw = eventsAt(1).limit(3000)
+      graft.ops.Events.funnel(evw, "user_id", "etype", "ts",
+        Seq("view", "click"), horizonSeconds = Some(604800L)).count()
+      graft.ops.Events.retentionMatrix(evw, "user_id", "ts").count()
+      graft.ops.Events.rollingActive(evw, "user_id", "ts").count()
+      graft.ops.Sketch.kmvSynopsis(evw, "user_id", 64,
+        Seq("etype")).count()
     }
     spark.catalog.clearCache()
     ParseRunner.run(spark,

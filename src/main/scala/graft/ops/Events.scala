@@ -89,6 +89,35 @@ object Events {
     * agg. Nothing is ever wider than the event table itself.
     *
     * @return (cohort_week yyyy-MM-dd, offset_week, active_users) */
+  /** Rolling N-day active users (the DAU/WAU/MAU family): for each
+    * report day, the count of distinct users with ≥1 event in the
+    * trailing `windowDays`-day window ending that day. A report day
+    * exists iff its window contains at least one active user — i.e.
+    * days [d, d+N) for every active day d; leading/trailing all-idle
+    * days are absent rather than zero.
+    *
+    * Exact rolling distinct without a per-day window sort: the
+    * (day, user) DISTINCT pairs (the only corpus-sized agg,
+    * partial-aggregated map-side) fan out over the N offsets each pair
+    * covers, dedup again per (report day, user) — a bounded ×N blowup
+    * of an already days×users-sized frame — then count per day. Every
+    * step is a set operation; no approximation, no floats.
+    *
+    * @return (day yyyy-MM-dd, active_users) */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    events
+      .select(to_date(col(tsCol)).as("_day"), col(userCol).as("_u"))
+      .distinct()
+      .select(col("_day"), col("_u"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("_o"))
+      .select(date_add(col("_day"), col("_o")).as("_rd"), col("_u"))
+      .distinct()
+      .groupBy(date_format(col("_rd"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   def retentionMatrix(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
     val ev = events.select(col(userCol).as("_u"), col(tsCol).as("_ts"))

@@ -179,6 +179,76 @@ object Graph {
     st
   }
 
+  /** Per-node triangle participation over an UNDIRECTED reading of the
+    * edge list — the local clustering signal (spam farms and mirror
+    * rings are triangle-dense; organic link neighborhoods are sparse),
+    * the third member of the centrality family next to [[pageRank]]
+    * and [[hits]].
+    *
+    * Algorithm: degree-ordered wedge closing (the public node-iterator
+    * bound, Schank & Wagner 2005). Edges are canonicalized (self-loops
+    * dropped, duplicates and reversals merged), then oriented from
+    * lower to higher (degree, id) rank; each triangle is found exactly
+    * once, as the wedge at its LOWEST-rank corner closed by an
+    * oriented edge between the two higher corners. The join plan is
+    * engine-exact — set operations only, no floats.
+    *
+    * Scale shape: the wedge self-join is keyed on the low corner, and
+    * degree orientation caps every out-degree at O(√m) (a node of
+    * degree d > √(2m) has < √(2m) higher-degree neighbors), so wedge
+    * volume — the only super-linear intermediate — is bounded by
+    * O(m^{3/2}) TOTAL and per-key by O(m), the classic bound that
+    * makes the hub-skew of power-law graphs survivable: the raw
+    * (un-oriented) wedge count at a degree-10⁶ hub is 10¹² pairs, the
+    * oriented one at most 2m. The closing probe is an equi-join of
+    * wedges against the oriented edge list on the (v, w) pair key.
+    *
+    * @return (node, triangles) — nodes in no triangle are absent. The
+    *         returned frame is a local checkpoint (the corpus-sized
+    *         intermediates are released before return). */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")) // also drops null endpoints
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint() // consumed by deg + orientation
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+        .otherwise(
+          struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint() // consumed by both wedge legs + the probe
+    val wedges = oriented
+      .select(col("s"), col("t").as("v"), col("dt").as("dv"))
+      .join(oriented.select(col("s"), col("t").as("w"), col("dt").as("dw")),
+        Seq("s"))
+      // order the two high corners by the same rank, so each unordered
+      // wedge appears once and matches the probe edge's orientation
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val out = wedges
+      .join(oriented.select(col("s").as("v"), col("t").as("w")),
+        Seq("v", "w"))
+      .select(explode(array(col("s"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .localCheckpoint()
+    Checkpoints.release(und)
+    Checkpoints.release(oriented)
+    out
+  }
+
   /** Shared setup: normalized edge list with out-degree folded on
     * (loop-invariant, checkpointed once) + the node universe. */
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,

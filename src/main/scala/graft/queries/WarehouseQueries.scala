@@ -465,6 +465,80 @@ object WarehouseQueries extends QueryGroup {
         "user_id", "ts")
     },
 
+    // Per-node triangle participation over the undirected reading of
+    // the shared link graph: the local-clustering spam signal next to
+    // pagerank/trustrank/hits. The engine closes degree-ordered
+    // wedges (each triangle found once at its lowest-rank corner);
+    // the oracle enumerates canonical a<b<c triples — method-
+    // independent counts, so any orientation bug breaks the hash.
+    q("q_triangles", "warehouse",
+      s"""WITH $linkGraphCtes,
+         und AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                 FROM edges WHERE src != dst),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM und e1
+                 JOIN und e2 ON e2.a = e1.b
+                 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT node, CAST(count(*) AS BIGINT) AS triangles
+         FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         GROUP BY 1""") { (spark, dir) =>
+      val (_, _, edges) = linkGraph(spark, dir)
+      Graph.triangleCounts(edges, "src", "dst")
+    },
+
+    // Rolling 7-day active users: exact rolling distinct via the
+    // (day, user) -> offset fan-out -> re-dedup shape (bounded x7
+    // blowup of a days-times-users frame; no per-day window sort, no
+    // approximation). Report days = every day whose trailing window
+    // holds at least one active user.
+    q("q_rolling_active", "warehouse",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+                       user_id AS u
+                     FROM events),
+         x AS (SELECT DISTINCT d + CAST(o AS INTEGER) AS rd, u
+               FROM du, (SELECT unnest(generate_series(0, 6)) AS o))
+         SELECT strftime(rd, '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS active_users
+         FROM x GROUP BY 1""") { (spark, dir) =>
+      Events.rollingActive(Tables.df(spark, dir, "events"),
+        "user_id", "ts", windowDays = 7)
+    },
+
+    // Last-touch attribution: every purchase gains the latest
+    // view/click at-or-before it for the same user — the AsOfJoin
+    // composition (one shuffle, running last-update window) against
+    // DuckDB's native ASOF LEFT JOIN. Touches are pre-deduplicated at
+    // identical (user, time) so "which wins" is deterministic on both
+    // engines (the q_asof_price discipline); purchases with no prior
+    // touch keep NULLs.
+    q("q_attribution_last_touch", "warehouse",
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+                    FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, epoch_us(ts) AS t_us,
+                 max(event_id) AS touch_event_id,
+                 arg_max(event_type, event_id) AS touch_type
+               FROM events WHERE event_type IN ('view', 'click')
+               GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, t.touch_type, t.touch_event_id
+         FROM p ASOF LEFT JOIN t
+           ON p.user_id = t.user_id AND p.p_us >= t.t_us""") {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val touches = ev
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("t_us"))
+        .agg(max(col("event_id")).as("touch_event_id"),
+          max_by(col("event_type"), col("event_id")).as("touch_type"))
+      graft.ops.AsOfJoin.asOf(purchases, touches, Seq("user_id"),
+          "p_us", "t_us", Seq("touch_type", "touch_event_id"))
+        .select(col("event_id"), col("user_id"), col("touch_type"),
+          col("touch_event_id"))
+    },
+
     // KMV distinct-count sketch (k = 64) of users per event type, the
     // exact count alongside: the oracle rebuilds the bottom-64 of the
     // same unsigned Spark-Murmur3 hash space via a rank window and

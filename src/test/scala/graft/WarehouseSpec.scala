@@ -877,3 +877,92 @@ class KmvSpec extends AnyFunSuite {
     }
   }
 }
+
+class TriangleSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def counts(e: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+
+  test("K4: four triangles, every node in three") {
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(counts(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("bowtie: the shared corner counts both triangles") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (0L, 3L), (3L, 4L), (4L, 0L))
+    assert(counts(e) ===
+      Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangle-free graphs yield no rows: a path and a star " +
+      "(hub wedges exist but never close)") {
+    assert(counts(Seq((0L, 1L), (1L, 2L), (2L, 3L))).isEmpty)
+    assert(counts((1L to 20L).map(i => (0L, i))).isEmpty)
+  }
+
+  test("normalization: duplicates, reversals, and self-loops do not " +
+      "change counts") {
+    val messy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L),
+      (0L, 2L), (0L, 0L), (2L, 2L), (0L, 1L))
+    assert(counts(messy) === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("no persisted RDDs leak beyond the returned checkpoint") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val r = Graph.triangleCounts(
+      Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"),
+      "src", "dst")
+    r.count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked ${leaked.size}")
+    graft.core.Checkpoints.release(r)
+  }
+}
+
+class RollingActiveSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import graft.ops.Events
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hand case at windowDays = 2: fan-out, per-window dedup, " +
+      "absent idle days") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")),
+      (1L, ts("2024-01-01 17:00:00")), // same user+day: one pair
+      (1L, ts("2024-01-03 09:00:00")),
+      (2L, ts("2024-01-02 09:00:00"))
+    ).toDF("u", "at")
+    val out = Events.rollingActive(ev, "u", "at", windowDays = 2)
+      .as[(String, Long)].collect().toMap
+    // day1: u1 | day2: u1(from d1)+u2 | day3: u1+u2(from d2) | day4: u1
+    assert(out === Map("2024-01-01" -> 1L, "2024-01-02" -> 2L,
+      "2024-01-03" -> 2L, "2024-01-04" -> 1L))
+  }
+
+  test("windowDays = 1 is plain daily actives; a user active on " +
+      "consecutive days counts once per report day at any window") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),
+      (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("u", "at")
+    val daily = Events.rollingActive(ev, "u", "at", windowDays = 1)
+      .as[(String, Long)].collect().toMap
+    assert(daily === Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+    val w7 = Events.rollingActive(ev, "u", "at", windowDays = 7)
+      .as[(String, Long)].collect().toMap
+    // u1 is active on d1 and d2 but every report day counts it ONCE
+    assert(w7("2024-01-02") == 2L && w7("2024-01-08") == 1L)
+    assert(w7.values.max == 2L)
+    intercept[IllegalArgumentException] {
+      Events.rollingActive(ev, "u", "at", windowDays = 0)
+    }
+  }
+}
