@@ -74,6 +74,40 @@ object Events {
     }.toDF("step_idx", "step", "users", "permille")
   }
 
+  /** Event-type transition matrix (first-order Markov counts): for
+    * each user's event sequence ordered by (time, tiebreakCol), count
+    * consecutive (from → to) type pairs across all users, with an
+    * integer-permille row normalization (the empirical transition
+    * probability, floor-divided — engine-exact, no doubles). The
+    * explicit tiebreak makes simultaneous events deterministically
+    * ordered on any engine — without it, equal timestamps would make
+    * the matrix run-dependent.
+    *
+    * Scale shape: ONE user-keyed shuffle + per-user sort (the same
+    * cost class as sessionization), a lag window, then a
+    * types²-sized aggregation; the normalizer is a per-from window
+    * over the tiny matrix itself.
+    *
+    * @return (from_type, to_type, transitions, permille) */
+  def transitionMatrix(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tiebreakCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_u")).orderBy(col("_ts"), col("_tb"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    events
+      .select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(tsCol).as("_ts"), col(tiebreakCol).as("_tb"))
+      .select(col("_t").as("to_type"),
+        lag(col("_t"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("transitions"))
+      .withColumn("_n", sum(col("transitions")).over(wf))
+      .select(col("from_type"), col("to_type"), col("transitions"),
+        expr("transitions * 1000L div _n").as("permille"))
+  }
+
   /** Weekly cohort retention matrix: users are cohorted by the ISO
     * week (Monday-start, both engines' `date_trunc('week', …)`) of
     * their FIRST event; each (user, activity-week) pair counts once

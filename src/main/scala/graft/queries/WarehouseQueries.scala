@@ -505,6 +505,27 @@ object WarehouseQueries extends QueryGroup {
         "user_id", "ts", windowDays = 7)
     },
 
+    // First-order Markov transition matrix of event types per user
+    // sequence, ordered by (ts, event_id) so simultaneous events are
+    // deterministic on both engines; permille row-normalization is a
+    // BIGINT floor division. 25 cells (5x5 types) at sf0.01.
+    q("q_event_transitions", "warehouse",
+      """WITH s AS (SELECT event_type AS to_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS from_type
+                    FROM events),
+         m AS (SELECT from_type, to_type, count(*) AS transitions
+               FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type,
+                CAST(transitions AS BIGINT) AS transitions,
+                CAST(transitions * 1000
+                  // sum(transitions) OVER (PARTITION BY from_type)
+                  AS BIGINT) AS permille
+         FROM m""") { (spark, dir) =>
+      Events.transitionMatrix(Tables.df(spark, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")
+    },
+
     // Last-touch attribution: every purchase gains the latest
     // view/click at-or-before it for the same user — the AsOfJoin
     // composition (one shuffle, running last-update window) against

@@ -966,3 +966,40 @@ class RollingActiveSpec extends AnyFunSuite {
     }
   }
 }
+
+class TransitionSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import graft.ops.Events
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hand case: per-user sequences, cross-user independence, " +
+      "permille floor division") {
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 11:00:00"), 2L),
+      (1L, "a", ts("2024-01-01 12:00:00"), 3L),
+      (2L, "a", ts("2024-01-01 10:30:00"), 4L), // no cross-user pair
+      (2L, "c", ts("2024-01-01 11:30:00"), 5L),
+      (3L, "a", ts("2024-01-01 09:00:00"), 6L) // singleton: no pairs
+    ).toDF("u", "t", "at", "id")
+    val out = Events.transitionMatrix(ev, "u", "t", "at", "id")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // from a: a->b once, a->c once -> permille 500 each
+    assert(out === Map(("a", "b") -> (1L, 500L),
+      ("a", "c") -> (1L, 500L), ("b", "a") -> (1L, 1000L)))
+  }
+
+  test("simultaneous events order by the tiebreak column, not " +
+      "arrival order") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq((1L, "y", t0, 2L), (1L, "x", t0, 1L), (1L, "z", t0, 3L))
+      .toDF("u", "t", "at", "id")
+    val out = Events.transitionMatrix(ev, "u", "t", "at", "id")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(out === Set(("x", "y"), ("y", "z")))
+  }
+}
