@@ -86,6 +86,14 @@ object Sketch {
     * fewer than k distinct hashes exist the synopsis is complete and
     * the estimate is their exact count.
     *
+    * Relation to the profile sketch: [[Stats.sourceProfile]] carries
+    * an embedded KMV over md5 hex strings, built with a rank WINDOW
+    * over the per-source distinct fingerprints — correct, but that
+    * window SHUFFLES the distinct values and its estimator is a
+    * double ([[Stats.kmvDistinctEstimate]], spec-tested not oracled).
+    * This family is the standalone scale path: bounded map-side
+    * buffers and an integer estimator that differentials exactly.
+    *
     * Scale shape: [[KmvAggregator]] is a typed `Aggregator`, so the
     * bounded k-long buffer partial-aggregates MAP-SIDE — the shuffle
     * carries one ≤k-length array per (partition, group), never the
@@ -117,6 +125,18 @@ object Sketch {
       .agg(m(col("kmv")).as("kmv"))
   }
 
+  /** The integer-floor KMV estimate off a synopsis column: exact
+    * below k, `(k−1)·2³² div (u₍ₖ₎+1)` at k. Shared by [[kmvDistinct]]
+    * and the streaming fold's report. */
+  def kmvEstimate(synCol: Column, k: Int): Column = {
+    // get() (0-indexed, null out-of-bounds) — element_at errors on
+    // out-of-bounds under ANSI even on the never-taken branch
+    val uk = get(synCol, lit(k - 1))
+    when(size(synCol) < k, size(synCol).cast("long"))
+      .otherwise((lit((k - 1).toLong * 4294967296L) / (uk + 1))
+        .cast("long")) // exact: (k−1)·2³² < 2⁴⁸ ⇒ fp floor == div
+  }
+
   /** Distinct-count report per group: (groupCols…, est_distinct,
     * exact_distinct) with the integer-floor KMV estimate next to the
     * exact count. */
@@ -129,11 +149,8 @@ object Sketch {
       .groupBy(groupCols.map(col): _*)
       .agg(agg(unsignedHash(col(valueCol))).as("_syn"),
         count_distinct(col(valueCol)).as("exact_distinct"))
-      .withColumn("_uk", get(col("_syn"), lit(k - 1)))
       .select(groupCols.map(col) ++ Seq(
-        when(size(col("_syn")) < k, size(col("_syn")).cast("long"))
-          .otherwise(expr(s"${(k - 1).toLong * 4294967296L}L div (_uk + 1L)"))
-          .as("est_distinct"),
+        kmvEstimate(col("_syn"), k).as("est_distinct"),
         col("exact_distinct")): _*)
   }
 

@@ -628,6 +628,56 @@ object MultimodalQueries extends QueryGroup {
       } finally graft.core.Fs.deleteRecursively(staged.toFile)
     },
 
+    // streaming KMV distinct-count maintenance: events staged as THREE
+    // files, drained one micro-batch each, each batch's per-type
+    // synopsis folded into the running one. The merge algebra is
+    // exactly lossless (merge(sketch(A), sketch(B)) = sketch(A∪B),
+    // KmvSpec), so the folded synopsis — and the integer estimate off
+    // it — equals the direct batch computation, which is what the
+    // oracle replays (the q_kmv_distinct murmur/rank/floor pipeline,
+    // estimate-only: exact counts are the distinct-sized shuffle the
+    // streaming sketch exists to avoid).
+    q("q_stream_kmv", "streaming",
+      s"""WITH ids AS (SELECT DISTINCT user_id AS id FROM events),
+         ${MurmurSql.chainLong("id")},
+         pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+         hx AS (SELECT DISTINCT p.event_type, mm.u
+                FROM pairs p JOIN mm ON mm.id = p.user_id),
+         rk AS (SELECT event_type, u,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY u) AS r
+                FROM hx),
+         syn AS (SELECT event_type, count(*) AS nh,
+                   max(CASE WHEN r = 64 THEN u END) AS uk
+                 FROM rk GROUP BY 1)
+         SELECT event_type,
+           CAST(CASE WHEN nh < 64 THEN nh
+                     ELSE 63 * 4294967296 // (uk + 1)
+                END AS BIGINT) AS est_distinct
+         FROM syn""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val staged = java.nio.file.Files.createTempDirectory("graft_skmv")
+      try {
+        (0 until 3).foreach(i =>
+          ev.filter(col("event_id") % 3 === i).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        graft.streaming.IngestStream.runKmvToBatch(spark,
+            staged.toString, "user_id", k = 64, Seq("event_type"),
+            schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("event_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("event_type",
+                org.apache.spark.sql.types.StringType))),
+            maxFilesPerTrigger = Some(1))
+          .select(col("event_type"),
+            graft.ops.Sketch.kmvEstimate(col("kmv"), 64)
+              .as("est_distinct"))
+      } finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
     // stream-stream interval join (attribution) run to completion over
     // the bounded file source — inner joins emit on arrival, so the
     // bounded run ≡ the batch interval join; times as integer µs

@@ -206,6 +206,49 @@ object IngestStream {
       .withColumn("passed", col("violations") === 0L)
   }
 
+  /** STREAMING KMV distinct-count maintenance — the cardinality face
+    * of the incremental family: per micro-batch, build the batch's
+    * per-group synopsis ([[graft.ops.Sketch.kmvSynopsis]]) and fold
+    * it into the running one via the merge algebra
+    * ([[graft.ops.Sketch.mergeKmvSynopses]]). The fold is
+    * ORDER-INDEPENDENT and exactly lossless — merge(sketch(A),
+    * sketch(B)) IS sketch(A ∪ B), KmvSpec — so the streamed synopsis
+    * equals the batch synopsis over everything ingested, bit for bit,
+    * at any batch slicing: a 100 TB warehouse keeps per-source
+    * distinct-user counters current per ingest batch with k longs of
+    * state per group and no rescan, ever. Per-batch driver-side state
+    * is nothing; the synopsis frame is checkpoint-released
+    * generationally (the [[runProfileToBatch]] discipline).
+    *
+    * @return (groupCols…, kmv) — feed
+    *         [[graft.ops.Sketch.kmvEstimate]] for the count. */
+  def runKmvToBatch(spark: SparkSession, path: String,
+      valueCol: String, k: Int, groupCols: Seq[String],
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.core.Checkpoints
+    import graft.ops.Sketch
+    var syn = Option.empty[DataFrame]
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val p = Sketch.kmvSynopsis(b, valueCol, k, groupCols)
+        val merged = syn
+          .map(s => Sketch.mergeKmvSynopses(k, groupCols, s, p))
+          .getOrElse(p).localCheckpoint()
+        syn.foreach(Checkpoints.release)
+        syn = Some(merged)
+      }
+    }
+    syn.getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(groupCols.map(c => schema(c)) :+
+          StructField("kmv", ArrayType(LongType, containsNull = false))))
+    }
+  }
+
   /** STREAMING SCD2 maintenance — the dimension-history face of the
     * incremental family: each micro-batch of dim updates folds into
     * the running SCD2 table via [[graft.ops.Scd.scd2Merge]], so the

@@ -866,6 +866,34 @@ class KmvSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming fold over one-file micro-batches equals the direct " +
+      "batch synopsis (order-independent lossless merge)") {
+    val df = (1L to 900L).map(v => (v, v % 3, s"g${v % 2}"))
+      .toDF("event_id", "v", "grp")
+    val staged = java.nio.file.Files.createTempDirectory("graft_kmvs")
+    try {
+      (0 until 3).foreach(i =>
+        df.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(staged.toString))
+      val streamed = graft.streaming.IngestStream.runKmvToBatch(spark,
+          staged.toString, "v", k = 16, Seq("grp"),
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("grp",
+              org.apache.spark.sql.types.StringType))),
+          maxFilesPerTrigger = Some(1))
+        .as[(String, Array[Long])].collect()
+        .map(r => r._1 -> r._2.toSeq).toMap
+      val direct = Sketch.kmvSynopsis(df, "v", 16, Seq("grp"))
+        .as[(String, Array[Long])].collect()
+        .map(r => r._1 -> r._2.toSeq).toMap
+      assert(streamed === direct)
+    } finally graft.core.Fs.deleteRecursively(staged.toFile)
+  }
+
   test("NULL values are ignored like count_distinct; k < 2 rejected") {
     val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)))
       .toDF("grp", "v")
