@@ -889,6 +889,33 @@ object ScaleRamp {
         timeIt(graft.ops.Graph.triangleCounts(edges, "src", "dst")
           .count())
       },
+      "kcore_peel" -> { k =>
+        // k-core peeling (round 14): the q_kcore core-periphery shape
+        // with the hub set pinned at the first 500/250 ids. On the
+        // replicated ramp corpus the hub-hub subgraph stays ~4-regular
+        // whatever n (only hub SOURCES aim at hubs), so the 4-core
+        // peels TO EMPTY at every ramp scale — which is the MAXIMAL
+        // work case: every node passes through the peel, round count
+        // is the full peeling depth. Per round linear in |E|; the
+        // fitted exponent measures exactly that worst case.
+        val docs = docsAt(k).select(col("doc_id"))
+        val n = docs.count()
+        val e1 = docs.select(col("doc_id").as("src"),
+          (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
+            .as("u1"))
+        val e3 = e1.select(col("src"), col("u1"),
+          (col("u1") * 48271L % 2147483647L).as("u2"),
+          (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L)
+            .as("u3"))
+        val edges = e3.select(col("src"), (col("u1") % n).as("dst"))
+          .unionByName(e3.select(col("src"),
+            (col("u2") % 500L).as("dst")))
+          .unionByName(e3.select(col("src"),
+            (col("u3") % 250L).as("dst")))
+          .filter(col("src") =!= col("dst")).distinct()
+        timeIt(graft.ops.Graph.kCore(edges, "src", "dst", k = 4)
+          .count())
+      },
       "rolling_active_7d" -> { k =>
         // rolling distinct actives (round 14): (day,user) distinct +
         // bounded x7 fan-out + re-dedup — expect ~linear.
@@ -1052,6 +1079,7 @@ object ScaleRamp {
       // round-14 shapes: HITS, triangles, funnel, retention, KMV
       graft.ops.Graph.hits(e, "src", "dst", iterations = 2).count()
       graft.ops.Graph.triangleCounts(e, "src", "dst").count()
+      graft.ops.Graph.kCore(e, "src", "dst", k = 2).count()
       val evw = eventsAt(1).limit(3000)
       graft.ops.Events.funnel(evw, "user_id", "etype", "ts",
         Seq("view", "click"), horizonSeconds = Some(604800L)).count()

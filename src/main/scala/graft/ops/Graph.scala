@@ -249,6 +249,71 @@ object Graph {
     out
   }
 
+  /** k-core of the UNDIRECTED graph: the maximal subgraph in which
+    * every node keeps degree ≥ k — the classic dense-cluster extractor
+    * (Seidman 1983; link-farm cores survive where organic periphery
+    * peels away), completing the centrality family ([[pageRank]],
+    * [[hits]], [[triangleCounts]]).
+    *
+    * Algorithm: iterative peeling to the TRUE fixpoint — each round
+    * drops every node whose degree among the survivors is < k; peeling
+    * is confluent, so the result is unique and engine-exact (set
+    * operations only). The oracle replays it as a recursive CTE that
+    * emits a round only while the alive set strictly shrinks, with the
+    * empty-core case resolved by a final stability check.
+    *
+    * Scale shape per round: one semi-join of the edge list against the
+    * alive set on EACH endpoint (both equi-joins on the node key) and
+    * a partial-agg'd degree count — linear in |E|; the alive frame
+    * rotates through local checkpoints (two |V|-sized copies
+    * resident). Round count is the peeling depth: O(log n)-ish on
+    * real clustered graphs, O(n) only on adversarial paths — the
+    * per-round driver action is the termination test itself (one
+    * count), the same inherent cost every fixpoint loop carries.
+    *
+    * @return (node, core_degree) — the members of the k-core with
+    *         their within-core degree; empty when no k-core exists. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1: $k")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint() // consumed every peeling round
+    val rotate = new Checkpoints.Rotating
+    def degrees(aliveNodes: DataFrame): DataFrame = und
+      .join(aliveNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(aliveNodes.select(col("node").as("b")), Seq("b"), "left_semi")
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    var alive = rotate(und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+      .select(col("node"), lit(0L).as("core_degree")))
+    var n = alive.count()
+    var stable = n == 0
+    while (!stable) {
+      val next = rotate(degrees(alive)
+        .filter(col("core_degree") >= k))
+      val m = next.count()
+      stable = m == n || m == 0
+      if (m == 0) {
+        // peel hit bottom: the k-core is empty (confluence). A fresh
+        // empty frame — the released checkpoints must not be re-read.
+        rotate.releaseLast()
+        alive = und.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          next.schema)
+      } else alive = next
+      n = m
+    }
+    Checkpoints.release(und)
+    alive
+  }
+
   /** Shared setup: normalized edge list with out-degree folded on
     * (loop-invariant, checkpointed once) + the node universe. */
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,

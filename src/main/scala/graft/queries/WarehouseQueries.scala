@@ -487,6 +487,72 @@ object WarehouseQueries extends QueryGroup {
       Graph.triangleCounts(edges, "src", "dst")
     },
 
+    // k-core (k=4) of a core-periphery doc graph: two of the three
+    // Lehmer out-edges aim at the first n/10 and n/20 ids, so a dense
+    // hub core (350 nodes) survives a NINETEEN-round peel of the
+    // sparse periphery — a real iterative-fixpoint fixture, not a
+    // one-round threshold. The oracle's recursive CTE emits a round
+    // only while the alive set strictly shrinks (the EXISTS guard)
+    // and re-derives each survivor's within-round degree through the
+    // bidirectional edge CTE (equi-joins only — the a-or-b OR form
+    // defeats decorrelation, measured 28x slower); per-node core
+    // degrees land in the hash.
+    q("q_kcore", "warehouse",
+      """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+         nn AS (SELECT count(*) AS n FROM docs),
+         e1 AS (SELECT doc_id AS src,
+                  ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS u1
+                FROM docs),
+         e3 AS (SELECT src, u1, u1 * 48271 % 2147483647 AS u2,
+                  u1 * 48271 % 2147483647 * 48271 % 2147483647 AS u3
+                FROM e1),
+         edges AS (SELECT DISTINCT src, dst FROM (
+             SELECT src, u1 % (SELECT n FROM nn) AS dst FROM e3
+             UNION ALL
+             SELECT src, u2 % ((SELECT n FROM nn) // 10) FROM e3
+             UNION ALL
+             SELECT src, u3 % ((SELECT n FROM nn) // 20) FROM e3)
+           WHERE src != dst),
+         und AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                 FROM edges),
+         bi AS (SELECT a AS x, b AS y FROM und
+                UNION ALL SELECT b AS x, a AS y FROM und),
+         du AS (SELECT x AS node, count(*) AS d FROM bi GROUP BY 1),
+         peel(t, node, d) AS (
+           SELECT 0, node, d FROM du
+           UNION ALL
+           SELECT p.t + 1, p.node,
+             (SELECT count(*) FROM bi
+              JOIN peel w ON w.t = p.t AND w.d >= 4
+               AND w.node = bi.y
+              WHERE bi.x = p.node)
+           FROM peel p
+           WHERE p.d >= 4
+             AND EXISTS (SELECT 1 FROM peel q
+                         WHERE q.t = p.t AND q.d < 4))
+         SELECT node, CAST(d AS BIGINT) AS core_degree
+         FROM peel
+         WHERE t = (SELECT max(t) FROM peel) AND d >= 4""") {
+      (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
+          .as("u1"))
+      val e3 = e1.select(col("src"), col("u1"),
+        (col("u1") * 48271L % 2147483647L).as("u2"),
+        (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L)
+          .as("u3"))
+      val edges = e3.select(col("src"), (col("u1") % n).as("dst"))
+        .unionByName(e3.select(col("src"),
+          (col("u2") % (n / 10)).as("dst")))
+        .unionByName(e3.select(col("src"),
+          (col("u3") % (n / 20)).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.kCore(edges, "src", "dst", k = 4)
+    },
+
     // Rolling 7-day active users: exact rolling distinct via the
     // (day, user) -> offset fan-out -> re-dedup shape (bounded x7
     // blowup of a days-times-users frame; no per-day window sort, no

@@ -791,3 +791,71 @@ class ExplainSpec extends AnyFunSuite {
       s"d=1 path should verify positionally, not via the DP:\n$p")
   }
 }
+
+/** Plan pins for the round-14 analytics family: the scale claims each
+  * operator's scaladoc makes, asserted against the physical plan. */
+class AnalyticsExplainSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def ev = Tables.df(spark, sf, "events")
+
+  test("kmvSynopsis partial-aggregates the bounded buffer MAP-SIDE: " +
+      "partial_kmvaggregator sits below the single exchange") {
+    val p = plan(graft.ops.Sketch.kmvSynopsis(ev, "user_id", 64,
+      Seq("event_type")))
+    val lines = p.linesIterator.toSeq
+    val partial = lines.indexWhere(_.contains("partial_kmvaggregator"))
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    assert(partial >= 0, s"no map-side partial in:\n$p")
+    // tree prints top-down: the partial must be BELOW (after) the
+    // exchange line, i.e. evaluated before it
+    assert(partial > exchange,
+      s"partial aggregate not below the shuffle:\n$p")
+    assert(lines.count(_.contains("Exchange")) == 1,
+      s"more than the one group-key shuffle:\n$p")
+  }
+
+  test("transitionMatrix shuffles the corpus exactly once (on the " +
+      "user key); every later exchange is matrix-sized") {
+    val p = plan(graft.ops.Events.transitionMatrix(ev, "user_id",
+      "event_type", "ts", "event_id"))
+    val corpusShuffles = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(_u"))
+    assert(corpusShuffles == 1,
+      s"expected exactly one user-key shuffle:\n$p")
+  }
+
+  test("retentionMatrix prunes both scans to (ts, user_id) and " +
+      "partial-aggregates the first-event min map-side") {
+    val p = plan(graft.ops.Events.retentionMatrix(ev, "user_id", "ts"))
+    val schemas = p.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      s.contains("ts:timestamp") && s.contains("user_id:bigint") &&
+        !s.contains("props") && !s.contains("event_type")),
+      s"scan not pruned to the two needed columns:\n$p")
+    assert(p.contains("partial_min"),
+      s"first-event agg not map-side combined:\n$p")
+  }
+
+  test("rollingActive: both dedups partial-aggregate map-side and the " +
+      "offset fan-out is a constant-folded explode between them") {
+    val p = plan(graft.ops.Events.rollingActive(ev, "user_id", "ts"))
+    assert(p.contains("Generate explode"),
+      s"offset fan-out missing:\n$p")
+    val lines = p.linesIterator.toSeq
+    // each Exchange must sit directly above a keys-only HashAggregate
+    // (the map-side partial of the distinct) or a partial_count
+    val exchanges = lines.zipWithIndex
+      .filter(_._1.contains("Exchange")).map(_._2)
+    assert(exchanges.size == 3, s"expected 3 exchanges:\n$p")
+    exchanges.foreach { i =>
+      val below = lines.drop(i + 1).take(2).mkString
+      assert(below.contains("HashAggregate"),
+        s"exchange at line $i not fed by a partial aggregate:\n$p")
+    }
+  }
+}

@@ -1031,3 +1031,54 @@ class TransitionSpec extends AnyFunSuite {
     assert(out === Set(("x", "y"), ("y", "z")))
   }
 }
+
+class KCoreSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def core(e: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graph.kCore(e.toDF("src", "dst"), "src", "dst", k)
+      .as[(Long, Long)].collect().toMap
+
+  test("deep peel: a pendant chain unravels one node per round while " +
+      "the clique core survives with within-core degrees") {
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val chain = Seq((3L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val out = core(k4 ++ chain, k = 2)
+    // node 3's degree drops back to 3 only after the whole chain peels
+    assert(out === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("cycle survives k=2 exactly at degree 2; a tree has no 2-core") {
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(core(cyc, 2) ===
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val tree = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L))
+    val empty = Graph.kCore(tree.toDF("src", "dst"), "src", "dst", 2)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq === Seq("node", "core_degree"))
+  }
+
+  test("already-stable graph returns immediately; duplicates, " +
+      "reversals, and self-loops are normalized away") {
+    assert(core(Seq((7L, 8L)), 1) === Map(7L -> 1L, 8L -> 1L))
+    val messy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L),
+      (0L, 0L), (0L, 1L))
+    assert(core(messy, 2) === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    intercept[IllegalArgumentException] {
+      core(Seq((0L, 1L)), 0)
+    }
+  }
+
+  test("no persisted RDDs leak beyond the returned core") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val r = Graph.kCore(
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("src", "dst"),
+      "src", "dst", 2)
+    r.count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked ${leaked.size}")
+    graft.core.Checkpoints.release(r)
+  }
+}
