@@ -180,7 +180,7 @@ object Sketch {
 /** Bounded bottom-k buffer shared by the two KMV aggregators: an
   * ascending sorted array of DISTINCT hash values, length ≤ k — the
   * whole synopsis is ≤ k longs however many rows fold into it. */
-private[ops] object KmvBuffer {
+private[graft] object KmvBuffer {
   /** Insert one value, preserving sortedness/distinctness/cap. */
   def add(buf: Array[Long], h: Long, k: Int): Array[Long] = {
     val i = java.util.Arrays.binarySearch(buf, h)

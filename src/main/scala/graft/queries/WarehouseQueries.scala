@@ -915,6 +915,128 @@ object WarehouseQueries extends QueryGroup {
         .withColumnRenamed("score", "trust_mass")
     },
 
+    // Curation composition v8 — the STRUCTURAL spam gate: members of
+    // the link graph's 4-core are link-farm suspects (organic
+    // periphery peels away; farms are mutually dense) and are dropped
+    // UNLESS TrustRank rescues them (trust >= 1000 over the same
+    // graph, %17 seeds); survivors spend the 12k-token budget
+    // highest-trust-first. On the core-periphery fixture the gate
+    // splits the 350-node core 114 rescued / 236 dropped with all 150
+    // periphery docs surviving — every branch load-bearing in the
+    // hash. The oracle chains BOTH recursive CTEs (the strictly-
+    // shrinking peel and the 8-round seeded teleport) into the budget
+    // prefix-sum window; the kcore/trustrank/budget pieces are shared
+    // spellings with their standalone queries.
+    q("q_curate_corpus_v8", "warehouse",
+      """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+         nn AS (SELECT count(*) AS n FROM docs),
+         e1 AS (SELECT doc_id AS src,
+                  ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS u1
+                FROM docs),
+         e3 AS (SELECT src, u1, u1 * 48271 % 2147483647 AS u2,
+                  u1 * 48271 % 2147483647 * 48271 % 2147483647 AS u3
+                FROM e1),
+         edges AS (SELECT DISTINCT src, dst FROM (
+             SELECT src, u1 % (SELECT n FROM nn) AS dst FROM e3
+             UNION ALL
+             SELECT src, u2 % ((SELECT n FROM nn) // 10) FROM e3
+             UNION ALL
+             SELECT src, u3 % ((SELECT n FROM nn) // 20) FROM e3)
+           WHERE src != dst),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         und AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                 FROM edges),
+         bi AS (SELECT a AS x, b AS y FROM und
+                UNION ALL SELECT b AS x, a AS y FROM und),
+         du AS (SELECT x AS node, count(*) AS d FROM bi GROUP BY 1),
+         peel(t, node, d) AS (
+           SELECT 0, node, d FROM du
+           UNION ALL
+           SELECT p.t + 1, p.node,
+             (SELECT count(*) FROM bi
+              JOIN peel w ON w.t = p.t AND w.d >= 4
+               AND w.node = bi.y
+              WHERE bi.x = p.node)
+           FROM peel p
+           WHERE p.d >= 4
+             AND EXISTS (SELECT 1 FROM peel q
+                         WHERE q.t = p.t AND q.d < 4)),
+         core AS (SELECT node FROM peel
+                  WHERE t = (SELECT max(t) FROM peel) AND d >= 4),
+         ns AS (SELECT count(*) AS n FROM docs WHERE doc_id % 17 = 0),
+         pr(t, node, r) AS (
+           SELECT 0, doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN (SELECT 1000000 // n FROM ns) ELSE 0 END
+           FROM docs
+           UNION ALL
+           SELECT p.t + 1, p.node,
+             (CASE WHEN p.node % 17 = 0
+                   THEN (SELECT 15 * (1000000 // n) // 100 FROM ns)
+                   ELSE 0 END)
+             + 85 * COALESCE((
+                 SELECT SUM(p2.r // d.deg) FROM pr p2
+                 JOIN edges e ON e.src = p2.node
+                 JOIN deg d ON d.src = p2.node
+                 WHERE e.dst = p.node AND p2.t = p.t), 0) // 100
+           FROM pr p WHERE p.t < 8),
+         trust AS (SELECT node, r FROM pr WHERE t = 8),
+         kept AS (SELECT tr.node, tr.r FROM trust tr
+                  WHERE tr.r >= 1000
+                     OR tr.node NOT IN (SELECT node FROM core)),
+         f AS (SELECT d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                   AS tokens,
+                 CAST(k.r AS DOUBLE) AS trust_mass
+               FROM documents d JOIN kept k ON k.node = d.doc_id),
+         c AS (SELECT doc_id, tokens, trust_mass,
+                 CAST(SUM(tokens) OVER (
+                   ORDER BY trust_mass DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+               FROM f)
+         SELECT doc_id, tokens, trust_mass, cum_tokens FROM c
+         WHERE cum_tokens <= 12000""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e1 = docs.select(col("doc_id").as("src"),
+        (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
+          .as("u1"))
+      val e3 = e1.select(col("src"), col("u1"),
+        (col("u1") * 48271L % 2147483647L).as("u2"),
+        (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L)
+          .as("u3"))
+      val edges = e3.select(col("src"), (col("u1") % n).as("dst"))
+        .unionByName(e3.select(col("src"),
+          (col("u2") % (n / 10)).as("dst")))
+        .unionByName(e3.select(col("src"),
+          (col("u3") % (n / 20)).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint() // consumed by BOTH the peel and the ranker
+      val core = Graph.kCore(edges, "src", "dst", k = 4)
+        .select(col("node").as("_core"))
+      val trust = Graph.trustRank(edges, "src", "dst",
+        docs.filter(col("doc_id") % 17 === 0), iterations = 8,
+        nodesOpt = Some(docs))
+      // no broadcast hint: the core is data-sized (a spam-heavy crawl
+      // can have a huge 4-core) — AQE broadcasts when it is small
+      val kept = trust.join(core,
+          trust("node") === core("_core"), "left")
+        .filter(col("rank") >= 1000 || col("_core").isNull)
+        .select(col("node"), col("rank"))
+      val feats = Tables.df(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .join(kept, col("doc_id") === col("node"))
+        .select(col("doc_id"), col("tokens"), col("rank").as("trust"))
+      val out = graft.ops.Pack.selectUnderBudget(feats, "doc_id",
+          "tokens", "trust", 12000L)
+        .withColumnRenamed("score", "trust_mass")
+      graft.core.Checkpoints.release(edges)
+      out
+    },
+
     // l-diverse release at k=10, l=5 over 7 sensitive classes: 623
     // combinations publish, 106 fail the row threshold and 16 pass it
     // but fail DIVERSITY (≥10 rows yet <5 distinct sensitive values —

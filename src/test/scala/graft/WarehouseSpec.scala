@@ -1082,3 +1082,39 @@ class KCoreSpec extends AnyFunSuite {
     graft.core.Checkpoints.release(r)
   }
 }
+
+class KmvBufferPropertySpec extends AnyFunSuite {
+  import graft.ops.KmvBuffer
+
+  test("randomized algebra: folding adds equals sorted-distinct-take-k, " +
+      "and any split merges to the same synopsis (associativity + " +
+      "dedup across parts)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small value domain FORCES duplicate and cross-part collisions
+    val genVals = Gen.listOf(Gen.chooseNum(0L, 40L))
+    val prop = Prop.forAll(genVals, Gen.chooseNum(2, 12),
+        Gen.chooseNum(0, 100)) { (vs, k, cutPct) =>
+      def fold(xs: Seq[Long]): Array[Long] =
+        xs.foldLeft(Array.emptyLongArray)(KmvBuffer.add(_, _, k))
+      val want = vs.distinct.sorted.take(k)
+      val whole = fold(vs).toSeq
+      val cut = vs.length * cutPct / 100
+      val (a, b) = vs.splitAt(cut)
+      val merged = KmvBuffer.merge(fold(a), fold(b), k).toSeq
+      whole == want && merged == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("merge handles asymmetric and oversized inputs: empty sides " +
+      "truncate to k, shared extremes dedup") {
+    val a = Array(1L, 2L, 3L, 4L, 5L)
+    assert(KmvBuffer.merge(a, Array.emptyLongArray, 3).toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(KmvBuffer.merge(Array.emptyLongArray, a, 3).toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(KmvBuffer.merge(a, a, 10).toSeq == a.toSeq)
+  }
+}
