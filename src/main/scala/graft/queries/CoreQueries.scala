@@ -332,6 +332,35 @@ object CoreQueries extends QueryGroup {
       }
     },
 
+    // UNPIVOT (melt) — the pivot inverse: the wide per-user counts
+    // back to (user_id, event_type, n) long form. Like the pivot, the
+    // column domain is EXPLICIT (schema-bounded at plan time, a pure
+    // per-row Expand — map-only, no shuffle beyond the upstream agg);
+    // round-tripping pivot∘unpivot reproduces the plain groupBy
+    // counts, which is exactly what the oracle computes directly.
+    // Zero cells survive the round trip (pivot fills them), so the
+    // oracle's cross join keeps them too.
+    q("q_unpivot_events", "agg",
+      """SELECT u.user_id, t.event_type,
+              CAST(coalesce(c.n, 0) AS BIGINT) AS n
+          FROM (SELECT DISTINCT user_id FROM events) u
+          CROSS JOIN (SELECT unnest(['click', 'view', 'purchase',
+                        'signup', 'error']) AS event_type) t
+          LEFT JOIN (SELECT user_id, event_type, count(*) AS n
+                     FROM events GROUP BY 1, 2) c
+            ON c.user_id = u.user_id AND c.event_type = t.event_type""") {
+      (spark, dir) =>
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val ev = Tables.df(spark, dir, "events")
+      val wide = types.foldLeft(
+        ev.groupBy("user_id").pivot("event_type", types)
+          .agg(count(lit(1)))) { (d, t) =>
+        d.withColumn(t, coalesce(col(t), lit(0L)))
+      }
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray,
+        "event_type", "n")
+    },
+
     // ROLLUP grouping sets with grouping_id — the warehouse subtotal
     // shape; DECIMAL sums emitted as strings (the round-2 rule)
     q("q_rollup_orders", "agg",
