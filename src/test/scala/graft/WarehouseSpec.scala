@@ -1118,3 +1118,122 @@ class KmvBufferPropertySpec extends AnyFunSuite {
     assert(KmvBuffer.merge(a, a, 10).toSeq == a.toSeq)
   }
 }
+
+/** Randomized differential specs for the round-14 analytics family:
+  * each operator vs an independent brute-force Scala reference, on
+  * small domains that force ties, simultaneity, and deep peels. */
+class AnalyticsPropertySpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("funnel vs brute force: random streams, duplicate timestamps, " +
+      "with and without horizon") {
+    val genEv = Gen.listOfN(30, for {
+      u <- Gen.chooseNum(0L, 4L)
+      t <- Gen.oneOf("a", "b", "c")
+      at <- Gen.chooseNum(0L, 19L) // collisions likely
+    } yield (u, t, at))
+    val prop = Prop.forAll(genEv, Gen.option(Gen.chooseNum(2L, 8L))) {
+      (evs, hOpt) =>
+      val steps = Seq("a", "b", "c")
+      // reference: greedy earliest completion per user
+      def reach(u: Long): Int = {
+        val mine = evs.filter(_._1 == u)
+        val t1s = mine.filter(_._2 == "a").map(_._3)
+        if (t1s.isEmpty) return 0
+        val t1 = t1s.min
+        var prev = t1
+        var k = 1
+        for (s <- steps.tail) {
+          val cand = mine.filter(e => e._2 == s && e._3 > prev &&
+            hOpt.forall(h => e._3 <= t1 + h)).map(_._3)
+          if (cand.nonEmpty && k == steps.indexOf(s)) {
+            prev = cand.min; k += 1
+          }
+        }
+        k
+      }
+      val users = evs.map(_._1).distinct
+      val want = steps.indices.map(i =>
+        users.count(u => reach(u) >= i + 1).toLong)
+      val df = evs.map { case (u, t, at) => (u, t, ts(at)) }
+        .toDF("u", "t", "at")
+      val got = graft.ops.Events.funnel(df, "u", "t", "at", steps,
+          horizonSeconds = hOpt)
+        .orderBy("step_idx").as[(Int, String, Long, Long)]
+        .collect().map(_._3).toSeq
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kCore vs brute-force peel on random multigraphs") {
+    val genEdges = Gen.listOfN(20,
+      Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 7L)))
+    val prop = Prop.forAll(genEdges, Gen.chooseNum(1, 3)) { (es, k) =>
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      var alive = und.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+      var changed = true
+      while (changed && alive.nonEmpty) {
+        val deg = und.filter(e => alive(e._1) && alive(e._2))
+          .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val next = alive.filter(n => deg.getOrElse(n, 0L) >= k)
+        changed = next != alive
+        alive = next
+      }
+      val finalDeg = und.filter(e => alive(e._1) && alive(e._2))
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val want = alive.map(n => n -> finalDeg.getOrElse(n, 0L)).toMap
+      val got =
+        if (es.isEmpty) Map.empty[Long, Long]
+        else graft.ops.Graph.kCore(es.toDF("src", "dst"),
+          "src", "dst", k).as[(Long, Long)].collect().toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("hits vs an exact integer reference on random graphs") {
+    val genEdges = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 5L)))
+      .map(_.filter(e => e._1 != e._2).distinct)
+      .suchThat(_.nonEmpty)
+    val prop = Prop.forAll(genEdges, Gen.chooseNum(1, 4)) { (es, iters) =>
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val scale = 100000L
+      val r0 = scale / nodes.size
+      var h = nodes.map(_ -> r0).toMap
+      var a = nodes.map(_ -> r0).toMap
+      for (_ <- 1 to iters) {
+        val araw = nodes.map(v =>
+          v -> es.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+        val hraw = nodes.map(u =>
+          u -> es.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+        val ta = araw.values.sum
+        val th = hraw.values.sum
+        a = nodes.map(v => v -> (if (ta == 0) 0L
+          else araw(v) * scale / ta)).toMap
+        h = nodes.map(u => u -> (if (th == 0) 0L
+          else hraw(u) * scale / th)).toMap
+      }
+      val got = graft.ops.Graph.hits(es.toDF("src", "dst"),
+          "src", "dst", iterations = iters, scale = scale)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      got == nodes.map(n => n -> (h(n), a(n))).toMap
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
