@@ -493,6 +493,69 @@ object Stats {
         (col("adev") > lit(nMads.toLong) * col("mad")).as("is_outlier"))
   }
 
+  /** First-digit Benford QC (Newcomb 1881 / Benford 1938 — the
+    * classic fabricated-number audit: organic multiplicative
+    * quantities put ~30.1% of first significant digits at 1; uniform
+    * or invented data does not): per group, the first-digit histogram
+    * of the integer part of |value| and its total-variation distance
+    * from the Benford distribution, flagged against `tPermille`.
+    *
+    * Engine-exact: the first digit is the first character of the
+    * integer's decimal string — never log10, whose float rounding
+    * flips at exact powers of ten — and the distance check is the
+    * integer cross-product form `Σ_d |1000·c_d − b_d·n| ≤ 2·t·n`, with all
+    * NINE digits present (absent digits contribute b_d·n through the
+    * Benford-literal grid). Values with |value| < 1 carry no first
+    * digit under this integer reading and are excluded, as are NULLs;
+    * b_d = round(1000·log10(1+1/d)) = 301 176 125 97 79 67 58 51 46 —
+    * an exact integer constant, not computed at runtime. Null group
+    * keys are a real slice and survive (null-safe grid join).
+    *
+    * Scale shape: one corpus-sized (group, digit) partial agg; the
+    * 9-row Benford literal broadcasts onto the groups frame and
+    * everything downstream is groups-sized.
+    *
+    * @return (groupCols…, n_values, dev, benford_ok) where `dev` is
+    *         Σ_d |1000·c_d − b_d·n| — TVD permille = dev/(2n) — and
+    *         `benford_ok` ⇔ dev ≤ 2·tPermille·n */
+  def benfordQc(df: DataFrame, groupCols: Seq[String], value: Column,
+      tPermille: Long): DataFrame = {
+    require(groupCols.nonEmpty, "benfordQc: groupCols must be non-empty")
+    require(tPermille >= 0 && tPermille <= 1000,
+      s"tPermille must be in [0, 1000]: $tPermille")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val benford = Seq((1, 301L), (2, 176L), (3, 125L), (4, 97L),
+      (5, 79L), (6, 67L), (7, 58L), (8, 51L), (9, 46L))
+      .toDF("_digit", "_b")
+    val counts = df
+      .select(groupCols.map(col) :+
+        floor(abs(value)).cast("long").as("_ip"): _*)
+      .filter(col("_ip") >= 1)
+      .withColumn("_digit",
+        substring(col("_ip").cast("string"), 1, 1).cast("int"))
+      .groupBy((groupCols :+ "_digit").map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // consumed by the groups frame AND the grid
+    val groups = counts
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_c")).as("n_values"))
+    val cAliased = counts.select(
+      groupCols.map(n => col(n).as(s"_g_$n")) :+
+        col("_digit").as("_gd") :+ col("_c"): _*)
+    groups.crossJoin(broadcast(benford))
+      .join(cAliased,
+        groupCols.map(n => col(n) <=> col(s"_g_$n"))
+          .reduce(_ && _) && col("_digit") === col("_gd"), "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("n_values")).as("n_values"),
+        sum(abs(coalesce(col("_c"), lit(0L)) * 1000L -
+          col("_b") * col("n_values"))).as("dev"))
+      .select(groupCols.map(col) ++ Seq(col("n_values"), col("dev"),
+        (col("dev") <= lit(2L * tPermille) * col("n_values"))
+          .as("benford_ok")): _*)
+  }
+
   /** Quantile winsorization — clip a feature to its [lo, hi] permille
     * thresholds instead of dropping outlier rows (the standard
     * feature-cleaning transform when the row must survive but its

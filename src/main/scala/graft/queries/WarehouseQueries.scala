@@ -1114,6 +1114,40 @@ object WarehouseQueries extends QueryGroup {
         Seq("event_type", "cohort"), "sens", k = 10, tPermille = 200)
     },
 
+    // Benford first-digit QC of the event value per type: the
+    // fabricated-number audit. Uniform synthetic values are decisively
+    // NON-Benford (~270 permille TVD vs the 100-permille gate), so
+    // every type flags — the verdict is constant but `dev` (the exact
+    // integer distance) carries the full continuous signal into the
+    // hash; BenfordSpec exercises the passing branch on log-spread
+    // data. Digits come from the integer's decimal string (never
+    // log10); absent digits fold through the 9-row Benford grid.
+    q("q_benford_values", "warehouse",
+      """WITH v AS (SELECT event_type,
+                      CAST(floor(abs(value)) AS BIGINT) AS ip
+                    FROM events
+                    WHERE value IS NOT NULL AND abs(value) >= 1),
+         c AS (SELECT event_type,
+                 CAST(CAST(ip AS VARCHAR)[1] AS INT) AS digit,
+                 count(*) AS c
+               FROM v GROUP BY 1, 2),
+         g AS (SELECT event_type, sum(c) AS n FROM c GROUP BY 1),
+         b AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+                 unnest([301,176,125,97,79,67,58,51,46]) AS bp),
+         dv AS (SELECT g.event_type, min(g.n) AS n_values,
+                  sum(abs(COALESCE(c.c, 0) * 1000 - b.bp * g.n)) AS dev
+                FROM g CROSS JOIN b
+                LEFT JOIN c ON c.event_type = g.event_type
+                           AND c.digit = b.digit
+                GROUP BY 1)
+         SELECT event_type, CAST(n_values AS BIGINT) AS n_values,
+                CAST(dev AS BIGINT) AS dev,
+                dev <= 2 * 100 * n_values AS benford_ok
+         FROM dv""") { (spark, dir) =>
+      Stats.benfordQc(Tables.df(spark, dir, "events"),
+        Seq("event_type"), col("value"), tPermille = 100L)
+    },
+
     // Quantile winsorization of the event value at [p05, p95]: clip,
     // don't drop — every input row survives with its tail value pulled
     // to the integer type-1 thresholds; NULL values pass through

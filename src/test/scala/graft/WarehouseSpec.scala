@@ -1237,3 +1237,46 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 }
+
+class BenfordSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("hand case: exact dev arithmetic with absent digits folded") {
+    // group g: values 1, 1, 2 -> c_1=2, c_2=1, n=3
+    // dev = |2000-903| + |1000-528| + sum_{d>=3} b_d*3
+    //     = 1097 + 472 + 3*(125+97+79+67+58+51+46) = 1569 + 1569
+    val df = Seq(("g", 1.4), ("g", 1.9), ("g", 2.0)).toDF("s", "v")
+    val out = graft.ops.Stats.benfordQc(df, Seq("s"), col("v"), 300L)
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(out === (("g", 3L, 3138L, false))) // 3138 > 2*300*3 = 1800
+  }
+
+  test("log-spread data passes the gate; uniform data fails it; " +
+      "|value| < 1 and NULL are excluded; negative values count by " +
+      "absolute part") {
+    // Benford-ish: 2^k for k = 0..59 is the classic log-uniform set
+    val ben = (0 until 60).map(k => ("ben", math.pow(2.0, k)))
+    val uni = (1 to 600).map(i => ("uni", i.toDouble))
+    val noise = Seq(("ben", 0.4), ("ben", Double.NaN * 0 + 0.0),
+      ("uni", -250.0)) // -250 lands in uni's digit-2 bucket
+    val df = (ben ++ uni ++ noise).toDF("s", "v")
+    val out = graft.ops.Stats.benfordQc(df, Seq("s"), col("v"), 100L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("ben")._2 == 60L) // the two sub-1 rows excluded
+    assert(out("ben")._4, s"2^k set should pass: dev=${out("ben")._3}")
+    assert(out("uni")._2 == 601L) // -250 included via abs
+    assert(!out("uni")._4, s"uniform should fail: dev=${out("uni")._3}")
+  }
+
+  test("contract checks: empty groupCols and bad tPermille rejected") {
+    val df = Seq(("g", 1.0)).toDF("s", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.benfordQc(df, Seq.empty, col("v"), 100L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.benfordQc(df, Seq("s"), col("v"), 1001L)
+    }
+  }
+}
