@@ -1280,3 +1280,80 @@ class BenfordSpec extends AnyFunSuite {
     }
   }
 }
+
+class FunnelStreamSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Stage events as one parquet file per slice, modification-time
+    * ordered (the ScdSpec discipline), and run the bounded stream. */
+  private def runStaged(ev: org.apache.spark.sql.DataFrame,
+      slices: Seq[org.apache.spark.sql.Column],
+      steps: Seq[String], horizon: Option[Long]): Map[Int, Long] = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_fspec")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fspec_w")
+    try {
+      val base = System.currentTimeMillis()
+      slices.zipWithIndex.foreach { case (keep, i) =>
+        val d = tmp.resolve(s"b$i")
+        ev.filter(keep).coalesce(1).write.parquet(d.toString)
+        val part = java.nio.file.Files.list(d).toArray
+          .map(_.toString).filter(_.endsWith(".parquet")).head
+        val dst = staged.resolve(s"b$i.parquet")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+        dst.toFile.setLastModified(
+          base - (slices.length + 1 - i) * 60000L): Unit
+      }
+      graft.streaming.FunnelStream.runFunnelToBatch(spark,
+          staged.toString, steps, horizon,
+          maxFilesPerTrigger = Some(1))
+        .as[(Int, String, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+    } finally {
+      graft.core.Fs.deleteRecursively(staged)
+      graft.core.Fs.deleteRecursively(tmp)
+    }
+  }
+
+  test("cross-batch state continuation: a user entering the funnel in " +
+      "batch 1 completes it in batch 3; per-batch isolation would " +
+      "miss every multi-batch conversion") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      (1L, ts("2024-01-02 10:00:00"), "click"),
+      (1L, ts("2024-01-03 10:00:00"), "purchase"),
+      (2L, ts("2024-01-03 11:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+      .select(col("user_id"), col("ts"), col("event_type"),
+        lit(0L).as("event_id"), lit(0.0).as("value"),
+        lit("").as("props"))
+      .select("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+    val slices = Seq(
+      col("ts") < lit("2024-01-02").cast("timestamp"),
+      col("ts") >= lit("2024-01-02").cast("timestamp") &&
+        col("ts") < lit("2024-01-03").cast("timestamp"),
+      col("ts") >= lit("2024-01-03").cast("timestamp"))
+    val got = runStaged(ev, slices, Seq("view", "click", "purchase"),
+      None)
+    assert(got === Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("time-split multi-batch fold equals the batch operator on the " +
+      "sf0.001 events table, horizon on") {
+    val ev = graft.core.Tables.df(spark, sf, "events")
+    val slices = Seq(
+      col("ts") < lit("2024-01-15").cast("timestamp"),
+      col("ts") >= lit("2024-01-15").cast("timestamp"))
+    val steps = Seq("view", "click", "purchase")
+    val got = runStaged(ev, slices, steps, Some(604800L))
+    val want = graft.ops.Events.funnel(ev, "user_id", "event_type",
+        "ts", steps, horizonSeconds = Some(604800L))
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got === want)
+  }
+}
