@@ -74,6 +74,54 @@ object Events {
     }.toDF("step_idx", "step", "users", "permille")
   }
 
+  /** Time-to-convert quantiles — the metric that rides alongside
+    * [[funnel]]'s conversion counts: among users who complete ALL
+    * steps (under the same earliest-completion greedy and optional
+    * horizon), the exact type-1 permille quantiles of the
+    * whole-funnel duration (last-step time − first-step time) in
+    * FLOOR SECONDS. Integer-exact end to end: µs difference, integer
+    * division to seconds, then [[Stats.exactQuantiles]]'s integer
+    * rank machinery (durations are bounded by the horizon — or the
+    * corpus time span — so the bounded-cardinality contract holds by
+    * construction at second granularity; quantize coarser for
+    * multi-year spans).
+    *
+    * Same per-step scale shape as [[funnel]]; the extra work is one
+    * users-sized duration projection and the quantile value-groupBy.
+    *
+    * @return (permille, v_at) — v_at in whole seconds; empty when no
+    *         user completes the funnel. */
+  def funnelDurations(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      permilles: Seq[Int], horizonSeconds: Option[Long] = None)
+      : DataFrame = {
+    require(steps.size >= 2, s"funnelDurations: need >= 2 steps")
+    require(horizonSeconds.forall(_ > 0),
+      s"funnel: horizon must be positive: $horizonSeconds")
+    val ev = events.select(col(userCol).as("_u"), col(typeCol).as("_t"),
+      unix_micros(col(tsCol)).as("_ts"))
+    val rotate = new Checkpoints.Rotating
+    var reached = rotate(ev.filter(col("_t") === steps.head)
+      .groupBy("_u")
+      .agg(min(col("_ts")).as("_t1"))
+      .select(col("_u").as("_ru"), col("_t1"), col("_t1").as("_tp")))
+    for (s <- steps.tail) {
+      val f = ev.filter(col("_t") === s)
+      val inOrder = f("_ts") > reached("_tp")
+      val cond = horizonSeconds.fold(inOrder) { h =>
+        inOrder && f("_ts") <= reached("_t1") + lit(h * 1000000L)
+      }
+      reached = rotate(f.join(reached, f("_u") === reached("_ru") && cond)
+        .groupBy(col("_u").as("_ru"))
+        .agg(min(col("_t1")).as("_t1"), min(col("_ts")).as("_tp")))
+    }
+    val out = Stats.exactQuantiles(
+      reached.select(expr("(_tp - _t1) div 1000000").as("_sec")),
+      col("_sec"), permilles).localCheckpoint()
+    rotate.releaseLast()
+    out
+  }
+
   /** Event-type transition matrix (first-order Markov counts): for
     * each user's event sequence ordered by (time, tiebreakCol), count
     * consecutive (from → to) type pairs across all users, with an

@@ -445,6 +445,43 @@ object WarehouseQueries extends QueryGroup {
         horizonSeconds = Some(604800L))
     },
 
+    // Time-to-convert quantiles: among full view->click->purchase
+    // completers (same greedy + 7-day horizon as q_funnel), the exact
+    // type-1 permille quantiles of last-minus-first time in floor
+    // seconds — integer end to end (µs diff, div to seconds, the
+    // exactQuantiles rank machinery), so the oracle replays the whole
+    // chain verbatim.
+    q("q_funnel_durations", "warehouse",
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(s1.t1) AS t1,
+                  min(epoch_us(e.ts)) AS tp
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 AND epoch_us(e.ts) > s1.t1
+                 AND epoch_us(e.ts) <= s1.t1 + 604800000000
+                WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(s2.t1) AS t1,
+                  min(epoch_us(e.ts)) AS tp
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                 AND epoch_us(e.ts) > s2.tp
+                 AND epoch_us(e.ts) <= s2.t1 + 604800000000
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+         d AS (SELECT (tp - t1) // 1000000 AS v FROM s3),
+         counts AS (SELECT v, count(*) AS c FROM d GROUP BY 1),
+         cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM counts),
+         tot AS (SELECT SUM(c) AS n FROM counts),
+         ranks AS (SELECT p, (p * n + 999) // 1000 AS r
+                   FROM (VALUES (250), (500), (750), (900)) t(p)
+                   CROSS JOIN tot)
+         SELECT CAST(p AS BIGINT) AS permille, MIN(v) AS v_at
+         FROM ranks JOIN cum ON cum.cum >= ranks.r
+         GROUP BY 1""") { (spark, dir) =>
+      Events.funnelDurations(Tables.df(spark, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        permilles = Seq(250, 500, 750, 900),
+        horizonSeconds = Some(604800L))
+    },
+
     // Weekly cohort retention matrix: cohort = ISO week of the user's
     // first event, offset = whole weeks between week STARTS (exact
     // integer: both endpoints are Monday-truncated dates, datediff

@@ -1357,3 +1357,51 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(got === want)
   }
 }
+
+class FunnelDurationsSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import graft.ops.Events
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hand case: floor-second durations of completers only, exact " +
+      "type-1 quantiles; horizon excludes a would-be completer") {
+    val ev = Seq(
+      // completer in 90 min = 5400s
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")),
+      (1L, "purchase", ts("2024-01-01 11:30:00")),
+      // completer in 10s
+      (2L, "view", ts("2024-01-02 09:00:00")),
+      (2L, "click", ts("2024-01-02 09:00:05")),
+      (2L, "purchase", ts("2024-01-02 09:00:10")),
+      // non-completer (no purchase): excluded
+      (3L, "view", ts("2024-01-03 09:00:00")),
+      (3L, "click", ts("2024-01-03 09:10:00")),
+      // purchase beyond the 2h horizon: excluded
+      (4L, "view", ts("2024-01-04 09:00:00")),
+      (4L, "click", ts("2024-01-04 09:10:00")),
+      (4L, "purchase", ts("2024-01-04 11:30:00"))
+    ).toDF("u", "t", "at")
+    val out = Events.funnelDurations(ev, "u", "t", "at",
+        Seq("view", "click", "purchase"),
+        permilles = Seq(500, 1000), horizonSeconds = Some(7200L))
+      .as[(Long, Long)].collect().toMap
+    // durations {10, 5400}: p500 -> rank 1 -> 10, p1000 -> 5400
+    assert(out === Map(500L -> 10L, 1000L -> 5400L))
+  }
+
+  test("no completers yields an empty frame; fewer than two steps " +
+      "rejected") {
+    val ev = Seq((1L, "view", ts("2024-01-01 10:00:00")))
+      .toDF("u", "t", "at")
+    val out = Events.funnelDurations(ev, "u", "t", "at",
+      Seq("view", "click"), permilles = Seq(500))
+    assert(out.count() == 0)
+    intercept[IllegalArgumentException] {
+      Events.funnelDurations(ev, "u", "t", "at", Seq("view"),
+        permilles = Seq(500))
+    }
+  }
+}
