@@ -74,6 +74,61 @@ object Events {
     }.toDF("step_idx", "step", "users", "permille")
   }
 
+  /** Linear multi-touch attribution — the sibling of the as-of-join
+    * last-touch model: every touch in the window before a conversion
+    * shares the credit equally, in INTEGER PERMILLE (1000 div k per
+    * touch, the division remainder granted to the LATEST touch — the
+    * "adjusted linear" convention — so each conversion distributes
+    * exactly 1000 and the totals are engine-exact). Conversions with
+    * no in-window touch carry no credit rows.
+    *
+    * Scale shape: one per-user interval join (conversions × touches
+    * within the window — shuffled on the user key, pair volume
+    * bounded by per-user touch density × window), one per-conversion
+    * window for k and the latest-touch rank (tie-broken by the id
+    * column so equal timestamps stay deterministic), then a
+    * types-sized aggregation.
+    *
+    * @return (touch_type, credit, conversions, touches) — `credit` in
+    *         permille units (Σ over types = 1000 × attributed
+    *         conversions), `conversions` = distinct conversions the
+    *         type touched, `touches` = credited pair count. */
+  def linearAttribution(events: DataFrame, idCol: String,
+      userCol: String, typeCol: String, tsCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      windowSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type '$conversionType' cannot also be a touch type")
+    require(windowSeconds > 0, s"window must be positive: $windowSeconds")
+    val base = events.select(col(idCol).as("_id"), col(userCol).as("_u"),
+      col(typeCol).as("_t"), unix_micros(col(tsCol)).as("_ts"))
+    val conv = base.filter(col("_t") === conversionType)
+      .select(col("_id").as("_cid"), col("_u").as("_cu"),
+        col("_ts").as("_cts"))
+    val touch = base.filter(col("_t").isin(touchTypes: _*))
+    val w = windowSeconds * 1000000L
+    val pairs = touch.join(conv,
+      touch("_u") === conv("_cu") &&
+        touch("_ts") <= conv("_cts") &&
+        touch("_ts") > conv("_cts") - lit(w))
+    val byConv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_cid"))
+    val latestFirst = byConv
+      .orderBy(col("_ts").desc, col("_id").desc)
+    pairs
+      .withColumn("_k", count(lit(1)).over(byConv))
+      .withColumn("_rn", row_number().over(latestFirst))
+      .select(col("_t").as("touch_type"), col("_cid"),
+        (expr("1000L div _k") +
+          when(col("_rn") === 1, expr("1000L % _k"))
+            .otherwise(lit(0L))).as("_credit"))
+      .groupBy("touch_type")
+      .agg(sum(col("_credit")).as("credit"),
+        count_distinct(col("_cid")).as("conversions"),
+        count(lit(1)).as("touches"))
+  }
+
   /** Time-to-convert quantiles — the metric that rides alongside
     * [[funnel]]'s conversion counts: among users who complete ALL
     * steps (under the same earliest-completion greedy and optional

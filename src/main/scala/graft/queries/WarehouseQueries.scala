@@ -663,6 +663,35 @@ object WarehouseQueries extends QueryGroup {
           col("touch_event_id"))
     },
 
+    // Linear multi-touch attribution: every view/click in the 24h
+    // window before a purchase shares the credit equally in integer
+    // permille, the division remainder granted to the LATEST touch
+    // (ties broken by event_id) so each purchase distributes exactly
+    // 1000. The oracle replays the interval join + per-conversion
+    // window + floor/remainder arithmetic verbatim.
+    q("q_attribution_linear", "warehouse",
+      """WITH c AS (SELECT event_id AS cid, user_id AS cu,
+                      epoch_us(ts) AS cts
+                    FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tts
+               FROM events WHERE event_type IN ('view', 'click')),
+         p AS (SELECT t.event_type, t.event_id, t.tts, c.cid,
+                 count(*) OVER (PARTITION BY c.cid) AS k,
+                 row_number() OVER (PARTITION BY c.cid
+                   ORDER BY t.tts DESC, t.event_id DESC) AS rn
+               FROM t JOIN c ON t.user_id = c.cu
+                AND t.tts <= c.cts AND t.tts > c.cts - 86400000000)
+         SELECT event_type AS touch_type,
+                CAST(sum(1000 // k + CASE WHEN rn = 1
+                  THEN 1000 % k ELSE 0 END) AS BIGINT) AS credit,
+                CAST(count(DISTINCT cid) AS BIGINT) AS conversions,
+                CAST(count(*) AS BIGINT) AS touches
+         FROM p GROUP BY 1""") { (spark, dir) =>
+      Events.linearAttribution(Tables.df(spark, dir, "events"),
+        "event_id", "user_id", "event_type", "ts", "purchase",
+        Seq("view", "click"), windowSeconds = 86400L)
+    },
+
     // KMV distinct-count sketch (k = 64) of users per event type, the
     // exact count alongside: the oracle rebuilds the bottom-64 of the
     // same unsigned Spark-Murmur3 hash space via a rank window and

@@ -1405,3 +1405,56 @@ class FunnelDurationsSpec extends AnyFunSuite {
     }
   }
 }
+
+class LinearAttributionSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import graft.ops.Events
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hand case: equal split with the remainder on the latest " +
+      "touch; window excludes stale touches; per-conversion totals " +
+      "are exactly 1000") {
+    val ev = Seq(
+      // purchase at 12:00 with 3 in-window touches: 333/333/334
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "click", ts("2024-01-01 11:00:00")),
+      (3L, 10L, "view", ts("2024-01-01 11:30:00")), // latest: +1
+      (4L, 10L, "purchase", ts("2024-01-01 12:00:00")),
+      // out-of-window touch (25h before): no credit
+      (5L, 20L, "view", ts("2024-01-01 09:00:00")),
+      (6L, 20L, "purchase", ts("2024-01-02 10:30:00")),
+      // conversion with ONE touch: full 1000
+      (7L, 30L, "click", ts("2024-01-03 10:00:00")),
+      (8L, 30L, "purchase", ts("2024-01-03 10:05:00"))
+    ).toDF("id", "u", "t", "at")
+    val out = Events.linearAttribution(ev, "id", "u", "t", "at",
+        "purchase", Seq("view", "click"), windowSeconds = 86400L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // view: 333 + 334 = 667 on 1 conversion, 2 touches
+    // click: 333 on purchase A + 1000 on purchase B
+    assert(out === Map(
+      "view" -> (667L, 1L, 2L),
+      "click" -> (1333L, 2L, 2L)))
+  }
+
+  test("equal-timestamp touches: the remainder goes to the highest " +
+      "event_id deterministically; conversion type may not be a " +
+      "touch type") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq(
+      (1L, 5L, "view", t0), (2L, 5L, "view", t0), (3L, 5L, "view", t0),
+      (9L, 5L, "purchase", ts("2024-01-01 11:00:00"))
+    ).toDF("id", "u", "t", "at")
+    val out = Events.linearAttribution(ev, "id", "u", "t", "at",
+        "purchase", Seq("view"), 86400L)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(out === (("view", 1000L, 1L, 3L)))
+    intercept[IllegalArgumentException] {
+      Events.linearAttribution(ev, "id", "u", "t", "at",
+        "purchase", Seq("purchase", "view"), 86400L)
+    }
+  }
+}
