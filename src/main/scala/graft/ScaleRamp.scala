@@ -940,6 +940,17 @@ object ScaleRamp {
         timeIt(graft.ops.Events.retentionMatrix(eventsAt(k),
           "user_id", "ts").count())
       },
+      "linear_attribution" -> { k =>
+        // multi-touch attribution (round 14): conversions × in-window
+        // touches per user. Events-per-user is constant (80 over 30
+        // days), so per-conversion in-window touch count — and pair
+        // volume per conversion — is constant too: expect ~linear.
+        val ev = eventsAt(k).withColumn("eid",
+          xxhash64(col("user_id"), col("ts"), col("etype")))
+        timeIt(graft.ops.Events.linearAttribution(ev,
+          "eid", "user_id", "etype", "ts", "purchase",
+          Seq("view", "click"), windowSeconds = 86400L).count())
+      },
       "kmv_synopsis" -> { k =>
         // KMV sketch (round 14): distinct users ramp with k, synopsis
         // FIXED at 64 longs per group (the point of the sketch) — the
