@@ -1458,3 +1458,101 @@ class LinearAttributionSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Second randomized batch: the remaining event operators vs
+  * brute-force references (dates straddle ISO-week and month
+  * boundaries by construction). */
+class EventsPropertySpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  // seconds offset into January 2024 (starts Monday 2024-01-01)
+  private def ts(sec: Long) =
+    new java.sql.Timestamp(1704067200000L + sec * 1000L)
+  private def day(sec: Long): java.time.LocalDate =
+    java.time.LocalDate.of(2024, 1, 1).plusDays(sec / 86400L)
+
+  test("retentionMatrix vs brute force over random sparse activity") {
+    val genEv = Gen.listOfN(40, for {
+      u <- Gen.chooseNum(0L, 5L)
+      s <- Gen.chooseNum(0L, 86400L * 34 - 1) // spills into February
+    } yield (u, s))
+    val prop = Prop.forAll(genEv) { evs =>
+      val want = {
+        val first = evs.groupBy(_._1).view.mapValues(_.map(_._2).min)
+        val cohortOf = first.mapValues(s =>
+          day(s).`with`(java.time.DayOfWeek.MONDAY)).toMap
+        evs.map { case (u, s) =>
+          val cw = cohortOf(u)
+          val ww = day(s).`with`(java.time.DayOfWeek.MONDAY)
+          (cw.toString,
+            java.time.temporal.ChronoUnit.DAYS.between(cw, ww) / 7, u)
+        }.distinct.groupBy(p => (p._1, p._2))
+          .view.mapValues(_.size.toLong).toMap
+      }
+      val got = graft.ops.Events.retentionMatrix(
+          evs.map { case (u, s) => (u, ts(s)) }.toDF("u", "at"),
+          "u", "at")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rollingActive vs brute force at random window sizes") {
+    val genEv = Gen.listOfN(30, for {
+      u <- Gen.chooseNum(0L, 4L)
+      s <- Gen.chooseNum(0L, 86400L * 12 - 1)
+    } yield (u, s))
+    val prop = Prop.forAll(genEv, Gen.chooseNum(1, 5)) { (evs, w) =>
+      val pairs = evs.map { case (u, s) => (day(s), u) }.distinct
+      val want = pairs
+        .flatMap { case (d, u) =>
+          (0 until w).map(o => (d.plusDays(o).toString, u)) }
+        .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val got = graft.ops.Events.rollingActive(
+          evs.map { case (u, s) => (u, ts(s)) }.toDF("u", "at"),
+          "u", "at", windowDays = w)
+        .as[(String, Long)].collect().toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("transitionMatrix vs brute force with heavy timestamp " +
+      "collisions (tiebreak column decides)") {
+    val genEv = Gen.listOfN(24, for {
+      u <- Gen.chooseNum(0L, 2L)
+      t <- Gen.oneOf("a", "b", "c")
+      s <- Gen.chooseNum(0L, 5L) // few values: many collisions
+    } yield (u, t, s))
+    val prop = Prop.forAll(genEv) { evs0 =>
+      val evs = evs0.zipWithIndex
+        .map { case ((u, t, s), i) => (u, t, s, i.toLong) }
+      val want = evs.groupBy(_._1).values.flatMap { seq =>
+        val ordered = seq.sortBy(e => (e._3, e._4)).map(_._2)
+        ordered.zip(ordered.drop(1))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val wantNorm = want.map { case ((f, t), c) =>
+        val n = want.collect { case ((`f`, _), v) => v }.sum
+        (f, t) -> ((c, c * 1000L / n))
+      }
+      val got = graft.ops.Events.transitionMatrix(
+          evs.map { case (u, t, s, i) => (u, t, ts(s), i) }
+            .toDF("u", "t", "at", "id"),
+          "u", "t", "at", "id")
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      got == wantNorm
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
