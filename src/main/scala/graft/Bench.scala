@@ -62,10 +62,29 @@ object Bench {
     }
   }
 
-  /** Parent mode: sequential child JVMs over round-robin slices. */
+  /** Parent mode: sequential child JVMs over round-robin slices.
+    *
+    * SELF-HEALING: a shard whose own calibration spread breaches the
+    * quiet bar (default 1.3, `SPARK_GRAFT_BENCH_SPREAD_BAR`) was run
+    * inside a co-tenant contention window — its elevated per-query
+    * readings are box noise, not code. Three consecutive rounds of
+    * verdict time went to manually adjudicating exactly such shards,
+    * so the instrument now defends itself: the contaminated shard is
+    * RE-RUN (fresh child JVM, up to `SPARK_GRAFT_BENCH_RETRIES` = 2
+    * extra attempts), the LOWEST-SPREAD attempt's readings are merged
+    * into the official artifact, and every attempt's spread is
+    * recorded in that shard's calibration object
+    * (`"spreads":[…],"attempts":N`) plus the full discarded lines in
+    * `bench/shard_retries.log` — both readings stay inspectable, the
+    * artifact carries the quiet one. A shard with a FAILED probe
+    * (spread −1) is not retried: that is a code signal, not noise. */
   private def runSharded(): String = {
     val n = sys.env.get("SPARK_GRAFT_BENCH_SHARDS").map(_.toInt)
       .getOrElse(3)
+    val bar = sys.env.get("SPARK_GRAFT_BENCH_SPREAD_BAR")
+      .map(_.toDouble).getOrElse(1.3)
+    val retries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES")
+      .map(_.toInt).getOrElse(2)
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths
@@ -73,7 +92,7 @@ object Bench {
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
       val cp = System.getProperty("java.class.path")
-      val shardLines = (0 until n).map { i =>
+      def runOnce(i: Int): String = {
         val cmd = (Seq(javaBin) ++ jvmArgs ++
           Seq("-cp", cp, "graft.Bench")).asJava
         val pb = new ProcessBuilder(cmd)
@@ -86,8 +105,50 @@ object Bench {
           .filter(_.startsWith("{\"metric\"")).toSeq.lastOption
         require(code == 0 && line.nonEmpty,
           s"bench shard $i/$n exited $code with no artifact line")
-        System.err.println(s"bench shard $i/$n done")
         line.get
+      }
+      def spreadOf(line: String): Double =
+        "\"spread\":(-?[0-9.]+)".r.findFirstMatchIn(line)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      val discarded = scala.collection.mutable.ArrayBuffer.empty[String]
+      val shardLines = (0 until n).map { i =>
+        var attempts = List(runOnce(i))
+        while (spreadOf(attempts.head) > bar &&
+            attempts.size <= retries) {
+          System.err.println(f"bench shard $i/$n spread " +
+            f"${spreadOf(attempts.head)}%.2f > $bar%.2f — re-running " +
+            s"(attempt ${attempts.size + 1})")
+          attempts ::= runOnce(i)
+        }
+        val ordered = attempts.reverse // arrival order
+        val best = ordered.minBy(spreadOf)
+        ordered.filter(_ ne best).foreach { l =>
+          discarded += s"shard $i/$n discarded: $l"
+        }
+        // stamp the retry history into the shard's (flat) calibration
+        // object so the merged artifact is self-describing
+        val line =
+          if (ordered.size == 1) best
+          else {
+            val hist = ordered.map(l => f"${spreadOf(l)}%.2f")
+              .mkString("[", ",", "]")
+            best.replaceFirst("\"calibration\":\\{",
+              s""""calibration":{"attempts":${ordered.size},"spreads":$hist,""")
+          }
+        System.err.println(s"bench shard $i/$n done " +
+          s"(${ordered.size} attempt(s), " +
+          f"spread ${spreadOf(best)}%.2f)")
+        line
+      }
+      if (discarded.nonEmpty) {
+        try {
+          val dir = java.nio.file.Paths.get("bench")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.write(dir.resolve("shard_retries.log"),
+            (discarded.mkString("", "\n", "\n")).getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
       mergeShardLines(shardLines)
     } catch {

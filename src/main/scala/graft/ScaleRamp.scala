@@ -344,11 +344,12 @@ object ScaleRamp {
           col("dup_token_frac"), Seq(100, 500, 900, 990)).count())
       },
       "source_profile_merge" -> { k =>
-        // mergeable profiles (round 12), exercised through the merge
+        // mergeable profiles (round 12; round 15 moved the sketch
+        // into the stats aggregate), exercised through the merge
         // path: profile 4 disjoint shards, fold. Expected flat-to-
-        // linear: one stats groupBy + one distinct-fp pass per shard,
-        // the sketch shuffle bounded at k·partitions rows per source
-        // by WindowGroupLimit (plan-pinned), and the merge itself is
+        // linear: ONE partial-agg'd groupBy per shard whose shuffle
+        // carries a <=k-long KMV buffer + 4 scalars per (partition,
+        // source) — plan-pinned map-side — and the merge itself is
         // profile-sized. 97 synthetic sources keep the group count
         // fixed while the corpus ramps — the serving shape (sources
         // don't multiply with corpus size).

@@ -53,6 +53,12 @@ object Events {
       .groupBy("_u")
       .agg(min(col("_ts")).as("_t1"))
       .select(col("_u").as("_ru"), col("_t1"), col("_t1").as("_tp")))
+    // k driver ACTIONS (one count per step) is the intended shape,
+    // not an accident: each count reads a frame that is already
+    // localCheckpoint'd for the next step's join, so the marginal
+    // cost is a cached-scan count job — cheaper than assembling the
+    // k scalars through an extra union+agg job over the same frames,
+    // and the per-step frames must exist anyway.
     val counts = ArrayBuffer(reached.count())
     for (s <- steps.tail) {
       val f = ev.filter(col("_t") === s)
@@ -211,21 +217,6 @@ object Events {
         expr("transitions * 1000L div _n").as("permille"))
   }
 
-  /** Weekly cohort retention matrix: users are cohorted by the ISO
-    * week (Monday-start, both engines' `date_trunc('week', …)`) of
-    * their FIRST event; each (user, activity-week) pair counts once
-    * toward (cohort_week, offset_week) where the offset is whole
-    * weeks between the two week STARTS — an exact integer because
-    * both endpoints are week-truncated dates (`datediff div 7`, no
-    * epoch floats, no DST hazard under the pinned UTC session).
-    *
-    * Scale shape: one user-keyed partial agg for first-event times,
-    * one co-partitioned join back (the groupBy output and the join
-    * reuse the same user hash), a (user, cohort, week)-distinct that
-    * partial-aggregates map-side, and a cohort×offset-sized final
-    * agg. Nothing is ever wider than the event table itself.
-    *
-    * @return (cohort_week yyyy-MM-dd, offset_week, active_users) */
   /** Rolling N-day active users (the DAU/WAU/MAU family): for each
     * report day, the count of distinct users with ≥1 event in the
     * trailing `windowDays`-day window ending that day. A report day
@@ -255,6 +246,21 @@ object Events {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Weekly cohort retention matrix: users are cohorted by the ISO
+    * week (Monday-start, both engines' `date_trunc('week', …)`) of
+    * their FIRST event; each (user, activity-week) pair counts once
+    * toward (cohort_week, offset_week) where the offset is whole
+    * weeks between the two week STARTS — an exact integer because
+    * both endpoints are week-truncated dates (`datediff div 7`, no
+    * epoch floats, no DST hazard under the pinned UTC session).
+    *
+    * Scale shape: one user-keyed partial agg for first-event times,
+    * one co-partitioned join back (the groupBy output and the join
+    * reuse the same user hash), a (user, cohort, week)-distinct that
+    * partial-aggregates map-side, and a cohort×offset-sized final
+    * agg. Nothing is ever wider than the event table itself.
+    *
+    * @return (cohort_week yyyy-MM-dd, offset_week, active_users) */
   def retentionMatrix(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
     val ev = events.select(col(userCol).as("_u"), col(tsCol).as("_ts"))

@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  /** Unsigned Spark-Murmur3 of a string column — the
-    * [[Decontaminate]] Bloom spelling. */
-  private def unsignedHash(c: Column): Column =
+  /** Unsigned Spark-Murmur3 of a column — the [[Decontaminate]] Bloom
+    * spelling, shared with [[Stats.sourceProfile]]'s content sketch
+    * (both replay through `MurmurSql` in the oracle). Range
+    * [0, 2³²) — never negative, which is what lets −1 serve as the
+    * [[KmvAggregator]] null sentinel. */
+  private[graft] def unsignedHash(c: Column): Column =
     hash(c).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
 
   /** Row-r bucket for hash value u: Knuth-mix then Lehmer, mod width. */
@@ -86,13 +89,10 @@ object Sketch {
     * fewer than k distinct hashes exist the synopsis is complete and
     * the estimate is their exact count.
     *
-    * Relation to the profile sketch: [[Stats.sourceProfile]] carries
-    * an embedded KMV over md5 hex strings, built with a rank WINDOW
-    * over the per-source distinct fingerprints — correct, but that
-    * window SHUFFLES the distinct values and its estimator is a
-    * double ([[Stats.kmvDistinctEstimate]], spec-tested not oracled).
-    * This family is the standalone scale path: bounded map-side
-    * buffers and an integer estimator that differentials exactly.
+    * Relation to the profile sketch: [[Stats.sourceProfile]]'s
+    * distinct-content column IS this aggregator (it rode a rank-window
+    * + double-estimator spelling until round 15; that superseded path
+    * is deleted) — one KMV algebra, one estimator, everywhere.
     *
     * Scale shape: [[KmvAggregator]] is a typed `Aggregator`, so the
     * bounded k-long buffer partial-aggregates MAP-SIDE — the shuffle
@@ -129,12 +129,27 @@ object Sketch {
     * below k, `(k−1)·2³² div (u₍ₖ₎+1)` at k. Shared by [[kmvDistinct]]
     * and the streaming fold's report. */
   def kmvEstimate(synCol: Column, k: Int): Column = {
+    // (k−1)·2³² must stay in a long; k is an Int so k−1 < 2³¹ always
+    // satisfies it, but keep the bound visible
+    require(k >= 2 && (k - 1).toLong <= (1L << 31),
+      s"kmv estimate: k out of range: $k")
     // get() (0-indexed, null out-of-bounds) — element_at errors on
     // out-of-bounds under ANSI even on the never-taken branch
     val uk = get(synCol, lit(k - 1))
-    when(size(synCol) < k, size(synCol).cast("long"))
-      .otherwise((lit((k - 1).toLong * 4294967296L) / (uk + 1))
-        .cast("long")) // exact: (k−1)·2³² < 2⁴⁸ ⇒ fp floor == div
+    val num = lit((k - 1).toLong * 4294967296L)
+    val den = uk + lit(1L)
+    // Column `/` is a DOUBLE division; its round-to-nearest can land
+    // the truncated quotient one off the true integer floor once
+    // (k−1)·2³² exceeds 2⁵³ ulp-wise (observed bound: den > 2²¹). The
+    // two correction branches make the floor exact for ANY k: q₀ is
+    // within ±1 of floor(num/den) (num < 2⁶³, den ≤ 2³², so q₀·den
+    // cannot overflow), and one compare each way settles it — the
+    // oracle's BIGINT `//` replays the result bit for bit.
+    val q0 = (num / den).cast("long")
+    val qf = when(q0 * den > num, q0 - 1)
+      .when((q0 + 1) * den <= num, q0 + 1)
+      .otherwise(q0)
+    when(size(synCol) < k, size(synCol).cast("long")).otherwise(qf)
   }
 
   /** Distinct-count report per group: (groupCols…, est_distinct,
@@ -232,8 +247,12 @@ class KmvAggregator(k: Int)
   import org.apache.spark.sql.Encoder
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   override def zero: Array[Long] = Array.emptyLongArray
+  // negative input = the caller's NULL sentinel (unsigned hashes are
+  // always in [0, 2³²)): callers that cannot pre-filter NULLs away —
+  // sourceProfile folds the sketch inside the same groupBy that
+  // counts null-text docs — encode them as −1, skipped here
   override def reduce(buf: Array[Long], h: Long): Array[Long] =
-    KmvBuffer.add(buf, h, k)
+    if (h < 0) buf else KmvBuffer.add(buf, h, k)
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
     KmvBuffer.merge(a, b, k)
   override def finish(r: Array[Long]): Array[Long] = r

@@ -335,74 +335,65 @@ object Stats {
     * set; union's sketch = k smallest of the sketches' union), so a
     * 100 TB warehouse profiles each daily shard once and folds
     * profiles with [[mergeProfiles]] — no corpus rescan, ever. The
-    * sketch hashes content with md5 (hex strings, ordered
-    * lexicographically — both engines' md5 agree byte for byte, which
-    * is what makes the sketch itself fully oracle-able; a numeric
-    * distinct estimate derives from it via [[kmvDistinctEstimate]]).
+    * sketch is [[Sketch.KmvAggregator]] over the unsigned
+    * Spark-Murmur3 of the text — the same hash chain the Bloom/CMS
+    * oracles replay in DuckDB integer SQL, so the sketch itself is
+    * fully value-oracle-able, and the integer-floor
+    * [[Sketch.kmvEstimate]] reads a distinct-content count off it.
+    * (A rank-window + md5 + double-estimator spelling preceded this
+    * one; it shuffled the per-source DISTINCT fingerprints where the
+    * aggregator shuffles ≤k-long synopses, and its double division
+    * could not be value-oracled — superseded and deleted.)
     *
-    * Scale shape: the stats row is one partial-aggregated groupBy; the
-    * sketch is distinct (source, fp) → per-source top-k by fp — the
-    * rank ≤ k filter compiles to Spark's WindowGroupLimit, which keeps
-    * ≤ k rows per source per MAP partition before the exchange
-    * (ExplainSpec pins the node), so the sketch shuffle is
-    * k·partitions rows per source, not corpus-sized — then one
-    * bounded collect_list per source. Null text has no content
-    * fingerprint (md5 null) and is excluded from the sketch but
-    * counted in n_docs; null sources are a real slice and keep their
-    * row. @return (srcCol, n_docs, n_tokens, min_tokens, max_tokens,
-    * kmv: array<string> sorted ascending, |kmv| ≤ k) */
+    * Scale shape: ONE partial-aggregated groupBy — the typed KMV
+    * aggregate folds alongside the count/sum/min/max in the same
+    * ObjectHashAggregate, so each MAP partition emits one stats row +
+    * one ≤k-long buffer per source and the shuffle carries synopses,
+    * never fingerprints (ExplainSpec pins partial_kmvaggregator below
+    * the single exchange). Null text has no content hash (encoded as
+    * the aggregator's −1 skip sentinel) and is excluded from the
+    * sketch but counted in n_docs; null sources are a real slice and
+    * keep their row. @return (srcCol, n_docs, n_tokens, min_tokens,
+    * max_tokens, kmv: array<long> ascending, |kmv| ≤ k) */
   def sourceProfile(df: DataFrame, srcCol: String, textCol: String,
       tokens: Column, k: Int = 64): DataFrame = {
     require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
-    val base = df.select(col(srcCol).as("src"),
-      md5(col(textCol).cast("binary")).as("fp"), tokens.cast("long").as("t"))
-    val stats = base.groupBy(col("src"))
+    val agg = udaf(new KmvAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    df.select(col(srcCol).as("src"),
+        when(col(textCol).isNull, lit(-1L))
+          .otherwise(Sketch.unsignedHash(col(textCol))).as("h"),
+        tokens.cast("long").as("t"))
+      .groupBy(col("src"))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
-        min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"))
-    val w = Window.partitionBy(col("src")).orderBy(col("fp"))
-    val sketch = base.filter(col("fp").isNotNull)
-      .select(col("src"), col("fp")).distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .groupBy(col("src").as("ssrc"))
-      .agg(sort_array(collect_list(col("fp"))).as("kmv"))
-    // null-safe join: a null source is a real slice and must keep its
-    // sketch (Seq-join equality would drop it to the coalesce arm)
-    stats.join(sketch, col("src") <=> col("ssrc"), "left")
-      .select(col("src").as(srcCol), col("n_docs"), col("n_tokens"),
-        col("min_tokens"), col("max_tokens"),
-        coalesce(col("kmv"), array().cast("array<string>")).as("kmv"))
+        min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"),
+        agg(col("h")).as("kmv"))
+      .withColumnRenamed("src", srcCol)
   }
 
   /** Fold per-shard [[sourceProfile]] rows into the profile of the
     * union — sums/mins/maxes re-aggregate, and the merged KMV sketch
     * is the k smallest DISTINCT values across the shards' sketches
-    * (the KMV union rule: both sketches cover everything below their
-    * k-th minimum, so the union's k smallest all appear in one of
-    * them). The collect_list here is bounded by #shards per source ×
-    * k — profile-sized input, never corpus-sized. Exactness contract
-    * (spec-pinned): merge(profile(A), profile(B)) ≡ profile(A ∪ B)
-    * for disjoint shards, field for field including the sketch. */
+    * (the KMV union rule, [[Sketch.KmvMergeAggregator]] — the same
+    * merge the in-sketch partial aggregation already runs, so build
+    * and fold cannot drift apart). Input is profile-sized, never
+    * corpus-sized. Exactness contract (spec-pinned): merge(profile(A),
+    * profile(B)) ≡ profile(A ∪ B) for disjoint shards, field for
+    * field including the sketch. */
   def mergeProfiles(parts: DataFrame, srcCol: String,
       k: Int = 64): DataFrame = {
     require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    val m = udaf(new KmvMergeAggregator(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Long]]())
     parts.groupBy(col(srcCol))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         min(col("min_tokens")).as("min_tokens"),
         max(col("max_tokens")).as("max_tokens"),
-        slice(array_sort(array_distinct(flatten(
-          collect_list(col("kmv"))))), 1, k).as("kmv"))
+        m(col("kmv")).as("kmv"))
   }
 
-  /** Distinct-content estimate from a [[sourceProfile]] KMV sketch:
-    * exact when the sketch is short (fewer than k distinct
-    * fingerprints exist — the sketch IS the distinct set), otherwise
-    * the KMV estimator (k−1)/F(kth-min) with the md5 hex prefix
-    * mapped into [0, 2⁴⁸) by integer parse — deterministic, but a
-    * DOUBLE division at the end, so this column is spec-tested for
-    * accuracy rather than value-oracled (the sketch it derives from
-    * differentials exactly). */
   /** Key-SKEW diagnosis report: the k heaviest keys with row counts
     * and exact fixed-point corpus share (ppm) — what an operator reads
     * before choosing salting factors or AQE skew thresholds for a
@@ -421,11 +412,6 @@ object Stats {
       .orderBy(col("n_rows").desc, col("key"))
       .limit(k)
   }
-
-  def kmvDistinctEstimate(kmv: Column, k: Int): Column =
-    when(size(kmv) < k, size(kmv).cast("double"))
-      .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
-        conv(substring(element_at(kmv, k), 1, 12), 16, 10).cast("double"))
 
   /** Per-group exact quantiles — [[exactQuantiles]] partitioned by a
     * group column (the per-source / per-language length profile).
@@ -583,7 +569,15 @@ object Stats {
       .select(col("v_at").as("_lo"))
     val hi = qs.filter(col("permille") === hiPermille)
       .select(col("v_at").as("_hi"))
-    x.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    // LEFT joins, not crossJoins: with an all-NULL (or empty-after-
+    // filter) value column exactQuantiles returns NO rows, and a
+    // cross join against an empty threshold frame would drop every
+    // input row — breaking the "no row dropped" contract. A left join
+    // keeps the rows with NULL thresholds, and the only rows that can
+    // reach the clip arm with a NULL threshold are NULL-x rows, which
+    // the explicit guard below passes through anyway.
+    x.join(broadcast(lo), lit(true), "left")
+      .join(broadcast(hi), lit(true), "left")
       .select(col(keyCol), col("x"),
         // explicit NULL guard: least/greatest SKIP null arguments (in
         // both engines), which would silently clip a NULL to the low

@@ -599,8 +599,9 @@ object MultimodalQueries extends QueryGroup {
     // identity makes the fold batch-partitioning-invariant, so the
     // oracle is the DIRECT profile of the whole corpus
     // (TextQueries.profileDirectSql, shared verbatim with
-    // q_profile_merge's shard spelling) — counts, sums, extremes, and
-    // the 16-slot KMV sketch all land exactly
+    // q_profile_merge's shard spelling) — counts, sums, extremes, the
+    // 16-slot murmur KMV sketch, and the integer estimate all land
+    // exactly
     q("q_stream_profile", "streaming",
       TextQueries.profileDirectSql) { (spark, dir) =>
       val docs = Tables.df(spark, dir, "documents")
@@ -624,7 +625,10 @@ object MultimodalQueries extends QueryGroup {
             maxFilesPerTrigger = Some(1))
           .select(col("source"), col("n_docs"), col("n_tokens"),
             col("min_tokens"), col("max_tokens"),
-            concat_ws(",", col("kmv")).as("kmv_csv"))
+            concat_ws(",", transform(col("kmv"), h => h.cast("string")))
+              .as("kmv_csv"),
+            graft.ops.Sketch.kmvEstimate(col("kmv"), 16)
+              .as("est_distinct"))
       } finally graft.core.Fs.deleteRecursively(staged.toFile)
     },
 

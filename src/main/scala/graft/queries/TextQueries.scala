@@ -590,9 +590,11 @@ object TextQueries extends QueryGroup {
     // folds them with mergeProfiles; DuckDB computes the union profile
     // DIRECTLY over the full corpus. The hash compare therefore proves
     // the merge identity merge(profile(s0..s2)) ≡ profile(corpus) —
-    // counts, sums, extremes, AND the 16-slot KMV distinct-content
-    // sketch (k smallest distinct md5 fingerprints; md5 hex agrees
-    // byte-for-byte across engines, CSV'd for the comparator)
+    // counts, sums, extremes, the 16-slot KMV distinct-content sketch
+    // (k smallest distinct unsigned Spark-Murmur3 text hashes,
+    // replayed through MurmurSql.chain and CSV'd for the comparator),
+    // AND the integer-floor kmvEstimate read off it (63·2³²-style
+    // BIGINT floor — the estimator itself is in the hash)
     q("q_profile_merge", "text", profileDirectSql) {
       (spark, dir) =>
       val docs = Tables.df(spark, dir, "documents")
@@ -604,7 +606,9 @@ object TextQueries extends QueryGroup {
         shards.reduce(_ unionByName _), "source", k = 16)
       merged.select(col("source"), col("n_docs"), col("n_tokens"),
         col("min_tokens"), col("max_tokens"),
-        concat_ws(",", col("kmv")).as("kmv_csv"))
+        concat_ws(",", transform(col("kmv"), h => h.cast("string")))
+          .as("kmv_csv"),
+        graft.ops.Sketch.kmvEstimate(col("kmv"), 16).as("est_distinct"))
     },
 
     // quality-threshold sweep: stop_ratio (q_text_stats' formulation
@@ -894,24 +898,40 @@ object TextQueries extends QueryGroup {
     * merge spellings (q_profile_merge's shard fold and
     * q_stream_profile's micro-batch fold): the merge identity says
     * every partitioning of the corpus must land on exactly this
-    * frame, sums, extremes, and 16-slot KMV sketch included. */
+    * frame, sums, extremes, 16-slot KMV sketch, and the integer-floor
+    * estimate included. The sketch replays the engine's unsigned
+    * Spark-Murmur3 over each DISTINCT document text (the
+    * [[MurmurSql.chain]] pipeline the Bloom/CMS oracles already
+    * prove), ranks the per-source bottom-16, and reads the estimator
+    * as `15·2³² // (u₁₆+1)` in plain BIGINT — exactly
+    * [[graft.ops.Sketch.kmvEstimate]]'s corrected floor. */
   private[queries] def profileDirectSql: String =
-    """WITH t AS (SELECT source, text,
+    s"""WITH t AS (SELECT source, text,
                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
                   FROM documents),
        st AS (SELECT source, count(*) AS n_docs,
                 CAST(sum(tk) AS BIGINT) AS n_tokens,
                 min(tk) AS min_tokens, max(tk) AS max_tokens
               FROM t GROUP BY source),
-       d AS (SELECT DISTINCT source, md5(text) AS fp FROM t
-             WHERE text IS NOT NULL),
-       sk AS (SELECT source, fp, row_number() OVER (
-                PARTITION BY source ORDER BY fp) AS rn FROM d),
+       strs AS (SELECT DISTINCT text AS s FROM documents
+                WHERE text IS NOT NULL),
+       ${MurmurSql.chain},
+       d AS (SELECT DISTINCT t.source, mm.u FROM t
+             JOIN mm ON t.text = mm.s),
+       sk AS (SELECT source, u, row_number() OVER (
+                PARTITION BY source ORDER BY u) AS rn FROM d),
        kmv AS (SELECT source,
-                 string_agg(fp, ',' ORDER BY fp) AS kmv_csv
+                 string_agg(CAST(u AS VARCHAR), ',' ORDER BY u)
+                   AS kmv_csv,
+                 count(*) AS nh,
+                 max(CASE WHEN rn = 16 THEN u END) AS uk
                FROM sk WHERE rn <= 16 GROUP BY source)
        SELECT st.source, st.n_docs, st.n_tokens, st.min_tokens,
-              st.max_tokens, COALESCE(kmv.kmv_csv, '') AS kmv_csv
+              st.max_tokens, COALESCE(kmv.kmv_csv, '') AS kmv_csv,
+              CAST(CASE WHEN COALESCE(kmv.nh, 0) < 16
+                        THEN COALESCE(kmv.nh, 0)
+                        ELSE 15 * 4294967296 // (kmv.uk + 1)
+                   END AS BIGINT) AS est_distinct
        FROM st LEFT JOIN kmv
          ON st.source IS NOT DISTINCT FROM kmv.source"""
 

@@ -47,19 +47,31 @@ class ExplainSpec extends AnyFunSuite {
       "part-side broadcast not planned")
   }
 
-  test("sourceProfile sketch pushes the rank<=k limit below the " +
-      "exchange (WindowGroupLimit)") {
-    // the KMV sketch's scale claim: the per-source top-k by
-    // fingerprint must compile to Spark's WindowGroupLimit so each
-    // MAP partition keeps <= k rows per source before the shuffle —
-    // without the node, the sketch shuffles every distinct
-    // fingerprint and the "profile once, merge forever" story reads
-    // the whole corpus through one window sort
+  test("sourceProfile folds its KMV sketch MAP-SIDE in the single " +
+      "stats aggregate: partial_kmvaggregator below one exchange") {
+    // the profile's scale claim: the distinct-content sketch rides
+    // the SAME partial-aggregated groupBy as the count/sum/min/max
+    // fields, so each map partition emits one <=k-long buffer per
+    // source and the shuffle carries synopses, never fingerprints —
+    // the kmvSynopsis pin, now holding for the profile too (the
+    // superseded rank-window spelling shuffled every distinct
+    // fingerprint through a per-source window sort)
     val docs = Tables.df(spark, sf, "documents")
     val p = plan(graft.ops.Stats.sourceProfile(docs, "source", "text",
       size(split(col("text"), " ")), k = 8))
-    assert(p.contains("WindowGroupLimit"),
-      s"rank filter not pushed down as WindowGroupLimit:\n$p")
+    val lines = p.linesIterator.toSeq
+    val partial = lines.indexWhere(
+      _.toLowerCase.contains("partial_kmvaggregator"))
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    assert(partial >= 0, s"no map-side partial KMV in:\n$p")
+    // tree prints top-down: the partial must be BELOW (after) the
+    // exchange line, i.e. evaluated before it
+    assert(partial > exchange,
+      s"partial sketch aggregate not below the shuffle:\n$p")
+    assert(lines.count(_.contains("Exchange")) == 1,
+      s"more than the one source-key shuffle:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
+      s"superseded window spelling resurfaced:\n$p")
   }
 
   test("boilerplate gram top-k plans as TakeOrderedAndProject, not a " +

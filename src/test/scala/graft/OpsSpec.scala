@@ -1635,7 +1635,7 @@ class StreamingSpec extends AnyFunSuite {
       def m(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-            r.getSeq[String](5).toList))).toMap
+            r.getSeq[Long](5).toList))).toMap
       assert(m(got) == m(direct) && m(got).keySet == Set("web", "books",
         "news"))
     } finally graft.core.Fs.deleteRecursively(staged.toFile)
@@ -2167,7 +2167,7 @@ class StatsSpec extends AnyFunSuite {
         ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
           if (r.isNullAt(3)) -1L else r.getLong(3),
           if (r.isNullAt(4)) -1L else r.getLong(4),
-          r.getSeq[String](5).toList))
+          r.getSeq[Long](5).toList))
     val direct = graft.ops.Stats.sourceProfile(docs, "source", "text",
       tok, k = 8).collect().map(key).toMap
     val shards = (0 until 4).map(i =>
@@ -2177,26 +2177,30 @@ class StatsSpec extends AnyFunSuite {
       shards.reduce(_ unionByName _), "source", k = 8)
       .collect().map(key).toMap
     assert(merged == direct && direct.nonEmpty)
-    // estimator: saturated sketches estimate within 5x at k=8 — a
-    // SMOKE bound chosen so fixture regeneration can't flake it (KMV
-    // stderr ~1/sqrt(k-1) ≈ 0.38 at this tiny k; ~25 docs/source
-    // here; accuracy tightens as 1/sqrt(k) in production where
-    // k = 64+). Short sketches are exact by construction.
+    // estimator (the shared integer Sketch.kmvEstimate): saturated
+    // sketches estimate within 5x at k=8 — a SMOKE bound chosen so
+    // fixture regeneration can't flake it (KMV stderr ~1/sqrt(k-1) ≈
+    // 0.38 at this tiny k; ~25 docs/source here; accuracy tightens as
+    // 1/sqrt(k) in production where k = 64+). Short sketches are
+    // exact by construction — truth is the DISTINCT-HASH count, which
+    // is precisely what the sketch summarizes.
     import spark.implicits._
     val est = graft.ops.Stats.sourceProfile(docs, "source", "text",
         tok, k = 8)
       .select(col("source"), size(col("kmv")).as("sk"),
-        graft.ops.Stats.kmvDistinctEstimate(col("kmv"), 8).as("est"))
+        graft.ops.Sketch.kmvEstimate(col("kmv"), 8).as("est"))
       .join(docs.filter(col("text").isNotNull)
           .groupBy("source")
-          .agg(countDistinct(md5(col("text").cast("binary"))).as("truth")),
+          .agg(countDistinct(
+            hash(col("text")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+            .as("truth")),
         Seq("source"))
       .collect()
     est.foreach { r =>
-      val (sk, e, truth) = (r.getInt(1), r.getDouble(2), r.getLong(3))
-      if (sk < 8) assert(e == truth.toDouble,
+      val (sk, e, truth) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      if (sk < 8) assert(e == truth,
         s"${r.getString(0)}: short sketch must be exact ($e vs $truth)")
-      else assert(e > truth / 5.0 && e < truth * 5.0,
+      else assert(e > truth / 5L && e < truth * 5L,
         s"${r.getString(0)}: est $e vs truth $truth")
     }
   }
