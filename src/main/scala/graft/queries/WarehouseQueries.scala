@@ -123,8 +123,9 @@ object WarehouseQueries extends QueryGroup {
       "c_custkey", Seq("c_mktsegment", "c_acctbal"), "2024-02-01")
 
   /** Shared deterministic doc link graph (q_pagerank + q_trustrank +
-    * q_hits, one spelling): 3 Lehmer-derived out-edges per doc,
-    * self-loops dropped. Ends in CTEs `docs`, `nn`, `edges`, `deg`. */
+    * q_hits + q_triangles + q_curate_corpus_v7, one spelling): 3
+    * Lehmer-derived out-edges per doc, self-loops dropped. Ends in
+    * CTEs `docs`, `nn`, `edges`, `deg`. */
   private val linkGraphCtes: String =
     """docs AS (SELECT doc_id FROM documents),
        nn AS (SELECT count(*) AS n FROM docs),
@@ -161,6 +162,121 @@ object WarehouseQueries extends QueryGroup {
       .filter(col("src") =!= col("dst")).distinct()
     (docs, n, edges)
   }
+
+  /** CORE-PERIPHERY variant of [[linkGraphCtes]] (q_kcore +
+    * q_curate_corpus_v8, ONE spelling — a divergence in a shared
+    * constant here would silently fork the two queries' fixtures):
+    * out-edges 2 and 3 aim at the first n/10 and n/20 ids, so a dense
+    * hub core survives a long peel of the sparse periphery. Ends in
+    * `docs`, `nn`, `edges`, `deg`. */
+  private val corePeriphGraphCtes: String =
+    """docs AS (SELECT doc_id FROM documents),
+       nn AS (SELECT count(*) AS n FROM docs),
+       e1 AS (SELECT doc_id AS src,
+                ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS u1
+              FROM docs),
+       e3 AS (SELECT src, u1, u1 * 48271 % 2147483647 AS u2,
+                u1 * 48271 % 2147483647 * 48271 % 2147483647 AS u3
+              FROM e1),
+       edges AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, u1 % (SELECT n FROM nn) AS dst FROM e3
+           UNION ALL
+           SELECT src, u2 % ((SELECT n FROM nn) // 10) FROM e3
+           UNION ALL
+           SELECT src, u3 % ((SELECT n FROM nn) // 20) FROM e3)
+         WHERE src != dst),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)"""
+
+  /** Spark twin of [[corePeriphGraphCtes]]: (docs, n, edges). */
+  private def corePeriphGraph(spark: SparkSession, dir: String)
+      : (DataFrame, Long, DataFrame) = {
+    val docs = Tables.df(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e1 = docs.select(col("doc_id").as("src"),
+      (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
+        .as("u1"))
+    val e3 = e1.select(col("src"), col("u1"),
+      (col("u1") * 48271L % 2147483647L).as("u2"),
+      (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L)
+        .as("u3"))
+    val edges = e3.select(col("src"), (col("u1") % n).as("dst"))
+      .unionByName(e3.select(col("src"),
+        (col("u2") % (n / 10)).as("dst")))
+      .unionByName(e3.select(col("src"),
+        (col("u3") % (n / 20)).as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    (docs, n, edges)
+  }
+
+  /** The strictly-shrinking k=4 peel over `edges` — shared verbatim
+    * by q_kcore and v8's spam gate. The recursive CTE emits a round
+    * only while the alive set strictly shrinks (the EXISTS guard) and
+    * re-derives each survivor's within-round degree through the
+    * bidirectional edge CTE (equi-joins only — the a-or-b OR form
+    * defeats decorrelation, measured 28x slower). Ends in `peel` and
+    * `core(node, d)` = the final-round survivors with core degrees. */
+  private val kCorePeelCtes: String =
+    """und AS (SELECT DISTINCT least(src, dst) AS a,
+                 greatest(src, dst) AS b
+               FROM edges),
+       bi AS (SELECT a AS x, b AS y FROM und
+              UNION ALL SELECT b AS x, a AS y FROM und),
+       du AS (SELECT x AS node, count(*) AS d FROM bi GROUP BY 1),
+       peel(t, node, d) AS (
+         SELECT 0, node, d FROM du
+         UNION ALL
+         SELECT p.t + 1, p.node,
+           (SELECT count(*) FROM bi
+            JOIN peel w ON w.t = p.t AND w.d >= 4
+             AND w.node = bi.y
+            WHERE bi.x = p.node)
+         FROM peel p
+         WHERE p.d >= 4
+           AND EXISTS (SELECT 1 FROM peel q
+                       WHERE q.t = p.t AND q.d < 4)),
+       core AS (SELECT node, d FROM peel
+                WHERE t = (SELECT max(t) FROM peel) AND d >= 4)"""
+
+  /** The 8-round %17-seeded TrustRank teleport over `docs`/`edges`/
+    * `deg` — shared verbatim by q_trustrank, v7 and v8. Ends in
+    * `trust(node, r)`. */
+  private val trustTeleportCtes: String =
+    """ns AS (SELECT count(*) AS n FROM docs WHERE doc_id % 17 = 0),
+       pr(t, node, r) AS (
+         SELECT 0, doc_id,
+           CASE WHEN doc_id % 17 = 0
+                THEN (SELECT 1000000 // n FROM ns) ELSE 0 END
+         FROM docs
+         UNION ALL
+         SELECT p.t + 1, p.node,
+           (CASE WHEN p.node % 17 = 0
+                 THEN (SELECT 15 * (1000000 // n) // 100 FROM ns)
+                 ELSE 0 END)
+           + 85 * COALESCE((
+               SELECT SUM(p2.r // d.deg) FROM pr p2
+               JOIN edges e ON e.src = p2.node
+               JOIN deg d ON d.src = p2.node
+               WHERE e.dst = p.node AND p2.t = p.t), 0) // 100
+         FROM pr p WHERE p.t < 8),
+       trust AS (SELECT node, r FROM pr WHERE t = 8)"""
+
+  /** The 12k-token budget tail over a `(node, r)`-shaped CTE — shared
+    * by v7 (kept = trust) and v8 (kept = the gated survivors): join
+    * doc token counts, spend highest-trust-first through the
+    * inclusive prefix-sum window. Renders the final SELECT. */
+  private def trustBudgetTailSql(keptCte: String): String =
+    s"""f AS (SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tokens,
+           CAST(k.r AS DOUBLE) AS trust_mass
+         FROM documents d JOIN $keptCte k ON k.node = d.doc_id),
+       c AS (SELECT doc_id, tokens, trust_mass,
+               CAST(SUM(tokens) OVER (
+                 ORDER BY trust_mass DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens
+             FROM f)
+       SELECT doc_id, tokens, trust_mass, cum_tokens FROM c
+       WHERE cum_tokens <= 12000"""
 
   val queries: Seq[Q] = Seq(
 
@@ -346,24 +462,8 @@ object WarehouseQueries extends QueryGroup {
     // through the identical recursive CTE.
     q("q_trustrank", "warehouse",
       s"""WITH RECURSIVE $linkGraphCtes,
-         ns AS (SELECT count(*) AS n FROM docs WHERE doc_id % 17 = 0),
-         pr(t, node, r) AS (
-           SELECT 0, doc_id,
-             CASE WHEN doc_id % 17 = 0
-                  THEN (SELECT 1000000 // n FROM ns) ELSE 0 END
-           FROM docs
-           UNION ALL
-           SELECT p.t + 1, p.node,
-             (CASE WHEN p.node % 17 = 0
-                   THEN (SELECT 15 * (1000000 // n) // 100 FROM ns)
-                   ELSE 0 END)
-             + 85 * COALESCE((
-                 SELECT SUM(p2.r // d.deg) FROM pr p2
-                 JOIN edges e ON e.src = p2.node
-                 JOIN deg d ON d.src = p2.node
-                 WHERE e.dst = p.node AND p2.t = p.t), 0) // 100
-           FROM pr p WHERE p.t < 8)
-         SELECT node, r AS trust_mass FROM pr WHERE t = 8""") {
+         $trustTeleportCtes
+         SELECT node, r AS trust_mass FROM trust""") {
       (spark, dir) =>
       val (docs, _, edges) = linkGraph(spark, dir)
       Graph.trustRank(edges, "src", "dst",
@@ -535,58 +635,11 @@ object WarehouseQueries extends QueryGroup {
     // defeats decorrelation, measured 28x slower); per-node core
     // degrees land in the hash.
     q("q_kcore", "warehouse",
-      """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
-         nn AS (SELECT count(*) AS n FROM docs),
-         e1 AS (SELECT doc_id AS src,
-                  ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS u1
-                FROM docs),
-         e3 AS (SELECT src, u1, u1 * 48271 % 2147483647 AS u2,
-                  u1 * 48271 % 2147483647 * 48271 % 2147483647 AS u3
-                FROM e1),
-         edges AS (SELECT DISTINCT src, dst FROM (
-             SELECT src, u1 % (SELECT n FROM nn) AS dst FROM e3
-             UNION ALL
-             SELECT src, u2 % ((SELECT n FROM nn) // 10) FROM e3
-             UNION ALL
-             SELECT src, u3 % ((SELECT n FROM nn) // 20) FROM e3)
-           WHERE src != dst),
-         und AS (SELECT DISTINCT least(src, dst) AS a,
-                   greatest(src, dst) AS b
-                 FROM edges),
-         bi AS (SELECT a AS x, b AS y FROM und
-                UNION ALL SELECT b AS x, a AS y FROM und),
-         du AS (SELECT x AS node, count(*) AS d FROM bi GROUP BY 1),
-         peel(t, node, d) AS (
-           SELECT 0, node, d FROM du
-           UNION ALL
-           SELECT p.t + 1, p.node,
-             (SELECT count(*) FROM bi
-              JOIN peel w ON w.t = p.t AND w.d >= 4
-               AND w.node = bi.y
-              WHERE bi.x = p.node)
-           FROM peel p
-           WHERE p.d >= 4
-             AND EXISTS (SELECT 1 FROM peel q
-                         WHERE q.t = p.t AND q.d < 4))
-         SELECT node, CAST(d AS BIGINT) AS core_degree
-         FROM peel
-         WHERE t = (SELECT max(t) FROM peel) AND d >= 4""") {
+      s"""WITH RECURSIVE $corePeriphGraphCtes,
+         $kCorePeelCtes
+         SELECT node, CAST(d AS BIGINT) AS core_degree FROM core""") {
       (spark, dir) =>
-      val docs = Tables.df(spark, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
-      val e1 = docs.select(col("doc_id").as("src"),
-        (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
-          .as("u1"))
-      val e3 = e1.select(col("src"), col("u1"),
-        (col("u1") * 48271L % 2147483647L).as("u2"),
-        (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L)
-          .as("u3"))
-      val edges = e3.select(col("src"), (col("u1") % n).as("dst"))
-        .unionByName(e3.select(col("src"),
-          (col("u2") % (n / 10)).as("dst")))
-        .unionByName(e3.select(col("src"),
-          (col("u3") % (n / 20)).as("dst")))
-        .filter(col("src") =!= col("dst")).distinct()
+      val (_, _, edges) = corePeriphGraph(spark, dir)
       Graph.kCore(edges, "src", "dst", k = 4)
     },
 
@@ -936,37 +989,8 @@ object WarehouseQueries extends QueryGroup {
     // chains the q_trustrank recursive CTE into the budget window.
     q("q_curate_corpus_v7", "warehouse",
       s"""WITH RECURSIVE $linkGraphCtes,
-         ns AS (SELECT count(*) AS n FROM docs WHERE doc_id % 17 = 0),
-         pr(t, node, r) AS (
-           SELECT 0, doc_id,
-             CASE WHEN doc_id % 17 = 0
-                  THEN (SELECT 1000000 // n FROM ns) ELSE 0 END
-           FROM docs
-           UNION ALL
-           SELECT p.t + 1, p.node,
-             (CASE WHEN p.node % 17 = 0
-                   THEN (SELECT 15 * (1000000 // n) // 100 FROM ns)
-                   ELSE 0 END)
-             + 85 * COALESCE((
-                 SELECT SUM(p2.r // d.deg) FROM pr p2
-                 JOIN edges e ON e.src = p2.node
-                 JOIN deg d ON d.src = p2.node
-                 WHERE e.dst = p.node AND p2.t = p.t), 0) // 100
-           FROM pr p WHERE p.t < 8),
-         trust AS (SELECT node, r FROM pr WHERE t = 8),
-         f AS (SELECT d.doc_id,
-                 CAST(len(string_split(d.text, ' ')) AS BIGINT)
-                   AS tokens,
-                 CAST(tr.r AS DOUBLE) AS trust_mass
-               FROM documents d JOIN trust tr ON tr.node = d.doc_id),
-         c AS (SELECT doc_id, tokens, trust_mass,
-                 CAST(SUM(tokens) OVER (
-                   ORDER BY trust_mass DESC, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS cum_tokens
-               FROM f)
-         SELECT doc_id, tokens, trust_mass, cum_tokens FROM c
-         WHERE cum_tokens <= 12000""") { (spark, dir) =>
+         $trustTeleportCtes,
+         ${trustBudgetTailSql("trust")}""") { (spark, dir) =>
       val (docs, _, edges) = linkGraph(spark, dir)
       val trust = Graph.trustRank(edges, "src", "dst",
         docs.filter(col("doc_id") % 17 === 0), iterations = 8,
@@ -991,95 +1015,19 @@ object WarehouseQueries extends QueryGroup {
     // periphery docs surviving — every branch load-bearing in the
     // hash. The oracle chains BOTH recursive CTEs (the strictly-
     // shrinking peel and the 8-round seeded teleport) into the budget
-    // prefix-sum window; the kcore/trustrank/budget pieces are shared
-    // spellings with their standalone queries.
+    // prefix-sum window; graph, peel, teleport, and budget tail are
+    // THE SAME Scala constants the standalone queries render.
     q("q_curate_corpus_v8", "warehouse",
-      """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
-         nn AS (SELECT count(*) AS n FROM docs),
-         e1 AS (SELECT doc_id AS src,
-                  ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS u1
-                FROM docs),
-         e3 AS (SELECT src, u1, u1 * 48271 % 2147483647 AS u2,
-                  u1 * 48271 % 2147483647 * 48271 % 2147483647 AS u3
-                FROM e1),
-         edges AS (SELECT DISTINCT src, dst FROM (
-             SELECT src, u1 % (SELECT n FROM nn) AS dst FROM e3
-             UNION ALL
-             SELECT src, u2 % ((SELECT n FROM nn) // 10) FROM e3
-             UNION ALL
-             SELECT src, u3 % ((SELECT n FROM nn) // 20) FROM e3)
-           WHERE src != dst),
-         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-         und AS (SELECT DISTINCT least(src, dst) AS a,
-                   greatest(src, dst) AS b
-                 FROM edges),
-         bi AS (SELECT a AS x, b AS y FROM und
-                UNION ALL SELECT b AS x, a AS y FROM und),
-         du AS (SELECT x AS node, count(*) AS d FROM bi GROUP BY 1),
-         peel(t, node, d) AS (
-           SELECT 0, node, d FROM du
-           UNION ALL
-           SELECT p.t + 1, p.node,
-             (SELECT count(*) FROM bi
-              JOIN peel w ON w.t = p.t AND w.d >= 4
-               AND w.node = bi.y
-              WHERE bi.x = p.node)
-           FROM peel p
-           WHERE p.d >= 4
-             AND EXISTS (SELECT 1 FROM peel q
-                         WHERE q.t = p.t AND q.d < 4)),
-         core AS (SELECT node FROM peel
-                  WHERE t = (SELECT max(t) FROM peel) AND d >= 4),
-         ns AS (SELECT count(*) AS n FROM docs WHERE doc_id % 17 = 0),
-         pr(t, node, r) AS (
-           SELECT 0, doc_id,
-             CASE WHEN doc_id % 17 = 0
-                  THEN (SELECT 1000000 // n FROM ns) ELSE 0 END
-           FROM docs
-           UNION ALL
-           SELECT p.t + 1, p.node,
-             (CASE WHEN p.node % 17 = 0
-                   THEN (SELECT 15 * (1000000 // n) // 100 FROM ns)
-                   ELSE 0 END)
-             + 85 * COALESCE((
-                 SELECT SUM(p2.r // d.deg) FROM pr p2
-                 JOIN edges e ON e.src = p2.node
-                 JOIN deg d ON d.src = p2.node
-                 WHERE e.dst = p.node AND p2.t = p.t), 0) // 100
-           FROM pr p WHERE p.t < 8),
-         trust AS (SELECT node, r FROM pr WHERE t = 8),
+      s"""WITH RECURSIVE $corePeriphGraphCtes,
+         $kCorePeelCtes,
+         $trustTeleportCtes,
          kept AS (SELECT tr.node, tr.r FROM trust tr
                   WHERE tr.r >= 1000
                      OR tr.node NOT IN (SELECT node FROM core)),
-         f AS (SELECT d.doc_id,
-                 CAST(len(string_split(d.text, ' ')) AS BIGINT)
-                   AS tokens,
-                 CAST(k.r AS DOUBLE) AS trust_mass
-               FROM documents d JOIN kept k ON k.node = d.doc_id),
-         c AS (SELECT doc_id, tokens, trust_mass,
-                 CAST(SUM(tokens) OVER (
-                   ORDER BY trust_mass DESC, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS cum_tokens
-               FROM f)
-         SELECT doc_id, tokens, trust_mass, cum_tokens FROM c
-         WHERE cum_tokens <= 12000""") { (spark, dir) =>
-      val docs = Tables.df(spark, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
-      val e1 = docs.select(col("doc_id").as("src"),
-        (((col("doc_id") % 2147483646L) + 1) * 48271L % 2147483647L)
-          .as("u1"))
-      val e3 = e1.select(col("src"), col("u1"),
-        (col("u1") * 48271L % 2147483647L).as("u2"),
-        (col("u1") * 48271L % 2147483647L * 48271L % 2147483647L)
-          .as("u3"))
-      val edges = e3.select(col("src"), (col("u1") % n).as("dst"))
-        .unionByName(e3.select(col("src"),
-          (col("u2") % (n / 10)).as("dst")))
-        .unionByName(e3.select(col("src"),
-          (col("u3") % (n / 20)).as("dst")))
-        .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint() // consumed by BOTH the peel and the ranker
+         ${trustBudgetTailSql("kept")}""") { (spark, dir) =>
+      val (docs, _, rawEdges) = corePeriphGraph(spark, dir)
+      // consumed by BOTH the peel and the ranker
+      val edges = rawEdges.localCheckpoint()
       val core = Graph.kCore(edges, "src", "dst", k = 4)
         .select(col("node").as("_core"))
       val trust = Graph.trustRank(edges, "src", "dst",
