@@ -960,6 +960,24 @@ object ScaleRamp {
         timeIt(graft.ops.Sketch.kmvSynopsis(eventsAt(k), "user_id",
           k = 64, groupCols = Seq("etype")).count())
       },
+      "rank_quantiles" -> { k =>
+        // dyadic rank sketch (round 15): the value domain (µs
+        // timestamps over 30 days) AND the event count ramp, grid
+        // FIXED at 16 levels x 2 x 8192 — one explode(32x)+partial-agg
+        // corpus pass into a bounded cell shuffle, then a driver-side
+        // 256-step walk per permille over the collected grid. Expect
+        // ~linear in the event scan; the walk is O(1) in k.
+        val ev = eventsAt(k)
+        timeIt {
+          val grid = graft.ops.Sketch.rankGrid(ev, unix_micros(col("ts")),
+            graft.queries.RankSketchSql.Depth,
+            graft.queries.RankSketchSql.Width)
+          graft.ops.Sketch.rankQuantiles(grid,
+            graft.queries.RankSketchSql.Permilles,
+            graft.queries.RankSketchSql.Depth,
+            graft.queries.RankSketchSql.Width).count()
+        }
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real

@@ -169,6 +169,173 @@ object Sketch {
         col("exact_distinct")): _*)
   }
 
+  // ----- Dyadic rank sketch ---------------------------------------
+  //
+  // The third mergeable synopsis next to CMS (frequency) and KMV
+  // (distinct): RANK/quantile over an UNBOUNDED non-negative long
+  // domain — the one question [[Stats.exactQuantiles]]'s
+  // bounded-cardinality contract cannot answer at 100 TB. The public
+  // construction is Cormode–Muthukrishnan 2005 §4 (quantiles via
+  // dyadic decomposition over a Count-Min grid): every value updates
+  // one counter row per LEVEL of a 16-ary prefix tree (level ℓ cell =
+  // hashed bucket of the value's 4ℓ-bit-truncated prefix), rank(v) =
+  // the sum of ≤15 node estimates per level, and a quantile descends
+  // the tree level by level. KLL compresses far tighter in theory,
+  // but its compaction depends on ARRIVAL ORDER — under Spark's
+  // nondeterministic partial-agg merge order the same corpus would
+  // yield different (all individually valid) sketches, which kills
+  // both run-to-run determinism and the differential oracle. The
+  // dyadic grid is a pure cell-wise-ADDITIVE function of the input
+  // multiset: build order, partitioning, and merge shape cannot
+  // change a single counter, so DuckDB rebuilds the exact grid and
+  // replays the exact descent ([[graft.queries]] `q_rank_quantiles`).
+  //
+  // The bucket mixer is a Lehmer–xorshift chain, NOT Murmur3: the
+  // descent must hash PROBE prefixes that may not exist in the data
+  // (their buckets still read collided mass), and the oracle computes
+  // it inline inside a recursive CTE — pure integer arithmetic that
+  // both engines and the driver-side walk spell identically (the
+  // q_knn sign-LSH precedent: multiply-mod-p with xor interleave so
+  // rounds don't collapse into one linear multiply).
+
+  /** Shared Lehmer–xorshift cell index for a dyadic node: prefix +
+    * row-index rr = level·depth + r → bucket ∈ [0, width). Every
+    * intermediate stays under 2⁶³; `//` on non-negatives = the
+    * unsigned shifts used here (oracle twin:
+    * [[graft.queries.RankSketchSql.bucketExpr]]). */
+  private[graft] def rankBucket(prefix: Column, rr: Column,
+      width: Int): Column = {
+    val a = (prefix % lit(2147483647L) + lit(1L)) * lit(48271L) %
+      lit(2147483647L)
+    val hi = shiftrightunsigned(prefix, 31)
+    val m0 = (a * lit(65537L) + hi * lit(8191L) +
+      rr * lit(2654435761L)) % lit(4294967296L)
+    val m1 = m0.bitwiseXOR(shiftrightunsigned(m0, 16))
+    val m2 = m1 * lit(48271L) % lit(2147483647L)
+    val m3 = m2.bitwiseXOR(shiftrightunsigned(m2, 13))
+    m3 % lit(width.toLong)
+  }
+
+  /** Driver-side twin of [[rankBucket]] for the quantile walk —
+    * byte-identical arithmetic. */
+  private[graft] def rankBucketLocal(prefix: Long, rr: Long,
+      width: Int): Long = {
+    val a = (prefix % 2147483647L + 1L) * 48271L % 2147483647L
+    val hi = prefix >>> 31
+    val m0 = (a * 65537L + hi * 8191L + rr * 2654435761L) % 4294967296L
+    val m1 = m0 ^ (m0 >>> 16)
+    val m2 = m1 * 48271L % 2147483647L
+    val m3 = m2 ^ (m2 >>> 13)
+    m3 % width
+  }
+
+  /** Build the mergeable rank grid over a NON-NEGATIVE long value
+    * column: (level, r, bucket, c) — ≤ 16·depth·width cells however
+    * large the corpus or its value domain. Negative values raise
+    * (shift the domain first: ranks need a total order and the
+    * prefix tree covers [0, 2⁶³)); NULLs are excluded (no order
+    * position).
+    *
+    * Scale shape: ONE corpus pass — each row explodes to its 16
+    * level-prefixes × depth rows, hashed to cells BEFORE the shuffle,
+    * so the partial aggregate caps every map partition's contribution
+    * at the grid size and the exchange carries cells, never values —
+    * the distinct-value table [[Stats.exactQuantiles]] must shuffle
+    * never exists here (ExplainSpec pins the single cell-key
+    * exchange). Merging daily grids is cell-wise addition
+    * ([[mergeRankGrids]]), the CMS algebra. */
+  def rankGrid(df: DataFrame, value: Column, depth: Int = 2,
+      width: Int = 2048): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8]: $depth")
+    require(width >= 16 && width <= 65536,
+      s"width must be in [16, 65536]: $width")
+    val u = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .select(when(col("v") < 0, raise_error(lit(
+        "rankGrid: values must be non-negative — shift the domain " +
+          "into [0, 2^63) first")).cast("long"))
+        .otherwise(col("v")).as("v"))
+    val lvlPrefixes = array((0 until 16).map(l =>
+      struct(lit(l).as("level"),
+        shiftrightunsigned(col("v"), 4 * l).as("prefix"))): _*)
+    u.select(explode(lvlPrefixes).as("lp"))
+      .select(col("lp.level").as("level"), col("lp.prefix").as("prefix"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("r"))
+      .select(col("level"), col("r"),
+        rankBucket(col("prefix"),
+          (col("level") * depth + col("r")).cast("long"), width)
+          .as("bucket"))
+      .groupBy("level", "r", "bucket")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Cell-wise merge of rank grids built with identical dims — the
+    * union's grid, exactly (addition is the whole algebra). */
+  def mergeRankGrids(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy("level", "r", "bucket").agg(sum(col("c")).as("c"))
+
+  /** Type-1 permille quantiles off a rank grid: for each permille p,
+    * descend the 16-ary prefix tree from the root — at each level
+    * take the first child whose cumulative estimated mass reaches the
+    * integer rank target (p·n + 999) div 1000, where each node's
+    * estimate is the min of its `depth` grid cells (absent cell = 0)
+    * — and the level-0 prefix reached IS the estimated quantile
+    * value. Deterministic integer arithmetic end to end; the grid is
+    * COLLECTED driver-side by design (≤ 16·depth·width rows — a
+    * bounded, output-sized collect, the Pack shard-offset precedent),
+    * so the walk costs 16 levels × 16 children of map lookups per
+    * permille and zero cluster work beyond the grid build.
+    *
+    * Accuracy is the dyadic-CMS bound (rank error ≤ Σ per-level
+    * collision mass; RankSketchSpec pins the envelope vs
+    * [[Stats.exactQuantiles]] on a bounded fixture); the VALUE
+    * returned is always an actually-representable point of the
+    * domain walk, and with zero collisions it is exactly the type-1
+    * quantile. @return (permille, q_est), empty when the grid is. */
+  def rankQuantiles(grid: DataFrame, permilles: Seq[Int],
+      depth: Int = 2, width: Int = 2048): DataFrame = {
+    require(permilles.nonEmpty &&
+      permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be within [1, 1000]: $permilles")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val cells = grid.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // every row contributes exactly one increment per level at each
+    // r: the r=0 slice of any level sums to n — read it off the top
+    val n = cells.collect { case ((15, 0, _), c) => c }.sum
+    if (n == 0L) return Seq.empty[(Long, Long)].toDF("permille", "q_est")
+    def est(level: Int, prefix: Long): Long =
+      (0 until depth).map(r => cells.getOrElse(
+        (level, r,
+          rankBucketLocal(prefix, level.toLong * depth + r, width)),
+        0L)).min
+    val rows = permilles.distinct.sorted.map { p =>
+      val target = (p.toLong * n + 999L) / 1000L
+      var pfx = 0L
+      var base = 0L
+      var level = 15
+      while (level >= 0) {
+        var j = 0
+        var chosen = false
+        while (!chosen) {
+          val ej = est(level, pfx * 16 + j)
+          if (base + ej >= target || j == 15) {
+            pfx = pfx * 16 + j
+            chosen = true
+          } else {
+            base += ej
+            j += 1
+          }
+        }
+        level -= 1
+      }
+      (p.toLong, pfx)
+    }
+    rows.toDF("permille", "q_est")
+  }
+
   /** Top-k heavy hitters by CMS estimate: (token, est, exact) with
     * est ≥ exact always (the sketch only over-counts), ordered and
     * tie-broken deterministically. */

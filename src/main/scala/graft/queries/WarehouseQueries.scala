@@ -805,6 +805,23 @@ object WarehouseQueries extends QueryGroup {
         .select(col("token"), col("est"), col("exact"))
     },
 
+    // Dyadic rank sketch quantiles: permille quantiles of the event
+    // timestamp (epoch micros — an UNBOUNDED long domain exactQuantiles'
+    // bounded-cardinality contract cannot hold) off the mergeable
+    // 16-level CMS grid. The oracle rebuilds the exact grid (cell-wise
+    // additive — build order cannot matter) and replays the exact
+    // 256-step descent in a recursive CTE; Spark's walk runs driver-
+    // side over the bounded collected grid. Every counter, target
+    // rank, and child choice reproduces bit-for-bit, so the sketch's
+    // actual approximation error is itself in the hash.
+    q("q_rank_quantiles", "warehouse", RankSketchSql.oracle) {
+      (spark, dir) =>
+      val grid = Sketch.rankGrid(Tables.df(spark, dir, "events"),
+        unix_micros(col("ts")), RankSketchSql.Depth, RankSketchSql.Width)
+      Sketch.rankQuantiles(grid, RankSketchSql.Permilles,
+        RankSketchSql.Depth, RankSketchSql.Width)
+    },
+
     // Entity resolution end-to-end: clean + dirtied names as ONE
     // corpus, fuzzy-matched at edit distance <= 1 (FastSS blocking),
     // the match graph resolved into entities by connected components,

@@ -74,6 +74,27 @@ class ExplainSpec extends AnyFunSuite {
       s"superseded window spelling resurfaced:\n$p")
   }
 
+  test("rank grid partial-aggregates its cells map-side below ONE " +
+      "exchange carrying cells, never values") {
+    // the 100 TB contract of the dyadic rank sketch: the 32x per-row
+    // explode collapses to <= 16*depth*width cells INSIDE each map
+    // partition (partial_count below the exchange), so the only
+    // shuffle moves grid cells — the corpus's values never cross the
+    // wire, unlike exactQuantiles' distinct-value table
+    val ev = Tables.df(spark, sf, "events")
+    val p = plan(graft.ops.Sketch.rankGrid(ev, unix_micros(col("ts")),
+      graft.queries.RankSketchSql.Depth,
+      graft.queries.RankSketchSql.Width))
+    val lines = p.linesIterator.toVector
+    val partial = lines.indexWhere(_.contains("partial_count"))
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    assert(partial >= 0, s"no map-side partial count in:\n$p")
+    assert(partial > exchange,
+      s"partial cell count not below the shuffle:\n$p")
+    assert(lines.count(_.contains("Exchange")) == 1,
+      s"grid build must shuffle exactly once (cells only):\n$p")
+  }
+
   test("boilerplate gram top-k plans as TakeOrderedAndProject, not a " +
       "global sort") {
     // the global top-k must be the partial-per-partition merge, not an

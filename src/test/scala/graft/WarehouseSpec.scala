@@ -368,6 +368,125 @@ class SketchSpec extends AnyFunSuite {
   }
 }
 
+/** Contracts behind `q_rank_quantiles`: the dyadic rank grid is a
+  * pure cell-wise-additive function of the input multiset (merge and
+  * partitioning cannot change a counter — the property KLL's
+  * order-dependent compaction cannot give), the driver-side walk twin
+  * is byte-identical to the Catalyst chain, and the estimate's rank
+  * error on a collision-light fixture stays inside the CMS envelope
+  * against [[graft.ops.Stats.exactQuantiles]].
+  */
+class RankSketchSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private val D = 2
+  private val W = 8192
+
+  private def cells(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("level").cast("long"), col("r").cast("long"),
+        col("bucket").cast("long"), col("c").cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (l, r, b, c) => (l, r, b) -> c }.toMap
+
+  // deterministic wide-domain fixture: value v*9973+17 repeated
+  // (v % 5 + 1) times, v in [0, 1000) -> n = 3000, 1000 distinct
+  private def fixture = (0 until 1000)
+    .flatMap(v => Seq.fill(v % 5 + 1)(v * 9973L + 17L)).toDF("x")
+
+  test("merge algebra: cell-wise sum of part grids IS the union's " +
+      "grid; repartitioning cannot move a counter") {
+    val a = Seq(5L, 9L, 9L, 1L << 40).toDF("x")
+    val b = Seq(5L, 7L, (1L << 40) + 3L).toDF("x")
+    val merged = cells(Sketch.mergeRankGrids(
+      Sketch.rankGrid(a, col("x"), D, W),
+      Sketch.rankGrid(b, col("x"), D, W)))
+    val direct = cells(Sketch.rankGrid(a.unionAll(b), col("x"), D, W))
+    assert(merged === direct)
+    val u = fixture
+    assert(cells(Sketch.rankGrid(u.repartition(7), col("x"), D, W)) ===
+      cells(Sketch.rankGrid(u.repartition(3), col("x"), D, W)))
+  }
+
+  test("driver-side walk twin replays the Catalyst bucket chain " +
+      "byte-identically across the prefix domain") {
+    val probes = Seq(0L, 1L, 15L, 16L, 255L, 48271L, 2147483646L,
+      2147483647L, 2147483648L, 4294967296L, (1L << 45) + 12345L,
+      (1L << 62) + 987654321L, Long.MaxValue)
+    val pairs = for { p <- probes; rr <- Seq(0L, 1L, 17L, 31L) }
+      yield (p, rr)
+    val viaSpark = pairs.toDF("prefix", "rr")
+      .select(col("prefix"), col("rr"),
+        Sketch.rankBucket(col("prefix"), col("rr"), W).as("b"))
+      .as[(Long, Long, Long)].collect()
+    viaSpark.foreach { case (p, rr, b) =>
+      assert(b == Sketch.rankBucketLocal(p, rr, W),
+        s"bucket twin diverges at prefix=$p rr=$rr")
+    }
+  }
+
+  test("rank-error envelope vs exactQuantiles on a collision-light " +
+      "fixture; estimates are nondecreasing in p") {
+    val df = fixture
+    val n = 3000L
+    val ps = Seq(10, 100, 250, 500, 750, 900, 990, 1000)
+    val grid = Sketch.rankGrid(df, col("x"), D, W)
+    val est = Sketch.rankQuantiles(grid, ps, D, W)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(est.map(_._1).toSeq === ps.map(_.toLong))
+    // nondecreasing: a larger target can only descend at same-or-
+    // later children against the same grid
+    assert(est.map(_._2).sliding(2).forall(w => w(0) <= w(1)))
+    val exact = Stats.exactQuantiles(df, col("x"), ps)
+      .as[(Long, Long)].collect().toMap
+    est.foreach { case (p, q) =>
+      val target = (p * n + 999L) / 1000L
+      val rank = df.filter(col("x") <= q).count()
+      // CMS overestimates only -> the walk can land early or (via an
+      // inflated earlier sibling) late; with ~1000 prefixes/level in
+      // 8192 buckets x depth 2, per-node inflation is rare and small.
+      // 2% of n (60) is 12x the deterministic seed-free worst reading
+      // on this fixture (|rank-target| <= 5 across ps).
+      assert(math.abs(rank - target) <= n / 50,
+        s"p=$p q=$q rank=$rank target=$target (exact=${exact(p)})")
+    }
+  }
+
+  test("n is recoverable from the level-15 r=0 slice; NULLs are " +
+      "excluded; empty and all-NULL inputs yield empty results") {
+    val df = Seq(Some(3L), None, Some(77L), Some(3L)).toDF("x")
+    val g = Sketch.rankGrid(df, col("x"), D, W)
+    val n = g.filter(col("level") === 15 && col("r") === 0)
+      .agg(sum(col("c"))).as[Long].collect().head
+    assert(n == 3L) // the NULL never entered the grid
+    val empty = Sketch.rankQuantiles(
+      Sketch.rankGrid(Seq.empty[Long].toDF("x"), col("x"), D, W),
+      Seq(500), D, W)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq === Seq("permille", "q_est"))
+  }
+
+  test("guards: negative values raise at scan time; bad dims and " +
+      "permilles rejected eagerly") {
+    intercept[IllegalArgumentException] {
+      Sketch.rankGrid(Seq(1L).toDF("x"), col("x"), depth = 0, width = W)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.rankGrid(Seq(1L).toDF("x"), col("x"), depth = D, width = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.rankQuantiles(
+        Sketch.rankGrid(Seq(1L).toDF("x"), col("x"), D, W),
+        Seq(0), D, W)
+    }
+    val neg = intercept[Exception] {
+      Sketch.rankGrid(Seq(-1L).toDF("x"), col("x"), D, W).count()
+    }
+    assert(neg.getMessage.contains("non-negative") ||
+      neg.getCause != null)
+  }
+}
+
 class KAnonSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
