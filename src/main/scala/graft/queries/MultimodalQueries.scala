@@ -741,6 +741,63 @@ object MultimodalQueries extends QueryGroup {
       }
     },
 
+    // the OUT-OF-ORDER streaming funnel: the same events scattered
+    // ADVERSARIALLY across three micro-batches by event_id — every
+    // user's history arrives time-shuffled, violating q_stream_funnel's
+    // in-order precondition — folded through the watermark-bounded
+    // reordering buffer (lateness = the table's 40-day span, so all
+    // disorder is within-window). The buffer restores exact event-time
+    // order before each fold, so the oracle is STILL q_funnel's batch
+    // SQL verbatim; the drain sentinels that flush the last window are
+    // excluded by reserved user id.
+    q("q_stream_funnel_ooo", "streaming",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS tp
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 AND e.ts > s1.t1
+                 AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+                WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                 AND e.ts > s2.tp
+                 AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT 1 AS step_idx, 'view' AS step,
+                 (SELECT count(*) FROM s1) AS users
+               UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+               UNION ALL SELECT 3, 'purchase',
+                 (SELECT count(*) FROM s3))
+         SELECT step_idx, step, CAST(users AS BIGINT) AS users,
+                CAST(users * 1000
+                  // (SELECT users FROM c WHERE step_idx = 1)
+                  AS BIGINT) AS permille
+         FROM c""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+      val staged = java.nio.file.Files.createTempDirectory("graft_oofun")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_oofun_w")
+      try {
+        val base = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val d = tmp.resolve(s"b$i")
+          ev.filter(col("event_id") % 3 === i).coalesce(1)
+            .write.parquet(d.toString)
+          val part = java.nio.file.Files.list(d).toArray
+            .map(_.toString).filter(_.endsWith(".parquet")).head
+          val dst = staged.resolve(s"b$i.parquet")
+          java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+          dst.toFile.setLastModified(base - (4 - i) * 60000L): Unit
+        }
+        graft.streaming.FunnelStream.runFunnelToBatchReordered(spark,
+          staged.toString, Seq("view", "click", "purchase"),
+          horizonSeconds = Some(604800L),
+          latenessSeconds = 40L * 86400L, maxFilesPerTrigger = Some(1))
+      } finally {
+        graft.core.Fs.deleteRecursively(staged)
+        graft.core.Fs.deleteRecursively(tmp)
+      }
+    },
+
     // stream-stream interval join (attribution) run to completion over
     // the bounded file source — inner joins emit on arrival, so the
     // bounded run ≡ the batch interval join; times as integer µs

@@ -997,6 +997,80 @@ object WarehouseQueries extends QueryGroup {
       } finally graft.core.Fs.deleteRecursively(staged.toFile)
     },
 
+    // OUT-OF-ORDER streaming SCD2: each update carries its OWN
+    // effective date and the three micro-batch files are staged so a
+    // key's LATER version often arrives FIRST (file index mixes key
+    // and date) — the delivery shape q_stream_scd2's in-arrival-order
+    // fold cannot survive. The reordering buffer folds strictly by
+    // effective date behind a 5-day lateness watermark, so the final
+    // history is the in-date-order rebuild exactly. Every update is a
+    // genuine change (suffixing the tracked value), so the oracle can
+    // spell the rebuilt history directly: version intervals are a
+    // LEAD window over {initial} ∪ {updates} per key in date order.
+    q("q_stream_scd2_ooo", "warehouse",
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg
+                       FROM customer),
+         upd AS (
+           SELECT k, seg || '_a' AS attr,
+                  CASE WHEN k % 6 = 0 THEN '2024-01-02'
+                       ELSE '2024-01-03' END AS eff
+           FROM base WHERE k % 3 = 0
+           UNION ALL
+           SELECT k, seg || '_b', '2024-01-04' FROM base WHERE k % 6 = 0),
+         vers AS (
+           SELECT k, seg AS attr, '2024-01-01' AS eff FROM base
+           UNION ALL SELECT k, attr, eff FROM upd),
+         final AS (
+           SELECT k, attr, eff,
+             LEAD(eff) OVER (PARTITION BY k ORDER BY eff) AS nxt
+           FROM vers)
+         SELECT CAST(k AS BIGINT) AS c_custkey, attr AS c_mktsegment,
+                eff AS valid_from, nxt AS valid_to,
+                nxt IS NULL AS is_current
+         FROM final""") { (spark, dir) =>
+      val base = Tables.df(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val initial = base.select(col("c_custkey"), col("c_mktsegment"),
+        lit("2024-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+      val k = col("c_custkey")
+      val upd = base.filter(k % 3 === 0)
+        .select(k, concat(col("c_mktsegment"), lit("_a"))
+            .as("c_mktsegment"),
+          when(k % 6 === 0, "2024-01-02").otherwise("2024-01-03")
+            .as("eff"),
+          when(k % 6 === 0, pmod(k / 3 + 2, lit(3)))
+            .otherwise(pmod(k / 3 + 3, lit(3))).as("fidx"))
+        .unionByName(base.filter(k % 6 === 0)
+          .select(k, concat(col("c_mktsegment"), lit("_b"))
+              .as("c_mktsegment"),
+            lit("2024-01-04").as("eff"),
+            pmod(k / 3 + 4, lit(3)).as("fidx")))
+      val staged = java.nio.file.Files.createTempDirectory("graft_ooscd")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ooscd_w")
+      try {
+        val base0 = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val d = tmp.resolve(s"b$i")
+          upd.filter(col("fidx") === i).drop("fidx").coalesce(1)
+            .write.parquet(d.toString)
+          val part = java.nio.file.Files.list(d).toArray
+            .map(_.toString).filter(_.endsWith(".parquet")).head
+          val dst = staged.resolve(s"b$i.parquet")
+          java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+          dst.toFile.setLastModified(base0 - (4 - i) * 60000L): Unit
+        }
+        graft.streaming.IngestStream.runScd2ToBatchReordered(spark,
+          staged.toString, initial, "c_custkey", Seq("c_mktsegment"),
+          "eff", latenessDays = 5, upd.drop("fidx").schema,
+          maxFilesPerTrigger = Some(1))
+      } finally {
+        graft.core.Fs.deleteRecursively(staged.toFile)
+        graft.core.Fs.deleteRecursively(tmp.toFile)
+      }
+    },
+
     // Curation composition v7 — the domain-prior shape: TrustRank
     // mass over the doc link graph (teleport to the %17 trusted
     // seeds) becomes the selection score, and the token budget is

@@ -22,12 +22,41 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * oracle stages the stream as ordered files and the spec pins the
   * multi-batch fold ≡ batch equality under time-split staging (the
   * in-order shape a replayed log or watermarked upstream produces).
+  * For streams that VIOLATE the in-order precondition,
+  * [[stagesReordered]] buys the same batch equality for any disorder
+  * bounded by a lateness window, at the watermark costs (output lag,
+  * a lateness window of per-user buffered state).
   */
 object FunnelStream {
 
   final case class FEvent(user_id: Long, ts_us: Long, event_type: String)
   final case class FState(t1: Long, prev: Long, stage: Int)
   final case class FProgress(user_id: Long, stage: Int)
+  /** Watermarked event: the raw timestamp column survives so Spark
+    * can compute the watermark; `ts_us` is what the machine folds. */
+  final case class WEvent(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, event_type: String)
+  /** Buffered not-yet-folded event (user key lives on the group). */
+  final case class BEv(ts_us: Long, event_type: String)
+  /** Reordering state: the machine plus the hold-back buffer and the
+    * fold line (`flushed_us` — everything at-or-under it is already
+    * folded, so a straggler at-or-under it can never be inserted). */
+  final case class RState(t1: Long, prev: Long, stage: Int,
+      flushed_us: Long, buf: Seq[BEv])
+
+  /** The greedy earliest-completion step — ONE spelling shared by the
+    * in-order and reordering folds (two copies of a 5-line state
+    * machine is how twins drift). */
+  private def advance(st: FState, tsUs: Long, eventType: String,
+      steps: Seq[String], horizonUs: Option[Long]): FState =
+    if (st.stage == 0) {
+      if (eventType == steps.head) FState(tsUs, tsUs, 1) else st
+    } else if (st.stage < steps.length &&
+        eventType == steps(st.stage) &&
+        tsUs > st.prev &&
+        horizonUs.forall(h => tsUs <= st.t1 + h)) {
+      FState(st.t1, tsUs, st.stage + 1)
+    } else st
 
   /** Per-user stage progression: 0 = not entered, i = reached step i.
     * Stage is monotone nondecreasing across emissions, so the final
@@ -45,17 +74,69 @@ object FunnelStream {
           // timestamps are order-insensitive here (at most one equal-ts
           // event can advance: the next needs ts STRICTLY > prev)
           rows.toSeq.sortBy(_.ts_us).foreach { e =>
-            if (st.stage == 0) {
-              if (e.event_type == steps.head)
-                st = FState(e.ts_us, e.ts_us, 1)
-            } else if (st.stage < steps.length &&
-                e.event_type == steps(st.stage) &&
-                e.ts_us > st.prev &&
-                horizonUs.forall(h => e.ts_us <= st.t1 + h)) {
-              st = FState(st.t1, e.ts_us, st.stage + 1)
-            }
+            st = advance(st, e.ts_us, e.event_type, steps, horizonUs)
           }
           state.update(st)
+          FProgress(u, st.stage)
+      }
+  }
+
+  /** OUT-OF-ORDER-tolerant stage progression — [[stages]] with a
+    * watermark-bounded reordering buffer, lifting the per-user
+    * in-order cross-batch delivery precondition the plain fold
+    * documents: arriving events are HELD per user until the event-time
+    * watermark (max seen event time − `lateness`) passes them, then
+    * folded in exact event-time order, so any delivery disorder
+    * bounded by the lateness window yields BIT-IDENTICAL results to
+    * the batch operator (spec-pinned on adversarially shuffled
+    * staging). The two costs are the standard watermark trade: output
+    * lags one lateness window behind arrival, and per-user state holds
+    * one lateness window of events instead of 20 bytes — bounded by
+    * per-user event rate × lateness, never by history. Stragglers
+    * beyond the window (at-or-under the fold line) are DROPPED, the
+    * standard watermark contract; within the bound nothing ever lands
+    * there. Flush timing rides EventTimeTimeout, so a user's buffer
+    * drains when the GLOBAL watermark advances even if that user
+    * receives no further events.
+    *
+    * Input must carry `user_id`, `ts` (timestamp), `event_type`. */
+  def stagesReordered(events: DataFrame, steps: Seq[String],
+      horizonUs: Option[Long], latenessSeconds: Long): Dataset[FProgress] = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    require(horizonUs.forall(_ > 0), s"horizon must be positive")
+    require(latenessSeconds >= 0,
+      s"lateness must be non-negative: $latenessSeconds")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withWatermark("ts", s"$latenessSeconds seconds")
+      .as[WEvent]
+    ev.groupByKey(_.user_id)
+      .mapGroupsWithState[RState, FProgress](
+          GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[WEvent], state) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val s0 = state.getOption
+            .getOrElse(RState(0L, 0L, 0, Long.MinValue, Seq.empty))
+          // the fold line is this KEY's last flush; the exec already
+          // filters rows under the GLOBAL watermark, this guard makes
+          // the boundary deterministic either way
+          val fresh = rows.filter(_.ts_us > s0.flushed_us)
+            .map(e => BEv(e.ts_us, e.event_type)).toSeq
+          val (ripe, hold) = (s0.buf ++ fresh).partition(_.ts_us <= wmUs)
+          var st = FState(s0.t1, s0.prev, s0.stage)
+          ripe.sortBy(_.ts_us).foreach { e =>
+            st = advance(st, e.ts_us, e.event_type, steps, horizonUs)
+          }
+          state.update(RState(st.t1, st.prev, st.stage,
+            math.max(s0.flushed_us, wmUs), hold))
+          // re-arm on every invocation that leaves a buffer: fire as
+          // soon as the watermark moves again (a stale armed timeout
+          // after a full drain is a harmless empty-buffer no-op)
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
           FProgress(u, st.stage)
       }
   }
@@ -68,7 +149,86 @@ object FunnelStream {
     * modification-time order. */
   def runFunnelToBatch(spark: SparkSession, path: String,
       steps: Seq[String], horizonSeconds: Option[Long],
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    runBounded(spark, path, steps, maxFilesPerTrigger,
+      excludeUser = None) { src =>
+      import spark.implicits._
+      stages(
+        src.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type")).as[FEvent],
+        steps, horizonSeconds.map(_ * 1000000L)).toDF()
+    }
+
+  /** User id reserved for the drain sentinel — negative ids never
+    * occur in real event streams here; its single far-future event
+    * advances the watermark past every real event so held buffers
+    * flush, and it is excluded from the report. */
+  val SentinelUser: Long = Long.MinValue
+
+  /** Bounded run of [[stagesReordered]]: stages the (possibly
+    * adversarially time-shuffled) files of `path` into a fresh
+    * directory in modification-time order, appends a drain-sentinel
+    * file whose single [[SentinelUser]] event sits `lateness + 2` s
+    * past the max real event time — the stream-close marker a real
+    * deployment's upstream emits — so the final no-data micro-batches
+    * fire every EventTimeTimeout and drain every buffer. Same report
+    * schema as [[graft.ops.Events.funnel]]. */
+  def runFunnelToBatchReordered(spark: SparkSession, path: String,
+      steps: Seq[String], horizonSeconds: Option[Long],
+      latenessSeconds: Long,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val maxTs = spark.read.schema(EventsStream.eventsFileSchema)
+      .parquet(path).agg(max(unix_micros(col("ts")))).collect()
+      .head.getLong(0)
+    val staged = java.nio.file.Files.createTempDirectory("graft_fdrain")
+    try {
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .sortBy(p => (p.toFile.lastModified(), p.toString))
+      files.zipWithIndex.foreach { case (f, i) =>
+        val dst = staged.resolve(f.getFileName)
+        java.nio.file.Files.copy(f, dst)
+        dst.toFile.setLastModified(
+          System.currentTimeMillis() - (files.length + 2 - i) * 60000L): Unit
+      }
+      import spark.implicits._
+      // TWO drain files: the first advances the watermark past every
+      // real event (watermarks take effect in the NEXT batch), the
+      // second's data batch then fires every armed EventTimeTimeout —
+      // no reliance on no-data micro-batch scheduling
+      val drainUs = maxTs + (latenessSeconds + 2L) * 1000000L
+      Seq(1, 2).foreach { d =>
+        val sentinelDir = staged.resolve(s"zz_drain_tmp$d")
+        Seq((0L, new java.sql.Timestamp((drainUs + d * 1000000L) / 1000L),
+            SentinelUser, "drain", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value",
+            "props")
+          .coalesce(1).write.parquet(sentinelDir.toString)
+        val part = java.nio.file.Files.list(sentinelDir).toArray
+          .map(_.toString).filter(_.endsWith(".parquet")).head
+        val dst = staged.resolve(s"zz_drain$d.parquet")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+        dst.toFile.setLastModified(
+          System.currentTimeMillis() + d * 60000L): Unit
+        graft.core.Fs.deleteRecursively(sentinelDir)
+      }
+      runBounded(spark, staged.toString, steps, maxFilesPerTrigger,
+        excludeUser = Some(SentinelUser)) { src =>
+        stagesReordered(src, steps, horizonSeconds.map(_ * 1000000L),
+          latenessSeconds).toDF()
+      }
+    } finally graft.core.Fs.deleteRecursively(staged)
+  }
+
+  /** Shared bounded-run scaffolding + report assembly for the two
+    * funnel folds: drain the pipeline into a memory sink, then build
+    * the (step_idx, step, users, permille) report off the monotone
+    * per-user max stage. */
+  private def runBounded(spark: SparkSession, path: String,
+      steps: Seq[String], maxFilesPerTrigger: Option[Int],
+      excludeUser: Option[Long])(
+      pipeline: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     val qn = s"graft_funnel_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fckpt")
@@ -79,10 +239,7 @@ object FunnelStream {
       val src = maxFilesPerTrigger
         .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
         .parquet(path)
-      val ev = src.select(col("user_id"),
-          unix_micros(col("ts")).as("ts_us"), col("event_type"))
-        .as[FEvent]
-      val q = stages(ev, steps, horizonSeconds.map(_ * 1000000L)).toDF()
+      val q = pipeline(src)
         .writeStream.format("memory").queryName(qn)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("update").start()
@@ -93,7 +250,9 @@ object FunnelStream {
       graft.core.Fs.deleteRecursively(ckpt)
     }
     // stage is monotone per user: the final value is the max emission
-    val byStage = spark.table(qn)
+    val emissions = excludeUser.fold(spark.table(qn))(u =>
+      spark.table(qn).filter(col("user_id") =!= u))
+    val byStage = emissions
       .groupBy("user_id").agg(max(col("stage")).as("stage"))
       .groupBy("stage").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -287,6 +287,90 @@ object IngestStream {
     }
     cur
   }
+
+  /** OUT-OF-ORDER-tolerant streaming SCD2 — [[runScd2ToBatch]] with a
+    * watermark-bounded reordering buffer, lifting its in-arrival-order
+    * precondition the same way [[graft.streaming.FunnelStream
+    * .stagesReordered]] lifts the funnel's: each update row carries
+    * its OWN effective date (`dateCol`, ISO `yyyy-MM-dd` — so date
+    * order is string order), arriving rows are HELD until the date
+    * watermark (max seen date − `latenessDays`) passes them, and held
+    * rows fold into the dimension strictly by effective date — one
+    * [[graft.ops.Scd.scd2Merge]] per ripe date, ascending. Any
+    * delivery disorder within the lateness window therefore yields
+    * BIT-IDENTICAL history to the in-date-order batch rebuild
+    * (spec-pinned on adversarially shuffled staging); a straggler
+    * at-or-under the highest already-merged date is DROPPED — merging
+    * it would chain versions backwards — the standard watermark
+    * contract. Requires at-most-one update per (key, effective date),
+    * the same uniqueness [[graft.ops.Scd.scd2Merge]]'s full-outer
+    * join already assumes per batch.
+    *
+    * Scale shape: the buffer is a lateness window of updates (never
+    * history-sized), checkpoint-released generationally; per-batch
+    * driver data is one max-date scalar plus the ≤ window-days flush
+    * date list; each flush date costs scd2Merge's single open⋈batch
+    * equi-join. */
+  def runScd2ToBatchReordered(spark: SparkSession, path: String,
+      initial: DataFrame, keyCol: String, trackedCols: Seq[String],
+      dateCol: String, latenessDays: Int, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.core.Checkpoints
+    require(latenessDays >= 0,
+      s"latenessDays must be non-negative: $latenessDays")
+    var cur = initial.localCheckpoint()
+    var pending = Option.empty[DataFrame]
+    var maxSeen = Option.empty[String]
+    var mergedThrough = Option.empty[String]
+
+    // fold every pending row with date <= upTo into the dimension,
+    // ascending; retain the rest
+    def flush(upTo: String): Unit = pending.foreach { p =>
+      val ripe = p.filter(col(dateCol) <= upTo)
+      val dates = ripe.select(col(dateCol)).distinct()
+        .collect().map(_.getString(0)).sorted
+      if (dates.nonEmpty) {
+        dates.foreach { d =>
+          val merged = graft.ops.Scd.scd2Merge(cur,
+            ripe.filter(col(dateCol) === d).drop(dateCol),
+            keyCol, trackedCols, d).localCheckpoint()
+          Checkpoints.release(cur)
+          cur = merged
+        }
+        val rest = p.filter(col(dateCol) > upTo).localCheckpoint()
+        Checkpoints.release(p)
+        pending = Some(rest)
+        // the drop line is the highest MERGED date, not the watermark:
+        // a late arrival between the two is still safe to accept (it
+        // folds after every already-merged date)
+        mergedThrough = Some(dates.last)
+      }
+    }
+
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val fresh0 = b.select(
+          (keyCol +: trackedCols :+ dateCol).map(col): _*)
+        // beyond-lateness stragglers: merging them would chain a
+        // version BEFORE one already written — drop, deterministically
+        val fresh = mergedThrough.fold(fresh0)(mt =>
+          fresh0.filter(col(dateCol) > mt))
+        val bMax = b.agg(max(col(dateCol))).collect().head.getString(0)
+        maxSeen = Some(maxSeen.fold(bMax)(m =>
+          if (bMax > m) bMax else m))
+        val p2 = pending.fold(fresh)(_.unionByName(fresh))
+          .localCheckpoint()
+        pending.foreach(Checkpoints.release)
+        pending = Some(p2)
+        flush(java.time.LocalDate.parse(maxSeen.get)
+          .minusDays(latenessDays.toLong).toString)
+      }
+    }
+    flush("9999-12-31") // stream closed: drain the buffer
+    pending.foreach(Checkpoints.release)
+    cur
+  }
 }
 
 /** Shared bounded-run scaffolding for file-source streaming twins:

@@ -1477,6 +1477,136 @@ class FunnelStreamSpec extends AnyFunSuite {
   }
 }
 
+/** The out-of-order contract (r14 verdict #4): the plain funnel fold
+  * documents per-user in-order cross-batch delivery as a
+  * precondition; real event streams violate it. These specs feed
+  * TIME-SHUFFLED micro-batches and pin that (a) the plain fold really
+  * does diverge there — the precondition is load-bearing, not
+  * paranoia — and (b) `stagesReordered`'s watermark-bounded
+  * reordering buffer restores exact batch equality for any disorder
+  * within the lateness window, while a straggler BEYOND the window is
+  * dropped deterministically (the standard watermark contract).
+  */
+class FunnelReorderSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def toEventsDf(rows: Seq[(Long, java.sql.Timestamp, String)]) =
+    rows.toDF("user_id", "ts", "event_type")
+      .select(lit(0L).as("event_id"), col("ts"), col("user_id"),
+        col("event_type"), lit(0.0).as("value"), lit("").as("props"))
+
+  /** Stage each slice as one file, mtime-ordered, in a fresh dir. */
+  private def staged(ev: org.apache.spark.sql.DataFrame,
+      slices: Seq[org.apache.spark.sql.Column]): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_oospec")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_oospec_w")
+    val base = System.currentTimeMillis()
+    slices.zipWithIndex.foreach { case (keep, i) =>
+      val d = tmp.resolve(s"b$i")
+      ev.filter(keep).coalesce(1).write.parquet(d.toString)
+      val part = java.nio.file.Files.list(d).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      val dst = dir.resolve(s"b$i.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(
+        base - (slices.length + 2 - i) * 60000L): Unit
+    }
+    graft.core.Fs.deleteRecursively(tmp)
+    dir
+  }
+
+  private def report(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+    df.as[(Int, String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+
+  // u1's click is delivered one batch AFTER its purchase (disorder
+  // 15 min < the 20 min lateness); u2 arrives in order; u3 only views
+  private val fixture = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "view"),
+    (2L, ts("2024-01-01 10:01:00"), "view"),
+    (3L, ts("2024-01-01 10:03:00"), "view"),
+    (1L, ts("2024-01-01 10:20:00"), "purchase"),
+    (2L, ts("2024-01-01 10:12:00"), "click"),
+    (1L, ts("2024-01-01 10:05:00"), "click"),
+    (2L, ts("2024-01-01 10:22:00"), "purchase"))
+  private val slices = Seq(
+    col("ts") <= lit("2024-01-01 10:03:00").cast("timestamp"),
+    col("ts").isin(ts("2024-01-01 10:20:00"), ts("2024-01-01 10:12:00")),
+    col("ts").isin(ts("2024-01-01 10:05:00"), ts("2024-01-01 10:22:00")))
+
+  test("the in-order fold's precondition is load-bearing: shuffled " +
+      "delivery under-advances; the reordering buffer restores exact " +
+      "batch equality") {
+    val ev = toEventsDf(fixture)
+    val want = report(graft.ops.Events.funnel(
+      ev, "user_id", "event_type", "ts", steps))
+    assert(want === Map(1 -> 3L, 2 -> 2L, 3 -> 2L))
+    val dir = staged(ev, slices)
+    try {
+      val plain = report(graft.streaming.FunnelStream.runFunnelToBatch(
+        spark, dir.toString, steps, None, maxFilesPerTrigger = Some(1)))
+      // u1's late-delivered click lands AFTER its purchase was seen:
+      // the plain machine can reach click (stage 2) but never credits
+      // the purchase it already consumed-and-ignored
+      assert(plain === Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+      val reordered = report(
+        graft.streaming.FunnelStream.runFunnelToBatchReordered(
+          spark, dir.toString, steps, None, latenessSeconds = 1200L,
+          maxFilesPerTrigger = Some(1)))
+      assert(reordered === want)
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
+  test("a straggler beyond the lateness window is dropped " +
+      "deterministically, never mis-inserted below the fold line") {
+    // u4's view is delivered in batch 3 with 40 min of disorder —
+    // past the 20 min window, so it must vanish: the result equals
+    // the batch operator run WITHOUT the straggler, and never the
+    // with-straggler report (which would credit u4 a first step)
+    val straggler = (4L, ts("2024-01-01 09:40:00"), "view")
+    val ev = toEventsDf(fixture :+ straggler)
+    // u4 rides ONLY the last batch (slice 0's ts predicate would
+    // otherwise catch its 09:40 event too and deliver it twice)
+    val slices4 = Seq(slices(0) && col("user_id") =!= 4L, slices(1),
+      slices(2) || col("user_id") === 4L)
+    val dir = staged(ev, slices4)
+    try {
+      val reordered = report(
+        graft.streaming.FunnelStream.runFunnelToBatchReordered(
+          spark, dir.toString, steps, None, latenessSeconds = 1200L,
+          maxFilesPerTrigger = Some(1)))
+      assert(reordered === Map(1 -> 3L, 2 -> 2L, 3 -> 2L))
+      val withStraggler = report(graft.ops.Events.funnel(
+        ev, "user_id", "event_type", "ts", steps))
+      assert(withStraggler === Map(1 -> 4L, 2 -> 2L, 3 -> 2L))
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
+  test("adversarial round-robin staging of the sf0.001 events table " +
+      "equals the batch operator, horizon on") {
+    val ev = graft.core.Tables.df(spark, sf, "events")
+    // event_id % 4 staging scatters every user's history across all
+    // four batches in arbitrary time order; lateness = the full table
+    // span, so everything is within-window disorder
+    val slices = (0 until 4).map(i => col("event_id") % 4 === i)
+    val dir = staged(ev, slices)
+    try {
+      val want = report(graft.ops.Events.funnel(ev, "user_id",
+        "event_type", "ts", steps, horizonSeconds = Some(604800L)))
+      val got = report(
+        graft.streaming.FunnelStream.runFunnelToBatchReordered(
+          spark, dir.toString, steps, Some(604800L),
+          latenessSeconds = 40L * 86400L, maxFilesPerTrigger = Some(1)))
+      assert(got === want)
+      assert(want(1) > 0L) // non-vacuous: the funnel is populated
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+}
+
 class FunnelDurationsSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
@@ -1673,5 +1803,104 @@ class EventsPropertySpec extends AnyFunSuite {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
+  }
+}
+
+/** The SCD2 half of the out-of-order contract (r14 verdict #4): the
+  * plain streaming fold stamps effective dates by ARRIVAL order, so
+  * shuffled delivery corrupts the history; `runScd2ToBatchReordered`
+  * lets each update carry its own effective date and folds strictly
+  * by date behind a lateness watermark. Pinned here: within-window
+  * disorder yields the exact in-date-order rebuild; beyond-window
+  * stragglers are dropped deterministically (lateness 0 is the
+  * everything-is-a-straggler control).
+  */
+class Scd2ReorderSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+  private type Version = (String, String, String, Option[String], Boolean)
+
+  private val initial = Seq(
+    ("A", "a1", "2024-01-01", null.asInstanceOf[String], true),
+    ("B", "b1", "2024-01-01", null.asInstanceOf[String], true),
+    ("C", "c1", "2024-01-01", null.asInstanceOf[String], true),
+    ("D", "d1", "2024-01-01", null.asInstanceOf[String], true))
+  private def initialDf = initial
+    .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+
+  private val updSchema = StructType(Seq(StructField("k", StringType),
+    StructField("attr", StringType), StructField("eff", StringType)))
+
+  // delivery order (files) vs effective order (eff): A's 01-02 update
+  // arrives AFTER its 01-04 one, C's 01-03 after B's… — max disorder
+  // 2 days, inside the 3-day lateness window
+  private val files = Seq(
+    Seq(("A", "a3", "2024-01-04"), ("C", "c2", "2024-01-02")),
+    Seq(("A", "a2", "2024-01-02"), ("B", "b2", "2024-01-03")),
+    Seq(("C", "c3", "2024-01-03"), ("D", "d2", "2024-01-05")))
+
+  private def stage(fs: Seq[Seq[(String, String, String)]]): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scdoo")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scdoo_w")
+    val base = System.currentTimeMillis()
+    fs.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("k", "attr", "eff").coalesce(1)
+        .write.parquet(tmp.resolve(s"b$i").toString)
+      val part = java.nio.file.Files.list(tmp.resolve(s"b$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      val dst = dir.resolve(s"b$i.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(base - (fs.length + 1 - i) * 60000L): Unit
+    }
+    graft.core.Fs.deleteRecursively(tmp)
+    dir
+  }
+
+  /** The in-date-order batch rebuild: one scd2Merge per distinct
+    * effective date, ascending — the reference the fold must hit. */
+  private def chainRef(upd: Seq[(String, String, String)]): Set[Version] =
+    upd.map(_._3).distinct.sorted
+      .foldLeft(initialDf) { (cur, d) =>
+        Scd.scd2Merge(cur,
+          upd.filter(_._3 == d).map(u => (u._1, u._2)).toDF("k", "attr"),
+          "k", Seq("attr"), d)
+      }.as[Version].collect().toSet
+
+  private def run(dir: java.nio.file.Path, lateness: Int): Set[Version] =
+    graft.streaming.IngestStream.runScd2ToBatchReordered(spark,
+        dir.toString, initialDf, "k", Seq("attr"), "eff", lateness,
+        updSchema, maxFilesPerTrigger = Some(1))
+      .as[Version].collect().toSet
+
+  test("within-window disorder folds into the exact in-date-order " +
+      "rebuild: version chains link by effective date, not arrival") {
+    val dir = stage(files)
+    try {
+      val got = run(dir, lateness = 3)
+      val want = chainRef(files.flatten)
+      assert(got === want)
+      // A's chain is effective-date-ordered despite reversed arrival:
+      // a1 closed 01-02, a2 closed 01-04, a3 open
+      assert(got.filter(_._1 == "A") === Set[Version](
+        ("A", "a1", "2024-01-01", Some("2024-01-02"), false),
+        ("A", "a2", "2024-01-02", Some("2024-01-04"), false),
+        ("A", "a3", "2024-01-04", None, true)))
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
+  test("lateness 0 drops every under-the-line straggler " +
+      "deterministically — the on-time subset's rebuild, exactly") {
+    val dir = stage(files)
+    try {
+      val got = run(dir, lateness = 0)
+      // batch 0 merges through 01-04 immediately, so the later
+      // arrivals dated 01-02/01-03 are beyond-window stragglers
+      val onTime = Seq(("A", "a3", "2024-01-04"),
+        ("C", "c2", "2024-01-02"), ("D", "d2", "2024-01-05"))
+      assert(got === chainRef(onTime))
+      assert(got !== chainRef(files.flatten))
+    } finally graft.core.Fs.deleteRecursively(dir)
   }
 }
