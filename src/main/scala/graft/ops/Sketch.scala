@@ -152,6 +152,55 @@ object Sketch {
     when(size(synCol) < k, size(synCol).cast("long")).otherwise(qf)
   }
 
+  /** Cross-corpus overlap report off two KMV synopses — the
+    * decontamination-adjacent question ("how many distinct values do
+    * corpora A and B share?") answered from two bounded sketches
+    * instead of a corpus-sized distinct join: the union synopsis is
+    * [[mergeKmvSynopses]] of the parts (the exact algebra — KmvSpec),
+    * `est_intersection` is inclusion–exclusion over the three
+    * integer-floor estimates clamped at 0 (floor arithmetic can push
+    * the difference one below zero on near-disjoint inputs), and
+    * `jaccard_permille` is the integer floor `1000·inter div union`
+    * (`div`, not `/` — the double quotient can cross an integer).
+    * At 100 TB this is the shape that answers "how much of the eval
+    * set leaked into this crawl slice" per (slice, benchmark) pair
+    * from k longs per corpus, merged, never rescanned.
+    *
+    * Exact counterparts ride along for error visibility (they ARE
+    * the distinct-sized join the sketch avoids — report-only, the
+    * [[kmvDistinct]] exact-column precedent).
+    *
+    * @return ONE row: (est_a, est_b, est_union, est_intersection,
+    *         jaccard_permille, exact_a, exact_b, exact_intersection).
+    */
+  def kmvOverlap(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    val sa = kmvSynopsis(dfA, valueCol, k, Seq.empty)
+    val sb = kmvSynopsis(dfB, valueCol, k, Seq.empty)
+    val su = mergeKmvSynopses(k, Seq.empty, sa, sb)
+    val va = dfA.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("_v")).distinct()
+    val vb = dfB.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("_v")).distinct()
+    val ests = sa.select(kmvEstimate(col("kmv"), k).as("est_a"))
+      .crossJoin(sb.select(kmvEstimate(col("kmv"), k).as("est_b")))
+      .crossJoin(su.select(kmvEstimate(col("kmv"), k).as("est_union")))
+      .crossJoin(va.agg(count(lit(1)).as("exact_a")))
+      .crossJoin(vb.agg(count(lit(1)).as("exact_b")))
+      .crossJoin(va.join(vb, Seq("_v"), "left_semi")
+        .agg(count(lit(1)).as("exact_intersection")))
+    ests
+      .withColumn("est_intersection",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("jaccard_permille",
+        when(col("est_union") === 0L, lit(0L))
+          .otherwise(expr("(1000 * est_intersection) div est_union")))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        col("est_intersection"), col("jaccard_permille"),
+        col("exact_a"), col("exact_b"), col("exact_intersection"))
+  }
+
   /** Distinct-count report per group: (groupCols…, est_distinct,
     * exact_distinct) with the integer-floor KMV estimate next to the
     * exact count. */
@@ -275,6 +324,88 @@ object Sketch {
     parts.reduce(_ unionByName _)
       .groupBy("level", "r", "bucket").agg(sum(col("c")).as("c"))
 
+  /** PER-GROUP rank grids in one corpus pass — the profile question
+    * ("per-source length quantiles", "per-type latency percentiles")
+    * at the grid's fixed cost per group: (groupCols…, level, r,
+    * bucket, c), ≤ 16·depth·width cells PER GROUP however large each
+    * group's slice or value domain. Same additive algebra as
+    * [[rankGrid]] (merge = cell-wise sum under the group key), same
+    * single partial-aggregated exchange — the map-side combine now
+    * caps each partition's contribution at groups×grid instead of
+    * grid.
+    *
+    * Pair with [[rankQuantilesBy]], whose driver-side walk collects
+    * groups×grid cells — the contract is DASHBOARD-SIZED group
+    * cardinality (sources, event types, days), the same bound
+    * [[Stats.sourceProfile]] lives under. Unbounded group domains
+    * should keep the grid distributed and probe with joins instead. */
+  def rankGridBy(df: DataFrame, value: Column, groupCols: Seq[String],
+      depth: Int = 2, width: Int = 2048): DataFrame = {
+    require(groupCols.nonEmpty, "rankGridBy: groupCols must be " +
+      "non-empty — use rankGrid for the global sketch")
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8]: $depth")
+    require(width >= 16 && width <= 65536,
+      s"width must be in [16, 65536]: $width")
+    val u = df.select(groupCols.map(col) :+ value.cast("long").as("v"): _*)
+      .filter(col("v").isNotNull)
+      .withColumn("v", when(col("v") < 0, raise_error(lit(
+        "rankGridBy: values must be non-negative — shift the domain " +
+          "into [0, 2^63) first")).cast("long"))
+        .otherwise(col("v")))
+    val lvlPrefixes = array((0 until 16).map(l =>
+      struct(lit(l).as("level"),
+        shiftrightunsigned(col("v"), 4 * l).as("prefix"))): _*)
+    u.select(groupCols.map(col) :+ explode(lvlPrefixes).as("lp"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("lp.level").as("level"), col("lp.prefix").as("prefix"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("r")): _*)
+      .select(groupCols.map(col) ++ Seq(col("level"), col("r"),
+        rankBucket(col("prefix"),
+          (col("level") * depth + col("r")).cast("long"), width)
+          .as("bucket")): _*)
+      .groupBy((groupCols ++ Seq("level", "r", "bucket")).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-group type-1 permille quantiles off a [[rankGridBy]] grid —
+    * [[rankQuantiles]]' walk run once per group over the bounded
+    * collected cells (groups×grid rows — the dashboard-sized contract
+    * documented there). Output (groupCols…, permille, q_est), groups
+    * ordered by their key for determinism; a group absent from the
+    * grid (no non-null values) is absent from the output. */
+  def rankQuantilesBy(grid: DataFrame, groupCols: Seq[String],
+      permilles: Seq[Int], depth: Int = 2,
+      width: Int = 2048): DataFrame = {
+    require(groupCols.nonEmpty, "rankQuantilesBy: groupCols must be " +
+      "non-empty — use rankQuantiles for the global walk")
+    require(permilles.nonEmpty &&
+      permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be within [1, 1000]: $permilles")
+    val spark = grid.sparkSession
+    val g = groupCols.length
+    val rows = grid.collect()
+    val byGroup = rows.groupBy(r => (0 until g).map(r.get).toList)
+    val out = byGroup.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+      .flatMap { case (key, rs) =>
+        val cells = rs.map(r =>
+          (r.getInt(g), r.getInt(g + 1), r.getLong(g + 2)) ->
+            r.getLong(g + 3)).toMap
+        walkGrid(cells, permilles, depth, width).map { case (p, q) =>
+          org.apache.spark.sql.Row.fromSeq(key ++ Seq(p, q))
+        }
+      }
+    val schema = org.apache.spark.sql.types.StructType(
+      groupCols.map(c => grid.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("permille",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("q_est",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      schema)
+  }
+
   /** Type-1 permille quantiles off a rank grid: for each permille p,
     * descend the 16-ary prefix tree from the root — at each level
     * take the first child whose cumulative estimated mass reaches the
@@ -302,16 +433,26 @@ object Sketch {
     import spark.implicits._
     val cells = grid.collect().map(r =>
       (r.getInt(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    walkGrid(cells, permilles, depth, width).toDF("permille", "q_est")
+  }
+
+  /** The descent itself — ONE spelling shared by the global and
+    * per-group walks (and replayed by the oracle's recursive CTE):
+    * for each permille, descend the 16-ary tree taking the first
+    * child whose cumulative min-of-depth estimated mass reaches the
+    * integer rank target. Empty when the grid (n) is. */
+  private def walkGrid(cells: Map[(Int, Int, Long), Long],
+      permilles: Seq[Int], depth: Int, width: Int): Seq[(Long, Long)] = {
     // every row contributes exactly one increment per level at each
     // r: the r=0 slice of any level sums to n — read it off the top
     val n = cells.collect { case ((15, 0, _), c) => c }.sum
-    if (n == 0L) return Seq.empty[(Long, Long)].toDF("permille", "q_est")
+    if (n == 0L) return Seq.empty
     def est(level: Int, prefix: Long): Long =
       (0 until depth).map(r => cells.getOrElse(
         (level, r,
           rankBucketLocal(prefix, level.toLong * depth + r, width)),
         0L)).min
-    val rows = permilles.distinct.sorted.map { p =>
+    permilles.distinct.sorted.map { p =>
       val target = (p.toLong * n + 999L) / 1000L
       var pfx = 0L
       var base = 0L
@@ -333,7 +474,6 @@ object Sketch {
       }
       (p.toLong, pfx)
     }
-    rows.toDF("permille", "q_est")
   }
 
   /** Top-k heavy hitters by CMS estimate: (token, est, exact) with

@@ -1,0 +1,41 @@
+package graft.queries
+
+/** Shared DuckDB replay of the count-min sketch grid
+  * ([[graft.ops.Sketch.cmsTable]]) — the [[MurmurSql]] /
+  * [[RankSketchSql]] discipline applied to the CMS family: the grid
+  * rebuild (tokenize → exact token counts → unsigned Murmur3 →
+  * Knuth/Lehmer row-mixed buckets → cell sums) must have exactly ONE
+  * SQL spelling, and the dims both engines build with must be the
+  * same compile-time constants, or a silent fork yields a hash
+  * mismatch that looks like sketch error. Rendered into
+  * `q_heavy_hitters_cms` (grid + top-k probe) and `q_stream_cms`
+  * (the streamed fold's grid — cell-wise additive, so the streamed
+  * grid IS this batch rebuild bit for bit).
+  */
+object CmsSql {
+
+  /** Grid dims — the single source both engines use. depth 4 ×
+    * width 1024: 4,096 cells whatever the corpus. */
+  val Depth = 4
+  val Width = 1024
+
+  private val rList: String = (0 until Depth).mkString("[", ", ", "]")
+
+  /** CTE block ending in `cms(r, bucket, c)` — the grid over the
+    * whitespace tokens of `documents.text`. Splice as
+    * `WITH $gridCtes, …` (it already chains [[MurmurSql.chain]],
+    * which consumes the `strs(s)` CTE it contains). */
+  val gridCtes: String =
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS s
+                FROM documents),
+       tf AS (SELECT s, CAST(count(*) AS BIGINT) AS exact
+              FROM tok WHERE len(s) > 0 GROUP BY 1),
+       strs AS (SELECT s FROM tf),
+       ${MurmurSql.chain},
+       tb AS (SELECT mm.s, rr.r,
+                ((u + rr.r * 2654435761) % 4294967296 * 48271)
+                  % 2147483647 % $Width AS bucket
+              FROM mm CROSS JOIN (SELECT unnest($rList) AS r) rr),
+       cms AS (SELECT r, bucket, SUM(tf.exact) AS c
+               FROM tb JOIN tf ON tb.s = tf.s GROUP BY 1, 2)"""
+}

@@ -682,6 +682,70 @@ object MultimodalQueries extends QueryGroup {
       } finally graft.core.Fs.deleteRecursively(staged.toFile)
     },
 
+    // streaming CMS maintenance: documents staged as THREE files,
+    // drained one micro-batch each, each batch's count-min table
+    // folded cell-wise into the running one. The grid is additive in
+    // the input multiset, so the fold is order-independent and
+    // exactly lossless — the streamed grid IS the direct batch grid
+    // bit for bit, which is what the oracle replays (CmsSql.gridCtes,
+    // the same spelling q_heavy_hitters_cms probes).
+    q("q_stream_cms", "streaming",
+      s"""WITH ${CmsSql.gridCtes}
+         SELECT CAST(r AS INT) AS r, CAST(bucket AS BIGINT) AS bucket,
+                CAST(c AS BIGINT) AS c
+         FROM cms""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val staged = java.nio.file.Files.createTempDirectory("graft_scms")
+      try {
+        (0 until 3).foreach(i =>
+          docs.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        graft.streaming.IngestStream.runCmsToBatch(spark,
+            staged.toString, "text", CmsSql.Depth, CmsSql.Width,
+            schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType))),
+            maxFilesPerTrigger = Some(1))
+          .select(col("r").cast("int").as("r"),
+            col("bucket").cast("long").as("bucket"),
+            col("c").cast("long").as("c"))
+      } finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
+    // streaming rank-grid maintenance: events staged as THREE files by
+    // event_id, each batch's dyadic grid folded cell-wise — the same
+    // lossless additive algebra as the CMS fold, so the streamed grid
+    // and the quantile walk off it equal the direct batch rank sketch
+    // exactly: the oracle is q_rank_quantiles' replay VERBATIM
+    // (RankSketchSql.oracle). Completes the synopsis trio's streaming
+    // story: CMS (frequency), KMV (distinct), rank grid (quantile) all
+    // maintainable per ingest batch with bounded state and no rescan.
+    q("q_stream_rank", "streaming", RankSketchSql.oracle) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .select(col("event_id"), col("ts"))
+      val staged = java.nio.file.Files.createTempDirectory("graft_srnk")
+      try {
+        (0 until 3).foreach(i =>
+          ev.filter(col("event_id") % 3 === i).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        val grid = graft.streaming.IngestStream.runRankGridToBatch(spark,
+          staged.toString, unix_micros(col("ts")),
+          RankSketchSql.Depth, RankSketchSql.Width,
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType))),
+          maxFilesPerTrigger = Some(1))
+        graft.ops.Sketch.rankQuantiles(grid, RankSketchSql.Permilles,
+          RankSketchSql.Depth, RankSketchSql.Width)
+      } finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
     // streaming funnel progression: per-user stage machines advanced
     // via mapGroupsWithState over THREE time-split micro-batches
     // (modification-time ordered, maxFilesPerTrigger=1 — the in-order

@@ -96,4 +96,59 @@ object RankSketchSql {
        )
        SELECT CAST(p AS BIGINT) AS permille, pfx AS q_est
        FROM walk WHERE level = -1"""
+
+  /** Grouped twin of [[oracle]] — per-event_type grids and walks
+    * ([[graft.ops.Sketch.rankGridBy]]/`rankQuantilesBy`): the cells
+    * carry the group key, the walk recursion carries it, and the two
+    * grid lookups join on it — otherwise byte-identical arithmetic
+    * (same [[bucketCols]] mixer, same [[Depth]]/[[Width]]/
+    * [[Permilles]] constants). */
+  val groupedOracle: String =
+    s"""WITH RECURSIVE
+       v AS (SELECT event_type AS g, epoch_us(ts) AS v FROM events
+             WHERE ts IS NOT NULL),
+       cells AS (
+         SELECT g, level, r, bg AS bucket, CAST(count(*) AS BIGINT) AS c
+         FROM (
+           SELECT gg.g, level, r,
+             ${bucketCols("(gg.v // (CAST(1 AS BIGINT) << (4 * level)))",
+                          "(level * " + Depth + " + r)", "g")}
+           FROM v gg
+           CROSS JOIN (SELECT unnest($levelList) AS level) lv
+           CROSS JOIN (SELECT unnest($rList) AS r) rs
+         ) GROUP BY 1, 2, 3, 4),
+       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+       t AS (SELECT g, p, (p * n.n + 999) // 1000 AS target
+             FROM (SELECT unnest($pList) AS p) ps CROSS JOIN n),
+       walk AS (
+         SELECT g, p, target, 15 AS level, CAST(0 AS BIGINT) AS pfx,
+                CAST(0 AS BIGINT) AS base, 0 AS j
+         FROM t
+         UNION ALL
+         SELECT g, p, target,
+           CASE WHEN go THEN level - 1 ELSE level END,
+           CASE WHEN go THEN cp ELSE pfx END,
+           CASE WHEN go THEN base ELSE base + e END,
+           CASE WHEN go THEN 0 ELSE j + 1 END
+         FROM (
+           SELECT s.*,
+             least(coalesce(c0.c, 0), coalesce(c1.c, 0)) AS e,
+             (s.base + least(coalesce(c0.c, 0), coalesce(c1.c, 0))
+                >= s.target OR s.j = 15) AS go
+           FROM (
+             SELECT w.g, w.p, w.target, w.level, w.pfx, w.base, w.j,
+               w.pfx * 16 + w.j AS cp,
+               ${bucketCols("cp", "(w.level * " + Depth + " + 0)", "0")},
+               ${bucketCols("cp", "(w.level * " + Depth + " + 1)", "1")}
+             FROM walk w WHERE w.level >= 0
+           ) s
+           LEFT JOIN cells c0 ON c0.g = s.g AND c0.level = s.level
+             AND c0.r = 0 AND c0.bucket = s.b0
+           LEFT JOIN cells c1 ON c1.g = s.g AND c1.level = s.level
+             AND c1.r = 1 AND c1.bucket = s.b1
+         )
+       )
+       SELECT g AS event_type, CAST(p AS BIGINT) AS permille,
+              pfx AS q_est
+       FROM walk WHERE level = -1"""
 }

@@ -777,31 +777,93 @@ object WarehouseQueries extends QueryGroup {
         k = 64, groupCols = Seq("event_type"))
     },
 
+    // KMV cross-corpus overlap: how many distinct users do the 'view'
+    // and 'purchase' audiences share, estimated from two bottom-64
+    // synopses (union synopsis = the merge algebra, intersection =
+    // clamped inclusion-exclusion, Jaccard = integer floor permille)
+    // with the exact distinct join riding along for error visibility.
+    // The oracle replays the murmur/rank/floor pipeline for A, B and
+    // A UNION B — bottom-64 of the hash union IS the merged synopsis,
+    // the algebra KmvSpec pins — plus the exact INTERSECT counts.
+    q("q_kmv_overlap", "warehouse",
+      s"""WITH ids AS (SELECT DISTINCT user_id AS id FROM events
+                       WHERE event_type IN ('view', 'purchase')),
+         ${MurmurSql.chainLong("id")},
+         hva AS (SELECT DISTINCT mm.u
+                 FROM events e JOIN mm ON mm.id = e.user_id
+                 WHERE e.event_type = 'view'),
+         hvb AS (SELECT DISTINCT mm.u
+                 FROM events e JOIN mm ON mm.id = e.user_id
+                 WHERE e.event_type = 'purchase'),
+         hvu AS (SELECT u FROM hva UNION SELECT u FROM hvb),
+         sa AS (SELECT count(*) AS nh,
+                  max(CASE WHEN r = 64 THEN u END) AS uk
+                FROM (SELECT u, row_number() OVER (ORDER BY u) AS r
+                      FROM hva)),
+         sb AS (SELECT count(*) AS nh,
+                  max(CASE WHEN r = 64 THEN u END) AS uk
+                FROM (SELECT u, row_number() OVER (ORDER BY u) AS r
+                      FROM hvb)),
+         sun AS (SELECT count(*) AS nh,
+                   max(CASE WHEN r = 64 THEN u END) AS uk
+                 FROM (SELECT u, row_number() OVER (ORDER BY u) AS r
+                       FROM hvu)),
+         es AS (SELECT
+             CAST(CASE WHEN sa.nh < 64 THEN sa.nh
+                  ELSE 63 * 4294967296 // (sa.uk + 1) END AS BIGINT)
+               AS est_a,
+             CAST(CASE WHEN sb.nh < 64 THEN sb.nh
+                  ELSE 63 * 4294967296 // (sb.uk + 1) END AS BIGINT)
+               AS est_b,
+             CAST(CASE WHEN sun.nh < 64 THEN sun.nh
+                  ELSE 63 * 4294967296 // (sun.uk + 1) END AS BIGINT)
+               AS est_union
+           FROM sa, sb, sun),
+         ex AS (SELECT
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE event_type = 'view') AS exact_a,
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE event_type = 'purchase') AS exact_b,
+             (SELECT count(*) FROM
+               (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'view'
+                INTERSECT
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase'))
+               AS exact_intersection)
+         SELECT est_a, est_b, est_union,
+           CAST(greatest(0, est_a + est_b - est_union) AS BIGINT)
+             AS est_intersection,
+           CAST(CASE WHEN est_union = 0 THEN 0
+                ELSE 1000 * greatest(0, est_a + est_b - est_union)
+                  // est_union END AS BIGINT) AS jaccard_permille,
+           CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_intersection AS BIGINT) AS exact_intersection
+         FROM es, ex""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+      Sketch.kmvOverlap(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", k = 64)
+    },
+
     // Count-min sketch heavy hitters: top-20 tokens by estimate with
-    // the exact count alongside. The oracle rebuilds the 4x1024 grid
-    // from the same unsigned Spark-Murmur3 + Knuth/Lehmer row mixing
-    // in BIGINT SQL, so every collision-inflated estimate (est >=
-    // exact, sometimes >) reproduces bit-for-bit.
+    // the exact count alongside. The oracle rebuilds the grid from
+    // the same unsigned Spark-Murmur3 + Knuth/Lehmer row mixing in
+    // BIGINT SQL (CmsSql.gridCtes — one spelling shared with
+    // q_stream_cms, dims from the same constants the Spark side
+    // uses), so every collision-inflated estimate (est >= exact,
+    // sometimes >) reproduces bit-for-bit.
     q("q_heavy_hitters_cms", "warehouse",
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS s
-                       FROM documents),
-         tf AS (SELECT s, CAST(count(*) AS BIGINT) AS exact
-                FROM tok WHERE len(s) > 0 GROUP BY 1),
-         strs AS (SELECT s FROM tf),
-         ${MurmurSql.chain},
-         tb AS (SELECT mm.s, rr.r,
-                  ((u + rr.r * 2654435761) % 4294967296 * 48271)
-                    % 2147483647 % 1024 AS bucket
-                FROM mm CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rr),
-         cms AS (SELECT r, bucket, SUM(tf.exact) AS c
-                 FROM tb JOIN tf ON tb.s = tf.s GROUP BY 1, 2),
+      s"""WITH ${CmsSql.gridCtes},
          est AS (SELECT tb.s, MIN(cms.c) AS est
                  FROM tb JOIN cms USING (r, bucket) GROUP BY 1)
          SELECT tf.s AS token, CAST(est.est AS BIGINT) AS est, tf.exact
          FROM tf JOIN est ON tf.s = est.s
          ORDER BY est DESC, token LIMIT 20""") { (spark, dir) =>
       Sketch.cmsHeavyHitters(Tables.df(spark, dir, "documents"), "text",
-        depth = 4, width = 1024, k = 20)
+        depth = CmsSql.Depth, width = CmsSql.Width, k = 20)
         .select(col("token"), col("est"), col("exact"))
     },
 
@@ -820,6 +882,22 @@ object WarehouseQueries extends QueryGroup {
         unix_micros(col("ts")), RankSketchSql.Depth, RankSketchSql.Width)
       Sketch.rankQuantiles(grid, RankSketchSql.Permilles,
         RankSketchSql.Depth, RankSketchSql.Width)
+    },
+
+    // Per-group rank-sketch quantiles: per-event_type timestamp
+    // permilles off per-group dyadic grids built in the same single
+    // corpus pass (groups x grid cells through one partial-aggregated
+    // exchange; the walk collects groups x 262k cells — the
+    // dashboard-sized group contract). Oracle = the grouped recursive
+    // CTE twin, same mixer and constants as q_rank_quantiles.
+    q("q_rank_quantiles_by_type", "warehouse",
+      RankSketchSql.groupedOracle) { (spark, dir) =>
+      val grid = Sketch.rankGridBy(Tables.df(spark, dir, "events"),
+        unix_micros(col("ts")), Seq("event_type"),
+        RankSketchSql.Depth, RankSketchSql.Width)
+      Sketch.rankQuantilesBy(grid, Seq("event_type"),
+        RankSketchSql.Permilles, RankSketchSql.Depth,
+        RankSketchSql.Width)
     },
 
     // Entity resolution end-to-end: clean + dirtied names as ONE

@@ -371,6 +371,85 @@ object IngestStream {
     pending.foreach(Checkpoints.release)
     cur
   }
+
+  /** STREAMING CMS maintenance — the frequency face of the synopsis
+    * trio's streaming story (KMV = [[runKmvToBatch]], rank grid =
+    * [[runRankGridToBatch]]): per micro-batch, build the batch's
+    * count-min table ([[graft.ops.Sketch.cmsTable]]) and fold it into
+    * the running one cell-wise ([[graft.ops.Sketch.mergeCmsTables]]).
+    * The grid is a cell-wise-ADDITIVE function of the input multiset,
+    * so the fold is order-independent and exactly lossless — the
+    * streamed grid equals the batch grid over everything ingested,
+    * bit for bit, at any batch slicing: a 100 TB warehouse keeps its
+    * token-frequency sketch current per ingest batch with
+    * depth·width longs of state and no rescan, ever. The grid frame
+    * is checkpoint-released generationally (the [[runProfileToBatch]]
+    * discipline); per-batch driver-side state is nothing.
+    *
+    * @return the folded (r, bucket, c) grid — probe it for estimates
+    *         exactly as a batch-built table. */
+  def runCmsToBatch(spark: SparkSession, path: String,
+      textCol: String, depth: Int, width: Int, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.core.Checkpoints
+    import graft.ops.Sketch
+    var grid = Option.empty[DataFrame]
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val p = Sketch.cmsTable(b, textCol, depth, width)
+        val merged = grid.map(g => Sketch.mergeCmsTables(g, p))
+          .getOrElse(p).localCheckpoint()
+        grid.foreach(Checkpoints.release)
+        grid = Some(merged)
+      }
+    }
+    grid.getOrElse(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("r", IntegerType, nullable = false),
+        StructField("bucket", LongType),
+        StructField("c", LongType)))))
+  }
+
+  /** STREAMING rank-grid maintenance — the quantile face of the
+    * synopsis trio's streaming story: per micro-batch, build the
+    * batch's dyadic rank grid ([[graft.ops.Sketch.rankGrid]]) and
+    * fold it cell-wise ([[graft.ops.Sketch.mergeRankGrids]]). Same
+    * exactly-lossless order-independent algebra as the CMS fold (the
+    * grid is additive in the input multiset), so streamed ≡ batch bit
+    * for bit at any slicing — which is why the catalog query's oracle
+    * is the DIRECT batch rank-sketch replay verbatim
+    * (`RankSketchSql.oracle`): per-ingest-batch quantile maintenance
+    * over an unbounded domain costs 16·depth·width longs of state and
+    * no rescan.
+    *
+    * @param value resolved against each micro-batch (e.g.
+    *        `unix_micros(col("ts"))`) — must be non-negative long.
+    * @return the folded (level, r, bucket, c) grid — feed
+    *         [[graft.ops.Sketch.rankQuantiles]]. */
+  def runRankGridToBatch(spark: SparkSession, path: String,
+      value: Column, depth: Int, width: Int, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.core.Checkpoints
+    import graft.ops.Sketch
+    var grid = Option.empty[DataFrame]
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val p = Sketch.rankGrid(b, value, depth, width)
+        val merged = grid.map(g => Sketch.mergeRankGrids(g, p))
+          .getOrElse(p).localCheckpoint()
+        grid.foreach(Checkpoints.release)
+        grid = Some(merged)
+      }
+    }
+    grid.getOrElse(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("level", IntegerType, nullable = false),
+        StructField("r", IntegerType, nullable = false),
+        StructField("bucket", LongType),
+        StructField("c", LongType)))))
+  }
 }
 
 /** Shared bounded-run scaffolding for file-source streaming twins:

@@ -366,6 +366,32 @@ class SketchSpec extends AnyFunSuite {
       Sketch.cmsTable(d, "text", depth = 4, width = 1)
     }
   }
+
+  test("streaming fold over one-file micro-batches equals the direct " +
+      "batch grid bit for bit (cell-wise additive, order-free)") {
+    val docs = (1L to 90L).map(i => (i, s"w${i % 7} w${i % 3} tail"))
+      .toDF("doc_id", "text")
+    val staged = java.nio.file.Files.createTempDirectory("graft_cmss")
+    try {
+      (0 until 3).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(staged.toString))
+      val streamed = cells(graft.streaming.IngestStream.runCmsToBatch(
+        spark, staged.toString, "text", 4, 32,
+        schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))),
+        maxFilesPerTrigger = Some(1)))
+      val direct = cells(Sketch.cmsTable(docs, "text", depth = 4,
+        width = 32))
+      assert(streamed === direct)
+      // every token instance lands once per grid row: 90 docs x 3
+      // tokens x depth 4
+      assert(streamed.values.sum == 1080L)
+    } finally graft.core.Fs.deleteRecursively(staged.toFile)
+  }
 }
 
 /** Contracts behind `q_rank_quantiles`: the dyadic rank grid is a
@@ -484,6 +510,61 @@ class RankSketchSpec extends AnyFunSuite {
     }
     assert(neg.getMessage.contains("non-negative") ||
       neg.getCause != null)
+  }
+
+  test("streaming fold over one-file micro-batches equals the direct " +
+      "batch grid bit for bit, and so do the quantiles off it") {
+    val df = (1L to 600L).map(i => (i, i * 9973L + 17L))
+      .toDF("event_id", "x")
+    val staged = java.nio.file.Files.createTempDirectory("graft_rnks")
+    try {
+      (0 until 3).foreach(i =>
+        df.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(staged.toString))
+      val streamed = graft.streaming.IngestStream.runRankGridToBatch(
+        spark, staged.toString, col("x"), D, W,
+        schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.LongType))),
+        maxFilesPerTrigger = Some(1))
+      val direct = Sketch.rankGrid(df, col("x"), D, W)
+      assert(cells(streamed) === cells(direct))
+      val qs = Sketch.rankQuantiles(streamed, Seq(250, 500, 750), D, W)
+        .as[(Long, Long)].collect().toSeq
+      val qd = Sketch.rankQuantiles(direct, Seq(250, 500, 750), D, W)
+        .as[(Long, Long)].collect().toSeq
+      assert(qs === qd)
+    } finally graft.core.Fs.deleteRecursively(staged.toFile)
+  }
+
+  test("per-group grids and walks equal the global sketch run on " +
+      "each group's slice in isolation; empty groups are absent") {
+    val df = (0 until 900).map { i =>
+      (s"g${i % 3}", i.toLong * 7919L + (i % 3) * 1000003L)
+    }.toDF("grp", "x")
+    val ps = Seq(100, 500, 900)
+    val grouped = Sketch.rankQuantilesBy(
+      Sketch.rankGridBy(df, col("x"), Seq("grp"), D, W),
+      Seq("grp"), ps, D, W)
+      .as[(String, Long, Long)].collect().toSet
+    val perSlice = (0 until 3).flatMap { gi =>
+      Sketch.rankQuantiles(
+        Sketch.rankGrid(df.filter(col("grp") === s"g$gi"), col("x"),
+          D, W), ps, D, W)
+        .as[(Long, Long)].collect()
+        .map { case (p, q) => (s"g$gi", p, q) }
+    }.toSet
+    assert(grouped === perSlice && grouped.size == 9)
+    // a group whose values are all NULL never enters the grid
+    val withNull = df.unionByName(
+      Seq(("gN", Option.empty[Long])).toDF("grp", "x"))
+    val g2 = Sketch.rankQuantilesBy(
+      Sketch.rankGridBy(withNull, col("x"), Seq("grp"), D, W),
+      Seq("grp"), ps, D, W)
+      .as[(String, Long, Long)].collect()
+    assert(!g2.exists(_._1 == "gN") && g2.length == 9)
   }
 }
 
@@ -1022,6 +1103,46 @@ class KmvSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sketch.kmvDistinct(df, "v", k = 1, Seq("grp"))
     }
+  }
+
+  private type Overlap =
+    (Long, Long, Long, Long, Long, Long, Long, Long)
+
+  test("overlap below k is integer-exact: complete synopses make " +
+      "inclusion-exclusion land on the true intersection and Jaccard") {
+    val a = (1L to 30L).map(Tuple1(_)).toDF("v")
+    val b = (21L to 50L).map(Tuple1(_)).toDF("v")
+    val r = Sketch.kmvOverlap(a, b, "v", k = 64)
+      .as[Overlap].collect().head
+    assert(r === ((30L, 30L, 50L, 10L, 200L, 30L, 30L, 10L)))
+  }
+
+  test("identical corpora read Jaccard 1000; disjoint corpora clamp " +
+      "the intersection at 0 (never negative) even above k") {
+    val a = (1L to 30L).map(Tuple1(_)).toDF("v")
+    val same = Sketch.kmvOverlap(a, a, "v", k = 64)
+      .as[Overlap].collect().head
+    assert(same._4 == 30L && same._5 == 1000L && same._8 == 30L)
+    // above k on both sides, zero true overlap: floor estimates may
+    // make a+b-u negative — the clamp is the contract
+    val c = (1000L to 1400L).map(Tuple1(_)).toDF("v")
+    val d = (5000L to 5400L).map(Tuple1(_)).toDF("v")
+    val disj = Sketch.kmvOverlap(c, d, "v", k = 16)
+      .as[Overlap].collect().head
+    assert(disj._4 >= 0L && disj._5 >= 0L && disj._8 == 0L)
+  }
+
+  test("overlap estimate tracks the exact intersection within the " +
+      "k=64 envelope above k") {
+    val a = (1L to 2000L).map(Tuple1(_)).toDF("v")
+    val b = (1001L to 3000L).map(Tuple1(_)).toDF("v")
+    val r = Sketch.kmvOverlap(a, b, "v", k = 64)
+      .as[Overlap].collect().head
+    assert(r._6 == 2000L && r._7 == 2000L && r._8 == 1000L)
+    // union est error compounds through inclusion-exclusion; 3x the
+    // single-sketch envelope is the loose deterministic bound here
+    assert(math.abs(r._4 - 1000L) <= 750L, s"est_inter ${r._4}")
+    assert(r._4 == r._1 + r._2 - r._3 || r._4 == 0L)
   }
 }
 
