@@ -276,4 +276,42 @@ object Events {
         col("offset_week"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** Top-k entry paths: each user's first `pathLen` event types in
+    * (time, tiebreak) order joined with `>`, counted across users,
+    * top k by (users desc, path) — the sankey/"how do sessions start"
+    * warehouse question. The explicit `tieCol` makes simultaneous
+    * events engine-deterministic (the [[transitionMatrix]]
+    * discipline); truncation to `pathLen` happens BEFORE the count so
+    * a user with fewer events contributes their full shorter path.
+    *
+    * Scale shape: ONE user-keyed sort window (the only corpus-sized
+    * shuffle), the per-user path assembled by a map-side
+    * sort_array(collect_list) over ≤ pathLen structs, a paths-sized
+    * partial-aggregated count, and the top-k planned as
+    * TakeOrderedAndProject (per-partition heads merged — never a
+    * global sort).
+    *
+    * @return (path, users), k rows. */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, pathLen: Int = 3,
+      k: Int = 10): DataFrame = {
+    require(pathLen >= 1, s"topPaths: pathLen must be >= 1: $pathLen")
+    require(k >= 1, s"topPaths: k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts"), col("_tie"))
+    events
+      .select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(tsCol).as("_ts"), col(tieCol).as("_tie"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= pathLen)
+      .groupBy("_u")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_rn"),
+          col("_t")))), s => s.getField("_t")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("users"))
+      .orderBy(col("users").desc, col("path"))
+      .limit(k)
+  }
 }

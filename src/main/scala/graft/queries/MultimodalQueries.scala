@@ -433,27 +433,52 @@ object MultimodalQueries extends QueryGroup {
     },
 
     // gap-based sessionization (batch twin of the stateful streaming
-    // op; flatMapGroupsWithState equivalence is spec-tested)
-    q("q_sessionize", "streaming",
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
-          s AS (SELECT user_id, ts_ms,
-                  CASE WHEN lag(ts_ms) OVER w IS NULL
-                         OR ts_ms - lag(ts_ms) OVER w > 600000
-                       THEN 1 ELSE 0 END AS ns
-                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
-          g AS (SELECT user_id, ts_ms,
-                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
-                    ROWS UNBOUNDED PRECEDING) AS sid
-                FROM s)
-          SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
-                 CAST(count(*) AS INT) AS n_events
-          FROM g GROUP BY user_id, sid""") { (spark, dir) =>
+    // op; flatMapGroupsWithState equivalence is spec-tested). Oracle =
+    // SessionSql.report — one spelling shared with
+    // q_stream_sessionize_ooo and the duration-quantile composition.
+    q("q_sessionize", "streaming", SessionSql.report) { (spark, dir) =>
       import spark.implicits._
       val ev = Tables.df(spark, dir, "events")
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
           col("event_type"))
         .as[graft.streaming.Sessionize.Event]
-      graft.streaming.Sessionize.sessionizeBatch(spark, ev, 600000L).toDF()
+      graft.streaming.Sessionize.sessionizeBatch(spark, ev,
+        SessionSql.GapMs).toDF()
+    },
+
+    // OUT-OF-ORDER streaming sessionization: the same events scattered
+    // adversarially across three micro-batches by event_id (every
+    // user's history time-shuffled — the delivery q_sessionize's
+    // streaming twin cannot survive), folded through the
+    // watermark-bounded reordering buffer with watermark-closure of
+    // idle sessions (lateness = the table's 40-day span, so all
+    // disorder is within-window and every trailing session closes via
+    // the drain sentinels). The oracle is q_sessionize's batch SQL
+    // verbatim (SessionSql.report).
+    q("q_stream_sessionize_ooo", "streaming",
+      SessionSql.report) { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+      val staged = java.nio.file.Files.createTempDirectory("graft_ooses")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ooses_w")
+      try {
+        val base = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val d = tmp.resolve(s"b$i")
+          ev.filter(col("event_id") % 3 === i).coalesce(1)
+            .write.parquet(d.toString)
+          val part = java.nio.file.Files.list(d).toArray
+            .map(_.toString).filter(_.endsWith(".parquet")).head
+          val dst = staged.resolve(s"b$i.parquet")
+          java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+          dst.toFile.setLastModified(base - (4 - i) * 60000L): Unit
+        }
+        graft.streaming.Sessionize.runSessionizeToBatchReordered(spark,
+          staged.toString, gapMs = SessionSql.GapMs,
+          latenessMs = 40L * 86400000L, maxFilesPerTrigger = Some(1))
+      } finally {
+        graft.core.Fs.deleteRecursively(staged)
+        graft.core.Fs.deleteRecursively(tmp)
+      }
     },
 
     // Structured Streaming run to completion over the bounded file

@@ -51,8 +51,18 @@ object RankSketchSql {
     * timestamps, then descend it for each probe permille. Must splice
     * after nothing — it is the whole statement. */
   val oracle: String =
+    oracleOver("SELECT epoch_us(ts) AS v FROM events WHERE ts IS NOT NULL")
+
+  /** [[oracle]] parameterized over the sketched value: `vSelect` must
+    * produce a single non-negative BIGINT column `v`; `prefixCtes`
+    * (optional, trailing-comma-free) splice before it — so a derived
+    * series (session durations, per-doc token counts) reuses the grid
+    * build and the recursive descent verbatim instead of re-spelling
+    * them (the graph-fixture / CmsSql discipline). */
+  def oracleOver(vSelect: String, prefixCtes: String = ""): String =
     s"""WITH RECURSIVE
-       v AS (SELECT epoch_us(ts) AS v FROM events WHERE ts IS NOT NULL),
+       ${if (prefixCtes.isEmpty) "" else prefixCtes + ","}
+       v AS ($vSelect),
        cells AS (
          SELECT level, r, bg AS bucket, CAST(count(*) AS BIGINT) AS c
          FROM (

@@ -884,6 +884,51 @@ object WarehouseQueries extends QueryGroup {
         RankSketchSql.Depth, RankSketchSql.Width)
     },
 
+    // Top-k entry paths: each user's first three event types in
+    // (ts, event_id) order joined with '>', counted, top 10 — the
+    // sankey question. The explicit event_id tiebreak makes
+    // simultaneous events engine-deterministic (the q_event_transitions
+    // discipline); the oracle replays the window + ordered string_agg.
+    q("q_top_paths", "warehouse",
+      """WITH r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 3 GROUP BY 1)
+         SELECT path, CAST(count(*) AS BIGINT) AS users
+         FROM p GROUP BY 1 ORDER BY users DESC, path LIMIT 10""") {
+      (spark, dir) =>
+      graft.ops.Events.topPaths(Tables.df(spark, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", pathLen = 3, k = 10)
+    },
+
+    // Session-duration quantiles — the composition that shows the rank
+    // sketch lifting a REAL bounded-cardinality casualty: session
+    // durations are near-continuous (exactQuantiles' contract excludes
+    // them) but the dyadic grid sketches them at fixed size. Sessions
+    // come from the shared SessionSql chain, durations feed the shared
+    // grid/descent replay — BOTH halves are the single spellings their
+    // standalone queries use.
+    q("q_session_duration_quantiles", "warehouse",
+      RankSketchSql.oracleOver(
+        "SELECT max(ts_ms) - min(ts_ms) AS v FROM g GROUP BY user_id, sid",
+        prefixCtes = SessionSql.ctes)) { (spark, dir) =>
+      import spark.implicits._
+      val ev = Tables.df(spark, dir, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"))
+        .as[graft.streaming.Sessionize.Event]
+      val sess = graft.streaming.Sessionize.sessionizeBatch(spark, ev,
+        SessionSql.GapMs).toDF()
+      val grid = Sketch.rankGrid(sess,
+        col("end_ms") - col("start_ms"),
+        RankSketchSql.Depth, RankSketchSql.Width)
+      Sketch.rankQuantiles(grid, RankSketchSql.Permilles,
+        RankSketchSql.Depth, RankSketchSql.Width)
+    },
+
     // Per-group rank-sketch quantiles: per-event_type timestamp
     // permilles off per-group dyadic grids built in the same single
     // corpus pass (groups x grid cells through one partial-aggregated

@@ -176,7 +176,29 @@ object FunnelStream {
   def runFunnelToBatchReordered(spark: SparkSession, path: String,
       steps: Seq[String], horizonSeconds: Option[Long],
       latenessSeconds: Long,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    withDrainStaging(spark, path,
+        drainAdvanceUs = (latenessSeconds + 2L) * 1000000L) { stagedDir =>
+      runBounded(spark, stagedDir, steps, maxFilesPerTrigger,
+        excludeUser = Some(SentinelUser)) { src =>
+        stagesReordered(src, steps, horizonSeconds.map(_ * 1000000L),
+          latenessSeconds).toDF()
+      }
+    }
+
+  /** Shared drain staging for the reordering folds (funnel here,
+    * sessionize in [[Sessionize.runSessionizeToBatchReordered]]):
+    * copies `path`'s parquet files into a fresh directory preserving
+    * modification-time order, then appends TWO drain-sentinel files —
+    * single [[SentinelUser]] events `drainAdvanceUs` past the max real
+    * event time. Two because watermarks take effect in the NEXT batch:
+    * the first advances the watermark past every real event (and past
+    * whatever close horizon the caller folded into `drainAdvanceUs`),
+    * the second's data batch then fires every armed EventTimeTimeout —
+    * no reliance on no-data micro-batch scheduling. The staged
+    * directory is removed after `run`. */
+  private[streaming] def withDrainStaging[T](spark: SparkSession,
+      path: String, drainAdvanceUs: Long)(run: String => T): T = {
     val maxTs = spark.read.schema(EventsStream.eventsFileSchema)
       .parquet(path).agg(max(unix_micros(col("ts")))).collect()
       .head.getLong(0)
@@ -193,11 +215,7 @@ object FunnelStream {
           System.currentTimeMillis() - (files.length + 2 - i) * 60000L): Unit
       }
       import spark.implicits._
-      // TWO drain files: the first advances the watermark past every
-      // real event (watermarks take effect in the NEXT batch), the
-      // second's data batch then fires every armed EventTimeTimeout —
-      // no reliance on no-data micro-batch scheduling
-      val drainUs = maxTs + (latenessSeconds + 2L) * 1000000L
+      val drainUs = maxTs + drainAdvanceUs
       Seq(1, 2).foreach { d =>
         val sentinelDir = staged.resolve(s"zz_drain_tmp$d")
         Seq((0L, new java.sql.Timestamp((drainUs + d * 1000000L) / 1000L),
@@ -213,11 +231,7 @@ object FunnelStream {
           System.currentTimeMillis() + d * 60000L): Unit
         graft.core.Fs.deleteRecursively(sentinelDir)
       }
-      runBounded(spark, staged.toString, steps, maxFilesPerTrigger,
-        excludeUser = Some(SentinelUser)) { src =>
-        stagesReordered(src, steps, horizonSeconds.map(_ * 1000000L),
-          latenessSeconds).toDF()
-      }
+      run(staged.toString)
     } finally graft.core.Fs.deleteRecursively(staged)
   }
 

@@ -95,6 +95,21 @@ class ExplainSpec extends AnyFunSuite {
       s"grid build must shuffle exactly once (cells only):\n$p")
   }
 
+  test("grouped rank grid keeps the single partial-aggregated " +
+      "exchange — the group key rides the cell key, no extra shuffle") {
+    val ev = Tables.df(spark, sf, "events")
+    val p = plan(graft.ops.Sketch.rankGridBy(ev, unix_micros(col("ts")),
+      Seq("event_type"), graft.queries.RankSketchSql.Depth,
+      graft.queries.RankSketchSql.Width))
+    val lines = p.linesIterator.toVector
+    val partial = lines.indexWhere(_.contains("partial_count"))
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    assert(partial >= 0 && partial > exchange,
+      s"grouped grid's partial cell count not below the shuffle:\n$p")
+    assert(lines.count(_.contains("Exchange")) == 1,
+      s"grouped grid must shuffle exactly once (cells only):\n$p")
+  }
+
   test("boilerplate gram top-k plans as TakeOrderedAndProject, not a " +
       "global sort") {
     // the global top-k must be the partial-per-partition merge, not an

@@ -1994,6 +1994,146 @@ class SessionizeSpec extends AnyFunSuite {
   }
 }
 
+/** The sessionize half of the out-of-order contract: [[Sessionize
+  * .sessionize]] sorts within a micro-batch but cross-batch in-order
+  * delivery is an implicit precondition — these specs feed
+  * time-shuffled micro-batches and pin that (a) the plain fold really
+  * does diverge there, (b) `sessionizeReordered` restores the exact
+  * batch session set for within-lateness disorder (including closing
+  * idle/trailing sessions on the watermark itself), and (c) a
+  * beyond-window straggler is dropped deterministically by the
+  * watermark exec.
+  */
+class SessionizeReorderSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import graft.streaming.Sessionize
+
+  private val gap = 600000L // 10 min
+  private val base = 1700000000000L
+
+  // u1: A..B one session, C alone; u2: D..E one session. Delivery
+  // shuffles u1's B into the batch AFTER C (25 min of disorder).
+  private val A = base; private val B = base + 300000L
+  private val C = base + 1800000L
+  private val D = base + 60000L; private val E = base + 120000L
+  private val fixture = Seq((1L, A), (2L, D), (1L, C), (2L, E), (1L, B))
+  private val batches = Seq(Seq((1L, A), (2L, D)),
+    Seq((1L, C), (2L, E)), Seq((1L, B)))
+
+  private def eventsDf(rows: Seq[(Long, Long)]) =
+    rows.toDF("user_id", "ts_ms")
+      .select(lit(0L).as("event_id"),
+        timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        lit("view").as("event_type"), lit(0.0).as("value"),
+        lit("").as("props"))
+
+  private def stage(bs: Seq[Seq[(Long, Long)]]): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sesoo")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sesoo_w")
+    val now = System.currentTimeMillis()
+    bs.zipWithIndex.foreach { case (rows, i) =>
+      eventsDf(rows).coalesce(1)
+        .write.parquet(tmp.resolve(s"b$i").toString)
+      val part = java.nio.file.Files.list(tmp.resolve(s"b$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      val dst = dir.resolve(s"b$i.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(now - (bs.length + 1 - i) * 60000L): Unit
+    }
+    graft.core.Fs.deleteRecursively(tmp)
+    dir
+  }
+
+  private def batchSessions(rows: Seq[(Long, Long)]) =
+    Sessionize.sessionizeBatch(spark,
+      rows.map { case (u, t) => (u, t, "view") }
+        .toDF("user_id", "ts_ms", "event_type").as[Sessionize.Event],
+      gap).collect().toSet
+
+  test("the plain fold's in-order precondition is load-bearing: " +
+      "shuffled delivery corrupts sessions; the reordering fold " +
+      "restores the exact batch session set, trailing sessions " +
+      "included") {
+    val want = batchSessions(fixture)
+    assert(want === Set(
+      Sessionize.Session(1L, A, B, 2), Sessionize.Session(1L, C, C, 1),
+      Sessionize.Session(2L, D, E, 2)))
+    val dir = stage(batches)
+    try {
+      // plain fold, one file per batch: u1's late B EXTENDS the [C]
+      // session backwards (B - C < 0 <= gap) instead of completing
+      // [A, B] — only the A-singleton ever closes
+      val qn = s"sess_plain_${System.nanoTime()}"
+      val q = Sessionize.sessionize(
+          spark.readStream.schema(
+              graft.streaming.EventsStream.eventsFileSchema)
+            .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+            .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+              col("event_type")).as[Sessionize.Event], gap)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val plainClosed = spark.table(qn).as[Sessionize.Session]
+        .collect().toSet
+      assert(plainClosed === Set(Sessionize.Session(1L, A, A, 1)))
+      // reordered fold, 30 min lateness covers the 25 min disorder
+      val got = Sessionize.runSessionizeToBatchReordered(spark,
+          dir.toString, gap, latenessMs = 1800000L,
+          maxFilesPerTrigger = Some(1))
+        .as[Sessionize.Session].collect().toSet
+      assert(got === want)
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
+  test("a straggler beyond the lateness window is dropped by the " +
+      "watermark, deterministically") {
+    // u3's lone event sits an hour before base but is delivered in
+    // the LAST batch — 30 min lateness makes it sub-watermark there
+    val straggler = (3L, base - 3600000L)
+    val dir = stage(batches.init :+ (batches.last :+ straggler))
+    try {
+      val got = Sessionize.runSessionizeToBatchReordered(spark,
+          dir.toString, gap, latenessMs = 1800000L,
+          maxFilesPerTrigger = Some(1))
+        .as[Sessionize.Session].collect().toSet
+      assert(got === batchSessions(fixture)) // u3 vanished
+      assert(batchSessions(fixture :+ straggler) !== got)
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
+  test("adversarial round-robin staging of the sf0.001 events table " +
+      "equals the batch twin exactly") {
+    val ev = Tables.df(spark, sf, "events")
+    val evt = ev.select(col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .as[Sessionize.Event]
+    val want = Sessionize.sessionizeBatch(spark, evt, gap)
+      .collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_sesoo3")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sesoo3_w")
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).coalesce(1)
+        .write.parquet(tmp.resolve(s"b$i").toString)
+      val part = java.nio.file.Files.list(tmp.resolve(s"b$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      val dst = dir.resolve(s"b$i.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(now - (6 - i) * 60000L): Unit
+    }
+    graft.core.Fs.deleteRecursively(tmp)
+    try {
+      val got = Sessionize.runSessionizeToBatchReordered(spark,
+          dir.toString, gap, latenessMs = 40L * 86400000L,
+          maxFilesPerTrigger = Some(1))
+        .as[Sessionize.Session].collect().toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+}
+
 class StatsSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._

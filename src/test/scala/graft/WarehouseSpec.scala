@@ -1272,6 +1272,63 @@ class TransitionSpec extends AnyFunSuite {
   }
 }
 
+class TopPathsSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import graft.ops.Events
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hand case: paths truncate at pathLen, shorter histories " +
+      "contribute whole, top-k orders by (users desc, path)") {
+    val ev = Seq(
+      // two users sharing a>b>c (u1 has a 4th event — truncated away)
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 10:01:00"), 2L),
+      (1L, "c", ts("2024-01-01 10:02:00"), 3L),
+      (1L, "d", ts("2024-01-01 10:03:00"), 4L),
+      (2L, "a", ts("2024-01-01 11:00:00"), 5L),
+      (2L, "b", ts("2024-01-01 11:01:00"), 6L),
+      (2L, "c", ts("2024-01-01 11:02:00"), 7L),
+      // one user with a 2-step history: full shorter path
+      (3L, "a", ts("2024-01-01 12:00:00"), 8L),
+      (3L, "b", ts("2024-01-01 12:01:00"), 9L),
+      // one singleton
+      (4L, "z", ts("2024-01-01 13:00:00"), 10L)
+    ).toDF("u", "t", "at", "id")
+    val out = Events.topPaths(ev, "u", "t", "at", "id", pathLen = 3,
+      k = 10).as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a>b>c", 2L), ("a>b", 1L), ("z", 1L)))
+    // k caps the report at the most common paths
+    val top1 = Events.topPaths(ev, "u", "t", "at", "id", 3, 1)
+      .as[(String, Long)].collect().toSeq
+    assert(top1 === Seq(("a>b>c", 2L)))
+  }
+
+  test("simultaneous first events order by the tiebreak; ties on " +
+      "count break lexicographically by path") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq(
+      (1L, "y", t0, 2L), (1L, "x", t0, 1L), // x before y via tiebreak
+      (2L, "p", t0, 3L), (2L, "q", t0, 4L)
+    ).toDF("u", "t", "at", "id")
+    val out = Events.topPaths(ev, "u", "t", "at", "id", pathLen = 2,
+      k = 10).as[(String, Long)].collect().toSeq
+    assert(out === Seq(("p>q", 1L), ("x>y", 1L)))
+  }
+
+  test("guards: pathLen and k must be positive") {
+    val ev = Seq((1L, "a", ts("2024-01-01 10:00:00"), 1L))
+      .toDF("u", "t", "at", "id")
+    intercept[IllegalArgumentException] {
+      Events.topPaths(ev, "u", "t", "at", "id", pathLen = 0, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Events.topPaths(ev, "u", "t", "at", "id", pathLen = 1, k = 0)
+    }
+  }
+}
+
 class KCoreSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
