@@ -978,6 +978,51 @@ object ScaleRamp {
             graft.queries.RankSketchSql.Width).count()
         }
       },
+      "top_paths" -> { k =>
+        // top-k entry paths (round 15): ONE user-keyed sort window
+        // over the event scan; users ramp with k at constant
+        // events/user (8), so per-user sort work is constant and the
+        // path-count agg is paths-sized — expect ~linear.
+        val ev = eventsAt(k).withColumn("eid",
+          xxhash64(col("user_id"), col("ts"), col("etype")))
+        timeIt(graft.ops.Events.topPaths(ev, "user_id", "etype", "ts",
+          "eid", pathLen = 3, k = 10).count())
+      },
+      "kmv_overlap" -> { k =>
+        // KMV cross-corpus overlap (round 15): two bounded synopses +
+        // their merge (all three fixed at 64 longs) plus the
+        // report-only exact-distinct join; both halves are corpus-scan
+        // bound at fixed state — expect ~linear.
+        val ev = eventsAt(k)
+        timeIt(graft.ops.Sketch.kmvOverlap(
+          ev.filter(col("etype") === "view"),
+          ev.filter(col("etype") === "purchase"),
+          "user_id", k = 64).count())
+      },
+      "session_quantiles" -> { k =>
+        // sessionize → rank-grid composition (round 15): one
+        // user-keyed sort window builds sessions, the fixed-size grid
+        // sketches their near-continuous durations (the
+        // bounded-cardinality casualty exactQuantiles cannot take) —
+        // expect ~linear in the event scan.
+        val ev = eventsAt(k).select(col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("etype").as("event_type"))
+        timeIt {
+          import spark.implicits._
+          val sess = graft.streaming.Sessionize.sessionizeBatch(spark,
+            ev.as[graft.streaming.Sessionize.Event],
+            graft.queries.SessionSql.GapMs).toDF()
+          val grid = graft.ops.Sketch.rankGrid(sess,
+            col("end_ms") - col("start_ms"),
+            graft.queries.RankSketchSql.Depth,
+            graft.queries.RankSketchSql.Width)
+          graft.ops.Sketch.rankQuantiles(grid,
+            graft.queries.RankSketchSql.Permilles,
+            graft.queries.RankSketchSql.Depth,
+            graft.queries.RankSketchSql.Width).count()
+        }
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
@@ -1117,6 +1162,25 @@ object ScaleRamp {
       graft.ops.Events.rollingActive(evw, "user_id", "ts").count()
       graft.ops.Sketch.kmvSynopsis(evw, "user_id", 64,
         Seq("etype")).count()
+      // round-15 shapes: paths, overlap, session→rank composition
+      graft.ops.Events.topPaths(evw.withColumn("eid",
+        xxhash64(col("user_id"), col("ts"), col("etype"))),
+        "user_id", "etype", "ts", "eid").count()
+      graft.ops.Sketch.kmvOverlap(evw.filter(col("etype") === "view"),
+        evw.filter(col("etype") === "purchase"), "user_id", 64).count()
+      locally {
+        import spark.implicits._
+        val sw = graft.streaming.Sessionize.sessionizeBatch(spark,
+          evw.select(col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"),
+            col("etype").as("event_type"))
+            .as[graft.streaming.Sessionize.Event],
+          graft.queries.SessionSql.GapMs).toDF()
+        graft.ops.Sketch.rankQuantiles(
+          graft.ops.Sketch.rankGrid(sw,
+            col("end_ms") - col("start_ms")),
+          Seq(500)).count(): Unit
+      }
     }
     spark.catalog.clearCache()
     ParseRunner.run(spark,
