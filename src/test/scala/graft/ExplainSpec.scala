@@ -124,6 +124,22 @@ class ExplainSpec extends AnyFunSuite {
     assert(!p.contains("GlobalLimit"), s"unexpected sort+limit plan:\n$p")
   }
 
+  test("top-paths plans as TakeOrderedAndProject over the path " +
+      "counts, with exactly the window and count exchanges") {
+    // the path-count table is paths-sized (can be user-sized at long
+    // pathLen), so the top-k must be the per-partition merge; total
+    // shuffles = the user-keyed window + the path-count agg, nothing
+    // else
+    val ev = Tables.df(spark, sf, "events")
+    val p = plan(graft.ops.Events.topPaths(ev, "user_id", "event_type",
+      "ts", "event_id", pathLen = 3, k = 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not planned as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("GlobalLimit"), s"unexpected sort+limit plan:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 3,
+      s"more exchanges than window + count (+AQE read):\n$p")
+  }
+
   test("skew report top-k plans as TakeOrderedAndProject over the " +
       "distinct-key table") {
     // same scale argument as the gram survey: the distinct-key count
