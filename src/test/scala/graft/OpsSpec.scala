@@ -2132,6 +2132,33 @@ class SessionizeReorderSpec extends AnyFunSuite {
       assert(want.nonEmpty)
     } finally graft.core.Fs.deleteRecursively(dir)
   }
+
+  test("PROPERTY: any batch assignment of random events, folded " +
+      "under full-span lateness, equals the batch session set") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = Gen.listOfN(25, for {
+      u <- Gen.chooseNum(0L, 3L)
+      sec <- Gen.chooseNum(0L, 7200L)
+      b <- Gen.chooseNum(0, 2)
+    } yield (u, sec, b))
+    val prop = Prop.forAll(genCase) { evs =>
+      val rows = evs.map { case (u, sec, _) => (u, base + sec * 1000L) }
+      val want = batchSessions(rows)
+      val bs = (0 until 3).map(b =>
+        evs.collect { case (u, sec, `b`) => (u, base + sec * 1000L) })
+      val dir = stage(bs)
+      try {
+        val got = Sessionize.runSessionizeToBatchReordered(spark,
+            dir.toString, gap, latenessMs = 7300000L,
+            maxFilesPerTrigger = Some(1))
+          .as[Sessionize.Session].collect().toSet
+        got == want
+      } finally graft.core.Fs.deleteRecursively(dir)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
 
 class StatsSpec extends AnyFunSuite {

@@ -1783,6 +1783,46 @@ class FunnelReorderSpec extends AnyFunSuite {
       assert(want(1) > 0L) // non-vacuous: the funnel is populated
     } finally graft.core.Fs.deleteRecursively(dir)
   }
+
+  test("PROPERTY: any batch assignment of random events, folded " +
+      "under full-span lateness, equals the batch funnel") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val types = Seq("view", "click", "purchase")
+    val genCase = Gen.listOfN(25, for {
+      u <- Gen.chooseNum(0L, 3L)
+      sec <- Gen.chooseNum(0L, 7200L)
+      t <- Gen.oneOf(types)
+      b <- Gen.chooseNum(0, 2)
+    } yield (u, sec, t, b))
+    val base = 1704067200000L
+    val prop = Prop.forAll(genCase) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, sec, t, _), i) =>
+        (u, new java.sql.Timestamp(base + sec * 1000L), t, i.toLong)
+      }
+      val ev = rows.toDF("user_id", "ts", "event_type", "idx")
+        .select(col("idx").as("event_id"), col("ts"), col("user_id"),
+          col("event_type"), lit(0.0).as("value"), lit("").as("props"))
+      val want = report(graft.ops.Events.funnel(
+        ev, "user_id", "event_type", "ts", steps))
+      val byBatch = (0 until 3).map(b =>
+        evs.zipWithIndex.collect {
+          case ((_, _, _, `b`), i) => i.toLong
+        })
+      val slices = byBatch.map(ids =>
+        if (ids.isEmpty) lit(false) else col("event_id").isin(ids: _*))
+      val dir = staged(ev, slices)
+      try {
+        val got = report(
+          graft.streaming.FunnelStream.runFunnelToBatchReordered(
+            spark, dir.toString, steps, None,
+            latenessSeconds = 7300L, maxFilesPerTrigger = Some(1)))
+        got == want
+      } finally graft.core.Fs.deleteRecursively(dir)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
 
 class FunnelDurationsSpec extends AnyFunSuite {
