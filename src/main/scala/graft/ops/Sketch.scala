@@ -201,6 +201,66 @@ object Sketch {
         col("exact_a"), col("exact_b"), col("exact_intersection"))
   }
 
+  /** Driver-side twin of [[kmvEstimate]] over a collected synopsis —
+    * byte-identical integer arithmetic (exact below k, floor at k). */
+  private[graft] def kmvEstimateLocal(syn: Array[Long], k: Int): Long =
+    if (syn.length < k) syn.length.toLong
+    else (k - 1).toLong * 4294967296L / (syn(k - 1) + 1L)
+
+  /** All-pairs overlap matrix from per-group KMV synopses — the
+    * contamination-matrix shape at 100 TB: ONE corpus pass builds G
+    * bounded sketches ([[kmvSynopsis]], map-side partial agg), then
+    * every pairwise estimate is free driver-side — G·k longs
+    * collected (the dashboard-sized group contract
+    * [[rankQuantilesBy]] documents), pairwise union synopses via the
+    * local [[KmvBuffer.merge]] (the same algebra the distributed
+    * merge aggregator runs), inclusion–exclusion + integer-floor
+    * Jaccard per pair. "Which crawl slices share users/documents
+    * with which benchmarks" costs one scan however many pairs.
+    *
+    * Pairs are emitted once, ordered `group_a < group_b` by the
+    * groups' string rendering (matching the oracle's VARCHAR `<`);
+    * no exact columns here — pairwise exact intersections are the G²
+    * distinct joins the sketch exists to avoid ([[kmvOverlap]]
+    * carries exacts for the single-pair error-visibility case).
+    *
+    * @return (group_a, group_b, est_a, est_b, est_union,
+    *         est_intersection, jaccard_permille), one row per
+    *         unordered group pair. */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    val spark = df.sparkSession
+    val gField = df.schema(groupCol)
+    val syn = kmvSynopsis(df, valueCol, k, Seq(groupCol)).collect()
+      .map(r => r.get(0) -> r.getAs[scala.collection.Seq[Long]](1).toArray)
+      .sortBy(_._1.toString)
+    val rows = for {
+      i <- syn.indices
+      j <- (i + 1) until syn.length
+    } yield {
+      val (ga, sa) = syn(i)
+      val (gb, sb) = syn(j)
+      val ea = kmvEstimateLocal(sa, k)
+      val eb = kmvEstimateLocal(sb, k)
+      val eu = kmvEstimateLocal(KmvBuffer.merge(sa, sb, k), k)
+      val inter = math.max(0L, ea + eb - eu)
+      val jac = if (eu == 0L) 0L else 1000L * inter / eu
+      org.apache.spark.sql.Row(ga, gb, ea, eb, eu, inter, jac)
+    }
+    val lt = org.apache.spark.sql.types.LongType
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        gField.copy(name = "group_a"), gField.copy(name = "group_b"),
+        org.apache.spark.sql.types.StructField("est_a", lt),
+        org.apache.spark.sql.types.StructField("est_b", lt),
+        org.apache.spark.sql.types.StructField("est_union", lt),
+        org.apache.spark.sql.types.StructField("est_intersection", lt),
+        org.apache.spark.sql.types.StructField("jaccard_permille", lt))))
+  }
+
   /** Distinct-count report per group: (groupCols…, est_distinct,
     * exact_distinct) with the integer-floor KMV estimate next to the
     * exact count. */

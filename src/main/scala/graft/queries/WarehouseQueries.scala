@@ -848,6 +848,67 @@ object WarehouseQueries extends QueryGroup {
         "user_id", k = 64)
     },
 
+    // All-pairs audience-overlap matrix: one corpus pass builds a
+    // bottom-64 synopsis per event type, every pairwise union/
+    // intersection/Jaccard estimate is then free driver-side — the
+    // contamination-matrix shape (slices x benchmarks) at 100 TB.
+    // The oracle replays per-type AND per-pair-union bottom-64 rank
+    // pipelines over the same murmur space; pair union bottom-64 of
+    // the FULL hash sets equals the merge of the truncated synopses
+    // (the algebra KmvSpec pins), so every cell lands exactly.
+    q("q_kmv_overlap_matrix", "warehouse",
+      s"""WITH ids AS (SELECT DISTINCT user_id AS id FROM events),
+         ${MurmurSql.chainLong("id")},
+         hx AS (SELECT DISTINCT e.event_type, mm.u
+                FROM events e JOIN mm ON mm.id = e.user_id),
+         rk AS (SELECT event_type, u,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY u) AS r
+                FROM hx),
+         syn AS (SELECT event_type, count(*) AS nh,
+                   max(CASE WHEN r = 64 THEN u END) AS uk
+                 FROM rk GROUP BY 1),
+         est AS (SELECT event_type,
+                   CAST(CASE WHEN nh < 64 THEN nh
+                        ELSE 63 * 4294967296 // (uk + 1) END AS BIGINT)
+                     AS e
+                 FROM syn),
+         prs AS (SELECT a.event_type AS ga, b.event_type AS gb
+                 FROM (SELECT DISTINCT event_type FROM events) a
+                 JOIN (SELECT DISTINCT event_type FROM events) b
+                   ON a.event_type < b.event_type),
+         pu AS (SELECT p.ga, p.gb, h.u
+                FROM prs p JOIN hx h
+                  ON h.event_type = p.ga OR h.event_type = p.gb
+                GROUP BY 1, 2, 3),
+         prk AS (SELECT ga, gb, u,
+                   row_number() OVER (PARTITION BY ga, gb
+                                      ORDER BY u) AS r
+                 FROM pu),
+         psyn AS (SELECT ga, gb, count(*) AS nh,
+                    max(CASE WHEN r = 64 THEN u END) AS uk
+                  FROM prk GROUP BY 1, 2),
+         pest AS (SELECT ga, gb,
+                    CAST(CASE WHEN nh < 64 THEN nh
+                         ELSE 63 * 4294967296 // (uk + 1) END AS BIGINT)
+                      AS eu
+                  FROM psyn)
+         SELECT p.ga AS group_a, p.gb AS group_b,
+           ea.e AS est_a, eb.e AS est_b, pe.eu AS est_union,
+           CAST(greatest(0, ea.e + eb.e - pe.eu) AS BIGINT)
+             AS est_intersection,
+           CAST(CASE WHEN pe.eu = 0 THEN 0
+                ELSE 1000 * greatest(0, ea.e + eb.e - pe.eu) // pe.eu
+                END AS BIGINT) AS jaccard_permille
+         FROM prs p
+         JOIN est ea ON ea.event_type = p.ga
+         JOIN est eb ON eb.event_type = p.gb
+         JOIN pest pe ON pe.ga = p.ga AND pe.gb = p.gb""") {
+      (spark, dir) =>
+      Sketch.kmvOverlapMatrix(Tables.df(spark, dir, "events"),
+        "event_type", "user_id", k = 64)
+    },
+
     // Count-min sketch heavy hitters: top-20 tokens by estimate with
     // the exact count alongside. The oracle rebuilds the grid from
     // the same unsigned Spark-Murmur3 + Knuth/Lehmer row mixing in

@@ -1132,6 +1132,39 @@ class KmvSpec extends AnyFunSuite {
     assert(disj._4 >= 0L && disj._5 >= 0L && disj._8 == 0L)
   }
 
+  test("overlap matrix below k is integer-exact per pair, ordered " +
+      "group_a < group_b, C(G,2) rows") {
+    // g1 = 1..30, g2 = 21..50 (10 shared), g3 = 100..110 (disjoint)
+    val df = ((1L to 30L).map(("g1", _)) ++ (21L to 50L).map(("g2", _))
+      ++ (100L to 110L).map(("g3", _))).toDF("grp", "v")
+    val out = Sketch.kmvOverlapMatrix(df, "grp", "v", k = 64)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+    assert(out.keySet === Set(("g1", "g2"), ("g1", "g3"), ("g2", "g3")))
+    assert(out(("g1", "g2")) === ((30L, 30L, 50L, 10L, 200L)))
+    assert(out(("g1", "g3")) === ((30L, 11L, 41L, 0L, 0L)))
+    assert(out(("g2", "g3")) === ((30L, 11L, 41L, 0L, 0L)))
+  }
+
+  test("above k, every matrix cell equals the pairwise kmvOverlap " +
+      "report on the same slices — one algebra, two spellings") {
+    val df = ((1L to 500L).map(("a", _)) ++ (300L to 900L).map(("b", _))
+      ++ (800L to 1400L).map(("c", _))).toDF("grp", "v")
+    val cells = Sketch.kmvOverlapMatrix(df, "grp", "v", k = 32)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+    for (Seq(ga, gb) <- Seq("a", "b", "c").combinations(2)) {
+      val pair = Sketch.kmvOverlap(df.filter(col("grp") === ga),
+          df.filter(col("grp") === gb), "v", k = 32)
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          col("est_intersection"), col("jaccard_permille"))
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      assert(cells((ga, gb)) === pair, s"pair ($ga, $gb)")
+    }
+  }
+
   test("overlap estimate tracks the exact intersection within the " +
       "k=64 envelope above k") {
     val a = (1L to 2000L).map(Tuple1(_)).toDF("v")
