@@ -95,6 +95,22 @@ class ExplainSpec extends AnyFunSuite {
       s"grid build must shuffle exactly once (cells only):\n$p")
   }
 
+  test("CMS table partial-aggregates map-side: the token explode " +
+      "collapses to cells inside each partition before any shuffle") {
+    // same 100 TB contract as the rank grid: the corpus's tokens must
+    // never cross the wire raw — the first exchange can only carry
+    // (token-count or cell) partial aggregates
+    val docs = Tables.df(spark, sf, "documents")
+    val p = plan(graft.ops.Sketch.cmsTable(docs, "text",
+      graft.queries.CmsSql.Depth, graft.queries.CmsSql.Width))
+    val lines = p.linesIterator.toVector
+    val partial = lines.indexWhere(_.contains("partial_count"))
+    val exchange = lines.lastIndexWhere(_.contains("Exchange"))
+    assert(partial >= 0, s"no map-side partial count in:\n$p")
+    assert(partial > exchange,
+      s"no partial aggregate below the last shuffle:\n$p")
+  }
+
   test("grouped rank grid keeps the single partial-aggregated " +
       "exchange — the group key rides the cell key, no extra shuffle") {
     val ev = Tables.df(spark, sf, "events")
