@@ -72,6 +72,69 @@ object Sketch {
     parts.reduce(_ unionByName _)
       .groupBy("r", "bucket").agg(sum(col("c")).as("c"))
 
+  /** Per-group token counts — [[tokenCounts]] with the group key. */
+  private def tokenCountsBy(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol).as("_g"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("_g", "token").agg(count(lit(1)).as("exact"))
+
+  /** PER-GROUP count-min grids in one corpus pass — the grouped face
+    * of [[cmsTable]], completing the synopsis trio's grouped story
+    * (KMV groups via `kmvSynopsis(groupCols)`, rank via
+    * [[rankGridBy]]): (groupCol, r, bucket, c), depth·width cells per
+    * group. The bucket is a function of the token alone (the group
+    * rides the cell key), so per-group grids over the same token
+    * space share bucket geometry and merge cell-wise under the group
+    * key. */
+  def cmsTableBy(df: DataFrame, textCol: String, groupCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch dims: $depth x $width")
+    tableFromBy(tokenCountsBy(df, textCol, groupCol), depth, width)
+      .withColumnRenamed("_g", groupCol)
+  }
+
+  /** Grouped grid off a (_g, token, exact) frame — ONE spelling for
+    * [[cmsTableBy]] and [[cmsHeavyHittersBy]]'s probe target. */
+  private def tableFromBy(tf: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    tf.withColumn("u", unsignedHash(col("token")))
+      .select(col("_g"), col("exact"), col("u"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", bucket(col("u"), col("r"), width))
+      .groupBy("_g", "r", "bucket").agg(sum(col("exact")).as("c"))
+
+  /** Per-group top-k heavy hitters by CMS estimate — [[cmsHeavyHitters]]
+    * grouped: (groupCol, token, est, exact), ≤ k rows per group,
+    * est ≥ exact within each group's grid. The per-group top-k is a
+    * rank window capped at k, which Spark plans as WindowGroupLimit —
+    * the map-side per-partition top-k before the exchange (the
+    * sourceProfile precedent, ExplainSpec-pinned there). */
+  def cmsHeavyHittersBy(df: DataFrame, textCol: String,
+      groupCol: String, depth: Int = 4, width: Int = 1024,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokenCountsBy(df, textCol, groupCol).localCheckpoint()
+    val probes = tf
+      .withColumn("u", unsignedHash(col("token")))
+      .select(col("_g"), col("token"), col("exact"), col("u"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", bucket(col("u"), col("r"), width))
+    val grid = tableFromBy(tf, depth, width)
+      .withColumnRenamed("_g", "_gg")
+    probes
+      .join(broadcast(grid), probes("_g") === grid("_gg") &&
+        probes("r") === grid("r") && probes("bucket") === grid("bucket"))
+      .groupBy(col("_g"), col("token"))
+      .agg(min(col("c")).as("est"), first(col("exact")).as("exact"))
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("_g"))
+        .orderBy(col("est").desc, col("token"))))
+      .filter(col("_rn") <= k)
+      .select(col("_g").as(groupCol), col("token"), col("est"),
+        col("exact"))
+  }
+
   /** KMV (k-minimum-values) distinct-count synopsis per group — the
     * public bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al.
     * 2007): keep the k smallest DISTINCT hash values seen; if the k-th

@@ -21,6 +21,12 @@ object CmsSql {
 
   private val rList: String = (0 until Depth).mkString("[", ", ", "]")
 
+  /** The Knuth/Lehmer row-mixed bucket — the one drift-risky line,
+    * spelled once for the global and grouped grids. */
+  private val mixer: String =
+    s"""((u + rr.r * 2654435761) % 4294967296 * 48271)
+        % 2147483647 % $Width"""
+
   /** CTE block ending in `cms(r, bucket, c)` — the grid over the
     * whitespace tokens of `documents.text`. Splice as
     * `WITH $gridCtes, …` (it already chains [[MurmurSql.chain]],
@@ -32,10 +38,25 @@ object CmsSql {
               FROM tok WHERE len(s) > 0 GROUP BY 1),
        strs AS (SELECT s FROM tf),
        ${MurmurSql.chain},
-       tb AS (SELECT mm.s, rr.r,
-                ((u + rr.r * 2654435761) % 4294967296 * 48271)
-                  % 2147483647 % $Width AS bucket
+       tb AS (SELECT mm.s, rr.r, $mixer AS bucket
               FROM mm CROSS JOIN (SELECT unnest($rList) AS r) rr),
        cms AS (SELECT r, bucket, SUM(tf.exact) AS c
                FROM tb JOIN tf ON tb.s = tf.s GROUP BY 1, 2)"""
+
+  /** Grouped twin of [[gridCtes]]: per-`groupCol` grids over the same
+    * token space. Ends in `cms(g, r, bucket, c)`; `tb(s, r, bucket)`
+    * stays group-free (the hash doesn't see the group — exactly like
+    * the Spark side, where the bucket rides the token). */
+  def gridCtesBy(groupCol: String): String =
+    s"""tok AS (SELECT $groupCol AS g,
+                  unnest(string_split(text, ' ')) AS s
+                FROM documents),
+       tf AS (SELECT g, s, CAST(count(*) AS BIGINT) AS exact
+              FROM tok WHERE len(s) > 0 GROUP BY 1, 2),
+       strs AS (SELECT DISTINCT s FROM tf),
+       ${MurmurSql.chain},
+       tb AS (SELECT mm.s, rr.r, $mixer AS bucket
+              FROM mm CROSS JOIN (SELECT unnest($rList) AS r) rr),
+       cms AS (SELECT tf.g, tb.r, tb.bucket, SUM(tf.exact) AS c
+               FROM tb JOIN tf ON tb.s = tf.s GROUP BY 1, 2, 3)"""
 }

@@ -928,6 +928,29 @@ object WarehouseQueries extends QueryGroup {
         .select(col("token"), col("est"), col("exact"))
     },
 
+    // Per-source CMS heavy hitters: top-10 tokens per source off
+    // per-group grids built in one corpus pass — the grouped face of
+    // q_heavy_hitters_cms (grid spelling shared via CmsSql's mixer,
+    // grouped CTEs from the same constants). The per-group top-k is
+    // a rank window capped at k (WindowGroupLimit — map-side top-k).
+    q("q_heavy_hitters_by_source", "warehouse",
+      s"""WITH ${CmsSql.gridCtesBy("source")},
+         est AS (SELECT tf.g, tb.s, MIN(cms.c) AS est
+                 FROM tb JOIN tf ON tb.s = tf.s
+                 JOIN cms ON cms.g = tf.g AND cms.r = tb.r
+                   AND cms.bucket = tb.bucket
+                 GROUP BY 1, 2),
+         ranked AS (SELECT tf.g, tf.s, est.est, tf.exact,
+                      row_number() OVER (PARTITION BY tf.g
+                        ORDER BY est.est DESC, tf.s) AS rn
+                    FROM tf JOIN est ON est.g = tf.g AND est.s = tf.s)
+         SELECT g AS source, s AS token, CAST(est AS BIGINT) AS est,
+                exact
+         FROM ranked WHERE rn <= 10""") { (spark, dir) =>
+      Sketch.cmsHeavyHittersBy(Tables.df(spark, dir, "documents"),
+        "text", "source", CmsSql.Depth, CmsSql.Width, k = 10)
+    },
+
     // Dyadic rank sketch quantiles: permille quantiles of the event
     // timestamp (epoch micros — an UNBOUNDED long domain exactQuantiles'
     // bounded-cardinality contract cannot hold) off the mergeable

@@ -367,6 +367,42 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group grid equals the global grid run on each group's " +
+      "slice: the bucket is a function of the token alone") {
+    val docs = Seq(("s1", "x y z x"), ("s1", "y"), ("s2", "x q"),
+      ("s2", "q q w")).toDF("src", "text")
+    val grouped = Sketch.cmsTableBy(docs, "text", "src", depth = 4,
+        width = 32)
+      .select(col("src"), col("r").cast("long"),
+        col("bucket").cast("long"), col("c").cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, r, b, c) => (g, r, b) -> c }.toMap
+    val perSlice = Seq("s1", "s2").flatMap { g =>
+      cells(Sketch.cmsTable(docs.filter(col("src") === g), "text",
+        depth = 4, width = 32))
+        .map { case ((r, b), c) => (g, r, b) -> c }
+    }.toMap
+    assert(grouped === perSlice)
+  }
+
+  test("per-group heavy hitters: est >= exact within each group's " +
+      "grid, <= k rows per group, groups rank independently") {
+    val docs = Seq(("s1", ("a " * 5) + ("b " * 3) + "c"),
+      ("s2", ("z " * 9) + "a")).toDF("src", "text")
+    val hh = Sketch.cmsHeavyHittersBy(docs, "text", "src",
+        depth = 4, width = 1024, k = 2)
+      .as[(String, String, Long, Long)].collect()
+    assert(hh.count(_._1 == "s1") == 2 && hh.count(_._1 == "s2") == 2)
+    assert(hh.forall { case (_, _, est, exact) => est >= exact })
+    // collision-free width: per-group top tokens are the exact ones
+    val bySrc = hh.groupBy(_._1)
+      .view.mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    assert(bySrc("s1") === Seq("a", "b"))
+    assert(bySrc("s2") === Seq("z", "a"))
+    // s2's lone 'a' (count 1) must not inherit s1's five
+    assert(hh.find(r => r._1 == "s2" && r._2 == "a").get._4 == 1L)
+  }
+
   test("streaming fold over one-file micro-batches equals the direct " +
       "batch grid bit for bit (cell-wise additive, order-free)") {
     val docs = (1L to 90L).map(i => (i, s"w${i % 7} w${i % 3} tail"))
