@@ -115,8 +115,22 @@ object RankSketchSql {
     * [[Permilles]] constants). */
   val groupedOracle: String =
     s"""WITH RECURSIVE
-       v AS (SELECT event_type AS g, epoch_us(ts) AS v FROM events
-             WHERE ts IS NOT NULL),
+       ${groupedWalkCtes(
+         "SELECT event_type AS g, epoch_us(ts) AS v FROM events " +
+           "WHERE ts IS NOT NULL")}
+       SELECT g AS event_type, CAST(p AS BIGINT) AS permille,
+              pfx AS q_est
+       FROM walk WHERE level = -1"""
+
+  /** The grouped grid + descent as a bare CTE block ending in
+    * `walk(g, p, target, level, pfx, base, j)` — quantiles read off
+    * `WHERE level = -1` as (g, p, pfx). `vSelect` must produce
+    * (g, v: non-negative BIGINT). Embeddable into larger statements
+    * (the source-dashboard composition) — the caller owns the
+    * `WITH RECURSIVE` prefix and the trailing comma placement; CTE
+    * names used: v, cells, n, t, walk. */
+  def groupedWalkCtes(vSelect: String): String =
+    s"""v AS ($vSelect),
        cells AS (
          SELECT g, level, r, bg AS bucket, CAST(count(*) AS BIGINT) AS c
          FROM (
@@ -157,8 +171,5 @@ object RankSketchSql {
            LEFT JOIN cells c1 ON c1.g = s.g AND c1.level = s.level
              AND c1.r = 1 AND c1.bucket = s.b1
          )
-       )
-       SELECT g AS event_type, CAST(p AS BIGINT) AS permille,
-              pfx AS q_est
-       FROM walk WHERE level = -1"""
+       )"""
 }

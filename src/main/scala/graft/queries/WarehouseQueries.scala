@@ -1013,6 +1013,56 @@ object WarehouseQueries extends QueryGroup {
         RankSketchSql.Depth, RankSketchSql.Width)
     },
 
+    // Curation composition v9 — the per-source dashboard: doc counts,
+    // CMS top token, and the p500 token-length rank-sketch quantile,
+    // all grouped, all in one statement — the "what is each source
+    // made of" report a 100 TB warehouse refreshes per ingest at
+    // bounded per-source state. Both sketch halves render from the
+    // single shared spellings (CmsSql.gridCtesBy, RankSketchSql
+    // .groupedWalkCtes) their standalone queries verify.
+    q("q_source_dashboard", "warehouse",
+      s"""WITH RECURSIVE
+         ${CmsSql.gridCtesBy("source")},
+         cest AS (SELECT tf.g, tb.s, MIN(cms.c) AS est
+                  FROM tb JOIN tf ON tb.s = tf.s
+                  JOIN cms ON cms.g = tf.g AND cms.r = tb.r
+                    AND cms.bucket = tb.bucket
+                  GROUP BY 1, 2),
+         top1 AS (SELECT g, s, est FROM (
+                    SELECT g, s, est,
+                      row_number() OVER (PARTITION BY g
+                        ORDER BY est DESC, s) AS rn
+                    FROM cest) WHERE rn = 1),
+         nd AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1),
+         ${RankSketchSql.groupedWalkCtes(
+           "SELECT source AS g, " +
+             "CAST(len(string_split(text, ' ')) AS BIGINT) AS v " +
+             "FROM documents WHERE text IS NOT NULL")},
+         p500 AS (SELECT g, pfx AS p500_tokens FROM walk
+                  WHERE level = -1 AND p = 500)
+         SELECT nd.g AS source, nd.n_docs, top1.s AS top_token,
+                CAST(top1.est AS BIGINT) AS top_token_est,
+                p500.p500_tokens
+         FROM nd JOIN top1 ON top1.g = nd.g
+         JOIN p500 ON p500.g = nd.g""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val top1 = Sketch.cmsHeavyHittersBy(docs, "text", "source",
+          CmsSql.Depth, CmsSql.Width, k = 1)
+        .select(col("source"), col("token").as("top_token"),
+          col("est").as("top_token_est"))
+      val grid = Sketch.rankGridBy(docs,
+        size(split(col("text"), " ")).cast("long"), Seq("source"),
+        RankSketchSql.Depth, RankSketchSql.Width)
+      val p500 = Sketch.rankQuantilesBy(grid, Seq("source"),
+          RankSketchSql.Permilles, RankSketchSql.Depth,
+          RankSketchSql.Width)
+        .filter(col("permille") === 500)
+        .select(col("source"), col("q_est").as("p500_tokens"))
+      nd.join(top1, "source").join(p500, "source")
+    },
+
     // Per-group rank-sketch quantiles: per-event_type timestamp
     // permilles off per-group dyadic grids built in the same single
     // corpus pass (groups x grid cells through one partial-aggregated
