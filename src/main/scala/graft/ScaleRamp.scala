@@ -1023,6 +1023,16 @@ object ScaleRamp {
             graft.queries.RankSketchSql.Width).count()
         }
       },
+      "cms_heavy_hitters_by" -> { k =>
+        // per-group CMS heavy hitters (round 15): 97 synthetic
+        // sources, grids FIXED at 4x1024 cells per group, per-group
+        // top-k via WindowGroupLimit. Corpus term is the tokenize +
+        // grouped partial agg — expect ~linear, group count constant.
+        val d = docsAt(k).withColumn("source",
+          pmod(col("doc_id"), lit(97)).cast("string"))
+        timeIt(graft.ops.Sketch.cmsHeavyHittersBy(d, "text", "source",
+          depth = 4, width = 1024, k = 10).count())
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
@@ -1162,7 +1172,12 @@ object ScaleRamp {
       graft.ops.Events.rollingActive(evw, "user_id", "ts").count()
       graft.ops.Sketch.kmvSynopsis(evw, "user_id", 64,
         Seq("etype")).count()
-      // round-15 shapes: paths, overlap, session→rank composition
+      // round-15 shapes: paths, overlap, session→rank composition,
+      // grouped CMS
+      graft.ops.Sketch.cmsHeavyHittersBy(
+        docs0.limit(200).withColumn("source",
+          pmod(col("doc_id"), lit(97)).cast("string")),
+        "text", "source", depth = 4, width = 1024, k = 10).count()
       graft.ops.Events.topPaths(evw.withColumn("eid",
         xxhash64(col("user_id"), col("ts"), col("etype"))),
         "user_id", "etype", "ts", "eid").count()
