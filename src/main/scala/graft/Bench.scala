@@ -130,7 +130,7 @@ object Bench {
         val line =
           if (ordered.size == 1) best
           else {
-            val hist = ordered.map(l => f"${spreadOf(l)}%.2f")
+            val hist = ordered.map(l => d2(spreadOf(l)))
               .mkString("[", ",", "]")
             best.replaceFirst("\"calibration\":\\{",
               s""""calibration":{"attempts":${ordered.size},"spreads":$hist,""")
@@ -196,13 +196,22 @@ object Bench {
       if (errs.isEmpty) ""
       else errs.mkString(""""errors":[""", ",", "],")
     val calJson = cals.map("{" + _ + "}")
-      .mkString(f""""calibration":{"spread":$maxSpread%.2f,"shards":[""",
+      .mkString(s""""calibration":{"spread":${d2(maxSpread)},"shards":[""",
         ",", "]}")
     s"""{"metric":"total","value":${jNum(total)},"unit":"sec","failed":$failed,"queries":{$qs},$errJson$calJson,"sf":"$sf"}"""
   }
 
+  /** Locale-pinned decimal formatting for every number that lands in
+    * the artifact JSON: the f"" interpolator uses the JVM default
+    * locale, and a comma-decimal locale would emit `"spread":1,33` —
+    * silently corrupting the artifact this instrument exists to keep
+    * self-describing. Locale.ROOT everywhere a digit reaches JSON. */
+  private def d2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   private def jNum(v: Double): String =
-    if (v.isNaN) "-1" else f"$v%.3f"
+    if (v.isNaN) "-1"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** Inline mode: the two-pass/min protocol over the (possibly
     * sliced) suite in THIS JVM. */
@@ -331,7 +340,7 @@ object Bench {
     val errJson =
       if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""""errors":[""", ",", "],")
-    val calSpreadJ = if (calSpread.isNaN) "-1" else f"$calSpread%.2f"
+    val calSpreadJ = if (calSpread.isNaN) "-1" else d2(calSpread)
     val cal = s""""calibration":{"start":${jNum(calStart)},"mid":${jNum(calMid)},"end":${jNum(calEnd)},"spread":$calSpreadJ}"""
     val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","failed":$failed,"queries":$qs,$errJson$cal,"sf":"$sfDir"}"""
     spark.stop()

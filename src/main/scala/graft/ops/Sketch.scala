@@ -110,7 +110,15 @@ object Sketch {
     * est ≥ exact within each group's grid. The per-group top-k is a
     * rank window capped at k, which Spark plans as WindowGroupLimit —
     * the map-side per-partition top-k before the exchange (the
-    * sourceProfile precedent, ExplainSpec-pinned there). */
+    * sourceProfile precedent, ExplainSpec-pinned there).
+    *
+    * Contract: the per-group grid (groups × depth × width cells) is
+    * BROADCAST to probe it without re-shuffling the token counts, so
+    * the group domain must be DASHBOARD-SIZED (sources, event types,
+    * days — the same bound [[rankQuantilesBy]] documents; at the
+    * defaults each group costs 4·1024 cells ≈ 100 KB broadcast).
+    * Unbounded group domains should drop to [[cmsTableBy]] and probe
+    * with a shuffled join on (group, r, bucket) instead. */
   def cmsHeavyHittersBy(df: DataFrame, textCol: String,
       groupCol: String, depth: Int = 4, width: Int = 1024,
       k: Int = 20): DataFrame = {
@@ -192,9 +200,11 @@ object Sketch {
     * below k, `(k−1)·2³² div (u₍ₖ₎+1)` at k. Shared by [[kmvDistinct]]
     * and the streaming fold's report. */
   def kmvEstimate(synCol: Column, k: Int): Column = {
-    // (k−1)·2³² must stay in a long; k is an Int so k−1 < 2³¹ always
-    // satisfies it, but keep the bound visible
-    require(k >= 2 && (k - 1).toLong <= (1L << 31),
+    // (k−1)·2³² must stay in a long, so the bound is STRICT: at
+    // k−1 == 2³¹ the numerator is exactly 2⁶³ and overflows signed —
+    // unreachable at practical k, but the exactness claim below holds
+    // for every k this require admits
+    require(k >= 2 && (k - 1).toLong < (1L << 31),
       s"kmv estimate: k out of range: $k")
     // get() (0-indexed, null out-of-bounds) — element_at errors on
     // out-of-bounds under ANSI even on the never-taken branch
@@ -291,13 +301,30 @@ object Sketch {
     *         est_intersection, jaccard_permille), one row per
     *         unordered group pair. */
   def kmvOverlapMatrix(df: DataFrame, groupCol: String,
-      valueCol: String, k: Int): DataFrame = {
+      valueCol: String, k: Int, maxGroups: Int = 10000): DataFrame = {
     require(k >= 2, s"kmv: k must be >= 2: $k")
     val spark = df.sparkSession
     val gField = df.schema(groupCol)
-    val syn = kmvSynopsis(df, valueCol, k, Seq(groupCol)).collect()
+    val synDf = kmvSynopsis(df, valueCol, k, Seq(groupCol))
+    // the dashboard-sized-groups contract, ENFORCED (it was
+    // documentation-only through r15): the collect below is G·k longs
+    // and the output G² rows, so an unbounded group column must fail
+    // loudly BEFORE the driver collect, not OOM it. limit(G+1).count
+    // is an early-out probe — it never materializes more than G+1
+    // synopsis rows however many groups exist.
+    val probe = synDf.limit(maxGroups + 1).count()
+    require(probe <= maxGroups,
+      s"kmvOverlapMatrix: more than $maxGroups groups in '$groupCol' " +
+        "— the all-pairs matrix collects G*k longs driver-side and " +
+        "emits G^2 rows, a dashboard-sized-group contract. For " +
+        "unbounded group domains keep the synopses distributed " +
+        "(kmvSynopsis) and join-probe the pairs you need instead.")
+    // String.valueOf: a null group key is a real slice under the
+    // kmvSynopsis/sourceProfile convention — render it "null" for the
+    // sort (matching rankQuantilesBy) instead of NPE-ing the matrix
+    val syn = synDf.collect()
       .map(r => r.get(0) -> r.getAs[scala.collection.Seq[Long]](1).toArray)
-      .sortBy(_._1.toString)
+      .sortBy(r => String.valueOf(r._1))
     val rows = for {
       i <- syn.indices
       j <- (i + 1) until syn.length
@@ -498,7 +525,7 @@ object Sketch {
     * grid (no non-null values) is absent from the output. */
   def rankQuantilesBy(grid: DataFrame, groupCols: Seq[String],
       permilles: Seq[Int], depth: Int = 2,
-      width: Int = 2048): DataFrame = {
+      width: Int = 2048, maxGroups: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "rankQuantilesBy: groupCols must be " +
       "non-empty — use rankQuantiles for the global walk")
     require(permilles.nonEmpty &&
@@ -506,9 +533,23 @@ object Sketch {
       s"permilles must be within [1, 1000]: $permilles")
     val spark = grid.sparkSession
     val g = groupCols.length
+    // dashboard-sized-groups contract, ENFORCED before the collect
+    // (documentation-only through r15): the grid is groups×grid cells,
+    // so an unbounded group column would make the collect unbounded.
+    // distinct+limit is an early-out probe over the frame we're about
+    // to collect anyway — it never returns more than maxGroups+1 rows.
+    val probe = grid.select(groupCols.map(col): _*).distinct()
+      .limit(maxGroups + 1).count()
+    require(probe <= maxGroups,
+      s"rankQuantilesBy: more than $maxGroups groups in " +
+        s"${groupCols.mkString("(", ", ", ")")} — the grouped walk " +
+        "collects groups*grid cells driver-side, a " +
+        "dashboard-sized-group contract. For unbounded group domains " +
+        "keep the grid distributed (rankGridBy) and probe ranks with " +
+        "joins instead.")
     val rows = grid.collect()
     val byGroup = rows.groupBy(r => (0 until g).map(r.get).toList)
-    val out = byGroup.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+    val out = byGroup.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
       .flatMap { case (key, rs) =>
         val cells = rs.map(r =>
           (r.getInt(g), r.getInt(g + 1), r.getLong(g + 2)) ->

@@ -199,9 +199,14 @@ object FunnelStream {
     * directory is removed after `run`. */
   private[streaming] def withDrainStaging[T](spark: SparkSession,
       path: String, drainAdvanceUs: Long)(run: String => T): T = {
-    val maxTs = spark.read.schema(EventsStream.eventsFileSchema)
-      .parquet(path).agg(max(unix_micros(col("ts")))).collect()
-      .head.getLong(0)
+    val maxRow = spark.read.schema(EventsStream.eventsFileSchema)
+      .parquet(path).agg(max(unix_micros(col("ts")))).collect().head
+    // empty / all-null-ts staging makes the max NULL — fail with the
+    // actual problem instead of an opaque NPE off getLong
+    require(!maxRow.isNullAt(0),
+      s"withDrainStaging: no non-null event timestamps under $path — " +
+        "cannot place drain sentinels")
+    val maxTs = maxRow.getLong(0)
     val staged = java.nio.file.Files.createTempDirectory("graft_fdrain")
     try {
       val files = java.nio.file.Files.list(java.nio.file.Paths.get(path))

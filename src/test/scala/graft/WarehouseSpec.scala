@@ -602,6 +602,21 @@ class RankSketchSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect()
     assert(!g2.exists(_._1 == "gN") && g2.length == 9)
   }
+
+  test("maxGroups guard: an over-bound group domain fails before the " +
+      "grid collect, naming the distributed alternative") {
+    val wide = (0L until 25L).map(i => (s"g$i", i * 17L)).toDF("grp", "x")
+    val grid = Sketch.rankGridBy(wide, col("x"), Seq("grp"), D, W)
+    val err = intercept[IllegalArgumentException] {
+      Sketch.rankQuantilesBy(grid, Seq("grp"), Seq(500), D, W,
+        maxGroups = 10)
+    }
+    assert(err.getMessage.contains("more than 10 groups") &&
+      err.getMessage.contains("rankGridBy"))
+    // at the bound: the walk proceeds, one row per (group, permille)
+    assert(Sketch.rankQuantilesBy(grid, Seq("grp"), Seq(500), D, W,
+      maxGroups = 25).count() == 25L)
+  }
 }
 
 class KAnonSpec extends AnyFunSuite {
@@ -1212,6 +1227,19 @@ class KmvSpec extends AnyFunSuite {
     // single-sketch envelope is the loose deterministic bound here
     assert(math.abs(r._4 - 1000L) <= 750L, s"est_inter ${r._4}")
     assert(r._4 == r._1 + r._2 - r._3 || r._4 == 0L)
+  }
+
+  test("maxGroups guard: a group domain past the bound fails loudly " +
+      "before the driver collect; at the bound it passes") {
+    val df = (0L until 40L).map(i => (s"g$i", i)).toDF("grp", "v")
+    val err = intercept[IllegalArgumentException] {
+      Sketch.kmvOverlapMatrix(df, "grp", "v", k = 8, maxGroups = 10)
+    }
+    assert(err.getMessage.contains("more than 10 groups") &&
+      err.getMessage.contains("join-probe"))
+    // exactly at the bound: passes, C(40,2) rows
+    assert(Sketch.kmvOverlapMatrix(df, "grp", "v", k = 8,
+      maxGroups = 40).count() == 780L)
   }
 }
 
