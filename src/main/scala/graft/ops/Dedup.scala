@@ -826,6 +826,12 @@ object Dedup {
       .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
     var changed = 1L
+    // loop-sized static plan (see GraftSession.withLoopConf): the
+    // round shape never changes, so AQE's per-stage jobs (~6 per
+    // round here) buy nothing — p comes off the materialized edge
+    // checkpoint's real count, once
+    val p = graft.core.GraftSession.loopPartitionsOf(sym.count())
+    graft.core.GraftSession.withLoopConf(sym.sparkSession, p) {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("a"), col("comp")), "a")
@@ -854,6 +860,7 @@ object Dedup {
       labels = jumped.select("id", "comp")
       iter += 1
     }
+    } // withLoopConf
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")
     labels

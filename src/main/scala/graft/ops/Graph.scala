@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.core.Checkpoints
+import graft.core.{Checkpoints, GraftSession}
 
 /** Link-graph centrality for corpus curation: PageRank over a
   * domain/document link graph is the classic web-scale quality prior
@@ -56,17 +56,16 @@ object Graph {
       iterations: Int = 8, dampingPct: Int = 85,
       scale: Long = 1000000L, nodesOpt: Option[DataFrame] = None,
       nNodesOpt: Option[Long] = None): DataFrame = {
-    val (nodes, eDeg) = prepare(edges, srcCol, dstCol, nodesOpt)
-    // a caller-supplied count only applies to a caller-supplied
-    // universe (the derived src∪dst universe has no caller count)
-    val nNodes = nNodesOpt.filter(_ => nodesOpt.isDefined)
-      .getOrElse(nodes.count())
+    val (nodes, eDeg, p, nNodes) =
+      prepare(edges, srcCol, dstCol, nodesOpt, nNodesOpt)
     require(nNodes > 0, "pageRank: empty graph")
     val r0 = scale / nNodes
     val base = (100L - dampingPct) * r0 / 100L
-    powerIterate(
-      nodes.select(col("node"), lit(base).as("base"), lit(r0).as("r0")),
-      eDeg, iterations, dampingPct, nodes)
+    GraftSession.withLoopConf(edges.sparkSession, p) {
+      powerIterate(
+        nodes.select(col("node"), lit(base).as("base"), lit(r0).as("r0")),
+        eDeg, iterations, dampingPct, nodes)
+    }
   }
 
   /** Seeded-teleport PageRank — the public TrustRank formulation
@@ -86,7 +85,7 @@ object Graph {
       seeds: DataFrame, iterations: Int = 8, dampingPct: Int = 85,
       scale: Long = 1000000L, nodesOpt: Option[DataFrame] = None)
       : DataFrame = {
-    val (nodes, eDeg) = prepare(edges, srcCol, dstCol, nodesOpt)
+    val (nodes, eDeg, p, _) = prepare(edges, srcCol, dstCol, nodesOpt)
     val s = seeds.toDF("node")
       .select(col("node").cast("long").as("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")
@@ -95,12 +94,14 @@ object Graph {
     require(nSeeds > 0, "trustRank: no seed intersects the node universe")
     val r0 = scale / nSeeds
     val base = (100L - dampingPct) * r0 / 100L
-    powerIterate(
-      nodes.join(broadcast(s), Seq("node"), "left")
-        .select(col("node"),
-          when(col("_seed"), lit(base)).otherwise(lit(0L)).as("base"),
-          when(col("_seed"), lit(r0)).otherwise(lit(0L)).as("r0")),
-      eDeg, iterations, dampingPct, nodes)
+    GraftSession.withLoopConf(edges.sparkSession, p) {
+      powerIterate(
+        nodes.join(broadcast(s), Seq("node"), "left")
+          .select(col("node"),
+            when(col("_seed"), lit(base)).otherwise(lit(0L)).as("base"),
+            when(col("_seed"), lit(r0)).otherwise(lit(0L)).as("r0")),
+        eDeg, iterations, dampingPct, nodes)
+    }
   }
 
   /** HITS hubs-and-authorities (Kleinberg 1999, the public mutual-
@@ -151,10 +152,12 @@ object Graph {
       .localCheckpoint()
     val nNodes = nNodesOpt.filter(_ => nodesOpt.isDefined)
       .getOrElse(nodes.count())
+    val p = loopPartitions(math.max(e.count(), nNodes))
     val r0 = scale / nNodes
     require(r0 > 0, s"hits: scale $scale must be >= node count $nNodes")
     val rotate = new Checkpoints.Rotating
     var st = nodes.select(col("node"), lit(r0).as("h"), lit(r0).as("a"))
+    GraftSession.withLoopConf(edges.sparkSession, p) {
     for (_ <- 1 to iterations) {
       val hv = st.select(col("node").as("_sn"), col("h"))
       val av = st.select(col("node").as("_dn"), col("a"))
@@ -174,6 +177,7 @@ object Graph {
           expr("coalesce(hraw, 0L) * " + scale + "L div _th").as("h"),
           expr("coalesce(araw, 0L) * " + scale + "L div _ta").as("a")))
     }
+    } // withLoopConf
     Checkpoints.release(nodes)
     Checkpoints.release(e)
     st
@@ -284,6 +288,8 @@ object Graph {
         greatest(col("a"), col("b")).as("b"))
       .distinct()
       .localCheckpoint() // consumed every peeling round
+    val p = loopPartitions(und.count())
+    GraftSession.withLoopConf(edges.sparkSession, p) {
     val rotate = new Checkpoints.Rotating
     def degrees(aliveNodes: DataFrame): DataFrame = und
       .join(aliveNodes.select(col("node").as("a")), Seq("a"), "left_semi")
@@ -312,21 +318,47 @@ object Graph {
     }
     Checkpoints.release(und)
     alive
+    } // withLoopConf
   }
 
   /** Shared setup: normalized edge list with out-degree folded on
     * (loop-invariant, checkpointed once) + the node universe. */
+  /** Loop-sized shuffle partition count — the canonical spelling is
+    * [[GraftSession.loopPartitionsOf]]. */
+  private[ops] def loopPartitions(maxRows: Long): Int =
+    GraftSession.loopPartitionsOf(maxRows)
+
+  /** Shared setup: normalized edge list with out-degree folded on +
+    * the node universe, both checkpointed ONCE (the one-shot
+    * unknown-cardinality joins run under the ambient AQE session —
+    * sizing those is what AQE is for), plus the loop-sized partition
+    * count p off the materialized invariants' counts. The loop itself
+    * runs under [[GraftSession.withLoopConf]](p): every per-round
+    * exchange is p-partitioned and the rounds between checkpoints run
+    * as one job. (Local checkpoints do NOT preserve physical
+    * partitioning in Spark 4.1 — a `Scan ExistingRDD` plans with
+    * UnknownPartitioning, verified against the executed plan — so
+    * there is deliberately no repartition-before-checkpoint here: it
+    * would buy nothing and cost an |E| exchange.)
+    * @return (nodes, eDeg, p, nNodes) */
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
-      nodesOpt: Option[DataFrame]): (DataFrame, DataFrame) = {
+      nodesOpt: Option[DataFrame], nNodesOpt: Option[Long] = None)
+      : (DataFrame, DataFrame, Int, Long) = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = nodesOpt
+    val nodes0 = nodesOpt
       .map(_.toDF("node").select(col("node").cast("long").as("node")))
       .getOrElse(e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
-      .localCheckpoint() // consumed every round: cut the scan lineage once
+      .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    (nodes, e.join(deg, "src").localCheckpoint())
+    val eDeg0 = e.join(deg, "src").localCheckpoint()
+    // a caller-supplied count only applies to a caller-supplied
+    // universe (the derived src∪dst universe has no caller count)
+    val nNodes = nNodesOpt.filter(_ => nodesOpt.isDefined)
+      .getOrElse(nodes0.count())
+    val p = loopPartitions(math.max(eDeg0.count(), nNodes))
+    (nodes0, eDeg0, p, nNodes)
   }
 
   /** The fixed-point power loop over a per-node (base, r0) seeding —
@@ -343,18 +375,22 @@ object Graph {
     Checkpoints.release(prepNodes)
     val rotate = new Checkpoints.Rotating
     var ranks = nodes.select(col("node"), col("r0").as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("rank div deg").as("share")) // true integer floor div
         .groupBy("node").agg(sum(col("share")).as("contrib"))
-      ranks = rotate(
-        nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (col("base") + expr(
-              s"($dampingPct * coalesce(contrib, 0L)) div 100"))
-              .as("rank")))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + expr(
+            s"($dampingPct * coalesce(contrib, 0L)) div 100"))
+            .as("rank"))
+      // checkpoint every SECOND round: two co-partitioned rounds
+      // pipeline inside one materialization job (per-round driver
+      // floor halves), while plan depth stays bounded at 2 rounds —
+      // the static eDeg join never self-nests, so no analyzer blowup
+      ranks = if (i % 2 == 0 || i == iterations) rotate(next) else next
     }
     // the final checkpoint IS the result; the loop-invariant inputs
     // are not referenced by it (checkpoints truncate lineage)

@@ -335,16 +335,16 @@ object Similarity {
       nTables: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding", multiProbe: Boolean = false): DataFrame = {
     val dim = vecDim(corpus, vecCol)
+    // bucket stream: (id, t, b) only — vectors never ride the
+    // candidate pipeline (see the dedup note below)
     val c = spread(corpus).filter(isIndexable(col(vecCol), dim))
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        norm(col(vecCol)).as("n_norm"),
+      .select(col(idCol).as("n_id"),
         tableBuckets(col(vecCol), nPlanes, nTables, dim).as("tb"))
-      .select(col("n_id"), col("n_vec"), col("n_norm"), col("tb.t"), col("tb.b"))
+      .select(col("n_id"), col("tb.t"), col("tb.b"))
     val qBase = queries.filter(isIndexable(col(vecCol), dim))
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        norm(col(vecCol)).as("q_norm"),
+      .select(col(idCol).as("q_id"),
         tableBuckets(col(vecCol), nPlanes, nTables, dim).as("tb"))
-      .select(col("q_id"), col("q_vec"), col("q_norm"), col("tb.t"), col("tb.b"))
+      .select(col("q_id"), col("tb.t"), col("tb.b"))
     val q =
       if (!multiProbe) qBase
       else {
@@ -353,16 +353,30 @@ object Similarity {
         // run once regardless of probe count
         val probes = array((col("b") +: (0 until nPlanes).map(p =>
           col("b").bitwiseXOR(lit(1L << p)))): _*)
-        qBase.select(col("q_id"), col("q_vec"), col("q_norm"), col("t"),
-          explode(probes).as("b"))
+        qBase.select(col("q_id"), col("t"), explode(probes).as("b"))
       }
+    // one row per vector for the post-dedup fetch joins
+    val cVecs = spread(corpus).filter(isIndexable(col(vecCol), dim))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_norm"))
+    val qVecs = queries.filter(isIndexable(col(vecCol), dim))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
-    q.join(c, Seq("t", "b"))
+    // dedup multi-table collisions on the ID PAIR alone, then fetch
+    // vectors for the surviving pairs (the embedNearDupLsh shape):
+    // the distinct's shuffle carries two longs per candidate instead
+    // of two full embedding vectors, and the row comparator is a long
+    // compare instead of an array walk — at corpus scale the
+    // candidate stream is the big side, so never move vectors with it
+    val candidates = q.join(c, Seq("t", "b"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("n_id"), col("n_vec"), col("n_norm"))
-      .distinct() // a pair may collide in several tables
+      .select(col("q_id"), col("n_id"))
+      .distinct() // a pair may collide in several tables/probes
+    candidates
+      .join(qVecs, "q_id")
+      .join(cVecs, "n_id")
       .withColumn("sim",
         dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w))

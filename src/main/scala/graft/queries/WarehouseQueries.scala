@@ -1040,12 +1040,24 @@ object WarehouseQueries extends QueryGroup {
              "CAST(len(string_split(text, ' ')) AS BIGINT) AS v " +
              "FROM documents WHERE text IS NOT NULL")},
          p500 AS (SELECT g, pfx AS p500_tokens FROM walk
-                  WHERE level = -1 AND p = 500)
+                  WHERE level = -1 AND p = 500),
+         hx2 AS (SELECT DISTINCT tf.g, mm.u
+                 FROM tf JOIN mm ON mm.s = tf.s),
+         rk2 AS (SELECT g, u, row_number() OVER (PARTITION BY g
+                   ORDER BY u) AS r FROM hx2),
+         syn2 AS (SELECT g, count(*) AS nh,
+                   max(CASE WHEN r = 64 THEN u END) AS uk
+                 FROM rk2 GROUP BY 1),
+         kd AS (SELECT g, CAST(CASE WHEN nh < 64 THEN nh
+                     ELSE 63 * 4294967296 // (uk + 1)
+                   END AS BIGINT) AS distinct_tokens_est
+                FROM syn2)
          SELECT nd.g AS source, nd.n_docs, top1.s AS top_token,
                 CAST(top1.est AS BIGINT) AS top_token_est,
-                p500.p500_tokens
+                p500.p500_tokens, kd.distinct_tokens_est
          FROM nd JOIN top1 ON top1.g = nd.g
-         JOIN p500 ON p500.g = nd.g""") { (spark, dir) =>
+         JOIN p500 ON p500.g = nd.g
+         JOIN kd ON kd.g = nd.g""") { (spark, dir) =>
       val docs = Tables.df(spark, dir, "documents")
       val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       val top1 = Sketch.cmsHeavyHittersBy(docs, "text", "source",
@@ -1060,7 +1072,17 @@ object WarehouseQueries extends QueryGroup {
           RankSketchSql.Width)
         .filter(col("permille") === 500)
         .select(col("source"), col("q_est").as("p500_tokens"))
-      nd.join(top1, "source").join(p500, "source")
+      // the THIRD synopsis: per-source distinct-vocabulary KMV over
+      // the same whitespace tokens the CMS grid counts (oracle
+      // reuses the grid's murmur chain — one hash spelling)
+      val toks = docs
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val kd = Sketch.kmvSynopsis(toks, "tok", 64, Seq("source"))
+        .select(col("source"),
+          Sketch.kmvEstimate(col("kmv"), 64).as("distinct_tokens_est"))
+      nd.join(top1, "source").join(p500, "source").join(kd, "source")
     },
 
     // Per-group rank-sketch quantiles: per-event_type timestamp

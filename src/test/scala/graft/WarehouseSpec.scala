@@ -1881,6 +1881,31 @@ class FunnelReorderSpec extends AnyFunSuite {
     } finally graft.core.Fs.deleteRecursively(dir)
   }
 
+  test("trigger-size invariance: 1, 4, and all-12 files per " +
+      "micro-batch produce the identical report; the per-batch floor " +
+      "amortizes instead of multiplying") {
+    // the 100 TB streaming claim is "few LARGE micro-batches": the
+    // maxFilesPerTrigger=1 spelling in the catalog maximizes batch
+    // COUNT to exercise cross-batch state; this pins that the fold is
+    // invariant in how files group into triggers (12 -> 3 -> 1
+    // batches), so production may run large triggers and pay the
+    // micro-batch scheduling floor once per big batch. Walls measured
+    // at sf0.1 live in SCALE.md (timing asserts are box noise).
+    val ev = graft.core.Tables.df(spark, sf, "events")
+    val slices = (0 until 12).map(i => col("event_id") % 12 === i)
+    val dir = staged(ev, slices)
+    try {
+      val want = report(graft.ops.Events.funnel(ev, "user_id",
+        "event_type", "ts", steps, horizonSeconds = Some(604800L)))
+      val reports = Seq(Some(1), Some(4), None).map(trigger =>
+        report(graft.streaming.FunnelStream.runFunnelToBatchReordered(
+          spark, dir.toString, steps, Some(604800L),
+          latenessSeconds = 40L * 86400L,
+          maxFilesPerTrigger = trigger)))
+      assert(reports.forall(_ === want) && want(1) > 0L)
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
   test("PROPERTY: any batch assignment of random events, folded " +
       "under full-span lateness, equals the batch funnel") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
