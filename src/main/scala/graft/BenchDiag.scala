@@ -59,6 +59,61 @@ object BenchDiag {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // "_trigger" — the streaming trigger-size amortization measurement
+    // behind SCALE.md (r16 verdict #3): stages the events table as 12
+    // time-scattered files and runs the OOO funnel fold with 1, 4,
+    // and all-12 files per micro-batch; prints wall + a result hash
+    // per setting. Result hashes must agree (FunnelReorderSpec pins
+    // the invariance); walls show the per-batch floor amortizing.
+    if (name == "_trigger") {
+      val spark1 = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark1.sparkContext.setLogLevel("WARN")
+      graft.core.GraftSession.tune(spark1)
+      val ev = graft.core.Tables.df(spark1, sfDir, "events")
+      val staged = java.nio.file.Files.createTempDirectory("graft_trig")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_trig_w")
+      try {
+        val base = System.currentTimeMillis()
+        (0 until 12).foreach { i =>
+          val d = tmp.resolve(s"b$i")
+          ev.filter(org.apache.spark.sql.functions.col("event_id")
+            % 12 === i).coalesce(1).write.parquet(d.toString)
+          val part = java.nio.file.Files.list(d).toArray
+            .map(_.toString).filter(_.endsWith(".parquet")).head
+          val dst = staged.resolve(s"b$i.parquet")
+          java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+          dst.toFile.setLastModified(base - (13 - i) * 60000L): Unit
+        }
+        val steps = Seq("view", "click", "purchase")
+        // one untimed warm run so stream-engine JIT doesn't land on
+        // the first timed setting
+        graft.streaming.FunnelStream.runFunnelToBatchReordered(spark1,
+          staged.toString, steps, Some(604800L), 40L * 86400L,
+          Some(12)).count()
+        Seq(Some(1), Some(4), None).foreach { trig =>
+          (1 to runs).foreach { i =>
+            val t0 = System.nanoTime()
+            val res = graft.streaming.FunnelStream
+              .runFunnelToBatchReordered(spark1, staged.toString,
+                steps, Some(604800L), 40L * 86400L, trig)
+              .collect().map(_.toString).sorted.mkString("|")
+            val w = (System.nanoTime() - t0) / 1e9
+            println(f"diag _trigger files=${trig.getOrElse(12)}%2d " +
+              f"run$i wall=$w%.3fs hash=${res.hashCode}")
+          }
+        }
+      } finally {
+        graft.core.Fs.deleteRecursively(staged)
+        graft.core.Fs.deleteRecursively(tmp)
+      }
+      spark1.stop()
+      return
+    }
     // "_floor" — not a catalog query: measures the bare per-action
     // driver floor (plan → submit → 1 task → collect) with a trivial
     // 1-partition count, 100 reps after 20 warm reps. The number that

@@ -305,26 +305,32 @@ object Sketch {
     require(k >= 2, s"kmv: k must be >= 2: $k")
     val spark = df.sparkSession
     val gField = df.schema(groupCol)
-    val synDf = kmvSynopsis(df, valueCol, k, Seq(groupCol))
     // the dashboard-sized-groups contract, ENFORCED (it was
     // documentation-only through r15): the collect below is G·k longs
     // and the output G² rows, so an unbounded group column must fail
-    // loudly BEFORE the driver collect, not OOM it. limit(G+1).count
-    // is an early-out probe — it never materializes more than G+1
-    // synopsis rows however many groups exist.
+    // loudly BEFORE the driver collect, not OOM it. The synopsis is
+    // checkpointed ONCE (G bounded-size rows in EXECUTOR storage —
+    // the guard protects the driver) so the guard count and the
+    // collect share a single corpus pass.
+    val synDf = kmvSynopsis(df, valueCol, k, Seq(groupCol))
+      .localCheckpoint()
     val probe = synDf.limit(maxGroups + 1).count()
-    require(probe <= maxGroups,
-      s"kmvOverlapMatrix: more than $maxGroups groups in '$groupCol' " +
-        "— the all-pairs matrix collects G*k longs driver-side and " +
-        "emits G^2 rows, a dashboard-sized-group contract. For " +
-        "unbounded group domains keep the synopses distributed " +
-        "(kmvSynopsis) and join-probe the pairs you need instead.")
+    if (probe > maxGroups) {
+      graft.core.Checkpoints.release(synDf)
+      throw new IllegalArgumentException(
+        s"kmvOverlapMatrix: more than $maxGroups groups in '$groupCol' " +
+          "— the all-pairs matrix collects G*k longs driver-side and " +
+          "emits G^2 rows, a dashboard-sized-group contract. For " +
+          "unbounded group domains keep the synopses distributed " +
+          "(kmvSynopsis) and join-probe the pairs you need instead.")
+    }
     // String.valueOf: a null group key is a real slice under the
     // kmvSynopsis/sourceProfile convention — render it "null" for the
     // sort (matching rankQuantilesBy) instead of NPE-ing the matrix
     val syn = synDf.collect()
       .map(r => r.get(0) -> r.getAs[scala.collection.Seq[Long]](1).toArray)
       .sortBy(r => String.valueOf(r._1))
+    graft.core.Checkpoints.release(synDf)
     val rows = for {
       i <- syn.indices
       j <- (i + 1) until syn.length
@@ -536,18 +542,24 @@ object Sketch {
     // dashboard-sized-groups contract, ENFORCED before the collect
     // (documentation-only through r15): the grid is groups×grid cells,
     // so an unbounded group column would make the collect unbounded.
-    // distinct+limit is an early-out probe over the frame we're about
-    // to collect anyway — it never returns more than maxGroups+1 rows.
-    val probe = grid.select(groupCols.map(col): _*).distinct()
+    // The grid is checkpointed ONCE (executor storage, distributed)
+    // so the guard count and the collect share one grid build instead
+    // of re-executing the caller's corpus pass twice.
+    val gridCp = grid.localCheckpoint()
+    val probe = gridCp.select(groupCols.map(col): _*).distinct()
       .limit(maxGroups + 1).count()
-    require(probe <= maxGroups,
-      s"rankQuantilesBy: more than $maxGroups groups in " +
-        s"${groupCols.mkString("(", ", ", ")")} — the grouped walk " +
-        "collects groups*grid cells driver-side, a " +
-        "dashboard-sized-group contract. For unbounded group domains " +
-        "keep the grid distributed (rankGridBy) and probe ranks with " +
-        "joins instead.")
-    val rows = grid.collect()
+    if (probe > maxGroups) {
+      graft.core.Checkpoints.release(gridCp)
+      throw new IllegalArgumentException(
+        s"rankQuantilesBy: more than $maxGroups groups in " +
+          s"${groupCols.mkString("(", ", ", ")")} — the grouped walk " +
+          "collects groups*grid cells driver-side, a " +
+          "dashboard-sized-group contract. For unbounded group " +
+          "domains keep the grid distributed (rankGridBy) and probe " +
+          "ranks with joins instead.")
+    }
+    val rows = gridCp.collect()
+    graft.core.Checkpoints.release(gridCp)
     val byGroup = rows.groupBy(r => (0 until g).map(r.get).toList)
     val out = byGroup.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
       .flatMap { case (key, rs) =>
