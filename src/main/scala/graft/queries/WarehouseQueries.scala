@@ -968,6 +968,31 @@ object WarehouseQueries extends QueryGroup {
         RankSketchSql.Depth, RankSketchSql.Width)
     },
 
+    // The daily-synopsis LIFECYCLE, end to end: one corpus pass builds
+    // per-day grids (rankGridBy on the event date — the partition a
+    // warehouse persists), mergeRankGrids folds the days cell-wise,
+    // and the walk answers quantiles off the merged grid. The additive
+    // algebra makes the merged grid PROVABLY EQUAL to the monolithic
+    // corpus grid (every row contributes one increment per (level, r)
+    // whichever day-slice it rode in), so this query shares
+    // q_rank_quantiles' oracle VERBATIM — the hash pins the
+    // build-partitioned / merge / query-merged path to the
+    // build-monolithic path bit for bit. At 100 TB this is the shape
+    // that answers "p99 over any date range" from k·day cells without
+    // rescanning a byte of corpus.
+    q("q_rank_merge_days", "warehouse", RankSketchSql.oracle) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+      val byDay = Sketch.rankGridBy(
+        ev.withColumn("_day", to_date(col("ts"))),
+        unix_micros(col("ts")), Seq("_day"),
+        RankSketchSql.Depth, RankSketchSql.Width)
+      val merged = Sketch.mergeRankGrids(
+        byDay.select(col("level"), col("r"), col("bucket"), col("c")))
+      Sketch.rankQuantiles(merged, RankSketchSql.Permilles,
+        RankSketchSql.Depth, RankSketchSql.Width)
+    },
+
     // Top-k entry paths: each user's first three event types in
     // (ts, event_id) order joined with '>', counted, top 10 — the
     // sankey question. The explicit event_id tiebreak makes

@@ -470,6 +470,16 @@ class RankSketchSpec extends AnyFunSuite {
       cells(Sketch.rankGrid(u.repartition(3), col("x"), D, W)))
   }
 
+  test("daily-lifecycle path (q_rank_merge_days): grids built per " +
+      "partition key via rankGridBy, key dropped, merged cell-wise " +
+      "equal the monolithic corpus grid") {
+    val df = fixture.withColumn("day", pmod(col("x"), lit(7)))
+    val byDay = Sketch.rankGridBy(df, col("x"), Seq("day"), D, W)
+    val merged = cells(Sketch.mergeRankGrids(
+      byDay.select(col("level"), col("r"), col("bucket"), col("c"))))
+    assert(merged === cells(Sketch.rankGrid(df, col("x"), D, W)))
+  }
+
   test("driver-side walk twin replays the Catalyst bucket chain " +
       "byte-identically across the prefix domain") {
     val probes = Seq(0L, 1L, 15L, 16L, 255L, 48271L, 2147483646L,
