@@ -652,6 +652,22 @@ object Sketch {
     }
   }
 
+  /** The top-k probe off a (token, exact) vocabulary frame and a
+    * prebuilt grid — ONE spelling for [[cmsHeavyHitters]] (grid built
+    * here from the same frame) and [[cmsHeavyHittersFromGrid]] (grid
+    * maintained elsewhere — merged daily cells, a streamed fold). */
+  private def probeTopK(tf: DataFrame, grid: DataFrame, depth: Int,
+      width: Int, k: Int): DataFrame =
+    tf.withColumn("u", unsignedHash(col("token")))
+      .select(col("token"), col("exact"), col("u"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", bucket(col("u"), col("r"), width))
+      .join(broadcast(grid), Seq("r", "bucket"))
+      .groupBy("token")
+      .agg(min(col("c")).as("est"), first(col("exact")).as("exact"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(k)
+
   /** Top-k heavy hitters by CMS estimate: (token, est, exact) with
     * est ≥ exact always (the sketch only over-counts), ordered and
     * tie-broken deterministically. */
@@ -661,18 +677,22 @@ object Sketch {
     // it once (vocab-sized, the same budget the TF-IDF path carries)
     // instead of re-running the corpus tokenize for each consumer
     val tf = tokenCounts(df, textCol).localCheckpoint()
-    val probes = tf
-      .withColumn("u", unsignedHash(col("token")))
-      .select(col("token"), col("exact"), col("u"),
-        explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("bucket", bucket(col("u"), col("r"), width))
-    probes
-      .join(broadcast(tableFrom(tf, depth, width)), Seq("r", "bucket"))
-      .groupBy("token")
-      .agg(min(col("c")).as("est"), first(col("exact")).as("exact"))
-      .orderBy(col("est").desc, col("token"))
-      .limit(k)
+    probeTopK(tf, tableFrom(tf, depth, width), depth, width, k)
   }
+
+  /** [[cmsHeavyHitters]] against a grid the caller already holds —
+    * the synopsis-warehouse read path: the grid is a merge of
+    * persisted cells (daily partitions, a streamed fold), so the
+    * probe costs one tokenize of `df` plus a depth·width broadcast,
+    * never a grid rebuild. `df` supplies the candidate tokens and
+    * their exact ride-along counts; `grid` must be (r, bucket, c)
+    * built with the SAME depth/width/hash (cells merged via
+    * [[mergeCmsTables]] qualify — the algebra makes them the
+    * monolithic grid of the union). */
+  def cmsHeavyHittersFromGrid(df: DataFrame, textCol: String,
+      grid: DataFrame, depth: Int = 4, width: Int = 1024,
+      k: Int = 20): DataFrame =
+    probeTopK(tokenCounts(df, textCol), grid, depth, width, k)
 }
 
 /** Bounded bottom-k buffer shared by the two KMV aggregators: an

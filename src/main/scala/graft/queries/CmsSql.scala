@@ -27,13 +27,16 @@ object CmsSql {
     s"""((u + rr.r * 2654435761) % 4294967296 * 48271)
         % 2147483647 % $Width"""
 
-  /** CTE block ending in `cms(r, bucket, c)` — the grid over the
-    * whitespace tokens of `documents.text`. Splice as
-    * `WITH $gridCtes, …` (it already chains [[MurmurSql.chain]],
-    * which consumes the `strs(s)` CTE it contains). */
-  val gridCtes: String =
+  /** [[gridCtes]] parameterized over the sketched corpus: `srcSelect`
+    * must produce a single VARCHAR column `text` (the
+    * [[RankSketchSql.oracleOver]] discipline — a derived or filtered
+    * corpus reuses the tokenize → murmur → mixer → cell chain
+    * verbatim instead of re-spelling it). Ends in
+    * `cms(r, bucket, c)`; also leaves `tf(s, exact)` and
+    * `tb(s, r, bucket)` for the probe SELECT. */
+  def gridCtesOver(srcSelect: String): String =
     s"""tok AS (SELECT unnest(string_split(text, ' ')) AS s
-                FROM documents),
+                FROM ($srcSelect)),
        tf AS (SELECT s, CAST(count(*) AS BIGINT) AS exact
               FROM tok WHERE len(s) > 0 GROUP BY 1),
        strs AS (SELECT s FROM tf),
@@ -42,6 +45,12 @@ object CmsSql {
               FROM mm CROSS JOIN (SELECT unnest($rList) AS r) rr),
        cms AS (SELECT r, bucket, SUM(tf.exact) AS c
                FROM tb JOIN tf ON tb.s = tf.s GROUP BY 1, 2)"""
+
+  /** CTE block ending in `cms(r, bucket, c)` — the grid over the
+    * whitespace tokens of `documents.text`. Splice as
+    * `WITH $gridCtes, …` (it already chains [[MurmurSql.chain]],
+    * which consumes the `strs(s)` CTE it contains). */
+  val gridCtes: String = gridCtesOver("SELECT text FROM documents")
 
   /** Grouped twin of [[gridCtes]]: per-`groupCol` grids over the same
     * token space. Ends in `cms(g, r, bucket, c)`; `tb(s, r, bucket)`

@@ -12,6 +12,25 @@ import graft.ops.{Dedup, Events, Graph, Linkage, Quality, Scd, Sketch, Stats}
   */
 object WarehouseQueries extends QueryGroup {
 
+  /** The synopsis-warehouse query range: a 14-day middle slice of the
+    * events table's 30-day span (2024-01) — wide enough that every SF
+    * populates it, strictly interior so both boundary days exercise
+    * the day-cell filter. One spelling for the three range queries'
+    * Spark predicates and their oracles. */
+  private val RangeLo = "2024-01-08"
+  private val RangeHi = "2024-01-22"
+
+  /** DuckDB face of the range predicate (naive CAST ≡ Spark's
+    * `to_date` under the UTC session — the Tables.df contract). */
+  private val rangeSqlPred: String =
+    s"""ts IS NOT NULL AND CAST(ts AS DATE) >= DATE '$RangeLo'
+        AND CAST(ts AS DATE) < DATE '$RangeHi'"""
+
+  /** Spark face, over the derived `_day` column. */
+  private def rangeDayPred =
+    col("_day") >= lit(RangeLo).cast("date") &&
+      col("_day") < lit(RangeHi).cast("date")
+
   /** Deterministic "dirty" entity side for the linkage queries: one
     * digit substituted (custkey%3==0), one digit deleted (%3==1), or
     * untouched (%3==2), at digit position 10 + custkey%8 — the same
@@ -991,6 +1010,95 @@ object WarehouseQueries extends QueryGroup {
         byDay.select(col("level"), col("r"), col("bucket"), col("c")))
       Sketch.rankQuantiles(merged, RankSketchSql.Permilles,
         RankSketchSql.Depth, RankSketchSql.Width)
+    },
+
+    // ---- The synopsis-warehouse READ path: answer an arbitrary
+    // date range from persisted per-day cells, rescanning nothing.
+    // q_rank_merge_days pins the write path (build partitioned ≡
+    // build monolithic); these three pin the read path for the whole
+    // trio — filter the day cells, merge, answer. Each oracle is the
+    // family's existing monolithic spelling over the RANGE-FILTERED
+    // corpus, so the hash proves merged-subrange ≡ monolithic-on-
+    // slice exactly (cell additivity / bottom-k algebra over disjoint
+    // day slices). At 100 TB this is "p99 / top tokens / distinct
+    // users for any window" at day-cell cost, zero corpus I/O.
+
+    // Permille quantiles of the event timestamp over a 14-day slice,
+    // answered from merged per-day rank grids.
+    q("q_rank_range", "warehouse", RankSketchSql.oracleOver(
+      s"SELECT epoch_us(ts) AS v FROM events WHERE $rangeSqlPred")) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val byDay = Sketch.rankGridBy(ev, unix_micros(col("ts")),
+        Seq("_day"), RankSketchSql.Depth, RankSketchSql.Width)
+      val merged = Sketch.mergeRankGrids(byDay.filter(rangeDayPred)
+        .select(col("level"), col("r"), col("bucket"), col("c")))
+      Sketch.rankQuantiles(merged, RankSketchSql.Permilles,
+        RankSketchSql.Depth, RankSketchSql.Width)
+    },
+
+    // Top-20 props tokens over the same slice: per-day CMS grids
+    // merged cell-wise, then probed by the slice's tokens
+    // (cmsHeavyHittersFromGrid — the probe costs one tokenize plus a
+    // depth·width broadcast, never a grid rebuild). Oracle = the
+    // q_heavy_hitters_cms spelling over the filtered corpus
+    // (CmsSql.gridCtesOver — one chain, parameterized source).
+    q("q_cms_range", "warehouse",
+      s"""WITH ${CmsSql.gridCtesOver(
+             s"SELECT props AS text FROM events WHERE $rangeSqlPred")},
+         est AS (SELECT tb.s, MIN(cms.c) AS est
+                 FROM tb JOIN cms USING (r, bucket) GROUP BY 1)
+         SELECT tf.s AS token, CAST(est.est AS BIGINT) AS est, tf.exact
+         FROM tf JOIN est ON tf.s = est.s
+         ORDER BY est DESC, token LIMIT 20""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val perDay = Sketch.cmsTableBy(ev, "props", "_day",
+        CmsSql.Depth, CmsSql.Width)
+      val merged = Sketch.mergeCmsTables(perDay.filter(rangeDayPred)
+        .select(col("r"), col("bucket"), col("c")))
+      Sketch.cmsHeavyHittersFromGrid(ev.filter(rangeDayPred), "props",
+        merged, CmsSql.Depth, CmsSql.Width, k = 20)
+        .select(col("token"), col("est"), col("exact"))
+    },
+
+    // Distinct users over the slice from merged per-day bottom-64
+    // synopses (merge = k smallest of the day synopses' union — the
+    // KmvSpec algebra, so the merged estimate IS the monolithic
+    // slice's), with the exact distinct count and the day-cell count
+    // riding along for error visibility. The oracle replays the
+    // murmur/rank/floor pipeline over the slice's distinct ids — the
+    // q_kmv_overlap spelling, range-filtered.
+    q("q_kmv_range", "warehouse",
+      s"""WITH ids AS (SELECT DISTINCT user_id AS id FROM events
+                       WHERE user_id IS NOT NULL AND $rangeSqlPred),
+         ${MurmurSql.chainLong("id")},
+         rk AS (SELECT u, row_number() OVER (ORDER BY u) AS r
+                FROM (SELECT DISTINCT u FROM mm)),
+         syn AS (SELECT count(*) AS nh,
+                   max(CASE WHEN r = 64 THEN u END) AS uk FROM rk)
+         SELECT
+           CAST(CASE WHEN nh < 64 THEN nh
+                ELSE 63 * 4294967296 // (uk + 1) END AS BIGINT)
+             AS est_distinct,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+            WHERE $rangeSqlPred) AS exact_distinct,
+           (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+            FROM events WHERE user_id IS NOT NULL AND $rangeSqlPred)
+             AS days_merged
+         FROM syn""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val perDay = Sketch.kmvSynopsis(ev, "user_id", 64, Seq("_day"))
+        .filter(rangeDayPred)
+      val merged = Sketch.mergeKmvSynopses(64, Seq.empty,
+        perDay.select(col("kmv")))
+      merged.select(Sketch.kmvEstimate(col("kmv"), 64)
+          .as("est_distinct"))
+        .crossJoin(ev.filter(rangeDayPred)
+          .agg(count_distinct(col("user_id")).as("exact_distinct")))
+        .crossJoin(perDay.agg(count(lit(1)).as("days_merged")))
     },
 
     // Top-k entry paths: each user's first three event types in

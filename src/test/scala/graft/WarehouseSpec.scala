@@ -385,6 +385,28 @@ class SketchSpec extends AnyFunSuite {
     assert(grouped === perSlice)
   }
 
+  test("range read path (q_cms_range): per-day grids filtered to a " +
+      "subrange and merged answer identically to the monolithic " +
+      "grid/probe on the sliced corpus") {
+    val docs = (1L to 120L)
+      .map(i => (i % 6, s"w${i % 11} w${i % 4} tail"))
+      .toDF("day", "text")
+    val inRange = col("day") >= 2 && col("day") < 5
+    val perDay = Sketch.cmsTableBy(docs, "text", "day", depth = 4,
+      width = 32)
+    val merged = Sketch.mergeCmsTables(perDay.filter(inRange)
+      .select(col("r"), col("bucket"), col("c")))
+    val slice = docs.filter(inRange)
+    assert(cells(merged) ===
+      cells(Sketch.cmsTable(slice, "text", depth = 4, width = 32)))
+    val viaGrid = Sketch.cmsHeavyHittersFromGrid(slice, "text",
+      merged, depth = 4, width = 32, k = 100)
+      .as[(String, Long, Long)].collect().toSeq
+    val monolithic = Sketch.cmsHeavyHitters(slice, "text", depth = 4,
+      width = 32, k = 100).as[(String, Long, Long)].collect().toSeq
+    assert(viaGrid === monolithic)
+  }
+
   test("per-group heavy hitters: est >= exact within each group's " +
       "grid, <= k rows per group, groups rank independently") {
     val docs = Seq(("s1", ("a " * 5) + ("b " * 3) + "c"),
@@ -1109,6 +1131,22 @@ class KmvSpec extends AnyFunSuite {
       .as[(String, Array[Long])].collect().head._2
     val direct = Sketch.kmvSynopsis(union, "v", k, Seq("grp"))
       .as[(String, Array[Long])].collect().head._2
+    assert(merged.toSeq === direct.toSeq)
+  }
+
+  test("range read path (q_kmv_range): per-day synopses filtered to " +
+      "a subrange and merged globally equal the slice's direct " +
+      "synopsis") {
+    val k = 32
+    val df = (1L to 900L).map(v => (v % 9, v)).toDF("day", "v")
+    val inRange = col("day") >= 3 && col("day") < 7
+    val perDay = Sketch.kmvSynopsis(df, "v", k, Seq("day"))
+    val merged = Sketch.mergeKmvSynopses(k, Seq.empty,
+        perDay.filter(inRange).select(col("kmv")))
+      .as[Array[Long]].collect().head
+    val direct = Sketch.kmvSynopsis(df.filter(inRange)
+        .withColumn("g", lit(1)), "v", k, Seq("g"))
+      .as[(Int, Array[Long])].collect().head._2
     assert(merged.toSeq === direct.toSeq)
   }
 
