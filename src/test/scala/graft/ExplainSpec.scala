@@ -111,6 +111,32 @@ class ExplainSpec extends AnyFunSuite {
       s"no partial aggregate below the last shuffle:\n$p")
   }
 
+  test("synopsis range filter pushes below the per-day grid build — " +
+      "out-of-range days never explode, hash, or shuffle") {
+    // the q_cms_range shape: build per-day cells, filter a date
+    // range, merge. The range predicate is on a GROUPING column, so
+    // Catalyst must push it through the aggregate to the scan side —
+    // at 100 TB the pruned work is the corpus-sized explode+hash, and
+    // with day-partitioned persisted cells it becomes partition
+    // pruning for free.
+    val ev = Tables.df(spark, sf, "events")
+      .withColumn("_day", to_date(col("ts")))
+    val perDay = graft.ops.Sketch.cmsTableBy(ev, "props", "_day",
+      graft.queries.CmsSql.Depth, graft.queries.CmsSql.Width)
+    val filtered = perDay.filter(
+      col("_day") >= lit("2024-01-08").cast("date") &&
+        col("_day") < lit("2024-01-22").cast("date"))
+    val lines = plan(filtered).linesIterator.toVector
+    val filt = lines.indexWhere(l => l.contains("Filter") &&
+      l.contains("2024-01-08"))
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    assert(filt >= 0, "range filter not found in plan:\n" +
+      lines.mkString("\n"))
+    assert(exchange >= 0 && filt > exchange,
+      "range filter did not push below the cell shuffle (plan lists " +
+        "children below parents):\n" + lines.mkString("\n"))
+  }
+
   test("grouped rank grid keeps the single partial-aggregated " +
       "exchange — the group key rides the cell key, no extra shuffle") {
     val ev = Tables.df(spark, sf, "events")
