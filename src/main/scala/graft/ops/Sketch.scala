@@ -582,6 +582,39 @@ object Sketch {
       schema)
   }
 
+  /** Rolling-window quantiles off a day-keyed grid ([[rankGridBy]] on
+    * a DATE column): for every day present in the grid, the permille
+    * quantiles of the trailing `windowDays`-day window ending that day
+    * — "rolling 7-day p99 per day" answered ENTIRELY from persisted
+    * day cells. Each day cell fans out to the ≤`windowDays` window
+    * ends it belongs to (a cells-sized explode — the corpus is never
+    * touched), window grids form by cell-wise sum (the union's grid
+    * exactly, by additivity over disjoint day slices), and the walk is
+    * [[rankQuantilesBy]] keyed on the window end (its dashboard-sized
+    * maxGroups contract applies — one group per day). Window ends
+    * exist only for days with data (leading days carry partial
+    * windows — rolling over available history, the
+    * [[Events.rollingActive]] convention).
+    * @return (dayCol: the window end, permille, q_est). */
+  def rankRollingQuantiles(byDay: DataFrame, dayCol: String,
+      windowDays: Int, permilles: Seq[Int], depth: Int = 2,
+      width: Int = 2048, maxGroups: Int = 10000): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val days = byDay.select(col(dayCol).as("_wday")).distinct()
+    val fanned = byDay
+      .select(col(dayCol), col("level"), col("r"), col("bucket"),
+        col("c"))
+      .withColumn("_off",
+        explode(sequence(lit(0), lit(windowDays - 1))))
+      .withColumn("_wday", date_add(col(dayCol), col("_off")))
+      .join(days, Seq("_wday"), "left_semi")
+      .groupBy(col("_wday"), col("level"), col("r"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    rankQuantilesBy(fanned, Seq("_wday"), permilles, depth, width,
+      maxGroups)
+      .withColumnRenamed("_wday", dayCol)
+  }
+
   /** Type-1 permille quantiles off a rank grid: for each permille p,
     * descend the 16-ary prefix tree from the root — at each level
     * take the first child whose cumulative estimated mass reaches the

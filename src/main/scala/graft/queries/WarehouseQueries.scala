@@ -1101,6 +1101,40 @@ object WarehouseQueries extends QueryGroup {
         .crossJoin(perDay.agg(count(lit(1)).as("days_merged")))
     },
 
+    // Rolling 7-day timestamp quantiles per day, answered entirely
+    // from the day cells: each cell fans out to the ≤7 window ends it
+    // belongs to (a cells-sized explode — no corpus touch), window
+    // grids form by cell-wise sum, one grouped walk per window end.
+    // Leading days carry partial windows (rolling over available
+    // history). The oracle fans each EVENT to its window ends and
+    // runs the grouped grid + descent (RankSketchSql.groupedWalkCtes
+    // — the single spelling) — per-window-monolithic ≡ merged-day-
+    // cells by additivity, so the equivalence is in the hash.
+    q("q_rank_rolling", "warehouse",
+      s"""WITH RECURSIVE
+         ${RankSketchSql.groupedWalkCtes(
+           """SELECT dd.g AS g, epoch_us(e.ts) AS v
+              FROM events e
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6])
+                          AS off) oo
+              JOIN (SELECT DISTINCT CAST(ts AS DATE) AS g FROM events
+                    WHERE ts IS NOT NULL) dd
+                ON dd.g = CAST(e.ts AS DATE) + CAST(oo.off AS INT)
+              WHERE e.ts IS NOT NULL""")}
+         SELECT CAST(g AS VARCHAR) AS day, CAST(p AS BIGINT)
+                  AS permille, pfx AS q_est
+         FROM walk WHERE level = -1""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val byDay = Sketch.rankGridBy(ev, unix_micros(col("ts")),
+        Seq("_day"), RankSketchSql.Depth, RankSketchSql.Width)
+      Sketch.rankRollingQuantiles(byDay, "_day", 7,
+          RankSketchSql.Permilles, RankSketchSql.Depth,
+          RankSketchSql.Width)
+        .select(col("_day").cast("string").as("day"), col("permille"),
+          col("q_est"))
+    },
+
     // Top-k entry paths: each user's first three event types in
     // (ts, event_id) order joined with '>', counted, top 10 — the
     // sankey question. The explicit event_id tiebreak makes

@@ -407,6 +407,34 @@ class SketchSpec extends AnyFunSuite {
     assert(viaGrid === monolithic)
   }
 
+  test("persisted day cells: day-partitioned parquet cells prune to " +
+      "the range as PartitionFilters and merge to the slice's grid") {
+    // the 100 TB read path made literal: cells written partitionBy
+    // day, re-read with the range predicate — the scan must prune
+    // DIRECTORIES (PartitionFilters), not filter rows, and the merged
+    // survivors must be the monolithic grid of the sliced corpus
+    val docs = (1L to 120L)
+      .map(i => (i % 6, s"w${i % 11} w${i % 4} tail"))
+      .toDF("day", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cells")
+    try {
+      Sketch.cmsTableBy(docs, "text", "day", depth = 4, width = 32)
+        .write.partitionBy("day").mode("overwrite")
+        .parquet(dir.toString)
+      val cellsBack = spark.read.parquet(dir.toString)
+        .filter(col("day") >= 2 && col("day") < 5)
+      val pf = cellsBack.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PartitionFilters"))
+        .getOrElse("")
+      assert(pf.contains("day"), s"range not in PartitionFilters: $pf")
+      val merged = Sketch.mergeCmsTables(
+        cellsBack.select(col("r"), col("bucket"), col("c")))
+      assert(cells(merged) === cells(Sketch.cmsTable(
+        docs.filter(col("day") >= 2 && col("day") < 5), "text",
+        depth = 4, width = 32)))
+    } finally graft.core.Fs.deleteRecursively(dir.toFile)
+  }
+
   test("per-group heavy hitters: est >= exact within each group's " +
       "grid, <= k rows per group, groups rank independently") {
     val docs = Seq(("s1", ("a " * 5) + ("b " * 3) + "c"),
@@ -500,6 +528,38 @@ class RankSketchSpec extends AnyFunSuite {
     val merged = cells(Sketch.mergeRankGrids(
       byDay.select(col("level"), col("r"), col("bucket"), col("c"))))
     assert(merged === cells(Sketch.rankGrid(df, col("x"), D, W)))
+  }
+
+  test("rolling-window walk (q_rank_rolling): each window end's " +
+      "quantiles equal the monolithic walk over that window's slice; " +
+      "leading days carry partial windows; dataless days are absent") {
+    import java.sql.Date
+    // days 1,2,3,5 populated (day 4 missing): value day*100 + i
+    val rows = for {
+      d <- Seq(1, 2, 3, 5); i <- 0 until 40
+    } yield (Date.valueOf(f"2024-03-0$d"), d * 100L + i)
+    val df = rows.toDF("day", "x")
+    val byDay = Sketch.rankGridBy(df, col("x"), Seq("day"), D, W)
+    val rolling = Sketch.rankRollingQuantiles(byDay, "day", 3,
+        Seq(500, 1000), D, W)
+      .as[(Date, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap)
+      .toMap
+    // window ends = exactly the populated days
+    assert(rolling.keySet ===
+      Seq(1, 2, 3, 5).map(d => Date.valueOf(f"2024-03-0$d")).toSet)
+    // each window end ≡ the monolithic walk over its trailing 3 days
+    for (d <- Seq(1, 2, 3, 5)) {
+      val lo = d - 2
+      val slice = df.filter(col("day") >= Date.valueOf(
+        f"2024-03-0${math.max(lo, 1)}%d") &&
+        col("day") <= Date.valueOf(f"2024-03-0$d"))
+      val mono = Sketch.rankQuantiles(
+          Sketch.rankGrid(slice, col("x"), D, W), Seq(500, 1000), D, W)
+        .as[(Long, Long)].collect().toMap
+      assert(rolling(Date.valueOf(f"2024-03-0$d")) === mono,
+        s"window end day $d diverges from its monolithic slice walk")
+    }
   }
 
   test("driver-side walk twin replays the Catalyst bucket chain " +
