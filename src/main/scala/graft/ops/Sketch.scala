@@ -196,6 +196,40 @@ object Sketch {
       .agg(m(col("kmv")).as("kmv"))
   }
 
+  /** Rolling-window distinct estimate off day-keyed KMV synopses
+    * ([[kmvSynopsis]] grouped on a DATE column): for every window-end
+    * day, the distinct count of the trailing `windowDays`-day window —
+    * "rolling 7-day actives" answered from ≤k-long day synopses, never
+    * the (day, user)-distinct fan-out [[graft.ops.Events.rollingActive]]
+    * shuffles (the exact twin rides along in `q_kmv_rolling` for error
+    * visibility). Each day synopsis fans out to the ≤`windowDays`
+    * window ends it covers (a synopses-sized explode) and merges via
+    * the bottom-k algebra — the window's own synopsis exactly.
+    *
+    * Day-domain convention: ALL fan-out window ends are emitted,
+    * including up to `windowDays−1` trailing days past the last data
+    * day — matching [[graft.ops.Events.rollingActive]] ("every day
+    * whose trailing window holds at least one active user"), which is
+    * what the estimate pairs with. ([[rankRollingQuantiles]] instead
+    * emits only days with data — a window-end quantile question;
+    * each contract is documented at its definition.)
+    * @return (dayCol: the window end, est_distinct). */
+  def kmvRollingDistinct(perDay: DataFrame, dayCol: String,
+      windowDays: Int, k: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val m = udaf(new KmvMergeAggregator(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Long]]())
+    perDay
+      .withColumn("_off",
+        explode(sequence(lit(0), lit(windowDays - 1))))
+      .withColumn("_wday", date_add(col(dayCol), col("_off")))
+      .groupBy(col("_wday"))
+      .agg(m(col("kmv")).as("kmv"))
+      .select(col("_wday").as(dayCol),
+        kmvEstimate(col("kmv"), k).as("est_distinct"))
+  }
+
   /** The integer-floor KMV estimate off a synopsis column: exact
     * below k, `(k−1)·2³² div (u₍ₖ₎+1)` at k. Shared by [[kmvDistinct]]
     * and the streaming fold's report. */
@@ -586,33 +620,100 @@ object Sketch {
     * a DATE column): for every day present in the grid, the permille
     * quantiles of the trailing `windowDays`-day window ending that day
     * — "rolling 7-day p99 per day" answered ENTIRELY from persisted
-    * day cells. Each day cell fans out to the ≤`windowDays` window
-    * ends it belongs to (a cells-sized explode — the corpus is never
-    * touched), window grids form by cell-wise sum (the union's grid
-    * exactly, by additivity over disjoint day slices), and the walk is
-    * [[rankQuantilesBy]] keyed on the window end (its dashboard-sized
-    * maxGroups contract applies — one group per day). Window ends
-    * exist only for days with data (leading days carry partial
-    * windows — rolling over available history, the
-    * [[Events.rollingActive]] convention).
+    * day cells. The day grid is collected ONCE (days×grid cells — the
+    * SAME bounded collect [[rankQuantilesBy]] makes, enforced by the
+    * same maxGroups guard), each window's grid forms driver-side by
+    * cell-wise sum over its ≤`windowDays` day slices (the union's
+    * grid exactly, by additivity — the local-merge-same-algebra shape
+    * [[kmvOverlapMatrix]] set), and the walk is the shared
+    * [[walkGrid]] descent per window end. A distributed
+    * fan-out-then-merge spelling was measured first and discarded:
+    * it shuffled windowDays× the cells and materialized the grid
+    * twice — ~107 MB shuffle and 3× the wall for the identical
+    * bounded answer. Window ends exist only for days with data
+    * (leading days carry partial windows — rolling over available
+    * history).
+    * @param dayCol a DateType column of `byDay`.
     * @return (dayCol: the window end, permille, q_est). */
   def rankRollingQuantiles(byDay: DataFrame, dayCol: String,
       windowDays: Int, permilles: Seq[Int], depth: Int = 2,
       width: Int = 2048, maxGroups: Int = 10000): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
-    val days = byDay.select(col(dayCol).as("_wday")).distinct()
-    val fanned = byDay
-      .select(col(dayCol), col("level"), col("r"), col("bucket"),
-        col("c"))
-      .withColumn("_off",
-        explode(sequence(lit(0), lit(windowDays - 1))))
-      .withColumn("_wday", date_add(col(dayCol), col("_off")))
-      .join(days, Seq("_wday"), "left_semi")
-      .groupBy(col("_wday"), col("level"), col("r"), col("bucket"))
-      .agg(sum(col("c")).as("c"))
-    rankQuantilesBy(fanned, Seq("_wday"), permilles, depth, width,
-      maxGroups)
-      .withColumnRenamed("_wday", dayCol)
+    require(permilles.nonEmpty &&
+      permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be within [1, 1000]: $permilles")
+    val spark = byDay.sparkSession
+    val gridCp = byDay.select(col(dayCol), col("level"), col("r"),
+      col("bucket"), col("c")).localCheckpoint()
+    val probe = gridCp.select(col(dayCol)).distinct()
+      .limit(maxGroups + 1).count()
+    if (probe > maxGroups) {
+      graft.core.Checkpoints.release(gridCp)
+      throw new IllegalArgumentException(
+        s"rankRollingQuantiles: more than $maxGroups days in " +
+          s"$dayCol — the rolling walk collects days*grid cells " +
+          "driver-side, a dashboard-sized-group contract. For " +
+          "unbounded day domains keep the grid distributed " +
+          "(rankGridBy) and probe ranks with joins instead.")
+    }
+    val rows = gridCp.collect()
+    graft.core.Checkpoints.release(gridCp)
+    // one deserialization pass into primitive arrays — the merge loop
+    // below touches windowDays× the cells, so it must not box; cells
+    // dense-index as ((level·depth + r)·width + bucket)
+    val n = rows.length
+    val dayOf = new Array[Long](n)
+    val idxOf = new Array[Int](n)
+    val cOf = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      dayOf(i) = r.getDate(0).toLocalDate.toEpochDay
+      idxOf(i) = (r.getInt(1) * depth + r.getInt(2)) * width +
+        r.getLong(3).toInt
+      cOf(i) = r.getLong(4)
+      i += 1
+    }
+    val rowIdsByDay = Array.tabulate(n)(identity).groupBy(dayOf(_))
+    val acc = new Array[Long](16 * depth * width)
+    val out = rowIdsByDay.keySet.toSeq.sorted.flatMap { endEp =>
+      // window accumulator reused across ends; counters are always
+      // positive, so acc(ix) == 0 exactly means "untouched"
+      val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var off = 0
+      while (off < windowDays) {
+        rowIdsByDay.get(endEp - off).foreach { ids =>
+          var j = 0
+          while (j < ids.length) {
+            val ix = idxOf(ids(j))
+            if (acc(ix) == 0L) touched += ix
+            acc(ix) += cOf(ids(j))
+            j += 1
+          }
+        }
+        off += 1
+      }
+      val cells = touched.iterator.map { ix =>
+        ((ix / width / depth, ix / width % depth, (ix % width).toLong),
+          acc(ix))
+      }.toMap
+      touched.foreach(ix => acc(ix) = 0L)
+      val end = java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(endEp))
+      walkGrid(cells, permilles, depth, width).map {
+        case (p, q) => org.apache.spark.sql.Row(end, p, q)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      byDay.schema(dayCol),
+      org.apache.spark.sql.types.StructField("permille",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("q_est",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      schema)
   }
 
   /** Type-1 permille quantiles off a rank grid: for each permille p,

@@ -1101,6 +1101,64 @@ object WarehouseQueries extends QueryGroup {
         .crossJoin(perDay.agg(count(lit(1)).as("days_merged")))
     },
 
+    // Rolling 7-day distinct actives per day from day-keyed bottom-64
+    // synopses: each day synopsis fans out to the ≤7 window ends it
+    // covers (a synopses-sized explode) and merges by the bottom-k
+    // algebra — the window's own synopsis exactly — while the EXACT
+    // rolling count (the q_rolling_active fan-out, null-filtered to
+    // match the sketch's NULL convention) rides along for error
+    // visibility. The oracle replays the murmur/rank/floor pipeline
+    // per window end: fanning hashes to windows then taking bottom-64
+    // IS the merge of the day synopses (the KmvSpec algebra), so the
+    // equivalence is in the hash.
+    q("q_kmv_rolling", "warehouse",
+      s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+                        user_id AS id
+                      FROM events WHERE user_id IS NOT NULL),
+         ids AS (SELECT DISTINCT id FROM du),
+         ${MurmurSql.chainLong("id")},
+         xh AS (SELECT DISTINCT du.d + CAST(oo.o AS INTEGER) AS rd,
+                  mm.u
+                FROM du JOIN mm ON mm.id = du.id
+                CROSS JOIN (SELECT unnest(generate_series(0, 6))
+                            AS o) oo),
+         rk AS (SELECT rd, u,
+                  row_number() OVER (PARTITION BY rd ORDER BY u) AS r
+                FROM xh),
+         syn AS (SELECT rd, count(*) AS nh,
+                   max(CASE WHEN r = 64 THEN u END) AS uk
+                 FROM rk GROUP BY 1),
+         xe AS (SELECT DISTINCT du.d + CAST(oo.o AS INTEGER) AS rd,
+                  du.id
+                FROM du CROSS JOIN (SELECT unnest(generate_series(0,
+                  6)) AS o) oo),
+         ex AS (SELECT rd, CAST(count(*) AS BIGINT) AS exact_active
+                FROM xe GROUP BY 1)
+         SELECT strftime(syn.rd, '%Y-%m-%d') AS day,
+           CAST(CASE WHEN nh < 64 THEN nh
+                ELSE 63 * 4294967296 // (uk + 1) END AS BIGINT)
+             AS est_active,
+           ex.exact_active
+         FROM syn JOIN ex ON ex.rd = syn.rd""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val perDay = Sketch.kmvSynopsis(ev, "user_id", 64, Seq("_day"))
+      val est = Sketch.kmvRollingDistinct(perDay, "_day", 7, 64)
+      // the exact twin: rollingActive's fan-out with the sketch's
+      // NULL convention made explicit (KMV ignores NULL values, so
+      // the exact count must too)
+      val exact = ev.filter(col("user_id").isNotNull)
+        .select(col("_day"), col("user_id").as("_u")).distinct()
+        .select(col("_day"), col("_u"),
+          explode(sequence(lit(0), lit(6))).as("_o"))
+        .select(date_add(col("_day"), col("_o")).as("_rd"), col("_u"))
+        .distinct()
+        .groupBy(col("_rd")).agg(count(lit(1)).as("exact_active"))
+      est.join(exact, est("_day") === exact("_rd"))
+        .select(date_format(col("_day"), "yyyy-MM-dd").as("day"),
+          col("est_distinct").as("est_active"), col("exact_active"))
+    },
+
     // Rolling 7-day timestamp quantiles per day, answered entirely
     // from the day cells: each cell fans out to the ≤7 window ends it
     // belongs to (a cells-sized explode — no corpus touch), window

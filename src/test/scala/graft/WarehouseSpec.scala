@@ -1210,6 +1210,36 @@ class KmvSpec extends AnyFunSuite {
     assert(merged.toSeq === direct.toSeq)
   }
 
+  test("rolling read path (q_kmv_rolling): fanned-merged day synopses " +
+      "equal each window's direct synopsis estimate, including " +
+      "trailing window ends past the last data day") {
+    import java.sql.Date
+    val k = 16
+    val rows = for {
+      (d, vs) <- Seq(1 -> (1L to 30L), 2 -> (20L to 50L),
+        4 -> (10L to 15L))
+      v <- vs
+    } yield (Date.valueOf(s"2024-05-0$d"), v)
+    val df = rows.toDF("day", "v")
+    val perDay = Sketch.kmvSynopsis(df, "v", k, Seq("day"))
+    val rolled = Sketch.kmvRollingDistinct(perDay, "day", 3, k)
+      .as[(Date, Long)].collect().toMap
+    // ALL fan-out window ends emitted: days 1..6 (4+2 trailing)
+    assert(rolled.keySet ===
+      (1 to 6).map(d => Date.valueOf(s"2024-05-0$d")).toSet)
+    for (e <- 1 to 6) {
+      val lo = math.max(e - 2, 1)
+      val slice = df.filter(
+        col("day") >= Date.valueOf(s"2024-05-0$lo") &&
+          col("day") <= Date.valueOf(s"2024-05-0$e"))
+      val direct = Sketch.kmvDistinct(slice.withColumn("g", lit(1)),
+          "v", k, Seq("g"))
+        .as[(Int, Long, Long)].collect().head._2
+      assert(rolled(Date.valueOf(s"2024-05-0$e")) === direct,
+        s"window end day $e diverges from its direct synopsis")
+    }
+  }
+
   test("estimate tracks the exact count within the k=64 error " +
       "envelope on 2000 distinct values, per group") {
     val df = (1L to 2000L).flatMap(v =>
