@@ -514,6 +514,16 @@ object Sketch {
     parts.reduce(_ unionByName _)
       .groupBy("level", "r", "bucket").agg(sum(col("c")).as("c"))
 
+  /** [[mergeRankGrids]] under group keys: cell-wise merge of
+    * [[rankGridBy]] grids — the group rides the cell key, so the
+    * merged frame is the union's grouped grid exactly (the shape the
+    * streaming per-day fold maintains). */
+  def mergeRankGridsBy(groupCols: Seq[String],
+      parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy((groupCols ++ Seq("level", "r", "bucket")).map(col): _*)
+      .agg(sum(col("c")).as("c"))
+
   /** PER-GROUP rank grids in one corpus pass — the profile question
     * ("per-source length quantiles", "per-type latency percentiles")
     * at the grid's fixed cost per group: (groupCols…, level, r,

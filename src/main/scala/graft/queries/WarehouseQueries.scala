@@ -1101,6 +1101,42 @@ object WarehouseQueries extends QueryGroup {
         .crossJoin(perDay.agg(count(lit(1)).as("days_merged")))
     },
 
+    // The synopsis warehouse under STREAMING ingest, end to end:
+    // day cells maintained per micro-batch (runRankGridByToBatch —
+    // the grouped cell-wise fold, order-independent and exactly
+    // lossless per day), then the 14-day range answered off the LIVE
+    // cells by filter → merge → walk. The oracle is q_rank_range's
+    // VERBATIM (the monolithic spelling over the range-filtered
+    // corpus), so stream-ingested cells ≡ batch-built cells ≡
+    // monolithic-on-slice is all one hash.
+    q("q_stream_rank_range", "streaming", RankSketchSql.oracleOver(
+      s"SELECT epoch_us(ts) AS v FROM events WHERE $rangeSqlPred")) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .select(col("event_id"), col("ts"))
+      val staged = java.nio.file.Files.createTempDirectory("graft_srr")
+      try {
+        (0 until 3).foreach(i =>
+          ev.filter(col("event_id") % 3 === i).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        val byDay = graft.streaming.IngestStream.runRankGridByToBatch(
+          spark, staged.toString, unix_micros(col("ts")),
+          to_date(col("ts")), RankSketchSql.Depth, RankSketchSql.Width,
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType))),
+          maxFilesPerTrigger = Some(1))
+        val merged = Sketch.mergeRankGrids(byDay.filter(rangeDayPred)
+          .select(col("level"), col("r"), col("bucket"), col("c")))
+        // rankQuantiles collects the bounded grid and walks driver-
+        // side, so the result is local rows — safe past the cleanup
+        Sketch.rankQuantiles(merged, RankSketchSql.Permilles,
+          RankSketchSql.Depth, RankSketchSql.Width)
+      } finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
     // Rolling 7-day distinct actives per day from day-keyed bottom-64
     // synopses: each day synopsis fans out to the ≤7 window ends it
     // covers (a synopses-sized explode) and merges by the bottom-k

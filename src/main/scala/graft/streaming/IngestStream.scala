@@ -450,6 +450,48 @@ object IngestStream {
         StructField("bucket", LongType),
         StructField("c", LongType)))))
   }
+
+  /** [[runRankGridToBatch]] grouped on a derived day — the streaming
+    * WRITE path of the synopsis warehouse: each micro-batch folds its
+    * per-day grids ([[graft.ops.Sketch.rankGridBy]]) into the
+    * maintained day cells via the grouped cell-wise merge. The same
+    * additive algebra makes the fold order-independent and exactly
+    * lossless per day — the streamed day cells ARE the batch
+    * `rankGridBy` of the whole corpus bit for bit at any slicing, so
+    * every day-cell consumer (range merge, rolling walk, per-day
+    * quantiles) answers off a live stream identically to a batch
+    * rebuild. State: days×grid cells, no rescan.
+    *
+    * @param day resolved against each micro-batch (e.g.
+    *        `to_date(col("ts"))`); the returned column is `_day`.
+    * @return the folded (_day, level, r, bucket, c) day cells. */
+  def runRankGridByToBatch(spark: SparkSession, path: String,
+      value: Column, day: Column, depth: Int, width: Int,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.core.Checkpoints
+    import graft.ops.Sketch
+    var grid = Option.empty[DataFrame]
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val p = Sketch.rankGridBy(b.withColumn("_day", day), value,
+          Seq("_day"), depth, width)
+        val merged = grid
+          .map(g => Sketch.mergeRankGridsBy(Seq("_day"), g, p))
+          .getOrElse(p).localCheckpoint()
+        grid.foreach(Checkpoints.release)
+        grid = Some(merged)
+      }
+    }
+    grid.getOrElse(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("_day", DateType),
+        StructField("level", IntegerType, nullable = false),
+        StructField("r", IntegerType, nullable = false),
+        StructField("bucket", LongType),
+        StructField("c", LongType)))))
+  }
 }
 
 /** Shared bounded-run scaffolding for file-source streaming twins:

@@ -667,6 +667,41 @@ class RankSketchSpec extends AnyFunSuite {
     } finally graft.core.Fs.deleteRecursively(staged.toFile)
   }
 
+  test("grouped streaming fold (q_stream_rank_range): streamed day " +
+      "cells equal the direct batch grouped grid bit for bit") {
+    import java.sql.Timestamp
+    // 600 rows over 4 days, scattered across 3 micro-batch files by id
+    val df = (1L to 600L).map { i =>
+      (i, Timestamp.valueOf(s"2024-06-0${(i % 4) + 1} 0${i % 10}:0" +
+        s"${i % 6}:00"))
+    }.toDF("event_id", "ts")
+    val staged = java.nio.file.Files.createTempDirectory("graft_rnkg")
+    try {
+      (0 until 3).foreach(i =>
+        df.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(staged.toString))
+      val streamed = graft.streaming.IngestStream.runRankGridByToBatch(
+        spark, staged.toString, unix_micros(col("ts")),
+        to_date(col("ts")), D, W,
+        schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType))),
+        maxFilesPerTrigger = Some(1))
+      val direct = Sketch.rankGridBy(
+        df.withColumn("_day", to_date(col("ts"))),
+        unix_micros(col("ts")), Seq("_day"), D, W)
+      def keyed(g: org.apache.spark.sql.DataFrame) =
+        g.select(col("_day").cast("string"), col("level").cast("long"),
+            col("r").cast("long"), col("bucket").cast("long"),
+            col("c").cast("long"))
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map { case (d, l, r, b, c) => (d, l, r, b) -> c }.toMap
+      assert(keyed(streamed) === keyed(direct))
+    } finally graft.core.Fs.deleteRecursively(staged.toFile)
+  }
+
   test("per-group grids and walks equal the global sketch run on " +
       "each group's slice in isolation; empty groups are absent") {
     val df = (0 until 900).map { i =>
