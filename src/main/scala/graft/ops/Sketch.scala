@@ -72,6 +72,17 @@ object Sketch {
     parts.reduce(_ unionByName _)
       .groupBy("r", "bucket").agg(sum(col("c")).as("c"))
 
+  /** [[mergeCmsTables]] under group keys: cell-wise merge of
+    * [[cmsTableBy]] grids — the bucket is a function of the token
+    * alone, so per-group grids share geometry and the merged frame is
+    * the union's grouped grid exactly (the streaming per-day fold's
+    * shape). */
+  def mergeCmsTablesBy(groupCols: Seq[String],
+      parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy((groupCols ++ Seq("r", "bucket")).map(col): _*)
+      .agg(sum(col("c")).as("c"))
+
   /** Per-group token counts — [[tokenCounts]] with the group key. */
   private def tokenCountsBy(df: DataFrame, textCol: String,
       groupCol: String): DataFrame =

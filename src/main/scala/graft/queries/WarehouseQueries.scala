@@ -31,6 +31,41 @@ object WarehouseQueries extends QueryGroup {
     col("_day") >= lit(RangeLo).cast("date") &&
       col("_day") < lit(RangeHi).cast("date")
 
+  /** The three range oracles, spelled ONCE each: the batch range
+    * query and its streaming day-cell twin must share them VERBATIM —
+    * the hash then pins stream-ingested ≡ batch-built ≡
+    * monolithic-on-slice as one fact. */
+  private val rankRangeOracle: String = RankSketchSql.oracleOver(
+    s"SELECT epoch_us(ts) AS v FROM events WHERE $rangeSqlPred")
+
+  private val cmsRangeOracle: String =
+    s"""WITH ${CmsSql.gridCtesOver(
+           s"SELECT props AS text FROM events WHERE $rangeSqlPred")},
+       est AS (SELECT tb.s, MIN(cms.c) AS est
+               FROM tb JOIN cms USING (r, bucket) GROUP BY 1)
+       SELECT tf.s AS token, CAST(est.est AS BIGINT) AS est, tf.exact
+       FROM tf JOIN est ON tf.s = est.s
+       ORDER BY est DESC, token LIMIT 20"""
+
+  private val kmvRangeOracle: String =
+    s"""WITH ids AS (SELECT DISTINCT user_id AS id FROM events
+                     WHERE user_id IS NOT NULL AND $rangeSqlPred),
+       ${MurmurSql.chainLong("id")},
+       rk AS (SELECT u, row_number() OVER (ORDER BY u) AS r
+              FROM (SELECT DISTINCT u FROM mm)),
+       syn AS (SELECT count(*) AS nh,
+                 max(CASE WHEN r = 64 THEN u END) AS uk FROM rk)
+       SELECT
+         CAST(CASE WHEN nh < 64 THEN nh
+              ELSE 63 * 4294967296 // (uk + 1) END AS BIGINT)
+           AS est_distinct,
+         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+          WHERE $rangeSqlPred) AS exact_distinct,
+         (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+          FROM events WHERE user_id IS NOT NULL AND $rangeSqlPred)
+           AS days_merged
+       FROM syn"""
+
   /** Deterministic "dirty" entity side for the linkage queries: one
     * digit substituted (custkey%3==0), one digit deleted (%3==1), or
     * untouched (%3==2), at digit position 10 + custkey%8 — the same
@@ -1025,8 +1060,7 @@ object WarehouseQueries extends QueryGroup {
 
     // Permille quantiles of the event timestamp over a 14-day slice,
     // answered from merged per-day rank grids.
-    q("q_rank_range", "warehouse", RankSketchSql.oracleOver(
-      s"SELECT epoch_us(ts) AS v FROM events WHERE $rangeSqlPred")) {
+    q("q_rank_range", "warehouse", rankRangeOracle) {
       (spark, dir) =>
       val ev = Tables.df(spark, dir, "events")
         .withColumn("_day", to_date(col("ts")))
@@ -1044,14 +1078,7 @@ object WarehouseQueries extends QueryGroup {
     // depth·width broadcast, never a grid rebuild). Oracle = the
     // q_heavy_hitters_cms spelling over the filtered corpus
     // (CmsSql.gridCtesOver — one chain, parameterized source).
-    q("q_cms_range", "warehouse",
-      s"""WITH ${CmsSql.gridCtesOver(
-             s"SELECT props AS text FROM events WHERE $rangeSqlPred")},
-         est AS (SELECT tb.s, MIN(cms.c) AS est
-                 FROM tb JOIN cms USING (r, bucket) GROUP BY 1)
-         SELECT tf.s AS token, CAST(est.est AS BIGINT) AS est, tf.exact
-         FROM tf JOIN est ON tf.s = est.s
-         ORDER BY est DESC, token LIMIT 20""") { (spark, dir) =>
+    q("q_cms_range", "warehouse", cmsRangeOracle) { (spark, dir) =>
       val ev = Tables.df(spark, dir, "events")
         .withColumn("_day", to_date(col("ts")))
       val perDay = Sketch.cmsTableBy(ev, "props", "_day",
@@ -1070,24 +1097,7 @@ object WarehouseQueries extends QueryGroup {
     // riding along for error visibility. The oracle replays the
     // murmur/rank/floor pipeline over the slice's distinct ids — the
     // q_kmv_overlap spelling, range-filtered.
-    q("q_kmv_range", "warehouse",
-      s"""WITH ids AS (SELECT DISTINCT user_id AS id FROM events
-                       WHERE user_id IS NOT NULL AND $rangeSqlPred),
-         ${MurmurSql.chainLong("id")},
-         rk AS (SELECT u, row_number() OVER (ORDER BY u) AS r
-                FROM (SELECT DISTINCT u FROM mm)),
-         syn AS (SELECT count(*) AS nh,
-                   max(CASE WHEN r = 64 THEN u END) AS uk FROM rk)
-         SELECT
-           CAST(CASE WHEN nh < 64 THEN nh
-                ELSE 63 * 4294967296 // (uk + 1) END AS BIGINT)
-             AS est_distinct,
-           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
-            WHERE $rangeSqlPred) AS exact_distinct,
-           (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
-            FROM events WHERE user_id IS NOT NULL AND $rangeSqlPred)
-             AS days_merged
-         FROM syn""") { (spark, dir) =>
+    q("q_kmv_range", "warehouse", kmvRangeOracle) { (spark, dir) =>
       val ev = Tables.df(spark, dir, "events")
         .withColumn("_day", to_date(col("ts")))
       val perDay = Sketch.kmvSynopsis(ev, "user_id", 64, Seq("_day"))
@@ -1109,8 +1119,7 @@ object WarehouseQueries extends QueryGroup {
     // VERBATIM (the monolithic spelling over the range-filtered
     // corpus), so stream-ingested cells ≡ batch-built cells ≡
     // monolithic-on-slice is all one hash.
-    q("q_stream_rank_range", "streaming", RankSketchSql.oracleOver(
-      s"SELECT epoch_us(ts) AS v FROM events WHERE $rangeSqlPred")) {
+    q("q_stream_rank_range", "streaming", rankRangeOracle) {
       (spark, dir) =>
       val ev = Tables.df(spark, dir, "events")
         .select(col("event_id"), col("ts"))
@@ -1134,6 +1143,74 @@ object WarehouseQueries extends QueryGroup {
         // side, so the result is local rows — safe past the cleanup
         Sketch.rankQuantiles(merged, RankSketchSql.Permilles,
           RankSketchSql.Depth, RankSketchSql.Width)
+      } finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
+    // CMS day cells under streaming ingest → the range's top tokens:
+    // per-day grids fold per micro-batch (runCmsByToBatch, grouped
+    // cell-wise merge), the live cells filter to the range and merge,
+    // and the probe (tokens + exact ride-alongs of the sliced corpus)
+    // runs batch-side against the streamed grid. Oracle = q_cms_range
+    // VERBATIM.
+    q("q_stream_cms_range", "streaming", cmsRangeOracle) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val staged = java.nio.file.Files.createTempDirectory("graft_scr")
+      try {
+        (0 until 3).foreach(i =>
+          ev.filter(col("event_id") % 3 === i)
+            .select(col("_day"), col("props")).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        val byDay = graft.streaming.IngestStream.runCmsByToBatch(
+          spark, staged.toString, "props", "_day",
+          CmsSql.Depth, CmsSql.Width,
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_day",
+              org.apache.spark.sql.types.DateType),
+            org.apache.spark.sql.types.StructField("props",
+              org.apache.spark.sql.types.StringType))),
+          maxFilesPerTrigger = Some(1))
+        val merged = Sketch.mergeCmsTables(byDay.filter(rangeDayPred)
+          .select(col("r"), col("bucket"), col("c")))
+        Sketch.cmsHeavyHittersFromGrid(ev.filter(rangeDayPred),
+            "props", merged, CmsSql.Depth, CmsSql.Width, k = 20)
+          .select(col("token"), col("est"), col("exact"))
+      } finally graft.core.Fs.deleteRecursively(staged.toFile)
+    },
+
+    // KMV day synopses under streaming ingest → the range's distinct
+    // users: runKmvToBatch grouped on a STAGED day column (the
+    // synopsis fold is already group-generic), live synopses filter
+    // to the range and merge by the bottom-k algebra; exact and
+    // day-cell counts ride along batch-side. Oracle = q_kmv_range
+    // VERBATIM.
+    q("q_stream_kmv_range", "streaming", kmvRangeOracle) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val staged = java.nio.file.Files.createTempDirectory("graft_skr")
+      try {
+        (0 until 3).foreach(i =>
+          ev.filter(col("event_id") % 3 === i)
+            .select(col("_day"), col("user_id")).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        val perDay = graft.streaming.IngestStream.runKmvToBatch(
+          spark, staged.toString, "user_id", 64, Seq("_day"),
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_day",
+              org.apache.spark.sql.types.DateType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType))),
+          maxFilesPerTrigger = Some(1))
+        val inRange = perDay.filter(rangeDayPred)
+        val merged = Sketch.mergeKmvSynopses(64, Seq.empty,
+          inRange.select(col("kmv")))
+        merged.select(Sketch.kmvEstimate(col("kmv"), 64)
+            .as("est_distinct"))
+          .crossJoin(ev.filter(rangeDayPred)
+            .agg(count_distinct(col("user_id")).as("exact_distinct")))
+          .crossJoin(inRange.agg(count(lit(1)).as("days_merged")))
       } finally graft.core.Fs.deleteRecursively(staged.toFile)
     },
 

@@ -411,6 +411,38 @@ object IngestStream {
         StructField("c", LongType)))))
   }
 
+  /** [[runCmsToBatch]] under a group key (e.g. a staged day column) —
+    * the CMS face of the streaming day-cell story: per micro-batch,
+    * per-group grids ([[graft.ops.Sketch.cmsTableBy]]) fold into the
+    * maintained cells via the grouped cell-wise merge; same additive
+    * algebra, so the streamed grouped grid IS the batch `cmsTableBy`
+    * bit for bit at any slicing. State: groups×depth·width cells. */
+  def runCmsByToBatch(spark: SparkSession, path: String,
+      textCol: String, groupCol: String, depth: Int, width: Int,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.core.Checkpoints
+    import graft.ops.Sketch
+    var grid = Option.empty[DataFrame]
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val p = Sketch.cmsTableBy(b, textCol, groupCol, depth, width)
+        val merged = grid
+          .map(g => Sketch.mergeCmsTablesBy(Seq(groupCol), g, p))
+          .getOrElse(p).localCheckpoint()
+        grid.foreach(Checkpoints.release)
+        grid = Some(merged)
+      }
+    }
+    grid.getOrElse(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(schema(groupCol),
+        StructField("r", IntegerType, nullable = false),
+        StructField("bucket", LongType),
+        StructField("c", LongType)))))
+  }
+
   /** STREAMING rank-grid maintenance — the quantile face of the
     * synopsis trio's streaming story: per micro-batch, build the
     * batch's dyadic rank grid ([[graft.ops.Sketch.rankGrid]]) and

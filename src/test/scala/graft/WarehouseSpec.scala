@@ -385,6 +385,35 @@ class SketchSpec extends AnyFunSuite {
     assert(grouped === perSlice)
   }
 
+  test("grouped streaming fold (q_stream_cms_range): streamed day " +
+      "grids equal the direct batch grouped grid bit for bit") {
+    val docs = (1L to 90L)
+      .map(i => (i % 4, s"w${i % 7} w${i % 3} tail", i))
+      .toDF("day", "text", "id")
+    val staged = java.nio.file.Files.createTempDirectory("graft_cmsg")
+    try {
+      (0 until 3).foreach(i =>
+        docs.filter(col("id") % 3 === i).select("day", "text")
+          .coalesce(1).write.mode("append").parquet(staged.toString))
+      val streamed = graft.streaming.IngestStream.runCmsByToBatch(
+        spark, staged.toString, "text", "day", 4, 32,
+        schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))),
+        maxFilesPerTrigger = Some(1))
+      val direct = Sketch.cmsTableBy(docs, "text", "day", depth = 4,
+        width = 32)
+      def keyed(g: org.apache.spark.sql.DataFrame) =
+        g.select(col("day").cast("long"), col("r").cast("long"),
+            col("bucket").cast("long"), col("c").cast("long"))
+          .as[(Long, Long, Long, Long)].collect()
+          .map { case (d, r, b, c) => (d, r, b) -> c }.toMap
+      assert(keyed(streamed) === keyed(direct))
+    } finally graft.core.Fs.deleteRecursively(staged.toFile)
+  }
+
   test("range read path (q_cms_range): per-day grids filtered to a " +
       "subrange and merged answer identically to the monolithic " +
       "grid/probe on the sliced corpus") {
