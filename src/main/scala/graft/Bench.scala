@@ -225,10 +225,14 @@ object Bench {
     * spread self-healing cannot see: a shard can read perfectly quiet
     * while one query inside it runs 2× its last-round self — r15
     * shipped two such readings on untouched code). After the shards
-    * merge, every query is diffed against the last committed
-    * round-final artifact (`bench/self_r*.json`, newest round number;
-    * override with `SPARK_GRAFT_BENCH_REF`; silently skipped when no
-    * ref exists). Queries reading > 1.5× their reference AND > 0.5 s
+    * merge, every query is diffed against its per-query MIN across
+    * the last three committed round-final artifacts
+    * (`bench/self_r*.json`; override with a single-file
+    * `SPARK_GRAFT_BENCH_REF`; silently skipped when none exist) —
+    * min-of-rounds, because a regression that itself shipped in the
+    * newest artifact would otherwise become the baseline and hide
+    * (exactly r15's pagerank/multiprobe readings). Queries reading
+    * > 1.5× their reference AND > 0.5 s
     * are RE-RUN together in one fresh child JVM (its own quiet
     * calibration bracket), the per-query min of shard and recheck
     * readings merges into the artifact (more samples of the same
@@ -238,14 +242,15 @@ object Bench {
     * artifact alone. */
   private def applyRegressionRechecks(merged: String,
       recheck: Seq[String] => String): String = {
-    val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").orElse {
-      val dir = new java.io.File("bench")
-      Option(dir.listFiles()).toSeq.flatten
-        .filter(f => f.getName.matches("self_r\\d+\\.json"))
-        .sortBy(f => f.getName.stripPrefix("self_r")
-          .stripSuffix(".json").toInt)
-        .lastOption.map(_.getPath)
-    }
+    val refPaths = sys.env.get("SPARK_GRAFT_BENCH_REF")
+      .map(Seq(_)).getOrElse {
+        val dir = new java.io.File("bench")
+        Option(dir.listFiles()).toSeq.flatten
+          .filter(f => f.getName.matches("self_r\\d+\\.json"))
+          .sortBy(f => f.getName.stripPrefix("self_r")
+            .stripSuffix(".json").toInt)
+          .takeRight(3).map(_.getPath)
+      }
     val qre = """"(q[A-Za-z0-9_]*|q1_agg)":(-?[0-9.]+)""".r
     def queriesOf(line: String): Map[String, Double] = {
       val k = "\"queries\":{"
@@ -256,20 +261,28 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
     try {
-      val ref = refPath.map(p => queriesOf(new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-        "UTF-8")))
-      if (ref.isEmpty || ref.get.isEmpty) return merged
+      // per-query MIN across the reference artifacts (see scaladoc)
+      val ref = refPaths
+        .map(p => queriesOf(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          "UTF-8")))
+        .foldLeft(Map.empty[String, Double]) { (acc, qs) =>
+          (acc.keySet ++ qs.keySet).map { k =>
+            k -> math.min(acc.getOrElse(k, Double.MaxValue),
+              qs.getOrElse(k, Double.MaxValue))
+          }.toMap
+        }
+      if (ref.isEmpty) return merged
       val cur = queriesOf(merged)
       val offenders = cur.collect {
         case (name, v) if v > 0.5 &&
-            ref.get.get(name).exists(r => r > 0 && v > 1.5 * r) => name
+            ref.get(name).exists(r => r > 0 && v > 1.5 * r) => name
       }.toSeq.sorted
       if (offenders.isEmpty) return merged
       System.err.println(s"bench: ${offenders.size} quer" +
         s"${if (offenders.size == 1) "y reads" else "ies read"} >1.5x " +
-        s"the ${refPath.get} reference - rechecking in a fresh JVM: " +
-        offenders.mkString(", "))
+        s"the min-of(${refPaths.mkString(", ")}) reference - " +
+        s"rechecking in a fresh JVM: " + offenders.mkString(", "))
       val re = queriesOf(recheck(offenders))
       var line = merged
       val regr = offenders.map { name =>
@@ -280,7 +293,7 @@ object Bench {
         if (best < shardV)
           line = line.replace(s""""$name":${jNum(shardV)}""",
             s""""$name":${jNum(best)}""")
-        s""""$name":{"ref":${jNum(ref.get(name))},"shard":${jNum(shardV)},"recheck":${jNum(reV)}}"""
+        s""""$name":{"ref":${jNum(ref(name))},"shard":${jNum(shardV)},"recheck":${jNum(reV)}}"""
       }.mkString("{", ",", "}")
       // headline total = sum of the (possibly updated) per-query mins
       val newTotal = queriesOf(line).values.filter(_ >= 0).sum
