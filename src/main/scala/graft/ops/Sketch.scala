@@ -549,7 +549,7 @@ object Sketch {
     * groups×grid cells — the contract is DASHBOARD-SIZED group
     * cardinality (sources, event types, days), the same bound
     * [[Stats.sourceProfile]] lives under. Unbounded group domains
-    * should keep the grid distributed and probe with joins instead. */
+    * should use [[rankQuantilesByJoin]], the distributed walk. */
   def rankGridBy(df: DataFrame, value: Column, groupCols: Seq[String],
       depth: Int = 2, width: Int = 2048): DataFrame = {
     require(groupCols.nonEmpty, "rankGridBy: groupCols must be " +
@@ -610,8 +610,7 @@ object Sketch {
           s"${groupCols.mkString("(", ", ", ")")} — the grouped walk " +
           "collects groups*grid cells driver-side, a " +
           "dashboard-sized-group contract. For unbounded group " +
-          "domains keep the grid distributed (rankGridBy) and probe " +
-          "ranks with joins instead.")
+          "domains use rankQuantilesByJoin, the distributed walk.")
     }
     val rows = gridCp.collect()
     graft.core.Checkpoints.release(gridCp)
@@ -635,6 +634,96 @@ object Sketch {
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
       schema)
+  }
+
+  /** The UNBOUNDED-group-domain walk — the distributed alternative
+    * [[rankQuantilesBy]]'s maxGroups guard names: per-group permille
+    * quantiles off a [[rankGridBy]] grid with NO driver collect of
+    * cells. Walkers (one per group × permille) descend the 16-ary
+    * prefix tree level by level; at each of the 16 levels the walker
+    * frame fans to its 16 children × depth cells, left-joins the
+    * grid's level slice (absent cell = 0), takes the per-child min
+    * over r, and a per-walker cumulative-sum window picks the first
+    * child whose running mass reaches the target (else child 15) —
+    * EXACTLY [[walkGrid]]'s inner loop, re-expressed relationally
+    * (the same integer arithmetic, so outputs are bit-identical;
+    * RankSketchSpec pins it and `q_rank_quantiles_join` shares the
+    * grouped recursive-CTE oracle verbatim). Per-group n reads off
+    * the level-15 r=0 slice.
+    *
+    * Scale shape: every frame is walkers-sized (groups × permilles —
+    * millions of groups are fine; the grid stays distributed and is
+    * materialized once, each level joining only its slice); 16
+    * bounded-fan joins under a static loop plan, checkpointed every
+    * 4 levels. Locally the 16 rounds pay the per-job floor, so for
+    * dashboard-sized group domains [[rankQuantilesBy]]'s collected
+    * walk is the faster face — this is the 100 TB one. */
+  def rankQuantilesByJoin(grid: DataFrame, groupCols: Seq[String],
+      permilles: Seq[Int], depth: Int = 2,
+      width: Int = 2048): DataFrame = {
+    require(groupCols.nonEmpty, "rankQuantilesByJoin: groupCols must " +
+      "be non-empty — use rankQuantiles for the global walk")
+    require(permilles.nonEmpty &&
+      permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be within [1, 1000]: $permilles")
+    import graft.core.{Checkpoints, GraftSession}
+    val spark = grid.sparkSession
+    val gcols = groupCols.map(col)
+    val gCp = grid.localCheckpoint()
+    val nPerGroup = gCp.filter(col("level") === 15 && col("r") === 0)
+      .groupBy(gcols: _*).agg(sum(col("c")).as("_n"))
+    val ps = permilles.distinct.sorted
+    val walkers0 = nPerGroup
+      .withColumn("permille",
+        explode(array(ps.map(p => lit(p.toLong)): _*)))
+      .withColumn("target",
+        expr("(permille * _n + 999) div 1000"))
+      .select(gcols ++ Seq(col("permille"), col("target"),
+        lit(0L).as("pfx"), lit(0L).as("base")): _*)
+    val p = GraftSession.loopPartitionsOf(walkers0.count())
+    var w = walkers0
+    var prevCp = Option.empty[DataFrame]
+    GraftSession.withLoopConf(spark, p) {
+      var level = 15
+      while (level >= 0) {
+        val lvlCells = gCp.filter(col("level") === level)
+          .select(gcols ++ Seq(col("r"), col("bucket"), col("c")): _*)
+        val byWalker = org.apache.spark.sql.expressions.Window
+          .partitionBy(gcols :+ col("permille"): _*)
+        val stepped = w
+          .withColumn("j",
+            explode(array((0 until 16).map(i => lit(i.toLong)): _*)))
+          .withColumn("cp", col("pfx") * 16 + col("j"))
+          .withColumn("r",
+            explode(array((0 until depth).map(lit(_)): _*)))
+          .withColumn("bucket", rankBucket(col("cp"),
+            lit(level.toLong * depth) + col("r"), width))
+          .join(lvlCells, groupCols ++ Seq("r", "bucket"), "left")
+          .groupBy(gcols ++ Seq(col("permille"), col("target"),
+            col("pfx"), col("base"), col("j")): _*)
+          .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+          .withColumn("S", sum(col("est")).over(byWalker
+            .orderBy(col("j")).rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .withColumn("pick", min(when(
+            col("base") + col("S") >= col("target"), col("j")))
+            .over(byWalker))
+          .filter(col("j") === coalesce(col("pick"), lit(15L)))
+          .select(gcols ++ Seq(col("permille"), col("target"),
+            (col("pfx") * 16 + col("j")).as("pfx"),
+            (col("base") + col("S") - col("est")).as("base")): _*)
+        w = if (level % 4 == 0) {
+          val cp = stepped.localCheckpoint()
+          prevCp.foreach(Checkpoints.release)
+          prevCp = Some(cp)
+          cp
+        } else stepped
+        level -= 1
+      }
+    }
+    w.select(gcols ++ Seq(col("permille"),
+      col("pfx").as("q_est")): _*)
   }
 
   /** Rolling-window quantiles off a day-keyed grid ([[rankGridBy]] on
@@ -675,7 +764,7 @@ object Sketch {
           s"$dayCol — the rolling walk collects days*grid cells " +
           "driver-side, a dashboard-sized-group contract. For " +
           "unbounded day domains keep the grid distributed " +
-          "(rankGridBy) and probe ranks with joins instead.")
+          "(rankGridBy) and walk with rankQuantilesByJoin instead.")
     }
     val rows = gridCp.collect()
     graft.core.Checkpoints.release(gridCp)

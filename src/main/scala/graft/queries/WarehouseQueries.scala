@@ -1439,6 +1439,25 @@ object WarehouseQueries extends QueryGroup {
         RankSketchSql.Width)
     },
 
+    // The UNBOUNDED-group-domain walk — the distributed alternative
+    // the maxGroups guard names, as a first-class query: the same
+    // per-event_type quantiles as q_rank_quantiles_by_type, but the
+    // walkers descend via 16 bounded-fan joins against the
+    // distributed grid (no driver collect of cells — the shape that
+    // survives millions of groups). Same integer arithmetic as
+    // walkGrid re-expressed relationally, so the oracle is the
+    // grouped recursive-CTE twin VERBATIM — collected walk,
+    // join walk, and SQL replay all land one hash.
+    q("q_rank_quantiles_join", "warehouse",
+      RankSketchSql.groupedOracle) { (spark, dir) =>
+      val grid = Sketch.rankGridBy(Tables.df(spark, dir, "events"),
+        unix_micros(col("ts")), Seq("event_type"),
+        RankSketchSql.Depth, RankSketchSql.Width)
+      Sketch.rankQuantilesByJoin(grid, Seq("event_type"),
+        RankSketchSql.Permilles, RankSketchSql.Depth,
+        RankSketchSql.Width)
+    },
+
     // Entity resolution end-to-end: clean + dirtied names as ONE
     // corpus, fuzzy-matched at edit distance <= 1 (FastSS blocking),
     // the match graph resolved into entities by connected components,

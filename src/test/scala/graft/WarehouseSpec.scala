@@ -559,6 +559,29 @@ class RankSketchSpec extends AnyFunSuite {
     assert(merged === cells(Sketch.rankGrid(df, col("x"), D, W)))
   }
 
+  test("distributed join walk (q_rank_quantiles_join) is bit-" +
+      "identical to the collected grouped walk, including under " +
+      "forced collisions and inflated-sibling descents") {
+    // width 64 over ~600 distinct values per group saturates buckets:
+    // estimates inflate, walkers take early/late children — the
+    // branchy paths where a relational re-spelling would drift
+    val df = (0 until 1800).map { i =>
+      (s"g${i % 3}", i.toLong * 7919L + (i % 3) * 1000003L)
+    }.toDF("grp", "x")
+    val ps = Seq(10, 250, 500, 750, 990, 1000)
+    val narrow = Sketch.rankGridBy(df, col("x"), Seq("grp"), D, 64)
+    def keyed(r: org.apache.spark.sql.DataFrame) =
+      r.as[(String, Long, Long)].collect().toSet
+    assert(keyed(Sketch.rankQuantilesByJoin(narrow, Seq("grp"), ps,
+        D, 64)) ===
+      keyed(Sketch.rankQuantilesBy(narrow, Seq("grp"), ps, D, 64)))
+    // and at the catalog's real width on the wide fixture
+    val wide = Sketch.rankGridBy(df, col("x"), Seq("grp"), D, W)
+    assert(keyed(Sketch.rankQuantilesByJoin(wide, Seq("grp"), ps,
+        D, W)) ===
+      keyed(Sketch.rankQuantilesBy(wide, Seq("grp"), ps, D, W)))
+  }
+
   test("rolling-window walk (q_rank_rolling): each window end's " +
       "quantiles equal the monolithic walk over that window's slice; " +
       "leading days carry partial windows; dataless days are absent") {
@@ -768,7 +791,7 @@ class RankSketchSpec extends AnyFunSuite {
         maxGroups = 10)
     }
     assert(err.getMessage.contains("more than 10 groups") &&
-      err.getMessage.contains("rankGridBy"))
+      err.getMessage.contains("rankQuantilesByJoin"))
     // at the bound: the walk proceeds, one row per (group, permille)
     assert(Sketch.rankQuantilesBy(grid, Seq("grp"), Seq(500), D, W,
       maxGroups = 25).count() == 25L)
