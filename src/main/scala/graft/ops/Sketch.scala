@@ -669,10 +669,19 @@ object Sketch {
     import graft.core.{Checkpoints, GraftSession}
     val spark = grid.sparkSession
     val gcols = groupCols.map(col)
-    val gCp = grid.localCheckpoint()
+    val gCp0 = grid.localCheckpoint()
+    val ps = permilles.distinct.sorted
+    val p = GraftSession.loopPartitionsOf(
+      gCp0.select(gcols: _*).distinct().count() * ps.length)
+    // the loop scans the grid 16 times (one level slice each) — hold
+    // it at the LOOP's partition count, not the build's, or every
+    // scan pays build-width task floors (617 → ~300 tasks measured).
+    // Everything downstream (walkers included) must derive from THIS
+    // checkpoint so the build-width one can release.
+    val gCp = gCp0.repartition(p).localCheckpoint()
+    Checkpoints.release(gCp0)
     val nPerGroup = gCp.filter(col("level") === 15 && col("r") === 0)
       .groupBy(gcols: _*).agg(sum(col("c")).as("_n"))
-    val ps = permilles.distinct.sorted
     val walkers0 = nPerGroup
       .withColumn("permille",
         explode(array(ps.map(p => lit(p.toLong)): _*)))
@@ -680,7 +689,6 @@ object Sketch {
         expr("(permille * _n + 999) div 1000"))
       .select(gcols ++ Seq(col("permille"), col("target"),
         lit(0L).as("pfx"), lit(0L).as("base")): _*)
-    val p = GraftSession.loopPartitionsOf(walkers0.count())
     var w = walkers0
     var prevCp = Option.empty[DataFrame]
     GraftSession.withLoopConf(spark, p) {
