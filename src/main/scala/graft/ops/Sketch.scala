@@ -128,11 +128,33 @@ object Sketch {
     * the group domain must be DASHBOARD-SIZED (sources, event types,
     * days — the same bound [[rankQuantilesBy]] documents; at the
     * defaults each group costs 4·1024 cells ≈ 100 KB broadcast).
-    * Unbounded group domains should drop to [[cmsTableBy]] and probe
-    * with a shuffled join on (group, r, bucket) instead. */
+    * Unbounded group domains should use [[cmsHeavyHittersByJoin]],
+    * the shuffled face. */
   def cmsHeavyHittersBy(df: DataFrame, textCol: String,
       groupCol: String, depth: Int = 4, width: Int = 1024,
-      k: Int = 20): DataFrame = {
+      k: Int = 20): DataFrame =
+    heavyHittersByImpl(df, textCol, groupCol, depth, width, k,
+      broadcastGrid = true)
+
+  /** [[cmsHeavyHittersBy]] for UNBOUNDED group domains — the shuffled
+    * alternative its broadcast contract names: identical arithmetic
+    * and output, but the per-group grid joins the probes on
+    * (group, r, bucket) through an ordinary shuffle instead of a
+    * broadcast, so the group domain can be arbitrarily large (both
+    * sides are vocabulary-/grid-sized and partial-aggregate map-side;
+    * the per-group top-k stays a WindowGroupLimit). The broadcast
+    * face is the faster one for dashboard-sized domains. */
+  def cmsHeavyHittersByJoin(df: DataFrame, textCol: String,
+      groupCol: String, depth: Int = 4, width: Int = 1024,
+      k: Int = 20): DataFrame =
+    heavyHittersByImpl(df, textCol, groupCol, depth, width, k,
+      broadcastGrid = false)
+
+  /** ONE spelling for the two grouped heavy-hitter faces — only the
+    * grid-side join strategy differs. */
+  private def heavyHittersByImpl(df: DataFrame, textCol: String,
+      groupCol: String, depth: Int, width: Int, k: Int,
+      broadcastGrid: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = tokenCountsBy(df, textCol, groupCol).localCheckpoint()
     val probes = tf
@@ -140,10 +162,11 @@ object Sketch {
       .select(col("_g"), col("token"), col("exact"), col("u"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("bucket", bucket(col("u"), col("r"), width))
-    val grid = tableFromBy(tf, depth, width)
+    val grid0 = tableFromBy(tf, depth, width)
       .withColumnRenamed("_g", "_gg")
+    val grid = if (broadcastGrid) broadcast(grid0) else grid0
     probes
-      .join(broadcast(grid), probes("_g") === grid("_gg") &&
+      .join(grid, probes("_g") === grid("_gg") &&
         probes("r") === grid("r") && probes("bucket") === grid("bucket"))
       .groupBy(col("_g"), col("token"))
       .agg(min(col("c")).as("est"), first(col("exact")).as("exact"))

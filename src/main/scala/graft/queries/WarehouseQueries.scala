@@ -47,6 +47,23 @@ object WarehouseQueries extends QueryGroup {
        FROM tf JOIN est ON tf.s = est.s
        ORDER BY est DESC, token LIMIT 20"""
 
+  /** q_heavy_hitters_by_source's oracle, shared VERBATIM with the
+    * shuffled-face twin q_heavy_hitters_join. */
+  private val hhBySourceOracle: String =
+    s"""WITH ${CmsSql.gridCtesBy("source")},
+       est AS (SELECT tf.g, tb.s, MIN(cms.c) AS est
+               FROM tb JOIN tf ON tb.s = tf.s
+               JOIN cms ON cms.g = tf.g AND cms.r = tb.r
+                 AND cms.bucket = tb.bucket
+               GROUP BY 1, 2),
+       ranked AS (SELECT tf.g, tf.s, est.est, tf.exact,
+                    row_number() OVER (PARTITION BY tf.g
+                      ORDER BY est.est DESC, tf.s) AS rn
+                  FROM tf JOIN est ON est.g = tf.g AND est.s = tf.s)
+       SELECT g AS source, s AS token, CAST(est AS BIGINT) AS est,
+              exact
+       FROM ranked WHERE rn <= 10"""
+
   private val kmvRangeOracle: String =
     s"""WITH ids AS (SELECT DISTINCT user_id AS id FROM events
                      WHERE user_id IS NOT NULL AND $rangeSqlPred),
@@ -987,21 +1004,20 @@ object WarehouseQueries extends QueryGroup {
     // q_heavy_hitters_cms (grid spelling shared via CmsSql's mixer,
     // grouped CTEs from the same constants). The per-group top-k is
     // a rank window capped at k (WindowGroupLimit — map-side top-k).
-    q("q_heavy_hitters_by_source", "warehouse",
-      s"""WITH ${CmsSql.gridCtesBy("source")},
-         est AS (SELECT tf.g, tb.s, MIN(cms.c) AS est
-                 FROM tb JOIN tf ON tb.s = tf.s
-                 JOIN cms ON cms.g = tf.g AND cms.r = tb.r
-                   AND cms.bucket = tb.bucket
-                 GROUP BY 1, 2),
-         ranked AS (SELECT tf.g, tf.s, est.est, tf.exact,
-                      row_number() OVER (PARTITION BY tf.g
-                        ORDER BY est.est DESC, tf.s) AS rn
-                    FROM tf JOIN est ON est.g = tf.g AND est.s = tf.s)
-         SELECT g AS source, s AS token, CAST(est AS BIGINT) AS est,
-                exact
-         FROM ranked WHERE rn <= 10""") { (spark, dir) =>
+    q("q_heavy_hitters_by_source", "warehouse", hhBySourceOracle) {
+      (spark, dir) =>
       Sketch.cmsHeavyHittersBy(Tables.df(spark, dir, "documents"),
+        "text", "source", CmsSql.Depth, CmsSql.Width, k = 10)
+    },
+
+    // The unbounded-group face of the grouped heavy hitters: the grid
+    // joins the probes through an ordinary shuffle instead of the
+    // broadcast the dashboard face mandates — identical arithmetic,
+    // so the oracle is q_heavy_hitters_by_source's VERBATIM and the
+    // hash pins both faces to one answer.
+    q("q_heavy_hitters_join", "warehouse", hhBySourceOracle) {
+      (spark, dir) =>
+      Sketch.cmsHeavyHittersByJoin(Tables.df(spark, dir, "documents"),
         "text", "source", CmsSql.Depth, CmsSql.Width, k = 10)
     },
 

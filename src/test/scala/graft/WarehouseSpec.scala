@@ -464,6 +464,18 @@ class SketchSpec extends AnyFunSuite {
     } finally graft.core.Fs.deleteRecursively(dir.toFile)
   }
 
+  test("shuffled face (q_heavy_hitters_join) returns exactly the " +
+      "broadcast face's rows") {
+    val docs = (1L to 80L)
+      .map(i => (s"s${i % 3}", s"w${i % 9} w${i % 4} tail"))
+      .toDF("src", "text")
+    val a = Sketch.cmsHeavyHittersBy(docs, "text", "src", 4, 32, 5)
+      .as[(String, String, Long, Long)].collect().toSet
+    val b = Sketch.cmsHeavyHittersByJoin(docs, "text", "src", 4, 32, 5)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("per-group heavy hitters: est >= exact within each group's " +
       "grid, <= k rows per group, groups rank independently") {
     val docs = Seq(("s1", ("a " * 5) + ("b " * 3) + "c"),
