@@ -1162,6 +1162,53 @@ object WarehouseQueries extends QueryGroup {
       } finally graft.core.Fs.deleteRecursively(staged.toFile)
     },
 
+    // Curation composition v10 — the RANGE dashboard: one statement
+    // answers "who, what, when" for an arbitrary date window entirely
+    // from day cells — distinct users (merged KMV synopses), the top
+    // props token (merged CMS grid + probe), and the median timestamp
+    // (merged rank grid + walk). The oracle COMPOSES the three
+    // verified range oracles as parenthesized subqueries (DuckDB
+    // scopes CTEs per subquery, so each family's full standalone
+    // spelling embeds untouched — the maximal form of the shared-
+    // spelling discipline: a dashboard cell can only drift if the
+    // standalone query it quotes drifts with it).
+    q("q_range_dashboard", "warehouse",
+      s"""SELECT k.est_distinct AS est_distinct_users,
+           c.token AS top_token, c.est AS top_token_est,
+           r.q_est AS p500_ts_us
+         FROM (SELECT est_distinct FROM ($kmvRangeOracle)) k,
+              (SELECT token, est FROM ($cmsRangeOracle)
+               ORDER BY est DESC, token LIMIT 1) c,
+              (SELECT q_est FROM ($rankRangeOracle)
+               WHERE permille = 500) r""") { (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val evR = ev.filter(rangeDayPred)
+      val kEst = Sketch.mergeKmvSynopses(64, Seq.empty,
+          Sketch.kmvSynopsis(ev, "user_id", 64, Seq("_day"))
+            .filter(rangeDayPred).select(col("kmv")))
+        .select(Sketch.kmvEstimate(col("kmv"), 64)
+          .as("est_distinct_users"))
+      val cGrid = Sketch.mergeCmsTables(
+        Sketch.cmsTableBy(ev, "props", "_day", CmsSql.Depth,
+            CmsSql.Width)
+          .filter(rangeDayPred).select(col("r"), col("bucket"),
+            col("c")))
+      val top1 = Sketch.cmsHeavyHittersFromGrid(evR, "props", cGrid,
+          CmsSql.Depth, CmsSql.Width, k = 1)
+        .select(col("token").as("top_token"),
+          col("est").as("top_token_est"))
+      val rGrid = Sketch.mergeRankGrids(
+        Sketch.rankGridBy(ev, unix_micros(col("ts")), Seq("_day"),
+            RankSketchSql.Depth, RankSketchSql.Width)
+          .filter(rangeDayPred).select(col("level"), col("r"),
+            col("bucket"), col("c")))
+      val p500 = Sketch.rankQuantiles(rGrid, Seq(500),
+          RankSketchSql.Depth, RankSketchSql.Width)
+        .select(col("q_est").as("p500_ts_us"))
+      kEst.crossJoin(top1).crossJoin(p500)
+    },
+
     // CMS day cells under streaming ingest → the range's top tokens:
     // per-day grids fold per micro-batch (runCmsByToBatch, grouped
     // cell-wise merge), the live cells filter to the range and merge,
