@@ -285,20 +285,25 @@ object Bench {
         s"rechecking in a fresh JVM: " + offenders.mkString(", "))
       val re = queriesOf(recheck(offenders))
       var line = merged
+      // with failures present the headline "value" is not a clean sum
+      // of per-query times, so leave BOTH the total and the per-query
+      // entries untouched (substituting one without the other would
+      // ship an artifact whose numbers disagree with each other) —
+      // the regressions object still records every recheck reading
+      val hadFail = "\"failed\":(\\d+)".r.findFirstMatchIn(merged)
+        .exists(_.group(1).toInt > 0)
       val regr = offenders.map { name =>
         val shardV = cur(name)
         val reV = re.getOrElse(name, Double.NaN)
         val best = if (reV.isNaN || reV < 0) shardV
                    else math.min(shardV, reV)
-        if (best < shardV)
+        if (!hadFail && best < shardV)
           line = line.replace(s""""$name":${jNum(shardV)}""",
             s""""$name":${jNum(best)}""")
         s""""$name":{"ref":${jNum(ref(name))},"shard":${jNum(shardV)},"recheck":${jNum(reV)}}"""
       }.mkString("{", ",", "}")
       // headline total = sum of the (possibly updated) per-query mins
       val newTotal = queriesOf(line).values.filter(_ >= 0).sum
-      val hadFail = "\"failed\":(\\d+)".r.findFirstMatchIn(line)
-        .exists(_.group(1).toInt > 0)
       if (!hadFail)
         line = line.replaceFirst("\\{\"metric\":\"total\",\"value\":-?[0-9.]+",
           s"""{"metric":"total","value":${jNum(newTotal)}""")

@@ -124,6 +124,15 @@ object GraftSession {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Loop-sized shuffle partition count off a KNOWN row count: ~4M
+    * rows (~100-200 MB of long-tuple rows) per task. At test scale
+    * this is 1 — a round's whole state fits one task and the
+    * per-task/per-file floors vanish; at 10¹¹ rows it is tens of
+    * thousands — the same number AQE would coalesce to, decided ONCE
+    * instead of re-planned (at one driver job per exchange) per round. */
+  def loopPartitionsOf(maxRows: Long): Int =
+    math.min(math.max(1L, (maxRows + 3999999L) / 4000000L), 65536L).toInt
+
   /** [[withStaticPlan]] plus a loop-sized shuffle partition count and
     * no broadcast joins: the iterative caller has already COUNTED its
     * loop-invariant frames, so the right post-shuffle partition count
@@ -144,15 +153,6 @@ object GraftSession {
     * the shuffle join at scale — adaptivity at the right granularity
     * (per loop, off real sizes) rather than AQE's per-stage jobs.
     * Pass false for loops whose state estimate is unreliable. */
-  /** Loop-sized shuffle partition count off a KNOWN row count: ~4M
-    * rows (~100-200 MB of long-tuple rows) per task. At test scale
-    * this is 1 — a round's whole state fits one task and the
-    * per-task/per-file floors vanish; at 10¹¹ rows it is tens of
-    * thousands — the same number AQE would coalesce to, decided ONCE
-    * instead of re-planned (at one driver job per exchange) per round. */
-  def loopPartitionsOf(maxRows: Long): Int =
-    math.min(math.max(1L, (maxRows + 3999999L) / 4000000L), 65536L).toInt
-
   def withLoopConf[T](spark: SparkSession, partitions: Int,
       allowBroadcast: Boolean = true)(body: => T): T = {
     require(partitions >= 1, s"withLoopConf: bad partition count $partitions")

@@ -330,7 +330,20 @@ object Similarity {
     * extra cost is query-side only — nPlanes more (t, bucket) probe
     * rows per query row, generated from the already-computed bucket id
     * (no plane re-projection) — while the corpus index is untouched,
-    * which is the side that matters at 100 TB. */
+    * which is the side that matters at 100 TB.
+    *
+    * CONTRACT: `idCol` must be unique within each of `corpus` and
+    * `queries`. Candidate dedup is on the (q_id, n_id) PAIR — the
+    * shape that keeps vectors off the candidate shuffle — so a
+    * duplicated id would re-multiply at the vector-fetch joins into
+    * duplicate ranked rows consuming topK slots (the pre-r16 full-row
+    * distinct collapsed them; pair dedup deliberately does not pay
+    * for that). Every caller in this repo feeds a primary-key id;
+    * dedup a non-unique corpus on id before indexing it. The corpus
+    * is scanned twice by design (bucket stream + vector fetch): both
+    * scans prune to (id, vec), and at scale the second is a
+    * semi-join-sized fetch, far cheaper than letting vectors ride
+    * every candidate row. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
       nTables: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding", multiProbe: Boolean = false): DataFrame = {

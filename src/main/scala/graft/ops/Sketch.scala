@@ -753,6 +753,12 @@ object Sketch {
         level -= 1
       }
     }
+    // level 0 % 4 == 0, so the loop's last step ALWAYS checkpointed:
+    // `w` is an eager checkpoint whose lineage is truncated above gCp,
+    // and the grid's executor blocks (groups×grid cells — large in
+    // exactly the unbounded-group regime this walk targets) can go now
+    // rather than living for the session.
+    Checkpoints.release(gCp)
     w.select(gcols ++ Seq(col("permille"),
       col("pfx").as("q_est")): _*)
   }

@@ -416,7 +416,16 @@ object IngestStream {
     * per-group grids ([[graft.ops.Sketch.cmsTableBy]]) fold into the
     * maintained cells via the grouped cell-wise merge; same additive
     * algebra, so the streamed grouped grid IS the batch `cmsTableBy`
-    * bit for bit at any slicing. State: groups×depth·width cells. */
+    * bit for bit at any slicing. State: groups×depth·width cells.
+    *
+    * RETENTION: the returned frame IS the fold's final localCheckpoint
+    * (true of the whole run*ToBatch family) — its groups×cells
+    * executor blocks stay persisted until the caller passes it to
+    * [[graft.core.Checkpoints.release]], AFTER everything derived
+    * from it is materialized (release-before-use throws). The catalog
+    * queries retain it for the query's lifetime by design: the state
+    * is synopsis-sized (days×cells here, never history-sized), and
+    * each invocation strands at most one grid. */
   def runCmsByToBatch(spark: SparkSession, path: String,
       textCol: String, groupCol: String, depth: Int, width: Int,
       schema: StructType,
