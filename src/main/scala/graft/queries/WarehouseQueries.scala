@@ -83,6 +83,21 @@ object WarehouseQueries extends QueryGroup {
            AS days_merged
        FROM syn"""
 
+  /** The v10 dashboard oracle — composes the three verified range
+    * oracles as parenthesized subqueries. Shared VERBATIM by the
+    * in-query-cells face (`q_range_dashboard`) and the PERSISTED-cells
+    * face (`q_range_dashboard_persisted`): one hash pins in-memory ≡
+    * through-the-sink ≡ monolithic-on-slice. */
+  private val rangeDashboardOracle: String =
+    s"""SELECT k.est_distinct AS est_distinct_users,
+           c.token AS top_token, c.est AS top_token_est,
+           r.q_est AS p500_ts_us
+         FROM (SELECT est_distinct FROM ($kmvRangeOracle)) k,
+              (SELECT token, est FROM ($cmsRangeOracle)
+               ORDER BY est DESC, token LIMIT 1) c,
+              (SELECT q_est FROM ($rankRangeOracle)
+               WHERE permille = 500) r"""
+
   /** Deterministic "dirty" entity side for the linkage queries: one
     * digit substituted (custkey%3==0), one digit deleted (%3==1), or
     * untouched (%3==2), at digit position 10 + custkey%8 — the same
@@ -1172,15 +1187,8 @@ object WarehouseQueries extends QueryGroup {
     // spelling embeds untouched — the maximal form of the shared-
     // spelling discipline: a dashboard cell can only drift if the
     // standalone query it quotes drifts with it).
-    q("q_range_dashboard", "warehouse",
-      s"""SELECT k.est_distinct AS est_distinct_users,
-           c.token AS top_token, c.est AS top_token_est,
-           r.q_est AS p500_ts_us
-         FROM (SELECT est_distinct FROM ($kmvRangeOracle)) k,
-              (SELECT token, est FROM ($cmsRangeOracle)
-               ORDER BY est DESC, token LIMIT 1) c,
-              (SELECT q_est FROM ($rankRangeOracle)
-               WHERE permille = 500) r""") { (spark, dir) =>
+    q("q_range_dashboard", "warehouse", rangeDashboardOracle) {
+      (spark, dir) =>
       val ev = Tables.df(spark, dir, "events")
         .withColumn("_day", to_date(col("ts")))
       val evR = ev.filter(rangeDayPred)
@@ -1207,6 +1215,64 @@ object WarehouseQueries extends QueryGroup {
           RankSketchSql.Depth, RankSketchSql.Width)
         .select(col("q_est").as("p500_ts_us"))
       kEst.crossJoin(top1).crossJoin(p500)
+    },
+
+    // The synopsis warehouse PERSISTED, end to end through the REAL
+    // sink: per-day cells for all three sketches land via
+    // PartitionedWriter.overwriteDays (the dynamic per-day-overwrite
+    // cell sink — dt=… directories, idempotent day-wise), then the
+    // v10 dashboard is answered reading ONLY the persisted cell
+    // tables: the range predicate hits the dt PARTITION column, so
+    // the scan prunes DIRECTORIES — PartitionFilters, pinned on this
+    // exact sink in WarehouseSpec — and at 100 TB the range read
+    // costs 14 day-directories of synopsis cells, zero corpus I/O
+    // and zero out-of-range cell I/O. Oracle = q_range_dashboard
+    // VERBATIM: one hash pins in-memory cells ≡ through-the-sink
+    // cells ≡ monolithic-on-slice.
+    q("q_range_dashboard_persisted", "warehouse",
+      rangeDashboardOracle) { (spark, dir) =>
+      import graft.write.PartitionedWriter
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val evR = ev.filter(rangeDayPred)
+      val root = java.nio.file.Files.createTempDirectory("graft_cells")
+      try {
+        PartitionedWriter.overwriteDays(
+          Sketch.rankGridBy(ev, unix_micros(col("ts")), Seq("_day"),
+            RankSketchSql.Depth, RankSketchSql.Width),
+          s"$root/rank", "_day")
+        PartitionedWriter.overwriteDays(
+          Sketch.cmsTableBy(ev, "props", "_day",
+            CmsSql.Depth, CmsSql.Width),
+          s"$root/cms", "_day")
+        PartitionedWriter.overwriteDays(
+          Sketch.kmvSynopsis(ev, "user_id", 64, Seq("_day")),
+          s"$root/kmv", "_day")
+        val dtPred = col("dt") >= lit(RangeLo).cast("date") &&
+          col("dt") < lit(RangeHi).cast("date")
+        val kEst = Sketch.mergeKmvSynopses(64, Seq.empty,
+            spark.read.parquet(s"$root/kmv").filter(dtPred)
+              .select(col("kmv")))
+          .select(Sketch.kmvEstimate(col("kmv"), 64)
+            .as("est_distinct_users"))
+        val cGrid = Sketch.mergeCmsTables(
+          spark.read.parquet(s"$root/cms").filter(dtPred)
+            .select(col("r"), col("bucket"), col("c")))
+        val top1 = Sketch.cmsHeavyHittersFromGrid(evR, "props", cGrid,
+            CmsSql.Depth, CmsSql.Width, k = 1)
+          .select(col("token").as("top_token"),
+            col("est").as("top_token_est"))
+        val rGrid = Sketch.mergeRankGrids(
+          spark.read.parquet(s"$root/rank").filter(dtPred)
+            .select(col("level"), col("r"), col("bucket"), col("c")))
+        val p500 = Sketch.rankQuantiles(rGrid, Seq(500),
+            RankSketchSql.Depth, RankSketchSql.Width)
+          .select(col("q_est").as("p500_ts_us"))
+        // one dashboard row; eager localCheckpoint materializes it
+        // while the cell files still exist, so the frame survives
+        // the temp-dir cleanup (the q_stream_* discipline)
+        kEst.crossJoin(top1).crossJoin(p500).localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
     },
 
     // CMS day cells under streaming ingest → the range's top tokens:

@@ -55,6 +55,31 @@ object PartitionedWriter {
       .parquet(path)
   }
 
+  /** Multi-day dynamic overwrite — the synopsis-warehouse CELL sink:
+    * like [[overwriteDaily]] but `dt` comes from the DATA (`dayCol`,
+    * renamed), so one backfill job lands every day it touched in one
+    * pass, each under its own `dt=…` directory. Dynamic overwrite
+    * keeps the daily idempotence contract day-wise: a re-run replaces
+    * exactly the days present in the batch and never clears others —
+    * which is what lets a 100 TB warehouse maintain per-day sketch
+    * cells (rank grid / CMS / KMV) incrementally and answer any range
+    * query from PARTITION-PRUNED cell scans, zero corpus I/O.
+    * Day cells are synopsis-sized, so the default is one file per day
+    * (the repartition on dt co-locates each day into one task). */
+  def overwriteDays(df: DataFrame, path: String, dayCol: String,
+                    filesPerPartition: Int = 1): Unit = {
+    val withDt = df.withColumnRenamed(dayCol, "dt")
+    val split =
+      if (filesPerPartition <= 1) Nil
+      else Seq(pmod(xxhash64(withDt.columns.toIndexedSeq.map(col): _*),
+        lit(filesPerPartition.toLong)))
+    withDt.repartition(col("dt") +: split: _*).write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt")
+      .parquet(path)
+  }
+
   /** S5 append (tokens incremental load). */
   def append(df: DataFrame, path: String, filesPerPartition: Int = 1): Unit =
     df.repartition(filesPerPartition).write

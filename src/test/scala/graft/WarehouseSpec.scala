@@ -436,31 +436,61 @@ class SketchSpec extends AnyFunSuite {
     assert(viaGrid === monolithic)
   }
 
-  test("persisted day cells: day-partitioned parquet cells prune to " +
-      "the range as PartitionFilters and merge to the slice's grid") {
-    // the 100 TB read path made literal: cells written partitionBy
-    // day, re-read with the range predicate — the scan must prune
-    // DIRECTORIES (PartitionFilters), not filter rows, and the merged
-    // survivors must be the monolithic grid of the sliced corpus
+  test("persisted day cells through PartitionedWriter.overwriteDays: " +
+      "dt-partitioned, range read prunes as PartitionFilters, re-run " +
+      "of one day replaces only that day") {
+    // the 100 TB read path made literal, through the REAL sink:
+    // cells written via the multi-day dynamic-overwrite cell sink,
+    // re-read with the range predicate — the scan must prune
+    // DIRECTORIES (PartitionFilters), not filter rows, the merged
+    // survivors must be the monolithic grid of the sliced corpus,
+    // and re-landing ONE day's cells must replace exactly that
+    // day's directory (the day-wise idempotence contract)
     val docs = (1L to 120L)
       .map(i => (i % 6, s"w${i % 11} w${i % 4} tail"))
       .toDF("day", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_cells")
     try {
-      Sketch.cmsTableBy(docs, "text", "day", depth = 4, width = 32)
-        .write.partitionBy("day").mode("overwrite")
-        .parquet(dir.toString)
+      graft.write.PartitionedWriter.overwriteDays(
+        Sketch.cmsTableBy(docs, "text", "day", depth = 4, width = 32),
+        dir.toString, "day")
       val cellsBack = spark.read.parquet(dir.toString)
-        .filter(col("day") >= 2 && col("day") < 5)
+        .filter(col("dt") >= 2 && col("dt") < 5)
       val pf = cellsBack.queryExecution.executedPlan.toString
         .linesIterator.find(_.contains("PartitionFilters"))
         .getOrElse("")
-      assert(pf.contains("day"), s"range not in PartitionFilters: $pf")
+      assert(pf.contains("dt"), s"range not in PartitionFilters: $pf")
+      // the pruned scan touches 3 of the 6 day directories — read the
+      // scan's own numFiles metric after an action, the ground truth
+      // of what partition pruning actually admitted
+      cellsBack.queryExecution.executedPlan.execute().count()
+      val numFiles = cellsBack.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+      assert(numFiles === 3L,
+        s"expected 3 pruned day files read, got $numFiles")
       val merged = Sketch.mergeCmsTables(
         cellsBack.select(col("r"), col("bucket"), col("c")))
       assert(cells(merged) === cells(Sketch.cmsTable(
         docs.filter(col("day") >= 2 && col("day") < 5), "text",
         depth = 4, width = 32)))
+      // day-wise idempotence: re-land day 3 with DIFFERENT cells; the
+      // re-read range grid must equal days {2,4} as before + new day 3
+      val redo = docs.filter(col("day") === 3)
+        .withColumn("text", concat(col("text"), lit(" extra")))
+      graft.write.PartitionedWriter.overwriteDays(
+        Sketch.cmsTableBy(redo, "text", "day", depth = 4, width = 32),
+        dir.toString, "day")
+      val after = Sketch.mergeCmsTables(
+        spark.read.parquet(dir.toString)
+          .filter(col("dt") >= 2 && col("dt") < 5)
+          .select(col("r"), col("bucket"), col("c")))
+      val expect = Sketch.mergeCmsTables(
+        Sketch.cmsTable(docs.filter(col("day") === 2 ||
+          col("day") === 4), "text", depth = 4, width = 32),
+        Sketch.cmsTable(redo, "text", depth = 4, width = 32))
+      assert(cells(after) === cells(expect))
     } finally graft.core.Fs.deleteRecursively(dir.toFile)
   }
 
