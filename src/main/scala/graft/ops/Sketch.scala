@@ -663,24 +663,30 @@ object Sketch {
     * [[rankQuantilesBy]]'s maxGroups guard names: per-group permille
     * quantiles off a [[rankGridBy]] grid with NO driver collect of
     * cells. Walkers (one per group × permille) descend the 16-ary
-    * prefix tree level by level; at each of the 16 levels the walker
-    * frame fans to its 16 children × depth cells, left-joins the
-    * grid's level slice (absent cell = 0), takes the per-child min
-    * over r, and a per-walker cumulative-sum window picks the first
-    * child whose running mass reaches the target (else child 15) —
-    * EXACTLY [[walkGrid]]'s inner loop, re-expressed relationally
-    * (the same integer arithmetic, so outputs are bit-identical;
-    * RankSketchSpec pins it and `q_rank_quantiles_join` shares the
-    * grouped recursive-CTE oracle verbatim). Per-group n reads off
-    * the level-15 r=0 slice.
+    * prefix tree TWO levels per join round: the walker frame fans to
+    * its 16² = 256 grandchildren (j1, j2) × both level slices × depth
+    * cells, left-joins the grid (absent cell = 0), takes the
+    * per-child min over r for each level, and two chained per-walker
+    * cumulative-sum windows pick first the child j1 whose running
+    * upper-level mass reaches the target (else 15), then — from j1's
+    * rebased mass — the grandchild j2 (else 15): EXACTLY two
+    * consecutive iterations of [[walkGrid]]'s inner loop, re-expressed
+    * relationally (the same integer mins and sums in the same order,
+    * so outputs are bit-identical; RankSketchSpec pins fused ≡
+    * sequential and `q_rank_quantiles_join` shares the grouped
+    * recursive-CTE oracle verbatim). Per-group n reads off the
+    * level-15 r=0 slice.
     *
     * Scale shape: every frame is walkers-sized (groups × permilles —
     * millions of groups are fine; the grid stays distributed and is
-    * materialized once, each level joining only its slice); 16
-    * bounded-fan joins under a static loop plan, checkpointed every
-    * 4 levels. Locally the 16 rounds pay the per-job floor, so for
-    * dashboard-sized group domains [[rankQuantilesBy]]'s collected
-    * walk is the faster face — this is the 100 TB one. */
+    * materialized once, each round joining only its two level
+    * slices); 8 bounded-fan joins under a static loop plan,
+    * checkpointed every 2 rounds. The 2-level fuse exists because the
+    * walk's cost is round floors, not rows: 8 driver jobs instead of
+    * 16 for a 256-way fan that is still walkers-sized. Locally the 8
+    * rounds still pay the per-job floor, so for dashboard-sized group
+    * domains [[rankQuantilesBy]]'s collected walk is the faster
+    * face — this is the 100 TB one. */
   def rankQuantilesByJoin(grid: DataFrame, groupCols: Seq[String],
       permilles: Seq[Int], depth: Int = 2,
       width: Int = 2048): DataFrame = {
@@ -715,42 +721,72 @@ object Sketch {
     var w = walkers0
     var prevCp = Option.empty[DataFrame]
     GraftSession.withLoopConf(spark, p) {
-      var level = 15
-      while (level >= 0) {
-        val lvlCells = gCp.filter(col("level") === level)
-          .select(gcols ++ Seq(col("r"), col("bucket"), col("c")): _*)
+      var hi = 15
+      while (hi >= 1) {
+        val lo = hi - 1
+        val lvlCells = gCp
+          .filter(col("level") === hi || col("level") === lo)
+          .select(gcols ++ Seq(col("level"), col("r"), col("bucket"),
+            col("c")): _*)
         val byWalker = org.apache.spark.sql.expressions.Window
           .partitionBy(gcols :+ col("permille"): _*)
+        def cum(ws: org.apache.spark.sql.expressions.WindowSpec) =
+          ws.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
         val stepped = w
-          .withColumn("j",
+          .withColumn("j1",
             explode(array((0 until 16).map(i => lit(i.toLong)): _*)))
-          .withColumn("cp", col("pfx") * 16 + col("j"))
+          .withColumn("j2",
+            explode(array((0 until 16).map(i => lit(i.toLong)): _*)))
+          // one row per probed cell: level hi probes the child prefix
+          // (j2-independent — the per-(j1,j2) min below just re-reads
+          // it), level lo the grandchild's
+          .withColumn("level", explode(array(lit(hi), lit(lo))))
+          .withColumn("cp", when(col("level") === hi,
+              col("pfx") * 16 + col("j1"))
+            .otherwise((col("pfx") * 16 + col("j1")) * 16 + col("j2")))
           .withColumn("r",
             explode(array((0 until depth).map(lit(_)): _*)))
           .withColumn("bucket", rankBucket(col("cp"),
-            lit(level.toLong * depth) + col("r"), width))
-          .join(lvlCells, groupCols ++ Seq("r", "bucket"), "left")
+            col("level").cast("long") * depth + col("r"), width))
+          .join(lvlCells, groupCols ++ Seq("level", "r", "bucket"),
+            "left")
           .groupBy(gcols ++ Seq(col("permille"), col("target"),
-            col("pfx"), col("base"), col("j")): _*)
-          .agg(min(coalesce(col("c"), lit(0L))).as("est"))
-          .withColumn("S", sum(col("est")).over(byWalker
-            .orderBy(col("j")).rowsBetween(
-              org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)))
-          .withColumn("pick", min(when(
-            col("base") + col("S") >= col("target"), col("j")))
+            col("pfx"), col("base"), col("j1"), col("j2")): _*)
+          .agg(
+            min(when(col("level") === hi, coalesce(col("c"), lit(0L))))
+              .as("estHi"),
+            min(when(col("level") === lo, coalesce(col("c"), lit(0L))))
+              .as("estLo"))
+          // upper-level running mass: estHi repeats per j2, so add it
+          // once per j1 (at its first pair row) — SL(j1) = Σ_{i<=j1}
+          .withColumn("SL", sum(when(col("j2") === 0, col("estHi")))
+            .over(cum(byWalker.orderBy(col("j1"), col("j2")))))
+          .withColumn("pick1", min(when(
+            col("base") + col("SL") >= col("target"), col("j1")))
             .over(byWalker))
-          .filter(col("j") === coalesce(col("pick"), lit(15L)))
+          .filter(col("j1") === coalesce(col("pick1"), lit(15L)))
+          // 16 rows per walker remain (the chosen j1's j2 fan); rebase
+          // and replay the same pick one level down
+          .withColumn("base1",
+            col("base") + col("SL") - col("estHi"))
+          .withColumn("S2", sum(col("estLo"))
+            .over(cum(byWalker.orderBy(col("j2")))))
+          .withColumn("pick2", min(when(
+            col("base1") + col("S2") >= col("target"), col("j2")))
+            .over(byWalker))
+          .filter(col("j2") === coalesce(col("pick2"), lit(15L)))
           .select(gcols ++ Seq(col("permille"), col("target"),
-            (col("pfx") * 16 + col("j")).as("pfx"),
-            (col("base") + col("S") - col("est")).as("base")): _*)
-        w = if (level % 4 == 0) {
+            ((col("pfx") * 16 + col("j1")) * 16 + col("j2")).as("pfx"),
+            (col("base1") + col("S2") - col("estLo")).as("base")): _*)
+        w = if (lo % 4 == 0) {
           val cp = stepped.localCheckpoint()
           prevCp.foreach(Checkpoints.release)
           prevCp = Some(cp)
           cp
         } else stepped
-        level -= 1
+        hi -= 2
       }
     }
     // level 0 % 4 == 0, so the loop's last step ALWAYS checkpointed:
