@@ -91,12 +91,30 @@ object Bench {
     * (`"spreads":[…],"attempts":N`) plus the full discarded lines in
     * `bench/shard_retries.log` — both readings stay inspectable, the
     * artifact carries the quiet one. A shard with a FAILED probe
-    * (spread −1) is not retried: that is a code signal, not noise. */
+    * (spread −1) is not retried: that is a code signal, not noise.
+    *
+    * FLOOR-GATED: the serial-floor probe is the same defense for the
+    * OTHER noise class (r16: three of four captures burned under
+    * 81–103 ms serial floors vs the 33–44 ms healthy band, probe-flat
+    * and spread-quiet — the drift inflates round-count-dominated
+    * queries ~linearly in their job count). A shard whose quieter
+    * floor probe (min of start/end — if even that is hot, the loud
+    * window covered the whole attempt) breaches
+    * `SPARK_GRAFT_BENCH_FLOOR_BAR_MS` (default 60) is re-run under
+    * the same bounded-retry budget, best attempt = first by
+    * (floor-gate pass, then spread). The merged artifact stamps the
+    * decision as `"floor_gate":{"bar_ms":…,"worst_floor_ms":…,
+    * "pass":…}` — a committed round-final with `"pass":false` means
+    * the box never went quiet within the retry budget, and its
+    * absolute numbers need floor-normalized reading (SCALE.md's
+    * calibration-probe protocol). */
   private def runSharded(): String = {
     val n = sys.env.get("SPARK_GRAFT_BENCH_SHARDS").map(_.toInt)
       .getOrElse(3)
     val bar = sys.env.get("SPARK_GRAFT_BENCH_SPREAD_BAR")
       .map(_.toDouble).getOrElse(1.3)
+    val floorBar = sys.env.get("SPARK_GRAFT_BENCH_FLOOR_BAR_MS")
+      .map(_.toDouble).getOrElse(60.0)
     val retries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES")
       .map(_.toInt).getOrElse(2)
     try {
@@ -126,20 +144,34 @@ object Bench {
       def spreadOf(line: String): Double =
         "\"spread\":(-?[0-9.]+)".r.findFirstMatchIn(line)
           .map(_.group(1).toDouble).getOrElse(-1.0)
+      // the attempt's quieter serial-floor reading; a parse miss reads
+      // as gate-pass (never block the artifact on a format surprise)
+      def floorOf(line: String): Double = {
+        def g(k: String) = ("\"" + k + "\":(-?[0-9.]+)").r
+          .findFirstMatchIn(line).map(_.group(1).toDouble)
+        (g("floor_start_ms"), g("floor_end_ms")) match {
+          case (Some(a), Some(b)) => math.min(a, b)
+          case (a, b) => a.orElse(b).getOrElse(0.0)
+        }
+      }
+      def gateOk(line: String): Boolean = floorOf(line) <= floorBar
       val discarded = scala.collection.mutable.ArrayBuffer.empty[String]
       // shards 0..n-1 are the hash-stable batch slices; shard n is the
       // dedicated streaming shard (see shardOf)
       val shardLines = (0 to n).map { i =>
         var attempts = List(runOnce(i))
-        while (spreadOf(attempts.head) > bar &&
-            attempts.size <= retries) {
+        while ((spreadOf(attempts.head) > bar ||
+            !gateOk(attempts.head)) && attempts.size <= retries) {
           System.err.println(f"bench shard $i/$n spread " +
-            f"${spreadOf(attempts.head)}%.2f > $bar%.2f — re-running " +
-            s"(attempt ${attempts.size + 1})")
+            f"${spreadOf(attempts.head)}%.2f (bar $bar%.2f) floor " +
+            f"${floorOf(attempts.head)}%.1f ms (bar $floorBar%.1f) " +
+            s"— re-running (attempt ${attempts.size + 1})")
           attempts ::= runOnce(i)
         }
         val ordered = attempts.reverse // arrival order
-        val best = ordered.minBy(spreadOf)
+        // floor-gate first, spread second: a quiet-floor attempt beats
+        // any loud-floor one regardless of spread ordering
+        val best = ordered.minBy(l => (!gateOk(l), spreadOf(l)))
         ordered.filter(_ ne best).foreach { l =>
           discarded += s"shard $i/$n discarded: $l"
         }
@@ -150,14 +182,22 @@ object Bench {
           else {
             val hist = ordered.map(l => d2(spreadOf(l)))
               .mkString("[", ",", "]")
+            val fhist = ordered.map(l => d2(floorOf(l)))
+              .mkString("[", ",", "]")
             best.replaceFirst("\"calibration\":\\{",
-              s""""calibration":{"attempts":${ordered.size},"spreads":$hist,""")
+              s""""calibration":{"attempts":${ordered.size},"spreads":$hist,"floors_ms":$fhist,""")
           }
         System.err.println(s"bench shard $i/$n done " +
           s"(${ordered.size} attempt(s), " +
-          f"spread ${spreadOf(best)}%.2f)")
+          f"spread ${spreadOf(best)}%.2f, " +
+          f"floor ${floorOf(best)}%.1f ms)")
         line
       }
+      // the merged artifact records the gate decision once, over the
+      // SELECTED attempts: pass=false = the box never went quiet
+      // within the retry budget for at least one shard
+      val worstFloor = shardLines.map(floorOf).max
+      val floorGate = s""""floor_gate":{"bar_ms":${d2(floorBar)},"worst_floor_ms":${d2(worstFloor)},"pass":${worstFloor <= floorBar}}"""
       if (discarded.nonEmpty) {
         try {
           val dir = java.nio.file.Paths.get("bench")
@@ -168,7 +208,9 @@ object Bench {
             java.nio.file.StandardOpenOption.APPEND)
         } catch { case scala.util.control.NonFatal(_) => () }
       }
-      applyRegressionRechecks(mergeShardLines(shardLines),
+      applyRegressionRechecks(
+        mergeShardLines(shardLines)
+          .replace(""","sf":"""", s""",$floorGate,"sf":""""),
         names => runChild("SPARK_GRAFT_BENCH_ONLY" -> names.mkString(","),
           s"recheck(${names.size})"))
     } catch {
@@ -283,7 +325,22 @@ object Bench {
         s"${if (offenders.size == 1) "y reads" else "ies read"} >1.5x " +
         s"the min-of(${refPaths.mkString(", ")}) reference - " +
         s"rechecking in a fresh JVM: " + offenders.mkString(", "))
-      val re = queriesOf(recheck(offenders))
+      val reLine = recheck(offenders)
+      val re = queriesOf(reLine)
+      // the recheck child stamps its own calibration (floor + gc
+      // probes) like any shard; carry it next to the regressions so a
+      // floor-inflated recheck discounts itself from the artifact
+      // alone (r16: a 2.27 s recheck of a 1.33 s query adjudicated
+      // only because the driver's separate capture happened to be
+      // quiet)
+      val reCal = {
+        val k = "\"calibration\":{"
+        val s = reLine.indexOf(k)
+        if (s < 0) "" else {
+          val e = reLine.indexOf('}', s + k.length)
+          s""","recheck_cal":${reLine.substring(s + k.length - 1, e + 1)}"""
+        }
+      }
       var line = merged
       // with failures present the headline "value" is not a clean sum
       // of per-query times, so leave BOTH the total and the per-query
@@ -307,7 +364,8 @@ object Bench {
       if (!hadFail)
         line = line.replaceFirst("\\{\"metric\":\"total\",\"value\":-?[0-9.]+",
           s"""{"metric":"total","value":${jNum(newTotal)}""")
-      line.replace(""","sf":"""", s""","regressions":$regr,"sf":"""")
+      line.replace(""","sf":"""",
+        s""","regressions":$regr$reCal,"sf":"""")
     } catch {
       case scala.util.control.NonFatal(t) =>
         System.err.println(s"bench: regression recheck failed " +

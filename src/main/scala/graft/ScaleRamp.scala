@@ -978,6 +978,88 @@ object ScaleRamp {
             graft.queries.RankSketchSql.Width).count()
         }
       },
+      "rank_quantiles_join" -> { k =>
+        // the UNBOUNDED-group-domain walk (round 17): per-user grids —
+        // the user population ramps 500·k with the corpus, exactly the
+        // domain class the collected walk's maxGroups guard rejects —
+        // and the fused 8-round join walk (2 dyadic levels per round).
+        // The grid build is the ~linear corpus term; the walk adds 8
+        // bounded-fan joins whose frames are walkers-sized (users ×
+        // permilles) against per-level grid slices. Expect ~linear,
+        // round floors fixed.
+        val ev = eventsAt(k)
+        timeIt {
+          val grid = graft.ops.Sketch.rankGridBy(ev,
+            unix_micros(col("ts")), Seq("user_id"),
+            graft.queries.RankSketchSql.Depth,
+            graft.queries.RankSketchSql.Width)
+          graft.ops.Sketch.rankQuantilesByJoin(grid, Seq("user_id"),
+            graft.queries.RankSketchSql.Permilles,
+            graft.queries.RankSketchSql.Depth,
+            graft.queries.RankSketchSql.Width).count()
+        }
+      },
+      "rank_range_read" -> { k =>
+        // the synopsis-warehouse READ path (round 17): per-day cells
+        // build OUTSIDE the clock (the build is the known ~linear
+        // corpus pass — the rank_quantiles row's term); timed = filter
+        // 14 of the 30 day slices, merge cell-wise, walk. Cells are
+        // days×grid-sized whatever the corpus — expect exponent ~0
+        // (the read never touches corpus bytes).
+        val ev = eventsAt(k).withColumn("_day", to_date(col("ts")))
+        val byDay = graft.ops.Sketch.rankGridBy(ev,
+          unix_micros(col("ts")), Seq("_day"),
+          graft.queries.RankSketchSql.Depth,
+          graft.queries.RankSketchSql.Width).localCheckpoint()
+        val res = timeIt {
+          val merged = graft.ops.Sketch.mergeRankGrids(
+            byDay.filter(col("_day") >= lit("1970-01-09").cast("date")
+                && col("_day") < lit("1970-01-23").cast("date"))
+              .select(col("level"), col("r"), col("bucket"), col("c")))
+          graft.ops.Sketch.rankQuantiles(merged,
+            graft.queries.RankSketchSql.Permilles,
+            graft.queries.RankSketchSql.Depth,
+            graft.queries.RankSketchSql.Width).count()
+        }
+        graft.core.Checkpoints.release(byDay)
+        res
+      },
+      "rank_rolling_read" -> { k =>
+        // rolling 7-day quantiles off the same day cells (round 17):
+        // the guarded bounded collect + primitive-array window merges
+        // + per-window walks, all days×grid-sized — expect exponent
+        // ~0 like the range read.
+        val ev = eventsAt(k).withColumn("_day", to_date(col("ts")))
+        val byDay = graft.ops.Sketch.rankGridBy(ev,
+          unix_micros(col("ts")), Seq("_day"),
+          graft.queries.RankSketchSql.Depth,
+          graft.queries.RankSketchSql.Width).localCheckpoint()
+        val res = timeIt {
+          graft.ops.Sketch.rankRollingQuantiles(byDay, "_day",
+            windowDays = 7, graft.queries.RankSketchSql.Permilles,
+            graft.queries.RankSketchSql.Depth,
+            graft.queries.RankSketchSql.Width).count()
+        }
+        graft.core.Checkpoints.release(byDay)
+        res
+      },
+      "kmv_range_read" -> { k =>
+        // the KMV face of the cell read (round 17): day synopses build
+        // outside the clock (≤64 longs per day), timed = filter the
+        // 14-day slice, bottom-k merge, estimate — synopses-sized
+        // work, expect exponent ~0.
+        val ev = eventsAt(k).withColumn("_day", to_date(col("ts")))
+        val perDay = graft.ops.Sketch.kmvSynopsis(ev, "user_id", 64,
+          Seq("_day")).localCheckpoint()
+        val res = timeIt {
+          graft.ops.Sketch.mergeKmvSynopses(64, Seq.empty,
+            perDay.filter(col("_day") >= lit("1970-01-09").cast("date")
+                && col("_day") < lit("1970-01-23").cast("date"))
+              .select(col("kmv"))).count()
+        }
+        graft.core.Checkpoints.release(perDay)
+        res
+      },
       "top_paths" -> { k =>
         // top-k entry paths (round 15): ONE user-keyed sort window
         // over the event scan; users ramp with k at constant

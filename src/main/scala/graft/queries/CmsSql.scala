@@ -52,14 +52,15 @@ object CmsSql {
     * which consumes the `strs(s)` CTE it contains). */
   val gridCtes: String = gridCtesOver("SELECT text FROM documents")
 
-  /** Grouped twin of [[gridCtes]]: per-`groupCol` grids over the same
-    * token space. Ends in `cms(g, r, bucket, c)`; `tb(s, r, bucket)`
-    * stays group-free (the hash doesn't see the group — exactly like
-    * the Spark side, where the bucket rides the token). */
-  def gridCtesBy(groupCol: String): String =
-    s"""tok AS (SELECT $groupCol AS g,
+  /** Grouped twin of [[gridCtesOver]]: per-group grids over one token
+    * space. `srcSelect` must produce (g, text); ends in
+    * `cms(g, r, bucket, c)`; `tb(s, r, bucket)` stays group-free (the
+    * hash doesn't see the group — exactly like the Spark side, where
+    * the bucket rides the token). */
+  def gridCtesByOver(srcSelect: String): String =
+    s"""tok AS (SELECT g,
                   unnest(string_split(text, ' ')) AS s
-                FROM documents),
+                FROM ($srcSelect)),
        tf AS (SELECT g, s, CAST(count(*) AS BIGINT) AS exact
               FROM tok WHERE len(s) > 0 GROUP BY 1, 2),
        strs AS (SELECT DISTINCT s FROM tf),
@@ -68,4 +69,9 @@ object CmsSql {
               FROM mm CROSS JOIN (SELECT unnest($rList) AS r) rr),
        cms AS (SELECT tf.g, tb.r, tb.bucket, SUM(tf.exact) AS c
                FROM tb JOIN tf ON tb.s = tf.s GROUP BY 1, 2, 3)"""
+
+  /** [[gridCtesByOver]] over the documents table — the spelling the
+    * two grouped heavy-hitter faces share. */
+  def gridCtesBy(groupCol: String): String =
+    gridCtesByOver(s"SELECT $groupCol AS g, text FROM documents")
 }

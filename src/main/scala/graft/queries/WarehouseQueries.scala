@@ -98,6 +98,47 @@ object WarehouseQueries extends QueryGroup {
               (SELECT q_est FROM ($rankRangeOracle)
                WHERE permille = 500) r"""
 
+  /** Composition v11's per-user faces — the UNBOUNDED-group-domain
+    * spellings: [[hhBySourceOracle]]'s CTE skeleton over
+    * (user_id, props) and the grouped recursive walk over
+    * (user_id, epoch micros). Group domain = every user — the domain
+    * class the collected walks' maxGroups guards exist to reject. */
+  private val hhByUserOracle: String =
+    s"""WITH ${CmsSql.gridCtesByOver(
+           "SELECT user_id AS g, props AS text FROM events")},
+       est AS (SELECT tf.g, tb.s, MIN(cms.c) AS est
+               FROM tb JOIN tf ON tb.s = tf.s
+               JOIN cms ON cms.g = tf.g AND cms.r = tb.r
+                 AND cms.bucket = tb.bucket
+               GROUP BY 1, 2),
+       ranked AS (SELECT tf.g, tf.s, est.est, tf.exact,
+                    row_number() OVER (PARTITION BY tf.g
+                      ORDER BY est.est DESC, tf.s) AS rn
+                  FROM tf JOIN est ON est.g = tf.g AND est.s = tf.s)
+       SELECT g AS user_id, s AS token, CAST(est AS BIGINT) AS est,
+              exact
+       FROM ranked WHERE rn <= 1"""
+
+  private val rankByUserOracle: String =
+    s"""WITH RECURSIVE
+       ${RankSketchSql.groupedWalkCtes(
+         "SELECT user_id AS g, epoch_us(ts) AS v FROM events " +
+           "WHERE ts IS NOT NULL AND user_id IS NOT NULL")}
+       SELECT g AS user_id, CAST(p AS BIGINT) AS permille,
+              pfx AS q_est
+       FROM walk WHERE level = -1"""
+
+  private val userDashboardOracle: String =
+    s"""SELECT e.user_id, e.n_events, h.token AS top_token,
+           h.est AS top_token_est, r.q_est AS p500_ts_us
+       FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+             FROM events GROUP BY 1) e
+       JOIN (SELECT user_id, token, est FROM ($hhByUserOracle)) h
+         ON h.user_id = e.user_id
+       JOIN (SELECT user_id, q_est FROM ($rankByUserOracle)
+             WHERE permille = 500) r
+         ON r.user_id = e.user_id"""
+
   /** Deterministic "dirty" entity side for the linkage queries: one
     * digit substituted (custkey%3==0), one digit deleted (%3==1), or
     * untouched (%3==2), at digit position 10 + custkey%8 — the same
@@ -1585,6 +1626,41 @@ object WarehouseQueries extends QueryGroup {
       Sketch.rankQuantilesByJoin(grid, Seq("event_type"),
         RankSketchSql.Permilles, RankSketchSql.Depth,
         RankSketchSql.Width)
+    },
+
+    // Composition v11 — the PER-USER dashboard on the UNBOUNDED
+    // faces: one statement answers "how active is each user, what do
+    // they do, when is their median moment" for EVERY user — a group
+    // domain that grows with the corpus, exactly the class the
+    // collected walks' maxGroups guards reject at scale. Every face
+    // is collect-free and broadcast-free: plain grouped count,
+    // shuffled-grid heavy hitters (cmsHeavyHittersByJoin — the
+    // q_heavy_hitters_join face), and the fused join walk
+    // (rankQuantilesByJoin — the q_rank_quantiles_join face); every
+    // shuffle is keyed on user_id, so at 100 TB this is three
+    // group-partitioned passes and two user-keyed joins, state
+    // walker/grid-sized throughout. The oracle composes the SAME
+    // grouped spellings those standalone faces verify (the CTE
+    // skeletons of hhBySourceOracle and groupedWalkCtes, re-sourced
+    // per user) as scoped subqueries — v10's shared-spelling
+    // discipline on the unbounded family.
+    q("q_user_dashboard", "warehouse", userDashboardOracle) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+      val counts = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      val top1 = Sketch.cmsHeavyHittersByJoin(ev, "props", "user_id",
+          CmsSql.Depth, CmsSql.Width, k = 1)
+        .select(col("user_id"), col("token").as("top_token"),
+          col("est").as("top_token_est"))
+      val grid = Sketch.rankGridBy(ev.filter(col("ts").isNotNull),
+        unix_micros(col("ts")), Seq("user_id"),
+        RankSketchSql.Depth, RankSketchSql.Width)
+      val p500 = Sketch.rankQuantilesByJoin(grid, Seq("user_id"),
+          Seq(500), RankSketchSql.Depth, RankSketchSql.Width)
+        .select(col("user_id"), col("q_est").as("p500_ts_us"))
+      counts.join(top1, "user_id").join(p500, "user_id")
     },
 
     // Entity resolution end-to-end: clean + dirtied names as ONE

@@ -21,6 +21,31 @@ import org.apache.spark.sql.types._
   */
 object IngestStream {
 
+  /** Day-cell state compaction — the retention face of the streaming
+    * synopsis warehouse: keep only the newest `retain` DISTINCT day
+    * keys (any orderable day representation; NULL day keys never
+    * survive), dropping older day slices WHOLE. Distinct-day
+    * retention is the direct state bound — streamed state is
+    * days×cells, so the compacted state is ≤ `retain` day slices
+    * however sparse or dense the calendar — and it never rewrites a
+    * surviving cell (spec-pinned: retained slices are bit-identical
+    * to the uncompacted fold's). A late arrival older than the
+    * horizon folds in and is dropped at the same step — the lateness
+    * contract the rolling-window family already carries. The horizon
+    * probe is one distinct+limit over the days dimension per fold
+    * step: days-sized, never corpus-sized. */
+  def compactToNewestDays(state: DataFrame, dayCol: String,
+      retain: Option[Int]): DataFrame = retain match {
+    case None => state
+    case Some(nd) =>
+      require(nd >= 1, s"retainDays must be >= 1: $nd")
+      val hs = state.select(col(dayCol)).distinct()
+        .orderBy(col(dayCol).desc).limit(nd)
+        .agg(min(col(dayCol))).collect()
+      if (hs.isEmpty || hs(0).isNullAt(0)) state
+      else state.filter(col(dayCol) >= lit(hs(0).get(0)))
+  }
+
   /** documents schema as stored. */
   val docsFileSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -225,17 +250,21 @@ object IngestStream {
   def runKmvToBatch(spark: SparkSession, path: String,
       valueCol: String, k: Int, groupCols: Seq[String],
       schema: StructType,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      retainDays: Option[Int] = None): DataFrame = {
     import graft.core.Checkpoints
     import graft.ops.Sketch
+    require(retainDays.isEmpty || groupCols.size == 1,
+      "runKmvToBatch: retainDays needs exactly one (day) group column")
     var syn = Option.empty[DataFrame]
     StreamRun.boundedForeach(spark, path, schema,
         maxFilesPerTrigger) { b =>
       if (!b.isEmpty) {
         val p = Sketch.kmvSynopsis(b, valueCol, k, groupCols)
-        val merged = syn
-          .map(s => Sketch.mergeKmvSynopses(k, groupCols, s, p))
-          .getOrElse(p).localCheckpoint()
+        val merged = compactToNewestDays(
+          syn.map(s => Sketch.mergeKmvSynopses(k, groupCols, s, p))
+            .getOrElse(p), groupCols.headOption.orNull, retainDays)
+          .localCheckpoint()
         syn.foreach(Checkpoints.release)
         syn = Some(merged)
       }
@@ -425,11 +454,20 @@ object IngestStream {
     * from it is materialized (release-before-use throws). The catalog
     * queries retain it for the query's lifetime by design: the state
     * is synopsis-sized (days×cells here, never history-sized), and
-    * each invocation strands at most one grid. */
+    * each invocation strands at most one grid.
+    *
+    * `retainDays = Some(n)` bounds the state HORIZON too: after each
+    * fold step only the newest `n` distinct day keys survive (the
+    * [[compactToNewestDays]] contract) — without it the day dimension
+    * grows one slice per event-time day forever; with it the state is
+    * ≤ n × depth·width cells however long the stream runs, and the
+    * surviving days' cells are untouched (retention drops whole day
+    * slices, never rewrites one — spec-pinned). */
   def runCmsByToBatch(spark: SparkSession, path: String,
       textCol: String, groupCol: String, depth: Int, width: Int,
       schema: StructType,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      retainDays: Option[Int] = None): DataFrame = {
     import graft.core.Checkpoints
     import graft.ops.Sketch
     var grid = Option.empty[DataFrame]
@@ -437,9 +475,9 @@ object IngestStream {
         maxFilesPerTrigger) { b =>
       if (!b.isEmpty) {
         val p = Sketch.cmsTableBy(b, textCol, groupCol, depth, width)
-        val merged = grid
-          .map(g => Sketch.mergeCmsTablesBy(Seq(groupCol), g, p))
-          .getOrElse(p).localCheckpoint()
+        val merged = compactToNewestDays(
+          grid.map(g => Sketch.mergeCmsTablesBy(Seq(groupCol), g, p))
+            .getOrElse(p), groupCol, retainDays).localCheckpoint()
         grid.foreach(Checkpoints.release)
         grid = Some(merged)
       }
@@ -505,11 +543,15 @@ object IngestStream {
     *
     * @param day resolved against each micro-batch (e.g.
     *        `to_date(col("ts"))`); the returned column is `_day`.
+    * `retainDays`: see [[runCmsByToBatch]] — newest-n-distinct-days
+    * state horizon via [[compactToNewestDays]].
+    *
     * @return the folded (_day, level, r, bucket, c) day cells. */
   def runRankGridByToBatch(spark: SparkSession, path: String,
       value: Column, day: Column, depth: Int, width: Int,
       schema: StructType,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      retainDays: Option[Int] = None): DataFrame = {
     import graft.core.Checkpoints
     import graft.ops.Sketch
     var grid = Option.empty[DataFrame]
@@ -518,9 +560,9 @@ object IngestStream {
       if (!b.isEmpty) {
         val p = Sketch.rankGridBy(b.withColumn("_day", day), value,
           Seq("_day"), depth, width)
-        val merged = grid
-          .map(g => Sketch.mergeRankGridsBy(Seq("_day"), g, p))
-          .getOrElse(p).localCheckpoint()
+        val merged = compactToNewestDays(
+          grid.map(g => Sketch.mergeRankGridsBy(Seq("_day"), g, p))
+            .getOrElse(p), "_day", retainDays).localCheckpoint()
         grid.foreach(Checkpoints.release)
         grid = Some(merged)
       }

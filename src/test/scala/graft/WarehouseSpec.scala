@@ -414,6 +414,59 @@ class SketchSpec extends AnyFunSuite {
     } finally graft.core.Fs.deleteRecursively(staged.toFile)
   }
 
+  test("streaming day-cell retention: state stays at retainDays " +
+      "slices however long the history, surviving slices are " +
+      "bit-identical to the unbounded fold's") {
+    def keyed(g: org.apache.spark.sql.DataFrame) =
+      g.select(col("day").cast("long"), col("r").cast("long"),
+          col("bucket").cast("long"), col("c").cast("long"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (d, r, b, c) => (d, r, b) -> c }.toMap
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // every day arrives in EVERY batch (contiguous id chunks), so
+    // retained days accumulate contributions across all batches —
+    // pinning that compaction drops whole slices and never rewrites
+    // a survivor mid-fold
+    def run(nDays: Long, retain: Int) = {
+      val docs = (1L to 10L * nDays)
+        .map(i => (i % nDays, s"w${i % 7} w${i % 3} tail", i))
+        .toDF("day", "text", "id")
+      val staged =
+        java.nio.file.Files.createTempDirectory("graft_ret")
+      try {
+        (0 until 5).foreach(i =>
+          docs.filter(((col("id") - 1) / (2 * nDays))
+              .cast("long") === i)
+            .select("day", "text")
+            .coalesce(1).write.mode("append").parquet(staged.toString))
+        val st = graft.streaming.IngestStream.runCmsByToBatch(
+          spark, staged.toString, "text", "day", 4, 32, schema,
+          maxFilesPerTrigger = Some(1), retainDays = Some(retain))
+        (keyed(st), docs)
+      } finally graft.core.Fs.deleteRecursively(staged.toFile)
+    }
+    val (st20, docs20) = run(20, 4)
+    // horizon: exactly the newest 4 distinct days survive
+    assert(st20.keySet.map(_._1) === Set(16L, 17L, 18L, 19L))
+    // surviving slices carry their FULL cross-batch counts: equal the
+    // direct (unbounded) grouped grid restricted to those days
+    val direct = Sketch.cmsTableBy(docs20.filter(col("day") >= 16),
+      "text", "day", depth = 4, width = 32)
+    assert(st20 === direct.select(col("day").cast("long"),
+        col("r").cast("long"), col("bucket").cast("long"),
+        col("c").cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, r, b, c) => (d, r, b) -> c }.toMap)
+    // state is FLAT in history length: double the day span, same
+    // retention → same slice count
+    val (st40, _) = run(40, 4)
+    assert(st40.keySet.map(_._1) === Set(36L, 37L, 38L, 39L))
+  }
+
   test("range read path (q_cms_range): per-day grids filtered to a " +
       "subrange and merged answer identically to the monolithic " +
       "grid/probe on the sliced corpus") {
