@@ -698,16 +698,33 @@ object Sketch {
     import graft.core.{Checkpoints, GraftSession}
     val spark = grid.sparkSession
     val gcols = groupCols.map(col)
-    val gCp0 = grid.localCheckpoint()
+    // the grid is the walk's one corpus-scale frame (cells ≈ rows×32
+    // at full value diversity) — hold its checkpoints SERIALIZED so
+    // memory pressure spills to disk instead of unrolling
+    // deserialized row arrays into the heap (the 64× ramp cell OOMed
+    // the 8 GB driver exactly there); walker checkpoints stay default
+    // (walkers-sized)
+    val gridLevel =
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val gCp0 = grid.localCheckpoint(true, gridLevel)
     val ps = permilles.distinct.sorted
+    // size the static loop plan by the LARGEST frame a round touches,
+    // not the walker count alone: the exploded walker fan is walkers ×
+    // 16·16·2·depth rows and each round joins two grid level slices
+    // (grid/8 rows) — sizing by walkers alone put an 82M-cell per-user
+    // grid (and its 196M-row fan) into ONE task at the 64× ramp cell
+    // (983 s, measured) while leaving dashboard-sized domains at p=1
+    val nWalkers = gCp0.select(gcols: _*).distinct().count() *
+      ps.length
+    val fanRows = nWalkers * 16L * 16L * 2L * depth
     val p = GraftSession.loopPartitionsOf(
-      gCp0.select(gcols: _*).distinct().count() * ps.length)
+      math.max(fanRows, gCp0.count()))
     // the loop scans the grid 16 times (one level slice each) — hold
     // it at the LOOP's partition count, not the build's, or every
     // scan pays build-width task floors (617 → ~300 tasks measured).
     // Everything downstream (walkers included) must derive from THIS
     // checkpoint so the build-width one can release.
-    val gCp = gCp0.repartition(p).localCheckpoint()
+    val gCp = gCp0.repartition(p).localCheckpoint(true, gridLevel)
     Checkpoints.release(gCp0)
     val nPerGroup = gCp.filter(col("level") === 15 && col("r") === 0)
       .groupBy(gcols: _*).agg(sum(col("c")).as("_n"))
