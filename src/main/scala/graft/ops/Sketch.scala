@@ -663,30 +663,43 @@ object Sketch {
     * [[rankQuantilesBy]]'s maxGroups guard names: per-group permille
     * quantiles off a [[rankGridBy]] grid with NO driver collect of
     * cells. Walkers (one per group × permille) descend the 16-ary
-    * prefix tree TWO levels per join round: the walker frame fans to
-    * its 16² = 256 grandchildren (j1, j2) × both level slices × depth
-    * cells, left-joins the grid (absent cell = 0), takes the
-    * per-child min over r for each level, and two chained per-walker
-    * cumulative-sum windows pick first the child j1 whose running
-    * upper-level mass reaches the target (else 15), then — from j1's
-    * rebased mass — the grandchild j2 (else 15): EXACTLY two
-    * consecutive iterations of [[walkGrid]]'s inner loop, re-expressed
-    * relationally (the same integer mins and sums in the same order,
-    * so outputs are bit-identical; RankSketchSpec pins fused ≡
-    * sequential and `q_rank_quantiles_join` shares the grouped
-    * recursive-CTE oracle verbatim). Per-group n reads off the
-    * level-15 r=0 slice.
+    * prefix tree via bounded-fan joins against the grid's level
+    * slices: the walker frame fans to its children × depth cells,
+    * left-joins the grid (absent cell = 0), takes the per-child min
+    * over r, and a per-walker cumulative-sum window picks the first
+    * child whose running mass reaches the target (else 15) —
+    * [[walkGrid]]'s inner loop re-expressed relationally (the same
+    * integer mins and sums in the same order, so outputs are
+    * bit-identical; RankSketchSpec pins both descent orders against
+    * the collected walk and `q_rank_quantiles_join` shares the
+    * grouped recursive-CTE oracle verbatim). Per-group n reads off
+    * the level-15 r=0 slice.
     *
-    * Scale shape: every frame is walkers-sized (groups × permilles —
-    * millions of groups are fine; the grid stays distributed and is
-    * materialized once, each round joining only its two level
-    * slices); 8 bounded-fan joins under a static loop plan,
-    * checkpointed every 2 rounds. The 2-level fuse exists because the
-    * walk's cost is round floors, not rows: 8 driver jobs instead of
-    * 16 for a 256-way fan that is still walkers-sized. Locally the 8
-    * rounds still pay the per-job floor, so for dashboard-sized group
-    * domains [[rankQuantilesBy]]'s collected walk is the faster
-    * face — this is the 100 TB one. */
+    * The DESCENT ORDER adapts to the fan size. While the whole
+    * walker fan is floor-dominated (a task or two of rows), rounds
+    * cost driver floors, not CPU — so the walk fuses TWO levels per
+    * round (16² = 256 grandchildren (j1, j2) × both level slices;
+    * two chained windows pick j1 off the upper level's running mass,
+    * then j2 off j1's rebased mass): 8 rounds instead of 16 at an 8×
+    * candidate multiplier that costs nothing when the fan is tiny.
+    * Past ~100k fan rows the walk is CPU-shaped and descends ONE
+    * level per round — candidates drop 16× while rounds only double.
+    *
+    * Scale shape: every walker frame is walkers-sized (groups ×
+    * permilles — millions of groups are fine; the grid stays
+    * distributed and is materialized once, each round joining only
+    * its level slice(s)); grid and walkers are co-partitioned on the
+    * GROUP columns, a subset of every round's join/agg/window keys,
+    * so the descent runs exchange-free under the static loop plan,
+    * checkpointed every 4 levels; group skew cannot exist by
+    * construction (per-group cells are sketch-bounded, per-walker
+    * fans fixed). Corpus-scale grid checkpoints are heap-safe: the
+    * build checkpoint is serialized (scanned twice), the loop
+    * checkpoint stays deserialized below ~16M cells (scanned 16
+    * times) and serialized above. Locally the rounds pay the
+    * per-job/per-stage floor, so for dashboard-sized group domains
+    * [[rankQuantilesBy]]'s collected walk is the faster face — this
+    * is the 100 TB one. */
   def rankQuantilesByJoin(grid: DataFrame, groupCols: Seq[String],
       permilles: Seq[Int], depth: Int = 2,
       width: Int = 2048): DataFrame = {
@@ -699,14 +712,14 @@ object Sketch {
     val spark = grid.sparkSession
     val gcols = groupCols.map(col)
     // the grid is the walk's one corpus-scale frame (cells ≈ rows×32
-    // at full value diversity) — hold its checkpoints SERIALIZED so
-    // memory pressure spills to disk instead of unrolling
+    // at full value diversity) — hold the BUILD checkpoint SERIALIZED
+    // so memory pressure spills to disk instead of unrolling
     // deserialized row arrays into the heap (the 64× ramp cell OOMed
-    // the 8 GB driver exactly there); walker checkpoints stay default
-    // (walkers-sized)
-    val gridLevel =
+    // the 8 GB driver exactly there); it is scanned only twice (the
+    // count and the repartition), so the deserialize cost is one-off
+    val serLevel =
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val gCp0 = grid.localCheckpoint(true, gridLevel)
+    val gCp0 = grid.localCheckpoint(true, serLevel)
     val ps = permilles.distinct.sorted
     // size the static loop plan by the LARGEST frame a round touches,
     // not the walker count alone: the exploded walker fan is walkers ×
@@ -717,14 +730,46 @@ object Sketch {
     val nWalkers = gCp0.select(gcols: _*).distinct().count() *
       ps.length
     val fanRows = nWalkers * 16L * 16L * 2L * depth
-    val p = GraftSession.loopPartitionsOf(
-      math.max(fanRows, gCp0.count()))
+    // dense-stage sizing, NOT loopPartitionsOf's 4M shuffle-rows/task:
+    // each round runs walker-partitioned window sorts plus a grid
+    // join over the fan — CPU-dense work. Two terms: ~1M rows/task
+    // keeps tasks meaty at corpus scale, and the core-fill floor
+    // (defaultParallelism, bounded so tasks never shrink below ~64k
+    // rows) keeps a mid-size walk from running 4-wide on a 32-core
+    // box (p=1 put q_user_dashboard's fan through single-task sorts:
+    // 17 s measured; p=4 still left 8× idle). Tiny dashboard-sized
+    // walks still land at p=1 — no added task floors.
+    val gridRows = gCp0.count()
+    val denseRows = math.max(fanRows, gridRows)
+    val coreFill = math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (denseRows + 65535L) / 65536L)
+    val p = math.min(math.max((denseRows + 999999L) / 1000000L,
+      math.max(1L, coreFill)), 65536L).toInt
     // the loop scans the grid 16 times (one level slice each) — hold
     // it at the LOOP's partition count, not the build's, or every
     // scan pays build-width task floors (617 → ~300 tasks measured).
     // Everything downstream (walkers included) must derive from THIS
     // checkpoint so the build-width one can release.
-    val gCp = gCp0.repartition(p).localCheckpoint(true, gridLevel)
+    // the LOOP's checkpoint is scanned 16 times (one level slice per
+    // scan): hold it deserialized while it fits comfortably (a
+    // serialized copy re-pays decompress+deserialize on every scan —
+    // ~50 s of task time on a 3.2M-cell grid, measured), serialized
+    // only past ~16M cells (~1.6 GB deserialized) where heap safety
+    // beats scan cost. Partitioned BY THE GROUP COLUMNS: the walkers
+    // hash the same way, and since every per-round key set — the
+    // slice join's (groups, r, bucket), the pick groupBy's, the two
+    // windows' (groups, permille) — is a SUPERSET of gcols, the
+    // whole descent runs co-partitioned with ZERO exchanges. Safe
+    // against group skew by construction: a group's cells are
+    // sketch-bounded (16·depth·width) and a walker's fan is fixed,
+    // whatever the corpus put in the group.
+    val loopLevel =
+      if (gridRows <= 16000000L)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else serLevel
+    val gCp = gCp0.repartition(p, gcols: _*)
+      .localCheckpoint(true, loopLevel)
     Checkpoints.release(gCp0)
     val nPerGroup = gCp.filter(col("level") === 15 && col("r") === 0)
       .groupBy(gcols: _*).agg(sum(col("c")).as("_n"))
@@ -735,9 +780,64 @@ object Sketch {
         expr("(permille * _n + 999) div 1000"))
       .select(gcols ++ Seq(col("permille"), col("target"),
         lit(0L).as("pfx"), lit(0L).as("base")): _*)
-    var w = walkers0
     var prevCp = Option.empty[DataFrame]
+    // the 2-level fuse halves the round (= job-floor) count but
+    // evaluates 16² grandchildren per round where the sequential
+    // descent evaluates 2×16 — an 8× candidate-CPU multiplier that
+    // only pays while the whole fan is floor-dominated (a task or
+    // two). Past that the walk is CPU-shaped and the single-level
+    // descent is the scale path: fanRows-per-round drops 16× while
+    // rounds only double. Both orders are bit-identical —
+    // RankSketchSpec pins fused ≡ sequential ≡ collected.
+    val fuse = fanRows <= 100000L
+    var w = walkers0
     GraftSession.withLoopConf(spark, p) {
+      // hash the walkers exactly like the grid checkpoint: from here
+      // every join, groupBy, and window in the descent is satisfied
+      // by this one partitioning — no further exchange until the
+      // result
+      w = w.repartition(p, gcols: _*)
+      if (!fuse) {
+        var level = 15
+        while (level >= 0) {
+          val lvlCells = gCp.filter(col("level") === level)
+            .select(gcols ++ Seq(col("r"), col("bucket"),
+              col("c")): _*)
+          val byWalker = org.apache.spark.sql.expressions.Window
+            .partitionBy(gcols :+ col("permille"): _*)
+          val stepped = w
+            .withColumn("j",
+              explode(array((0 until 16).map(i => lit(i.toLong)): _*)))
+            .withColumn("cp", col("pfx") * 16 + col("j"))
+            .withColumn("r",
+              explode(array((0 until depth).map(lit(_)): _*)))
+            .withColumn("bucket", rankBucket(col("cp"),
+              lit(level.toLong * depth) + col("r"), width))
+            .join(lvlCells, groupCols ++ Seq("r", "bucket"), "left")
+            .groupBy(gcols ++ Seq(col("permille"), col("target"),
+              col("pfx"), col("base"), col("j")): _*)
+            .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+            .withColumn("S", sum(col("est")).over(byWalker
+              .orderBy(col("j")).rowsBetween(
+                org.apache.spark.sql.expressions.Window
+                  .unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+            .withColumn("pick", min(when(
+              col("base") + col("S") >= col("target"), col("j")))
+              .over(byWalker))
+            .filter(col("j") === coalesce(col("pick"), lit(15L)))
+            .select(gcols ++ Seq(col("permille"), col("target"),
+              (col("pfx") * 16 + col("j")).as("pfx"),
+              (col("base") + col("S") - col("est")).as("base")): _*)
+          w = if (level % 4 == 0) {
+            val cp = stepped.localCheckpoint()
+            prevCp.foreach(Checkpoints.release)
+            prevCp = Some(cp)
+            cp
+          } else stepped
+          level -= 1
+        }
+      } else {
       var hi = 15
       while (hi >= 1) {
         val lo = hi - 1
@@ -804,6 +904,7 @@ object Sketch {
           cp
         } else stepped
         hi -= 2
+      }
       }
     }
     // level 0 % 4 == 0, so the loop's last step ALWAYS checkpointed:

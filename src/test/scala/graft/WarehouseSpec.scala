@@ -675,6 +675,17 @@ class RankSketchSpec extends AnyFunSuite {
     assert(keyed(Sketch.rankQuantilesByJoin(wide, Seq("grp"), ps,
         D, W)) ===
       keyed(Sketch.rankQuantilesBy(wide, Seq("grp"), ps, D, W)))
+    // a 120-group domain crosses the walk's fuse threshold (fan >
+    // 100k rows), exercising the SEQUENTIAL single-level branch —
+    // both descent orders must stay bit-identical to the collected
+    // walk
+    val dfBig = (0 until 4800).map { i =>
+      (s"g${i % 120}", i.toLong * 7919L + (i % 120) * 1000003L)
+    }.toDF("grp", "x")
+    val big = Sketch.rankGridBy(dfBig, col("x"), Seq("grp"), D, 64)
+    assert(keyed(Sketch.rankQuantilesByJoin(big, Seq("grp"), ps,
+        D, 64)) ===
+      keyed(Sketch.rankQuantilesBy(big, Seq("grp"), ps, D, 64)))
   }
 
   test("rolling-window walk (q_rank_rolling): each window end's " +
