@@ -52,8 +52,10 @@ object Bench {
       if (shard.isEmpty && only.isEmpty) runSharded()
       else runInline(only, shard)
     println(line)
-    // full artifact survives the driver's tail truncation in-repo
-    if (shard.isEmpty) {
+    // full artifact survives the driver's tail truncation in-repo —
+    // FULL captures only: a BENCH_ONLY slice must not clobber the
+    // official capture file with a two-query artifact
+    if (shard.isEmpty && only.isEmpty) {
       try {
         val dir = java.nio.file.Paths.get("bench")
         java.nio.file.Files.createDirectories(dir)

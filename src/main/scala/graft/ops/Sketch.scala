@@ -791,11 +791,22 @@ object Sketch {
     // RankSketchSpec pins fused ≡ sequential ≡ collected.
     val fuse = fanRows <= 100000L
     var w = walkers0
+    // broadcast stays ON (the withLoopConf default): each round's
+    // slice join then broadcasts off the checkpoint's REAL size —
+    // measured against the co-partitioned no-broadcast sort-merge
+    // shape on the per-user domain, the broadcast plan wins (11.1 vs
+    // 18.8 s; the SMJ pays per-round sorts of both sides where the
+    // broadcast probe is hash lookups, and the build jobs overlap the
+    // scan cost the SMJ pays anyway). At corpus scale the planner
+    // flips to the shuffle join by size, which the co-partitioning
+    // below makes exchange-free.
     GraftSession.withLoopConf(spark, p) {
       // hash the walkers exactly like the grid checkpoint: from here
       // every join, groupBy, and window in the descent is satisfied
       // by this one partitioning — no further exchange until the
-      // result
+      // result (Spark 4.1 localCheckpoint PRESERVES the child plan's
+      // partitioning in its LogicalRDD, so it survives both the grid
+      // and the walker checkpoints — verified by plan inspection)
       w = w.repartition(p, gcols: _*)
       if (!fuse) {
         var level = 15
