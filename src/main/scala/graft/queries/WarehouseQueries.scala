@@ -1218,6 +1218,52 @@ object WarehouseQueries extends QueryGroup {
       } finally graft.core.Fs.deleteRecursively(staged.toFile)
     },
 
+    // The synopsis warehouse's DEPLOYMENT loop closed end to end:
+    // streaming ingest maintains the day cells AND re-lands every
+    // touched day through the REAL partitioned sink per micro-batch
+    // (runRankGridByToSink → PartitionedWriter.overwriteDays), then
+    // the 14-day range is answered from the PERSISTED dt=… cell
+    // table alone — partition-pruned scan, merge, walk; the corpus is
+    // never rescanned and the on-disk table was query-current after
+    // every trigger. Oracle = q_rank_range's VERBATIM, so
+    // stream-persisted ≡ batch-built ≡ monolithic-on-slice is one
+    // hash; at 100 TB this is the standing shape: cells stay current
+    // per ingest batch at touched-days×cells write cost, and any
+    // window query is a few day-directories of synopsis I/O.
+    q("q_stream_cells_persisted", "streaming", rankRangeOracle) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .select(col("event_id"), col("ts"))
+      val staged = java.nio.file.Files.createTempDirectory("graft_scp")
+      val cells = java.nio.file.Files.createTempDirectory("graft_scpw")
+      try {
+        (0 until 3).foreach(i =>
+          ev.filter(col("event_id") % 3 === i).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        graft.streaming.IngestStream.runRankGridByToSink(
+          spark, staged.toString, s"$cells/rank",
+          unix_micros(col("ts")), to_date(col("ts")),
+          RankSketchSql.Depth, RankSketchSql.Width,
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType))),
+          maxFilesPerTrigger = Some(1))
+        val merged = Sketch.mergeRankGrids(
+          spark.read.parquet(s"$cells/rank")
+            .filter(col("dt") >= lit(RangeLo).cast("date") &&
+              col("dt") < lit(RangeHi).cast("date"))
+            .select(col("level"), col("r"), col("bucket"), col("c")))
+        // driver-side walk → local rows, safe past both cleanups
+        Sketch.rankQuantiles(merged, RankSketchSql.Permilles,
+          RankSketchSql.Depth, RankSketchSql.Width)
+      } finally {
+        graft.core.Fs.deleteRecursively(staged.toFile)
+        graft.core.Fs.deleteRecursively(cells.toFile)
+      }
+    },
+
     // Curation composition v10 — the RANGE dashboard: one statement
     // answers "who, what, when" for an arbitrary date window entirely
     // from day cells — distinct users (merged KMV synopses), the top

@@ -575,6 +575,51 @@ object IngestStream {
         StructField("bucket", LongType),
         StructField("c", LongType)))))
   }
+
+  /** [[runRankGridByToBatch]] writing THROUGH the warehouse sink —
+    * the deployment shape of the whole synopsis story: every
+    * micro-batch folds into the maintained day cells AND re-lands the
+    * TOUCHED days' current cells via
+    * [[graft.write.PartitionedWriter.overwriteDays]] (dynamic per-day
+    * overwrite: a day directory always holds that day's full
+    * accumulated cells as of its last touching batch, and untouched
+    * days are never rewritten). The on-disk dt=… cell table is
+    * therefore query-current after every trigger, and any range
+    * query answers from a PARTITION-PRUNED scan of it — the corpus
+    * is never rescanned, and writes per trigger are
+    * touched-days×cells, not history-sized. The fold state equals
+    * the table at every step by construction (each day's cells are
+    * written whole whenever they change); the catalog query pins
+    * stream-persisted ≡ batch-built ≡ monolithic-on-slice through
+    * the shared range oracle hash. */
+  def runRankGridByToSink(spark: SparkSession, path: String,
+      sinkPath: String, value: Column, day: Column, depth: Int,
+      width: Int, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import graft.core.Checkpoints
+    import graft.ops.Sketch
+    var grid = Option.empty[DataFrame]
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val p = Sketch.rankGridBy(b.withColumn("_day", day), value,
+          Seq("_day"), depth, width)
+        val merged = grid
+          .map(g => Sketch.mergeRankGridsBy(Seq("_day"), g, p))
+          .getOrElse(p).localCheckpoint()
+        // the days THIS batch touched, re-landed whole from the
+        // merged state (the batch's own grid is day-complete only
+        // for days it alone covers; the merged slice always is)
+        val touched = p.select(col("_day")).distinct()
+        graft.write.PartitionedWriter.overwriteDays(
+          merged.join(broadcast(touched), Seq("_day"), "left_semi"),
+          sinkPath, "_day")
+        grid.foreach(Checkpoints.release)
+        grid = Some(merged)
+      }
+    }
+    grid.foreach(Checkpoints.release)
+  }
 }
 
 /** Shared bounded-run scaffolding for file-source streaming twins:

@@ -414,6 +414,48 @@ class SketchSpec extends AnyFunSuite {
     } finally graft.core.Fs.deleteRecursively(staged.toFile)
   }
 
+  test("streaming persisted cells (q_stream_cells_persisted): the " +
+      "sink-landed dt table equals the direct batch grouped grid " +
+      "bit for bit, one directory per day") {
+    val docs = (1L to 90L)
+      .map(i => (i % 4, s"w${i % 7} w${i % 3} tail", i))
+      .toDF("day", "text", "id")
+    val staged = java.nio.file.Files.createTempDirectory("graft_scps")
+    val sink = java.nio.file.Files.createTempDirectory("graft_scpk")
+    try {
+      (0 until 3).foreach(i =>
+        docs.filter(col("id") % 3 === i)
+          .select(col("day"), col("id").as("v"))
+          .coalesce(1).write.mode("append").parquet(staged.toString))
+      graft.streaming.IngestStream.runRankGridByToSink(
+        spark, staged.toString, sink.toString, col("v"), col("day"),
+        depth = 2, width = 64,
+        schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))),
+        maxFilesPerTrigger = Some(1))
+      // one dt=… directory per day key
+      val dirs = sink.toFile.listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("dt=")).sorted
+      assert(dirs.toSeq === Seq("dt=0", "dt=1", "dt=2", "dt=3"))
+      def keyed(g: org.apache.spark.sql.DataFrame, dc: String) =
+        g.select(col(dc).cast("long"), col("level").cast("long"),
+            col("r").cast("long"), col("bucket").cast("long"),
+            col("c").cast("long"))
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val persisted = keyed(spark.read.parquet(sink.toString), "dt")
+      val direct = keyed(Sketch.rankGridBy(
+        docs.withColumn("_day", col("day")), col("id"), Seq("_day"),
+        depth = 2, width = 64), "_day")
+      assert(persisted === direct)
+    } finally {
+      graft.core.Fs.deleteRecursively(staged.toFile)
+      graft.core.Fs.deleteRecursively(sink.toFile)
+    }
+  }
+
   test("streaming day-cell retention: state stays at retainDays " +
       "slices however long the history, surviving slices are " +
       "bit-identical to the unbounded fold's") {
