@@ -80,6 +80,29 @@ object PartitionedWriter {
       .parquet(path)
   }
 
+  /** Retention vacuum for a dt-partitioned table (the
+    * [[overwriteDays]] sink): drop every `dt=…` directory except the
+    * newest `keepDays`, by partition-value order. The persisted twin
+    * of [[graft.streaming.IngestStream.compactToNewestDays]]'s live-
+    * state horizon — together they bound BOTH copies of the synopsis
+    * warehouse's day dimension. Directory-level deletes only: a
+    * surviving day's cells are untouched bytes (spec-pinned), and the
+    * operation is idempotent. Returns the dropped partition values.
+    * Values compare in DIRECTORY-NAME form (Spark writes dt=2024-01-07
+    * style ISO dates and plain integers, both of which order
+    * correctly as strings of equal length); mixed-width integer day
+    * keys should use a fixed-width or date type. */
+  def vacuumDays(path: String, keepDays: Int): Seq[String] = {
+    require(keepDays >= 1, s"vacuumDays: keepDays must be >= 1: $keepDays")
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .sortBy(_.getName)
+    val drop = parts.dropRight(keepDays)
+    drop.foreach(d => graft.core.Fs.deleteRecursively(d))
+    drop.map(_.getName.stripPrefix("dt="))
+  }
+
   /** S5 append (tokens incremental load). */
   def append(df: DataFrame, path: String, filesPerPartition: Int = 1): Unit =
     df.repartition(filesPerPartition).write

@@ -586,6 +586,21 @@ class SketchSpec extends AnyFunSuite {
           col("day") === 4), "text", depth = 4, width = 32),
         Sketch.cmsTable(redo, "text", depth = 4, width = 32))
       assert(cells(after) === cells(expect))
+      // retention vacuum: keep the newest 2 day directories; the
+      // survivors' cells are untouched bytes and answer as before
+      val dropped = graft.write.PartitionedWriter.vacuumDays(
+        dir.toString, keepDays = 2)
+      assert(dropped === Seq("0", "1", "2", "3"))
+      val left = spark.read.parquet(dir.toString)
+      assert(left.select("dt").distinct()
+        .as[Long].collect().toSet === Set(4L, 5L))
+      assert(cells(Sketch.mergeCmsTables(left.filter(col("dt") === 4)
+          .select(col("r"), col("bucket"), col("c")))) ===
+        cells(Sketch.cmsTable(docs.filter(col("day") === 4), "text",
+          depth = 4, width = 32)))
+      // idempotent re-run drops nothing
+      assert(graft.write.PartitionedWriter.vacuumDays(
+        dir.toString, keepDays = 2).isEmpty)
     } finally graft.core.Fs.deleteRecursively(dir.toFile)
   }
 
