@@ -1,5 +1,6 @@
 package graft.write
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Small-file COMPACTION for a parquet directory — the warehouse
@@ -14,11 +15,19 @@ import org.apache.spark.sql.SparkSession
   * bytes (a listing, no data read), read → `repartition(n)` (a full
   * shuffle — deliberate: `coalesce` would chain narrow dependencies
   * and produce skewed merged files from skewed inputs) → write to a
-  * sibling staging dir → atomically swap via two renames (the staging
-  * dir is complete and fsync'd by the committer before the old dir is
-  * touched, so a crash leaves either the old or the new directory —
-  * never a half state; the reference-shaped warehouse treats a
-  * partition dir as the atomic unit the same way).
+  * sibling staging dir → swap via two renames (the staging dir is
+  * complete and committed before the old dir is touched, so a crash
+  * leaves either the old or the new directory — never a half state;
+  * the reference-shaped warehouse treats a partition dir as the
+  * atomic unit the same way).
+  *
+  * Filesystem: resolved from the PATH via the Hadoop FileSystem API,
+  * so the same call compacts `file:`, `hdfs:` and `s3a:` directories —
+  * `java.io.File` would silently find no files on anything non-local
+  * (an empty-looking table is exactly the failure a maintenance job
+  * must be loud about; a missing root THROWS). Note the rename swap
+  * is atomic on HDFS/local; on object stores it is copy-backed — the
+  * same caveat every rename-based committer carries there.
   *
   * Scale notes: compaction is embarrassingly parallel ACROSS
   * partitions — at warehouse scale run one compact() per (dt, bucket)
@@ -33,37 +42,40 @@ object Compactor {
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"not a directory: $path")
-    def parquetFiles(d: java.io.File): Array[java.io.File] =
-      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val dir = new Path(path)
+    val fs: FileSystem =
+      dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir) && fs.getFileStatus(dir).isDirectory,
+      s"compact: not a directory: $path")
+    def parquetFiles(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = parquetFiles(dir)
-    val totalBytes = before.map(_.length()).sum
+    val totalBytes = before.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val staging = new java.io.File(dir.getParentFile,
-      dir.getName + ".compact_tmp")
-    val retired = new java.io.File(dir.getParentFile,
-      dir.getName + ".compact_old")
-    graft.core.Fs.deleteRecursively(staging)
-    graft.core.Fs.deleteRecursively(retired)
+    val parent = dir.getParent
+    val staging = new Path(parent, dir.getName + ".compact_tmp")
+    val retired = new Path(parent, dir.getName + ".compact_old")
+    fs.delete(staging, true)
+    fs.delete(retired, true)
     val rows = try {
       val df = spark.read.parquet(path)
       df.repartition(n).write.mode("overwrite")
-        .parquet(staging.getAbsolutePath)
-      val written = spark.read.parquet(staging.getAbsolutePath).count()
+        .parquet(staging.toString)
+      val written = spark.read.parquet(staging.toString).count()
       // two-rename swap: old dir aside, staging into place, old dropped
-      require(dir.renameTo(retired),
+      require(fs.rename(dir, retired),
         s"compact: could not retire $path")
-      if (!staging.renameTo(dir)) {
+      if (!fs.rename(staging, dir)) {
         // roll back so the caller still has the original data
-        retired.renameTo(dir)
+        fs.rename(retired, dir)
         throw new IllegalStateException(
           s"compact: could not move staging into place for $path")
       }
       written
     } finally {
-      graft.core.Fs.deleteRecursively(retired)
-      graft.core.Fs.deleteRecursively(staging)
+      fs.delete(retired, true)
+      fs.delete(staging, true)
     }
     (before.length, parquetFiles(dir).length, rows)
   }

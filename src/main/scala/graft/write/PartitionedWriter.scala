@@ -1,6 +1,6 @@
 package graft.write
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S3/S4/S5: the partitioned warehouse sinks.
@@ -82,25 +82,60 @@ object PartitionedWriter {
 
   /** Retention vacuum for a dt-partitioned table (the
     * [[overwriteDays]] sink): drop every `dt=…` directory except the
-    * newest `keepDays`, by partition-value order. The persisted twin
-    * of [[graft.streaming.IngestStream.compactToNewestDays]]'s live-
-    * state horizon — together they bound BOTH copies of the synopsis
-    * warehouse's day dimension. Directory-level deletes only: a
-    * surviving day's cells are untouched bytes (spec-pinned), and the
-    * operation is idempotent. Returns the dropped partition values.
-    * Values compare in DIRECTORY-NAME form (Spark writes dt=2024-01-07
-    * style ISO dates and plain integers, both of which order
-    * correctly as strings of equal length); mixed-width integer day
-    * keys should use a fixed-width or date type. */
-  def vacuumDays(path: String, keepDays: Int): Seq[String] = {
+    * newest `keepDays`, by PARSED partition-value order. The persisted
+    * twin of [[graft.streaming.IngestStream.compactToNewestDays]]'s
+    * live-state horizon — together they bound BOTH copies of the
+    * synopsis warehouse's day dimension. Directory-level deletes only:
+    * a surviving day's cells are untouched bytes (spec-pinned), and
+    * the operation is idempotent. Returns the dropped partition
+    * values (directory-name form, ascending).
+    *
+    * Filesystem: resolved from the PATH via the Hadoop FileSystem API
+    * (`Path.getFileSystem` over the session's Hadoop conf), so the
+    * same call vacuums `file:`, `hdfs:` and `s3a:` tables — the
+    * storage a deployed warehouse actually lives on — instead of
+    * silently no-opping off `java.io.File` on anything non-local. A
+    * missing or non-directory root THROWS (a wrong path must be an
+    * error, never a silent full-retention run).
+    *
+    * Ordering: day keys compare as VALUES, not directory-name
+    * strings — ISO dates by epoch day and integers numerically, so
+    * mixed-width integer keys (dt=9 vs dt=10) order correctly — and
+    * the null partition (`__HIVE_DEFAULT_PARTITION__`, or any
+    * unparseable key) sorts OLDEST: it is vacuumed first and can
+    * never squat in the newest-`keepDays` window evicting a real
+    * day. Mixing date- and integer-typed keys in one table is
+    * rejected loudly (no meaningful cross-type order exists). */
+  def vacuumDays(spark: SparkSession, path: String,
+      keepDays: Int): Seq[String] = {
     require(keepDays >= 1, s"vacuumDays: keepDays must be >= 1: $keepDays")
-    val root = new java.io.File(path)
-    val parts = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
-      .sortBy(_.getName)
-    val drop = parts.dropRight(keepDays)
-    drop.foreach(d => graft.core.Fs.deleteRecursively(d))
-    drop.map(_.getName.stripPrefix("dt="))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"vacuumDays: table root does not exist or is not a directory: " +
+        s"$path — refusing to treat a wrong path as an empty table")
+    val parts = fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, "dt=*"))
+      .toSeq.filter(_.isDirectory)
+      .map(s => s.getPath -> s.getPath.getName.stripPrefix("dt="))
+    // parse each key to an orderable value: ISO date → epoch day,
+    // integer → itself, anything else (incl. the Hive null
+    // partition) → None = oldest
+    def parsed(v: String): Option[(Int, Long)] =
+      scala.util.Try(("date", java.time.LocalDate.parse(v).toEpochDay))
+        .orElse(scala.util.Try(("int", v.toLong))).toOption
+        .map { case (t, k) => (if (t == "date") 1 else 0, k) }
+    val keyed = parts.map { case (p, v) => (p, v, parsed(v)) }
+    val types = keyed.flatMap(_._3).map(_._1).distinct
+    require(types.size <= 1,
+      s"vacuumDays: mixed date- and integer-typed dt keys under $path" +
+        s" — no meaningful retention order exists across types")
+    val ordered = keyed.sortBy { case (_, _, k) =>
+      (k.isDefined, k.map(_._2).getOrElse(Long.MinValue))
+    }
+    val drop = ordered.dropRight(keepDays)
+    drop.foreach { case (p, _, _) => fs.delete(p, true): Unit }
+    drop.map(_._2)
   }
 
   /** S5 append (tokens incremental load). */

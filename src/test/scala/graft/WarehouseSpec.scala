@@ -589,7 +589,7 @@ class SketchSpec extends AnyFunSuite {
       // retention vacuum: keep the newest 2 day directories; the
       // survivors' cells are untouched bytes and answer as before
       val dropped = graft.write.PartitionedWriter.vacuumDays(
-        dir.toString, keepDays = 2)
+        spark, dir.toString, keepDays = 2)
       assert(dropped === Seq("0", "1", "2", "3"))
       val left = spark.read.parquet(dir.toString)
       assert(left.select("dt").distinct()
@@ -600,7 +600,47 @@ class SketchSpec extends AnyFunSuite {
           depth = 4, width = 32)))
       // idempotent re-run drops nothing
       assert(graft.write.PartitionedWriter.vacuumDays(
-        dir.toString, keepDays = 2).isEmpty)
+        spark, dir.toString, keepDays = 2).isEmpty)
+    } finally graft.core.Fs.deleteRecursively(dir.toFile)
+  }
+
+  test("vacuumDays: missing root THROWS (never a silent full-" +
+      "retention no-op), mixed-width integer keys order numerically, " +
+      "and the null partition sorts oldest") {
+    // a wrong path must be an error — the java.io.File spelling
+    // silently returned empty on any non-local FS and on typos alike
+    val gone = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_vac").toFile,
+      "never_written")
+    intercept[IllegalArgumentException] {
+      graft.write.PartitionedWriter.vacuumDays(
+        spark, gone.toString, keepDays = 1)
+    }
+    // mixed-width integer day keys: dt=9 is OLDER than dt=10 by
+    // value, though "9" > "10" as strings — retention must keep the
+    // numerically newest; and dt=__HIVE_DEFAULT_PARTITION__ (the
+    // null-day partition) must never squat in the newest window
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac2")
+    try {
+      Seq("dt=8", "dt=9", "dt=10", "dt=11",
+          "dt=__HIVE_DEFAULT_PARTITION__").foreach { d =>
+        val p = dir.resolve(d)
+        java.nio.file.Files.createDirectory(p)
+        java.nio.file.Files.writeString(p.resolve("part-0.parquet"), "x")
+      }
+      val dropped = graft.write.PartitionedWriter.vacuumDays(
+        spark, dir.toString, keepDays = 2)
+      assert(dropped === Seq("__HIVE_DEFAULT_PARTITION__", "8", "9"))
+      val left = Option(dir.toFile.listFiles()).toSeq.flatten
+        .map(_.getName).sorted
+      assert(left === Seq("dt=10", "dt=11"))
+      // mixing date- and integer-typed keys has no meaningful
+      // cross-type retention order — rejected loudly
+      java.nio.file.Files.createDirectory(dir.resolve("dt=2024-01-07"))
+      intercept[IllegalArgumentException] {
+        graft.write.PartitionedWriter.vacuumDays(
+          spark, dir.toString, keepDays = 2)
+      }
     } finally graft.core.Fs.deleteRecursively(dir.toFile)
   }
 
