@@ -146,14 +146,19 @@ object Bench {
       def spreadOf(line: String): Double =
         "\"spread\":(-?[0-9.]+)".r.findFirstMatchIn(line)
           .map(_.group(1).toDouble).getOrElse(-1.0)
-      // the attempt's quieter serial-floor reading; a parse miss reads
-      // as gate-pass (never block the artifact on a format surprise)
+      // the attempt's quieter serial-floor reading; a parse miss
+      // reads as the SENTINEL -1 — still gate-pass (never block the
+      // artifact on a format surprise) but visibly distinct in the
+      // floor_gate object from a genuinely quiet box, so a
+      // calibration-format drift cannot silently disable the noise
+      // defense (worst_floor_ms:-1 = "the gate read nothing")
+      val floorMiss = -1.0
       def floorOf(line: String): Double = {
         def g(k: String) = ("\"" + k + "\":(-?[0-9.]+)").r
           .findFirstMatchIn(line).map(_.group(1).toDouble)
         (g("floor_start_ms"), g("floor_end_ms")) match {
           case (Some(a), Some(b)) => math.min(a, b)
-          case (a, b) => a.orElse(b).getOrElse(0.0)
+          case (a, b) => a.orElse(b).getOrElse(floorMiss)
         }
       }
       def gateOk(line: String): Boolean = floorOf(line) <= floorBar
@@ -197,9 +202,16 @@ object Bench {
       }
       // the merged artifact records the gate decision once, over the
       // SELECTED attempts: pass=false = the box never went quiet
-      // within the retry budget for at least one shard
-      val worstFloor = shardLines.map(floorOf).max
-      val floorGate = s""""floor_gate":{"bar_ms":${d2(floorBar)},"worst_floor_ms":${d2(worstFloor)},"pass":${worstFloor <= floorBar}}"""
+      // within the retry budget for at least one shard. A shard whose
+      // calibration failed to parse (sentinel) is stamped separately:
+      // pass with floor_miss_shards>0 means "quiet as far as the gate
+      // could READ", not "measured quiet".
+      val floors = shardLines.map(floorOf)
+      val misses = floors.count(_ == floorMiss)
+      val worstFloor = floors.max
+      val missField =
+        if (misses > 0) s""","floor_miss_shards":$misses""" else ""
+      val floorGate = s""""floor_gate":{"bar_ms":${d2(floorBar)},"worst_floor_ms":${d2(worstFloor)}$missField,"pass":${worstFloor <= floorBar}}"""
       if (discarded.nonEmpty) {
         try {
           val dir = java.nio.file.Paths.get("bench")

@@ -1055,7 +1055,10 @@ object ScaleRamp {
           graft.ops.Sketch.mergeKmvSynopses(64, Seq.empty,
             perDay.filter(col("_day") >= lit("1970-01-09").cast("date")
                 && col("_day") < lit("1970-01-23").cast("date"))
-              .select(col("kmv"))).count()
+              .select(col("kmv")))
+            .select(graft.ops.Sketch.kmvEstimate(col("kmv"), 64)
+              .as("est"))
+            .count()
         }
         graft.core.Checkpoints.release(perDay)
         res

@@ -729,7 +729,17 @@ object Sketch {
     // (983 s, measured) while leaving dashboard-sized domains at p=1
     val nWalkers = gCp0.select(gcols: _*).distinct().count() *
       ps.length
-    val fanRows = nWalkers * 16L * 16L * 2L * depth
+    // the fuse DECISION keys off the fused fan (would the 2-level
+    // round still be floor-dominated?); the SIZING below uses the fan
+    // of the branch actually taken — the sequential descent's real
+    // per-round fan is 16·depth per walker, 32× below the fused one,
+    // and sizing it by the fused multiplier handed large sequential
+    // walks an oversized partition count (extra per-task floors every
+    // round, 16 rounds deep)
+    val fusedFanRows = nWalkers * 16L * 16L * 2L * depth
+    val fuse = fusedFanRows <= 100000L
+    val fanRows =
+      if (fuse) fusedFanRows else nWalkers * 16L * depth
     // dense-stage sizing, NOT loopPartitionsOf's 4M shuffle-rows/task:
     // each round runs walker-partitioned window sorts plus a grid
     // join over the fan — CPU-dense work. Two terms: ~1M rows/task
@@ -789,7 +799,7 @@ object Sketch {
     // descent is the scale path: fanRows-per-round drops 16× while
     // rounds only double. Both orders are bit-identical —
     // RankSketchSpec pins fused ≡ sequential ≡ collected.
-    val fuse = fanRows <= 100000L
+    // (`fuse` was decided above, before sizing, off the fused fan.)
     var w = walkers0
     // broadcast stays ON (the withLoopConf default): each round's
     // slice join then broadcasts off the checkpoint's REAL size —
