@@ -1401,6 +1401,90 @@ object WarehouseQueries extends QueryGroup {
     // to the range and merge by the bottom-k algebra; exact and
     // day-cell counts ride along batch-side. Oracle = q_kmv_range
     // VERBATIM.
+    // CMS day cells streamed THROUGH the real sink (runCmsByToSink →
+    // PartitionedWriter.overwriteDays per touched day per trigger),
+    // range answered from the PERSISTED dt=… table alone: pruned
+    // scan → cell-wise merge → probe. Oracle = q_cms_range VERBATIM,
+    // so stream-persisted ≡ batch-built ≡ monolithic-on-slice is one
+    // hash — the q_stream_cells_persisted story for the CMS synopsis.
+    q("q_stream_cms_cells_persisted", "streaming", cmsRangeOracle) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val staged = java.nio.file.Files.createTempDirectory("graft_sccp")
+      val cells = java.nio.file.Files.createTempDirectory("graft_sccpw")
+      try {
+        (0 until 3).foreach(i =>
+          ev.filter(col("event_id") % 3 === i)
+            .select(col("_day"), col("props")).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        graft.streaming.IngestStream.runCmsByToSink(
+          spark, staged.toString, s"$cells/cms", "props", "_day",
+          CmsSql.Depth, CmsSql.Width,
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_day",
+              org.apache.spark.sql.types.DateType),
+            org.apache.spark.sql.types.StructField("props",
+              org.apache.spark.sql.types.StringType))),
+          maxFilesPerTrigger = Some(1))
+        val merged = Sketch.mergeCmsTables(
+          spark.read.parquet(s"$cells/cms")
+            .filter(col("dt") >= lit(RangeLo).cast("date") &&
+              col("dt") < lit(RangeHi).cast("date"))
+            .select(col("r"), col("bucket"), col("c")))
+        // probe result materialized while the cell files still exist
+        // (the q_range_dashboard_persisted discipline)
+        Sketch.cmsHeavyHittersFromGrid(ev.filter(rangeDayPred),
+            "props", merged, CmsSql.Depth, CmsSql.Width, k = 20)
+          .select(col("token"), col("est"), col("exact"))
+          .localCheckpoint()
+      } finally {
+        graft.core.Fs.deleteRecursively(staged.toFile)
+        graft.core.Fs.deleteRecursively(cells.toFile)
+      }
+    },
+
+    // KMV day synopses streamed THROUGH the real sink (runKmvToSink),
+    // range's distinct users answered from the PERSISTED dt=… table:
+    // pruned scan of ≤64 longs per day directory → bottom-k merge →
+    // estimate. Oracle = q_kmv_range VERBATIM — this closes the
+    // persisted deployment loop for the THIRD synopsis of the trio.
+    q("q_stream_kmv_cells_persisted", "streaming", kmvRangeOracle) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val staged = java.nio.file.Files.createTempDirectory("graft_skcp")
+      val cells = java.nio.file.Files.createTempDirectory("graft_skcpw")
+      try {
+        (0 until 3).foreach(i =>
+          ev.filter(col("event_id") % 3 === i)
+            .select(col("_day"), col("user_id")).coalesce(1)
+            .write.mode("append").parquet(staged.toString))
+        graft.streaming.IngestStream.runKmvToSink(
+          spark, staged.toString, s"$cells/kmv", "user_id", 64, "_day",
+          schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_day",
+              org.apache.spark.sql.types.DateType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType))),
+          maxFilesPerTrigger = Some(1))
+        val inRange = spark.read.parquet(s"$cells/kmv")
+          .filter(col("dt") >= lit(RangeLo).cast("date") &&
+            col("dt") < lit(RangeHi).cast("date"))
+        val merged = Sketch.mergeKmvSynopses(64, Seq.empty,
+          inRange.select(col("kmv")))
+        merged.select(Sketch.kmvEstimate(col("kmv"), 64)
+            .as("est_distinct"))
+          .crossJoin(ev.filter(rangeDayPred)
+            .agg(count_distinct(col("user_id")).as("exact_distinct")))
+          .crossJoin(inRange.agg(count(lit(1)).as("days_merged")))
+          .localCheckpoint()
+      } finally {
+        graft.core.Fs.deleteRecursively(staged.toFile)
+        graft.core.Fs.deleteRecursively(cells.toFile)
+      }
+    },
+
     q("q_stream_kmv_range", "streaming", kmvRangeOracle) {
       (spark, dir) =>
       val ev = Tables.df(spark, dir, "events")

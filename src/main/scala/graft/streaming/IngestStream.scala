@@ -39,11 +39,15 @@ object IngestStream {
     case None => state
     case Some(nd) =>
       require(nd >= 1, s"retainDays must be >= 1: $nd")
-      val hs = state.select(col(dayCol)).distinct()
+      // NULL day keys never survive — filter them unconditionally
+      // (they carry no horizon position), so an all-null state
+      // compacts to empty rather than passing through whole
+      val nn = state.filter(col(dayCol).isNotNull)
+      val hs = nn.select(col(dayCol)).distinct()
         .orderBy(col(dayCol).desc).limit(nd)
         .agg(min(col(dayCol))).collect()
-      if (hs.isEmpty || hs(0).isNullAt(0)) state
-      else state.filter(col(dayCol) >= lit(hs(0).get(0)))
+      if (hs.isEmpty || hs(0).isNullAt(0)) nn
+      else nn.filter(col(dayCol) >= lit(hs(0).get(0)))
   }
 
   /** documents schema as stored. */
@@ -619,6 +623,80 @@ object IngestStream {
       }
     }
     grid.foreach(Checkpoints.release)
+  }
+
+  /** [[runCmsByToBatch]] writing THROUGH the warehouse sink — the CMS
+    * face of the persisted deployment loop [[runRankGridByToSink]]
+    * opened: every micro-batch folds into the maintained per-day CMS
+    * grids AND re-lands the TOUCHED days' current cells via
+    * [[graft.write.PartitionedWriter.overwriteDays]] (dynamic per-day
+    * overwrite off the merged state — a day directory always holds
+    * that day's full accumulated grid as of its last touching batch;
+    * untouched days are never rewritten). The on-disk dt=… cell table
+    * is query-current after every trigger; a range's heavy hitters
+    * answer from a PARTITION-PRUNED scan + cell-wise merge + probe,
+    * zero corpus rescan, write cost touched-days×depth·width cells
+    * per trigger. `groupCol` is the day key; it lands as the `dt`
+    * partition column. */
+  def runCmsByToSink(spark: SparkSession, path: String,
+      sinkPath: String, textCol: String, groupCol: String, depth: Int,
+      width: Int, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import graft.core.Checkpoints
+    import graft.ops.Sketch
+    var grid = Option.empty[DataFrame]
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val p = Sketch.cmsTableBy(b, textCol, groupCol, depth, width)
+        val merged = grid
+          .map(g => Sketch.mergeCmsTablesBy(Seq(groupCol), g, p))
+          .getOrElse(p).localCheckpoint()
+        val touched = p.select(col(groupCol)).distinct()
+        graft.write.PartitionedWriter.overwriteDays(
+          merged.join(broadcast(touched), Seq(groupCol), "left_semi"),
+          sinkPath, groupCol)
+        grid.foreach(Checkpoints.release)
+        grid = Some(merged)
+      }
+    }
+    grid.foreach(Checkpoints.release)
+  }
+
+  /** [[runKmvToBatch]] (day-grouped) writing THROUGH the warehouse
+    * sink — the KMV face of the persisted deployment loop, completing
+    * it for all three synopses: per micro-batch the day-keyed
+    * bottom-k synopses fold (bottom-k of the union — the KmvSpec
+    * algebra, so the maintained state IS the batch synopsis of
+    * everything ingested at any slicing) and the touched days'
+    * current synopses re-land via
+    * [[graft.write.PartitionedWriter.overwriteDays]]. A range's
+    * distinct-count answers from a partition-pruned read of ≤k longs
+    * per day directory; write cost is touched-days×k longs per
+    * trigger. `dayCol` lands as the `dt` partition column. */
+  def runKmvToSink(spark: SparkSession, path: String,
+      sinkPath: String, valueCol: String, k: Int, dayCol: String,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import graft.core.Checkpoints
+    import graft.ops.Sketch
+    var syn = Option.empty[DataFrame]
+    StreamRun.boundedForeach(spark, path, schema,
+        maxFilesPerTrigger) { b =>
+      if (!b.isEmpty) {
+        val p = Sketch.kmvSynopsis(b, valueCol, k, Seq(dayCol))
+        val merged = syn
+          .map(s => Sketch.mergeKmvSynopses(k, Seq(dayCol), s, p))
+          .getOrElse(p).localCheckpoint()
+        val touched = p.select(col(dayCol)).distinct()
+        graft.write.PartitionedWriter.overwriteDays(
+          merged.join(broadcast(touched), Seq(dayCol), "left_semi"),
+          sinkPath, dayCol)
+        syn.foreach(Checkpoints.release)
+        syn = Some(merged)
+      }
+    }
+    syn.foreach(Checkpoints.release)
   }
 }
 

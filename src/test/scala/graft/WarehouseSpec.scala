@@ -456,6 +456,62 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming persisted CMS and KMV cells: each sink-landed dt " +
+      "table equals its direct batch build bit for bit — the " +
+      "deployment loop closed for all three synopses") {
+    val docs = (1L to 90L)
+      .map(i => (i % 4, s"w${i % 7} w${i % 3} tail", i))
+      .toDF("day", "text", "id")
+    val staged = java.nio.file.Files.createTempDirectory("graft_sck")
+    val sink = java.nio.file.Files.createTempDirectory("graft_sckw")
+    try {
+      (0 until 3).foreach(i =>
+        docs.filter(col("id") % 3 === i)
+          .select(col("day"), col("text"), col("id"))
+          .coalesce(1).write.mode("append").parquet(staged.toString))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))
+      graft.streaming.IngestStream.runCmsByToSink(
+        spark, staged.toString, s"$sink/cms", "text", "day",
+        depth = 4, width = 32, schema = schema,
+        maxFilesPerTrigger = Some(1))
+      graft.streaming.IngestStream.runKmvToSink(
+        spark, staged.toString, s"$sink/kmv", "id", k = 8,
+        dayCol = "day", schema = schema, maxFilesPerTrigger = Some(1))
+      // CMS: persisted grouped grid ≡ direct batch cmsTableBy
+      def cmsKeyed(g: org.apache.spark.sql.DataFrame, dc: String) =
+        g.select(col(dc).cast("long"), col("r").cast("long"),
+            col("bucket").cast("long"), col("c").cast("long"))
+          .as[(Long, Long, Long, Long)].collect()
+          .map { case (d, r, b, c) => (d, r, b) -> c }.toMap
+      assert(cmsKeyed(spark.read.parquet(s"$sink/cms"), "dt") ===
+        cmsKeyed(Sketch.cmsTableBy(docs, "text", "day", depth = 4,
+          width = 32), "day"))
+      // KMV: persisted day synopses ≡ direct batch kmvSynopsis
+      def kmvKeyed(g: org.apache.spark.sql.DataFrame, dc: String) =
+        g.select(col(dc).cast("long"), col("kmv"))
+          .as[(Long, Seq[Long])].collect()
+          .map { case (d, s) => d -> s.toList }.toMap
+      assert(kmvKeyed(spark.read.parquet(s"$sink/kmv"), "dt") ===
+        kmvKeyed(Sketch.kmvSynopsis(docs, "id", 8, Seq("day")), "day"))
+      // one dt=… directory per day key, both sinks
+      Seq("cms", "kmv").foreach { t =>
+        val dirs = new java.io.File(s"$sink/$t").listFiles()
+          .filter(_.isDirectory).map(_.getName)
+          .filter(_.startsWith("dt=")).sorted
+        assert(dirs.toSeq === Seq("dt=0", "dt=1", "dt=2", "dt=3"))
+      }
+    } finally {
+      graft.core.Fs.deleteRecursively(staged.toFile)
+      graft.core.Fs.deleteRecursively(sink.toFile)
+    }
+  }
+
   test("streaming day-cell retention: state stays at retainDays " +
       "slices however long the history, surviving slices are " +
       "bit-identical to the unbounded fold's") {
