@@ -1118,6 +1118,17 @@ object ScaleRamp {
         timeIt(graft.ops.Sketch.cmsHeavyHittersBy(d, "text", "source",
           depth = 4, width = 1024, k = 10).count())
       },
+      "bpe_learn" -> { k =>
+        // distributed BPE vocabulary training (round 18): ONE
+        // corpus-sized pass (word histogram), then 16 sequential
+        // vocab-table rounds (pair position count + 1-row argmax +
+        // fused merge applies). The z{i} copy prefixes multiply the
+        // distinct-word vocabulary by ~k, so both the corpus pass AND
+        // the per-round vocab passes ramp — expect ~linear with a
+        // rounds×job-floor constant term.
+        timeIt(graft.ops.Bpe.learnMerges(docsAt(k), "text",
+          maxMerges = 16).size.toLong)
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
@@ -1166,6 +1177,7 @@ object ScaleRamp {
       "source", k = 64).count()
     Dedup.corpusDiff(docs0.limit(200), docs0.limit(100),
       "doc_id", "text").count()
+    graft.ops.Bpe.learnMerges(docs0.limit(200), "text", maxMerges = 2)
     Similarity.ivfPqTopK(emb0.limit(500), emb0.limit(20), 5).count()
     graft.ops.Decontaminate.bloomFlag(docs0.limit(200),
       docs0.limit(50), "doc_id", "text", 4).count()

@@ -1,0 +1,159 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Checkpoints, GraftSession}
+
+/** Distributed BPE VOCABULARY LEARNING (Sennrich et al. 2016 —
+  * public): the training loop that produces the ordered merges table
+  * [[graft.functions.BpeEncode]] applies. Per round: count every
+  * adjacent token pair POSITION over the corpus (weighted by word
+  * frequency — "aaa" holds two (a,a) positions), pick the single best
+  * pair by the (count DESC, pair ASC) total order, merge all its
+  * non-overlapping occurrences left-to-right, repeat. The total order makes the whole vocabulary a deterministic
+  * function of the corpus, which is what lets few-merge runs replay
+  * as an unrolled recursive-CTE chain in DuckDB (q_bpe_learn) and the
+  * full 40-merge run reproduce [[graft.functions.BpeFixture.Merges]]
+  * bit for bit (BpeSpec).
+  *
+  * Corpus-pass economics: the classic trainer optimization is that
+  * pair statistics only depend on the DISTINCT-WORD multiset, so the
+  * corpus is touched ONCE (explode + groupBy word → (word, freq));
+  * every round after that is a pass over the vocabulary table — at
+  * 100 TB the corpus pass is the big shuffle (word-keyed, partial-
+  * agg'd) and the loop state is vocab-sized (~10⁷ rows for web text),
+  * never corpus-sized. Words fully merged to one token stop producing
+  * pairs forever and are dropped, so the loop table shrinks
+  * monotonically.
+  *
+  * Loop mechanics follow the repo's iterative-operator discipline
+  * ([[Graph]] power iteration): `withLoopConf` static plan with a
+  * vocab-sized partition count decided once, rotating local
+  * checkpoints. One refinement: merges are MAP-ONLY vocab passes (no
+  * shuffle), so the loop checkpoints every `checkpointEvery` rounds
+  * instead of every round — between checkpoints the pending merges
+  * ride the argmax job's plan as fused `aggregate(...)` lambdas (the
+  * plan grows ≤ checkpointEvery lambdas deep, each a cheap per-row
+  * fold), trading ≤ checkpointEvery−1 recomputed map passes for one
+  * materialization job per window. Per round the cluster runs exactly
+  * ONE job: the pair-count partial agg + 1-row argmax collect — the
+  * same bounded-collect shape as the repo's other argmax loops.
+  *
+  * Scale ceiling, documented honestly: rounds are inherently
+  * SEQUENTIAL (Sennrich semantics — each merge depends on the last),
+  * so a 50k-merge production vocabulary costs 50k vocab passes. The
+  * standard industrial escape is incremental pair-count maintenance
+  * (only words CONTAINING the merged pair change; update counts by
+  * delta) which turns per-round cost from O(vocab) into O(affected
+  * words); that variant keeps the identical total order and output
+  * and can replace the recount loop behind this signature without
+  * touching any oracle. The recount loop here is the reference
+  * semantics, measured sub-linear in corpus size (ScaleRamp
+  * `bpe_learn`: the corpus pass scales, the loop doesn't grow).
+  */
+object Bpe {
+
+  /** A learned merge: the "left right" pair string (tokens never
+    * contain spaces — words are whitespace-split — so the encoding is
+    * bijective) plus the corpus-wide weighted position count that won
+    * its round. Counts are non-increasing across ranks: an old pair
+    * only loses positions to a merge, and every position of a NEWLY
+    * creatable pair contains a merged token, so its count is bounded
+    * by the number of merges just applied ≤ the count just merged. */
+  final case class Merge(pair: String, cnt: Long)
+
+  /** Adjacent pairs of a token array as "a b" strings: pair i joins
+    * toks[i] and toks[i+1] (1-based element_at; transform's lambda
+    * index is 0-based). Empty for single-token words. */
+  private def adjacentPairs(toks: Column): Column =
+    transform(slice(toks, lit(1), size(toks) - 1),
+      (x, i) => concat(x, lit(" "), element_at(toks, i + lit(2))))
+
+  /** One merge applied to a token array: all NON-OVERLAPPING
+    * occurrences, left to right, as a single left fold — if the
+    * accumulator's last token is `a` and the incoming token is `b`,
+    * replace the last with `a+b`, else append. Overlap resolution
+    * falls out of the fold: a token just produced by a merge can
+    * never be the left side of the SAME pair again (that would need
+    * a = a+b, i.e. an empty b). `get` (0-based, null on out-of-range)
+    * keeps the empty-accumulator probe ANSI-safe. */
+  private[ops] def applyMerge(toks: Column, a: String, b: String)
+      : Column =
+    aggregate(toks, array().cast("array<string>"),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** The distinct-word frequency table seeded to code-point tokens —
+    * the ONLY corpus-sized pass of the trainer. Words are whitespace
+    * tokens; seed tokens are `regexp_extract_all(word, '.')` (one
+    * per code point, the oracle's identical spelling). Single-token
+    * words can never merge and are dropped at seed. */
+  private def seedWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(regexp_extract_all(col("word"), lit("."), lit(0)).as("toks"),
+        col("freq"))
+      .filter(size(col("toks")) >= 2)
+
+  /** Learn up to `maxMerges` merges from the corpus; stops early when
+    * the best remaining pair's weighted count falls below `minCount`
+    * (the standard "stop below 2" rule) or no pair remains.
+    *
+    * @param checkpointEvery rounds between rotating local checkpoints
+    *        (plan depth bound between materializations); ≥ 1
+    * @return the ordered merges — rank = 1-based position, exactly
+    *         the table [[graft.functions.BpeEncode]] consumes */
+  def learnMerges(docs: DataFrame, textCol: String, maxMerges: Int,
+      minCount: Long = 2L, checkpointEvery: Int = 8): Seq[Merge] = {
+    require(maxMerges >= 0, s"learnMerges: bad maxMerges $maxMerges")
+    require(checkpointEvery >= 1,
+      s"learnMerges: bad checkpointEvery $checkpointEvery")
+    val spark = docs.sparkSession
+    val merges = ArrayBuffer.empty[Merge]
+    if (maxMerges == 0) return merges.toSeq
+    val rot = new Checkpoints.Rotating
+    // one corpus pass; the checkpoint also gives loopPartitionsOf a
+    // real row count without re-running the corpus aggregation
+    var cur = rot(seedWords(docs, textCol))
+    val p = GraftSession.loopPartitionsOf(math.max(1L, cur.count()))
+    GraftSession.withLoopConf(spark, p) {
+      var sinceCp = 0
+      var done = false
+      while (!done && merges.size < maxMerges) {
+        val best = cur
+          .select(explode(adjacentPairs(col("toks"))).as("pair"),
+            col("freq"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
+            .as("b"))
+          .select(col("b.p").as("pair"), (-col("b.nc")).as("cnt"))
+          .collect()(0)
+        if (best.isNullAt(0) || best.getLong(1) < minCount) done = true
+        else {
+          val pair = best.getString(0)
+          merges += Merge(pair, best.getLong(1))
+          val sp = pair.indexOf(' ')
+          val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+          val applied = cur
+            .select(applyMerge(col("toks"), a, b).as("toks"),
+              col("freq"))
+            .filter(size(col("toks")) >= 2)
+          sinceCp += 1
+          cur =
+            if (sinceCp >= checkpointEvery && merges.size < maxMerges) {
+              sinceCp = 0; rot(applied)
+            } else applied
+        }
+      }
+    }
+    rot.releaseLast()
+    merges.toSeq
+  }
+}

@@ -28,11 +28,19 @@ object TextQueries extends QueryGroup {
     * rows where no pair ranks. DuckDB struct lists sort
     * lexicographically by field order, so `list_sort(...)[1]` over
     * {'r', 'i'} structs IS the (rank, position) argmin. */
-  private[queries] def bpeEncCtes: String = {
-    val merges = graft.functions.BpeFixture.sqlLiteral
+  private[queries] def bpeEncCtes: String =
+    bpeEncCtesWith(graft.functions.BpeFixture.sqlLiteral, "")
+
+  /** [[bpeEncCtes]] with the rank table pluggable: `mergesExpr` is the
+    * DuckDB list expression ranks come from (the fixture literal, or a
+    * column cross-joined in via `encFrom` — subqueries can't appear
+    * inside DuckDB lambdas, so a LEARNED table rides in as
+    * `encFrom = " CROSS JOIN mlist"` exposing its 1-row list column). */
+  private[queries] def bpeEncCtesWith(mergesExpr: String,
+      encFrom: String): String = {
     val best =
       s"""list_sort(list_filter(
-            [{'r': coalesce(list_position($merges,
+            [{'r': coalesce(list_position($mergesExpr,
                 toks[i] || ' ' || toks[i + 1]), 0), 'i': i}
              for i in generate_series(1, greatest(len(toks) - 1, 0))],
             x -> x.r > 0))[1].i"""
@@ -49,11 +57,13 @@ object TextQueries extends QueryGroup {
          UNION ALL
          SELECT doc_id, wi,
            toks[1:b - 1] || [toks[b] || toks[b + 1]] || toks[b + 2:]
-         FROM (SELECT doc_id, wi, toks, $best AS b FROM enc) t
+         FROM (SELECT doc_id, wi, toks, $best AS b
+               FROM enc$encFrom) t
          WHERE b IS NOT NULL),
        bterm AS (
          SELECT doc_id, wi, toks
-         FROM (SELECT doc_id, wi, toks, $best AS b FROM enc) t
+         FROM (SELECT doc_id, wi, toks, $best AS b
+               FROM enc$encFrom) t
          WHERE b IS NULL),
        bagg AS (
          SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n,
@@ -67,7 +77,110 @@ object TextQueries extends QueryGroup {
          LEFT JOIN bagg a USING (doc_id))"""
   }
 
+  /** The BPE TRAINING loop as an unrolled DuckDB CTE chain, ending in
+    * `bmerges` (rank, pair, cnt) and `mlist` (the 1-row ordered merge
+    * list) — the oracle twin of [[graft.ops.Bpe.learnMerges]]. Per
+    * round r: `p{r}` counts adjacent pairs over the surviving word
+    * table weighted by word frequency, `b{r}` is the (count DESC,
+    * pair ASC) argmax with the count ≥ 2 stop, `f{r}` replays the
+    * merge as the SAME left fold the engine's `aggregate` lambda runs
+    * (recursive over token position; `acc[-1] = a AND toks[i] = b` →
+    * fold the last accumulator token), `w{r}` keeps words still ≥ 2
+    * tokens. `AS MATERIALIZED` pins each round's table: without it
+    * DuckDB re-inlines the upstream chain per recursive iteration and
+    * the plan goes exponential in k (measured: k=8 plain times out,
+    * k=40 materialized runs ~1 s). Unrolling is the honest SQL shape
+    * for a loop whose rounds are data-dependent sequential. */
+  private[queries] def bpeLearnCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val p = r - 1
+      s"""p$r AS MATERIALIZED (
+           SELECT toks[i] || ' ' || toks[i + 1] AS pair,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+           FROM w$p, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+           GROUP BY 1),
+         b$r AS MATERIALIZED (
+           SELECT pair, cnt FROM p$r WHERE cnt >= 2
+           ORDER BY cnt DESC, pair LIMIT 1),
+         f$r(toks, freq, i, acc) AS (
+           SELECT toks, freq, 1, CAST([] AS VARCHAR[]) FROM w$p
+           UNION ALL
+           SELECT toks, freq, i + 1,
+             CASE WHEN len(acc) > 0
+                   AND acc[-1] =
+                     (SELECT string_split(pair, ' ')[1] FROM b$r)
+                   AND toks[i] =
+                     (SELECT string_split(pair, ' ')[2] FROM b$r)
+                  THEN acc[1:len(acc) - 1] || [acc[-1] || toks[i]]
+                  ELSE acc || [toks[i]] END
+           FROM f$r WHERE i <= len(toks)),
+         w$r AS MATERIALIZED (
+           SELECT acc AS toks, freq FROM f$r
+           WHERE i = len(toks) + 1 AND len(acc) >= 2)"""
+    }
+    val union = (1 to k)
+      .map(r => s"SELECT CAST($r AS INT) AS rank, pair, cnt FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""w0 AS MATERIALIZED (
+         SELECT regexp_extract_all(word, '.') AS toks,
+                CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE text IS NOT NULL)
+         WHERE word <> '' AND len(regexp_extract_all(word, '.')) >= 2
+         GROUP BY word),
+       ${rounds.mkString(",\n")},
+       bmerges AS MATERIALIZED ($union),
+       mlist AS MATERIALIZED (
+         SELECT list(pair ORDER BY rank) AS ml FROM bmerges)"""
+  }
+
   val queries: Seq[Q] = Seq(
+    // DISTRIBUTED BPE VOCABULARY LEARNING (graft.ops.Bpe.learnMerges):
+    // the full training loop — corpus-weighted pair counts, (count
+    // DESC, pair ASC) argmax, left-to-right non-overlapping merge —
+    // differentials round for round against the unrolled recursive-CTE
+    // replay, counts included. 40 merges reproduces BpeFixture.Merges
+    // exactly (BpeSpec pins that equality), so the shipped tokenizer
+    // vocabulary is itself an output of the engine under test.
+    q("q_bpe_learn", "text",
+      s"""WITH RECURSIVE ${bpeLearnCtes(40)}
+          SELECT rank, pair, cnt FROM bmerges""") { (spark, dir) =>
+      import spark.implicits._
+      val learned = graft.ops.Bpe.learnMerges(
+        Tables.df(spark, dir, "documents"), "text", maxMerges = 40)
+      learned.zipWithIndex
+        .map { case (m, i) => (i + 1, m.pair, m.cnt) }
+        .toDF("rank", "pair", "cnt")
+    },
+
+    // learn → tokenize COMPOSITION: fertility report under a
+    // 24-merge vocabulary learned by the engine in the same query —
+    // pins the artifact handoff (learned table → BpeEncode's rank
+    // map) end to end. 24 ≠ the fixture's 40, so this cannot pass by
+    // coinciding with q_bpe_fertility's fixed table.
+    q("q_bpe_learn_fertility", "text", {
+      val enc = bpeEncCtesWith("ml", " CROSS JOIN mlist")
+      s"""WITH RECURSIVE ${bpeLearnCtes(24)},
+          $enc,
+          wl AS (SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS nw
+                 FROM documents WHERE text IS NOT NULL)
+          SELECT lang,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(nw) AS BIGINT) AS n_words,
+            CAST(sum(b.n_tokens_bpe) AS BIGINT) AS n_tokens,
+            CAST(sum(b.n_tokens_bpe) AS DOUBLE) /
+              CAST(sum(nw) AS DOUBLE) AS fertility
+          FROM wl JOIN bdocs b USING (doc_id)
+          GROUP BY lang"""
+    }) { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val learned = graft.ops.Bpe
+        .learnMerges(docs, "text", maxMerges = 24).map(_.pair)
+      TextAnalysis.bpeFertility(docs, "doc_id", "text", "lang",
+        learned)
+    },
+
     // REAL deterministic BPE tokenization (graft.functions.BpeEncode):
     // greedy rank-merge encode against the fixture-trained merges
     // table. The WHOLE tokenizer — seed chars, merge order, terminal

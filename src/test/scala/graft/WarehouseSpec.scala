@@ -414,6 +414,45 @@ class SketchSpec extends AnyFunSuite {
     } finally graft.core.Fs.deleteRecursively(staged.toFile)
   }
 
+  test("run*ToBatch release handle: releasing the returned state " +
+      "after materializing derived results is safe and frees the " +
+      "stranded blocks") {
+    // the documented retention contract (IngestStream scaladoc): the
+    // returned frame IS the fold's final localCheckpoint — a
+    // long-lived session drops the groups×cells blocks by passing it
+    // to Checkpoints.release AFTER everything derived is materialized
+    val docs = (1L to 60L)
+      .map(i => (i % 3, s"w${i % 5} w${i % 2}", i))
+      .toDF("day", "text", "id")
+    val staged = java.nio.file.Files.createTempDirectory("graft_rel")
+    try {
+      docs.select("day", "text").coalesce(1)
+        .write.mode("append").parquet(staged.toString)
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val state = graft.streaming.IngestStream.runCmsByToBatch(
+        spark, staged.toString, "text", "day", 4, 32,
+        schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      // derive + MATERIALIZE (its own checkpoint truncates the lineage
+      // back to the state frame), then release the state
+      val derived = state.groupBy("day")
+        .agg(sum(col("c")).as("mass")).localCheckpoint()
+      val expect = derived.as[(Long, Long)].collect().toMap
+      graft.core.Checkpoints.release(state)
+      // the state's blocks are gone; only the derived checkpoint holds
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 1, s"leaked ${leaked.size} persisted RDDs")
+      // and the derived frame still reads correctly after the release
+      assert(derived.as[(Long, Long)].collect().toMap === expect)
+      graft.core.Checkpoints.release(derived)
+      assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+    } finally graft.core.Fs.deleteRecursively(staged.toFile)
+  }
+
   test("streaming persisted cells (q_stream_cells_persisted): the " +
       "sink-landed dt table equals the direct batch grouped grid " +
       "bit for bit, one directory per day") {
