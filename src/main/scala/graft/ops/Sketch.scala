@@ -756,17 +756,17 @@ object Sketch {
       (denseRows + 65535L) / 65536L)
     val p = math.min(math.max((denseRows + 999999L) / 1000000L,
       math.max(1L, coreFill)), 65536L).toInt
-    // the loop scans the grid 16 times (one level slice each) — hold
+    // the loop scans the grid once per CHECKPOINT WINDOW (4 scans, a
+    // 4-level slice each — see the join-window comment below) — hold
     // it at the LOOP's partition count, not the build's, or every
     // scan pays build-width task floors (617 → ~300 tasks measured).
     // Everything downstream (walkers included) must derive from THIS
     // checkpoint so the build-width one can release.
-    // the LOOP's checkpoint is scanned 16 times (one level slice per
-    // scan): hold it deserialized while it fits comfortably (a
-    // serialized copy re-pays decompress+deserialize on every scan —
-    // ~50 s of task time on a 3.2M-cell grid, measured), serialized
-    // only past ~16M cells (~1.6 GB deserialized) where heap safety
-    // beats scan cost. Partitioned BY THE GROUP COLUMNS: the walkers
+    // hold the loop's checkpoint deserialized while it fits
+    // comfortably (a serialized copy re-pays decompress+deserialize
+    // on every scan — ~50 s of task time on a 3.2M-cell grid,
+    // measured), serialized only past ~16M cells (~1.6 GB
+    // deserialized) where heap safety beats scan cost. Partitioned BY THE GROUP COLUMNS: the walkers
     // hash the same way, and since every per-round key set — the
     // slice join's (groups, r, bucket), the pick groupBy's, the two
     // windows' (groups, permille) — is a SUPERSET of gcols, the
@@ -821,8 +821,22 @@ object Sketch {
       if (!fuse) {
         var level = 15
         while (level >= 0) {
-          val lvlCells = gCp.filter(col("level") === level)
-            .select(gcols ++ Seq(col("r"), col("bucket"),
+          // join against the CHECKPOINT WINDOW's 4-level slice, with
+          // `level` in the join keys, rather than this level's slice
+          // alone: the four rounds of one checkpoint plan then share a
+          // canonically-IDENTICAL broadcast subtree, which
+          // ReuseExchange builds ONCE — 4 grid scans + broadcast
+          // builds per walk instead of 16 (descent 7.5 → 5.3 s on the
+          // 1500-walker catalog domain, bit-identical; 8- and 16-level
+          // windows regress to 8-10 s — the wider slice crosses the
+          // broadcast threshold and the plan falls to per-round
+          // sort-merge). Rows for the window's other levels sit
+          // unmatched in the hash table; the probe's level column
+          // restricts matches to exactly the old per-level slice.
+          val winLo = (level / 4) * 4
+          val lvlCells = gCp
+            .filter(col("level") >= winLo && col("level") <= winLo + 3)
+            .select(gcols ++ Seq(col("level"), col("r"), col("bucket"),
               col("c")): _*)
           val byWalker = org.apache.spark.sql.expressions.Window
             .partitionBy(gcols :+ col("permille"): _*)
@@ -834,7 +848,9 @@ object Sketch {
               explode(array((0 until depth).map(lit(_)): _*)))
             .withColumn("bucket", rankBucket(col("cp"),
               lit(level.toLong * depth) + col("r"), width))
-            .join(lvlCells, groupCols ++ Seq("r", "bucket"), "left")
+            .withColumn("level", lit(level))
+            .join(lvlCells, groupCols ++ Seq("level", "r", "bucket"),
+              "left")
             .groupBy(gcols ++ Seq(col("permille"), col("target"),
               col("pfx"), col("base"), col("j")): _*)
             .agg(min(coalesce(col("c"), lit(0L))).as("est"))
@@ -862,8 +878,12 @@ object Sketch {
       var hi = 15
       while (hi >= 1) {
         val lo = hi - 1
+        // same checkpoint-window slice as the sequential branch: the
+        // two fused rounds per window share one broadcast build (the
+        // join already carries `level`, so matches are unchanged)
+        val winLo = (lo / 4) * 4
         val lvlCells = gCp
-          .filter(col("level") === hi || col("level") === lo)
+          .filter(col("level") >= winLo && col("level") <= winLo + 3)
           .select(gcols ++ Seq(col("level"), col("r"), col("bucket"),
             col("c")): _*)
         val byWalker = org.apache.spark.sql.expressions.Window
