@@ -44,15 +44,18 @@ import graft.core.{Checkpoints, GraftSession}
   *
   * Scale ceiling, documented honestly: rounds are inherently
   * SEQUENTIAL (Sennrich semantics — each merge depends on the last),
-  * so a 50k-merge production vocabulary costs 50k vocab passes. The
-  * standard industrial escape is incremental pair-count maintenance
-  * (only words CONTAINING the merged pair change; update counts by
-  * delta) which turns per-round cost from O(vocab) into O(affected
-  * words); that variant keeps the identical total order and output
-  * and can replace the recount loop behind this signature without
-  * touching any oracle. The recount loop here is the reference
-  * semantics, measured sub-linear in corpus size (ScaleRamp
-  * `bpe_learn`: the corpus pass scales, the loop doesn't grow).
+  * so a 50k-merge production vocabulary costs 50k rounds whatever the
+  * per-round cost. [[learnMerges]] recounts every pair every round —
+  * the reference semantics, cheapest locally (one job per round, no
+  * second state). [[learnMergesIncremental]] is the corpus-scale
+  * face: it maintains the pair-count table as a SECOND loop state and
+  * updates it by the delta of only the words CONTAINING the merged
+  * pair, so the per-round explode shrinks from O(vocab × word_len) to
+  * O(affected words × word_len) — the realistic tail, where most
+  * merges touch a sliver of the vocabulary. Identical total order,
+  * identical output (BpeSpec pins the two faces equal, merge for
+  * merge and count for count) — the collected-walk/join-walk duality
+  * the rank sketch already set: one face per floor regime.
   */
 object Bpe {
 
@@ -154,6 +157,98 @@ object Bpe {
       }
     }
     rot.releaseLast()
+    merges.toSeq
+  }
+
+  /** [[learnMerges]] with INCREMENTAL pair-count maintenance — the
+    * corpus-scale face (see the object scaladoc). Two loop states,
+    * both rotating-checkpointed: the word table (as in the recount
+    * loop) and the pair-count table. Per round: 1-row argmax off the
+    * MATERIALIZED count table (no recount), then the delta — pairs of
+    * the affected words before minus after the merge, freq-weighted —
+    * folds into the counts via a full-outer join on `pair`. The
+    * counts checkpoint is hash-partitioned on `pair` and
+    * localCheckpoint preserves that partitioning (the join-walk
+    * precedent), so under the static loop plan the merge join is
+    * exchange-free on the counts side; only the delta (affected-sized)
+    * shuffles. Counts at zero are dropped, so the state never grows
+    * past the live pair vocabulary.
+    *
+    * The word table is rewritten with the same identity-on-unaffected
+    * [[applyMerge]] pass as the recount loop (checkpointed every
+    * `checkpointEvery` rounds); the counts state checkpoints EVERY
+    * round — its next argmax would otherwise re-execute the whole
+    * merge chain. That extra per-round job is this face's local floor
+    * cost; at corpus scale it buys retiring the vocab-sized explode. */
+  def learnMergesIncremental(docs: DataFrame, textCol: String,
+      maxMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 8)
+      : Seq[Merge] = {
+    require(maxMerges >= 0,
+      s"learnMergesIncremental: bad maxMerges $maxMerges")
+    require(checkpointEvery >= 1,
+      s"learnMergesIncremental: bad checkpointEvery $checkpointEvery")
+    val spark = docs.sparkSession
+    val merges = ArrayBuffer.empty[Merge]
+    if (maxMerges == 0) return merges.toSeq
+    val rotW = new Checkpoints.Rotating
+    val rotC = new Checkpoints.Rotating
+    var cur = rotW(seedWords(docs, textCol))
+    val p = GraftSession.loopPartitionsOf(math.max(1L, cur.count()))
+    GraftSession.withLoopConf(spark, p) {
+      // seed counts: the one full pair explode of this face
+      var counts = rotC(cur
+        .select(explode(adjacentPairs(col("toks"))).as("pair"),
+          col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .repartition(p, col("pair")))
+      var sinceCp = 0
+      var done = false
+      while (!done && merges.size < maxMerges) {
+        val best = counts
+          .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
+            .as("b"))
+          .select(col("b.p").as("pair"), (-col("b.nc")).as("cnt"))
+          .collect()(0)
+        if (best.isNullAt(0) || best.getLong(1) < minCount) done = true
+        else {
+          val pair = best.getString(0)
+          merges += Merge(pair, best.getLong(1))
+          val sp = pair.indexOf(' ')
+          val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+          // delta from ONLY the words containing the pair: their
+          // pre-merge pairs leave the counts, post-merge pairs enter
+          val affected = cur
+            .filter(array_contains(adjacentPairs(col("toks")),
+              lit(pair)))
+          val delta = affected
+            .select(explode(adjacentPairs(col("toks"))).as("pair"),
+              (-col("freq")).as("d"))
+            .unionAll(affected
+              .select(applyMerge(col("toks"), a, b).as("toks"),
+                col("freq"))
+              .select(explode(adjacentPairs(col("toks"))).as("pair"),
+                col("freq").as("d")))
+            .groupBy("pair").agg(sum("d").as("d"))
+            .repartition(p, col("pair"))
+          counts = rotC(counts.join(delta, Seq("pair"), "full_outer")
+            .select(col("pair"),
+              (coalesce(col("cnt"), lit(0L)) +
+                coalesce(col("d"), lit(0L))).as("cnt"))
+            .filter(col("cnt") > 0))
+          val applied = cur
+            .select(applyMerge(col("toks"), a, b).as("toks"),
+              col("freq"))
+            .filter(size(col("toks")) >= 2)
+          sinceCp += 1
+          cur =
+            if (sinceCp >= checkpointEvery && merges.size < maxMerges) {
+              sinceCp = 0; rotW(applied)
+            } else applied
+        }
+      }
+    }
+    rotW.releaseLast()
+    rotC.releaseLast()
     merges.toSeq
   }
 }

@@ -153,6 +153,23 @@ object TextQueries extends QueryGroup {
         .toDF("rank", "pair", "cnt")
     },
 
+    // the INCREMENTAL trainer face (Bpe.learnMergesIncremental):
+    // pair counts maintained as a second loop state, updated by the
+    // delta of only the words containing each merge — the corpus-
+    // scale face that retires the per-round vocab explode. Shares
+    // q_bpe_learn's oracle VERBATIM: identical total order, identical
+    // trajectory, one hash pins recount ≡ incremental ≡ SQL replay.
+    q("q_bpe_learn_incremental", "text",
+      s"""WITH RECURSIVE ${bpeLearnCtes(40)}
+          SELECT rank, pair, cnt FROM bmerges""") { (spark, dir) =>
+      import spark.implicits._
+      val learned = graft.ops.Bpe.learnMergesIncremental(
+        Tables.df(spark, dir, "documents"), "text", maxMerges = 40)
+      learned.zipWithIndex
+        .map { case (m, i) => (i + 1, m.pair, m.cnt) }
+        .toDF("rank", "pair", "cnt")
+    },
+
     // learn → tokenize COMPOSITION: fertility report under a
     // 24-merge vocabulary learned by the engine in the same query —
     // pins the artifact handoff (learned table → BpeEncode's rank

@@ -90,6 +90,22 @@ class BpeSpec extends AnyFunSuite {
     assert(everyRound == fused)
   }
 
+  test("incremental face equals the recount face, merge for merge") {
+    // the delta-maintained pair counts must reproduce the recount
+    // loop's exact trajectory — counts included, since the argmax
+    // total order keys on them — on the real corpus and on the
+    // overlap/tie shapes that stress the delta arithmetic
+    val docs = Tables.df(spark, fixtureSf, "documents")
+    assert(Bpe.learnMergesIncremental(docs, "text", maxMerges = 40) ==
+      Bpe.learnMerges(docs, "text", maxMerges = 40))
+    for (c <- Seq(corpus("aaaa", "aaaa", "aaaa"), corpus("aaa", "aaa"),
+        corpus("ab cd", "ab cd", "ab cd"), corpus("ab ab"),
+        corpus("abc", "def"))) {
+      assert(Bpe.learnMergesIncremental(c, "text", 10) ==
+        Bpe.learnMerges(c, "text", 10))
+    }
+  }
+
   test("learned table feeds the encode expression (artifact round-trip)") {
     // train on a corpus whose vocabulary we can encode by hand, then
     // tokenize THROUGH the learned table: 'st' merges first (count 4),
