@@ -32,15 +32,14 @@ import graft.core.{Checkpoints, GraftSession}
   * Loop mechanics follow the repo's iterative-operator discipline
   * ([[Graph]] power iteration): `withLoopConf` static plan with a
   * vocab-sized partition count decided once, rotating local
-  * checkpoints. One refinement: merges are MAP-ONLY vocab passes (no
-  * shuffle), so the loop checkpoints every `checkpointEvery` rounds
-  * instead of every round — between checkpoints the pending merges
-  * ride the argmax job's plan as fused `aggregate(...)` lambdas (the
-  * plan grows ≤ checkpointEvery lambdas deep, each a cheap per-row
-  * fold), trading ≤ checkpointEvery−1 recomputed map passes for one
-  * materialization job per window. Per round the cluster runs exactly
-  * ONE job: the pair-count partial agg + 1-row argmax collect — the
-  * same bounded-collect shape as the repo's other argmax loops.
+  * checkpoints at an ADAPTIVE cadence ([[cadenceFor]]): every round
+  * while the vocab table is floor-sized (the per-round cost there is
+  * Catalyst reanalysis, which a fused apply-lambda chain inflates),
+  * fused 8-rounds-per-checkpoint past 1M rows (where per-round
+  * materialization churn is the cost and pending merges ride the
+  * argmax plan as cheap per-row folds). The per-round argmax is a
+  * 1-row collect — the same bounded-collect shape as the repo's
+  * other argmax loops.
   *
   * Scale ceiling, documented honestly: rounds are inherently
   * SEQUENTIAL (Sennrich semantics — each merge depends on the last),
@@ -105,18 +104,36 @@ object Bpe {
         col("freq"))
       .filter(size(col("toks")) >= 2)
 
+  /** The word-table checkpoint cadence is a two-regime knob, decided
+    * ADAPTIVELY off the materialized vocab size (the walk's fuse
+    * discipline): while the table is floor-sized (≤ 1M rows) each
+    * round checkpoints — the per-round cost there is CATALYST
+    * reanalysis of the argmax/delta plan, which grows with the fused
+    * apply-lambda chain (measured at the catalog cell: cadence 1 vs 8
+    * reads 4.0 vs 4.6 s recount, 6.1 vs 8.9 s incremental — the
+    * difference is driver gap, not job time). Past 1M rows the
+    * per-round vocab MATERIALIZATION is the cost that matters (a
+    * 50k-round production vocabulary would rewrite a 10⁷-row table
+    * every round — checkpoint churn), so the loop fuses 8 rounds per
+    * checkpoint and the constant reanalysis cost amortizes into
+    * multi-second jobs. */
+  private def cadenceFor(vocabRows: Long, fused: Int): Int =
+    if (vocabRows <= 1000000L) 1 else fused
+
   /** Learn up to `maxMerges` merges from the corpus; stops early when
     * the best remaining pair's weighted count falls below `minCount`
     * (the standard "stop below 2" rule) or no pair remains.
     *
     * @param checkpointEvery rounds between rotating local checkpoints
-    *        (plan depth bound between materializations); ≥ 1
+    *        (plan depth bound between materializations); ≥ 1, or 0 =
+    *        adaptive ([[cadenceFor]]: 1 while the vocab table is
+    *        floor-sized, 8 past it)
     * @return the ordered merges — rank = 1-based position, exactly
     *         the table [[graft.functions.BpeEncode]] consumes */
   def learnMerges(docs: DataFrame, textCol: String, maxMerges: Int,
-      minCount: Long = 2L, checkpointEvery: Int = 8): Seq[Merge] = {
+      minCount: Long = 2L, checkpointEvery: Int = 0): Seq[Merge] = {
     require(maxMerges >= 0, s"learnMerges: bad maxMerges $maxMerges")
-    require(checkpointEvery >= 1,
+    require(checkpointEvery >= 0,
       s"learnMerges: bad checkpointEvery $checkpointEvery")
     val spark = docs.sparkSession
     val merges = ArrayBuffer.empty[Merge]
@@ -125,7 +142,11 @@ object Bpe {
     // one corpus pass; the checkpoint also gives loopPartitionsOf a
     // real row count without re-running the corpus aggregation
     var cur = rot(seedWords(docs, textCol))
-    val p = GraftSession.loopPartitionsOf(math.max(1L, cur.count()))
+    val vocabRows = cur.count()
+    val p = GraftSession.loopPartitionsOf(math.max(1L, vocabRows))
+    val cpEvery =
+      if (checkpointEvery > 0) checkpointEvery
+      else cadenceFor(vocabRows, 8)
     GraftSession.withLoopConf(spark, p) {
       var sinceCp = 0
       var done = false
@@ -150,7 +171,7 @@ object Bpe {
             .filter(size(col("toks")) >= 2)
           sinceCp += 1
           cur =
-            if (sinceCp >= checkpointEvery && merges.size < maxMerges) {
+            if (sinceCp >= cpEvery && merges.size < maxMerges) {
               sinceCp = 0; rot(applied)
             } else applied
         }
@@ -175,25 +196,46 @@ object Bpe {
     * past the live pair vocabulary.
     *
     * The word table is rewritten with the same identity-on-unaffected
-    * [[applyMerge]] pass as the recount loop (checkpointed every
-    * `checkpointEvery` rounds); the counts state checkpoints EVERY
-    * round — its next argmax would otherwise re-execute the whole
-    * merge chain. That extra per-round job is this face's local floor
-    * cost; at corpus scale it buys retiring the vocab-sized explode. */
+    * [[applyMerge]] pass as the recount loop; both cadences resolve
+    * adaptively ([[cadenceFor]]: every round while floor-sized — the
+    * per-round cost there is Catalyst reanalysis of the deepening
+    * chain, measured 6.1 s vs 8.9 s at the catalog cell and nearly
+    * 2× at counts cadence 4 (driver gap 11 s at 6.9 s job span:
+    * planning, not execution) — fused 8/4 past 1M rows, where
+    * per-round state materialization is the cost that matters). */
   def learnMergesIncremental(docs: DataFrame, textCol: String,
-      maxMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 8)
-      : Seq[Merge] = {
+      maxMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 0,
+      countsCheckpointEvery: Int = 0): Seq[Merge] = {
     require(maxMerges >= 0,
       s"learnMergesIncremental: bad maxMerges $maxMerges")
-    require(checkpointEvery >= 1,
+    require(checkpointEvery >= 0,
       s"learnMergesIncremental: bad checkpointEvery $checkpointEvery")
+    require(countsCheckpointEvery >= 0,
+      "learnMergesIncremental: bad countsCheckpointEvery " +
+        countsCheckpointEvery)
     val spark = docs.sparkSession
     val merges = ArrayBuffer.empty[Merge]
     if (maxMerges == 0) return merges.toSeq
     val rotW = new Checkpoints.Rotating
     val rotC = new Checkpoints.Rotating
     var cur = rotW(seedWords(docs, textCol))
-    val p = GraftSession.loopPartitionsOf(math.max(1L, cur.count()))
+    val vocabRows = cur.count()
+    val p = GraftSession.loopPartitionsOf(math.max(1L, vocabRows))
+    val cpW =
+      if (checkpointEvery > 0) checkpointEvery
+      else cadenceFor(vocabRows, 8)
+    val cpC =
+      if (countsCheckpointEvery > 0) countsCheckpointEvery
+      else cadenceFor(vocabRows, 4)
+    // a words checkpoint RELEASES its predecessor; any counts-chain
+    // delta still lazy at that moment was built on the released
+    // frame and would fail to re-execute. Aligning the cadences puts
+    // a counts materialization (which runs before the words rotation
+    // in the round body) at every words-checkpoint round, so no
+    // pending delta outlives the words frame it reads.
+    require(cpW % cpC == 0,
+      "learnMergesIncremental: the words cadence must be a multiple " +
+        s"of the counts cadence ($cpW % $cpC != 0)")
     GraftSession.withLoopConf(spark, p) {
       // seed counts: the one full pair explode of this face
       var counts = rotC(cur
@@ -202,6 +244,7 @@ object Bpe {
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .repartition(p, col("pair")))
       var sinceCp = 0
+      var sinceCpC = 0
       var done = false
       while (!done && merges.size < maxMerges) {
         val best = counts
@@ -230,18 +273,23 @@ object Bpe {
                 col("freq").as("d")))
             .groupBy("pair").agg(sum("d").as("d"))
             .repartition(p, col("pair"))
-          counts = rotC(counts.join(delta, Seq("pair"), "full_outer")
+          val merged = counts.join(delta, Seq("pair"), "full_outer")
             .select(col("pair"),
               (coalesce(col("cnt"), lit(0L)) +
                 coalesce(col("d"), lit(0L))).as("cnt"))
-            .filter(col("cnt") > 0))
+            .filter(col("cnt") > 0)
+          sinceCpC += 1
+          counts =
+            if (sinceCpC >= cpC) {
+              sinceCpC = 0; rotC(merged)
+            } else merged
           val applied = cur
             .select(applyMerge(col("toks"), a, b).as("toks"),
               col("freq"))
             .filter(size(col("toks")) >= 2)
           sinceCp += 1
           cur =
-            if (sinceCp >= checkpointEvery && merges.size < maxMerges) {
+            if (sinceCp >= cpW && merges.size < maxMerges) {
               sinceCp = 0; rotW(applied)
             } else applied
         }
