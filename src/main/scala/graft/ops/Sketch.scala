@@ -756,10 +756,11 @@ object Sketch {
       (denseRows + 65535L) / 65536L)
     val p = math.min(math.max((denseRows + 999999L) / 1000000L,
       math.max(1L, coreFill)), 65536L).toInt
-    // the loop scans the grid once per CHECKPOINT WINDOW (4 scans, a
-    // 4-level slice each — see the join-window comment below) — hold
-    // it at the LOOP's partition count, not the build's, or every
-    // scan pays build-width task floors (617 → ~300 tasks measured).
+    // the loop scans the grid once per broadcast build (16 per-level
+    // slices on the sequential branch; 4 window slices on the fused
+    // one — see the per-branch comments below) — hold it at the
+    // LOOP's partition count, not the build's, or every scan pays
+    // build-width task floors (617 → ~300 tasks measured).
     // Everything downstream (walkers included) must derive from THIS
     // checkpoint so the build-width one can release.
     // hold the loop's checkpoint deserialized while it fits
@@ -821,22 +822,18 @@ object Sketch {
       if (!fuse) {
         var level = 15
         while (level >= 0) {
-          // join against the CHECKPOINT WINDOW's 4-level slice, with
-          // `level` in the join keys, rather than this level's slice
-          // alone: the four rounds of one checkpoint plan then share a
-          // canonically-IDENTICAL broadcast subtree, which
-          // ReuseExchange builds ONCE — 4 grid scans + broadcast
-          // builds per walk instead of 16 (descent 7.5 → 5.3 s on the
-          // 1500-walker catalog domain, bit-identical; 8- and 16-level
-          // windows regress to 8-10 s — the wider slice crosses the
-          // broadcast threshold and the plan falls to per-round
-          // sort-merge). Rows for the window's other levels sit
-          // unmatched in the hash table; the probe's level column
-          // restricts matches to exactly the old per-level slice.
-          val winLo = (level / 4) * 4
-          val lvlCells = gCp
-            .filter(col("level") >= winLo && col("level") <= winLo + 3)
-            .select(gcols ++ Seq(col("level"), col("r"), col("bucket"),
+          // per-level slice, deliberately: the sequential probe's
+          // level is a per-round CONSTANT, so a window-slice join
+          // with `level` in the keys just constant-folds back to this
+          // exact build filter (verified by plan inspection — the
+          // optimizer strips level from the keys and pushes the
+          // literal into the build side, so no two rounds' broadcast
+          // subtrees ever match and ReuseExchange has nothing to
+          // dedup). The FUSED branch below is the one whose probe
+          // level is genuinely non-constant; its window slice is
+          // where the broadcast reuse is real and measured.
+          val lvlCells = gCp.filter(col("level") === level)
+            .select(gcols ++ Seq(col("r"), col("bucket"),
               col("c")): _*)
           val byWalker = org.apache.spark.sql.expressions.Window
             .partitionBy(gcols :+ col("permille"): _*)
@@ -848,9 +845,7 @@ object Sketch {
               explode(array((0 until depth).map(lit(_)): _*)))
             .withColumn("bucket", rankBucket(col("cp"),
               lit(level.toLong * depth) + col("r"), width))
-            .withColumn("level", lit(level))
-            .join(lvlCells, groupCols ++ Seq("level", "r", "bucket"),
-              "left")
+            .join(lvlCells, groupCols ++ Seq("r", "bucket"), "left")
             .groupBy(gcols ++ Seq(col("permille"), col("target"),
               col("pfx"), col("base"), col("j")): _*)
             .agg(min(coalesce(col("c"), lit(0L))).as("est"))
@@ -878,9 +873,16 @@ object Sketch {
       var hi = 15
       while (hi >= 1) {
         val lo = hi - 1
-        // same checkpoint-window slice as the sequential branch: the
-        // two fused rounds per window share one broadcast build (the
-        // join already carries `level`, so matches are unchanged)
+        // join against the CHECKPOINT WINDOW's 4-level slice rather
+        // than this round's (hi, lo) pair: the fused probe's level is
+        // a genuine column (explode over hi/lo), so nothing folds,
+        // and the two rounds of one checkpoint plan carry canonically
+        // identical broadcast subtrees that ReuseExchange builds ONCE
+        // — 4 builds + grid scans per walk instead of 8 (measured on
+        // the catalog domain: q_rank_quantiles_join 24 → 20 jobs,
+        // summed task time 37 → 19 s, wall 7.1 → 5.9 s warmed).
+        // Off-round levels sit unmatched in the hash table; the level
+        // key restricts matches to exactly the old pair slice.
         val winLo = (lo / 4) * 4
         val lvlCells = gCp
           .filter(col("level") >= winLo && col("level") <= winLo + 3)
