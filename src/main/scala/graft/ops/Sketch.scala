@@ -820,34 +820,49 @@ object Sketch {
       // and the walker checkpoints — verified by plan inspection)
       w = w.repartition(p, gcols: _*)
       if (!fuse) {
+        // the sequential probe's level is per-round constant, so a
+        // NAIVE window-slice join constant-folds back to per-level
+        // builds (plan-verified — the optimizer strips `level` from
+        // the keys and pushes the literal into the build side, and
+        // nothing reuses). To get the fused branch's reuse here too,
+        // the walkers carry the current checkpoint window's TOP level
+        // as DATA (`_lvl`, materialized by the seed checkpoint and
+        // decremented by 4 at each rotation): the per-round level is
+        // then `_lvl − offset` — non-foldable, so `level` stays in
+        // the join keys and the four rounds of one checkpoint plan
+        // share a canonically identical window-slice broadcast
+        // subtree that ReusedExchange builds ONCE: 4 grid scans +
+        // broadcast builds per walk instead of 16 (the seed
+        // checkpoint costs one extra walkers-sized job).
+        var wl = {
+          val cp = w.withColumn("_lvl", lit(15)).localCheckpoint()
+          prevCp = Some(cp)
+          cp
+        }
         var level = 15
         while (level >= 0) {
-          // per-level slice, deliberately: the sequential probe's
-          // level is a per-round CONSTANT, so a window-slice join
-          // with `level` in the keys just constant-folds back to this
-          // exact build filter (verified by plan inspection — the
-          // optimizer strips level from the keys and pushes the
-          // literal into the build side, so no two rounds' broadcast
-          // subtrees ever match and ReuseExchange has nothing to
-          // dedup). The FUSED branch below is the one whose probe
-          // level is genuinely non-constant; its window slice is
-          // where the broadcast reuse is real and measured.
-          val lvlCells = gCp.filter(col("level") === level)
-            .select(gcols ++ Seq(col("r"), col("bucket"),
+          val winLo = (level / 4) * 4
+          val lvlCells = gCp
+            .filter(col("level") >= winLo && col("level") <= winLo + 3)
+            .select(gcols ++ Seq(col("level"), col("r"), col("bucket"),
               col("c")): _*)
           val byWalker = org.apache.spark.sql.expressions.Window
             .partitionBy(gcols :+ col("permille"): _*)
-          val stepped = w
+          val stepped = wl
             .withColumn("j",
               explode(array((0 until 16).map(i => lit(i.toLong)): _*)))
             .withColumn("cp", col("pfx") * 16 + col("j"))
             .withColumn("r",
               explode(array((0 until depth).map(lit(_)): _*)))
+            // _lvl is the window top (winLo + 3); this round's level
+            // derived from DATA keeps the key non-foldable
+            .withColumn("level", col("_lvl") - lit(winLo + 3 - level))
             .withColumn("bucket", rankBucket(col("cp"),
-              lit(level.toLong * depth) + col("r"), width))
-            .join(lvlCells, groupCols ++ Seq("r", "bucket"), "left")
+              col("level").cast("long") * depth + col("r"), width))
+            .join(lvlCells, groupCols ++ Seq("level", "r", "bucket"),
+              "left")
             .groupBy(gcols ++ Seq(col("permille"), col("target"),
-              col("pfx"), col("base"), col("j")): _*)
+              col("pfx"), col("base"), col("_lvl"), col("j")): _*)
             .agg(min(coalesce(col("c"), lit(0L))).as("est"))
             .withColumn("S", sum(col("est")).over(byWalker
               .orderBy(col("j")).rowsBetween(
@@ -860,15 +875,19 @@ object Sketch {
             .filter(col("j") === coalesce(col("pick"), lit(15L)))
             .select(gcols ++ Seq(col("permille"), col("target"),
               (col("pfx") * 16 + col("j")).as("pfx"),
-              (col("base") + col("S") - col("est")).as("base")): _*)
-          w = if (level % 4 == 0) {
-            val cp = stepped.localCheckpoint()
+              (col("base") + col("S") - col("est")).as("base"),
+              col("_lvl")): _*)
+          wl = if (level % 4 == 0) {
+            val cp = stepped
+              .withColumn("_lvl", col("_lvl") - lit(4))
+              .localCheckpoint()
             prevCp.foreach(Checkpoints.release)
             prevCp = Some(cp)
             cp
           } else stepped
           level -= 1
         }
+        w = wl.drop("_lvl")
       } else {
       var hi = 15
       while (hi >= 1) {
