@@ -87,7 +87,8 @@ object BpeEncode {
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     for (word <- text.toString.split(" ") if word.nonEmpty) {
       // seed: one token per code point (the oracle's
-      // regexp_extract_all(word, '.'))
+      // regexp_extract_all(word, '[\s\S]') — every code point,
+      // control separators included, matching this loop exactly)
       var toks = {
         val b = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0

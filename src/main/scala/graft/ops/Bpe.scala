@@ -92,16 +92,23 @@ object Bpe {
 
   /** The distinct-word frequency table seeded to code-point tokens —
     * the ONLY corpus-sized pass of the trainer. Words are whitespace
-    * tokens; seed tokens are `regexp_extract_all(word, '.')` (one
-    * per code point, the oracle's identical spelling). Single-token
-    * words can never merge and are dropped at seed. */
+    * tokens; seed tokens are `regexp_extract_all(word, '[\s\S]')`
+    * (one per code point, the oracle's identical spelling).
+    * `[\s\S]` rather than `.`: Java's `.` excludes \r, U+0085,
+    * U+2028, U+2029 on top of \n while RE2's excludes only \n, so a
+    * word carrying a stray control separator would seed DIFFERENT
+    * token arrays engine-vs-oracle under `.`; the explicit class
+    * matches every code point identically in both regex dialects
+    * (and matches [[graft.functions.BpeEncode]]'s codePointAt loop,
+    * which never skips anything). Single-token words can never merge
+    * and are dropped at seed. */
   private def seedWords(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(regexp_extract_all(col("word"), lit("."), lit(0)).as("toks"),
-        col("freq"))
+      .select(regexp_extract_all(col("word"), lit("[\\s\\S]"), lit(0))
+        .as("toks"), col("freq"))
       .filter(size(col("toks")) >= 2)
 
   /** The word-table checkpoint cadence is a two-regime knob, decided
@@ -213,6 +220,23 @@ object Bpe {
     require(countsCheckpointEvery >= 0,
       "learnMergesIncremental: bad countsCheckpointEvery " +
         countsCheckpointEvery)
+    // a words checkpoint RELEASES its predecessor; any counts-chain
+    // delta still lazy at that moment was built on the released
+    // frame and would fail to re-execute. Aligning the cadences puts
+    // a counts materialization (which runs before the words rotation
+    // in the round body) at every words-checkpoint round, so no
+    // pending delta outlives the words frame it reads. Two EXPLICIT
+    // cadences that violate the alignment are a caller error — loud
+    // HERE, before the seed is checkpointed, so the failure path
+    // cannot leak the seed's blocks; when either cadence resolves
+    // adaptively the resolved counts cadence is instead rounded DOWN
+    // to a divisor of the words cadence (below), so adaptive
+    // resolution can never reach a failure path at all.
+    if (checkpointEvery > 0 && countsCheckpointEvery > 0)
+      require(checkpointEvery % countsCheckpointEvery == 0,
+        "learnMergesIncremental: the words cadence must be a " +
+          "multiple of the counts cadence " +
+          s"($checkpointEvery % $countsCheckpointEvery != 0)")
     val spark = docs.sparkSession
     val merges = ArrayBuffer.empty[Merge]
     if (maxMerges == 0) return merges.toSeq
@@ -224,18 +248,15 @@ object Bpe {
     val cpW =
       if (checkpointEvery > 0) checkpointEvery
       else cadenceFor(vocabRows, 8)
-    val cpC =
-      if (countsCheckpointEvery > 0) countsCheckpointEvery
-      else cadenceFor(vocabRows, 4)
-    // a words checkpoint RELEASES its predecessor; any counts-chain
-    // delta still lazy at that moment was built on the released
-    // frame and would fail to re-execute. Aligning the cadences puts
-    // a counts materialization (which runs before the words rotation
-    // in the round body) at every words-checkpoint round, so no
-    // pending delta outlives the words frame it reads.
-    require(cpW % cpC == 0,
-      "learnMergesIncremental: the words cadence must be a multiple " +
-        s"of the counts cadence ($cpW % $cpC != 0)")
+    val cpC = {
+      val asked =
+        if (countsCheckpointEvery > 0) countsCheckpointEvery
+        else cadenceFor(vocabRows, 4)
+      // largest divisor of cpW not exceeding the asked cadence (1
+      // always qualifies); checkpoints only ever land MORE often
+      // than asked, which is safe — the alignment invariant holds
+      (math.min(asked, cpW) to 1 by -1).find(cpW % _ == 0).get
+    }
     GraftSession.withLoopConf(spark, p) {
       // seed counts: the one full pair explode of this face
       var counts = rotC(cur
@@ -278,9 +299,14 @@ object Bpe {
               (coalesce(col("cnt"), lit(0L)) +
                 coalesce(col("d"), lit(0L))).as("cnt"))
             .filter(col("cnt") > 0)
+          // mirror the words-side `merges.size < maxMerges` guard:
+          // the final round needs no counts checkpoint — nothing
+          // lazy survives the loop exit (releaseLast follows), so a
+          // cadence-boundary landing on the last merge would pay one
+          // materialization only to immediately free it
           sinceCpC += 1
           counts =
-            if (sinceCpC >= cpC) {
+            if (sinceCpC >= cpC && merges.size < maxMerges) {
               sinceCpC = 0; rotC(merged)
             } else merged
           val applied = cur

@@ -53,7 +53,7 @@ object TextQueries extends QueryGroup {
                  FROM documents WHERE text IS NOT NULL) s0) s1
          WHERE word <> ''),
        enc(doc_id, wi, toks) AS (
-         SELECT doc_id, wi, regexp_extract_all(word, '.') FROM bw
+         SELECT doc_id, wi, regexp_extract_all(word, '[\\s\\S]') FROM bw
          UNION ALL
          SELECT doc_id, wi,
            toks[1:b - 1] || [toks[b] || toks[b + 1]] || toks[b + 2:]
@@ -122,11 +122,12 @@ object TextQueries extends QueryGroup {
       .map(r => s"SELECT CAST($r AS INT) AS rank, pair, cnt FROM b$r")
       .mkString("\nUNION ALL\n")
     s"""w0 AS MATERIALIZED (
-         SELECT regexp_extract_all(word, '.') AS toks,
+         SELECT regexp_extract_all(word, '[\\s\\S]') AS toks,
                 CAST(count(*) AS BIGINT) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS word
                FROM documents WHERE text IS NOT NULL)
-         WHERE word <> '' AND len(regexp_extract_all(word, '.')) >= 2
+         WHERE word <> ''
+           AND len(regexp_extract_all(word, '[\\s\\S]')) >= 2
          GROUP BY word),
        ${rounds.mkString(",\n")},
        bmerges AS MATERIALIZED ($union),

@@ -887,12 +887,12 @@ class RankSketchSpec extends AnyFunSuite {
     // and its probe `level` is a genuine column (explode over hi/lo),
     // so the two rounds of one checkpoint plan carry canonically
     // identical broadcast subtrees and ReuseExchange builds ONE — 4
-    // broadcast builds per walk, not 8. (The sequential branch's
-    // probe level is a per-round constant: a window slice there just
-    // constant-folds back to per-level builds, which is why it keeps
-    // the per-level spelling.) Regression pin: job count on a
-    // fused-branch fixture, measured against the same walk with the
-    // per-pair slice (+4 jobs).
+    // broadcast builds per walk, not 8. (The sequential branch gets
+    // the same reuse by carrying the window-top level as checkpoint
+    // DATA — `_lvl` — so its per-round level can't constant-fold;
+    // its own job pin is the next test.) Regression pin: job count
+    // on a fused-branch fixture, measured against the same walk with
+    // the per-pair slice (+4 jobs).
     val df = (0 until 1800).map { i =>
       (s"g${i % 3}", i.toLong * 7919L + (i % 3) * 1000003L)
     }.toDF("grp", "x")
@@ -916,6 +916,44 @@ class RankSketchSpec extends AnyFunSuite {
     // (+4 → 21). The bound splits the two with planner-drift slack.
     assert(cur > 0 && cur <= 19,
       s"fused join walk submitted $cur jobs")
+    graft.core.Checkpoints.release(big)
+  }
+
+  test("sequential join walk shares one broadcast per checkpoint " +
+      "window (ReusedExchange on the _lvl spelling fires): job " +
+      "count stays window-shaped, not level-shaped") {
+    // the SEQUENTIAL branch's reuse rides the `_lvl` checkpoint
+    // column: the per-round probe level is `_lvl - offset` — data,
+    // not a literal — so Catalyst cannot fold it into the build side
+    // and the four rounds of one checkpoint plan share ONE
+    // window-slice broadcast (4 builds per walk, not 16). A planner
+    // change that re-folds `_lvl` would silently cost 12 broadcasts
+    // back; this pin makes that loud. 120 groups × 1 permille = 120
+    // walkers → fused fan 122 880 rows > the 100k fuse threshold, so
+    // the walk takes the sequential single-level branch.
+    val df = (0 until 4800).map { i =>
+      (s"g${i % 120}", i.toLong * 7919L + (i % 120) * 1000003L)
+    }.toDF("grp", "x")
+    val big = Sketch.rankGridBy(df, col("x"), Seq("grp"), D, 64)
+      .localCheckpoint() // build outside the counted window
+    val sc = spark.sparkContext
+    val group = s"walk-seq-jobpin-${System.nanoTime()}"
+    sc.setJobGroup(group, "sequential join-walk job-count pin")
+    try
+      Sketch.rankQuantilesByJoin(big, Seq("grp"), Seq(500), D, 64)
+        .collect()
+    finally sc.clearJobGroup()
+    def jobsNow = sc.statusTracker.getJobIdsForGroup(group).length
+    var last = -1
+    var cur = jobsNow
+    while (cur != last) { last = cur; Thread.sleep(300); cur = jobsNow }
+    info(s"sequential join walk submitted $cur jobs")
+    // measured 18 on this fixture with the shared `_lvl` window build
+    // (4 checkpoint plans, each 1 BroadcastExchange + 3
+    // ReusedExchange); losing the reuse re-builds per level
+    // (+12 → 30). The bound splits the two with planner-drift slack.
+    assert(cur > 0 && cur <= 23,
+      s"sequential join walk submitted $cur jobs")
     graft.core.Checkpoints.release(big)
   }
 
