@@ -38,6 +38,18 @@ object WarehouseQueries extends QueryGroup {
   private val rankRangeOracle: String = RankSketchSql.oracleOver(
     s"SELECT epoch_us(ts) AS v FROM events WHERE $rangeSqlPred")
 
+  /** The MAINTENANCE horizon: `vacuumDays(keep = 14)` on the events
+    * table's 30-day span retains exactly 2024-01-17..30, and
+    * q_warehouse_maintenance answers the monolithic walk over THAT
+    * slice with no further filter — the retained window IS the
+    * answerable window, so the vacuum's exact day selection (one day
+    * over- or under-kept shifts every quantile target) and the
+    * compaction's byte preservation both land in the one hash. */
+  private val MaintLo = "2024-01-17"
+  private val maintRangeOracle: String = RankSketchSql.oracleOver(
+    s"""SELECT epoch_us(ts) AS v FROM events
+        WHERE ts IS NOT NULL AND CAST(ts AS DATE) >= DATE '$MaintLo'""")
+
   private val cmsRangeOracle: String =
     s"""WITH ${CmsSql.gridCtesOver(
            s"SELECT props AS text FROM events WHERE $rangeSqlPred")},
@@ -1262,6 +1274,65 @@ object WarehouseQueries extends QueryGroup {
         graft.core.Fs.deleteRecursively(staged.toFile)
         graft.core.Fs.deleteRecursively(cells.toFile)
       }
+    },
+
+    // The warehouse MAINTENANCE path, CORRECTNESS-pinned end to end:
+    // day cells land through the real dt-partitioned sink
+    // (overwriteDays — the same function the per-trigger streaming
+    // loop of q_stream_cells_persisted writes through), then the two
+    // lifecycle ops a long-lived table needs both run and must both
+    // be invisible to the answer: vacuumDays(keep=14) drops the 16
+    // oldest day directories (retention changes WHAT is answerable,
+    // never the answer over what remains), Compactor.compact rewrites
+    // every surviving day dir 3-files -> 1 (fewer files, identical
+    // bytes-as-rows), and the 14-day quantiles are walked off the
+    // post-maintenance table with NO date filter — the retained
+    // window IS the query window. The oracle is the monolithic rank
+    // spelling over exactly that slice, so vacuum day-selection and
+    // compaction answer-preservation are one hash; the requires pin
+    // the numFiles drop (every survivor compacts to one file) so a
+    // no-op compactor fails loudly rather than vacuously passing.
+    // At 100 TB this is the nightly maintenance job: per-partition
+    // compaction is embarrassingly parallel, vacuum is a directory
+    // listing, and neither touches corpus bytes.
+    q("q_warehouse_maintenance", "warehouse", maintRangeOracle) {
+      (spark, dir) =>
+      val ev = Tables.df(spark, dir, "events")
+        .withColumn("_day", to_date(col("ts")))
+      val root = java.nio.file.Files.createTempDirectory("graft_wm")
+      try {
+        val byDay = Sketch.rankGridBy(ev, unix_micros(col("ts")),
+          Seq("_day"), RankSketchSql.Depth, RankSketchSql.Width)
+        val table = s"$root/rank"
+        graft.write.PartitionedWriter.overwriteDays(byDay, table,
+          "_day", filesPerPartition = 3)
+        val dropped = graft.write.PartitionedWriter.vacuumDays(
+          spark, table, keepDays = 14)
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val days = fs.globStatus(
+            new org.apache.hadoop.fs.Path(table, "dt=*"))
+          .toSeq.filter(_.isDirectory).map(_.getPath)
+        require(days.size == 14 && dropped.size == 16,
+          s"vacuum horizon drifted: kept ${days.size}, " +
+            s"dropped ${dropped.size}")
+        val (nb, na) = days.map { d =>
+          val (b, a, _) =
+            graft.write.Compactor.compact(spark, d.toString)
+          (b, a)
+        }.unzip
+        // the numFiles-drop pin: day cells are synopsis-sized, so
+        // every survivor must compact to exactly one file, from a
+        // strictly larger pre-compact count
+        require(na.sum == days.size && nb.sum > na.sum,
+          s"compaction did not drop files: ${nb.sum} -> ${na.sum}")
+        val merged = Sketch.mergeRankGrids(
+          spark.read.parquet(table)
+            .select(col("level"), col("r"), col("bucket"), col("c")))
+        // driver-side walk -> local rows, safe past the cleanup
+        Sketch.rankQuantiles(merged, RankSketchSql.Permilles,
+          RankSketchSql.Depth, RankSketchSql.Width)
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
     },
 
     // Curation composition v10 — the RANGE dashboard: one statement
