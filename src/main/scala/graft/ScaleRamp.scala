@@ -1129,6 +1129,20 @@ object ScaleRamp {
         timeIt(graft.ops.Bpe.learnMerges(docsAt(k), "text",
           maxMerges = 16).size.toLong)
       },
+      "classifier_train" -> { k =>
+        // distributed quality-classifier training (round 19): one
+        // corpus pass builds the hashed count features, then 4
+        // epochs, each ONE exchange-free pass over the doc-
+        // partitioned feature table plus a model-sized (4097-row)
+        // gradient collect. Feats rows ramp ~linearly with k (the
+        // z{i} prefixes keep grams copy-local); the model never
+        // grows — expect ~linear with an epochs×job-floor term.
+        val labeled = graft.ops.Classifier.realVsShuffled(
+          docsAt(k), "doc_id", "text")
+        timeIt(graft.ops.Classifier.train(labeled, "doc_id", "text",
+            "y", graft.ops.Classifier.Config(epochs = 4))
+          .count(_._2 != 0L).toLong)
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
@@ -1178,6 +1192,10 @@ object ScaleRamp {
     Dedup.corpusDiff(docs0.limit(200), docs0.limit(100),
       "doc_id", "text").count()
     graft.ops.Bpe.learnMerges(docs0.limit(200), "text", maxMerges = 2)
+    graft.ops.Classifier.train(
+      graft.ops.Classifier.realVsShuffled(docs0.limit(200), "doc_id",
+        "text"), "doc_id", "text", "y",
+      graft.ops.Classifier.Config(epochs = 1))
     Similarity.ivfPqTopK(emb0.limit(500), emb0.limit(20), 5).count()
     graft.ops.Decontaminate.bloomFlag(docs0.limit(200),
       docs0.limit(50), "doc_id", "text", 4).count()

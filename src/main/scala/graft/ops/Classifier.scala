@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Checkpoints, GraftSession}
+
+/** Distributed QUALITY-CLASSIFIER training — the second LEARNED
+  * artifact of the curation pipeline (after [[Bpe]]'s vocabulary):
+  * the CCNet/DCLM-shaped gate that scores every document with a
+  * linear model over hashed n-gram features, trained in-engine by
+  * batch gradient descent (Weinberger et al. 2009 "Feature Hashing
+  * for Large Scale Multitask Learning" for the feature map;
+  * fastText-style text classification for the model shape — both
+  * public).
+  *
+  * Model: binary logistic regression over hashed unigram+bigram
+  * COUNTS (bucket = Spark Murmur3 `hash(gram) mod buckets` — a power
+  * of two, so the bucket is the hash's low bits in both engines) plus
+  * a bias, with the logistic sigmoid replaced by its fixed-point
+  * HARD variant `p = clamp(z/4 + 1/2, 0, 1)` (the standard quantized
+  *-training surrogate — slope 1/4 matches the logistic at 0). Every
+  * quantity is an INTEGER at scale `Config.scale`: z = Σ w·x + b is
+  * a long dot product of long weights with count features, the
+  * per-doc error `p − y` is a long in [−scale, scale], the gradient
+  * is a long sum of error×count products (associative — any
+  * aggregation order lands the same bits), and the update divides by
+  * `lrDen·n` with truncation spelled `(g − g mod d) div d` — exact
+  * in both engines because the subtraction makes the dividend
+  * divisible. The whole trajectory is therefore a deterministic
+  * integer function of the corpus, which is what lets the full
+  * 8-epoch training run replay in DuckDB as an unrolled CTE chain
+  * (q_classifier_train) — the [[Bpe.learnMerges]] discipline applied
+  * to gradient descent.
+  *
+  * Distribution shape, and why it holds at 100 TB: the corpus is
+  * touched ONCE to build the sparse feature table (explode grams →
+  * map-side bucket hash → (doc, bucket, cnt) groupBy — the only
+  * corpus-keyed shuffle), which is then localCheckpoint'd
+  * partitioned BY DOCUMENT. Each epoch is one pass over that table:
+  * weights (buckets+1 longs — model-sized, never corpus-sized)
+  * broadcast in as a literal table, the per-doc dot product and
+  * error run EXCHANGE-FREE on the doc partitioning (the groupBy and
+  * the error join are both doc-keyed), and the gradient comes back
+  * through a map-side-combined bucket aggregation whose post-shuffle
+  * size is ≤ buckets+1 rows — the per-epoch driver collect is
+  * model-sized (the BPE argmax discipline), so executors never see
+  * the weights as state and the driver never sees the corpus.
+  * Epochs are inherently sequential (each update feeds the next
+  * epoch's broadcast); the per-epoch cost is one feature-table scan
+  * ×2 — flat in epochs, linear in corpus.
+  */
+object Classifier {
+
+  /** Bias pseudo-bucket: rides the feature table as bucket −1 with
+    * count 1 per document, so the dot product, the gradient, and the
+    * update treat it uniformly (its gradient is Σ error — exactly
+    * the bias gradient). */
+  val Bias: Int = -1
+
+  /** Fixed-point training configuration. `buckets` must be a power
+    * of two (bucket = hash low bits — the identical spelling in
+    * Spark's `pmod(hash, B)` and the oracle's `u % B`); `scale` even
+    * (the hard sigmoid adds scale/2); learning rate = lrNum/(lrDen·n)
+    * with n the labeled-doc count, so the update is an average
+    * gradient step whatever the corpus size. */
+  final case class Config(
+      buckets: Int = 4096,
+      epochs: Int = 8,
+      lrNum: Long = 1L,
+      lrDen: Long = 200L,
+      scale: Long = 1000000L,
+      slope: Long = 4L) {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2: $buckets")
+    require(epochs >= 0, s"epochs must be >= 0: $epochs")
+    require(lrNum >= 1 && lrDen >= 1, s"bad learning rate $lrNum/$lrDen")
+    require(scale >= 2 && scale % 2 == 0, s"scale must be even: $scale")
+    require(slope >= 1, s"slope must be >= 1: $slope")
+  }
+
+  private def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= lit(""))
+
+  /** Unigram + bigram occurrences of the whitespace-split text (the
+    * [[Bpe]] adjacent-pairs idiom over words instead of tokens). */
+  private[ops] def gramsOf(text: Column): Column = {
+    val t = words(text)
+    concat(t, transform(slice(t, lit(1), size(t) - 1),
+      (x, i) => concat(x, lit(" "), element_at(t, i + lit(2)))))
+  }
+
+  /** Sparse hashed-count features: (id, bucket, cnt) — one row per
+    * (doc, bucket) with the OCCURRENCE count of grams landing in the
+    * bucket, plus the [[Bias]] row per doc. The only corpus-sized
+    * pass of the trainer; null-text docs carry no rows. */
+  def hashedGramFeatures(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    base.select(col(idCol), explode(gramsOf(col(textCol))).as("_g"))
+      .select(col(idCol),
+        pmod(hash(col("_g")), lit(buckets)).cast("int").as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .unionByName(base.select(col(idCol),
+        lit(Bias).as("bucket"), lit(1L).as("cnt")))
+  }
+
+  /** Train on (id, text, label∈{0,1}); returns the full weight table
+    * ordered by bucket — [[Bias]] first, then 0..buckets−1 — in
+    * `scale` fixed-point units. Deterministic: same corpus, same
+    * bits, both engines. */
+  def train(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, cfg: Config = Config())
+      : IndexedSeq[(Int, Long)] = {
+    val spark = labeled.sparkSession
+    val labels = labeled.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(labelCol).cast("long").as("_y"))
+    val cp0 = hashedGramFeatures(labeled, idCol, textCol, cfg.buckets)
+      .join(labels, Seq(idCol))
+      .localCheckpoint()
+    val featRows = cp0.count()
+    // dense-stage sizing (the join-walk discipline): each epoch is a
+    // CPU-dense pass over the feature table — ~1M rows/task at scale,
+    // core-fill floored so a mid-size corpus doesn't run 1-wide
+    val coreFill = math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (featRows + 65535L) / 65536L)
+    val p = math.min(math.max((featRows + 999999L) / 1000000L,
+      math.max(1L, coreFill)), 65536L).toInt
+    val w = new Array[Long](cfg.buckets)
+    var b0 = 0L
+    // broadcast OFF session-wide, ON by explicit hint for the weights
+    // only: the error frame is doc-sized (never broadcastable at
+    // corpus scale — its intermediate stats estimate must not tempt
+    // the planner), the weights are model-sized always
+    GraftSession.withLoopConf(spark, p, allowBroadcast = false) {
+      // partitioned BY DOCUMENT: the per-doc dot-product groupBy and
+      // the error join are both id-keyed, so every epoch runs
+      // exchange-free up to the model-sized gradient aggregation
+      // (plan-verified: 1 hash exchange + 1 broadcast per epoch).
+      // The checkpoint MUST be built here, under the static planner:
+      // localCheckpoint under AQE captures UnknownPartitioning —
+      // the adaptive plan's partitioning is not stable at capture
+      // time — and every epoch then re-shuffles both join sides
+      // (plan-verified refutation of the naive spelling)
+      val feats = cp0.repartition(p, col(idCol)).localCheckpoint()
+      Checkpoints.release(cp0)
+      val n = feats.filter(col("bucket") === Bias).count()
+      require(n > 0, "train: no labeled documents with text")
+      val den = cfg.lrDen * n
+      var ep = 0
+      while (ep < cfg.epochs) {
+        val wDf = broadcast(spark.createDataFrame(
+          (Bias until cfg.buckets).map(b =>
+            (b, if (b == Bias) b0 else w(b)))).toDF("bucket", "w"))
+        val z = feats.join(wDf, Seq("bucket"))
+          .groupBy(col(idCol), col("_y"))
+          .agg(sum(col("w") * col("cnt")).as("z"))
+        val err = z.select(col(idCol),
+          (greatest(lit(0L), least(lit(cfg.scale),
+            expr(s"(z - z % ${cfg.slope}) div ${cfg.slope}")
+              + lit(cfg.scale / 2)))
+            - col("_y") * cfg.scale).as("err"))
+        val grad = feats.join(err, Seq(idCol))
+          .groupBy(col("bucket"))
+          .agg(sum(col("err") * col("cnt")).as("g"))
+          .collect()
+        grad.foreach { r =>
+          val b = r.getInt(0)
+          val g = cfg.lrNum * r.getLong(1)
+          // (g - g mod den) / den is exact truncation toward zero —
+          // Scala long division agrees, spelled this way to mirror
+          // the oracle bit for bit
+          val upd = (g - g % den) / den
+          if (b == Bias) b0 -= upd else w(b) -= upd
+        }
+        ep += 1
+      }
+      Checkpoints.release(feats)
+    }
+    (Bias until cfg.buckets).map(b =>
+      b -> (if (b == Bias) b0 else w(b)))
+  }
+
+  /** Score (id, text) docs with a trained weight table: the same
+    * hashed features dotted with the broadcast weights — the 100 TB
+    * INFERENCE path, one map-side pass + one doc-keyed aggregation.
+    * Returns (id, score) with score = z in `scale` fixed-point units
+    * (decision boundary z > 0). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(Int, Long)], buckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val wDf = broadcast(
+      spark.createDataFrame(weights).toDF("bucket", "w"))
+    hashedGramFeatures(docs, idCol, textCol, buckets)
+      .join(wDf, Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w") * col("cnt")).as("score"))
+  }
+
+  /** The labeled training set the catalog trains on, built
+    * deterministically from the corpus itself: every document is a
+    * POSITIVE, and its word-sorted twin — same unigram multiset,
+    * bigram structure destroyed — is the NEGATIVE (the fastText/DCLM
+    * construction: curated text vs degenerate text; here the
+    * degenerate class is synthesized so the label is exact and the
+    * classes perfectly balanced). Twin ids interleave (2·id, 2·id+1)
+    * to stay unique. The classifier must learn to separate natural
+    * word order from sorted order out of bigram buckets alone — the
+    * unigram features are identical within every pair, so any signal
+    * it finds is genuinely the n-gram structure. */
+  def realVsShuffled(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+    base.select((col(idCol) * 2).as(idCol), col(textCol),
+        lit(1L).as("y"))
+      .unionByName(base.select((col(idCol) * 2 + 1).as(idCol),
+        concat_ws(" ", sort_array(words(col(textCol))))
+          .as(textCol),
+        lit(0L).as("y")))
+  }
+}

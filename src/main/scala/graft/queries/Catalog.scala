@@ -47,6 +47,7 @@ object Catalog {
     MultimodalQueries,
     PackQueries,
     QualityQueries,
+    ClassifierQueries,
     WarehouseQueries)
 
   lazy val all: Seq[Q] = {

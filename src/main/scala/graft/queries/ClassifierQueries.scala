@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Classifier, Pack}
+
+/** The quality-classifier trainer ([[graft.ops.Classifier]]) under
+  * full DuckDB oracles: the 8-epoch fixed-point gradient-descent
+  * trajectory replays as an unrolled CTE chain (the q_bpe_learn
+  * discipline applied to training), the learned gate's confusion
+  * matrix pins that it actually LEARNED, and the score →
+  * selectUnderBudget composition pins the artifact handoff into the
+  * curation pipeline.
+  *
+  * Labeled set: every document (positive) vs its word-sorted twin
+  * (negative) — [[graft.ops.Classifier.realVsShuffled]]. Unigram
+  * features are identical within each pair, so separation comes
+  * entirely from bigram structure: the gate the trainer must learn is
+  * "natural word order vs degenerate order", the fastText-style
+  * quality construction with an exact, engine-independent label. */
+object ClassifierQueries extends QueryGroup {
+
+  private val B = 4096
+  private val Epochs = 8
+  private val S = 1000000L
+  private val Slope = 4L
+  private val LrNum = 1L
+  private val LrDen = 200L
+  private val Budget = 15000L
+
+  private val cfg =
+    Classifier.Config(B, Epochs, LrNum, LrDen, S, Slope)
+
+  /** The training replay: labeled docs → gram rows → Murmur buckets
+    * (the shared [[MurmurSql.chain]]) → sparse count features with
+    * the bias pseudo-bucket −1 → epochs e = 1..8 each as four
+    * MATERIALIZED tables (per-doc dot product z, hard-sigmoid error,
+    * per-bucket gradient, weight update). Every quantity is a BIGINT
+    * at scale 10⁶; truncating division is spelled
+    * `(x − x % d) // d` — the dividend is made exactly divisible, so
+    * floor (DuckDB) and trunc (Spark `div`, Scala `/`) agree on any
+    * sign. Ends at `w$Epochs` (b, w). */
+  private def trainCtes: String = {
+    val epochs = (1 to Epochs).map { e =>
+      val pw = s"w${e - 1}"
+      s"""z$e AS MATERIALIZED (
+           SELECT f.uid, f.y, sum(w.w * f.cnt) AS z
+           FROM feats f JOIN $pw w USING (b) GROUP BY 1, 2),
+         e$e AS MATERIALIZED (
+           SELECT uid,
+             greatest(0, least($S,
+               (z - z % $Slope) // $Slope + ${S / 2}))
+               - y * $S AS err
+           FROM z$e),
+         g$e AS MATERIALIZED (
+           SELECT f.b, sum(e.err * f.cnt) AS g
+           FROM feats f JOIN e$e e USING (uid) GROUP BY 1),
+         w$e AS MATERIALIZED (
+           SELECT w.b,
+             CAST(w.w - (($LrNum * COALESCE(g.g, 0))
+               - ($LrNum * COALESCE(g.g, 0)) % ($LrDen * nn.n))
+               // ($LrDen * nn.n) AS BIGINT) AS w
+           FROM $pw w LEFT JOIN g$e g USING (b) CROSS JOIN nn)"""
+    }
+    s"""d0 AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         FROM documents WHERE text IS NOT NULL),
+       ld AS (SELECT 2 * doc_id AS uid, toks, 1 AS y FROM d0
+              UNION ALL
+              SELECT 2 * doc_id + 1, list_sort(toks), 0 FROM d0),
+       gr AS (SELECT uid, y, unnest(list_concat(toks,
+                [toks[i] || ' ' || toks[i + 1]
+                 for i in generate_series(1,
+                   greatest(len(toks) - 1, 0))])) AS g
+              FROM ld),
+       strs AS (SELECT DISTINCT g AS s FROM gr),
+       ${MurmurSql.chain},
+       feats AS MATERIALIZED (
+         SELECT uid, y, CAST(u % $B AS INT) AS b,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM gr JOIN mm ON gr.g = mm.s GROUP BY 1, 2, 3
+         UNION ALL
+         SELECT uid, y, -1, CAST(1 AS BIGINT) FROM ld),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ld),
+       w0 AS (SELECT unnest(generate_series(-1, ${B - 1})) AS b,
+                CAST(0 AS BIGINT) AS w),
+       ${epochs.mkString(",\n")}"""
+  }
+
+  val queries: Seq[Q] = Seq(
+    // DISTRIBUTED QUALITY-CLASSIFIER TRAINING: the full 8-epoch
+    // fixed-point GD trajectory differentials weight for weight
+    // against the unrolled SQL replay — 4097 weights, one hash. The
+    // second learned artifact (after q_bpe_learn's vocabulary): the
+    // engine now trains both components a production curation
+    // pipeline carries.
+    q("q_classifier_train", "llm-classifier",
+      s"""WITH $trainCtes
+          SELECT CAST(b AS INT) AS bucket, w FROM w$Epochs""") {
+      (spark, dir) =>
+      import spark.implicits._
+      val labeled = Classifier.realVsShuffled(
+        Tables.df(spark, dir, "documents"), "doc_id", "text")
+      Classifier.train(labeled, "doc_id", "text", "y", cfg)
+        .toDF("bucket", "w")
+    },
+
+    // the learned gate actually LEARNS: confusion matrix of the
+    // trained model on its corpus (measured 99.9% at the catalog
+    // cell — separation comes from bigram buckets alone, the
+    // unigrams cancel within every real/twin pair). The oracle
+    // recomputes training AND inference in SQL.
+    q("q_classifier_eval", "llm-classifier",
+      s"""WITH $trainCtes,
+          zf AS (SELECT f.uid, f.y, sum(w.w * f.cnt) AS z
+                 FROM feats f JOIN w$Epochs w USING (b)
+                 GROUP BY 1, 2)
+          SELECT CAST(y AS INT) AS y,
+                 CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS INT)
+                   AS pred,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM zf GROUP BY 1, 2""") { (spark, dir) =>
+      val labeled = Classifier.realVsShuffled(
+        Tables.df(spark, dir, "documents"), "doc_id", "text")
+      val weights =
+        Classifier.train(labeled, "doc_id", "text", "y", cfg)
+      Classifier.score(labeled, "doc_id", "text", weights, B)
+        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .groupBy(col("y").cast("int").as("y"),
+          when(col("score") > 0, 1).otherwise(0).as("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // learn → score → SELECT composition: the trained gate scores
+    // the REAL corpus and the token budget is spent highest-score
+    // first (Pack.selectUnderBudget — the sharded exact prefix sum).
+    // Pins the artifact handoff end to end: a weight drift, a score
+    // drift, or a selection-order drift all land in this hash.
+    q("q_classifier_select", "llm-classifier",
+      s"""WITH $trainCtes,
+          rd AS (SELECT doc_id, len(toks) AS tokens FROM d0),
+          sc AS (SELECT f.uid // 2 AS doc_id,
+                   sum(w.w * f.cnt) AS z
+                 FROM feats f JOIN w$Epochs w USING (b)
+                 WHERE f.uid % 2 = 0 GROUP BY 1),
+          c AS (SELECT r.doc_id, r.tokens,
+                  CAST(s.z AS DOUBLE) AS score,
+                  CAST(sum(r.tokens) OVER (
+                    ORDER BY s.z DESC, r.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+                FROM rd r JOIN sc s USING (doc_id))
+          SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, score,
+                 cum_tokens
+          FROM c WHERE cum_tokens <= $Budget""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val labeled = Classifier.realVsShuffled(docs, "doc_id", "text")
+      val weights =
+        Classifier.train(labeled, "doc_id", "text", "y", cfg)
+      val scored = Classifier
+        .score(docs, "doc_id", "text", weights, B)
+        .join(docs.select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => w =!= lit("")))
+            .cast("long").as("toks")), Seq("doc_id"))
+        .withColumn("score", col("score").cast("double"))
+      Pack.selectUnderBudget(scored, "doc_id", "toks", "score",
+        Budget)
+    })
+}
