@@ -779,8 +779,17 @@ object Sketch {
       if (gridRows <= 16000000L)
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       else serLevel
-    val gCp = gCp0.repartition(p, gcols: _*)
-      .localCheckpoint(true, loopLevel)
+    // checkpoint under the STATIC planner: localCheckpoint under AQE
+    // captures UnknownPartitioning (the adaptive plan's partitioning
+    // is not stable at capture time — plan-verified on the r19
+    // classifier, which hit the identical trap), which would void
+    // the co-partitioning above exactly where it matters: at the
+    // corpus-scale SMJ flip, every round would re-exchange its grid
+    // slice. Locally invisible (the build side broadcasts), so only
+    // a plan probe catches it.
+    val gCp = GraftSession.withStaticPlan(spark) {
+      gCp0.repartition(p, gcols: _*).localCheckpoint(true, loopLevel)
+    }
     Checkpoints.release(gCp0)
     val nPerGroup = gCp.filter(col("level") === 15 && col("r") === 0)
       .groupBy(gcols: _*).agg(sum(col("c")).as("_n"))
