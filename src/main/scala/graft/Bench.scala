@@ -99,9 +99,14 @@ object Bench {
     * OTHER noise class (r16: three of four captures burned under
     * 81–103 ms serial floors vs the 33–44 ms healthy band, probe-flat
     * and spread-quiet — the drift inflates round-count-dominated
-    * queries ~linearly in their job count). A shard whose quieter
-    * floor probe (min of start/end — if even that is hot, the loud
-    * window covered the whole attempt) breaches
+    * queries ~linearly in their job count). A shard's floor metric is
+    * max(min(start, end), mid): the quieter EDGE probe (if even that
+    * is hot, the loud window covered the whole attempt) combined with
+    * the MID-capture sample added in r19 — three r18 queries rode a
+    * lift that rose after the start probe and decayed before the end
+    * probe into a gate-PASS final with non-discounting rechecks, the
+    * gate's one measured blind spot; the mid probe sits between the
+    * two passes, inside that window. A shard whose metric breaches
     * `SPARK_GRAFT_BENCH_FLOOR_BAR_MS` (default 60) is re-run under
     * the same bounded-retry budget, best attempt = first by
     * (floor-gate pass, then spread). The merged artifact stamps the
@@ -156,10 +161,17 @@ object Bench {
       def floorOf(line: String): Double = {
         def g(k: String) = ("\"" + k + "\":(-?[0-9.]+)").r
           .findFirstMatchIn(line).map(_.group(1).toDouble)
-        (g("floor_start_ms"), g("floor_end_ms")) match {
+        val edge = (g("floor_start_ms"), g("floor_end_ms")) match {
           case (Some(a), Some(b)) => math.min(a, b)
           case (a, b) => a.orElse(b).getOrElse(floorMiss)
         }
+        // the MID probe gates on its own reading, not the edge min:
+        // it samples INSIDE the capture window, where the r18 lift
+        // class lived — a loud mid over quiet edges is exactly the
+        // blind spot this closes. Missing mid (pre-r19 line) falls
+        // back to the edge metric alone.
+        g("floor_mid_ms").fold(edge)(mid =>
+          if (edge == floorMiss) mid else math.max(edge, mid))
       }
       def gateOk(line: String): Boolean = floorOf(line) <= floorBar
       val discarded = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -509,6 +521,12 @@ object Bench {
     val floorStart = floorProbe()
     val pass1 = runPass("p1")
     val calMid = calProbe("cal-mid")
+    // MID-capture serial-floor sample (r18 gate blind spot): a floor
+    // lift that rises after the start probe and decays before the end
+    // probe sat invisibly inside the capture window three rounds in a
+    // row — this point sample sits between the two passes, inside the
+    // window the edge probes bracket but cannot see into
+    val floorMid = floorProbe()
     val pass2 = runPass("p2")
     val calEnd = calProbe("cal-end")
     val floorEnd = floorProbe()
@@ -560,7 +578,7 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""""errors":[""", ",", "],")
     val calSpreadJ = if (calSpread.isNaN) "-1" else d2(calSpread)
-    val cal = s""""calibration":{"start":${jNum(calStart)},"mid":${jNum(calMid)},"end":${jNum(calEnd)},"spread":$calSpreadJ,"floor_start_ms":${d2(floorStart)},"floor_end_ms":${d2(floorEnd)},"gc_ms":$gcDelta}"""
+    val cal = s""""calibration":{"start":${jNum(calStart)},"mid":${jNum(calMid)},"end":${jNum(calEnd)},"spread":$calSpreadJ,"floor_start_ms":${d2(floorStart)},"floor_mid_ms":${d2(floorMid)},"floor_end_ms":${d2(floorEnd)},"gc_ms":$gcDelta}"""
     val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","failed":$failed,"queries":$qs,$errJson$cal,"sf":"$sfDir"}"""
     spark.stop()
     line

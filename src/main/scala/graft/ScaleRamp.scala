@@ -99,6 +99,21 @@ object ScaleRamp {
       spark.read.parquet(path)
     })
 
+    // vocab-ramp fixture (round 19): corpus tokens CONSTANT, distinct
+    // words ×~50k — every word suffixed with its doc's (doc_id mod
+    // 50k) tag, so the word histogram grows while the corpus pass
+    // does not. Materialized like the other replicas so the timed
+    // cells only read parquet.
+    val vocabCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def vocabDocsAt(k: Int): DataFrame = vocabCache.getOrElseUpdate(k, {
+      val path = s"$out/vocab_x$k"
+      docs0.withColumn("text",
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1x"), pmod(col("doc_id"), lit(50L * k)))))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    })
+
     // ---- event-stream ramp input (round 14): 8 events per doc with
     // user_id = doc_id % (500·k), so the USER population ramps with
     // the corpus while events-per-user stays constant at 80 — the
@@ -1129,6 +1144,26 @@ object ScaleRamp {
         timeIt(graft.ops.Bpe.learnMerges(docsAt(k), "text",
           maxMerges = 16).size.toLong)
       },
+      "bpe_learn_vocab_recount" -> { k =>
+        // the VOCAB ramp (round 19, fixed corpus): every word gets a
+        // per-doc suffix (doc_id mod 50k), so distinct words multiply
+        // ~50k-fold while corpus tokens stay constant — isolating the
+        // per-round vocab-table term the two trainer faces differ on.
+        // The recount face explodes EVERY pair position of EVERY word
+        // each round: expect the 12 rounds to grow ~linearly in k.
+        timeIt(graft.ops.Bpe.learnMerges(vocabDocsAt(k), "text",
+          maxMerges = 12).size.toLong)
+      },
+      "bpe_learn_vocab_incremental" -> { k =>
+        // same fixture, incremental face: per round only the affected
+        // words fold/explode; what still scales with vocab is a
+        // columnar array_contains scan (no recompute) plus the
+        // pair-count merge (live pairs stay few-k here — char pairs).
+        // Expect a visibly flatter exponent than the recount row; the
+        // seed corpus pass is the shared constant term.
+        timeIt(graft.ops.Bpe.learnMergesIncremental(vocabDocsAt(k),
+          "text", maxMerges = 12).size.toLong)
+      },
       "classifier_train" -> { k =>
         // distributed quality-classifier training (round 19): one
         // corpus pass builds the hashed count features, then 4
@@ -1192,6 +1227,8 @@ object ScaleRamp {
     Dedup.corpusDiff(docs0.limit(200), docs0.limit(100),
       "doc_id", "text").count()
     graft.ops.Bpe.learnMerges(docs0.limit(200), "text", maxMerges = 2)
+    graft.ops.Bpe.learnMergesIncremental(docs0.limit(200), "text",
+      maxMerges = 2)
     graft.ops.Classifier.train(
       graft.ops.Classifier.realVsShuffled(docs0.limit(200), "doc_id",
         "text"), "doc_id", "text", "y",

@@ -47,11 +47,17 @@ import graft.core.{Checkpoints, GraftSession}
   * per-round cost. [[learnMerges]] recounts every pair every round —
   * the reference semantics, cheapest locally (one job per round, no
   * second state). [[learnMergesIncremental]] is the corpus-scale
-  * face: it maintains the pair-count table as a SECOND loop state and
-  * updates it by the delta of only the words CONTAINING the merged
-  * pair, so the per-round explode shrinks from O(vocab × word_len) to
-  * O(affected words × word_len) — the realistic tail, where most
-  * merges touch a sliver of the vocabulary. Identical total order,
+  * face: it maintains the pair-count table as a SECOND loop state
+  * updated by the delta of only the words CONTAINING the merged
+  * pair, and rewrites ONLY those words (a lazily-branching update
+  * projection over a materialized pair column), so ALL per-round
+  * recomputation —
+  * merge fold, pair rebuild, delta explode — is O(affected words ×
+  * word_len); what remains per round is linear SCANS of stored state
+  * (the affected filter over the vocab pair column, the argmax and
+  * merge over the live pair counts) — the honest floor of the
+  * formulation. The realistic tail is where this wins: most merges
+  * touch a sliver of the vocabulary. Identical total order,
   * identical output (BpeSpec pins the two faces equal, merge for
   * merge and count for count) — the collected-walk/join-walk duality
   * the rank sketch already set: one face per floor regime.
@@ -103,13 +109,24 @@ object Bpe {
     * which never skips anything). Single-token words can never merge
     * and are dropped at seed. */
   private def seedWords(docs: DataFrame, textCol: String): DataFrame =
+    seedWordsKeyed(docs, textCol).select(col("toks"), col("freq"))
+
+  /** [[seedWords]] keeping the WORD as a stable row key plus the
+    * adjacent-pair array as a materialized column — the incremental
+    * face's loop-state shape. The word never changes under merges
+    * (token arrays always concatenate back to it), so it keys the
+    * affected-row update join for the whole run. */
+  private def seedWordsKeyed(docs: DataFrame,
+      textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(regexp_extract_all(col("word"), lit("[\\s\\S]"), lit(0))
-        .as("toks"), col("freq"))
+      .select(col("word"),
+        regexp_extract_all(col("word"), lit("[\\s\\S]"), lit(0))
+          .as("toks"), col("freq"))
       .filter(size(col("toks")) >= 2)
+      .withColumn("pairs", adjacentPairs(col("toks")))
 
   /** The word-table checkpoint cadence is a two-regime knob, decided
     * ADAPTIVELY off the materialized vocab size (the walk's fuse
@@ -190,26 +207,47 @@ object Bpe {
 
   /** [[learnMerges]] with INCREMENTAL pair-count maintenance — the
     * corpus-scale face (see the object scaladoc). Two loop states,
-    * both rotating-checkpointed: the word table (as in the recount
-    * loop) and the pair-count table. Per round: 1-row argmax off the
-    * MATERIALIZED count table (no recount), then the delta — pairs of
-    * the affected words before minus after the merge, freq-weighted —
-    * folds into the counts via a full-outer join on `pair`. The
-    * counts checkpoint is hash-partitioned on `pair` and
-    * localCheckpoint preserves that partitioning (the join-walk
-    * precedent), so under the static loop plan the merge join is
-    * exchange-free on the counts side; only the delta (affected-sized)
-    * shuffles. Counts at zero are dropped, so the state never grows
-    * past the live pair vocabulary.
+    * both rotating-checkpointed: the word table — here keyed by the
+    * WORD (merge-invariant) and carrying its adjacent-pair array as
+    * a MATERIALIZED column — and the pair-count table. Per round:
+    * 1-row argmax off the materialized count table (no recount);
+    * affected words found by `array_contains` on the materialized
+    * pair column (an O(vocab) scan, but of stored data — no
+    * per-round lambda re-evaluation); [[applyMerge]] and the new
+    * pair arrays EXECUTE for affected words only — the update is a
+    * single narrow `when(hit, new).otherwise(stored)` projection
+    * whose branches CaseWhen evaluates lazily per row, so unaffected
+    * rows pass their stored columns through — making the expensive
+    * per-round work (merge fold, pair rebuild, delta explode)
+    * O(affected words × word_len) while the word chain stays LINEAR
+    * (a keyed self-join update would put `cur` on both sides and
+    * double the plan every un-checkpointed round — 2^cadence
+    * analysis blow-up, measured as a hang at explicit cadence 8).
+    * The delta — affected pairs before minus after, freq-weighted —
+    * folds into the counts via a full-outer join on `pair`.
     *
-    * The word table is rewritten with the same identity-on-unaffected
-    * [[applyMerge]] pass as the recount loop; both cadences resolve
-    * adaptively ([[cadenceFor]]: every round while floor-sized — the
-    * per-round cost there is Catalyst reanalysis of the deepening
-    * chain, measured 6.1 s vs 8.9 s at the catalog cell and nearly
-    * 2× at counts cadence 4 (driver gap 11 s at 6.9 s job span:
-    * planning, not execution) — fused 8/4 past 1M rows, where
-    * per-round state materialization is the cost that matters). */
+    * Honest per-round floor: two linear-scan terms remain that no
+    * formulation of this loop removes — the affected FILTER reads
+    * the vocab table (cheap columnar scan), and the argmax plus the
+    * counts merge read the pair-count table (finding the max of P
+    * live counters is O(P) without a driver-side heap, which cannot
+    * hold 10⁸ pairs). What the incremental face retires is all
+    * per-round RECOMPUTATION: no corpus pass, no vocab-wide merge
+    * fold, no vocab-wide pair explode.
+    *
+    * Plumbing: the seed is re-checkpointed at the loop partition
+    * count UNDER the static planner (localCheckpoint under AQE
+    * captures UnknownPartitioning — the r19 classifier lesson; the
+    * word chain itself is join-free, so its hash keys are only row
+    * balance, but the counts checkpoint's `pair` partitioning is
+    * load-bearing: the merge join is exchange-free on the counts
+    * side and only the delta — affected-sized — shuffles).
+    * Counts at zero are dropped, so that state never grows past the
+    * live pair vocabulary. Both cadences resolve adaptively
+    * ([[cadenceFor]]: every round while floor-sized — the per-round
+    * cost there is Catalyst reanalysis of the deepening chain —
+    * fused 8/4 past 1M rows, where per-round state materialization
+    * is the cost that matters). */
   def learnMergesIncremental(docs: DataFrame, textCol: String,
       maxMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 0,
       countsCheckpointEvery: Int = 0): Seq[Merge] = {
@@ -242,8 +280,10 @@ object Bpe {
     if (maxMerges == 0) return merges.toSeq
     val rotW = new Checkpoints.Rotating
     val rotC = new Checkpoints.Rotating
-    var cur = rotW(seedWords(docs, textCol))
-    val vocabRows = cur.count()
+    // seed once under AQE for the row count; the loop-state copy is
+    // re-checkpointed word-partitioned under the static planner below
+    val seed0 = seedWordsKeyed(docs, textCol).localCheckpoint()
+    val vocabRows = seed0.count()
     val p = GraftSession.loopPartitionsOf(math.max(1L, vocabRows))
     val cpW =
       if (checkpointEvery > 0) checkpointEvery
@@ -258,10 +298,12 @@ object Bpe {
       (math.min(asked, cpW) to 1 by -1).find(cpW % _ == 0).get
     }
     GraftSession.withLoopConf(spark, p) {
-      // seed counts: the one full pair explode of this face
+      var cur = rotW(seed0.repartition(p, col("word")))
+      Checkpoints.release(seed0)
+      // seed counts: the one full pair explode of this face — off
+      // the MATERIALIZED pair column
       var counts = rotC(cur
-        .select(explode(adjacentPairs(col("toks"))).as("pair"),
-          col("freq"))
+        .select(explode(col("pairs")).as("pair"), col("freq"))
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .repartition(p, col("pair")))
       var sinceCp = 0
@@ -279,18 +321,21 @@ object Bpe {
           merges += Merge(pair, best.getLong(1))
           val sp = pair.indexOf(' ')
           val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
-          // delta from ONLY the words containing the pair: their
-          // pre-merge pairs leave the counts, post-merge pairs enter
+          // affected = words containing the pair, found on the
+          // STORED pair column; merge fold + pair rebuild run for
+          // these rows only
           val affected = cur
-            .filter(array_contains(adjacentPairs(col("toks")),
-              lit(pair)))
+            .filter(array_contains(col("pairs"), lit(pair)))
+          // delta: affected pre-merge pairs leave the counts,
+          // post-merge pairs enter (a word merged to one token has
+          // an empty new-pair array — contributes nothing, and the
+          // update projection below drops it from the word table)
           val delta = affected
-            .select(explode(adjacentPairs(col("toks"))).as("pair"),
+            .select(explode(col("pairs")).as("pair"),
               (-col("freq")).as("d"))
             .unionAll(affected
-              .select(applyMerge(col("toks"), a, b).as("toks"),
-                col("freq"))
-              .select(explode(adjacentPairs(col("toks"))).as("pair"),
+              .select(explode(adjacentPairs(
+                applyMerge(col("toks"), a, b))).as("pair"),
                 col("freq").as("d")))
             .groupBy("pair").agg(sum("d").as("d"))
             .repartition(p, col("pair"))
@@ -309,9 +354,25 @@ object Bpe {
             if (sinceCpC >= cpC && merges.size < maxMerges) {
               sinceCpC = 0; rotC(merged)
             } else merged
+          // word-table update as ONE narrow projection: CaseWhen
+          // evaluates its branches lazily per row, so the merge fold
+          // and pair rebuild EXECUTE only on affected rows while
+          // unaffected rows pass their stored columns through — the
+          // O(affected) rewrite without a self-join (a word-keyed
+          // update join was the first spelling, refuted: cur appears
+          // on both sides, so every un-checkpointed round DOUBLES
+          // the plan — 2^cadence analysis blow-up at explicit
+          // cadences; the projection keeps the chain linear exactly
+          // like the recount face) and without touching the
+          // checkpoint partitioning
+          val hit = array_contains(col("pairs"), lit(pair))
           val applied = cur
-            .select(applyMerge(col("toks"), a, b).as("toks"),
-              col("freq"))
+            .select(col("word"),
+              when(hit, applyMerge(col("toks"), a, b))
+                .otherwise(col("toks")).as("toks"),
+              col("freq"),
+              when(hit, adjacentPairs(applyMerge(col("toks"), a, b)))
+                .otherwise(col("pairs")).as("pairs"))
             .filter(size(col("toks")) >= 2)
           sinceCp += 1
           cur =
