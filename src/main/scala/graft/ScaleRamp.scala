@@ -114,6 +114,25 @@ object ScaleRamp {
       spark.read.parquet(path)
     })
 
+    // tail-vocab fixture (round 19): the PRODUCTION-TAIL shape the
+    // incremental trainer face exists for — vocab grows ×k via junk
+    // words from a DISJOINT alphabet (uppercase base-36, hash-mixed
+    // digits so no junk pair accumulates count; the natural corpus is
+    // lowercase), so the argmax stays in the natural corpus and the
+    // AFFECTED set is bounded while the vocabulary ramps.
+    val tailVocabCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def tailVocabDocsAt(k: Int): DataFrame =
+      tailVocabCache.getOrElseUpdate(k, {
+        val path = s"$out/tailvocab_x$k"
+        val junk = spark.range(1550L * k).select(
+          lpad(conv(pmod(col("id") * 2654435761L + 99991L,
+              lit(2821109907456L)).cast("string"), 10, 36),
+            8, "0").as("text"))
+        docs0.select(col("text")).unionByName(junk)
+          .write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      })
+
     // ---- event-stream ramp input (round 14): 8 events per doc with
     // user_id = doc_id % (500·k), so the USER population ramps with
     // the corpus while events-per-user stays constant at 80 — the
@@ -1163,6 +1182,24 @@ object ScaleRamp {
         // seed corpus pass is the shared constant term.
         timeIt(graft.ops.Bpe.learnMergesIncremental(vocabDocsAt(k),
           "text", maxMerges = 12).size.toLong)
+      },
+      "bpe_learn_tailvocab_recount" -> { k =>
+        // production-tail shape: vocab ramps via disjoint-alphabet
+        // junk, the 12 merges and their AFFECTED words stay inside
+        // the fixed natural corpus. The recount face still explodes
+        // every pair position of every word (junk included) each
+        // round — expect growth with k.
+        timeIt(graft.ops.Bpe.learnMerges(tailVocabDocsAt(k), "text",
+          maxMerges = 12).size.toLong)
+      },
+      "bpe_learn_tailvocab_incremental" -> { k =>
+        // same fixture, incremental face: per round the junk rows are
+        // touched only by the columnar array_contains scan and the
+        // state rotation — fold/explode work is bounded by the fixed
+        // affected set. Expect a visibly flatter exponent than the
+        // recount row; this is the regime the second loop state buys.
+        timeIt(graft.ops.Bpe.learnMergesIncremental(
+          tailVocabDocsAt(k), "text", maxMerges = 12).size.toLong)
       },
       "classifier_train" -> { k =>
         // distributed quality-classifier training (round 19): one
