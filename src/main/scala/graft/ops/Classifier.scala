@@ -183,20 +183,30 @@ object Classifier {
       b -> (if (b == Bias) b0 else w(b)))
   }
 
-  /** Score (id, text) docs with a trained weight table: the same
-    * hashed features dotted with the broadcast weights — the 100 TB
-    * INFERENCE path, one map-side pass + one doc-keyed aggregation.
-    * Returns (id, score) with score = z in `scale` fixed-point units
-    * (decision boundary z > 0). */
+  /** Score (id, text) docs with a trained weight table: grams map
+    * straight through the broadcast weight lookup into ONE doc-keyed
+    * aggregation — the 100 TB INFERENCE path. No (id, bucket) count
+    * pre-aggregation: that intermediate earns its shuffle only in
+    * the training loop, where it is scanned once per epoch; scoring
+    * reads each gram once, and a doc's grams arrive co-located in
+    * its input partition, so the map-side partial agg collapses them
+    * before the single exchange (measured: the two-shuffle spelling
+    * cost q_classifier_eval ~2 s extra at the catalog cell). Returns
+    * (id, score), score = z in `scale` fixed-point units (decision
+    * boundary z > 0); gram-less docs still score (bias row). */
   def score(docs: DataFrame, idCol: String, textCol: String,
       weights: Seq[(Int, Long)], buckets: Int): DataFrame = {
     val spark = docs.sparkSession
     val wDf = broadcast(
       spark.createDataFrame(weights).toDF("bucket", "w"))
-    hashedGramFeatures(docs, idCol, textCol, buckets)
+    val base = docs.filter(col(textCol).isNotNull)
+    base.select(col(idCol), explode(gramsOf(col(textCol))).as("_g"))
+      .select(col(idCol),
+        pmod(hash(col("_g")), lit(buckets)).cast("int").as("bucket"))
+      .unionByName(base.select(col(idCol), lit(Bias).as("bucket")))
       .join(wDf, Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(sum(col("w") * col("cnt")).as("score"))
+      .agg(sum(col("w")).as("score"))
   }
 
   /** The labeled training set the catalog trains on, built

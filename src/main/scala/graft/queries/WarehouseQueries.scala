@@ -1316,10 +1316,20 @@ object WarehouseQueries extends QueryGroup {
         require(days.size == 14 && dropped.size == 16,
           s"vacuum horizon drifted: kept ${days.size}, " +
             s"dropped ${dropped.size}")
-        val (nb, na) = days.map { d =>
-          val (b, a, _) =
-            graft.write.Compactor.compact(spark, d.toString)
-          (b, a)
+        // per-partition compaction is embarrassingly parallel (the
+        // Compactor scaladoc's 100 TB deployment shape) — run the 14
+        // survivors concurrently; each compact is an independent
+        // read→write→two-rename swap on its own directory
+        val (nb, na) = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(
+            Future.traverse(days.toList) { d => Future {
+              val (b, a, _) =
+                graft.write.Compactor.compact(spark, d.toString)
+              (b, a)
+            }},
+            scala.concurrent.duration.Duration.Inf)
         }.unzip
         // the numFiles-drop pin: day cells are synopsis-sized, so
         // every survivor must compact to exactly one file, from a
