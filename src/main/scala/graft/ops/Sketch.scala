@@ -767,29 +767,43 @@ object Sketch {
     // comfortably (a serialized copy re-pays decompress+deserialize
     // on every scan — ~50 s of task time on a 3.2M-cell grid,
     // measured), serialized only past ~16M cells (~1.6 GB
-    // deserialized) where heap safety beats scan cost. Partitioned BY THE GROUP COLUMNS: the walkers
-    // hash the same way, and since every per-round key set — the
-    // slice join's (groups, r, bucket), the pick groupBy's, the two
-    // windows' (groups, permille) — is a SUPERSET of gcols, the
-    // whole descent runs co-partitioned with ZERO exchanges. Safe
-    // against group skew by construction: a group's cells are
+    // deserialized) where heap safety beats scan cost. The grid
+    // rows are hashed by the GROUP COLUMNS for balance; the WALKER
+    // side's exchange-freeness comes from its own in-plan
+    // repartition below (every per-round key set — the pick
+    // groupBy's, the two windows' (groups, permille) — is a superset
+    // of gcols), while the grid side rides each round as a broadcast
+    // build (reused per checkpoint window — see the checkpoint
+    // comment below for why its partitioning must NOT be preserved)
+    // and would pay a per-round slice exchange past the SMJ flip.
+    // Safe against group skew by construction: a group's cells are
     // sketch-bounded (16·depth·width) and a walker's fan is fixed,
     // whatever the corpus put in the group.
     val loopLevel =
       if (gridRows <= 16000000L)
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       else serLevel
-    // checkpoint under the STATIC planner: localCheckpoint under AQE
-    // captures UnknownPartitioning (the adaptive plan's partitioning
-    // is not stable at capture time — plan-verified on the r19
-    // classifier, which hit the identical trap), which would void
-    // the co-partitioning above exactly where it matters: at the
-    // corpus-scale SMJ flip, every round would re-exchange its grid
-    // slice. Locally invisible (the build side broadcasts), so only
-    // a plan probe catches it.
-    val gCp = GraftSession.withStaticPlan(spark) {
-      gCp0.repartition(p, gcols: _*).localCheckpoint(true, loopLevel)
-    }
+    // DELIBERATELY checkpointed under AQE, which records
+    // UnknownPartitioning into the LogicalRDD (the r19 classifier
+    // lesson) — here that information LOSS is load-bearing. The grid
+    // is referenced once per round inside a checkpoint-window plan;
+    // the analyzer deduplicates the repeated LogicalRDD via
+    // newInstance (fresh exprIds per reference), and a PRESERVED
+    // HashPartitioning rides canonicalization with those per-
+    // instance exprIds, so the four per-window broadcast subtrees
+    // stop canonicalizing equal and ReuseExchange goes dead —
+    // plan-probed r19: the static-planner spelling reads rx=0 and
+    // re-builds per round (q_user_dashboard 30→41 jobs, 576→906
+    // tasks, task time 93→155 s); this spelling reads 1 build + 3
+    // ReusedExchange per window. Broadcast reuse is the MEASURED
+    // win; the grid-side co-partitioning a preserved partitioning
+    // would buy only matters past the corpus-scale SMJ flip, and
+    // there it costs one grid-slice exchange per round — the same
+    // price this spelling has always paid. Revisit only if Spark's
+    // LogicalRDD canonicalization learns to normalize partitioning
+    // expressions.
+    val gCp = gCp0.repartition(p, gcols: _*)
+      .localCheckpoint(true, loopLevel)
     Checkpoints.release(gCp0)
     val nPerGroup = gCp.filter(col("level") === 15 && col("r") === 0)
       .groupBy(gcols: _*).agg(sum(col("c")).as("_n"))

@@ -948,12 +948,13 @@ class RankSketchSpec extends AnyFunSuite {
     var cur = jobsNow
     while (cur != last) { last = cur; Thread.sleep(300); cur = jobsNow }
     info(s"sequential join walk submitted $cur jobs")
-    // measured 17 on this fixture with the shared `_lvl` window build
+    // measured 18 on this fixture with the shared `_lvl` window build
     // (4 checkpoint plans, each 1 BroadcastExchange + 3
-    // ReusedExchange; 18 before the grid checkpoint moved under the
-    // static planner — AQE was paying one planning job there); losing
-    // the reuse re-builds per level (+12 → 29). The bound splits the
-    // two with planner-drift slack.
+    // ReusedExchange; one job is AQE planning at the grid checkpoint,
+    // which is DELIBERATELY built under AQE — a preserved grid
+    // partitioning kills exactly this reuse, see the Sketch
+    // checkpoint comment); losing the reuse re-builds per level
+    // (+12 → 30). The bound splits the two with planner-drift slack.
     assert(cur > 0 && cur <= 23,
       s"sequential join walk submitted $cur jobs")
     graft.core.Checkpoints.release(big)
