@@ -112,12 +112,52 @@ object Classifier {
     * bits, both engines. */
   def train(labeled: DataFrame, idCol: String, textCol: String,
       labelCol: String, cfg: Config = Config())
-      : IndexedSeq[(Int, Long)] = {
+      : IndexedSeq[(Int, Long)] =
+    trainImpl(labeled, idCol, textCol, labelCol, cfg)((w, _) => w)
+
+  /** [[train]] plus the FINAL model's per-doc scores, computed off
+    * the SAME feature table the loop just used (no second corpus
+    * pass — the feature build is the trainer's one corpus-sized
+    * cost, and the post-training evaluation/selection every gate
+    * deployment runs next should not pay it twice). Returns
+    * (weights, scores) where scores = (id, _y, score) — the label
+    * rides along for confusion matrices — localCheckpoint'd
+    * (docs-sized) so it survives the feature table's release;
+    * callers let it context-clean when unreachable (the
+    * selectUnderBudget precedent). */
+  def trainWithScores(labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, cfg: Config = Config())
+      : (IndexedSeq[(Int, Long)], DataFrame) =
+    trainImpl(labeled, idCol, textCol, labelCol, cfg) { (w, feats) =>
+      val spark = feats.sparkSession
+      val wDf = broadcast(
+        spark.createDataFrame(w).toDF("bucket", "w"))
+      (w, feats.join(wDf, Seq("bucket"))
+        .groupBy(col(idCol), col("_y"))
+        .agg(sum(col("w") * col("cnt")).as("score"))
+        .localCheckpoint())
+    }
+
+  private def trainImpl[T](labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, cfg: Config)(
+      finish: (IndexedSeq[(Int, Long)], DataFrame) => T): T = {
     val spark = labeled.sparkSession
-    val labels = labeled.filter(col(textCol).isNotNull)
-      .select(col(idCol), col(labelCol).cast("long").as("_y"))
-    val cp0 = hashedGramFeatures(labeled, idCol, textCol, cfg.buckets)
-      .join(labels, Seq(idCol))
+    // the label rides the gram explode (one more byte-ish per row
+    // through the feature groupBy) instead of joining back on id —
+    // one corpus-keyed shuffle at seed time, not two
+    val base = labeled.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(labelCol).cast("long").as("_y"),
+        col(textCol))
+    val cp0 = base
+      .select(col(idCol), col("_y"),
+        explode(gramsOf(col(textCol))).as("_g"))
+      .select(col(idCol), col("_y"),
+        pmod(hash(col("_g")), lit(cfg.buckets)).cast("int")
+          .as("bucket"))
+      .groupBy(col(idCol), col("_y"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .unionByName(base.select(col(idCol), col("_y"),
+        lit(Bias).as("bucket"), lit(1L).as("cnt")))
       .localCheckpoint()
     val featRows = cp0.count()
     // dense-stage sizing (the join-walk discipline): each epoch is a
@@ -177,10 +217,12 @@ object Classifier {
         }
         ep += 1
       }
+      val weights = (Bias until cfg.buckets).map(b =>
+        b -> (if (b == Bias) b0 else w(b)))
+      val out = finish(weights, feats)
       Checkpoints.release(feats)
+      out
     }
-    (Bias until cfg.buckets).map(b =>
-      b -> (if (b == Bias) b0 else w(b)))
   }
 
   /** Score (id, text) docs with a trained weight table: grams map

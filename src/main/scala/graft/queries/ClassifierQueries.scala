@@ -123,11 +123,12 @@ object ClassifierQueries extends QueryGroup {
           FROM zf GROUP BY 1, 2""") { (spark, dir) =>
       val labeled = Classifier.realVsShuffled(
         Tables.df(spark, dir, "documents"), "doc_id", "text")
-      val weights =
-        Classifier.train(labeled, "doc_id", "text", "y", cfg)
-      Classifier.score(labeled, "doc_id", "text", weights, B)
-        .join(labeled.select(col("doc_id"), col("y")), Seq("doc_id"))
-        .groupBy(col("y").cast("int").as("y"),
+      // trainWithScores: the confusion matrix reads the TRAINING
+      // feature table's final-model scores — no second corpus pass
+      val (_, scored) = Classifier.trainWithScores(
+        labeled, "doc_id", "text", "y", cfg)
+      scored
+        .groupBy(col("_y").cast("int").as("y"),
           when(col("score") > 0, 1).otherwise(0).as("pred"))
         .agg(count(lit(1)).as("n_docs"))
     },
@@ -156,14 +157,18 @@ object ClassifierQueries extends QueryGroup {
           FROM c WHERE cum_tokens <= $Budget""") { (spark, dir) =>
       val docs = Tables.df(spark, dir, "documents")
       val labeled = Classifier.realVsShuffled(docs, "doc_id", "text")
-      val weights =
-        Classifier.train(labeled, "doc_id", "text", "y", cfg)
-      val scored = Classifier
-        .score(docs, "doc_id", "text", weights, B)
+      // the real corpus's scores come straight off the training
+      // feature table: the positive rows (uid = 2·doc_id) carry
+      // exactly the real docs' features by construction, so no
+      // second corpus pass — uid div 2 recovers doc_id
+      val (_, scoredAll) = Classifier.trainWithScores(
+        labeled, "doc_id", "text", "y", cfg)
+      val scored = scoredAll.filter(col("_y") === 1L)
+        .select(expr("doc_id div 2").as("doc_id"),
+          col("score").cast("double").as("score"))
         .join(docs.select(col("doc_id"),
           size(filter(split(col("text"), " "), w => w =!= lit("")))
             .cast("long").as("toks")), Seq("doc_id"))
-        .withColumn("score", col("score").cast("double"))
       Pack.selectUnderBudget(scored, "doc_id", "toks", "score",
         Budget)
     })
