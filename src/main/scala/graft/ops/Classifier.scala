@@ -86,7 +86,12 @@ object Classifier {
     * [[Bpe]] adjacent-pairs idiom over words instead of tokens). */
   private[ops] def gramsOf(text: Column): Column = {
     val t = words(text)
-    concat(t, transform(slice(t, lit(1), size(t) - 1),
+    // greatest(…, 0): slice rejects a negative length, and an EMPTY
+    // word array (text of only separators) must yield zero grams,
+    // not an error — the oracle's generate_series(1, greatest(n−1,0))
+    // has the same guard
+    concat(t, transform(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
       (x, i) => concat(x, lit(" "), element_at(t, i + lit(2)))))
   }
 
@@ -249,6 +254,27 @@ object Classifier {
       .join(wDf, Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("w")).as("score"))
+  }
+
+  /** The trained gate as a PER-ROW EXPRESSION: the non-zero weights
+    * ride as a literal map and the score folds over the row's own
+    * grams — `bias + Σ coalesce(wMap[hash(g) mod B], 0)`. No join,
+    * no aggregation, no shuffle, no state: this is the deployed
+    * inference shape (a streaming ingest gate scores each micro-batch
+    * map-only, and a 100 TB batch gate is one projection over the
+    * corpus scan). Integer addition commutes, so the fold equals
+    * [[score]]'s aggregated dot product bit for bit; docs with no
+    * grams score the bias, matching the feature table's bias row. */
+  def scoreExpr(text: Column, weights: Seq[(Int, Long)],
+      buckets: Int): Column = {
+    val bias = weights.collectFirst { case (Bias, v) => v }
+      .getOrElse(0L)
+    val wMap = typedLit(weights
+      .filter { case (b, v) => b != Bias && v != 0L }.toMap)
+    aggregate(gramsOf(text), lit(bias),
+      (acc, g) => acc + coalesce(
+        element_at(wMap, pmod(hash(g), lit(buckets)).cast("int")),
+        lit(0L)))
   }
 
   /** The labeled training set the catalog trains on, built

@@ -40,9 +40,11 @@ object ClassifierQueries extends QueryGroup {
     * at scale 10⁶; truncating division is spelled
     * `(x − x % d) // d` — the dividend is made exactly divisible, so
     * floor (DuckDB) and trunc (Spark `div`, Scala `/`) agree on any
-    * sign. Ends at `w$Epochs` (b, w). */
-  private def trainCtes: String = {
-    val epochs = (1 to Epochs).map { e =>
+    * sign. Ends at `w<nEpochs>` (b, w); parameterized so the stream
+    * gate can train a DIFFERENT (4-epoch) model — its hash then
+    * cannot pass by coinciding with the 8-epoch queries'. */
+  private def trainCtes(nEpochs: Int = Epochs): String = {
+    val epochs = (1 to nEpochs).map { e =>
       val pw = s"w${e - 1}"
       s"""z$e AS MATERIALIZED (
            SELECT f.uid, f.y, sum(w.w * f.cnt) AS z
@@ -96,7 +98,7 @@ object ClassifierQueries extends QueryGroup {
     // engine now trains both components a production curation
     // pipeline carries.
     q("q_classifier_train", "llm-classifier",
-      s"""WITH $trainCtes
+      s"""WITH ${trainCtes()}
           SELECT CAST(b AS INT) AS bucket, w FROM w$Epochs""") {
       (spark, dir) =>
       import spark.implicits._
@@ -112,7 +114,7 @@ object ClassifierQueries extends QueryGroup {
     // unigrams cancel within every real/twin pair). The oracle
     // recomputes training AND inference in SQL.
     q("q_classifier_eval", "llm-classifier",
-      s"""WITH $trainCtes,
+      s"""WITH ${trainCtes()},
           zf AS (SELECT f.uid, f.y, sum(w.w * f.cnt) AS z
                  FROM feats f JOIN w$Epochs w USING (b)
                  GROUP BY 1, 2)
@@ -139,7 +141,7 @@ object ClassifierQueries extends QueryGroup {
     // Pins the artifact handoff end to end: a weight drift, a score
     // drift, or a selection-order drift all land in this hash.
     q("q_classifier_select", "llm-classifier",
-      s"""WITH $trainCtes,
+      s"""WITH ${trainCtes()},
           rd AS (SELECT doc_id, len(toks) AS tokens FROM d0),
           sc AS (SELECT f.uid // 2 AS doc_id,
                    sum(w.w * f.cnt) AS z
@@ -171,5 +173,31 @@ object ClassifierQueries extends QueryGroup {
             .cast("long").as("toks")), Seq("doc_id"))
       Pack.selectUnderBudget(scored, "doc_id", "toks", "score",
         Budget)
+    },
+
+    // the gate DEPLOYED ON INGEST: a 4-epoch model (≠ the other
+    // queries' 8 — this hash cannot pass by coincidence) trained
+    // batch-side, then every streamed document scored by the
+    // map-only literal-map expression (scoreExpr: no join, no agg,
+    // no state store — batch-partitioning invariance is structural,
+    // each row scores alone). Oracle = the batch scorer's spelling
+    // over the real docs verbatim, so streamed ≡ batch ≡ SQL replay
+    // is one hash. The production shape: the corpus gate rides the
+    // ingest scan as one projection.
+    q("q_stream_classifier_gate", "streaming",
+      s"""WITH ${trainCtes(4)},
+          sc AS (SELECT f.uid // 2 AS doc_id,
+                   sum(w.w * f.cnt) AS z
+                 FROM feats f JOIN w4 w USING (b)
+                 WHERE f.uid % 2 = 0 GROUP BY 1)
+          SELECT doc_id, CAST(z AS BIGINT) AS score, z > 0 AS kept
+          FROM sc""") { (spark, dir) =>
+      val labeled = Classifier.realVsShuffled(
+        Tables.df(spark, dir, "documents"), "doc_id", "text")
+      val weights = Classifier.train(labeled, "doc_id", "text", "y",
+        cfg.copy(epochs = 4))
+      graft.streaming.IngestStream.runClassifierGateToBatch(
+        spark, s"$dir/documents.parquet", weights, B,
+        s"clf_gate_${System.nanoTime()}")
     })
 }

@@ -698,6 +698,33 @@ object IngestStream {
     }
     syn.foreach(Checkpoints.release)
   }
+
+  /** The trained quality gate DEPLOYED ON INGEST — the classifier's
+    * streaming face, and deliberately the simplest one in this file:
+    * [[graft.ops.Classifier.scoreExpr]] folds the literal weight map
+    * over each row's own grams, so the gate is a stateless map-only
+    * PROJECTION — no per-batch aggregation, no state store, no
+    * shuffle, no static side. Batch-partitioning invariance is
+    * structural (each row scores alone), so streamed scores equal the
+    * batch scorer bit for bit whatever the trigger slicing — which is
+    * why the catalog oracle is the batch spelling verbatim. At 100 TB
+    * this is the production corpus gate: one expression riding the
+    * ingest scan, weights re-broadcast only when retrained.
+    * Output: (doc_id, score, kept = score > 0) append rows. */
+  def runClassifierGateToBatch(spark: SparkSession, path: String,
+      weights: Seq[(Int, Long)], buckets: Int,
+      queryName: String): DataFrame = {
+    StreamRun.bounded(spark, path, readDocs,
+      df => df.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ops.Classifier.scoreExpr(col("text"), weights,
+            buckets).as("score"))
+        .withColumn("kept", col("score") > 0)) { out =>
+      out.writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+    }
+    spark.table(queryName)
+  }
 }
 
 /** Shared bounded-run scaffolding for file-source streaming twins:

@@ -82,6 +82,32 @@ class ClassifierSpec extends AnyFunSuite {
     graft.core.Checkpoints.release(docs)
   }
 
+  test("scoreExpr (the map-only deployed gate) equals the aggregated " +
+      "scorer bit for bit, including the gram-less bias-only edge") {
+    import spark.implicits._
+    val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+      .limit(60)
+    val labeled = Classifier.realVsShuffled(docs, "doc_id", "text")
+    val w = Classifier.train(labeled, "doc_id", "text", "y",
+      Classifier.Config(epochs = 2))
+    val viaAgg = Classifier.score(docs, "doc_id", "text", w, 4096)
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        Classifier.scoreExpr(col("text"), w, 4096).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg === viaExpr)
+    // a doc with no grams scores exactly the bias on both paths
+    val empty = Seq((99L, "")).toDF("doc_id", "text")
+    val bias = w.collectFirst {
+      case (Classifier.Bias, v) => v }.get
+    assert(Classifier.score(empty, "doc_id", "text", w, 4096)
+      .as[(Long, Long)].collect().toMap.apply(99L) === bias)
+    assert(empty.select(
+        Classifier.scoreExpr(col("text"), w, 4096))
+      .collect()(0).getLong(0) === bias)
+  }
+
   test("hard sigmoid clamps symmetrically: a saturated-correct doc " +
       "contributes zero gradient (weights stop moving once separated)") {
     import spark.implicits._
