@@ -1189,8 +1189,20 @@ object ScaleRamp {
         // the fixed natural corpus. The recount face still explodes
         // every pair position of every word (junk included) each
         // round — expect growth with k.
-        timeIt(graft.ops.Bpe.learnMerges(tailVocabDocsAt(k), "text",
-          maxMerges = 12).size.toLong)
+        timeIt {
+          val ms = graft.ops.Bpe.learnMerges(tailVocabDocsAt(k),
+            "text", maxMerges = 12)
+          // the fixture's bounded-affected-set premise, asserted
+          // rather than assumed (r19 advice): junk pair counts are
+          // only statistically small (~8k avg over a 36² uppercase
+          // alphabet), so if one ever overtakes the natural corpus in
+          // the argmax the cell must fail loudly, not silently
+          // measure an unbounded affected set
+          require(ms.forall(m => !m.pair.exists(_.isUpper)),
+            s"tail-vocab fixture leaked a junk merge at x$k: " +
+              ms.filter(_.pair.exists(_.isUpper)).map(_.pair))
+          ms.size.toLong
+        }
       },
       "bpe_learn_tailvocab_incremental" -> { k =>
         // same fixture, incremental face: per round the junk rows are
@@ -1198,8 +1210,14 @@ object ScaleRamp {
         // state rotation — fold/explode work is bounded by the fixed
         // affected set. Expect a visibly flatter exponent than the
         // recount row; this is the regime the second loop state buys.
-        timeIt(graft.ops.Bpe.learnMergesIncremental(
-          tailVocabDocsAt(k), "text", maxMerges = 12).size.toLong)
+        timeIt {
+          val ms = graft.ops.Bpe.learnMergesIncremental(
+            tailVocabDocsAt(k), "text", maxMerges = 12)
+          require(ms.forall(m => !m.pair.exists(_.isUpper)),
+            s"tail-vocab fixture leaked a junk merge at x$k: " +
+              ms.filter(_.pair.exists(_.isUpper)).map(_.pair))
+          ms.size.toLong
+        }
       },
       "classifier_train" -> { k =>
         // distributed quality-classifier training (round 19): one

@@ -189,10 +189,18 @@ object Bpe {
           merges += Merge(pair, best.getLong(1))
           val sp = pair.indexOf(' ')
           val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+          // fully-merged-word drop BEFORE the rewrite, on stored
+          // columns (same reasoning as updateProjection: a post-
+          // rewrite size filter gets the merge fold SUBSTITUTED into
+          // it by PushDownPredicates — the fold would run twice per
+          // word per round): a word vanishes iff it is exactly one
+          // occurrence of the pair
           val applied = cur
+            .filter(!(size(col("toks")) === 2 &&
+              element_at(col("toks"), 1) === a &&
+              element_at(col("toks"), 2) === b))
             .select(applyMerge(col("toks"), a, b).as("toks"),
               col("freq"))
-            .filter(size(col("toks")) >= 2)
           sinceCp += 1
           cur =
             if (sinceCp >= cpEvery && merges.size < maxMerges) {
@@ -248,6 +256,45 @@ object Bpe {
     * cost there is Catalyst reanalysis of the deepening chain —
     * fused 8/4 past 1M rows, where per-round state materialization
     * is the cost that matters). */
+  /** The incremental face's per-round word-table update as ONE
+    * narrow lazily-branching rewrite, spelled as TWO stacked
+    * projections so the merge fold runs ONCE per affected row: the
+    * first materializes the merged token array, the second rebuilds
+    * the pair column FROM it (a single projection would evaluate
+    * `applyMerge` twice — once for toks, once inside adjacentPairs —
+    * and Catalyst subexpression elimination across CaseWhen branches
+    * is not guaranteed for higher-order array expressions, the r19
+    * advice). CollapseProject must not re-inline the fold; it
+    * declines because `toks` is consumed twice downstream and its
+    * producing expression is non-cheap — BpeSpec pins the optimized
+    * plan's fold count at exactly 1. CaseWhen evaluates branches
+    * lazily per row, so unaffected rows pass their stored columns
+    * through — the O(affected) contract — and the chain stays LINEAR
+    * (no self-join; see the loop comment). */
+  private[graft] def updateProjection(cur: DataFrame, pair: String,
+      a: String, b: String): DataFrame = {
+    val hit = array_contains(col("pairs"), lit(pair))
+    // the fully-merged-word drop runs BEFORE the rewrite, on STORED
+    // columns only: given the loop invariant size(toks) ≥ 2, a word
+    // merges down to one token exactly when it IS one occurrence of
+    // the pair — size 2 and hit (any longer word keeps ≥ ⌈size/2⌉ ≥ 2
+    // tokens, since a merge removes one token per non-overlapping
+    // occurrence ≤ ⌊size/2⌋). Filtering post-rewrite on size(toks)
+    // reads the same, but PushDownPredicates SUBSTITUTES the merge
+    // fold into the pushed-down predicate — a second whole-fold
+    // evaluation per row (visible in the optimized plan; codegen does
+    // not eliminate subexpressions across Filter/Project operators).
+    cur
+      .filter(!(size(col("toks")) === 2 && hit))
+      .select(col("word"),
+        when(hit, applyMerge(col("toks"), a, b))
+          .otherwise(col("toks")).as("toks"),
+        col("freq"), hit.as("_hit"), col("pairs"))
+      .select(col("word"), col("toks"), col("freq"),
+        when(col("_hit"), adjacentPairs(col("toks")))
+          .otherwise(col("pairs")).as("pairs"))
+  }
+
   def learnMergesIncremental(docs: DataFrame, textCol: String,
       maxMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 0,
       countsCheckpointEvery: Int = 0): Seq[Merge] = {
@@ -297,6 +344,14 @@ object Bpe {
       // than asked, which is safe — the alignment invariant holds
       (math.min(asked, cpW) to 1 by -1).find(cpW % _ == 0).get
     }
+    // an EXPLICIT counts cadence can be silently rounded down here
+    // when the words cadence resolved adaptively (the explicit-
+    // explicit mismatch fails loudly above) — stamp it, so a cadence
+    // experiment can't unknowingly measure a different cadence
+    if (countsCheckpointEvery > 0 && cpC != countsCheckpointEvery)
+      System.err.println("learnMergesIncremental: " +
+        s"countsCheckpointEvery=$countsCheckpointEvery rounded to " +
+        s"$cpC (largest divisor of the adaptive words cadence $cpW)")
     GraftSession.withLoopConf(spark, p) {
       var cur = rotW(seed0.repartition(p, col("word")))
       Checkpoints.release(seed0)
@@ -354,26 +409,13 @@ object Bpe {
             if (sinceCpC >= cpC && merges.size < maxMerges) {
               sinceCpC = 0; rotC(merged)
             } else merged
-          // word-table update as ONE narrow projection: CaseWhen
-          // evaluates its branches lazily per row, so the merge fold
-          // and pair rebuild EXECUTE only on affected rows while
-          // unaffected rows pass their stored columns through — the
-          // O(affected) rewrite without a self-join (a word-keyed
-          // update join was the first spelling, refuted: cur appears
-          // on both sides, so every un-checkpointed round DOUBLES
-          // the plan — 2^cadence analysis blow-up at explicit
-          // cadences; the projection keeps the chain linear exactly
-          // like the recount face) and without touching the
-          // checkpoint partitioning
-          val hit = array_contains(col("pairs"), lit(pair))
-          val applied = cur
-            .select(col("word"),
-              when(hit, applyMerge(col("toks"), a, b))
-                .otherwise(col("toks")).as("toks"),
-              col("freq"),
-              when(hit, adjacentPairs(applyMerge(col("toks"), a, b)))
-                .otherwise(col("pairs")).as("pairs"))
-            .filter(size(col("toks")) >= 2)
+          // the O(affected) word-table rewrite (see updateProjection;
+          // a word-keyed update join was the first spelling, refuted:
+          // cur on both sides DOUBLES the plan every un-checkpointed
+          // round — 2^cadence analysis blow-up at explicit cadences;
+          // the projection keeps the chain linear like the recount
+          // face and never touches the checkpoint partitioning)
+          val applied = updateProjection(cur, pair, a, b)
           sinceCp += 1
           cur =
             if (sinceCp >= cpW && merges.size < maxMerges) {

@@ -95,21 +95,11 @@ object Classifier {
       (x, i) => concat(x, lit(" "), element_at(t, i + lit(2)))))
   }
 
-  /** Sparse hashed-count features: (id, bucket, cnt) — one row per
-    * (doc, bucket) with the OCCURRENCE count of grams landing in the
-    * bucket, plus the [[Bias]] row per doc. The only corpus-sized
-    * pass of the trainer; null-text docs carry no rows. */
-  def hashedGramFeatures(docs: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame = {
-    val base = docs.filter(col(textCol).isNotNull)
-    base.select(col(idCol), explode(gramsOf(col(textCol))).as("_g"))
-      .select(col(idCol),
-        pmod(hash(col("_g")), lit(buckets)).cast("int").as("bucket"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      .unionByName(base.select(col(idCol),
-        lit(Bias).as("bucket"), lit(1L).as("cnt")))
-  }
+  // NOTE: there is deliberately no shared "hashedGramFeatures"
+  // helper: the trainer's feature build carries the label column and
+  // the scorer deliberately SKIPS the (id, bucket) count pre-agg
+  // (its scaladoc) — a parameterized third spelling would serve no
+  // caller and could drift against both (r19 advice).
 
   /** Train on (id, text, label∈{0,1}); returns the full weight table
     * ordered by bucket — [[Bias]] first, then 0..buckets−1 — in
@@ -119,6 +109,23 @@ object Classifier {
       labelCol: String, cfg: Config = Config())
       : IndexedSeq[(Int, Long)] =
     trainImpl(labeled, idCol, textCol, labelCol, cfg)((w, _) => w)
+
+  /** INCREMENTAL retrain: warm-start gradient descent from a stored
+    * weight table on an APPENDED batch — the daily-ingest shape for a
+    * deployed gate (the incremental-triple discipline — exact dedup,
+    * near-dup, ANN ingest — applied to the trainer): the full corpus
+    * is never re-touched, only the delta builds a feature table, and
+    * each epoch's update steps the STORED model. Deterministic like
+    * [[train]] (the learning rate divides by the DELTA's doc count —
+    * an average-gradient step over the batch), so the warm-started
+    * trajectory replays in SQL as the same unrolled CTE chain
+    * parameterized by nonzero initial weights. An EMPTY delta is a
+    * fixed point: zero feature rows ⇒ zero gradient ⇒ the stored
+    * weights return unchanged (no epoch jobs run). */
+  def retrain(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, init: Seq[(Int, Long)],
+      cfg: Config = Config()): IndexedSeq[(Int, Long)] =
+    trainImpl(labeled, idCol, textCol, labelCol, cfg, init)((w, _) => w)
 
   /** [[train]] plus the FINAL model's per-doc scores, computed off
     * the SAME feature table the loop just used (no second corpus
@@ -144,7 +151,8 @@ object Classifier {
     }
 
   private def trainImpl[T](labeled: DataFrame, idCol: String,
-      textCol: String, labelCol: String, cfg: Config)(
+      textCol: String, labelCol: String, cfg: Config,
+      init: Seq[(Int, Long)] = Nil)(
       finish: (IndexedSeq[(Int, Long)], DataFrame) => T): T = {
     val spark = labeled.sparkSession
     // the label rides the gram explode (one more byte-ish per row
@@ -175,6 +183,11 @@ object Classifier {
       math.max(1L, coreFill)), 65536L).toInt
     val w = new Array[Long](cfg.buckets)
     var b0 = 0L
+    init.foreach { case (b, v) =>
+      require(b >= Bias && b < cfg.buckets,
+        s"init bucket $b outside [$Bias, ${cfg.buckets})")
+      if (b == Bias) b0 = v else w(b) = v
+    }
     // broadcast OFF session-wide, ON by explicit hint for the weights
     // only: the error frame is doc-sized (never broadcastable at
     // corpus scale — its intermediate stats estimate must not tempt
@@ -192,10 +205,15 @@ object Classifier {
       val feats = cp0.repartition(p, col(idCol)).localCheckpoint()
       Checkpoints.release(cp0)
       val n = feats.filter(col("bucket") === Bias).count()
-      require(n > 0, "train: no labeled documents with text")
-      val den = cfg.lrDen * n
+      // a cold-start train with nothing to learn from is a caller
+      // error; an empty RETRAIN delta is the documented fixed point —
+      // the epoch loop is skipped (n = 0 ⇒ zero gradient anyway, but
+      // dividing the learning rate by 0 must never be reached)
+      require(n > 0 || init.nonEmpty,
+        "train: no labeled documents with text")
+      val den = cfg.lrDen * math.max(n, 1L)
       var ep = 0
-      while (ep < cfg.epochs) {
+      while (ep < cfg.epochs && n > 0) {
         val wDf = broadcast(spark.createDataFrame(
           (Bias until cfg.buckets).map(b =>
             (b, if (b == Bias) b0 else w(b)))).toDF("bucket", "w"))

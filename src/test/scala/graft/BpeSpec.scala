@@ -42,6 +42,43 @@ class BpeSpec extends AnyFunSuite {
     })
   }
 
+  test("incremental update projection folds the merge ONCE per row " +
+      "(CollapseProject must not re-inline the fold)") {
+    // the O(affected) contract's plan shape (r19 advice): the two
+    // stacked projections keep exactly ONE applyMerge fold in the
+    // optimized plan — the pairs rebuild consumes the materialized
+    // merged array. CollapseProject re-inlining `toks` would surface
+    // as a second aggregate(...) fold here; correctness would hold,
+    // the per-affected-row cost would double.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // columns derive from range's id so neither the hit probe nor
+    // the fold is constant-foldable (a literal fixture optimizes to
+    // a LocalRelation and the plan under test vanishes)
+    val df = spark.range(2).select(
+      col("id").cast("string").as("word"),
+      array(when(col("id") === 0, "a").otherwise("x"), lit("b"))
+        .as("toks"),
+      (col("id") + 1).as("freq"),
+      array(concat(when(col("id") === 0, "a").otherwise("x"),
+        lit(" b"))).as("pairs"))
+    val proj = Bpe.updateProjection(df, "a b", "a", "b")
+    val plan = proj.queryExecution.optimizedPlan.toString
+    // exactly ONE fold: a second would mean CollapseProject
+    // re-inlined it into the pairs rebuild, or a size filter was
+    // pushed below the rewrite with the fold substituted into it
+    val folds = "aggregate\\(".r.findAllIn(plan).size
+    assert(folds == 1,
+      s"expected exactly 1 merge fold in the optimized plan, got " +
+        s"$folds:\n$plan")
+    // and the rewrite itself is correct on the tiny fixture: row 0
+    // ("a b") merges to one token and drops out; row 1 ("x b") is
+    // unaffected and passes its stored columns through
+    val out = proj.as[(String, Seq[String], Long, Seq[String])]
+      .collect().toSeq
+    assert(out == Seq(("1", Seq("x", "b"), 2L, Seq("x b"))))
+  }
+
   test("ties break to the lexicographically smallest pair") {
     // "ab" and "cd" both appear exactly 3 times; 'a b' < 'c d'
     val docs = corpus("ab cd", "ab cd", "ab cd")

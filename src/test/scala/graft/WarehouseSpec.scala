@@ -811,6 +811,40 @@ class RankSketchSpec extends AnyFunSuite {
   private val D = 2
   private val W = 8192
 
+  /** Captures every SQL execution's physical-plan description fired
+    * while `body` runs and returns each plan's ReusedExchange node
+    * count — the DIRECT plan-shape probe backing the job-count pins
+    * below (r19 advice: a job-count drift alone is undiagnosable; a
+    * planner change that drops the reuse should fail naming the
+    * missing node). Uses the SQLExecutionStart event rather than
+    * QueryExecutionListener so checkpoint materializations inside the
+    * walk are captured too. */
+  private def reusedExchangeCounts(body: => Unit): Seq[Int] = {
+    val plans =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            plans.add(s.physicalPlanDescription): Unit
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // the listener bus is async — poll until the capture is stable
+      var last = -1
+      var cur = plans.size
+      while (cur != last) { last = cur; Thread.sleep(300); cur = plans.size }
+    } finally spark.sparkContext.removeSparkListener(l)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+      .map(p => "ReusedExchange".r.findAllIn(p).size)
+  }
+
   private def cells(df: org.apache.spark.sql.DataFrame) =
     df.select(col("level").cast("long"), col("r").cast("long"),
         col("bucket").cast("long"), col("c").cast("long"))
@@ -901,10 +935,18 @@ class RankSketchSpec extends AnyFunSuite {
     val sc = spark.sparkContext
     val group = s"walk-jobpin-${System.nanoTime()}"
     sc.setJobGroup(group, "join-walk job-count pin")
-    try
-      Sketch.rankQuantilesByJoin(big, Seq("grp"), Seq(500), D, 64)
-        .collect()
-    finally sc.clearJobGroup()
+    val reuse =
+      try reusedExchangeCounts {
+        Sketch.rankQuantilesByJoin(big, Seq("grp"), Seq(500), D, 64)
+          .collect(): Unit
+      } finally sc.clearJobGroup()
+    info(s"fused walk ReusedExchange counts per plan: $reuse")
+    // direct plan-shape pin behind the job count: each fused
+    // checkpoint window's plan must actually carry the reuse node
+    assert(reuse.exists(_ >= 1),
+      "no executed plan in the fused walk carried a ReusedExchange " +
+        "node — the cross-round broadcast reuse is gone (job-count " +
+        s"drift would follow); per-plan counts: $reuse")
     // the status store is fed asynchronously — poll until stable
     def jobsNow = sc.statusTracker.getJobIdsForGroup(group).length
     var last = -1
@@ -939,10 +981,21 @@ class RankSketchSpec extends AnyFunSuite {
     val sc = spark.sparkContext
     val group = s"walk-seq-jobpin-${System.nanoTime()}"
     sc.setJobGroup(group, "sequential join-walk job-count pin")
-    try
-      Sketch.rankQuantilesByJoin(big, Seq("grp"), Seq(500), D, 64)
-        .collect()
-    finally sc.clearJobGroup()
+    val reuse =
+      try reusedExchangeCounts {
+        Sketch.rankQuantilesByJoin(big, Seq("grp"), Seq(500), D, 64)
+          .collect(): Unit
+      } finally sc.clearJobGroup()
+    info(s"sequential walk ReusedExchange counts per plan: $reuse")
+    // direct plan-shape pin (r19 advice): the `_lvl` reuse means each
+    // 4-round checkpoint plan shares ONE window broadcast across its
+    // levels — at least one executed plan must carry 3 ReusedExchange
+    // nodes; a planner change that re-folds `_lvl` fails HERE with
+    // the node named, not as an opaque job-count drift
+    assert(reuse.exists(_ >= 3),
+      "no executed plan in the sequential walk carried >= 3 " +
+        "ReusedExchange nodes — the `_lvl` cross-round broadcast " +
+        s"reuse is gone; per-plan counts: $reuse")
     def jobsNow = sc.statusTracker.getJobIdsForGroup(group).length
     var last = -1
     var cur = jobsNow
