@@ -43,28 +43,42 @@ object ClassifierQueries extends QueryGroup {
     * sign. Ends at `w<nEpochs>` (b, w); parameterized so the stream
     * gate can train a DIFFERENT (4-epoch) model — its hash then
     * cannot pass by coinciding with the 8-epoch queries'. */
-  private def trainCtes(nEpochs: Int = Epochs): String = {
-    val epochs = (1 to nEpochs).map { e =>
-      val pw = s"w${e - 1}"
-      s"""z$e AS MATERIALIZED (
+  /** The unrolled epoch chain e = 1..n, PARAMETERIZED (r20): `pfx`
+    * namespaces the per-epoch CTEs, `feats`/`nn` name the feature and
+    * doc-count tables the phase trains on, `w0` names the INITIAL
+    * weight table — zeros for a cold start, a previous phase's final
+    * weights for the warm-started retrain replay. Ends at
+    * `${pfx}w<nEpochs>` (b, w). */
+  private def epochCtes(nEpochs: Int, pfx: String, feats: String,
+      nn: String, w0: String): String =
+    (1 to nEpochs).map { e =>
+      val pw = if (e == 1) w0 else s"${pfx}w${e - 1}"
+      s"""${pfx}z$e AS MATERIALIZED (
            SELECT f.uid, f.y, sum(w.w * f.cnt) AS z
-           FROM feats f JOIN $pw w USING (b) GROUP BY 1, 2),
-         e$e AS MATERIALIZED (
+           FROM $feats f JOIN $pw w USING (b) GROUP BY 1, 2),
+         ${pfx}e$e AS MATERIALIZED (
            SELECT uid,
              greatest(0, least($S,
                (z - z % $Slope) // $Slope + ${S / 2}))
                - y * $S AS err
-           FROM z$e),
-         g$e AS MATERIALIZED (
+           FROM ${pfx}z$e),
+         ${pfx}g$e AS MATERIALIZED (
            SELECT f.b, sum(e.err * f.cnt) AS g
-           FROM feats f JOIN e$e e USING (uid) GROUP BY 1),
-         w$e AS MATERIALIZED (
+           FROM $feats f JOIN ${pfx}e$e e USING (uid) GROUP BY 1),
+         ${pfx}w$e AS MATERIALIZED (
            SELECT w.b,
              CAST(w.w - (($LrNum * COALESCE(g.g, 0))
                - ($LrNum * COALESCE(g.g, 0)) % ($LrDen * nn.n))
                // ($LrDen * nn.n) AS BIGINT) AS w
-           FROM $pw w LEFT JOIN g$e g USING (b) CROSS JOIN nn)"""
-    }
+           FROM $pw w LEFT JOIN ${pfx}g$e g USING (b)
+           CROSS JOIN $nn nn)"""
+    }.mkString(",\n")
+
+  private def trainCtes(nEpochs: Int = Epochs): String = {
+    // nEpochs = 0 ends the chain at w0 (retrainCtes appends its own
+    // phase-prefixed epochs) — no dangling comma
+    val epochs = Option(epochCtes(nEpochs, "", "feats", "nn", "w0"))
+      .filter(_.nonEmpty).map(",\n" + _).getOrElse("")
     s"""d0 AS (SELECT doc_id,
            list_filter(string_split(text, ' '), t -> t <> '') AS toks
          FROM documents WHERE text IS NOT NULL),
@@ -86,9 +100,30 @@ object ClassifierQueries extends QueryGroup {
          SELECT uid, y, -1, CAST(1 AS BIGINT) FROM ld),
        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ld),
        w0 AS (SELECT unnest(generate_series(-1, ${B - 1})) AS b,
-                CAST(0 AS BIGINT) AS w),
-       ${epochs.mkString(",\n")}"""
+                CAST(0 AS BIGINT) AS w)$epochs"""
   }
+
+  /** The warm-start replay (r20): ONE gram/feature build over the
+    * whole corpus, split doc-wise into the BASE slice (doc_id mod 4 ≠
+    * 3 — uid // 2 recovers doc_id, and a doc's word-sorted twin
+    * follows it into its slice) and the APPENDED delta (mod 4 = 3);
+    * `nEpochs` cold epochs over the base end at `bw<n>`, then
+    * `nEpochs` WARM epochs over the delta start FROM `bw<n>` — the
+    * same epoch template parameterized by nonzero initial weights
+    * (the bpeEncCtesWith precedent applied to training). Ends at
+    * `dw<nEpochs>`. */
+  private def retrainCtes(nEpochs: Int): String =
+    s"""${trainCtes(0)},
+       fb AS MATERIALIZED (
+         SELECT * FROM feats WHERE (uid // 2) % 4 <> 3),
+       fd AS MATERIALIZED (
+         SELECT * FROM feats WHERE (uid // 2) % 4 = 3),
+       bn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ld
+              WHERE (uid // 2) % 4 <> 3),
+       dn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ld
+              WHERE (uid // 2) % 4 = 3),
+       ${epochCtes(nEpochs, "b", "fb", "bn", "w0")},
+       ${epochCtes(nEpochs, "d", "fd", "dn", s"bw$nEpochs")}"""
 
   val queries: Seq[Q] = Seq(
     // DISTRIBUTED QUALITY-CLASSIFIER TRAINING: the full 8-epoch
@@ -199,5 +234,129 @@ object ClassifierQueries extends QueryGroup {
       graft.streaming.IngestStream.runClassifierGateToBatch(
         spark, s"$dir/documents.parquet", weights, B,
         s"clf_gate_${System.nanoTime()}")
+    },
+
+    // INCREMENTAL RETRAIN (r20 — the incremental-triple discipline
+    // applied to the trainer): 3 cold epochs on the base slice
+    // (doc_id mod 4 ≠ 3), then 3 WARM epochs on the appended delta
+    // starting from the stored base weights — the daily-ingest shape
+    // for a deployed gate, with the base corpus never re-touched. The
+    // oracle replays BOTH phases as one unrolled CTE chain whose
+    // second phase is parameterized by the first's final weights, so
+    // a drift in either trajectory — or in the warm-start handoff —
+    // lands in this hash. All 4097 weights, one hash.
+    q("q_classifier_retrain", "llm-classifier",
+      s"""WITH ${retrainCtes(3)}
+          SELECT CAST(b AS INT) AS bucket, w FROM dw3""") {
+      (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables.df(spark, dir, "documents")
+      val cfg3 = cfg.copy(epochs = 3)
+      val wBase = Classifier.train(
+        Classifier.realVsShuffled(
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 3),
+          "doc_id", "text"),
+        "doc_id", "text", "y", cfg3)
+      Classifier.retrain(
+        Classifier.realVsShuffled(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 3),
+          "doc_id", "text"),
+        "doc_id", "text", "y", wBase, cfg3)
+        .toDF("bucket", "w")
+    },
+
+    // the retrain's MODEL-DRIFT report: the real corpus scored by the
+    // stored model AND the warm-retrained one in a single map-only
+    // projection (two scoreExpr literal-map folds over the same scan
+    // — the deployed inference shape), then the existing
+    // thresholdSweep over each score column, union'd under a model
+    // tag. The report a daily gate refresh reads before swapping
+    // weights: how much corpus volume moves across every cutoff. The
+    // oracle recomputes both trainings, both scorings, and both
+    // sweeps — score drift, bin drift, and volume drift all land in
+    // one hash.
+    q("q_classifier_drift", "llm-classifier",
+      s"""WITH ${retrainCtes(3)},
+          sco AS MATERIALIZED (
+            SELECT f.uid // 2 AS doc_id,
+                   CAST(sum(wo.w * f.cnt) AS DOUBLE) AS s_old,
+                   CAST(sum(wn.w * f.cnt) AS DOUBLE) AS s_new
+            FROM feats f JOIN bw3 wo USING (b) JOIN dw3 wn USING (b)
+            WHERE f.uid % 2 = 0 GROUP BY 1),
+          sc AS (SELECT s.doc_id, s.s_old, s.s_new,
+                   CAST(len(d.toks) AS BIGINT) AS t
+                 FROM sco s JOIN d0 d USING (doc_id)),
+          mmo AS (SELECT min(s_old) AS mn, max(s_old) AS mx FROM sc),
+          bo AS (SELECT CASE WHEN mx = mn THEN 0
+                   ELSE least(CAST(floor((s_old - mn) / (mx - mn)
+                          * 1024.0) AS BIGINT), 1023) END AS bin,
+                   count(*) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS n_tokens
+                 FROM sc CROSS JOIN mmo GROUP BY 1),
+          swo AS (SELECT 'old' AS model, bin,
+                    mn + CAST(bin AS DOUBLE) * (mx - mn) / 1024.0
+                      AS thr_lo,
+                    n_docs, n_tokens,
+                    CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_docs,
+                    CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_tokens
+                  FROM bo CROSS JOIN mmo),
+          mmn AS (SELECT min(s_new) AS mn, max(s_new) AS mx FROM sc),
+          bn2 AS (SELECT CASE WHEN mx = mn THEN 0
+                    ELSE least(CAST(floor((s_new - mn) / (mx - mn)
+                           * 1024.0) AS BIGINT), 1023) END AS bin,
+                    count(*) AS n_docs,
+                    CAST(sum(t) AS BIGINT) AS n_tokens
+                  FROM sc CROSS JOIN mmn GROUP BY 1),
+          swn AS (SELECT 'new' AS model, bin,
+                    mn + CAST(bin AS DOUBLE) * (mx - mn) / 1024.0
+                      AS thr_lo,
+                    n_docs, n_tokens,
+                    CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_docs,
+                    CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_tokens
+                  FROM bn2 CROSS JOIN mmn)
+          SELECT model, bin, thr_lo, n_docs, n_tokens, cum_docs,
+                 cum_tokens
+          FROM swo UNION ALL SELECT * FROM swn""") { (spark, dir) =>
+      val docs = Tables.df(spark, dir, "documents")
+      val cfg3 = cfg.copy(epochs = 3)
+      val wOld = Classifier.train(
+        Classifier.realVsShuffled(
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 3),
+          "doc_id", "text"),
+        "doc_id", "text", "y", cfg3)
+      val wNew = Classifier.retrain(
+        Classifier.realVsShuffled(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 3),
+          "doc_id", "text"),
+        "doc_id", "text", "y", wOld, cfg3)
+      // one corpus scan scores BOTH models map-only; checkpointed
+      // because each sweep consumes it twice (min/max + binning — the
+      // multi-consumer discipline, else the double literal-map fold
+      // over the corpus executes four times)
+      val scored = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          Classifier.scoreExpr(col("text"), wOld, B).cast("double")
+            .as("s_old"),
+          Classifier.scoreExpr(col("text"), wNew, B).cast("double")
+            .as("s_new"),
+          size(filter(split(col("text"), " "), w => w =!= lit("")))
+            .cast("long").as("t"))
+        .localCheckpoint()
+      graft.ops.Stats.thresholdSweep(scored, col("s_old"), col("t"))
+        .withColumn("model", lit("old"))
+        .unionByName(
+          graft.ops.Stats.thresholdSweep(scored, col("s_new"),
+            col("t")).withColumn("model", lit("new")))
+        .select(col("model"), col("bin"), col("thr_lo"),
+          col("n_docs"), col("n_tokens"), col("cum_docs"),
+          col("cum_tokens"))
     })
 }

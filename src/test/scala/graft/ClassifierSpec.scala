@@ -50,6 +50,39 @@ class ClassifierSpec extends AnyFunSuite {
     assert(sc(14L) === 1250L && sc(15L) === -1250L)
   }
 
+  test("retrain warm-started from a 1-epoch model equals the 2-epoch " +
+      "training; an empty delta is a fixed point") {
+    import spark.implicits._
+    val labeled = Classifier.realVsShuffled(
+      Seq((7L, "b a")).toDF("doc_id", "text"), "doc_id", "text")
+    // warm-starting the NEXT epoch from the stored weights must walk
+    // the identical trajectory: retrain(1 epoch, init = 1-epoch
+    // model) on the same batch IS the cold training's second epoch
+    val w1 = Classifier.train(labeled, "doc_id", "text", "y",
+      Classifier.Config(epochs = 1))
+    val w2 = Classifier.retrain(labeled, "doc_id", "text", "y", w1,
+      Classifier.Config(epochs = 1))
+    assert(w2 === Classifier.train(labeled, "doc_id", "text", "y",
+      Classifier.Config(epochs = 2)))
+    // an empty delta (no rows, or rows with no text) contributes zero
+    // gradient: the stored weights come back unchanged, epochs run 0
+    val empty = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "text", "y")
+    assert(Classifier.retrain(empty, "doc_id", "text", "y", w2,
+      Classifier.Config(epochs = 3)) === w2)
+    val nulls = Seq((1L, null: String, 1L)).toDF("doc_id", "text", "y")
+    assert(Classifier.retrain(nulls, "doc_id", "text", "y", w2,
+      Classifier.Config(epochs = 3)) === w2)
+    // a COLD train on an empty corpus is still a caller error
+    intercept[IllegalArgumentException](
+      Classifier.train(empty, "doc_id", "text", "y",
+        Classifier.Config(epochs = 1)))
+    // init buckets outside [-1, buckets) are rejected
+    intercept[IllegalArgumentException](
+      Classifier.retrain(empty, "doc_id", "text", "y",
+        Seq(4096 -> 1L), Classifier.Config()))
+  }
+
   test("epochs = 0 returns the zero model; guards reject bad configs") {
     import spark.implicits._
     val labeled = Classifier.realVsShuffled(
