@@ -74,14 +74,15 @@ object ClassifierQueries extends QueryGroup {
            CROSS JOIN $nn nn)"""
     }.mkString(",\n")
 
-  private def trainCtes(nEpochs: Int = Epochs): String = {
+  private def trainCtes(nEpochs: Int = Epochs,
+      src: String = "documents"): String = {
     // nEpochs = 0 ends the chain at w0 (retrainCtes appends its own
     // phase-prefixed epochs) — no dangling comma
     val epochs = Option(epochCtes(nEpochs, "", "feats", "nn", "w0"))
       .filter(_.nonEmpty).map(",\n" + _).getOrElse("")
     s"""d0 AS (SELECT doc_id,
            list_filter(string_split(text, ' '), t -> t <> '') AS toks
-         FROM documents WHERE text IS NOT NULL),
+         FROM $src WHERE text IS NOT NULL),
        ld AS (SELECT 2 * doc_id AS uid, toks, 1 AS y FROM d0
               UNION ALL
               SELECT 2 * doc_id + 1, list_sort(toks), 0 FROM d0),
@@ -358,5 +359,94 @@ object ClassifierQueries extends QueryGroup {
         .select(col("model"), col("bin"), col("thr_lo"),
           col("n_docs"), col("n_tokens"), col("cum_docs"),
           col("cum_tokens"))
+    },
+
+    // Curation composition v12 — the DEPLOYMENT composition of the
+    // second learned artifact (v3's LM-gate shape with the LEARNED
+    // model): train the quality gate in-engine (2 epochs), score the
+    // duplicate-injected corpus with the map-only scoreExpr
+    // projection (the deployed inference shape — no join, no agg),
+    // gate at a RELATIVE threshold from the score quantiles (the
+    // lowest score bin keeping at most half the corpus by docs, via
+    // thresholdSweep + the shared scoreBins arithmetic so grid and
+    // cutoff cannot desync — the curate-v3 lm_score lesson), exact
+    // dedup to representatives (the injected copies score identically
+    // to their originals and lose to them), then sequence packing.
+    // The oracle chains the classifier replay CTEs into the existing
+    // sweep/dedup/pack spellings — one hash over the whole handoff.
+    q("q_curate_corpus_v12", "llm-classifier",
+      s"""WITH ${DedupQueries.corpusSql},
+          ${trainCtes(2, "corpus")},
+          sc AS MATERIALIZED (
+            SELECT f.uid // 2 AS doc_id, sum(w.w * f.cnt) AS z
+            FROM feats f JOIN w2 w USING (b)
+            WHERE f.uid % 2 = 0 GROUP BY 1),
+          scd AS (SELECT s.doc_id, CAST(s.z AS DOUBLE) AS x,
+                    CAST(len(d.toks) AS BIGINT) AS t
+                  FROM sc s JOIN d0 d USING (doc_id)),
+          mm2 AS (SELECT min(x) AS mn, max(x) AS mx FROM scd),
+          b2 AS (SELECT doc_id, t,
+                   CASE WHEN mx = mn THEN 0
+                        ELSE least(CAST(floor((x - mn) / (mx - mn)
+                               * 1024.0) AS BIGINT), 1023) END AS bin
+                 FROM scd CROSS JOIN mm2),
+          agg2 AS (SELECT bin, count(*) AS n_docs FROM b2
+                   GROUP BY bin),
+          cum2 AS (SELECT bin,
+                     SUM(n_docs) OVER (ORDER BY bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_docs
+                   FROM agg2),
+          ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scd),
+          cut AS (SELECT min(bin) AS cut_bin FROM cum2 CROSS JOIN ntot
+                  WHERE cum_docs * 2 <= n),
+          gated AS (SELECT b.doc_id, b.t, c.text
+                    FROM b2 b CROSS JOIN cut
+                    JOIN corpus c ON c.doc_id = b.doc_id
+                    WHERE b.bin >= cut_bin),
+          rep AS (SELECT min(doc_id) AS doc_id FROM gated
+                  GROUP BY text),
+          kept AS (SELECT g.doc_id, g.t FROM gated g
+                   JOIN rep r ON g.doc_id = r.doc_id)
+          SELECT doc_id, CAST(t AS BIGINT) AS tokens,
+                 CAST(COALESCE(SUM(t) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING),
+                      0) // $Budget AS BIGINT) AS pack_id
+          FROM kept""") { (spark, dir) =>
+      val corpus = DedupQueries.corpus(spark, dir)
+      val w = Classifier.train(
+        Classifier.realVsShuffled(corpus, "doc_id", "text"),
+        "doc_id", "text", "y", cfg.copy(epochs = 2))
+      // one corpus scan scores AND measures map-only; checkpointed —
+      // the sweep's min/max, the sweep's binning, the re-binning, and
+      // the dedup all consume it (the multi-consumer discipline)
+      val scored = corpus.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          Classifier.scoreExpr(col("text"), w, B).cast("double")
+            .as("x"),
+          size(filter(split(col("text"), " "), t => t =!= lit("")))
+            .cast("long").as("t"))
+        .localCheckpoint()
+      // relative threshold: the lowest bin whose descending doc
+      // cumulative stays within HALF the corpus — integer compare
+      // against the materialized count, exact on both engines
+      val nTot = scored.count()
+      val cut = graft.ops.Stats.thresholdSweep(scored, col("x"),
+          col("t"))
+        .filter(col("cum_docs") * 2 <= lit(nTot))
+        .agg(min(col("bin")).as("cut_bin"))
+      val gated = graft.ops.Stats.scoreBins(scored, col("x"),
+          col("t"), 10)
+        .crossJoin(broadcast(cut))
+        .filter(col("bin") >= col("cut_bin"))
+        .select(col("doc_id"), col("text"), col("t"))
+      val rep = graft.ops.Dedup.exact(gated, col("doc_id"),
+          col("text"))
+        .select(col("keep_id").as("doc_id"))
+      val kept = gated.join(rep, "doc_id")
+        .select(col("doc_id"), col("t"))
+      Pack.sequencePack(kept, "doc_id", "t", Budget)
     })
 }
