@@ -1219,6 +1219,34 @@ object ScaleRamp {
           ms.size.toLong
         }
       },
+      "bpe_learn_vocab_auto" -> { k =>
+        // the CHOOSER on the suffix fixture (round 20): the probe
+        // must measure a high affected fraction (0.27 at k=4) and
+        // commit to the recount face — the measured winner of this
+        // regime (r19 ramp: recount 0.14 vs incremental 0.76). Cost =
+        // the winner's cell + a 3-round incremental probe.
+        timeIt {
+          val r = graft.ops.Bpe.learnMergesAuto(vocabDocsAt(k),
+            "text", maxMerges = 12)
+          require(r.face == "recount", s"auto picked ${r.face} at " +
+            s"measured frac ${r.affectedFrac} on the suffix fixture")
+          r.merges.size.toLong
+        }
+      },
+      "bpe_learn_tailvocab_auto" -> { k =>
+        // the chooser on the production-tail fixture: the probe must
+        // measure a tiny affected fraction (6e-4 at k=4) and CONTINUE
+        // on the incremental face — its design regime.
+        timeIt {
+          val r = graft.ops.Bpe.learnMergesAuto(tailVocabDocsAt(k),
+            "text", maxMerges = 12)
+          require(r.face == "incremental", s"auto picked ${r.face} " +
+            s"at measured frac ${r.affectedFrac} on the tail fixture")
+          require(r.merges.forall(m => !m.pair.exists(_.isUpper)),
+            s"tail-vocab fixture leaked a junk merge at x$k")
+          r.merges.size.toLong
+        }
+      },
       "classifier_train" -> { k =>
         // distributed quality-classifier training (round 19): one
         // corpus pass builds the hashed count features, then 4

@@ -172,45 +172,57 @@ object Bpe {
       if (checkpointEvery > 0) checkpointEvery
       else cadenceFor(vocabRows, 8)
     GraftSession.withLoopConf(spark, p) {
-      var sinceCp = 0
-      var done = false
-      while (!done && merges.size < maxMerges) {
-        val best = cur
-          .select(explode(adjacentPairs(col("toks"))).as("pair"),
-            col("freq"))
-          .groupBy("pair").agg(sum("freq").as("cnt"))
-          .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
-            .as("b"))
-          .select(col("b.p").as("pair"), (-col("b.nc")).as("cnt"))
-          .collect()(0)
-        if (best.isNullAt(0) || best.getLong(1) < minCount) done = true
-        else {
-          val pair = best.getString(0)
-          merges += Merge(pair, best.getLong(1))
-          val sp = pair.indexOf(' ')
-          val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
-          // fully-merged-word drop BEFORE the rewrite, on stored
-          // columns (same reasoning as updateProjection: a post-
-          // rewrite size filter gets the merge fold SUBSTITUTED into
-          // it by PushDownPredicates — the fold would run twice per
-          // word per round): a word vanishes iff it is exactly one
-          // occurrence of the pair
-          val applied = cur
-            .filter(!(size(col("toks")) === 2 &&
-              element_at(col("toks"), 1) === a &&
-              element_at(col("toks"), 2) === b))
-            .select(applyMerge(col("toks"), a, b).as("toks"),
-              col("freq"))
-          sinceCp += 1
-          cur =
-            if (sinceCp >= cpEvery && merges.size < maxMerges) {
-              sinceCp = 0; rot(applied)
-            } else applied
-        }
-      }
+      recountRounds(cur, rot, merges, maxMerges, minCount, cpEvery)
     }
     rot.releaseLast()
     merges.toSeq
+  }
+
+  /** The recount face's round loop from a prepared (toks, freq)
+    * state, appending to `merges` — shared by [[learnMerges]] and the
+    * recount arm of [[learnMergesAuto]]. Runs inside the caller's
+    * `withLoopConf`; `rot` owns the state checkpoints (including the
+    * caller's seed, which the first rotation releases). */
+  private def recountRounds(cur0: DataFrame, rot: Checkpoints.Rotating,
+      merges: ArrayBuffer[Merge], maxMerges: Int, minCount: Long,
+      cpEvery: Int): Unit = {
+    var cur = cur0
+    var sinceCp = 0
+    var done = false
+    while (!done && merges.size < maxMerges) {
+      val best = cur
+        .select(explode(adjacentPairs(col("toks"))).as("pair"),
+          col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
+          .as("b"))
+        .select(col("b.p").as("pair"), (-col("b.nc")).as("cnt"))
+        .collect()(0)
+      if (best.isNullAt(0) || best.getLong(1) < minCount) done = true
+      else {
+        val pair = best.getString(0)
+        merges += Merge(pair, best.getLong(1))
+        val sp = pair.indexOf(' ')
+        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+        // fully-merged-word drop BEFORE the rewrite, on stored
+        // columns (same reasoning as updateProjection: a post-
+        // rewrite size filter gets the merge fold SUBSTITUTED into
+        // it by PushDownPredicates — the fold would run twice per
+        // word per round): a word vanishes iff it is exactly one
+        // occurrence of the pair
+        val applied = cur
+          .filter(!(size(col("toks")) === 2 &&
+            element_at(col("toks"), 1) === a &&
+            element_at(col("toks"), 2) === b))
+          .select(applyMerge(col("toks"), a, b).as("toks"),
+            col("freq"))
+        sinceCp += 1
+        cur =
+          if (sinceCp >= cpEvery && merges.size < maxMerges) {
+            sinceCp = 0; rot(applied)
+          } else applied
+      }
+    }
   }
 
   /** [[learnMerges]] with INCREMENTAL pair-count maintenance — the
@@ -353,79 +365,210 @@ object Bpe {
         s"countsCheckpointEvery=$countsCheckpointEvery rounded to " +
         s"$cpC (largest divisor of the adaptive words cadence $cpW)")
     GraftSession.withLoopConf(spark, p) {
-      var cur = rotW(seed0.repartition(p, col("word")))
+      val cur = rotW(seed0.repartition(p, col("word")))
       Checkpoints.release(seed0)
       // seed counts: the one full pair explode of this face — off
       // the MATERIALIZED pair column
-      var counts = rotC(cur
+      val counts = rotC(cur
         .select(explode(col("pairs")).as("pair"), col("freq"))
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .repartition(p, col("pair")))
-      var sinceCp = 0
-      var sinceCpC = 0
-      var done = false
-      while (!done && merges.size < maxMerges) {
-        val best = counts
-          .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
-            .as("b"))
-          .select(col("b.p").as("pair"), (-col("b.nc")).as("cnt"))
-          .collect()(0)
-        if (best.isNullAt(0) || best.getLong(1) < minCount) done = true
-        else {
-          val pair = best.getString(0)
-          merges += Merge(pair, best.getLong(1))
-          val sp = pair.indexOf(' ')
-          val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
-          // affected = words containing the pair, found on the
-          // STORED pair column; merge fold + pair rebuild run for
-          // these rows only
-          val affected = cur
-            .filter(array_contains(col("pairs"), lit(pair)))
-          // delta: affected pre-merge pairs leave the counts,
-          // post-merge pairs enter (a word merged to one token has
-          // an empty new-pair array — contributes nothing, and the
-          // update projection below drops it from the word table)
-          val delta = affected
-            .select(explode(col("pairs")).as("pair"),
-              (-col("freq")).as("d"))
-            .unionAll(affected
-              .select(explode(adjacentPairs(
-                applyMerge(col("toks"), a, b))).as("pair"),
-                col("freq").as("d")))
-            .groupBy("pair").agg(sum("d").as("d"))
-            .repartition(p, col("pair"))
-          val merged = counts.join(delta, Seq("pair"), "full_outer")
-            .select(col("pair"),
-              (coalesce(col("cnt"), lit(0L)) +
-                coalesce(col("d"), lit(0L))).as("cnt"))
-            .filter(col("cnt") > 0)
-          // mirror the words-side `merges.size < maxMerges` guard:
-          // the final round needs no counts checkpoint — nothing
-          // lazy survives the loop exit (releaseLast follows), so a
-          // cadence-boundary landing on the last merge would pay one
-          // materialization only to immediately free it
-          sinceCpC += 1
-          counts =
-            if (sinceCpC >= cpC && merges.size < maxMerges) {
-              sinceCpC = 0; rotC(merged)
-            } else merged
-          // the O(affected) word-table rewrite (see updateProjection;
-          // a word-keyed update join was the first spelling, refuted:
-          // cur on both sides DOUBLES the plan every un-checkpointed
-          // round — 2^cadence analysis blow-up at explicit cadences;
-          // the projection keeps the chain linear like the recount
-          // face and never touches the checkpoint partitioning)
-          val applied = updateProjection(cur, pair, a, b)
-          sinceCp += 1
-          cur =
-            if (sinceCp >= cpW && merges.size < maxMerges) {
-              sinceCp = 0; rotW(applied)
-            } else applied
-        }
-      }
+      incrementalRounds(cur, counts, rotW, rotC, merges, maxMerges,
+        minCount, cpW, cpC, p, probe = 0, onAffected = null): Unit
     }
     rotW.releaseLast()
     rotC.releaseLast()
     merges.toSeq
+  }
+
+  /** The incremental face's round loop from prepared (word table,
+    * pair-count table) states, appending to `merges` — shared by
+    * [[learnMergesIncremental]] and [[learnMergesAuto]]. Runs inside
+    * the caller's `withLoopConf`; the rotators own the state
+    * checkpoints. For the first `probe` rounds of THIS call the
+    * affected-row count is materialized (one extra count job per
+    * probed round — the statistic both faces' duality turns on) and
+    * fed to `onAffected`.
+    * @return (word state, counts state, exhausted) at exit —
+    *         `exhausted` = the pair supply ended (best below
+    *         minCount), as opposed to reaching maxMerges; the
+    *         returned states may be LAZY plans over the rotators'
+    *         last checkpoints. */
+  private def incrementalRounds(cur0: DataFrame, counts0: DataFrame,
+      rotW: Checkpoints.Rotating, rotC: Checkpoints.Rotating,
+      merges: ArrayBuffer[Merge], maxMerges: Int, minCount: Long,
+      cpW: Int, cpC: Int, p: Int, probe: Int,
+      onAffected: Long => Unit): (DataFrame, DataFrame, Boolean) = {
+    var cur = cur0
+    var counts = counts0
+    val start = merges.size
+    var sinceCp = 0
+    var sinceCpC = 0
+    var done = false
+    var exhausted = false
+    while (!done && merges.size < maxMerges) {
+      val best = counts
+        .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
+          .as("b"))
+        .select(col("b.p").as("pair"), (-col("b.nc")).as("cnt"))
+        .collect()(0)
+      if (best.isNullAt(0) || best.getLong(1) < minCount) {
+        done = true; exhausted = true
+      } else {
+        val pair = best.getString(0)
+        merges += Merge(pair, best.getLong(1))
+        val sp = pair.indexOf(' ')
+        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+        // affected = words containing the pair, found on the
+        // STORED pair column; merge fold + pair rebuild run for
+        // these rows only
+        val affected = cur
+          .filter(array_contains(col("pairs"), lit(pair)))
+        if (merges.size - start <= probe && onAffected != null)
+          onAffected(affected.count())
+        // delta: affected pre-merge pairs leave the counts,
+        // post-merge pairs enter (a word merged to one token has
+        // an empty new-pair array — contributes nothing, and the
+        // update projection below drops it from the word table)
+        val delta = affected
+          .select(explode(col("pairs")).as("pair"),
+            (-col("freq")).as("d"))
+          .unionAll(affected
+            .select(explode(adjacentPairs(
+              applyMerge(col("toks"), a, b))).as("pair"),
+              col("freq").as("d")))
+          .groupBy("pair").agg(sum("d").as("d"))
+          .repartition(p, col("pair"))
+        val merged = counts.join(delta, Seq("pair"), "full_outer")
+          .select(col("pair"),
+            (coalesce(col("cnt"), lit(0L)) +
+              coalesce(col("d"), lit(0L))).as("cnt"))
+          .filter(col("cnt") > 0)
+        // mirror the words-side `merges.size < maxMerges` guard:
+        // the final round needs no counts checkpoint — nothing
+        // lazy survives the loop exit (releaseLast follows), so a
+        // cadence-boundary landing on the last merge would pay one
+        // materialization only to immediately free it
+        sinceCpC += 1
+        counts =
+          if (sinceCpC >= cpC && merges.size < maxMerges) {
+            sinceCpC = 0; rotC(merged)
+          } else merged
+        // the O(affected) word-table rewrite (see updateProjection;
+        // a word-keyed update join was the first spelling, refuted:
+        // cur on both sides DOUBLES the plan every un-checkpointed
+        // round — 2^cadence analysis blow-up at explicit cadences;
+        // the projection keeps the chain linear like the recount
+        // face and never touches the checkpoint partitioning)
+        val applied = updateProjection(cur, pair, a, b)
+        sinceCp += 1
+        cur =
+          if (sinceCp >= cpW && merges.size < maxMerges) {
+            sinceCp = 0; rotW(applied)
+          } else applied
+      }
+    }
+    (cur, counts, exhausted)
+  }
+
+  /** [[learnMergesAuto]]'s result: the merges (identical to either
+    * fixed face — the total order is a corpus function, not a face
+    * function), the face that ran the post-probe rounds, and the
+    * measured mean affected fraction the choice turned on. */
+  final case class AutoLearn(merges: Seq[Merge], face: String,
+      affectedFrac: Double)
+
+  /** MEASURED face selection for the trainer — closes the duality the
+    * two fixed faces left manual (the r19 two-fixture ramp proved
+    * each wins its regime; callers had to know theirs). Seeds the
+    * incremental face's keyed state (its corpus pass subsumes the
+    * recount face's), runs `probeRounds` incremental rounds
+    * MEASURING the affected-row fraction (the statistic the duality
+    * turns on — the affected filter's count, one extra bounded job
+    * per probed round), then commits the remaining rounds to the
+    * measured winner:
+    *
+    *  - mean affected/vocab ≥ `switchFrac` — the SUFFIX regime: most
+    *    rounds rewrite most of the vocabulary, so the incremental
+    *    face pays its second loop state and delta shuffles on top of
+    *    recount-sized rewrites. The word state drops its key/pair
+    *    columns and the recount loop finishes the run.
+    *  - below `switchFrac` — the PRODUCTION-TAIL regime: merges touch
+    *    a sliver of the vocabulary; the incremental face continues
+    *    from the probe-end states (counts checkpointed BEFORE the
+    *    word table — the alignment invariant).
+    *
+    * Output is bit-identical to both fixed faces by construction
+    * (BpeSpec pins it; the ramp cells pin that each fixture picks its
+    * measured winner). `switchFrac` defaults to 0.05: measured at the
+    * catalog cell, the suffix fixture reads 0.27, the plain sf0.01
+    * corpus 0.12, the disjoint-tail fixture 0.0006 — better than an
+    * order of magnitude of slack on each side of the bar. */
+  def learnMergesAuto(docs: DataFrame, textCol: String,
+      maxMerges: Int, minCount: Long = 2L, probeRounds: Int = 3,
+      switchFrac: Double = 0.05): AutoLearn = {
+    require(maxMerges >= 0, s"learnMergesAuto: bad maxMerges $maxMerges")
+    require(probeRounds >= 1,
+      s"learnMergesAuto: bad probeRounds $probeRounds")
+    require(switchFrac > 0 && switchFrac < 1,
+      s"learnMergesAuto: bad switchFrac $switchFrac")
+    val spark = docs.sparkSession
+    val merges = ArrayBuffer.empty[Merge]
+    if (maxMerges == 0) return AutoLearn(Nil, "incremental", 0.0)
+    val rotW = new Checkpoints.Rotating
+    val rotC = new Checkpoints.Rotating
+    val seed0 = seedWordsKeyed(docs, textCol).localCheckpoint()
+    val vocabRows = seed0.count()
+    val p = GraftSession.loopPartitionsOf(math.max(1L, vocabRows))
+    var affectedSum = 0L
+    var probed = 0
+    var face = "incremental"
+    val frac = GraftSession.withLoopConf(spark, p) {
+      val cur = rotW(seed0.repartition(p, col("word")))
+      Checkpoints.release(seed0)
+      val counts = rotC(cur
+        .select(explode(col("pairs")).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .repartition(p, col("pair")))
+      // probe phase: cadence 1 (probeRounds is small and every-round
+      // checkpoints keep the probe states materialized)
+      val (c1, k1, exhausted) = incrementalRounds(cur, counts, rotW,
+        rotC, merges, math.min(probeRounds, maxMerges), minCount,
+        1, 1, p, probe = probeRounds,
+        onAffected = a => { affectedSum += a; probed += 1 })
+      val fr =
+        if (probed == 0 || vocabRows == 0) 0.0
+        else affectedSum.toDouble / probed / vocabRows
+      if (!exhausted && merges.size < maxMerges) {
+        if (fr >= switchFrac) {
+          // SUFFIX regime — finish on the recount face: the word
+          // state sheds its key and pair columns; the pending counts
+          // delta is discarded unexecuted (nothing references it)
+          face = "recount"
+          val cur2 = rotW(c1.select(col("toks"), col("freq")))
+          rotC.releaseLast()
+          recountRounds(cur2, rotW, merges, maxMerges, minCount,
+            cadenceFor(vocabRows, 8))
+        } else {
+          // TAIL regime — continue incrementally at the adaptive
+          // cadences; counts materialize BEFORE the word rotation
+          // releases the frame their pending delta reads (the
+          // alignment invariant)
+          val k2 = rotC(k1)
+          val c2 = rotW(c1)
+          val cpW = cadenceFor(vocabRows, 8)
+          val cpC = {
+            val asked = cadenceFor(vocabRows, 4)
+            (math.min(asked, cpW) to 1 by -1).find(cpW % _ == 0).get
+          }
+          incrementalRounds(c2, k2, rotW, rotC, merges, maxMerges,
+            minCount, cpW, cpC, p, probe = 0, onAffected = null): Unit
+        }
+      }
+      fr
+    }
+    rotW.releaseLast()
+    rotC.releaseLast()
+    AutoLearn(merges.toSeq, face, frac)
   }
 }

@@ -143,6 +143,48 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("learnMergesAuto equals both fixed faces and picks the " +
+      "measured winner per regime") {
+    // SUFFIX-shaped fixture: both words share the c^8 core, so every
+    // merge of its (c,c)-chain affects the WHOLE vocabulary — the
+    // probe measures affected/vocab = 1 and the run must finish on
+    // the recount face (the chain stays >= minCount through all three
+    // probe rounds: counts 14, 6, 2)
+    val hot = corpus("acccccccc bcccccccc")
+    val autoHot = Bpe.learnMergesAuto(hot, "text", maxMerges = 6)
+    assert(autoHot.face == "recount",
+      s"measured frac ${autoHot.affectedFrac}")
+    assert(autoHot.affectedFrac >= 0.9)
+    assert(autoHot.merges ==
+      Bpe.learnMerges(hot, "text", maxMerges = 6))
+    assert(autoHot.merges ==
+      Bpe.learnMergesIncremental(hot, "text", maxMerges = 6))
+    // TAIL-shaped fixture: each dominant pair lives in ONE word of a
+    // 64-word vocabulary; the 60 junk words carry globally UNIQUE
+    // pairs (2-char words over an 8x8 disjoint alphabet grid, count 1
+    // each — never merged, never affected) — affected/vocab ~= 1/64
+    // per probed round < 0.05, so the run must CONTINUE on the
+    // incremental face past the probe (rounds 4+ merge q r)
+    val junk = (0 until 60)
+      .map(i => "" + ('A' + i / 8).toChar + ('I' + i % 8).toChar)
+      .mkString(" ")
+    val tail = corpus((("xy " * 50) + ("uv " * 40) + ("st " * 30) +
+      ("qr " * 20)).trim, junk)
+    val autoTail = Bpe.learnMergesAuto(tail, "text", maxMerges = 6)
+    assert(autoTail.face == "incremental",
+      s"measured frac ${autoTail.affectedFrac}")
+    assert(autoTail.affectedFrac < 0.05)
+    assert(autoTail.merges ==
+      Bpe.learnMerges(tail, "text", maxMerges = 6))
+    assert(autoTail.merges ==
+      Bpe.learnMergesIncremental(tail, "text", maxMerges = 6))
+    // and on the fixture corpus the auto face reproduces the shipped
+    // vocabulary whatever it picks (bit-identity is face-independent)
+    val docs = Tables.df(spark, fixtureSf, "documents")
+    assert(Bpe.learnMergesAuto(docs, "text", maxMerges = 12).merges ==
+      Bpe.learnMerges(docs, "text", maxMerges = 12))
+  }
+
   test("learned table feeds the encode expression (artifact round-trip)") {
     // train on a corpus whose vocabulary we can encode by hand, then
     // tokenize THROUGH the learned table: 'st' merges first (count 4),
