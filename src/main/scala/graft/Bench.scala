@@ -234,9 +234,24 @@ object Bench {
             java.nio.file.StandardOpenOption.APPEND)
         } catch { case scala.util.control.NonFatal(_) => () }
       }
+      // per-query floor-NOW for the adjusted metric: the floor probes
+      // of the shard that produced the query's reading (max of the
+      // capture's three samples — the largest lift the floor can
+      // explain; a genuine task-time regression survives any floor
+      // discount, a job-floor-class reading discounts itself)
+      val shardFloorOf: String => Double = name => {
+        val i = shardOf(name, n)
+        if (i >= 0 && i < shardLines.size)
+          floorProbeVals(shardLines(i)) match {
+            case Nil => -1.0
+            case xs  => xs.max
+          }
+        else -1.0
+      }
       applyRegressionRechecks(
         mergeShardLines(shardLines)
           .replace(""","sf":"""", s""",$floorGate,"sf":""""),
+        shardFloorOf,
         names => runChild("SPARK_GRAFT_BENCH_ONLY" -> names.mkString(","),
           s"recheck(${names.size})"))
     } catch {
@@ -262,6 +277,8 @@ object Bench {
     }
     val qs = lines.flatMap(inner(_, "queries", '{', '}'))
       .filter(_.nonEmpty).mkString(",")
+    val js = lines.flatMap(inner(_, "jobs", '{', '}'))
+      .filter(_.nonEmpty).mkString(",")
     val errs = lines.flatMap(inner(_, "errors", '[', ']'))
       .filter(_.nonEmpty)
     val failed = lines.map(l =>
@@ -286,7 +303,7 @@ object Bench {
     val calJson = cals.map("{" + _ + "}")
       .mkString(s""""calibration":{"spread":${d2(maxSpread)},"shards":[""",
         ",", "]}")
-    s"""{"metric":"total","value":${jNum(total)},"unit":"sec","failed":$failed,"queries":{$qs},$errJson$calJson,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${jNum(total)},"unit":"sec","failed":$failed,"queries":{$qs},"jobs":{$js},$errJson$calJson,"sf":"$sf"}"""
   }
 
   /** CROSS-ROUND per-query regression detection (the class shard-
@@ -307,8 +324,24 @@ object Bench {
     * code — the min-of-passes protocol, extended), the headline total
     * is recomputed, and a `"regressions"` object records ref / shard /
     * recheck for each so the adjudication is readable from the
-    * artifact alone. */
+    * artifact alone. Since r20 each entry also carries the query's
+    * measured JOB COUNT and a floor-ADJUSTED ratio `adj` = min over
+    * readings of (wall − jobs × max(0, floorNow − refFloor)) / ref,
+    * where floorNow is the reading's own capture's worst serial-floor
+    * probe and refFloor the quietest probe across the reference
+    * artifacts: the job-floor class (task time flat, wall ≈ jobs ×
+    * floor) self-discounts mechanically — `adj` ≲ 1.3 reads
+    * "floor-priced" — while a genuine task-time regression keeps
+    * `adj` ≈ its raw ratio under any floor discount. */
+  /** All `floor_*_ms` probe readings present in a one-line artifact
+    * (or a single shard's line). */
+  private def floorProbeVals(line: String): Seq[Double] =
+    """"floor_(?:start|mid|end)_ms":(-?[0-9.]+)""".r
+      .findAllMatchIn(line).map(_.group(1).toDouble)
+      .filter(_ >= 0).toSeq
+
   private def applyRegressionRechecks(merged: String,
+      shardFloorOf: String => Double,
       recheck: Seq[String] => String): String = {
     val refPaths = sys.env.get("SPARK_GRAFT_BENCH_REF")
       .map(Seq(_)).getOrElse {
@@ -328,18 +361,33 @@ object Bench {
         line.substring(s + k.length, line.indexOf('}', s + k.length)))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+    def jobsOfLine(line: String): Map[String, Int] = {
+      val k = "\"jobs\":{"
+      val s = line.indexOf(k)
+      if (s < 0) Map.empty
+      else """"(q[A-Za-z0-9_]*|q1_agg)":(\d+)""".r.findAllMatchIn(
+        line.substring(s + k.length, line.indexOf('}', s + k.length)))
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+    }
     try {
+      val refTexts = refPaths.map(p => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        "UTF-8"))
       // per-query MIN across the reference artifacts (see scaladoc)
-      val ref = refPaths
-        .map(p => queriesOf(new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-          "UTF-8")))
+      val ref = refTexts.map(queriesOf)
         .foldLeft(Map.empty[String, Double]) { (acc, qs) =>
           (acc.keySet ++ qs.keySet).map { k =>
             k -> math.min(acc.getOrElse(k, Double.MaxValue),
               qs.getOrElse(k, Double.MaxValue))
           }.toMap
         }
+      // the quietest serial-floor probe any reference artifact ever
+      // recorded — the baseline the floor-ADJUSTED metric discounts
+      // against (see the regr map below)
+      val refFloor = refTexts.flatMap(floorProbeVals) match {
+        case Nil => -1.0
+        case xs  => xs.min
+      }
       if (ref.isEmpty) return merged
       val cur = queriesOf(merged)
       val offenders = cur.collect {
@@ -375,6 +423,26 @@ object Bench {
       // the regressions object still records every recheck reading
       val hadFail = "\"failed\":(\\d+)".r.findFirstMatchIn(merged)
         .exists(_.group(1).toInt > 0)
+      val shardJobs = jobsOfLine(merged)
+      val reJobs = jobsOfLine(reLine)
+      val reFloor = floorProbeVals(reLine) match {
+        case Nil => -1.0
+        case xs  => xs.max
+      }
+      // floor-ADJUSTED reading (r19 verdict #2 — the adjudication gap
+      // the mid-probe left): wall − jobs × max(0, floorNow − refFloor)
+      // — the LARGEST share of the reading the measured floor lift can
+      // explain for this query's job count. A job-floor-class entry
+      // (task time flat, wall ≈ jobs × floor) self-discounts to ~its
+      // reference; a genuine task-time regression survives any floor
+      // discount. Clamped at 0; NaN when jobs or a probe is missing
+      // (pre-r20 references carry no job counts — not needed: only
+      // CURRENT jobs and the refs' floor probes enter).
+      def adj(v: Double, jobs: Option[Int], floorNow: Double): Double =
+        if (v.isNaN || v < 0 || jobs.isEmpty || floorNow < 0 ||
+            refFloor < 0) Double.NaN
+        else math.max(0.0,
+          v - jobs.get * math.max(0.0, floorNow - refFloor) / 1000.0)
       val regr = offenders.map { name =>
         val shardV = cur(name)
         val reV = re.getOrElse(name, Double.NaN)
@@ -383,7 +451,15 @@ object Bench {
         if (!hadFail && best < shardV)
           line = line.replace(s""""$name":${jNum(shardV)}""",
             s""""$name":${jNum(best)}""")
-        s""""$name":{"ref":${jNum(ref(name))},"shard":${jNum(shardV)},"recheck":${jNum(reV)}}"""
+        val adjs = Seq(
+          adj(shardV, shardJobs.get(name), shardFloorOf(name)),
+          adj(reV, reJobs.get(name), reFloor)).filterNot(_.isNaN)
+        val jb = reJobs.get(name).orElse(shardJobs.get(name))
+        val adjField =
+          if (adjs.nonEmpty && ref(name) > 0)
+            s""","jobs":${jb.get},"adj":${d2(adjs.min / ref(name))}"""
+          else jb.map(j => s""","jobs":$j""").getOrElse("")
+        s""""$name":{"ref":${jNum(ref(name))},"shard":${jNum(shardV)},"recheck":${jNum(reV)}$adjField}"""
       }.mkString("{", ",", "}")
       // headline total = sum of the (possibly updated) per-query mins
       val newTotal = queriesOf(line).values.filter(_ >= 0).sum
@@ -440,6 +516,31 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-query JOB COUNTS (r19 verdict #2): the denominator of the
+    // floor-adjusted regression metric — a round-count-dominated
+    // query's wall is ~ jobs × serial floor, so the regression
+    // adjudicator can subtract the measured floor LIFT × jobs and
+    // emit a ratio the box noise cannot inflate. Counted via
+    // listener; the bus is async, so each reading settles by polling
+    // until stable (typically one 5 ms round — outside the timed
+    // window).
+    val jobCounter = new org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { n.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(jobCounter)
+    def settledJobCount(): Int = {
+      var last = -1
+      var cur = jobCounter.n.get()
+      var i = 0
+      while (cur != last && i < 20) {
+        last = cur; Thread.sleep(5); cur = jobCounter.n.get(); i += 1
+      }
+      cur
+    }
+    val jobsOf = scala.collection.mutable.Map.empty[String, Int]
     // NaN on failure — never the elapsed time of the exception path. A
     // crashing query must not masquerade as a fast timing (and with the
     // min-across-passes merge below, one failing pass must not win the
@@ -482,7 +583,11 @@ object Bench {
         shard.forall { case (i, n) => shardOf(name, n) == i } }
     def runPass(tag: String): Map[String, Double] =
       suite.map { case (name, fn) =>
+        val j0 = settledJobCount()
         val t1 = time(s"$name/$tag", fn)
+        // jobs from the FIRST run only (deterministic per query; the
+        // repeat would double-count)
+        if (!t1.isNaN) jobsOf(name) = settledJobCount() - j0
         val t = if (t1.isNaN || t1 > 2.0) t1
                 else math.min(t1, time(s"$name/$tag-rep", fn))
         System.err.println(f"bench [$tag] $name%-30s $t%8.3f s")
@@ -579,7 +684,15 @@ object Bench {
       else errors.map("\"" + _ + "\"").mkString(""""errors":[""", ",", "],")
     val calSpreadJ = if (calSpread.isNaN) "-1" else d2(calSpread)
     val cal = s""""calibration":{"start":${jNum(calStart)},"mid":${jNum(calMid)},"end":${jNum(calEnd)},"spread":$calSpreadJ,"floor_start_ms":${d2(floorStart)},"floor_mid_ms":${d2(floorMid)},"floor_end_ms":${d2(floorEnd)},"gc_ms":$gcDelta}"""
-    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","failed":$failed,"queries":$qs,$errJson$cal,"sf":"$sfDir"}"""
+    // per-query job counts ride EARLY in the line (right after
+    // "queries"): the driver's official artifact keeps only the TAIL
+    // 2000 chars, and the adjudication objects (calibration,
+    // floor_gate, regressions, sf) must survive the truncation —
+    // bench/self_capture.json keeps the whole line
+    val jjs = jobsOf.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","failed":$failed,"queries":$qs,"jobs":$jjs,$errJson$cal,"sf":"$sfDir"}"""
     spark.stop()
     line
   }
