@@ -21,10 +21,14 @@ import graft.core.{Checkpoints, GraftSession}
   * engine-exactness, the same trade [[TextAnalysis.bigramLmScore]]
   * makes.
   *
-  * Scale shape per iteration: one equi-shuffle join of the edge list
-  * with the current rank table on the source id, a partial-agg'd
-  * groupBy on the destination, and an outer join back to the node
-  * set — all linear in |E| + |V|. Out-degrees are joined ONCE onto the
+  * Scale shape per iteration: one equi-join of the edge list with the
+  * current rank table on the source id, then ONE partial-agg'd hash
+  * aggregate over the union of the damped shares and the |V| teleport
+  * seed rows — the aggregate closes the round, so there is no
+  * per-round outer join and no per-round second broadcast build (r20;
+  * the union rows carry (share, 0) / (0, base) and fold as
+  * max(base) + d·Σshare div 100, bit-identical to the outer-join
+  * spelling) — all linear in |E| + |V|. Out-degrees are joined ONCE onto the
   * edge list before the loop (they never change) and the rank table is
   * rotating-localCheckpointed each round, so executor storage holds two
   * |V|-sized copies at any moment (not `iterations`) and the logical
@@ -376,20 +380,38 @@ object Graph {
     val rotate = new Checkpoints.Rotating
     var ranks = nodes.select(col("node"), col("r0").as("rank"))
     for (i <- 1 to iterations) {
-      val contrib = eDeg
+      // ONE exchange + ONE broadcast per round (r20): the damped
+      // share aggregation and the teleport base fold in a single
+      // UNION-fed hash aggregate — (node, share, 0) contribution rows
+      // union (node, 0, base) seed rows, grouped once. The previous
+      // spelling closed the round with `nodes LEFT JOIN contrib`,
+      // whose per-round BroadcastExchange BUILD is a driver job; the
+      // broadcast cannot be reused across rounds (contrib changes)
+      // and nodes cannot be the build side (its unmatched rows — the
+      // dangling/unreferenced nodes — must be emitted). Folding the
+      // join into the aggregate drops 8 broadcast-build jobs from an
+      // 8-iteration walk (trustrank 35 → 27 measured) with identical
+      // integer arithmetic: base + (d × Σshare) div 100, Σ over the
+      // same share set, max(base) over exactly one non-zero row.
+      val next = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
-          expr("rank div deg").as("share")) // true integer floor div
-        .groupBy("node").agg(sum(col("share")).as("contrib"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (col("base") + expr(
-            s"($dampingPct * coalesce(contrib, 0L)) div 100"))
-            .as("rank"))
+          expr("rank div deg").as("share"), // true integer floor div
+          lit(0L).as("base"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("share"),
+          col("base")))
+        .groupBy("node")
+        .agg((max(col("base")) +
+          expr(s"($dampingPct * sum(share)) div 100")).as("rank"))
       // checkpoint every SECOND round: two co-partitioned rounds
       // pipeline inside one materialization job (per-round driver
       // floor halves), while plan depth stays bounded at 2 rounds —
-      // the static eDeg join never self-nests, so no analyzer blowup
+      // the static eDeg join never self-nests, so no analyzer blowup.
+      // DEEPER fusion measured and refuted (r20 A/B at sf0.1): at
+      // cadence 4 the un-checkpointed rank chain re-executes inside
+      // each following round's broadcast BUILD — q_trustrank jobs
+      // 32 → 29 but summed task time 0.5 → 1.0 s and wall
+      // 1.8 → 2.5 s; cadence 2 pays that re-execution exactly once.
       ranks = if (i % 2 == 0 || i == iterations) rotate(next) else next
     }
     // the final checkpoint IS the result; the loop-invariant inputs
