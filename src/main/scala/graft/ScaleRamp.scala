@@ -1261,6 +1261,23 @@ object ScaleRamp {
             "y", graft.ops.Classifier.Config(epochs = 4))
           .count(_._2 != 0L).toLong)
       },
+      "classifier_retrain" -> { k =>
+        // INCREMENTAL retrain (round 20): the stored model — trained
+        // OUTSIDE the timed window on the k-ramped base corpus — is
+        // warm-start refreshed on a FIXED-size delta (the un-ramped
+        // documents table). The base corpus is never re-touched, so
+        // the timed cost is delta-shaped: expect a ~flat exponent in
+        // k — the daily-gate-refresh claim, measured.
+        val wBase = graft.ops.Classifier.train(
+          graft.ops.Classifier.realVsShuffled(docsAt(k), "doc_id",
+            "text"), "doc_id", "text", "y",
+          graft.ops.Classifier.Config(epochs = 2))
+        val delta = graft.ops.Classifier.realVsShuffled(docs0,
+          "doc_id", "text")
+        timeIt(graft.ops.Classifier.retrain(delta, "doc_id", "text",
+            "y", wBase, graft.ops.Classifier.Config(epochs = 2))
+          .count(_._2 != 0L).toLong)
+      },
       "lsh_embed_neardup_scaled_planes" -> { k =>
         // the documented operating mode: planes grow with log2(corpus)
         // so expected bucket occupancy is constant — the knob a real
