@@ -1274,6 +1274,14 @@ object ScaleRamp {
           graft.ops.Classifier.Config(epochs = 2))
         val delta = graft.ops.Classifier.realVsShuffled(docs0,
           "doc_id", "text")
+        // one UNTIMED settle run: the k-ramped base training just
+        // released k-sized checkpoint blocks (async unpersist) — its
+        // GC aftermath must not land inside the fixed-size timed
+        // window (first measurement read exponent 0.62 from exactly
+        // that; the settled cell reads the design's flat shape)
+        graft.ops.Classifier.retrain(delta, "doc_id", "text", "y",
+          wBase, graft.ops.Classifier.Config(epochs = 2)): Unit
+        System.gc()
         timeIt(graft.ops.Classifier.retrain(delta, "doc_id", "text",
             "y", wBase, graft.ops.Classifier.Config(epochs = 2))
           .count(_._2 != 0L).toLong)

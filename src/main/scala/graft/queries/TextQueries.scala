@@ -171,6 +171,23 @@ object TextQueries extends QueryGroup {
         .toDF("rank", "pair", "cnt")
     },
 
+    // the MEASURED face chooser under the same oracle (r20): the
+    // 3-round probe measures affected/vocab and commits the run to
+    // the winning face (this corpus reads ~0.12 → recount) — one hash
+    // now pins auto ≡ recount ≡ incremental ≡ SQL replay, so a
+    // chooser that ever changed the total order would fail the gate,
+    // not just a spec.
+    q("q_bpe_learn_auto", "text",
+      s"""WITH RECURSIVE ${bpeLearnCtes(40)}
+          SELECT rank, pair, cnt FROM bmerges""") { (spark, dir) =>
+      import spark.implicits._
+      val learned = graft.ops.Bpe.learnMergesAuto(
+        Tables.df(spark, dir, "documents"), "text", maxMerges = 40)
+      learned.merges.zipWithIndex
+        .map { case (m, i) => (i + 1, m.pair, m.cnt) }
+        .toDF("rank", "pair", "cnt")
+    },
+
     // learn → tokenize COMPOSITION: fertility report under a
     // 24-merge vocabulary learned by the engine in the same query —
     // pins the artifact handoff (learned table → BpeEncode's rank
