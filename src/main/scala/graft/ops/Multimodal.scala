@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream is DISK-cached: every decode
+  // creates (and deletes) a temp file, so concurrent decode tasks
+  // serialize on the filesystem journal exactly like shuffle-file
+  // creation (the Bench tmpfs lesson — measured 9.2 s of summed task
+  // time for 5.5k in-memory 8×8 BMP decodes at 32-wide before this,
+  // 3.6 s after). Payloads here are in-memory byte arrays; cache in
+  // memory. JVM-global, set once on first decode.
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRecord(media_id: Long, payload: Array[Byte],
       media_type: String)
   /** `width/height/n_frames` carry image geometry (stills: n_frames=1);
@@ -60,6 +70,7 @@ object Multimodal {
   def decode(r: MediaRecord): MediaFeatures =
     if (r.media_type != null && r.media_type.startsWith("image/")) {
       try {
+        imageIoMemCache
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
         if (img == null) fakeDecode(r)
@@ -297,6 +308,7 @@ object Multimodal {
     * establishes for text, extended to pixels. None = undecodable. */
   def imageAHash(payload: Array[Byte]): Option[(Long, Long)] =
     try {
+      imageIoMemCache
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) None

@@ -118,8 +118,20 @@ object MultimodalQueries extends QueryGroup {
   private def imageHashFrame(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    // repartition BEFORE the typed flatMap (the Multimodal.features
+    // decode-parallelism discipline): the documents scan is one
+    // parquet split, so the real BMP encode+decode chain otherwise
+    // runs in ONE task — measured as ~1 s of effectively serial task
+    // time that kept q_image_dedup_clusters/q_image_neardup on the
+    // regression list for four rounds (25 tasks over 14 jobs). The
+    // checkpoint materializes the hashes ONCE: the band self-join
+    // consumes the frame on BOTH sides, and the CC loop re-reads it
+    // every round — un-materialized, each consumer re-decodes the
+    // whole corpus. Row content is partitioning-invariant, so pair
+    // sets and hashes are unchanged.
     val ids = Tables.df(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     def g(id: Long)(j: Int): Int = MultimodalQueries.pixelGray(id, j)
     ids.flatMap { id =>
       val o = Multimodal.imageAHash(
@@ -131,7 +143,7 @@ object MultimodalQueries extends QueryGroup {
                else g(id)(j), 8, 8)).get
         base :+ ((id + 100000L, p._1, p._2))
       } else base
-    }.toDF("media_id", "ahash_hi", "ahash_lo")
+    }.toDF("media_id", "ahash_hi", "ahash_lo").localCheckpoint()
   }
 
   /** Fingerprint chain from an `aud(media_id, n, seed)` CTE (n = total
