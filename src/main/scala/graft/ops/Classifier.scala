@@ -34,21 +34,23 @@ import graft.core.{Checkpoints, GraftSession}
   * to gradient descent.
   *
   * Distribution shape, and why it holds at 100 TB: the corpus is
-  * touched ONCE to build the sparse feature table (explode grams →
-  * map-side bucket hash → (doc, bucket, cnt) groupBy — the only
-  * corpus-keyed shuffle), which is then localCheckpoint'd
-  * partitioned BY DOCUMENT. Each epoch is one pass over that table:
-  * weights (buckets+1 longs — model-sized, never corpus-sized)
-  * broadcast in as a literal table, the per-doc dot product and
-  * error run EXCHANGE-FREE on the doc partitioning (the groupBy and
-  * the error join are both doc-keyed), and the gradient comes back
-  * through a map-side-combined bucket aggregation whose post-shuffle
-  * size is ≤ buckets+1 rows — the per-epoch driver collect is
-  * model-sized (the BPE argmax discipline), so executors never see
-  * the weights as state and the driver never sees the corpus.
-  * Epochs are inherently sequential (each update feeds the next
-  * epoch's broadcast); the per-epoch cost is one feature-table scan
-  * ×2 — flat in epochs, linear in corpus.
+  * touched ONCE to build the sparse feature table (ONE scan: the
+  * bias pseudo-bucket rides the same gram explode → map-side bucket
+  * hash → (doc, bucket, cnt) groupBy — the only corpus-keyed
+  * shuffle), which is then localCheckpoint'd partitioned BY DOCUMENT
+  * and sorted by document within partitions. Each epoch is ONE pass
+  * over that table: weights (buckets+1 longs — model-sized, never
+  * corpus-sized) broadcast in as a literal table, the per-doc dot
+  * product attached by a whole-partition WINDOW that rides the
+  * checkpoint's partitioning+ordering (no exchange, no sort, no
+  * join-back), and the gradient comes back through a
+  * map-side-combined bucket aggregation whose post-shuffle size is
+  * ≤ buckets+1 rows — the per-epoch driver collect is model-sized
+  * (the BPE argmax discipline), so executors never see the weights
+  * as state and the driver never sees the corpus. Epochs are
+  * inherently sequential (each update feeds the next epoch's
+  * broadcast); the per-epoch cost is one feature-table scan — flat
+  * in epochs, linear in corpus.
   */
 object Classifier {
 
@@ -79,13 +81,19 @@ object Classifier {
     require(slope >= 1, s"slope must be >= 1: $slope")
   }
 
-  private def words(text: Column): Column =
+  private[ops] def words(text: Column): Column =
     filter(split(text, " "), w => w =!= lit(""))
 
   /** Unigram + bigram occurrences of the whitespace-split text (the
     * [[Bpe]] adjacent-pairs idiom over words instead of tokens). */
-  private[ops] def gramsOf(text: Column): Column = {
-    val t = words(text)
+  private[ops] def gramsOf(text: Column): Column =
+    gramsOfWords(words(text))
+
+  /** [[gramsOf]] over an ALREADY-SPLIT word array — for call sites
+    * that also need the word array itself (token counts, multi-model
+    * scoring) and must not pay the split twice (guide §2.3: project
+    * once, reuse). */
+  private[ops] def gramsOfWords(t: Column): Column = {
     // greatest(…, 0): slice rejects a negative length, and an EMPTY
     // word array (text of only separators) must yield zero grams,
     // not an error — the oracle's generate_series(1, greatest(n−1,0))
@@ -93,6 +101,18 @@ object Classifier {
     concat(t, transform(
       slice(t, lit(1), greatest(size(t) - 1, lit(0))),
       (x, i) => concat(x, lit(" "), element_at(t, i + lit(2)))))
+  }
+
+  /** The per-row BUCKET array: every gram hashed to its model bucket
+    * (plus the [[Bias]] pseudo-bucket prepended when `withBias`) —
+    * the shared projection the feature build explodes and the
+    * multi-model scorer folds over. Hashing happens ONCE per gram
+    * here; everything downstream moves ints, not gram strings. */
+  private[ops] def bucketsOfWords(t: Column, buckets: Int,
+      withBias: Boolean): Column = {
+    val bs = transform(gramsOfWords(t),
+      g => pmod(hash(g), lit(buckets)).cast("int"))
+    if (withBias) concat(array(lit(Bias)), bs) else bs
   }
 
   // NOTE: there is deliberately no shared "hashedGramFeatures"
@@ -157,22 +177,30 @@ object Classifier {
     val spark = labeled.sparkSession
     // the label rides the gram explode (one more byte-ish per row
     // through the feature groupBy) instead of joining back on id —
-    // one corpus-keyed shuffle at seed time, not two
+    // one corpus-keyed shuffle at seed time, not two. The BIAS
+    // pseudo-bucket rides the SAME explode (prepended to the per-doc
+    // bucket array, −1 occurs exactly once per doc so its count
+    // aggregates to 1) instead of a separate union branch — the
+    // union spelling scanned the corpus twice at seed time (guide
+    // §2.4: remove the second pass outright); rows are bit-identical.
     val base = labeled.filter(col(textCol).isNotNull)
       .select(col(idCol), col(labelCol).cast("long").as("_y"),
         col(textCol))
     val cp0 = base
       .select(col(idCol), col("_y"),
-        explode(gramsOf(col(textCol))).as("_g"))
-      .select(col(idCol), col("_y"),
-        pmod(hash(col("_g")), lit(cfg.buckets)).cast("int")
-          .as("bucket"))
+        explode(bucketsOfWords(words(col(textCol)), cfg.buckets,
+          withBias = true)).as("bucket"))
       .groupBy(col(idCol), col("_y"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .unionByName(base.select(col(idCol), col("_y"),
-        lit(Bias).as("bucket"), lit(1L).as("cnt")))
       .localCheckpoint()
-    val featRows = cp0.count()
+    // ONE stats job over the materialized checkpoint: row count (the
+    // partition sizing input) and labeled-doc count (the learning-
+    // rate denominator — exactly one bias row per doc) together,
+    // instead of a count job now plus a bias-filter count job later
+    val stats = cp0.agg(count(lit(1)),
+      count(when(col("bucket") === Bias, lit(1)))).collect()(0)
+    val featRows = stats.getLong(0)
+    val nDocs = stats.getLong(1)
     // dense-stage sizing (the join-walk discipline): each epoch is a
     // CPU-dense pass over the feature table — ~1M rows/task at scale,
     // core-fill floored so a mid-size corpus doesn't run 1-wide
@@ -193,18 +221,23 @@ object Classifier {
     // corpus scale — its intermediate stats estimate must not tempt
     // the planner), the weights are model-sized always
     GraftSession.withLoopConf(spark, p, allowBroadcast = false) {
-      // partitioned BY DOCUMENT: the per-doc dot-product groupBy and
-      // the error join are both id-keyed, so every epoch runs
-      // exchange-free up to the model-sized gradient aggregation
-      // (plan-verified: 1 hash exchange + 1 broadcast per epoch).
-      // The checkpoint MUST be built here, under the static planner:
-      // localCheckpoint under AQE captures UnknownPartitioning —
-      // the adaptive plan's partitioning is not stable at capture
-      // time — and every epoch then re-shuffles both join sides
-      // (plan-verified refutation of the naive spelling)
-      val feats = cp0.repartition(p, col(idCol)).localCheckpoint()
+      // partitioned BY DOCUMENT and SORTED by document within each
+      // partition: the per-doc dot product runs as a WINDOW over the
+      // checkpoint's own partitioning+ordering — no per-epoch join
+      // back on id, no per-epoch sort (the previous join spelling
+      // scanned the feature table twice per epoch and sort-merged it
+      // against the error frame: 2 scans + 2 sorts/epoch; guide §2.4
+      // — two operations keyed the same way share one layout, paid
+      // once at checkpoint time). The checkpoint MUST be built here,
+      // under the static planner: localCheckpoint under AQE captures
+      // UnknownPartitioning — the adaptive plan's partitioning is not
+      // stable at capture time — and every epoch then re-shuffles and
+      // re-sorts (plan-verified refutation of the naive spelling)
+      val feats = cp0.repartition(p, col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .localCheckpoint()
       Checkpoints.release(cp0)
-      val n = feats.filter(col("bucket") === Bias).count()
+      val n = nDocs
       // a cold-start train with nothing to learn from is a caller
       // error; an empty RETRAIN delta is the documented fixed point —
       // the epoch loop is skipped (n = 0 ⇒ zero gradient anyway, but
@@ -212,22 +245,30 @@ object Classifier {
       require(n > 0 || init.nonEmpty,
         "train: no labeled documents with text")
       val den = cfg.lrDen * math.max(n, 1L)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
       var ep = 0
       while (ep < cfg.epochs && n > 0) {
         val wDf = broadcast(spark.createDataFrame(
           (Bias until cfg.buckets).map(b =>
             (b, if (b == Bias) b0 else w(b)))).toDF("bucket", "w"))
-        val z = feats.join(wDf, Seq("bucket"))
-          .groupBy(col(idCol), col("_y"))
-          .agg(sum(col("w") * col("cnt")).as("z"))
-        val err = z.select(col(idCol),
-          (greatest(lit(0L), least(lit(cfg.scale),
+        // ONE feature-table pass per epoch: broadcast weight lookup →
+        // whole-partition window sum (the per-doc dot product z,
+        // attached to every feature row — long addition commutes, so
+        // the window's sum is bit-equal to the old groupBy+join's) →
+        // per-row hard-sigmoid error → model-sized bucket gradient.
+        // Plan: scan → BHJ → Window (no exchange, no sort — the
+        // checkpoint carries hashpartitioning(id) and id-ascending
+        // ordering) → partial agg → ONE ≤buckets+1-row exchange.
+        val err =
+          greatest(lit(0L), least(lit(cfg.scale),
             expr(s"(z - z % ${cfg.slope}) div ${cfg.slope}")
-              + lit(cfg.scale / 2)))
-            - col("_y") * cfg.scale).as("err"))
-        val grad = feats.join(err, Seq(idCol))
+              + lit(cfg.scale / 2))) - col("_y") * cfg.scale
+        val grad = feats.join(wDf, Seq("bucket"))
+          .select(col(idCol), col("_y"), col("bucket"), col("cnt"),
+            sum(col("w") * col("cnt")).over(win).as("z"))
           .groupBy(col("bucket"))
-          .agg(sum(col("err") * col("cnt")).as("g"))
+          .agg(sum(err * col("cnt")).as("g"))
           .collect()
         grad.foreach { r =>
           val b = r.getInt(0)
@@ -284,15 +325,38 @@ object Classifier {
     * [[score]]'s aggregated dot product bit for bit; docs with no
     * grams score the bias, matching the feature table's bias row. */
   def scoreExpr(text: Column, weights: Seq[(Int, Long)],
-      buckets: Int): Column = {
+      buckets: Int): Column =
+    scoreExprOverBuckets(
+      bucketsOfWords(words(text), buckets, withBias = false), weights)
+
+  /** The whitespace word array the gate splits on — public with
+    * [[bucketsExpr]] so a call site that needs BOTH the score and the
+    * token count (or several models' scores) can materialize the
+    * split once instead of re-splitting per expression. */
+  def wordsExpr(text: Column): Column = words(text)
+
+  /** The hashed bucket array of a word array's unigram+bigram grams —
+    * the input [[scoreExprOverBuckets]] folds over. */
+  def bucketsExpr(wordArr: Column, buckets: Int): Column =
+    bucketsOfWords(wordArr, buckets, withBias = false)
+
+  /** [[scoreExpr]]'s fold over an ALREADY-HASHED bucket array (no
+    * [[Bias]] element — [[bucketsOfWords]] with `withBias = false`):
+    * for call sites scoring each row with SEVERAL models (the drift
+    * report scores old and new weights off one scan), the gram
+    * split+concat+hash runs ONCE into a materialized int-array
+    * column and every model folds over it — the old spelling
+    * re-built the gram strings and re-hashed them per model (guide
+    * §2.3: compute the proxy once, reuse it). Fold order and
+    * arithmetic are unchanged, so the score is bit-equal. */
+  def scoreExprOverBuckets(bucketArr: Column,
+      weights: Seq[(Int, Long)]): Column = {
     val bias = weights.collectFirst { case (Bias, v) => v }
       .getOrElse(0L)
     val wMap = typedLit(weights
       .filter { case (b, v) => b != Bias && v != 0L }.toMap)
-    aggregate(gramsOf(text), lit(bias),
-      (acc, g) => acc + coalesce(
-        element_at(wMap, pmod(hash(g), lit(buckets)).cast("int")),
-        lit(0L)))
+    aggregate(bucketArr, lit(bias),
+      (acc, b) => acc + coalesce(element_at(wMap, b), lit(0L)))
   }
 
   /** The labeled training set the catalog trains on, built

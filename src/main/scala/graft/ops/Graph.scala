@@ -293,7 +293,17 @@ object Graph {
       .distinct()
       .localCheckpoint() // consumed every peeling round
     val p = loopPartitions(und.count())
-    GraftSession.withLoopConf(edges.sparkSession, p) {
+    // broadcast OFF for the peel (r20, measured): the job bill of
+    // this loop is the per-round BroadcastExchange BUILD jobs of the
+    // two alive-side semi-joins (BenchDiag: 158 jobs ≈ 4/round, task
+    // time 1.6 s — the builds are jobs the round fusion below cannot
+    // remove; fusing under broadcast ON read 162 jobs / 2.2× task
+    // time). Under shuffle joins a whole fused round is ONE job (+ a
+    // count), and at corpus scale the alive frame is |V|-sized —
+    // never broadcastable — so the shuffle plan is also the one that
+    // survives 100×; the p-sized exchanges are peel-state-sized.
+    GraftSession.withLoopConf(edges.sparkSession, p,
+      allowBroadcast = false) {
     val rotate = new Checkpoints.Rotating
     def degrees(aliveNodes: DataFrame): DataFrame = und
       .join(aliveNodes.select(col("node").as("a")), Seq("a"), "left_semi")
@@ -306,7 +316,21 @@ object Graph {
     var n = alive.count()
     var stable = n == 0
     while (!stable) {
-      val next = rotate(degrees(alive)
+      // TWO peel rounds per materialized frame (r20, the trustrank
+      // round-fusion discipline): the peel is monotone (rounds only
+      // remove nodes) and its fixed point is cadence-invariant, so
+      // count-unchanged across a fused step still reads "stable"
+      // exactly — peel(peel(A)) has A's count iff neither sub-round
+      // removed anything. Halves the job+checkpoint floor the peel
+      // pays per logical round (q_kcore read 158 jobs ≈ its wall at
+      // the serial floor); the inner frame is recomputed once inside
+      // the fused plan (degrees references it twice — ~1.5× the task
+      // work of two materialized rounds), the measured cheaper side
+      // while task time is floor-sized. Cadence stops at 2: each
+      // deeper level doubles the un-checkpointed recomputation
+      // (the BPE 2^cadence lesson).
+      val next = rotate(degrees(degrees(alive)
+          .filter(col("core_degree") >= k))
         .filter(col("core_degree") >= k))
       val m = next.count()
       stable = m == n || m == 0

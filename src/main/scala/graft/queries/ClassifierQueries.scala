@@ -341,15 +341,24 @@ object ClassifierQueries extends QueryGroup {
       // one corpus scan scores BOTH models map-only; checkpointed
       // because each sweep consumes it twice (min/max + binning — the
       // multi-consumer discipline, else the double literal-map fold
-      // over the corpus executes four times)
+      // over the corpus executes four times). The split and the
+      // gram-hash run ONCE into shared array columns (stacked
+      // projections — CollapseProject declines to re-inline a
+      // non-cheap expression referenced twice) and each model folds
+      // over the shared bucket array: the old spelling re-split and
+      // re-hashed every gram per model (r20 optimization, guide §2.3)
       val scored = docs.filter(col("text").isNotNull)
         .select(col("doc_id"),
-          Classifier.scoreExpr(col("text"), wOld, B).cast("double")
-            .as("s_old"),
-          Classifier.scoreExpr(col("text"), wNew, B).cast("double")
-            .as("s_new"),
-          size(filter(split(col("text"), " "), w => w =!= lit("")))
-            .cast("long").as("t"))
+          Classifier.wordsExpr(col("text")).as("_ws"))
+        .select(col("doc_id"),
+          Classifier.bucketsExpr(col("_ws"), B).as("_bs"),
+          size(col("_ws")).cast("long").as("t"))
+        .select(col("doc_id"),
+          Classifier.scoreExprOverBuckets(col("_bs"), wOld)
+            .cast("double").as("s_old"),
+          Classifier.scoreExprOverBuckets(col("_bs"), wNew)
+            .cast("double").as("s_new"),
+          col("t"))
         .localCheckpoint()
       graft.ops.Stats.thresholdSweep(scored, col("s_old"), col("t"))
         .withColumn("model", lit("old"))
@@ -421,13 +430,17 @@ object ClassifierQueries extends QueryGroup {
         "doc_id", "text", "y", cfg.copy(epochs = 2))
       // one corpus scan scores AND measures map-only; checkpointed —
       // the sweep's min/max, the sweep's binning, the re-binning, and
-      // the dedup all consume it (the multi-consumer discipline)
+      // the dedup all consume it (the multi-consumer discipline). The
+      // split runs ONCE into a shared word-array column feeding both
+      // the score fold and the token count (r20, guide §2.3)
       val scored = corpus.filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"),
-          Classifier.scoreExpr(col("text"), w, B).cast("double")
-            .as("x"),
-          size(filter(split(col("text"), " "), t => t =!= lit("")))
-            .cast("long").as("t"))
+          Classifier.wordsExpr(col("text")).as("_ws"))
+        .select(col("doc_id"), col("text"),
+          Classifier.scoreExprOverBuckets(
+            Classifier.bucketsExpr(col("_ws"), B), w)
+            .cast("double").as("x"),
+          size(col("_ws")).cast("long").as("t"))
         .localCheckpoint()
       // relative threshold: the lowest bin whose descending doc
       // cumulative stays within HALF the corpus — integer compare
